@@ -1,0 +1,99 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.schema.PropertySchema
+
+/** Pure `Column` functions for every scalar/string operation in the
+  * reference's transform stage (SURVEY.md §2.7–2.9). All of these compile to
+  * built-in Catalyst expressions (whole-stage-codegen'd); none are UDFs.
+  */
+object Parse {
+
+  /** Normalize non-breaking spaces to plain spaces
+    * (reference: scripts/transform.py:63).
+    */
+  def normalizeNbsp(c: Column): Column = regexp_replace(c, " ", " ")
+
+  /** "12 500 Kc" → 12500: strip every non-digit, cast to long. Mirrors the
+    * digits-only parse at scripts/transform.py:68 but in one codegen'd
+    * expression; LongType guards against overflow on pathological inputs
+    * (SURVEY.md §7.5). Empty-after-strip yields NULL (ANSI-off cast).
+    */
+  def digitsToLong(c: Column): Column =
+    regexp_replace(c, "[^0-9]", "").cast("long")
+
+  /** "75 m2" → 75, missing/garbage → 0. Mirrors
+    * scripts/transform.py:76-78 (strip 'm2', to_numeric(coerce), fillna(0)).
+    */
+  def sizeToInt(c: Column): Column =
+    coalesce(regexp_replace(regexp_replace(c, "m2", ""), "[^0-9]", "")
+      .cast("int"), lit(0))
+
+  /** Last two whitespace-separated words, trailing comma stripped
+    * (reference closure `extract_last_two_words`, scripts/transform.py:81-87).
+    */
+  def lastTwoWords(c: Column): Column =
+    rtrim(array_join(slice(split(trim(c), "\\s+"), -2, 2), " "), ",")
+
+  /** Everything except the last two words, trailing comma/space stripped —
+    * the address rewrite when a region tail is present
+    * (scripts/transform.py:91).
+    */
+  def dropLastTwoWords(c: Column): Column = {
+    val words = split(trim(c), "\\s+")
+    val keep = greatest(size(words) - 2, lit(0))
+    rtrim(rtrim(array_join(slice(words, lit(1), keep), " ")), ",")
+  }
+
+  /** Region derivation (scripts/transform.py:90): if the address mentions
+    * "kraj" (case-insensitive), the region is its last two words; otherwise
+    * the listing is in Praha.
+    */
+  def regionOf(address: Column): Column =
+    when(lower(address).contains("kraj"), lastTwoWords(address))
+      .otherwise(lit("Praha"))
+
+  /** Address rewrite (scripts/transform.py:91): strip the region tail when
+    * present.
+    */
+  def addressWithoutRegion(address: Column): Column =
+    when(lower(address).contains("kraj"), dropLastTwoWords(address))
+      .otherwise(address)
+
+  /** ceil(price/size) as nullable int, NULL when size = 0 — collapses the
+    * reference's four-step nan/fillna/ceil/replace dance
+    * (scripts/transform.py:96-102) into one `when` without `otherwise`.
+    */
+  def pricePerM2(price: Column, size: Column): Column =
+    when(size =!= 0, ceil(price.cast("double") / size).cast("int"))
+
+  /** Regex alternation over a keyword list — pandas
+    * `str.contains('|'.join(kws))` (scripts/transform.py:72-73). The
+    * reference keywords contain no regex metacharacters (SURVEY.md §7.5),
+    * but quote defensively anyway.
+    */
+  def containsAny(c: Column, keywords: Seq[String]): Column =
+    c.rlike(keywords.map(java.util.regex.Pattern.quote).mkString("|"))
+
+  /** Rent-sanity drop predicate (keep-form), scripts/transform.py:72. */
+  def keepRentSane(purpose: Column, price: Column): Column =
+    !(containsAny(purpose, PropertySchema.rentKeywords) && price <= 1000)
+
+  /** Sale-sanity drop predicate (keep-form), scripts/transform.py:73. */
+  def keepSaleSane(purpose: Column, price: Column): Column =
+    !(containsAny(purpose, PropertySchema.saleKeywords) && price <= 20000)
+
+  /** Land price-per-m2 cap (keep-form), scripts/transform.py:103. NULL
+    * price_per_m2 must be kept: in pandas `None > 80000` is False so the
+    * row survives; in SQL the comparison is NULL → wrap with coalesce.
+    */
+  def keepLandCap(purpose: Column, ppm2: Column): Column =
+    !(purpose.contains("Prodej pozemku") && coalesce(ppm2 > 80000, lit(false)))
+
+  /** Filename from an object key: "a/b/c.csv" → "c.csv"
+    * (scripts/transform.py:112).
+    */
+  def baseName(c: Column): Column = substring_index(c, "/", -1)
+}

@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expr.Transliterate
+import graft.schema.PropertySchema
+
+/** The reference's core "query": its 13-step eager pandas pipeline
+  * (scripts/transform.py:24-120) re-expressed as ONE lazy DataFrame chain.
+  *
+  * Catalyst fuses every filter/projection here into a single
+  * whole-stage-codegen'd stage; the only exchange in the whole plan is the
+  * hash-partition shuffle for `dropDuplicates("link")` — at cluster scale
+  * that is a single shuffle on the dedup key and nothing else, vs the
+  * reference's 13 full materialized intermediate frames.
+  */
+object Transform {
+
+  /** Input: raw 6-string-column frame (PropertySchema.raw). Output: the
+    * canonical 10-column transformed frame (PropertySchema.transformed).
+    *
+    * @param dumpDate injected batch timestamp literal ("yyyy_MM_dd_HHmmss");
+    *                 a literal rather than current_timestamp() so that runs
+    *                 are deterministic and oracle-comparable (SURVEY.md §7.5).
+    * @param fileName source-file lineage value. Pass None to derive the true
+    *                 per-row source via input_file_name() — strictly more
+    *                 general than the reference's single-file constant
+    *                 (scripts/transform.py:112).
+    */
+  def apply(raw: DataFrame, dumpDate: String, fileName: Option[String] = None): DataFrame = {
+    val strCols = raw.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
+
+    // unidecode at extract time (scripts/extract.py:45) + NBSP normalize
+    // (scripts/transform.py:63), applied to every string column.
+    val normalized = strCols.foldLeft(raw) { (d, c) =>
+      d.withColumn(c, Parse.normalizeNbsp(Transliterate(col(c))))
+    }
+
+    val lineage = fileName
+      .map(n => lit(n))
+      .getOrElse(Parse.baseName(input_file_name()))
+
+    normalized
+      // dedup by ad URL (scripts/transform.py:62)
+      .dropDuplicates("link")
+      // currency filter: drop Slovak EUR listings (scripts/transform.py:66)
+      .filter(!col("price_czk").contains("EUR"))
+      // strip 'Kc', digits-only parse (scripts/transform.py:67-68)
+      .withColumn("price_czk", Parse.digitsToLong(col("price_czk")))
+      // min-price floor (scripts/transform.py:71)
+      .filter(col("price_czk") >= 500)
+      // rent/sale sanity filters (scripts/transform.py:72-73)
+      .filter(Parse.keepRentSane(col("purpose"), col("price_czk")))
+      .filter(Parse.keepSaleSane(col("purpose"), col("price_czk")))
+      // size: strip 'm2', coerce, 0-fill (scripts/transform.py:76-78)
+      .withColumn("size_m2", Parse.sizeToInt(col("size_m2")))
+      // region derive + address rewrite (scripts/transform.py:81-91)
+      .withColumn("region", Parse.regionOf(col("address")))
+      .withColumn("address", Parse.addressWithoutRegion(col("address")))
+      // region whitelist (scripts/transform.py:92)
+      .filter(col("region").isin(PropertySchema.czechRegions: _*))
+      // price_per_m2, NULL when size 0 (scripts/transform.py:96-102)
+      .withColumn("price_per_m2", Parse.pricePerM2(col("price_czk"), col("size_m2")))
+      // land cap (scripts/transform.py:103)
+      .filter(Parse.keepLandCap(col("purpose"), col("price_per_m2")))
+      // batch metadata (scripts/transform.py:106-112)
+      .withColumn("dump_date", lit(dumpDate))
+      .withColumn("file_name", lineage)
+      // canonical column order (scripts/transform.py:115-116)
+      .select(PropertySchema.transformed.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.expr
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode → ASCII transliteration as a native Catalyst expression.
+  *
+  * The reference applies python `unidecode` to every string cell
+  * (reference: scripts/extract.py:45). For the Czech alphabet the effect is
+  * exactly "strip combining diacritical marks": NFD-normalize, drop
+  * `\p{M}`. We implement that with `java.text.Normalizer` and participate
+  * in whole-stage codegen (`doGenCode` emits a static call) so the hot path
+  * stays inside Tungsten-generated code rather than falling back to
+  * interpreted eval.
+  */
+case class Transliterate(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "transliterate"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(Transliterate.strip(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Transliterate.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString($cls.strip($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Transliterate =
+    copy(child = newChild)
+}
+
+object Transliterate {
+  private val combining = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** NFD-normalize then remove all combining marks. Pure + thread-safe;
+    * invoked from generated code, so it must stay a static public method.
+    */
+  def strip(s: String): String =
+    combining.matcher(Normalizer.normalize(s, Normalizer.Form.NFD)).replaceAll("")
+
+  /** Column-function form: `Transliterate(col)` as a usable Column. */
+  def apply(c: Column): Column =
+    GraftBridge.column(Transliterate(GraftBridge.expression(c)))
+}

@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one shuffle on the (small) fingerprint key, keep-min
+  *    semantics via min-aggregation (no window sort needed).
+  *  - MinHash-LSH = narrow signature computation (codegen'd array exprs),
+  *    explode to (band, bucket) keys, self-equi-join on bucket — candidate
+  *    pairs only, never the O(n²) cross product.
+  *  - blocking for n-gram Jaccard = equi-join on (lang, length-bucket);
+  *    near-duplicate text has near-equal length, so the block key is both
+  *    correct-ish and shuffle-friendly.
+  */
+object Dedup {
+
+  /** Exact dedup, keep the row with the smallest `idCol` per key — the
+    * deterministic analogue of pandas drop_duplicates keep='first'
+    * (reference: scripts/transform.py:62). Implemented as a min-id
+    * aggregation + semi-join back, which is fully map-side-combinable; a
+    * row_number window would sort every group instead.
+    */
+  def exactDedupByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val keep = df.groupBy(key.as("__k")).agg(min(col(idCol)).as(idCol))
+    df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  /** Word k-shingles of normalized text. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    // distinct k-word shingles: positions 0..n-k
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+          i => array_join(slice(ws, i + 1, lit(k)), " ")),
+        s => length(s) > 0))
+  }
+
+  /** MinHash signature of a shingle set: `num` permutations of the 32-bit
+    * murmur3 hash via (a_i * h + b_i) mod p. Pure array expressions —
+    * codegen'd, no UDF, no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, num: Int, seed: Int = 42): Column = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(num)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong ->
+      rnd.nextInt(Int.MaxValue).toLong)
+    val hashes = transform(shingleCol, s => hash(s).cast("long"))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(h * a + b, lit(p))))
+    }: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: hash each band of `rowsPerBand`
+    * signature entries into one bucket id. Two docs land in the same
+    * (band, bucket) with probability 1-(1-s^r)^b for Jaccard s.
+    */
+  def lshBands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs over a documents table.
+    * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where
+    * est_jaccard is the signature-agreement fraction.
+    *
+    * Plan shape: narrow sig compute → explode bands (fan-out ×numBands) →
+    * shuffle on (band,bucket) → self-join within buckets → agg distinct
+    * pairs. No cross product anywhere; skewed mega-buckets can be salted or
+    * capped upstream if a corpus has degenerate boilerplate.
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, numBands: Int = 16, minJaccard: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .drop("sh")
+    val banded = withSig
+      .select(col("id"), col("sig"),
+        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+    val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash of the word set: per word take murmur3×2 (two 32-bit
+    * halves via seeds), sum ±1 per bit position, sign → bit. Computed with
+    * explode + groupBy-sum over (id, bit) — one shuffle on id.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("id"),
+        (hash(col("w")).cast("long") * 2654435761L + 0x9E3779B97F4A7C15L).as("h"))
+    // contribution of each of the 64 bits: +1 if set else -1
+    val withBits = tokens.select(col("id"),
+      array((0 until 64).map { i =>
+        when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)
+      }: _*).as("bits"))
+    withBits.groupBy("id")
+      .agg(aggregate(
+        collect_list("bits"),
+        array((0 until 64).map(_ => lit(0L)): _*),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sums"))
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(element_at(col("sums"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Word-set Jaccard similarity between two text columns — exact, set
+    * semantics (distinct words).
+    */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val wa = array_distinct(split(lower(trim(a)), "\\s+"))
+    val wb = array_distinct(split(lower(trim(b)), "\\s+"))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    inter / (size(wa) + size(wb) - inter)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs with length+lang blocking: only
+    * pairs in the same language whose char lengths fall in the same or
+    * adjacent bucket can be near-duplicates, so the join is an equi-join on
+    * the block key instead of a cross product.
+    */
+  def jaccardNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, minJaccard: Double, bucketChars: Int = 64): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      col(langCol).as("lang"),
+      floor(length(col(textCol)) / bucketChars).as("lb"))
+    // each doc also probes the next-lower bucket so boundary pairs match
+    val probes = base.select(col("id"), col("t"), col("lang"),
+      explode(array(col("lb"), col("lb") + 1)).as("lb"))
+    val pairs = base.as("x").join(probes.as("y"),
+      col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
+        col("x.id") < col("y.id"))
+    pairs.select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        wordJaccard(col("x.t"), col("y.t")).as("jaccard"))
+      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus distributed decode / feature-extraction over
+  * batches.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernel is a clearly-marked deterministic fake (see
+  * [[FakeDecoder]]); everything Spark-side — the asset schema, binary
+  * handling, partition sizing, the mapPartitions batch shape, and the
+  * feature-vector output contract — is real and tested. Swapping
+  * [[FakeDecoder.decode]] for a JNI/ffmpeg/javacv call changes nothing
+  * in the plan.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("payload", BinaryType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType)
+  ))
+
+  /** Build an assets frame from any table with an id and a string column —
+    * the string bytes stand in for media payloads so the binary plumbing is
+    * exercised with real (deterministic) data.
+    */
+  def synthesizeAssets(df: DataFrame, idCol: String, payloadFrom: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      // deterministic fake mime from the id
+      element_at(typedlit(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")),
+        (pmod(col(idCol), lit(4)) + 1).cast("int")).as("mime"),
+      col(payloadFrom).cast("binary").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", md5(col("payload")))
+
+  /** Decoded-feature row contract. */
+  final case class AssetFeatures(
+      asset_id: Long,
+      mime: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Float])
+
+  /** STUB decode kernel — deterministic fake standing in for a real codec.
+    * A production build replaces the body with e.g. ImageIO/ffmpeg; the
+    * signature (bytes in, dims + feature vector out) is the real contract.
+    */
+  object FakeDecoder {
+    val featureDim = 8
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Array[Float]) = {
+      // ??? <- real codec goes here; deterministic fake below keeps the
+      // pipeline testable without media libraries in the container.
+      val n = payload.length
+      val width = 16 + (n % 64)
+      val height = 16 + ((n / 64) % 64)
+      val nFrames = if (mime.startsWith("video")) 1 + (n % 30) else 1
+      val feats = new Array[Float](featureDim)
+      var i = 0
+      while (i < n) { feats(i % featureDim) += (payload(i) & 0xff) / 255.0f; i += 1 }
+      var j = 0
+      while (j < featureDim) { feats(j) = feats(j) / math.max(1, n); j += 1 }
+      (width, height, nFrames, feats)
+    }
+  }
+
+  /** Distributed decode: mapPartitions over the assets frame, one decoder
+    * instance per partition (the codec-init cost is amortized across the
+    * partition's batch — the Scala analogue of a Pandas-UDF `mapInPandas`
+    * batch). Narrow op: no shuffle; partition sizing is inherited from the
+    * scan, so `spark.sql.files.maxPartitionBytes` bounds decode memory.
+    */
+  def decodeFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "mime", "payload", "n_bytes").as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here (once per batch)
+        it.map { case (id, mime, payload, nBytes) =>
+          val (w, h, f, feats) = FakeDecoder.decode(payload, mime)
+          AssetFeatures(id, mime, nBytes, w, h, f, feats)
+        }
+      }
+  }
+
+  /** Metadata-only scan: everything computable without decoding — stays in
+    * whole-stage codegen, pushes column pruning down so `payload` bytes are
+    * read but never shipped past the projection.
+    */
+  def assetMetadata(assets: DataFrame): DataFrame =
+    assets.select(
+      col("asset_id"), col("mime"), col("n_bytes"), col("checksum"),
+      substring(col("checksum"), 1, 8).as("shard_key"),
+      (col("n_bytes") > 1024 * 1024).as("is_large"))
+}

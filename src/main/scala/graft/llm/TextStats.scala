@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, content fingerprinting.
+  * All pure Column expressions (codegen'd, no UDFs) — they run inside the
+  * scan's whole-stage-codegen span, so at 100 TB they cost one pass over
+  * the text column with zero shuffles.
+  */
+object TextStats {
+
+  /** Whitespace token count; empty/blank text → 0.
+    * (split("") yields [""], so guard the empty case explicitly.)
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: split on whitespace AND letter/digit/punct
+    * boundaries — a cheap proxy for tokenizer token counts.
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text),
+        "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")))
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, charClassRe: String): Column =
+    length(text) - length(regexp_replace(text, charClassRe, ""))
+
+  def punctCount(text: Column): Column = charClassCount(text, "[\\.,;:!\\?]")
+  def digitCount(text: Column): Column = charClassCount(text, "[0-9]")
+  def upperCount(text: Column): Column = charClassCount(text, "[A-Z]")
+
+  /** Words of the text, lowercased. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** English stopwords used by the quality heuristic. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Stopword ratio: stopword hits / tokens (NULL-safe, 0 for empty). */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokenCount(text)
+    when(t === 0, lit(0.0)).otherwise(
+      size(filter(words(text), w => array_contains(typedlit(enStopwords), w)))
+        .cast("double") / t)
+  }
+
+  /** Mean word length (chars per token); 0 for empty. */
+  def meanWordLength(text: Column): Column = {
+    val t = tokenCount(text)
+    when(t === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / t)
+  }
+
+  /** Composite document-quality score in [0,1]: rewards reasonable length,
+    * sane word lengths and stopword presence; penalizes punctuation/digit
+    * soup. Deterministic arithmetic over exact integer counts → oracle-safe.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val lengthScore = least(n / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctRatio = when(n === 0, 0.0).otherwise(punctCount(text).cast("double") / n)
+    val digitRatio = when(n === 0, 0.0).otherwise(digitCount(text).cast("double") / n)
+    val mwl = meanWordLength(text)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    round(
+      lengthScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 +
+        greatest(lit(0.0), lit(0.2) - punctRatio - digitRatio),
+      6)
+  }
+
+  /** Tiny per-language function-word vocabularies for the language-ID
+    * heuristic. Closed-class words are the strongest cheap signal; a real
+    * pipeline would add char-n-gram profiles, same plumbing.
+    */
+  val langVocab: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "una", "por", "con")
+  )
+
+  /** Per-language hit count column. */
+  def langHits(text: Column, lang: String): Column =
+    size(filter(words(text), w => array_contains(typedlit(langVocab(lang)), w)))
+
+  /** Language-ID heuristic: argmax of function-word hits, "und"(etermined)
+    * when nothing matches; ties broken by language code order (en<de: by
+    * explicit precedence en, de, es, fr).
+    */
+  def langId(text: Column): Column = {
+    val en = langHits(text, "en")
+    val de = langHits(text, "de")
+    val es = langHits(text, "es")
+    val fr = langHits(text, "fr")
+    val m = greatest(en, de, es, fr)
+    when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(es === m, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Content fingerprint: md5 over whitespace-collapsed lowercase text.
+    * Stable across engines (md5 is md5), used as the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Full per-document stats frame over a `documents`-shaped table. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      length(t).as("n_chars_computed"),
+      punctCount(t).as("n_punct"),
+      digitCount(t).as("n_digits"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(meanWordLength(t), 6).as("mean_word_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_guess"),
+      fingerprint(t).as("fp")
+    )
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.analytics.Dashboard.{exactAvg, exactSum}
+
+/** Event-stream analytics over the `events` table: tumbling/sliding/session
+  * windows, sessionization, JSON payload extraction. Batch forms are pure
+  * DataFrame ops (oracle-comparable); streaming forms use Structured
+  * Streaming with watermarks (tested via the in-memory sink).
+  */
+object Events {
+
+  /** JSON payload field extraction: props is a JSON string like {"k": 87}. */
+  def propsK(props: Column): Column =
+    get_json_object(props, "$.k").cast("int")
+
+  /** Tumbling-window aggregation (batch form): per (hour, event_type)
+    * counts and exact sums. One hash-agg shuffle.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        exactSum(col("value")).as("sum_value"),
+        exactAvg(col("value")).as("avg_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization (batch form): a new session starts when a user's gap
+    * since their previous event exceeds `gapMinutes`. Classic lag +
+    * running-sum-of-boundaries; one shuffle on user_id, sort within
+    * partitions only.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-session summary: bounds, event count, exact value sum. */
+  def sessionSummary(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** Streaming tumbling-window count with watermark — the Structured
+    * Streaming form of [[hourlyRollup]]. Late events beyond the watermark
+    * are dropped; state is bounded by (watermark horizon × window count).
+    */
+  def streamingHourly(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming session windows via the native session_window: state per
+    * (user, open session), closed by the watermark.
+    */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+}
