@@ -1,0 +1,848 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Dashboard
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+
+/** The driver-checked query registry: one named query per SURVEY.md §2
+  * operator (plus the LLM-pipeline operators), each with an equivalent
+  * DuckDB oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism contract (SURVEY.md §7.5): every compared query ends in an
+  * explicit ORDER BY over a unique key; doubles are emitted as fixed-point
+  * `*_e6` longs and money as exact cents (see graft.util.Num); timestamps
+  * are formatted to strings. Column names are aliased identically in the
+  * Spark and SQL forms — the driver sorts columns by name before hashing.
+  */
+object Queries {
+
+  /** One registry row. `bench=true` marks the headline set Bench runs at
+    * sf0.1 (oracle-only O(n²) paths and micro-op queries stay out of it).
+    */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * only surfaces as a raw long (legacy.parquet.nanosAsLong). Normalize to
+    * a micro-precision TimestampType column regardless of how it arrived.
+    * (The DuckDB oracle mirrors the truncation with CAST(ts AS TIMESTAMP).)
+    */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = tbl(spark, dir, "events")
+    df.schema("ts").dataType.typeName match {
+      // `div` (integer division) — a double division of ~1.7e18 ns loses
+      // ~256 ns of precision and rounds the microsecond.
+      case "long" => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  // ===========================================================================
+  // Synthetic raw-property frame (SURVEY.md §1.2) derived deterministically
+  // from lineitem — the reference's domain rebuilt from the driver's tables
+  // so the full transform chain is oracle-checkable at any scale factor.
+  // Pure integer arithmetic + shared string literals keep the Spark and
+  // DuckDB forms bit-identical.
+  // ===========================================================================
+
+  val purposes: Seq[String] = Seq(
+    "Prodej bytu", "Pronájem bytu", "Prodej domu", "Pronájem kanceláře",
+    "Prodej pozemku", "Pronájem nebytového prostoru", "Prodej chaty, chalupy",
+    "Pronájem chaty, chalupy", "Prodej garáže", "Pronájem domu",
+    "Prodej kanceláře", "Pronájem pozemku")
+
+  val addresses: Seq[String] = Seq(
+    "Vinohradská 12, Praha",
+    "Náměstí Svobody 5, Brno, Jihomoravský kraj",
+    "Dlouhá 7, Jihlava, Kraj Vysočina",
+    "Hlavní 3, Ostrava, Moravskoslezský kraj",
+    "Lazaretní 1, Plzeň, Plzeňský kraj",
+    "Nová 9, Bratislava, Bratislavský kraj", // non-Czech region → whitelist drop
+    "Krátká 2, Olomouc, Olomoucký kraj",
+    "Václavské náměstí 1, Praha")
+
+  val designs: Seq[String] = Seq("1+kk", "2+kk", "2+1", "3+1", "4+kk", "")
+
+  private val nbsp = " "
+
+  /** Spark form. id = l_orderkey*10 + l_linenumber, made globally unique by
+    * a DISTINCT — the synthetic lineitem repeats (orderkey, linenumber)
+    * pairs, and downstream keep-first dedup semantics need a unique id.
+    * (array(lit…) instead of typedlit: no TypeTag reflection, so it also
+    * works under REPL/foreign classloaders.)
+    */
+  private def litArray(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  def rawProperties(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("id")
+    val v = pmod(id * 7919L, lit(9000000L)) + 100L
+    tbl(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      .distinct()
+      .select(
+        id,
+        element_at(litArray(purposes), pmod(id, lit(12)).cast("int") + 1).as("purpose"),
+        element_at(litArray(addresses), pmod(id, lit(8)).cast("int") + 1).as("address"),
+        when(pmod(id, lit(5)) === 0, lit(""))
+          .otherwise(concat((pmod(id, lit(197)) + 1).cast("string"), lit(" m2"))).as("size_m2"),
+        element_at(litArray(designs), pmod(id, lit(6)).cast("int") + 1).as("design"),
+        when(pmod(id, lit(17)) === 0, concat(v.cast("string"), lit(" EUR")))
+          .otherwise(concat(v.cast("string"), lit(nbsp), lit("Kč"))).as("price_czk"),
+        concat(lit("/nemovitosti/"), (id - pmod(id, lit(3))).cast("string")).as("link"))
+  }
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  private def sqlIn(xs: Seq[String]): String =
+    xs.map(x => "'" + x.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  /** DuckDB CTE mirroring [[rawProperties]] — table `raw`. */
+  val RAW_SQL: String =
+    s"""raw AS (
+       |  SELECT id,
+       |    list_extract(${sqlList(purposes)}, CAST(id % 12 AS INT) + 1) AS purpose,
+       |    list_extract(${sqlList(addresses)}, CAST(id % 8 AS INT) + 1) AS address,
+       |    CASE WHEN id % 5 = 0 THEN '' ELSE CAST(id % 197 + 1 AS VARCHAR) || ' m2' END AS size_m2,
+       |    list_extract(${sqlList(designs)}, CAST(id % 6 AS INT) + 1) AS design,
+       |    CASE WHEN id % 17 = 0 THEN CAST(id * 7919 % 9000000 + 100 AS VARCHAR) || ' EUR'
+       |         ELSE CAST(id * 7919 % 9000000 + 100 AS VARCHAR) || chr(160) || 'Kč' END AS price_czk,
+       |    '/nemovitosti/' || CAST(id - id % 3 AS VARCHAR) AS link
+       |  FROM (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS id FROM lineitem)
+       |)""".stripMargin
+
+  /** `t`: every string column transliterated (extract.py:45 runs unidecode
+    * at extract time; DuckDB strip_accents is the same NFD-mark-strip for
+    * the Czech alphabet).
+    */
+  val TRANSLIT_SQL: String =
+    """t AS (
+      |  SELECT id, strip_accents(purpose) AS purpose, strip_accents(address) AS address,
+      |         strip_accents(size_m2) AS size_m2, strip_accents(design) AS design,
+      |         strip_accents(price_czk) AS price_czk, strip_accents(link) AS link
+      |  FROM raw
+      |)""".stripMargin
+
+  val rentAlt: String = PropertySchema.rentKeywords.mkString("|")
+  val saleAlt: String = PropertySchema.saleKeywords.mkString("|")
+
+  /** The full 13-step transform chain (scripts/transform.py:24-120) in
+    * DuckDB SQL, ending in table `final` (10 canonical columns).
+    */
+  def chainSql(dumpDate: String, fileName: String): String =
+    s"""WITH $RAW_SQL, $TRANSLIT_SQL,
+       |d AS (  -- dedup by link, keep first (min id) — transform.py:62
+       |  SELECT * FROM t QUALIFY row_number() OVER (PARTITION BY link ORDER BY id) = 1
+       |),
+       |nb AS (  -- NBSP normalize on all string cols — transform.py:63
+       |  SELECT id, replace(purpose, chr(160), ' ') AS purpose,
+       |         replace(address, chr(160), ' ') AS address,
+       |         replace(size_m2, chr(160), ' ') AS size_m2,
+       |         replace(design, chr(160), ' ') AS design,
+       |         replace(price_czk, chr(160), ' ') AS price_czk,
+       |         replace(link, chr(160), ' ') AS link
+       |  FROM d
+       |),
+       |f1 AS (SELECT * FROM nb WHERE NOT contains(price_czk, 'EUR')),
+       |p1 AS (SELECT id, purpose, address, size_m2, design,
+       |         CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price_czk, link
+       |       FROM f1),
+       |f2 AS (SELECT * FROM p1 WHERE price_czk >= 500),
+       |f3 AS (SELECT * FROM f2 WHERE NOT (regexp_matches(purpose, '$rentAlt') AND price_czk <= 1000)),
+       |f4 AS (SELECT * FROM f3 WHERE NOT (regexp_matches(purpose, '$saleAlt') AND price_czk <= 20000)),
+       |p2 AS (SELECT id, purpose, address,
+       |         COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS size_m2,
+       |         design, price_czk, link
+       |       FROM f4),
+       |p3 AS (SELECT *, contains(lower(address), 'kraj') AS has_kraj,
+       |         regexp_split_to_array(trim(address), '\\s+') AS w
+       |       FROM p2),
+       |p4 AS (SELECT id, purpose,
+       |         CASE WHEN has_kraj THEN rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',')
+       |              ELSE address END AS address,
+       |         CASE WHEN has_kraj THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',')
+       |              ELSE 'Praha' END AS region,
+       |         size_m2, design, price_czk, link
+       |       FROM p3),
+       |f5 AS (SELECT * FROM p4 WHERE region IN ${sqlIn(PropertySchema.czechRegions)}),
+       |p5 AS (SELECT *, CASE WHEN size_m2 <> 0
+       |         THEN CAST(ceil(CAST(price_czk AS DOUBLE) / size_m2) AS INTEGER) END AS price_per_m2
+       |       FROM f5),
+       |f6 AS (SELECT * FROM p5
+       |       WHERE NOT (contains(purpose, 'Prodej pozemku') AND COALESCE(price_per_m2 > 80000, false))),
+       |final AS (
+       |  SELECT purpose, address, region, size_m2, design, price_czk, price_per_m2, link,
+       |         '$dumpDate' AS dump_date, '$fileName' AS file_name
+       |  FROM f6
+       |)""".stripMargin
+
+  val DUMP_DATE = "2026_08_12_080000"
+  val FILE_NAME = "raw_properties_2026_08_12_080000.csv"
+
+  /** Spark form of the full chain (the flagship query). */
+  def transformChain(spark: SparkSession, dir: String): DataFrame =
+    Transform(rawProperties(spark, dir), DUMP_DATE, Some(FILE_NAME),
+      dedupOrder = Some(col("id")))
+      .orderBy("link")
+
+  // Shared oracle fragments -------------------------------------------------
+
+  private def withRaw(body: String): String =
+    s"WITH $RAW_SQL, $TRANSLIT_SQL\n$body"
+
+  /** DuckDB `ev`: events with ns → µs truncation mirroring eventsTable. */
+  private val EV_SQL =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ===========================================================================
+  // The registry
+  // ===========================================================================
+
+  val all: Vector[Q] = Vector(
+
+    // ---- §2.7/2.8 scalar & string functions --------------------------------
+
+    Q("etl_digits_parse",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.digitsToLong(col("price_czk")).as("price_czk"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price_czk
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_size_parse",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.sizeToInt(col("size_m2")).as("size_m2"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS size_m2
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_transliterate",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          Transliterate(col("purpose")).as("purpose_ascii"),
+          Transliterate(col("address")).as("address_ascii"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, strip_accents(purpose) AS purpose_ascii, strip_accents(address) AS address_ascii
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_nbsp_normalize",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.normalizeNbsp(col("price_czk")).as("price_str"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, replace(price_czk, chr(160), ' ') AS price_str
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_last_two_words",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.lastTwoWords(Transliterate(col("address"))).as("tail"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') AS tail
+          |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_drop_last_two_words",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.dropLastTwoWords(Transliterate(col("address"))).as("head"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',') AS head
+          |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_region_derive",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.regionOf(Transliterate(col("address"))).as("region"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN contains(lower(address), 'kraj')
+          |  THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE 'Praha' END AS region
+          |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_address_rewrite",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.addressWithoutRegion(Transliterate(col("address"))).as("address"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN contains(lower(address), 'kraj')
+          |  THEN rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',') ELSE address END AS address
+          |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_price_per_m2",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          Parse.digitsToLong(col("price_czk")).as("p"),
+          Parse.sizeToInt(col("size_m2")).as("sz"))
+        .select(col("id"), Parse.pricePerM2(col("p"), col("sz")).as("price_per_m2"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN sz <> 0 THEN CAST(ceil(CAST(p AS DOUBLE) / sz) AS INTEGER) END AS price_per_m2
+          |FROM (SELECT id,
+          |        CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS p,
+          |        COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS sz
+          |      FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_file_key_ops",
+      // basename + raw_→processed_ prefix surgery (transform.py:112,123-125)
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          concat(lit("raw_data/to_process/raw_"), col("id").cast("string"), lit(".csv")).as("key"))
+        .select(col("id"),
+          Parse.baseName(col("key")).as("file_name"),
+          concat(lit("processed_"),
+            substring_index(Parse.baseName(col("key")), "raw_", -1)).as("archived"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, split_part(key, '/', -1) AS file_name,
+          |       'processed_' || regexp_replace(split_part(key, '/', -1), '^raw_', '') AS archived
+          |FROM (SELECT id, 'raw_data/to_process/raw_' || CAST(id AS VARCHAR) || '.csv' AS key FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_trim",
+      (s, d) => tbl(s, d, "customer")
+        .select(col("c_custkey"), trim(concat(lit("  "), col("c_name"), lit("  "))).as("name"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, trim('  ' || c_name || '  ') AS name FROM customer ORDER BY c_custkey")),
+
+    Q("etl_scalar_funcs",
+      // strict/coerce casts, null-fill, ternary, ceil, nullif, division (§2.8)
+      (s, d) => tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          coalesce(col("l_returnflag").try_cast("int"), lit(0)).as("coerce0"),
+          when(col("l_discount") > 0.05, lit("hi")).otherwise(lit("lo")).as("disc_band"),
+          ceil(col("l_extendedprice") / col("l_quantity")).cast("long").as("unit_ceil"),
+          nullif(col("l_linenumber"), lit(1)).as("ln_nullif"))
+        .orderBy("k", "ln"),
+      Some(
+        """SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  COALESCE(TRY_CAST(l_returnflag AS INTEGER), 0) AS coerce0,
+          |  CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band,
+          |  CAST(ceil(l_extendedprice / l_quantity) AS BIGINT) AS unit_ceil,
+          |  NULLIF(l_linenumber, 1) AS ln_nullif
+          |FROM lineitem ORDER BY k, ln""".stripMargin)),
+
+    Q("etl_dump_date_roundtrip",
+      // strftime yyyy_MM_dd_HHmmss + dashboard re-parse (§2.9, README.md:130)
+      (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy_MM_dd_HHmmss").as("dump_date"))
+        .select(col("o_orderkey"), col("dump_date"),
+          to_date(to_timestamp(col("dump_date"), "yyyy_MM_dd_HHmmss")).cast("string").as("day"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, strftime(o_orderdate, '%Y_%m_%d_%H%M%S') AS dump_date,
+          |  CAST(CAST(strptime(strftime(o_orderdate, '%Y_%m_%d_%H%M%S'), '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- §2.3 row generation / union ---------------------------------------
+
+    Q("gen_explode_tokens",
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .orderBy("doc_id", "token"),
+      Some(
+        """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          |FROM documents ORDER BY doc_id, token""".stripMargin)),
+
+    Q("etl_union_pages",
+      // per-page union (extract.py:63): two disjoint "pages" unioned back
+      (s, d) => {
+        val r = rawProperties(s, d)
+        r.filter(pmod(col("id"), lit(3)) === 0).select("id", "link")
+          .union(r.filter(pmod(col("id"), lit(3)) === 1).select("id", "link"))
+          .orderBy("id")
+      },
+      Some(withRaw(
+        """SELECT id, link FROM raw WHERE id % 3 = 0
+          |UNION ALL SELECT id, link FROM raw WHERE id % 3 = 1
+          |ORDER BY id""".stripMargin))),
+
+    // ---- §2.5 filters -------------------------------------------------------
+
+    Q("flt_eur",
+      (s, d) => rawProperties(s, d)
+        .filter(!col("price_czk").contains("EUR"))
+        .select("id", "price_czk").orderBy("id"),
+      Some(withRaw(
+        "SELECT id, price_czk FROM raw WHERE NOT contains(price_czk, 'EUR') ORDER BY id"))),
+
+    Q("flt_min_price",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(col("price") >= 500)
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, price FROM
+          |  (SELECT id, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM raw)
+          |WHERE price >= 500 ORDER BY id""".stripMargin))),
+
+    Q("flt_rent_sane",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(Parse.keepRentSane(col("purpose"), col("price")))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, purpose, price FROM
+           |  (SELECT id, purpose, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM t)
+           |WHERE NOT (regexp_matches(purpose, '$rentAlt') AND price <= 1000) ORDER BY id""".stripMargin))),
+
+    Q("flt_sale_sane",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(Parse.keepSaleSane(col("purpose"), col("price")))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, purpose, price FROM
+           |  (SELECT id, purpose, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM t)
+           |WHERE NOT (regexp_matches(purpose, '$saleAlt') AND price <= 20000) ORDER BY id""".stripMargin))),
+
+    Q("flt_region_whitelist",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.regionOf(Transliterate(col("address"))).as("region"))
+        .filter(col("region").isin(PropertySchema.czechRegions: _*))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, region FROM
+           |  (SELECT id, CASE WHEN contains(lower(address), 'kraj')
+           |     THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE 'Praha' END AS region
+           |   FROM (SELECT id, address, regexp_split_to_array(trim(address), '\\s+') AS w FROM t))
+           |WHERE region IN ${sqlIn(PropertySchema.czechRegions)} ORDER BY id""".stripMargin))),
+
+    Q("flt_land_cap",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("p"),
+          Parse.sizeToInt(col("size_m2")).as("sz"))
+        .withColumn("ppm2", Parse.pricePerM2(col("p"), col("sz")))
+        .filter(Parse.keepLandCap(col("purpose"), col("ppm2")))
+        .select("id", "purpose", "ppm2")
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, purpose, ppm2 FROM
+          |  (SELECT id, purpose, CASE WHEN sz <> 0 THEN CAST(ceil(CAST(p AS DOUBLE) / sz) AS INTEGER) END AS ppm2
+          |   FROM (SELECT id, purpose,
+          |           CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS p,
+          |           COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS sz
+          |         FROM t))
+          |WHERE NOT (contains(purpose, 'Prodej pozemku') AND COALESCE(ppm2 > 80000, false))
+          |ORDER BY id""".stripMargin))),
+
+    // ---- §2.6 dedup ---------------------------------------------------------
+
+    Q("dedup_link_keep_first",
+      (s, d) => Dedup.exactDedupByKey(
+          rawProperties(s, d).select(col("id"), col("link")), col("link"), "id")
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT min(id) AS id, link FROM raw GROUP BY link ORDER BY id""".stripMargin)),
+      bench = true),
+
+    // ---- the flagship: full transform chain (§3.2) --------------------------
+
+    Q("transform_chain",
+      (s, d) => transformChain(s, d),
+      Some(chainSql(DUMP_DATE, FILE_NAME) + "\nSELECT * FROM final ORDER BY link"),
+      bench = true),
+
+    // ---- §2.11 dashboard analytics over the transformed table ---------------
+
+    Q("dash_share_by_purpose",
+      (s, d) => Dashboard.shareByDim(transformChain(s, d), "purpose")
+        .select(col("purpose"), col("n"), e6(col("pct")).as("pct_e6"))
+        .orderBy("purpose"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, c AS (SELECT purpose, count(*) AS n FROM final GROUP BY purpose),
+          |tot AS (SELECT count(*) AS total FROM final)
+          |SELECT purpose, n, CAST(floor(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE) / total * 1000000) AS BIGINT) AS pct_e6
+          |FROM c, tot ORDER BY purpose""".stripMargin),
+      bench = true),
+
+    Q("dash_share_by_region",
+      (s, d) => Dashboard.shareByDim(transformChain(s, d), "region")
+        .select(col("region"), col("n"), e6(col("pct")).as("pct_e6"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, c AS (SELECT region, count(*) AS n FROM final GROUP BY region),
+          |tot AS (SELECT count(*) AS total FROM final)
+          |SELECT region, n, CAST(floor(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE) / total * 1000000) AS BIGINT) AS pct_e6
+          |FROM c, tot ORDER BY region""".stripMargin)),
+
+    Q("dash_count_by_region",
+      (s, d) => Dashboard.countByDim(transformChain(s, d), "region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        "\nSELECT region, count(*) AS n FROM final GROUP BY region ORDER BY region")),
+
+    Q("dash_avg_ppm2_by_region",
+      (s, d) => Dashboard.avgByDim(transformChain(s, d), "region", "price_per_m2")
+        .select(col("region"), e6(col("avg_measure")).as("avg_ppm2_e6"), col("n"))
+        .orderBy(desc("avg_ppm2_e6"), col("region")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final GROUP BY region ORDER BY avg_ppm2_e6 DESC, region""".stripMargin),
+      bench = true),
+
+    Q("dash_daily_avg_orders",
+      (s, d) => Dashboard.dailyAvg(tbl(s, d, "orders"), "o_orderdate", "o_totalprice")
+        .select(col("day").cast("string").as("day"),
+          e6(col("avg_measure")).as("avg_price_e6"), col("n")),
+      Some(
+        """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+          |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) * 1000000) AS BIGINT) AS avg_price_e6,
+          |  count(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY day""".stripMargin),
+      bench = true),
+
+    Q("dash_daily_avg_dump_date",
+      // the reference's actual dashboard shape: avg over the dump_date STRING
+      (s, d) => Dashboard.dailyAvg(transformChain(s, d), "dump_date", "price_per_m2",
+          tsFormat = Some("yyyy_MM_dd_HHmmss"))
+        .select(col("day").cast("string").as("day"),
+          e6(col("avg_measure")).as("avg_ppm2_e6"), col("n")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT CAST(CAST(strptime(dump_date, '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    Q("dash_topk_per_group",
+      (s, d) => Dashboard.topKPerGroup(
+          tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_returnflag", col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 5)
+        .select(col("l_returnflag"), col("rnk"), col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c")),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
+    // ---- joins (north-star breadth: broadcast + shuffle joins) --------------
+
+    Q("join_orders_customer",
+      (s, d) => tbl(s, d, "orders")
+        .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("sum_price_c"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
+    Q("join_revenue_by_brand",
+      (s, d) => tbl(s, d, "lineitem")
+        .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)").multiply(10000).cast("long").as("revenue_e4"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      bench = true),
+
+    // ---- §2.10 events / time windows (batch forms) ---------------------------
+
+    Q("ev_hourly_rollup",
+      (s, d) => Events.hourlyRollup(eventsTable(s, d))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value_c"), col("avg_value_e6"))
+        .orderBy("hour", "event_type"),
+      Some(
+        s"""WITH $EV_SQL
+           |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+           |  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) * 1000000) AS BIGINT) AS avg_value_e6
+           |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      bench = true),
+
+    Q("ev_session_summary",
+      (s, d) => Events.sessionSummary(eventsTable(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("sum_value_c"))
+        .orderBy("user_id", "session_seq"),
+      Some(
+        s"""WITH $EV_SQL,
+           |lagged AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+           |),
+           |flagged AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+           |    THEN 1 ELSE 0 END AS is_new
+           |  FROM lagged
+           |),
+           |sess AS (
+           |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, session_seq,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+           |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
+      bench = true),
+
+    Q("ev_props_json",
+      (s, d) => eventsTable(s, d)
+        .select(col("event_id"), Events.propsK(col("props")).as("k"))
+        .orderBy("event_id"),
+      Some(
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- LLM ops: text analysis ----------------------------------------------
+
+    Q("text_stats",
+      (s, d) => TextStats.documentStats(tbl(s, d, "documents")).orderBy("doc_id"),
+      Some(TEXT_STATS_SQL),
+      bench = true),
+
+    Q("text_exact_dedup",
+      (s, d) => Dedup.exactDedupByKey(
+          tbl(s, d, "documents")
+            .withColumn("fp", TextStats.fingerprint(col("text"))),
+          col("fp"), "doc_id")
+        .select("doc_id", "fp")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT min(doc_id) AS doc_id, fp FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+          |GROUP BY fp ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- LLM ops: dedup -------------------------------------------------------
+
+    Q("dedup_jaccard_pairs",
+      (s, d) => Dedup.jaccardNearDupPairs(tbl(s, d, "documents"),
+          "text", "doc_id", "lang", minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), e6(col("jaccard")).as("jaccard_e6"))
+        .orderBy("id_a", "id_b"),
+      Some(JACCARD_SQL),
+      bench = true),
+
+    Q("dedup_minhash_pairs",
+      // murmur3-based signatures — not oracle-expressible; rows-only check +
+      // recall unit test vs the exact jaccard path.
+      (s, d) => Dedup.minhashNearDupPairs(tbl(s, d, "documents"),
+          "text", "doc_id", minJaccard = 0.3)
+        .orderBy("id_a", "id_b"),
+      None,
+      bench = true),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhash(tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy("id"),
+      None,
+      bench = true),
+
+    // ---- LLM ops: similarity search -------------------------------------------
+
+    Q("sim_cosine_topk",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM c, q WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin),
+      bench = true),
+
+    Q("sim_exact_neardup_pairs",
+      (s, d) => Similarity.exactNearDupPairs(
+          tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0), minCosine = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings WHERE vec_id % 5 = 0)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  CAST(floor(list_inner_product(a.e, b.e) /
+          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) AS cos_e6
+          |FROM v a JOIN v b ON a.id < b.id
+          |WHERE CAST(floor(list_inner_product(a.e, b.e) /
+          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) >= 700000
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("sim_lsh_topk",
+      // hyperplanes derived from Spark murmur3 — rows-only; recall is
+      // unit-tested against bruteForceTopK.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      None,
+      bench = true),
+
+    Q("sim_embedding_neardup_lsh",
+      (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.7)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- LLM ops: multimodal ---------------------------------------------------
+
+    Q("mm_asset_metadata",
+      (s, d) => Multimodal.assetMetadata(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"))
+        .orderBy("asset_id"),
+      Some(
+        """SELECT doc_id AS asset_id,
+          |  list_extract(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], CAST(doc_id % 4 AS INT) + 1) AS mime,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS checksum,
+          |  substring(md5(text), 1, 8) AS shard_key,
+          |  octet_length(encode(text)) > 1048576 AS is_large
+          |FROM documents ORDER BY asset_id""".stripMargin),
+      bench = true),
+
+    Q("mm_decode_features",
+      // decode kernel is the declared deterministic stub — rows-only.
+      (s, d) => Multimodal.decodeFeatures(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"))
+        .toDF().select("asset_id", "mime", "n_bytes", "width", "height", "n_frames")
+        .orderBy("asset_id"),
+      None)
+  )
+
+  /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
+  private lazy val TEXT_STATS_SQL: String = {
+    val stop = sqlList(TextStats.enStopwords)
+    val en = sqlList(TextStats.langVocab("en"))
+    val de = sqlList(TextStats.langVocab("de"))
+    val fr = sqlList(TextStats.langVocab("fr"))
+    val es = sqlList(TextStats.langVocab("es"))
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+       |    length(text) AS n_chars_computed,
+       |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+       |  FROM documents
+       |),
+       |ratios AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(len(list_filter(words, w -> list_contains($stop, w))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS mean_word_len,
+       |    len(list_filter(words, w -> list_contains($en, w))) AS h_en,
+       |    len(list_filter(words, w -> list_contains($de, w))) AS h_de,
+       |    len(list_filter(words, w -> list_contains($es, w))) AS h_es,
+       |    len(list_filter(words, w -> list_contains($fr, w))) AS h_fr
+       |  FROM base
+       |),
+       |scored AS (
+       |  SELECT *,
+       |    least(CAST(n_chars_computed AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+       |    + least(stopword_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN mean_word_len >= CAST(3.0 AS DOUBLE) AND mean_word_len <= CAST(10.0 AS DOUBLE)
+       |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    + greatest(CAST(0.0 AS DOUBLE),
+       |        CAST(0.2 AS DOUBLE)
+       |        - (CASE WHEN n_chars_computed = 0 THEN CAST(0.0 AS DOUBLE)
+       |                ELSE CAST(n_punct AS DOUBLE) / n_chars_computed END)
+       |        - (CASE WHEN n_chars_computed = 0 THEN CAST(0.0 AS DOUBLE)
+       |                ELSE CAST(n_digits AS DOUBLE) / n_chars_computed END)) AS quality,
+       |    greatest(h_en, h_de, h_es, h_fr) AS h_max
+       |  FROM ratios
+       |)
+       |SELECT doc_id, n_tokens, n_subwords, n_chars_computed, n_punct, n_digits,
+       |  CAST(floor(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
+       |  CAST(floor(mean_word_len * 1000000) AS BIGINT) AS mean_word_len_e6,
+       |  CAST(floor(quality * 1000000) AS BIGINT) AS quality_e6,
+       |  CASE WHEN h_max = 0 THEN 'und'
+       |       WHEN h_en = h_max THEN 'en'
+       |       WHEN h_de = h_max THEN 'de'
+       |       WHEN h_es = h_max THEN 'es'
+       |       ELSE 'fr' END AS lang_guess,
+       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for dedup_jaccard_pairs — replicates the symmetric
+    * (lang, length-bucket ±1) blocking exactly.
+    */
+  private lazy val JACCARD_SQL: String =
+    """WITH b AS (
+      |  SELECT doc_id AS id, text AS t, lang,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS lb,
+      |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws
+      |  FROM documents
+      |),
+      |p AS (SELECT id, lang, ws, unnest([lb, lb + 1]) AS lb FROM b),
+      |pairs AS (
+      |  SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b,
+      |    CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+      |      / (len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws))) AS j
+      |  FROM b x JOIN p y ON x.lang = y.lang AND x.lb = y.lb AND x.id <> y.id
+      |),
+      |agg AS (SELECT id_a, id_b, max(j) AS j FROM pairs GROUP BY id_a, id_b)
+      |SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS jaccard_e6
+      |FROM agg WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** name → query fn, for SparkEntry. */
+  lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  /** name → oracle SQL (only SQL-expressible entries). */
+  lazy val oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** headline queries for Bench. */
+  lazy val benchSet: Vector[Q] = all.filter(_.bench)
+}

@@ -36,7 +36,7 @@ object Dashboard {
     // cardinality of `dim`.
     val total = df.agg(count(lit(1)).as("total"))
     counts.crossJoin(total)
-      .withColumn("pct", round(col("n") * 100.0 / col("total"), 4))
+      .withColumn("pct", col("n") * 100.0 / col("total"))
       .drop("total")
       .orderBy(col(dim))
   }
@@ -51,11 +51,24 @@ object Dashboard {
       .agg(exactAvg(col(measure)).as("avg_measure"), count(lit(1)).as("n"))
       .orderBy(col("avg_measure").desc, col(dim))
 
-  /** "average price per m2 daily" line: time-series mean per day. */
-  def dailyAvg(df: DataFrame, ts: String, measure: String): DataFrame =
-    df.groupBy(to_date(col(ts)).as("day"))
+  /** "average price per m2 daily" line: time-series mean per day.
+    *
+    * @param tsFormat when the time column is the reference's
+    *                 "yyyy_MM_dd_HHmmss" STRING `dump_date`
+    *                 (scripts/transform.py:106-111; README.md:130 notes
+    *                 Looker re-parses it), pass Some("yyyy_MM_dd_HHmmss");
+    *                 None for a real timestamp/date column.
+    */
+  def dailyAvg(df: DataFrame, ts: String, measure: String,
+      tsFormat: Option[String] = None): DataFrame = {
+    val day = tsFormat match {
+      case Some(fmt) => to_date(to_timestamp(col(ts), fmt))
+      case None      => to_date(col(ts))
+    }
+    df.groupBy(day.as("day"))
       .agg(exactAvg(col(measure)).as("avg_measure"), count(lit(1)).as("n"))
       .orderBy(col("day"))
+  }
 
   /** Top-k rows per group by a measure — ranking window, one shuffle on the
     * group key; ties broken deterministically by `tieBreak`.

@@ -19,17 +19,21 @@ object Parse {
   /** "12 500 Kc" → 12500: strip every non-digit, cast to long. Mirrors the
     * digits-only parse at scripts/transform.py:68 but in one codegen'd
     * expression; LongType guards against overflow on pathological inputs
-    * (SURVEY.md §7.5). Empty-after-strip yields NULL (ANSI-off cast).
+    * (SURVEY.md §7.5). `try_cast` (not `cast`) so an empty-after-strip
+    * string yields NULL under Spark 4's default ANSI mode instead of
+    * raising CAST_INVALID_INPUT.
     */
   def digitsToLong(c: Column): Column =
-    regexp_replace(c, "[^0-9]", "").cast("long")
+    regexp_replace(c, "[^0-9]", "").try_cast("long")
 
   /** "75 m2" → 75, missing/garbage → 0. Mirrors
     * scripts/transform.py:76-78 (strip 'm2', to_numeric(coerce), fillna(0)).
+    * ANSI-safe: try_cast coerces malformed input to NULL like pandas
+    * to_numeric(errors='coerce'), then fillna(0).
     */
   def sizeToInt(c: Column): Column =
     coalesce(regexp_replace(regexp_replace(c, "m2", ""), "[^0-9]", "")
-      .cast("int"), lit(0))
+      .try_cast("int"), lit(0))
 
   /** Last two whitespace-separated words, trailing comma stripped
     * (reference closure `extract_last_two_words`, scripts/transform.py:81-87).
@@ -67,7 +71,7 @@ object Parse {
     * (scripts/transform.py:96-102) into one `when` without `otherwise`.
     */
   def pricePerM2(price: Column, size: Column): Column =
-    when(size =!= 0, ceil(price.cast("double") / size).cast("int"))
+    when(size =!= 0, ceil(price.cast("double") / size).try_cast("int"))
 
   /** Regex alternation over a keyword list — pandas
     * `str.contains('|'.join(kws))` (scripts/transform.py:72-73). The

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Transliterate
@@ -20,6 +21,10 @@ object Transform {
   /** Input: raw 6-string-column frame (PropertySchema.raw). Output: the
     * canonical 10-column transformed frame (PropertySchema.transformed).
     *
+    * Stage order is reference-faithful: transliterate (extract.py:45 runs
+    * unidecode at extract time) → dedup on link (transform.py:62) → NBSP
+    * normalize (transform.py:63) → filters/derivations.
+    *
     * @param dumpDate injected batch timestamp literal ("yyyy_MM_dd_HHmmss");
     *                 a literal rather than current_timestamp() so that runs
     *                 are deterministic and oracle-comparable (SURVEY.md §7.5).
@@ -27,14 +32,34 @@ object Transform {
     *                 per-row source via input_file_name() — strictly more
     *                 general than the reference's single-file constant
     *                 (scripts/transform.py:112).
+    * @param dedupOrder pandas drop_duplicates keeps the FIRST row in frame
+    *                 order (transform.py:62); Spark has no row order, so
+    *                 pass a stable ordering column to keep the minimum —
+    *                 deterministic, oracle-comparable output. None keeps an
+    *                 arbitrary row (fine when duplicate scrapes are
+    *                 identical ads, NOT bit-stable otherwise).
     */
-  def apply(raw: DataFrame, dumpDate: String, fileName: Option[String] = None): DataFrame = {
+  def apply(raw: DataFrame, dumpDate: String, fileName: Option[String] = None,
+      dedupOrder: Option[Column] = None): DataFrame = {
     val strCols = raw.schema.fields.filter(_.dataType.typeName == "string").map(_.name)
 
-    // unidecode at extract time (scripts/extract.py:45) + NBSP normalize
-    // (scripts/transform.py:63), applied to every string column.
-    val normalized = strCols.foldLeft(raw) { (d, c) =>
-      d.withColumn(c, Parse.normalizeNbsp(Transliterate(col(c))))
+    // unidecode at extract time (scripts/extract.py:45), every string column.
+    val translit = strCols.foldLeft(raw) { (d, c) =>
+      d.withColumn(c, Transliterate(col(c)))
+    }
+
+    // dedup by ad URL (scripts/transform.py:62)
+    val deduped = dedupOrder match {
+      case Some(ord) =>
+        val w = Window.partitionBy(col("link")).orderBy(ord)
+        translit.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => translit.dropDuplicates("link")
+    }
+
+    // NBSP normalize on all string columns (scripts/transform.py:63)
+    val normalized = strCols.foldLeft(deduped) { (d, c) =>
+      d.withColumn(c, Parse.normalizeNbsp(col(c)))
     }
 
     val lineage = fileName
@@ -42,8 +67,6 @@ object Transform {
       .getOrElse(Parse.baseName(input_file_name()))
 
     normalized
-      // dedup by ad URL (scripts/transform.py:62)
-      .dropDuplicates("link")
       // currency filter: drop Slovak EUR listings (scripts/transform.py:66)
       .filter(!col("price_czk").contains("EUR"))
       // strip 'Kc', digits-only parse (scripts/transform.py:67-68)

@@ -24,6 +24,10 @@ object Dedup {
     * (reference: scripts/transform.py:62). Implemented as a min-id
     * aggregation + semi-join back, which is fully map-side-combinable; a
     * row_number window would sort every group instead.
+    *
+    * PRECONDITION: `idCol` must be globally unique (the semi-join back is on
+    * `idCol` alone). True for `doc_id`/`vec_id`/surrogate row ids; callers
+    * with a non-unique id must mint one (e.g. monotonically_increasing_id).
     */
   def exactDedupByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
     val keep = df.groupBy(key.as("__k")).agg(min(col(idCol)).as(idCol))
@@ -78,16 +82,23 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, numBands: Int = 16, minJaccard: Double = 0.5,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val withSig = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .drop("sh")
-    val banded = withSig
+    val banded0 = withSig
       .select(col("id"), col("sig"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+    // Mega-bucket guard: a bucket of degenerate boilerplate with m members
+    // costs m² join output. Cap it — docs in an over-full bucket still meet
+    // in their other (numBands - 1) bands, so recall degrades gracefully
+    // instead of the job dying on a quadratic straggler.
+    val bucketCounts = banded0.groupBy("bk").agg(count(lit(1)).as("__bn"))
+    val banded = banded0.join(bucketCounts.filter(col("__bn") <= maxBucketSize)
+      .select("bk"), Seq("bk"), "left_semi")
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
@@ -99,30 +110,29 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash of the word set: per word take murmur3×2 (two 32-bit
-    * halves via seeds), sum ±1 per bit position, sign → bit. Computed with
-    * explode + groupBy-sum over (id, bit) — one shuffle on id.
+  /** 64-bit SimHash of the word set: per word take xxhash64 (a true 64-bit
+    * hash — no overflow-prone affine remap of a 32-bit hash), sum ±1 per bit
+    * position, sign → bit.
+    *
+    * Scale shape: one hash-aggregation on `id` with 64 fixed-size SUM
+    * buffers — map-side combinable, bounded memory at ANY document size
+    * (vs a collect_list of per-token arrays, which buffers every token).
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("id"),
-        (hash(col("w")).cast("long") * 2654435761L + 0x9E3779B97F4A7C15L).as("h"))
-    // contribution of each of the 64 bits: +1 if set else -1
-    val withBits = tokens.select(col("id"),
-      array((0 until 64).map { i =>
-        when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)
-      }: _*).as("bits"))
-    withBits.groupBy("id")
-      .agg(aggregate(
-        collect_list("bits"),
-        array((0 until 64).map(_ => lit(0L)): _*),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("sums"))
-      .select(col("id"),
-        (0 until 64).map { i =>
-          when(element_at(col("sums"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    // 64 parallel ±1 sums — partial aggregation keeps the shuffle tiny.
+    val sums = tokens.groupBy("id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("b0"),
+      (1 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+      }: _*)
+    sums.select(col("id"),
+      (0 until 64).map { i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Word-set Jaccard similarity between two text columns — exact, set
@@ -139,19 +149,30 @@ object Dedup {
     * pairs in the same language whose char lengths fall in the same or
     * adjacent bucket can be near-duplicates, so the join is an equi-join on
     * the block key instead of a cross product.
+    *
+    * SCALE NOTE: (lang, length-bucket) blocking is quasi-quadratic within a
+    * block — at corpus scale all same-language ~1 KB docs share a handful of
+    * buckets. This is the exact/oracle path for SMALL corpora; the default
+    * near-dup API at scale is [[minhashNearDupPairs]], whose buckets are
+    * content-derived and capped.
     */
   def jaccardNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, minJaccard: Double, bucketChars: Int = 64): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
       col(langCol).as("lang"),
       floor(length(col(textCol)) / bucketChars).as("lb"))
-    // each doc also probes the next-lower bucket so boundary pairs match
+    // each doc also probes the next-higher bucket; joining on id =!= id and
+    // canonicalizing with least/greatest makes the blocking symmetric —
+    // a boundary pair (bucket b, bucket b+1) is found regardless of which
+    // doc has the smaller id.
     val probes = base.select(col("id"), col("t"), col("lang"),
       explode(array(col("lb"), col("lb") + 1)).as("lb"))
     val pairs = base.as("x").join(probes.as("y"),
       col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
-        col("x.id") < col("y.id"))
-    pairs.select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.id") =!= col("y.id"))
+    pairs.select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
         wordJaccard(col("x.t"), col("y.t")).as("jaccard"))
       .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -34,6 +34,14 @@ object Similarity {
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Fixed-point cosine: floor(cos * 1e6) as long — see graft.util.Num.e6
+    * for why compared outputs avoid raw doubles. Ranking on the fixed-point
+    * value (with an id tiebreak) also makes the top-k CUT deterministic:
+    * last-ulp disagreements between engines can't flip ranks.
+    */
+  def cosineE6(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6).cast("long")
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast.
     */
@@ -43,13 +51,13 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
@@ -83,14 +91,13 @@ object Similarity {
       hyperplaneSignature(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
@@ -105,9 +112,8 @@ object Similarity {
     val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), cosineE6(col("va"), col("vb")).as("cos_e6"))
+      .filter(col("cos_e6") >= math.floor(minCosine * 1e6).toLong)
   }
 
   /** Exact near-duplicate pairs by brute force (oracle-expressible path,
@@ -118,8 +124,7 @@ object Similarity {
     val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), cosineE6(col("va"), col("vb")).as("cos_e6"))
+      .filter(col("cos_e6") >= math.floor(minCosine * 1e6).toLong)
   }
 }

@@ -18,13 +18,14 @@ object TextStats {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: split on whitespace AND letter/digit/punct
-    * boundaries — a cheap proxy for tokenizer token counts.
+  /** BPE-ish subword count: maximal letter runs, digit runs, and single
+    * punctuation marks each count as one subword — a cheap proxy for
+    * tokenizer token counts. Defined as a match-count (not a lookaround
+    * split) so it is expressible in RE2-based engines too.
     */
+  val subwordRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def subwordCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text),
-        "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^a-zA-Z0-9\\s])")))
+    size(regexp_extract_all(text, lit(subwordRe), lit(0)))
 
   /** Count of characters matching a regex character class. */
   def charClassCount(text: Column, charClassRe: String): Column =
@@ -69,10 +70,8 @@ object TextStats {
     val digitRatio = when(n === 0, 0.0).otherwise(digitCount(text).cast("double") / n)
     val mwl = meanWordLength(text)
     val wordScore = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.5))
-    round(
-      lengthScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 +
-        greatest(lit(0.0), lit(0.2) - punctRatio - digitRatio),
-      6)
+    lengthScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 +
+      greatest(lit(0.0), lit(0.2) - punctRatio - digitRatio)
   }
 
   /** Tiny per-language function-word vocabularies for the language-ID
@@ -113,7 +112,10 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
-  /** Full per-document stats frame over a `documents`-shaped table. */
+  /** Full per-document stats frame over a `documents`-shaped table.
+    * Ratio/score columns are fixed-point `*_e6` longs (graft.util.Num.e6)
+    * so the frame is bit-comparable across engines.
+    */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(
@@ -123,9 +125,9 @@ object TextStats {
       length(t).as("n_chars_computed"),
       punctCount(t).as("n_punct"),
       digitCount(t).as("n_digits"),
-      round(stopwordRatio(t), 6).as("stopword_ratio"),
-      round(meanWordLength(t), 6).as("mean_word_len"),
-      qualityScore(t).as("quality"),
+      graft.util.Num.e6(stopwordRatio(t)).as("stopword_ratio_e6"),
+      graft.util.Num.e6(meanWordLength(t)).as("mean_word_len_e6"),
+      graft.util.Num.e6(qualityScore(t)).as("quality_e6"),
       langId(t).as("lang_guess"),
       fingerprint(t).as("fp")
     )

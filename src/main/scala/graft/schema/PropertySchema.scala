@@ -67,9 +67,9 @@ object PropertySchema {
   val rentKeywords: Seq[String] = Seq(
     "Pronajem kancelare",
     "Pronajem nebytoveho prostoru",
-    "Pronajem garaze",
-    "Pronajem pozemku",
-    "Pronajem garazoveho stani"
+    "Pronajem chaty, chalupy",
+    "Pronajem domu",
+    "Pronajem pozemku"
   )
 
   /** Sale-sanity keyword list (scripts/transform.py:52-60; duplicated at
@@ -78,11 +78,11 @@ object PropertySchema {
   val saleKeywords: Seq[String] = Seq(
     "Prodej bytu",
     "Prodej domu",
-    "Prodej pozemku",
-    "Prodej kancelare",
     "Prodej nebytoveho prostoru",
+    "Prodej pozemku",
+    "Prodej chaty, chalupy",
     "Prodej garaze",
-    "Prodej garazoveho stani"
+    "Prodej kancelare"
   )
 }
 

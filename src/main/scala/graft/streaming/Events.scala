@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.analytics.Dashboard.{exactAvg, exactSum}
+import graft.analytics.Dashboard.exactAvg
 
 /** Event-stream analytics over the `events` table: tumbling/sliding/session
   * windows, sessionization, JSON payload extraction. Batch forms are pure
@@ -19,15 +19,16 @@ object Events {
     get_json_object(props, "$.k").cast("int")
 
   /** Tumbling-window aggregation (batch form): per (hour, event_type)
-    * counts and exact sums. One hash-agg shuffle.
+    * counts and exact sums. One hash-agg shuffle. Money-ish outputs are
+    * fixed-point (cents / e6) so the frame is bit-comparable across engines.
     */
   def hourlyRollup(events: DataFrame): DataFrame =
     events.groupBy(
         date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        exactSum(col("value")).as("sum_value"),
-        exactAvg(col("value")).as("avg_value"))
+        graft.util.Num.cents(col("value")).as("sum_value_c"),
+        graft.util.Num.e6(exactAvg(col("value"))).as("avg_value_e6"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Sessionization (batch form): a new session starts when a user's gap
@@ -56,7 +57,7 @@ object Events {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        exactSum(col("value")).as("sum_value"))
+        graft.util.Num.cents(col("value")).as("sum_value_c"))
       .orderBy(col("user_id"), col("session_seq"))
 
   /** Streaming tumbling-window count with watermark — the Structured

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers every parquet table in
+<sfDir> as a DuckDB view, runs each oracle, and compares against the
+Spark-produced parquet in <verifyOutDir>/<name>/ — rows, schema-ish
+(column names), and a value hash with columns sorted by name.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    # sort columns by name; values to python objects
+    cols = sorted(df.columns)
+    return df[cols]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_path = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_path}/*.parquet")
+        if not files:
+            results[name] = "MISSING spark output"
+            n_fail += 1
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            results[name] = f"ERROR {type(e).__name__}: {str(e)[:300]}"
+            n_fail += 1
+            continue
+        s, d = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(d.columns):
+            results[name] = f"SCHEMA cols spark={list(s.columns)} duck={list(d.columns)}"
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            results[name] = f"ROWS spark={len(s)} duck={len(d)}"
+            n_fail += 1
+            continue
+        # row-order-sensitive value compare
+        mismatch = None
+        for c in s.columns:
+            sv, dv = s[c].tolist(), d[c].tolist()
+            for i, (a, b) in enumerate(zip(sv, dv)):
+                ok = (a == b) or (a is None and b is None) or \
+                     (isinstance(a, float) and isinstance(b, float) and (a != a and b != b))
+                # pandas NaN/None normalization
+                if not ok and str(a) == str(b):
+                    ok = True
+                if not ok:
+                    mismatch = f"VALUE col={c} row={i}: spark={a!r} duck={b!r}"
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            results[name] = mismatch
+            n_fail += 1
+        else:
+            results[name] = f"OK ({len(s)} rows)"
+            n_pass += 1
+    for k, v in results.items():
+        print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracles)} oracled")
+    return 0 if n_fail == 0 else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
