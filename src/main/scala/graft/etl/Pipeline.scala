@@ -55,7 +55,11 @@ object Pipeline {
     if (fs.exists(src)) {
       fs.listStatus(src).filter(_.getPath.getName.endsWith(".csv")).foreach { st =>
         val name = st.getPath.getName
-        val archived = if (name.startsWith("raw_")) "processed_" + name else name
+        // "raw_properties_x.csv" → "processed_properties_x.csv"
+        // (scripts/transform.py:123-125 splits on 'raw_' then re-prefixes)
+        val archived =
+          if (name.startsWith("raw_")) "processed_" + name.stripPrefix("raw_")
+          else name
         fs.rename(st.getPath, new Path(dst, archived))
       }
     }
@@ -66,6 +70,10 @@ object Pipeline {
     * semantics; `cleanSource=archive` reproduces archive-then-delete;
     * the checkpoint gives exactly-once per file, which the reference
     * approximates with its to_process/ directory convention.
+    *
+    * Archive timing: Spark archives batch N's source files when batch N+1
+    * starts, so after an AvailableNow drain the LAST consumed file is
+    * archived by the next run (the daily re-trigger), not before stop.
     * `Trigger.AvailableNow` = drain the backlog then stop (daily-batch
     * cadence); pass ProcessingTime for a resident pipeline.
     */
@@ -87,6 +95,67 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** TSV-with-header serialize sink — the reference's interchange format at
+    * all four of its call sites (scripts/extract.py:49-54,
+    * scripts/transform.py:128-137, scripts/load_db.py:53-56): tab-separated,
+    * header row, files named "*.csv". `singleFile` coalesces to one part to
+    * mimic the reference's one-object-per-batch S3 layout; leave false at
+    * scale so the write stays parallel.
+    */
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.option("sep", "\t").option("header", "true").mode("overwrite").csv(path)
+  }
+
+  /** Batch read of transformed TSVs (the second stage's input,
+    * scripts/load_db.py:17-21) with the canonical 10-column schema.
+    */
+  def readTransformed(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(PropertySchema.transformed)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .csv(dir)
+
+  /** Second pipeline stage (the reference's load DAG leg,
+    * scripts/dag.py:61-69 + scripts/load_db.py:49-58): watch the
+    * transformed-data directory, append each arriving TSV to the sink,
+    * archive-and-remove the input. Mirrors [[startStream]] for the
+    * transformed table.
+    */
+  def startLoadStream(spark: SparkSession, transformedDir: String,
+      sinkDir: String, archiveDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val t = spark.readStream
+      .schema(PropertySchema.transformed)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", 1)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(transformedDir)
+    t.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Timestamped object key (scripts/dag.py:39):
+    * `raw_properties_<strftime %Y_%m_%d_%H%M%S in Europe/Prague>.csv`.
+    * The instant is a parameter (not now()) so runs are deterministic.
+    */
+  def timestampedKey(prefix: String, at: java.time.Instant,
+      zone: String = "Europe/Prague", suffix: String = ".csv"): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy_MM_dd_HHmmss")
+      .withZone(java.time.ZoneId.of(zone))
+    prefix + fmt.format(at) + suffix
   }
 
   /** JDBC append sink (the reference's load stage, scripts/load_db.py:32-47)

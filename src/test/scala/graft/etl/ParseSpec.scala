@@ -1,0 +1,105 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit specs for every scalar op in the transform chain (SURVEY.md §2.7-2.8).
+  * Golden values trace to /root/reference/scripts/transform.py semantics.
+  */
+class ParseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1[T](c: Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  private def evalStr(in: String, f: Column => Column): String =
+    Seq(in).toDF("s").select(f(col("s")).as("r")).collect()(0).getAs[String]("r")
+
+  test("digitsToLong parses noisy price strings (transform.py:67-68)") {
+    val df = Seq("12 500 Kc", "5 000 000 Kc", "", "abc", "900")
+      .toDF("s").select(Parse.digitsToLong(col("s")).as("r"))
+    assert(df.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(12500L), Some(5000000L), None, None, Some(900L)))
+  }
+
+  test("sizeToInt strips m2, coerces, 0-fills (transform.py:76-78)") {
+    val df = Seq("75 m2", "", "garbage", "120m2")
+      .toDF("s").select(Parse.sizeToInt(col("s")).as("r"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(75, 0, 0, 120))
+  }
+
+  test("lastTwoWords + rstrip ',' (transform.py:81-87)") {
+    assert(evalStr("Namesti Svobody 5, Brno, Jihomoravsky kraj", Parse.lastTwoWords)
+      == "Jihomoravsky kraj")
+    assert(evalStr("a b,", Parse.lastTwoWords) == "a b")
+  }
+
+  test("dropLastTwoWords strips region tail + trailing comma (transform.py:91)") {
+    assert(evalStr("Namesti Svobody 5, Brno, Jihomoravsky kraj", Parse.dropLastTwoWords)
+      == "Namesti Svobody 5, Brno")
+    assert(evalStr("a b", Parse.dropLastTwoWords) == "")
+  }
+
+  test("regionOf: kraj tail → last two words, else Praha (transform.py:90)") {
+    assert(evalStr("Dlouha 7, Jihlava, Kraj Vysocina", Parse.regionOf) == "Kraj Vysocina")
+    assert(evalStr("Vinohradska 12, Praha", Parse.regionOf) == "Praha")
+    // case-insensitive 'kraj' test
+    assert(evalStr("X, Y, Moravskoslezsky KRAJ", Parse.regionOf) == "Moravskoslezsky KRAJ")
+  }
+
+  test("pricePerM2: ceil(price/size), NULL when size=0 (transform.py:96-102)") {
+    val df = Seq((5000000L, 80), (900L, 200), (1000L, 0))
+      .toDF("p", "s").select(Parse.pricePerM2(col("p"), col("s")).as("r"))
+    assert(df.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(62500), Some(5), None))
+  }
+
+  test("rent-sanity keyword list matches the reference exactly (transform.py:69)") {
+    val kept = Seq(
+      ("Pronajem domu", 900L),            // in ref list, cheap → DROP
+      ("Pronajem chaty, chalupy", 900L),  // in ref list, cheap → DROP
+      ("Pronajem garaze", 900L),          // NOT in ref list → KEEP (r1 bug)
+      ("Pronajem garazoveho stani", 900L),// NOT in ref list → KEEP (r1 bug)
+      ("Pronajem domu", 1001L),           // above threshold → KEEP
+      ("Pronajem kancelare", 1000L)       // at threshold → DROP (<= 1000)
+    ).toDF("purpose", "price")
+      .filter(Parse.keepRentSane(col("purpose"), col("price")))
+      .collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("Pronajem garaze", "Pronajem garazoveho stani", "Pronajem domu"))
+  }
+
+  test("sale-sanity keyword list matches the reference exactly (transform.py:70)") {
+    val kept = Seq(
+      ("Prodej chaty, chalupy", 15000L),   // in ref list, cheap → DROP
+      ("Prodej garazoveho stani", 15000L), // NOT in ref list → KEEP (r1 bug)
+      ("Prodej bytu", 20000L),             // at threshold → DROP (<= 20000)
+      ("Prodej bytu", 20001L)              // above → KEEP
+    ).toDF("purpose", "price")
+      .filter(Parse.keepSaleSane(col("purpose"), col("price")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kept == Seq(("Prodej garazoveho stani", 15000L), ("Prodej bytu", 20001L)))
+  }
+
+  test("land cap keeps NULL price_per_m2 rows (pandas None>80000 ≡ False)") {
+    val kept = Seq(
+      ("Prodej pozemku", Some(90000)), // over cap → DROP
+      ("Prodej pozemku", Some(80000)), // at cap (not >) → KEEP
+      ("Prodej pozemku", None),        // NULL ppm2 → KEEP
+      ("Prodej bytu", Some(90000))     // not pozemek → KEEP
+    ).toDF("purpose", "ppm2")
+      .filter(Parse.keepLandCap(col("purpose"), col("ppm2")))
+      .count()
+    assert(kept == 3)
+  }
+
+  test("baseName: substring after last '/' (transform.py:112)") {
+    assert(evalStr("raw_data/to_process/raw_x.csv", Parse.baseName) == "raw_x.csv")
+    assert(evalStr("no_slash.csv", Parse.baseName) == "no_slash.csv")
+  }
+
+  test("normalizeNbsp replaces U+00A0 with a plain space (transform.py:63)") {
+    assert(evalStr("5 000", Parse.normalizeNbsp) == "5 000")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedupByKey keeps the min-id row per key and is idempotent") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "b"), (4L, "c"))
+      .toDF("id", "k")
+    val once = Dedup.exactDedupByKey(df, col("k"), "id")
+    assert(once.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (4L, "c")))
+    assert(Dedup.exactDedupByKey(once, col("k"), "id").count() == 3)
+  }
+
+  test("simhash: identical text → identical hash; near text → small hamming; unrelated → large") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green field"
+    val near = base + " today"
+    val far = "completely unrelated corpus text about databases indexes partitions shuffles executors memory spill"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) <= 8)
+    assert(hamming(h(1L), h(4L)) > hamming(h(1L), h(3L)))
+  }
+
+  test("minhash-LSH finds every high-jaccard pair in a mixed corpus") {
+    // 5 near-dup pairs (one word changed in ~20) + 10 distinct docs.
+    val rnd = new scala.util.Random(7)
+    def doc(seed: Int): String =
+      (0 until 20).map(i => s"w${seed}_${rnd.nextInt(50) + i}").mkString(" ")
+    val pairs = (0 until 5).map { i =>
+      val d = doc(i)
+      (2L * i, d, 2L * i + 1, d.replaceFirst("\\S+$", "CHANGED"))
+    }
+    val docs = pairs.flatMap { case (ia, da, ib, db) => Seq((ia, da), (ib, db)) } ++
+      (0 until 10).map(i => (100L + i, doc(1000 + i)))
+    val found = Dedup.minhashNearDupPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minJaccard = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs.map { case (ia, _, ib, _) => (ia, ib) }.toSet
+    assert(truth.subsetOf(found), s"missed: ${truth -- found}")
+  }
+
+  test("jaccard blocking is symmetric across adjacent length buckets (r1 ADVICE bug)") {
+    // Two near-identical docs straddling a 64-char bucket boundary; the
+    // HIGHER-bucket doc gets the SMALLER id — the case round 1 missed.
+    val short = ("word " * 12).trim            // 59 chars → bucket 0
+    val long = short + " extraword padpad"     // 76 chars → bucket 1
+    val df1 = Seq((1L, long, "en"), (2L, short, "en")).toDF("doc_id", "text", "lang")
+    val r1 = Dedup.jaccardNearDupPairs(df1, "text", "doc_id", "lang", minJaccard = 0.3)
+      .collect()
+    assert(r1.length == 1 && r1(0).getLong(0) == 1L && r1(0).getLong(1) == 2L)
+    // and the mirrored id assignment must find the same pair
+    val df2 = Seq((2L, long, "en"), (1L, short, "en")).toDF("doc_id", "text", "lang")
+    assert(Dedup.jaccardNearDupPairs(df2, "text", "doc_id", "lang", minJaccard = 0.3)
+      .count() == 1)
+  }
+
+  test("jaccard pairs agree with exact wordJaccard values") {
+    val a = "alpha beta gamma delta epsilon"
+    val b = "alpha beta gamma delta zeta"     // |∩|=4, |∪|=6 → 4/6
+    val df = Seq((1L, a, "en"), (2L, b, "en")).toDF("doc_id", "text", "lang")
+    val j = Dedup.jaccardNearDupPairs(df, "text", "doc_id", "lang", minJaccard = 0.5)
+      .collect()(0).getDouble(2)
+    assert(math.abs(j - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("minhash mega-bucket cap suppresses over-full buckets") {
+    val d = "identical text shared by every document in this degenerate corpus"
+    val docs = (0 until 8).map(i => (i.toLong, d)).toDF("doc_id", "text")
+    // all 8 docs share every bucket; cap=4 → every bucket suppressed → 0 pairs
+    assert(Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      minJaccard = 0.1, maxBucketSize = 4).count() == 0)
+    // with the cap above the corpus size all 28 pairs surface
+    assert(Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      minJaccard = 0.1, maxBucketSize = 100).count() == 28)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // user A: two events 10 min apart (one session), third 50 min later (new)
+    (1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.5),
+    (2L, ts("2026-01-01 10:10:00"), 7L, "click", 2.5),
+    (3L, ts("2026-01-01 11:00:00"), 7L, "view", 4.0),
+    // user B: single event
+    (4L, ts("2026-01-01 10:05:00"), 9L, "click", 10.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionSummary: 30-min gap splits sessions; exact cent sums") {
+    val out = Events.sessionSummary(events, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, 2L, 400L),   // user 7 session 1: 2 events, 1.5+2.5 = 4.00 → 400c
+      (7L, 2L, 1L, 400L),   // user 7 session 2: 1 event, 4.00
+      (9L, 1L, 1L, 1000L))) // user 9: 10.00
+  }
+
+  test("sessionize boundary: a gap of exactly the threshold stays in-session") {
+    val df = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, ts("2026-01-01 10:30:00"), 1L, "a", 1.0),  // exactly 30 min → same
+      (3L, ts("2026-01-01 11:00:01"), 1L, "a", 1.0)   // 30m01s → new
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val seq = Events.sessionize(df, 30).orderBy("event_id")
+      .select("session_seq").collect().map(_.getLong(0)).toSeq
+    assert(seq == Seq(1L, 1L, 2L))
+  }
+
+  test("hourlyRollup groups by (hour, type) with exact sums") {
+    val out = Events.hourlyRollup(events)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", "click", 3L, 1400L),
+      ("2026-01-01 11:00:00.0", "view", 1L, 400L)))
+  }
+
+  test("propsK extracts the JSON payload field") {
+    val got = Seq("""{"k": 87}""", """{"other": 1}""", "not json")
+      .toDF("props").select(Events.propsK(col("props")).as("k"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(87), None, None))
+  }
+
+  test("streamingHourly over a file source produces the batch rollup counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Events.streamingHourly(stream)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("hourly_test")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2026-01-01 10:00:00", "click", 3L),
+      ("2026-01-01 11:00:00", "view", 1L)))
+  }
+}
