@@ -366,6 +366,45 @@ object Queries {
         """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           |FROM documents ORDER BY doc_id, token""".stripMargin)),
 
+    Q("gen_field_disambiguation",
+      // extract.py:27-34: size_m2 and design arrive in ONE attribute list;
+      // classify by "is it an area?" ('m2' containment) — the optional-field
+      // disambiguation re-expressed over an array column.
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), array(col("size_m2"), col("design")).as("attrs"))
+        .select(col("id"),
+          element_at(concat(filter(col("attrs"), a => a.contains("m2")), array(lit(null))), 1)
+            .as("size_pick"),
+          element_at(concat(filter(col("attrs"), a => !a.contains("m2") && length(a) > 0),
+            array(lit(null))), 1).as("design_pick"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id,
+          |  list_extract(list_concat(list_filter(attrs, a -> contains(a, 'm2')), [NULL]), 1) AS size_pick,
+          |  list_extract(list_concat(list_filter(attrs, a -> NOT contains(a, 'm2') AND length(a) > 0), [NULL]), 1) AS design_pick
+          |FROM (SELECT id, [size_m2, design] AS attrs FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("gen_rows_to_df",
+      // extract.py:44: impose a schema on positional rows —
+      // spark.createDataFrame(rows, schema); oracle = VALUES.
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("purpose",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.LongType)))
+        val rows = Seq(
+          org.apache.spark.sql.Row("Prodej bytu", 5000000L),
+          org.apache.spark.sql.Row("Pronajem bytu", 900L)).asJava
+        s.createDataFrame(rows, schema).orderBy("price")
+      },
+      Some(
+        """SELECT * FROM (VALUES ('Prodej bytu', CAST(5000000 AS BIGINT)),
+          |  ('Pronajem bytu', CAST(900 AS BIGINT))) t(purpose, price)
+          |ORDER BY price""".stripMargin)),
+
     Q("etl_union_pages",
       // per-page union (extract.py:63): two disjoint "pages" unioned back
       (s, d) => {

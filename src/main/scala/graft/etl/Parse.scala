@@ -14,7 +14,7 @@ object Parse {
   /** Normalize non-breaking spaces to plain spaces
     * (reference: scripts/transform.py:63).
     */
-  def normalizeNbsp(c: Column): Column = regexp_replace(c, " ", " ")
+  def normalizeNbsp(c: Column): Column = translate(c, " ", " ")
 
   /** "12 500 Kc" → 12500: strip every non-digit, cast to long. Mirrors the
     * digits-only parse at scripts/transform.py:68 but in one codegen'd
@@ -24,7 +24,7 @@ object Parse {
     * raising CAST_INVALID_INPUT.
     */
   def digitsToLong(c: Column): Column =
-    regexp_replace(c, "[^0-9]", "").try_cast("long")
+    graft.expr.DigitsOnly(c).try_cast("long")
 
   /** "75 m2" → 75, missing/garbage → 0. Mirrors
     * scripts/transform.py:76-78 (strip 'm2', to_numeric(coerce), fillna(0)).
@@ -32,7 +32,7 @@ object Parse {
     * to_numeric(errors='coerce'), then fillna(0).
     */
   def sizeToInt(c: Column): Column =
-    coalesce(regexp_replace(regexp_replace(c, "m2", ""), "[^0-9]", "")
+    coalesce(graft.expr.DigitsOnly(replace(c, lit("m2"), lit("")))
       .try_cast("int"), lit(0))
 
   /** Last two whitespace-separated words, trailing comma stripped
