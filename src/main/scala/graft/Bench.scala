@@ -24,6 +24,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Untimed warm-up: JIT + codegen compilation otherwise lands entirely
+    // on the first timed query (~6 s of noise at sf0.1).
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
     var failed = List.empty[String]
     val results = Queries.benchSet.map { q =>
       val t0 = System.nanoTime()

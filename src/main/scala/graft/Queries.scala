@@ -366,6 +366,45 @@ object Queries {
         """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
           |FROM documents ORDER BY doc_id, token""".stripMargin)),
 
+    Q("gen_parse_page",
+      // §2.3 DOM→rows generator (extract.py:17-40): synthesize one "page"
+      // string per 8 ads (deterministic order), then parse it back into
+      // per-ad rows — one-page-to-many-rows via regexp_extract_all+explode,
+      // the Catalyst Generator shape SURVEY mapped the scraper to.
+      (s, d) => {
+        val ads = rawProperties(s, d).select(
+          expr("id div 8").as("page"), col("id"),
+          concat(lit("<article><h2>"), col("purpose"), lit("</h2><p>"),
+            col("address"), lit("</p><span>"), col("price_czk"),
+            lit("</span></article>")).as("ad"))
+        val pages = ads.groupBy("page").agg(
+          array_join(transform(array_sort(collect_list(struct(col("id"), col("ad")))),
+            x => x.getField("ad")), "").as("html"))
+        pages
+          .select(col("page"),
+            explode(regexp_extract_all(col("html"),
+              lit("<article>(.*?)</article>"), lit(1))).as("block"))
+          .select(col("page"),
+            regexp_extract(col("block"), "<h2>(.*?)</h2>", 1).as("purpose"),
+            regexp_extract(col("block"), "<p>(.*?)</p>", 1).as("address"),
+            regexp_extract(col("block"), "<span>(.*?)</span>", 1).as("price_czk"))
+          .orderBy("page", "purpose", "address", "price_czk")
+      },
+      Some(withRaw(
+        """, ads AS (
+          |  SELECT id // 8 AS page, id,
+          |    '<article><h2>' || purpose || '</h2><p>' || address ||
+          |      '</p><span>' || price_czk || '</span></article>' AS ad
+          |  FROM raw
+          |),
+          |pages AS (SELECT page, string_agg(ad, '' ORDER BY id) AS html FROM ads GROUP BY page),
+          |blocks AS (SELECT page, unnest(regexp_extract_all(html, '<article>(.*?)</article>', 1)) AS block FROM pages)
+          |SELECT page,
+          |  regexp_extract(block, '<h2>(.*?)</h2>', 1) AS purpose,
+          |  regexp_extract(block, '<p>(.*?)</p>', 1) AS address,
+          |  regexp_extract(block, '<span>(.*?)</span>', 1) AS price_czk
+          |FROM blocks ORDER BY page, purpose, address, price_czk""".stripMargin))),
+
     Q("gen_field_disambiguation",
       // extract.py:27-34: size_m2 and design arrive in ONE attribute list;
       // classify by "is it an area?" ('m2' containment) — the optional-field

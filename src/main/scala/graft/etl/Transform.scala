@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expr.Transliterate
@@ -48,12 +47,17 @@ object Transform {
       d.withColumn(c, Transliterate(col(c)))
     }
 
-    // dedup by ad URL (scripts/transform.py:62)
+    // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first =
+    // min_by over the ordering column: partial aggregation combines
+    // duplicates map-side BEFORE the exchange, so the shuffle carries one
+    // row per (partition, link) — strictly less IO than a row_number window,
+    // which must shuffle every row and then sort each partition.
     val deduped = dedupOrder match {
       case Some(ord) =>
-        val w = Window.partitionBy(col("link")).orderBy(ord)
-        translit.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val cols = translit.columns
+        translit.groupBy(col("link").as("__k"))
+          .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("__r"))
+          .select("__r.*")
       case None => translit.dropDuplicates("link")
     }
 
