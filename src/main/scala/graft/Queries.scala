@@ -804,6 +804,36 @@ object Queries {
       None,
       bench = true),
 
+    Q("sim_ivf_topk",
+      // IVF coarse quantization with deterministic centroids (vec_id % 100
+      // = 0) — fully oracle-checkable, unlike trained-kmeans IVF.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, centStep = 100, nProbe = 2)
+      },
+      Some(
+        """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |vc AS (
+          |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT v.id, v.e, c.cent_id,
+          |          CAST(floor(list_inner_product(v.e, c.cv) /
+          |            (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM v, c)
+          |),
+          |cells AS (SELECT id AS neighbor_id, e AS cv, cent_id FROM vc WHERE rn = 1),
+          |probes AS (SELECT id AS query_id, e AS qv, cent_id FROM vc WHERE rn <= 2 AND id % 50 = 0),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM cells JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin),
+      bench = true),
+
     Q("sim_embedding_neardup_lsh",
       (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.7)
         .orderBy("id_a", "id_b"),

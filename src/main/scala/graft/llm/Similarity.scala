@@ -100,6 +100,54 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path.
+    *
+    * Centroids are the corpus vectors whose id ≡ 0 (mod centStep):
+    * deterministic, tiny, broadcastable, and SQL-expressible so the whole
+    * operator is oracle-checkable (unlike trained k-means centroids).
+    * Corpus vectors are assigned to their nearest centroid's cell (one
+    * broadcast join + argmax, no shuffle of the corpus); queries probe the
+    * `nProbe` nearest cells and exact-rerank inside them. At 100 TB the
+    * corpus-side cost is one narrow pass over the vectors; the probe join
+    * touches nProbe/numCells of the corpus per query instead of all of it.
+    *
+    * Ties in the argmax are broken by the lower centroid id — mirrored in
+    * the oracle — so cell assignment is bit-deterministic.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, centStep: Int,
+      nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+
+    def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
+      val scored = df.select(col(id), col(v))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim", cosineE6(col(v), col("cent_v")))
+        .drop("cent_v")
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("__cr", "cent_sim")
+    }
+
+    val cells = nearestCells(corpus, idCol, vecCol, 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cent_id"))
+    val probes = nearestCells(queries, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cent_id"))
+
+    val scored = cells.join(probes, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
     * same plan shape as MinHash-LSH dedup but over vectors.
     */

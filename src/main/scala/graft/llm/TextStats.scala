@@ -43,12 +43,14 @@ object TextStats {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
 
-  /** Stopword ratio: stopword hits / tokens (NULL-safe, 0 for empty). */
+  /** Stopword ratio: stopword hits / tokens (NULL-safe, 0 for empty).
+    * Hits via the VocabHits expression — a primitive hash-set scan instead
+    * of an interpreted higher-order filter (same occurrence semantics).
+    */
   def stopwordRatio(text: Column): Column = {
     val t = tokenCount(text)
     when(t === 0, lit(0.0)).otherwise(
-      size(filter(words(text), w => array_contains(typedlit(enStopwords), w)))
-        .cast("double") / t)
+      graft.expr.VocabHits(text, enStopwords).cast("double") / t)
   }
 
   /** Mean word length (chars per token); 0 for empty. */
@@ -85,9 +87,9 @@ object TextStats {
     "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "una", "por", "con")
   )
 
-  /** Per-language hit count column. */
+  /** Per-language hit count column (VocabHits — see stopwordRatio). */
   def langHits(text: Column, lang: String): Column =
-    size(filter(words(text), w => array_contains(typedlit(langVocab(lang)), w)))
+    graft.expr.VocabHits(text, langVocab(lang))
 
   /** Language-ID heuristic: argmax of function-word hits, "und"(etermined)
     * when nothing matches; ties broken by language code order (en<de: by

@@ -46,6 +46,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 32, s"recall ${hits}/40 below 0.8") // deterministic: seeded
   }
 
+  test("ivfTopK: twin recall stays high when the twin shares the probed cell") {
+    val rnd = new scala.util.Random(17)
+    def v(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0 until 40).map(i => (i.toLong, v()))
+    val twins = base.map { case (i, a) =>
+      (100L + i, a.map(x => x + 0.005f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    // centStep 20 → centroid ids {0,20,100,120}: 4 cells, probe 2
+    val got = Similarity.ivfTopK(corpus, queries, k = 1, centStep = 20, nProbe = 2)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = base.count { case (i, _) => got.get(i).contains(100L + i) }
+    assert(hits >= 32, s"recall ${hits}/40 below 0.8")
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs with identical cosines") {
     val rnd = new scala.util.Random(13)
     def v(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
