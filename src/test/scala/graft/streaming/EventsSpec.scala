@@ -56,6 +56,25 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq(Some(87), None, None))
   }
 
+  test("streamingSessions: native session_window closes on the gap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Events.streamingSessions(stream, gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sessions_test")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 7: events at 10:00/10:10 merge (gap < 30m), 11:00 is a new
+    // session (50m gap); user 9: one session
+    assert(got == Set((7L, 2L), (7L, 1L), (9L, 1L)))
+  }
+
   test("streamingHourly over a file source produces the batch rollup counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
     events.write.mode("overwrite").parquet(s"$dir/in")
