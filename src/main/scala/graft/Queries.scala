@@ -706,6 +706,32 @@ object Queries {
            |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
       bench = true),
 
+    Q("ev_sliding_counts",
+      // sliding windows: every event lands in 4 overlapping 1h/15m windows.
+      (s, d) => Events.slidingCounts(eventsTable(s, d)),
+      Some(
+        s"""WITH $EV_SQL,
+           |slid AS (
+           |  SELECT to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) AS win_start,
+           |         event_type
+           |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k)
+           |)
+           |SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
+           |       event_type, count(*) AS n
+           |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+      bench = true),
+
+    Q("agg_approx_distinct",
+      // HLL++ approximate distincts (deterministic for fixed data/config but
+      // not reproducible by DuckDB's HLL — rows-only check; the tolerance
+      // vs exact counts is unit-tested in DashboardSpec).
+      (s, d) => tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     Q("ev_props_json",
       (s, d) => eventsTable(s, d)
         .select(col("event_id"), Events.propsK(col("props")).as("k"))

@@ -60,6 +60,18 @@ object Events {
         graft.util.Num.cents(col("value")).as("sum_value_c"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Sliding-window counts (batch form): each event lands in
+    * windowLen/slide overlapping windows. Spark aligns window starts to the
+    * epoch, which the oracle reproduces with integer epoch arithmetic.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
   /** Streaming tumbling-window count with watermark — the Structured
     * Streaming form of [[hourlyRollup]]. Late events beyond the watermark
     * are dropped; state is bounded by (watermark horizon × window count).

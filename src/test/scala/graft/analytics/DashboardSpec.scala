@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DashboardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("a", "2026_08_10_080000", 100.0),
+    ("a", "2026_08_10_090000", 200.0),
+    ("b", "2026_08_11_080000", 300.0),
+    ("b", "2026_08_11_080001", 400.0)
+  ).toDF("dim", "dump_date", "m")
+
+  test("shareByDim: percentages sum to 100") {
+    val out = Dashboard.shareByDim(rows, "dim").collect()
+    assert(out.map(_.getDouble(2)).sum == 100.0)
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("dailyAvg parses the reference's yyyy_MM_dd_HHmmss string format") {
+    val out = Dashboard.dailyAvg(rows, "dump_date", "m",
+        tsFormat = Some("yyyy_MM_dd_HHmmss"))
+      .select(col("day").cast("string"), col("avg_measure"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2026-08-10", 150.0, 2L), ("2026-08-11", 350.0, 2L)))
+  }
+
+  test("topKPerGroup: deterministic ranks with tiebreak") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 9.0))
+      .toDF("grp", "id", "m")
+    val out = Dashboard.topKPerGroup(df, "grp", col("m"), col("id"), 2)
+      .select("id", "rnk").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((3L, 1), (1L, 2)))
+  }
+
+  test("approx_count_distinct stays within 10% of exact on the test corpus") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 20000).map(_ => rnd.nextInt(5000).toLong).toDF("v")
+    val Array(approx, exact) = df
+      .agg(approx_count_distinct("v").as("a"), count_distinct(col("v")).as("e"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(math.abs(approx - exact).toDouble / exact < 0.10,
+      s"approx=$approx exact=$exact")
+  }
+}

@@ -63,6 +63,19 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 32, s"recall ${hits}/40 below 0.8")
   }
 
+  test("ivfTopK with full probing reproduces brute force exactly") {
+    val rnd = new scala.util.Random(23)
+    def v(): Array[Float] = Array.fill(12)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 60).map(i => (i.toLong, v())).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    // centStep 15 → 4 cells; nProbe 4 probes all of them → exact search
+    val ivf = Similarity.ivfTopK(corpus, queries, k = 3, centStep = 15, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ivf == bf)
+  }
+
   test("LSH near-dup pairs are a subset of exact pairs with identical cosines") {
     val rnd = new scala.util.Random(13)
     def v(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
