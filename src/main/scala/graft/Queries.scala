@@ -689,7 +689,7 @@ object Queries {
            |),
            |flagged AS (
            |  SELECT *, CASE WHEN prev_ts IS NULL
-           |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+           |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
            |    THEN 1 ELSE 0 END AS is_new
            |  FROM lagged
            |),

@@ -89,9 +89,18 @@ object Pipeline {
       .option("cleanSource", "archive")
       .option("sourceArchiveDir", archiveDir)
       .csv(rawDir)
-    Transform(raw, dumpDate).writeStream
-      .format("parquet")
-      .option("path", outDir)
+    // foreachBatch applies the BATCH transform per micro-batch (= per file
+    // with maxFilesPerTrigger=1). Two reasons over a streaming Transform:
+    // (1) fidelity — the reference dedups WITHIN one CSV
+    //     (scripts/transform.py:62), not across the directory's history;
+    //     streaming dropDuplicates would dedup across every file ever seen.
+    // (2) scale — streaming dropDuplicates keeps one state row per distinct
+    //     link FOREVER (unbounded state growth); per-batch dedup holds no
+    //     standing state at all.
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Transform(batch, dumpDate).write.mode("append").parquet(outDir)
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

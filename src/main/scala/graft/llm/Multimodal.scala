@@ -101,4 +101,73 @@ object Multimodal {
       col("asset_id"), col("mime"), col("n_bytes"), col("checksum"),
       substring(col("checksum"), 1, 8).as("shard_key"),
       (col("n_bytes") > 1024 * 1024).as("is_large"))
+
+  /** Resized-asset row contract: payload out, new dims recorded. */
+  final case class ResizedAsset(
+      asset_id: Long,
+      mime: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  /** Distributed resize: same mapPartitions batch shape as
+    * [[decodeFeatures]] (codec init amortized per partition, no shuffle).
+    * The resize kernel is the declared deterministic stub — it re-encodes
+    * the payload truncated/padded proportionally to the target area so
+    * output sizes behave like a real resampler's; a production build swaps
+    * the body for ImageIO/swscale.
+    */
+  def resizeAssets(assets: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "mime", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, mime, payload) =>
+          val (w0, h0, _, _) = FakeDecoder.decode(payload, mime)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+          val w = math.max(1, (w0 * scale).toInt)
+          val h = math.max(1, (h0 * scale).toInt)
+          // stub re-encode: proportional byte count, deterministic content
+          val outLen = math.max(1, (payload.length * scale * scale).toInt)
+          val out = java.util.Arrays.copyOf(payload, outLen)
+          ResizedAsset(id, mime, out, w, h)
+        }
+      }
+  }
+
+  /** Per-frame feature row: one output row per sampled frame (row
+    * explosion happens inside the partition iterator — the Generator
+    * shape, no shuffle).
+    */
+  final case class FrameFeatures(
+      asset_id: Long,
+      frame_idx: Int,
+      features: Array[Float])
+
+  /** Frame sampling for video assets: every `stride`-th frame decoded to a
+    * feature vector; non-video assets yield their single frame. One input
+    * row fans out to n_frames/stride rows — flatMap inside mapPartitions,
+    * so the fan-out streams without materializing a per-asset frame list.
+    */
+  def sampleFrames(assets: DataFrame, stride: Int = 10): Dataset[FrameFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "mime", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, mime, payload) =>
+          val (_, _, nFrames, feats) = FakeDecoder.decode(payload, mime)
+          (0 until nFrames by stride).iterator.map { f =>
+            // stub per-frame features: rotate the asset features by the
+            // frame index so frames are distinct but deterministic
+            val fv = new Array[Float](feats.length)
+            var i = 0
+            while (i < feats.length) {
+              fv(i) = feats((i + f) % feats.length)
+              i += 1
+            }
+            FrameFeatures(id, f, fv)
+          }
+        }
+      }
+  }
 }

@@ -38,12 +38,14 @@ object Events {
     */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapSec = gapMinutes * 60L
+    // microsecond gap arithmetic — unix_timestamp() would truncate to whole
+    // seconds and misclassify sub-second boundary gaps
+    val gapMicros = gapMinutes * 60L * 1000000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
