@@ -47,6 +47,32 @@ class ParsePropsSpec extends SparkSpec {
     }
   }
 
+  test("property: DigitsOnly matches the [^0-9] regex on noisy unicode strings") {
+    val chunk: Gen[String] = Gen.oneOf(
+      Gen.numStr.map(_.take(6)), Gen.alphaStr.map(_.take(4)),
+      Gen.oneOf("Kč", " ", " ", ",-", "€", "m²", "\t", "žluťoučký"))
+    val noisy: Gen[String] = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, chunk).map(_.mkString))
+    val cases = samples(noisy, 200)
+    val df = cases.toDF("s").select(
+      graft.expr.DigitsOnly(col("s")).as("got"),
+      regexp_replace(col("s"), "[^0-9]", "").as("expected"))
+    assert(df.filter(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("VocabHits matches the higher-order filter formulation") {
+    import graft.llm.TextStats
+    val texts = Seq("the cat and the dog", "", "  ", "THE The the",
+      "der the le el", "punctuation, the; end.").toDF("t")
+    val viaExpr = texts.select(
+      graft.expr.VocabHits(col("t"), TextStats.enStopwords).as("n")).collect().map(_.getInt(0))
+    val viaHof = texts.select(
+      size(filter(split(lower(trim(col("t"))), "\\s+"),
+        w => array_contains(typedlit(TextStats.enStopwords), w))).as("n"))
+      .collect().map(_.getInt(0))
+    assert(viaExpr.toSeq == viaHof.toSeq)
+  }
+
   test("property: exact dedup is idempotent and keeps one row per key") {
     val row: Gen[(Long, String)] = for {
       id <- Gen.chooseNum(0L, 10000L)

@@ -72,6 +72,33 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-12)
   }
 
+  test("MinHashSig expression matches the declarative Column formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "x y"),
+      (4L, "single"),
+      (5L, "  spaced   out\ttabs\nand newlines  "),
+      (6L, "Diakritická čeština v textu")).toDF("doc_id", "text")
+    val viaExpr = docs
+      .select(col("doc_id"), graft.expr.MinHashSig(col("text"), 3, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == viaCols.keySet)
+    viaCols.foreach { case (id, sig) =>
+      assert(viaExpr(id) == sig, s"doc $id signature mismatch")
+    }
+    // blank text → empty signature (callers filter on size > 0)
+    val blank = Seq((9L, "   ")).toDF("doc_id", "text")
+      .select(graft.expr.MinHashSig(col("text"), 3, 64).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(blank.isEmpty)
+  }
+
   test("minhash mega-bucket cap suppresses over-full buckets") {
     val d = "identical text shared by every document in this degenerate corpus"
     val docs = (0 until 8).map(i => (i.toLong, d)).toDF("doc_id", "text")
