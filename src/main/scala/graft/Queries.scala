@@ -628,6 +628,20 @@ object Queries {
           |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
       bench = true),
 
+    Q("dash_topk_agg",
+      // same result contract as dash_topk_per_group, computed by the typed
+      // TopKAggregator (bounded k-entry partial buffers instead of a
+      // ranking window) — both hash-match the one window-based oracle.
+      (s, d) => graft.analytics.TopKAggregator.topLineitems(tbl(s, d, "lineitem"), 5),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
     // ---- joins (north-star breadth: broadcast + shuffle joins) --------------
 
     Q("join_orders_customer",

@@ -37,6 +37,25 @@ class DashboardSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1), (1L, 2)))
   }
 
+  test("TopKAggregator agrees with the ranking-window form") {
+    val li = Seq(
+      ("A", 10L, 1, 500.0), ("A", 20L, 2, 900.0), ("A", 30L, 1, 900.0),
+      ("A", 40L, 3, 100.0), ("B", 50L, 1, 700.0))
+      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val viaAgg = TopKAggregator.topLineitems(li, 2)
+      .collect().map(_.toSeq).toSeq
+    val viaWindow = Dashboard.topKPerGroup(li, "l_returnflag",
+        col("l_extendedprice"), col("l_orderkey") * 10 + col("l_linenumber"), 2)
+      .select(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+    // ties broken by the packed (orderkey, linenumber) key: 900.0 rows →
+    // orderkey 20 (tb 202) before orderkey 30 (tb 301)
+    assert(viaAgg.head(2) == 20L)
+  }
+
   test("approx_count_distinct stays within 10% of exact on the test corpus") {
     val rnd = new scala.util.Random(31)
     val df = (0 until 20000).map(_ => rnd.nextInt(5000).toLong).toDF("v")
