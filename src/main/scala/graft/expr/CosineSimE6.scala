@@ -1,0 +1,57 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Fixed-point cosine similarity floor(cos(a,b) * 1e6) of two float-array
+  * columns in ONE primitive pass.
+  *
+  * The Column formulation (aggregate-fold dot product + two norm folds) is
+  * three interpreted higher-order traversals per pair — the hot kernel of
+  * every similarity operator (brute-force scoring, LSH/IVF rerank,
+  * near-dup thresholding) pays it once per candidate pair. This expression
+  * does the same arithmetic — each float widened to double, accumulated in
+  * index order, identical IEEE result — in a single loop.
+  *
+  * Returns NULL when either norm is zero (the Column form would overflow
+  * an ANSI long cast on the resulting Infinity).
+  */
+case class CosineSimE6(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cosine_sim_e6"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getFloat(i).toDouble
+      val y = ys.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null
+    else math.floor(dot / denom * 1e6).toLong
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimE6 =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimE6 {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimE6(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

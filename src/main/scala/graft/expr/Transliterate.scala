@@ -40,13 +40,33 @@ case class Transliterate(child: Expression)
 }
 
 object Transliterate {
-  private val combining = java.util.regex.Pattern.compile("\\p{M}+")
 
   /** NFD-normalize then remove all combining marks. Pure + thread-safe;
     * invoked from generated code, so it must stay a static public method.
+    *
+    * Hot path: the transform chain calls this once per string cell (6 cols
+    * × every row), so (a) pure-ASCII inputs — links, prices, sizes — return
+    * without normalizing at all, and (b) mark-stripping is a char loop over
+    * the three \p{M} character types instead of a regex Matcher allocation
+    * per call.
     */
-  def strip(s: String): String =
-    combining.matcher(Normalizer.normalize(s, Normalizer.Form.NFD)).replaceAll("")
+  def strip(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) < 0x80) i += 1
+    if (i == n) return s
+    val norm = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(norm.length)
+    var j = 0
+    while (j < norm.length) {
+      val c = norm.charAt(j)
+      val t = Character.getType(c)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.append(c)
+      j += 1
+    }
+    sb.toString
+  }
 
   /** Column-function form: `Transliterate(col)` as a usable Column. */
   def apply(c: Column): Column =

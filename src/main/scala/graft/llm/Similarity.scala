@@ -38,8 +38,17 @@ object Similarity {
     * for why compared outputs avoid raw doubles. Ranking on the fixed-point
     * value (with an id tiebreak) also makes the top-k CUT deterministic:
     * last-ulp disagreements between engines can't flip ranks.
+    *
+    * Computed by the CosineSimE6 expression (one primitive pass per pair)
+    * rather than three interpreted aggregate-folds — same IEEE arithmetic
+    * in the same order, parity-tested against the Column form below.
     */
-  def cosineE6(a: Column, b: Column): Column =
+  def cosineE6(a: Column, b: Column): Column = graft.expr.CosineSimE6(a, b)
+
+  /** Declarative reference formulation of [[cosineE6]] (kept for parity
+    * tests): floor((a·b)/(|a||b|) * 1e6) via aggregate folds.
+    */
+  def cosineE6Columns(a: Column, b: Column): Column =
     floor(cosine(a, b) * 1e6).cast("long")
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest

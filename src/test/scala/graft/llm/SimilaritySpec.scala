@@ -28,6 +28,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == math.floor(1.0 / math.sqrt(2.0) * 1e6).toLong) // 707106
   }
 
+  test("CosineSimE6 expression is bit-identical to the aggregate-fold form") {
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 200).map { i =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("a", "b")
+    val mismatches = vecs.select(
+        Similarity.cosineE6(col("a"), col("b")).as("fast"),
+        Similarity.cosineE6Columns(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("lshTopK achieves high recall on near-duplicate clusters") {
     // 40 base vectors (dim 16), each with one tiny-perturbation twin
     // (cos ≈ 0.9999): single-probe LSH must find most twins as rank-1.

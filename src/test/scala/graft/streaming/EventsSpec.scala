@@ -75,6 +75,42 @@ class EventsSpec extends SparkSpec {
     assert(got == Set((7L, 2L), (7L, 1L), (9L, 1L)))
   }
 
+  test("streamingHourly watermark drops events later than the horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    val schema = events.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = Events.streamingHourly(stream, watermark = "1 hour")
+        .select(col("window.start").as("win"), col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: events up to 12:05 → watermark advances to ~11:05
+    Seq((1L, ts("2026-01-01 09:30:00"), 1L, "a", 1.0),
+        (2L, ts("2026-01-01 12:05:00"), 1L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    // batch 2: an event at 09:45 is ~1.3h late vs the 11:05 watermark →
+    // its (closed) 09:00 window must NOT be revised; a fresh event appends.
+    Seq((3L, ts("2026-01-01 09:45:00"), 1L, "a", 1.0),
+        (4L, ts("2026-01-01 13:10:00"), 1L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val got = spark.read.parquet(s"$dir/out")
+      .groupBy(col("win").cast("string")).agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 09:00 window was emitted with ONLY the on-time event; the late
+    // 09:45 event did not resurrect it
+    assert(got.get("2026-01-01 09:00:00").contains(1L), s"got=$got")
+  }
+
   test("streamingHourly over a file source produces the batch rollup counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
     events.write.mode("overwrite").parquet(s"$dir/in")
