@@ -72,9 +72,17 @@ object Similarity {
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes, packed into a long. The
     * hyperplane components are derived from (bit, dim) via a hash → cheap,
-    * reproducible, no driver-side random state to ship.
+    * reproducible, no driver-side random state to ship. Computed by the
+    * HyperplaneSig expression (one pass; parity-tested against
+    * [[hyperplaneSignatureColumns]]).
     */
-  def hyperplaneSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    graft.expr.HyperplaneSig(vec, bits)
+
+  /** Declarative reference formulation of [[hyperplaneSignature]], kept for
+    * parity tests.
+    */
+  def hyperplaneSignatureColumns(vec: Column, bits: Int, seed: Int = 42): Column = {
     val bitCols = (0 until bits).map { b =>
       // pseudo-random ±1 hyperplane: sign of murmur3(seed, b, dim index)
       val proj = aggregate(

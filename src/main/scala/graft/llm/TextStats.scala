@@ -117,21 +117,55 @@ object TextStats {
   /** Full per-document stats frame over a `documents`-shaped table.
     * Ratio/score columns are fixed-point `*_e6` longs (graft.util.Num.e6)
     * so the frame is bit-comparable across engines.
+    *
+    * All integer counts come from ONE TextCounts expression pass (staged
+    * select so it evaluates once per row — see the MinHashSig staging
+    * note); the ratio/score arithmetic below reproduces the reference
+    * formulations ([[stopwordRatio]]/[[meanWordLength]]/[[qualityScore]]/
+    * [[langId]]) operation-for-operation, so values are bit-identical —
+    * parity-tested in TextStatsSpec.
     */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
+    val counted = docs.select(
+      col("doc_id"), t.as("__t"),
+      graft.expr.TextCounts(t, enStopwords, langVocab("en"), langVocab("de"),
+        langVocab("es"), langVocab("fr")).as("__c"))
+
+    val tk = col("__c.n_tokens")
+    val stopRatio = when(tk === 0, lit(0.0))
+      .otherwise(col("__c.stop_hits").cast("double") / tk)
+    val mwl = when(tk === 0, lit(0.0))
+      .otherwise(col("__c.n_nonws").cast("double") / tk)
+    val n = length(col("__t")).cast("double")
+    val lengthScore = least(n / 200.0, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val punctRatio = when(n === 0, 0.0).otherwise(col("__c.n_punct").cast("double") / n)
+    val digitRatio = when(n === 0, 0.0).otherwise(col("__c.n_digits").cast("double") / n)
+    val wordScore = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val quality = lengthScore * 0.3 + stopScore * 0.3 + wordScore * 0.2 +
+      greatest(lit(0.0), lit(0.2) - punctRatio - digitRatio)
+    val en = col("__c.h_en"); val de = col("__c.h_de")
+    val es = col("__c.h_es"); val fr = col("__c.h_fr")
+    val m = greatest(en, de, es, fr)
+    val lang = when(m === 0, lit("und"))
+      .when(en === m, lit("en"))
+      .when(de === m, lit("de"))
+      .when(es === m, lit("es"))
+      .otherwise(lit("fr"))
+
+    counted.select(
       col("doc_id"),
-      tokenCount(t).as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      length(t).as("n_chars_computed"),
-      punctCount(t).as("n_punct"),
-      digitCount(t).as("n_digits"),
-      graft.util.Num.e6(stopwordRatio(t)).as("stopword_ratio_e6"),
-      graft.util.Num.e6(meanWordLength(t)).as("mean_word_len_e6"),
-      graft.util.Num.e6(qualityScore(t)).as("quality_e6"),
-      langId(t).as("lang_guess"),
-      fingerprint(t).as("fp")
+      tk.as("n_tokens"),
+      col("__c.n_subwords").as("n_subwords"),
+      length(col("__t")).as("n_chars_computed"),
+      col("__c.n_punct").as("n_punct"),
+      col("__c.n_digits").as("n_digits"),
+      graft.util.Num.e6(stopRatio).as("stopword_ratio_e6"),
+      graft.util.Num.e6(mwl).as("mean_word_len_e6"),
+      graft.util.Num.e6(quality).as("quality_e6"),
+      lang.as("lang_guess"),
+      fingerprint(col("__t")).as("fp")
     )
   }
 }

@@ -28,6 +28,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got == math.floor(1.0 / math.sqrt(2.0) * 1e6).toLong) // 707106
   }
 
+  test("HyperplaneSig expression is bit-identical to the Column form") {
+    val rnd = new scala.util.Random(43)
+    val vecs = (0 until 100).map(_ => Tuple1(Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("v")
+    val mismatches = vecs.select(
+        Similarity.hyperplaneSignature(col("v"), 12).as("fast"),
+        Similarity.hyperplaneSignatureColumns(col("v"), 12).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+  }
+
   test("CosineSimE6 expression is bit-identical to the aggregate-fold form") {
     val rnd = new scala.util.Random(41)
     val vecs = (0 until 200).map { i =>

@@ -44,6 +44,35 @@ class TextStatsSpec extends SparkSpec {
     assert(fp1 == fp2 && fp1 != fp3)
   }
 
+  test("documentStats (TextCounts one-pass) matches the reference formulations") {
+    val texts = Seq(
+      "the cat sat on the mat and it was happy.",
+      "", "   ", "a", "hello, world42! 3.14",
+      "der hund ist nicht mit der katze 12345",
+      "Viele Sätze enthalten Umlaute, ähnlich čeština überall",
+      "punct;soup:everywhere!?!?.,", "\tleading tab", "word " + "trail  ")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = TextStats.documentStats(docs).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // reference assembly from the original per-op Column functions
+    val t = col("text")
+    val ref = docs.select(
+        col("doc_id"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        TextStats.subwordCount(t).as("n_subwords"),
+        length(t).as("n_chars_computed"),
+        TextStats.punctCount(t).as("n_punct"),
+        TextStats.digitCount(t).as("n_digits"),
+        graft.util.Num.e6(TextStats.stopwordRatio(t)).as("stopword_ratio_e6"),
+        graft.util.Num.e6(TextStats.meanWordLength(t)).as("mean_word_len_e6"),
+        graft.util.Num.e6(TextStats.qualityScore(t)).as("quality_e6"),
+        TextStats.langId(t).as("lang_guess"),
+        TextStats.fingerprint(t).as("fp"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fast == ref)
+  }
+
   test("qualityScore stays in [0,1] across pathological inputs") {
     val inputs = Seq("", "a", "!!!!!!!!", "1234567890" * 50,
       "the and of to is in that it was for " * 20, "word " * 1000)
