@@ -612,6 +612,24 @@ object Queries {
           |  count(*) AS n
           |FROM final GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    Q("dash_filtered_avg",
+      // §2.11 "dimension dropdown filters": the daily-avg line re-scoped by
+      // purpose + region predicates (the dashboard's parameterized view).
+      (s, d) => Dashboard.avgByDim(
+          transformChain(s, d)
+            .filter(col("purpose").startsWith("Prodej") &&
+              col("region") =!= "Praha"),
+          "region", "price_per_m2")
+        .select(col("region"), e6(col("avg_measure")).as("avg_ppm2_e6"), col("n"))
+        .orderBy(desc("avg_ppm2_e6"), col("region")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final WHERE purpose LIKE 'Prodej%' AND region <> 'Praha'
+          |GROUP BY region ORDER BY avg_ppm2_e6 DESC, region""".stripMargin)),
+
     Q("dash_topk_per_group",
       (s, d) => Dashboard.topKPerGroup(
           tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
