@@ -41,8 +41,21 @@ object Queries {
     * (The DuckDB oracle mirrors the truncation with CAST(ts AS TIMESTAMP).)
     */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = tbl(spark, dir, "events")
+    // Scoped config flip: the flag only matters while the parquet footer
+    // is read to resolve the schema (df creation), so restore the prior
+    // value afterwards instead of leaking it into the shared session.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try {
+        val d = tbl(spark, dir, "events")
+        d.schema // force schema resolution under the flag
+        d
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     df.schema("ts").dataType.typeName match {
       // `div` (integer division) — a double division of ~1.7e18 ns loses
       // ~256 ns of precision and rounds the microsecond.

@@ -67,9 +67,15 @@ object Pipeline {
 
   /** Streaming form: the Spark-native replacement for the S3KeySensor loop.
     * `maxFilesPerTrigger=1` reproduces the reference's one-file-per-run
-    * semantics; `cleanSource=archive` reproduces archive-then-delete;
-    * the checkpoint gives exactly-once per file, which the reference
-    * approximates with its to_process/ directory convention.
+    * semantics; `cleanSource=archive` reproduces archive-then-delete.
+    *
+    * Delivery: the checkpoint guarantees each file is PROCESSED once, but
+    * the foreachBatch parquet append is not transactional with the offset
+    * commit, so a crash between append and commit replays the batch —
+    * AT-LEAST-ONCE into outDir. (The reference has the same window between
+    * its S3 write and delete.) For exactly-once, point the batch writer at
+    * a transactional table format or partition output by batch id and
+    * overwrite.
     *
     * Archive timing: Spark archives batch N's source files when batch N+1
     * starts, so after an AvailableNow drain the LAST consumed file is

@@ -76,18 +76,15 @@ case class TextCounts(child: Expression, stopwords: Seq[String],
       i += cpLen
     }
 
-    // Spark trim strips 0x20 only
-    var from = 0
-    var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    val trimmed = s.substring(from, to)
+    val trimmed = StrUtil.sparkTrim(s)
 
-    val tokens = if (trimmed.isEmpty) 0 else trimmed.split("\\s+").length
+    // StrUtil.splitWs keeps trailing empty tokens like Spark's split —
+    // "abc\n" is 2 tokens to Spark and the DuckDB oracle.
+    val tokens = if (trimmed.isEmpty) 0 else StrUtil.splitWs(trimmed).length
 
     var stop = 0; var en = 0; var de = 0; var es = 0; var fr = 0
     if (trimmed.nonEmpty) {
-      val words = trimmed.toLowerCase.split("\\s+")
+      val words = StrUtil.splitWs(trimmed.toLowerCase)
       var w = 0
       while (w < words.length) {
         val word = words(w)

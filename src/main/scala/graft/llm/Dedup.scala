@@ -104,10 +104,14 @@ object Dedup {
     // Mega-bucket guard: a bucket of degenerate boilerplate with m members
     // costs m² join output. Cap it — docs in an over-full bucket still meet
     // in their other (numBands - 1) bands, so recall degrades gracefully
-    // instead of the job dying on a quadratic straggler.
-    val bucketCounts = banded0.groupBy("bk").agg(count(lit(1)).as("__bn"))
-    val banded = banded0.join(bucketCounts.filter(col("__bn") <= maxBucketSize)
-      .select("bk"), Seq("bk"), "left_semi")
+    // instead of the job dying on a quadratic straggler. Counting via a
+    // window over the bucket key (not a groupBy + semi-join back) keeps the
+    // signature scan — the dominant stage — evaluated ONCE, at the cost of
+    // one shuffle the join would have needed anyway.
+    val banded = banded0
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))

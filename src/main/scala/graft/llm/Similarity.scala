@@ -114,12 +114,10 @@ object Similarity {
       hyperplaneSignature(col(vecCol), bits).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       hyperplaneSignature(col(vecCol), bits).as("sig"))
-    val probeBuckets =
-      if (probeFlips <= 0) array(col("sig"))
-      else array((col("sig") +:
-        (0 until bits).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*)
+    // all XOR masks with popcount <= probeFlips (0 mask = the exact bucket)
+    val masks = Similarity.probeMasks(bits, probeFlips)
     val q = qBase.select(col("query_id"), col("qv"),
-      explode(probeBuckets).as("bucket"))
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("bucket"))
     // no pair dedup needed: the probe buckets are pairwise distinct and a
     // corpus vector lives in exactly one bucket, so each (query, neighbor)
     // pair joins at most once.
@@ -154,22 +152,30 @@ object Similarity {
     val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
 
-    def nearestCells(df: DataFrame, id: String, v: String, n: Int): DataFrame = {
-      val scored = df.select(col(id), col(v))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_sim", cosineE6(col(v), col("cent_v")))
-        .drop("cent_v")
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("cent_sim").desc, col("cent_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= n)
-        .drop("__cr", "cent_sim")
-    }
+    // Corpus-side cell assignment: broadcast-join the centroids, then a
+    // map-side-combinable max_by argmax — the exchange carries ONE row per
+    // corpus vector, not the |corpus|×C scored frame a ranking window
+    // would shuffle. Tiebreak (highest sim, then LOWEST cent_id) mirrors
+    // the oracle's ORDER BY cent_sim DESC, cent_id.
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosineE6(col("cv"), col("cent_v")))
+      .groupBy("neighbor_id")
+      .agg(max_by(struct(col("cv"), col("cent_id")),
+        struct(col("cent_sim"), (-col("cent_id")).as("__nci"))).as("__r"))
+      .select(col("neighbor_id"), col("__r.cv").as("cv"), col("__r.cent_id").as("cent_id"))
 
-    val cells = nearestCells(corpus, idCol, vecCol, 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cent_id"))
-    val probes = nearestCells(queries, idCol, vecCol, nProbe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("cent_id"))
+    // Query side probes nProbe cells — queries are the small side, so a
+    // ranking window over |queries|×C rows is fine.
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosineE6(col("qv"), col("cent_v")))
+      .drop("cent_v")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
 
     val scored = cells.join(probes, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -196,6 +202,17 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosineE6(col("va"), col("vb")).as("cos_e6"))
       .filter(col("cos_e6") >= math.floor(minCosine * 1e6).toLong)
+  }
+
+  /** All bit masks over `bits` positions with popcount <= flips, smallest
+    * popcount first (0 = the exact bucket). flips=1 → bits+1 probes;
+    * flips=2 adds the C(bits,2) two-bit flips.
+    */
+  def probeMasks(bits: Int, flips: Int): Seq[Long] = {
+    def combos(start: Int, remaining: Int, acc: Long): Seq[Long] =
+      if (remaining == 0) Seq(acc)
+      else (start until bits).flatMap(b => combos(b + 1, remaining - 1, acc | (1L << b)))
+    (0 to math.min(flips, bits)).flatMap(f => combos(0, f, 0L))
   }
 
   /** Exact near-duplicate pairs by brute force (oracle-expressible path,

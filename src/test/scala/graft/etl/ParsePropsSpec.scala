@@ -63,7 +63,8 @@ class ParsePropsSpec extends SparkSpec {
   test("VocabHits matches the higher-order filter formulation") {
     import graft.llm.TextStats
     val texts = Seq("the cat and the dog", "", "  ", "THE The the",
-      "der the le el", "punctuation, the; end.").toDF("t")
+      "der the le el", "punctuation, the; end.",
+      "\tthe tab led", "the trailing\n", "\t").toDF("t")
     val viaExpr = texts.select(
       graft.expr.VocabHits(col("t"), TextStats.enStopwords).as("n")).collect().map(_.getInt(0))
     val viaHof = texts.select(

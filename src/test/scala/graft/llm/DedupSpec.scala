@@ -79,7 +79,11 @@ class DedupSpec extends SparkSpec {
       (3L, "x y"),
       (4L, "single"),
       (5L, "  spaced   out\ttabs\nand newlines  "),
-      (6L, "Diakritická čeština v textu")).toDF("doc_id", "text")
+      (6L, "Diakritická čeština v textu"),
+      // tab/newline-EDGED text: Spark trim strips spaces only and Spark
+      // split keeps trailing empties — java.lang.String defaults differ
+      (7L, "\ttab led words here"),
+      (8L, "trailing newline words\n")).toDF("doc_id", "text")
     val viaExpr = docs
       .select(col("doc_id"), graft.expr.MinHashSig(col("text"), 3, 64).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -50,7 +50,11 @@ class TextStatsSpec extends SparkSpec {
       "", "   ", "a", "hello, world42! 3.14",
       "der hund ist nicht mit der katze 12345",
       "Viele Sätze enthalten Umlaute, ähnlich čeština überall",
-      "punct;soup:everywhere!?!?.,", "\tleading tab", "word " + "trail  ")
+      "punct;soup:everywhere!?!?.,", "\tleading tab", "word " + "trail  ",
+      // trailing non-space whitespace: Spark split keeps the trailing empty
+      // token ("abc\n" = 2 tokens) and Spark trim strips spaces only —
+      // these distinguish java.lang.String defaults from Spark semantics
+      "abc\n", "tab end\t", "\t", "a\n\nb", " \tmixed edge \t ")
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val fast = TextStats.documentStats(docs).orderBy("doc_id")

@@ -31,13 +31,16 @@ def main(sf_dir, out_dir):
     for name in sorted(oracles):
         sql = oracles[name]
         spark_path = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_path}/*.parquet")
+        files = sorted(glob.glob(f"{spark_path}/*.parquet"))
         if not files:
             results[name] = "MISSING spark output"
             n_fail += 1
             continue
         try:
-            spark_df = con.sql(f"SELECT * FROM '{files[0]}'").df()
+            # read ALL parts in name order (a retried task can leave >1)
+            spark_df = con.sql(
+                "SELECT * FROM read_parquet([" +
+                ", ".join(f"'{f}'" for f in files) + "])").df()
             duck_df = con.sql(sql).df()
         except Exception as e:
             results[name] = f"ERROR {type(e).__name__}: {str(e)[:300]}"
