@@ -82,9 +82,13 @@ object Transform {
       .filter(Parse.keepSaleSane(col("purpose"), col("price_czk")))
       // size: strip 'm2', coerce, 0-fill (scripts/transform.py:76-78)
       .withColumn("size_m2", Parse.sizeToInt(col("size_m2")))
-      // region derive + address rewrite (scripts/transform.py:81-91)
-      .withColumn("region", Parse.regionOf(col("address")))
-      .withColumn("address", Parse.addressWithoutRegion(col("address")))
+      // region derive + address rewrite (scripts/transform.py:81-91) —
+      // AddressParts computes both from ONE split (the Column forms split
+      // the address four times); staged withColumn keeps it one eval/row
+      .withColumn("__ap", graft.expr.AddressParts(col("address")))
+      .withColumn("region", col("__ap.region"))
+      .withColumn("address", col("__ap.address"))
+      .drop("__ap")
       // region whitelist (scripts/transform.py:92)
       .filter(col("region").isin(PropertySchema.czechRegions: _*))
       // price_per_m2, NULL when size 0 (scripts/transform.py:96-102)

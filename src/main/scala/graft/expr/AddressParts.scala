@@ -1,0 +1,61 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Region derivation + address rewrite in ONE pass
+  * (reference: scripts/transform.py:81-91).
+  *
+  * The Column forms (Parse.regionOf / Parse.addressWithoutRegion) each
+  * split the address twice — four regex splits per row in the transform
+  * chain's hot path. This expression lowercases once, splits once, and
+  * returns struct(region, address) with semantics identical to the Column
+  * forms (parity-tested in ParseSpec):
+  *  - no "kraj" in the lowercased address → (Praha, address unchanged)
+  *  - else region = last two whitespace words, trailing commas stripped;
+  *    address = the rest, trailing spaces then commas stripped.
+  */
+case class AddressParts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = AddressParts.schema
+  override def prettyName: String = "address_parts"
+
+  private def rstrip(s: String, c: Char): String = {
+    var to = s.length
+    while (to > 0 && s.charAt(to - 1) == c) to -= 1
+    if (to == s.length) s else s.substring(0, to)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (!s.toLowerCase.contains("kraj")) {
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("Praha"), input.asInstanceOf[UTF8String]))
+    } else {
+      val words = StrUtil.splitWs(StrUtil.sparkTrim(s))
+      val n = words.length
+      val tail = words.slice(math.max(n - 2, 0), n).mkString(" ")
+      val head = words.slice(0, math.max(n - 2, 0)).mkString(" ")
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(rstrip(tail, ',')),
+        UTF8String.fromString(rstrip(rstrip(head, ' '), ','))))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AddressParts =
+    copy(child = newChild)
+}
+
+object AddressParts {
+  val schema: StructType = StructType(Seq(
+    StructField("region", StringType, nullable = false),
+    StructField("address", StringType, nullable = false)))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(AddressParts(GraftBridge.expression(c)))
+}

@@ -94,6 +94,28 @@ class ParseSpec extends SparkSpec {
     assert(kept == 3)
   }
 
+  test("AddressParts matches regionOf + addressWithoutRegion") {
+    val addrs = Seq(
+      "Vinohradská 12, Praha",
+      "Náměstí Svobody 5, Brno, Jihomoravský kraj",
+      "Dlouhá 7, Jihlava, Kraj Vysočina",
+      "X, Y, Moravskoslezsky KRAJ",
+      "a b, kraj",
+      "kraj word",
+      "  spaced , Olomoucky kraj  ").toDF("a")
+    val both = addrs.select(
+        graft.expr.AddressParts(col("a")).as("__ap"),
+        Parse.regionOf(col("a")).as("ref_region"),
+        Parse.addressWithoutRegion(col("a")).as("ref_address"))
+      .select(col("__ap.region"), col("__ap.address"),
+        col("ref_region"), col("ref_address"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(2), s"region: $r")
+      assert(r.getString(1) == r.getString(3), s"address: $r")
+    }
+  }
+
   test("baseName: substring after last '/' (transform.py:112)") {
     assert(evalStr("raw_data/to_process/raw_x.csv", Parse.baseName) == "raw_x.csv")
     assert(evalStr("no_slash.csv", Parse.baseName) == "no_slash.csv")
