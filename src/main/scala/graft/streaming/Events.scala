@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 
 import graft.analytics.Dashboard.exactAvg
 
@@ -93,4 +93,78 @@ object Events {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Open-session state for [[streamingSessionizeCustom]] (micros). */
+  final case class SessionState(start: Long, last: Long, n: Long, sumC: Long)
+
+  /** Closed-session record emitted by [[streamingSessionizeCustom]]. */
+  final case class ClosedSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      sum_value_c: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * arbitrary-state form of [[streamingSessions]] for when session
+    * semantics outgrow session_window (e.g. value-dependent gaps,
+    * per-session caps). One state row per (user, open session); sessions
+    * close either by an in-batch gap or by event-time timeout once the
+    * watermark passes last_event + gap, so state is bounded by the number
+    * of users active inside the watermark horizon.
+    */
+  def streamingSessionizeCustom(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def close(uid: Long, s: SessionState): ClosedSession =
+      ClosedSession(uid, toTs(s.start), toTs(s.last), s.n, s.sumC)
+    def cents(v: Double): Long = math.rint(v * 100).toLong
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val sorted = rows.map { case (_, ts, v) => (micros(ts), v) }
+              .toIndexedSeq.sortBy(_._1)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t - s.last <= gapMicros =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sumC = s.sumC + cents(v)))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  cur = Some(SessionState(t, t, 1L, cents(v)))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, cents(v)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last + gap
+              state.setTimeoutTimestamp(s.last / 1000L + gapMinutes * 60000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -75,6 +75,41 @@ class EventsSpec extends SparkSpec {
     assert(got == Set((7L, 2L), (7L, 1L), (9L, 1L)))
   }
 
+  test("streamingSessionizeCustom: flatMapGroupsWithState closes by gap and by timeout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
+    val schema = events.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = Events.streamingSessionizeCustom(stream, gapMinutes = 30)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: user 7 has a 10:00-10:10 session then a 11:00 event (gap
+    // 50m > 30m closes the first IN-BATCH); the 11:00 session stays open.
+    Seq((1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.5),
+        (2L, ts("2026-01-01 10:10:00"), 7L, "click", 2.5),
+        (3L, ts("2026-01-01 11:00:00"), 7L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterB1 = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(afterB1 == Set((7L, 2L, 400L)), s"batch1 emitted $afterB1")
+    // batch 2: a much later event advances the watermark past
+    // 11:00 + 30m, so the open session times out and is emitted.
+    Seq((4L, ts("2026-01-01 18:00:00"), 9L, "click", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val afterB2 = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(afterB2.contains((7L, 1L, 400L)), s"timeout session missing: $afterB2")
+  }
+
   test("streamingHourly watermark drops events later than the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
     val schema = events.schema
