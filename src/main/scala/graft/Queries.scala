@@ -704,6 +704,44 @@ object Queries {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bench = true),
 
+    Q("join_asof",
+      // as-of join (§2.12, no Spark native op): each click matched to the
+      // user's latest view at-or-before it — union-tag + per-key ordered
+      // window carry-forward, oracled by DuckDB's native ASOF LEFT JOIN.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // unique (user, ts) on the right so the as-of pick is deterministic
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("__r"))
+          .select(col("user_id"), col("ts"),
+            col("__r.event_id").as("view_id"), col("__r.value").as("view_value"))
+        graft.plans.AsOf.asofJoin(clicks, views, "user_id", "ts",
+            Seq("view_id", "view_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("asof_view_id"),
+            (col("asof_view_value").cast("decimal(18,2)") * 100).cast("long")
+              .as("view_value_c"))
+          .orderBy("event_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |views AS (
+           |  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           |    FROM ev WHERE event_type = 'view') WHERE rn = 1
+           |)
+           |SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |  v.view_id AS asof_view_id,
+           |  CAST(CAST(v.view_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS view_value_c
+           |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+           |ORDER BY event_id""".stripMargin),
+      bench = true),
+
     // ---- §2.10 events / time windows (batch forms) ---------------------------
 
     Q("ev_hourly_rollup",

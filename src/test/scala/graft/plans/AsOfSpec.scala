@@ -1,0 +1,51 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00")),   // after r10 → r10
+      (2L, 7L, ts("2026-01-01 10:30:00")),   // exactly at r2's ts → inclusive
+      (3L, 7L, ts("2026-01-01 09:00:00")),   // before any right → NULL
+      (4L, 9L, ts("2026-01-01 12:00:00"))    // other key, no right rows → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 09:30:00"), 1.0),
+      (11L, 7L, ts("2026-01-01 10:30:00"), 2.0),
+      (12L, 7L, ts("2026-01-01 11:00:00"), 3.0)
+    ).toDF("view_id", "user_id", "ts", "v")
+
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", Seq("view_id", "v"))
+      .orderBy("event_id")
+      .select("event_id", "asof_view_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L)), (2L, Some(11L)), (3L, None), (4L, None)))
+  }
+
+  test("asofJoin emits exactly one row per left row and keeps left payloads") {
+    val left = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00"), "a"),
+      (2L, 7L, ts("2026-01-01 10:00:01"), "b")
+    ).toDF("event_id", "user_id", "ts", "tag")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 09:00:00"), 1.0),
+      (11L, 7L, ts("2026-01-01 09:30:00"), 2.0)
+    ).toDF("view_id", "user_id", "ts", "v")
+    val out = AsOf.asofJoin(left, right, "user_id", "ts", Seq("v"))
+    assert(out.count() == 2)
+    assert(out.columns.toSeq ==
+      Seq("event_id", "user_id", "ts", "tag", "asof_v"))
+    // both left rows see the latest (09:30) value
+    assert(out.select("asof_v").collect().map(_.getDouble(0)).toSeq == Seq(2.0, 2.0))
+  }
+}
