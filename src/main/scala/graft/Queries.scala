@@ -704,6 +704,22 @@ object Queries {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bench = true),
 
+    Q("dash_rollup",
+      // grouping-sets breadth: region x purpose rollup with subtotal rows,
+      // grouping_id disambiguates NULL-as-subtotal from NULL data.
+      (s, d) => transformChain(s, d)
+        .rollup(col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n, sum(price_czk) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY ROLLUP(region, purpose)
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
     Q("join_asof",
       // as-of join (§2.12, no Spark native op): each click matched to the
       // user's latest view at-or-before it — union-tag + per-key ordered
@@ -740,6 +756,33 @@ object Queries {
            |  CAST(CAST(v.view_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS view_value_c
            |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
            |ORDER BY event_id""".stripMargin),
+      bench = true),
+
+    Q("join_range_events",
+      // band join (§2.12): click-purchase pairs of the same user within
+      // 5 minutes — interval-bucketed equi-join, never a nested loop.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        graft.plans.RangeJoin.bandPairs(clicks, purchases, "user_id", "t",
+            width = 300000000L)
+          .select(col("l.click_id").as("click_id"),
+            col("r.purchase_id").as("purchase_id"),
+            (col("r.t") - col("l.t")).as("delta_us"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t FROM ev WHERE event_type = 'click'),
+           |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t FROM ev WHERE event_type = 'purchase')
+           |SELECT c.click_id, p.purchase_id, p.t - c.t AS delta_us
+           |FROM c JOIN p ON c.user_id = p.user_id AND abs(c.t - p.t) <= 300000000
+           |ORDER BY click_id, purchase_id""".stripMargin),
       bench = true),
 
     // ---- §2.10 events / time windows (batch forms) ---------------------------
