@@ -704,6 +704,41 @@ object Queries {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bench = true),
 
+    Q("dash_pivot_kind",
+      // pivot (§2.12): per-region counts of sale vs rent listings as
+      // columns — Spark pivot() with explicit values; the oracle uses
+      // FILTER aggregation (the engine-portable pivot form).
+      (s, d) => transformChain(s, d)
+        .withColumn("kind",
+          when(col("purpose").startsWith("Prodej"), lit("sale"))
+            .otherwise(lit("rent")))
+        .groupBy("region")
+        .pivot("kind", Seq("sale", "rent"))
+        .count()
+        .na.fill(0L, Seq("sale", "rent"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  count(*) FILTER (WHERE purpose LIKE 'Prodej%') AS sale,
+          |  count(*) FILTER (WHERE purpose NOT LIKE 'Prodej%') AS rent
+          |FROM final GROUP BY region ORDER BY region""".stripMargin)),
+
+    Q("etl_hash_sample",
+      // deterministic sampling (§2.12): md5-bucket sample — md5 is md5 in
+      // every engine, so the sample is reproducible AND oracle-checkable
+      // (unlike Bernoulli sample(), whose RNG is engine-specific).
+      // First hex digit in {0,1} → exact 1/8 expected rate.
+      (s, d) => tbl(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+          |ORDER BY o_orderkey""".stripMargin)),
+
     Q("dash_rollup",
       // grouping-sets breadth: region x purpose rollup with subtotal rows,
       // grouping_id disambiguates NULL-as-subtotal from NULL data.
@@ -1013,6 +1048,25 @@ object Queries {
           Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"))
         .toDF().select("asset_id", "mime", "n_bytes", "width", "height", "n_frames")
         .orderBy("asset_id"),
+      None),
+
+    Q("mm_resize",
+      // resize kernel is the declared deterministic stub — rows-only.
+      (s, d) => Multimodal.resizeAssets(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
+          maxW = 32, maxH = 32)
+        .toDF().select("asset_id", "mime", "width", "height")
+        .orderBy("asset_id"),
+      None),
+
+    Q("mm_frame_sample",
+      // frame sampler fans one video row out to n_frames/stride rows —
+      // rows-only (stub kernel).
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
+          stride = 10)
+        .toDF().select("asset_id", "frame_idx")
+        .orderBy("asset_id", "frame_idx"),
       None)
   )
 
