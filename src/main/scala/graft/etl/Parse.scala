@@ -37,9 +37,15 @@ object Parse {
 
   /** Last two whitespace-separated words, trailing comma stripped
     * (reference closure `extract_last_two_words`, scripts/transform.py:81-87).
+    * The start index is computed as max(n-1, 1) rather than a negative
+    * slice: `slice(arr, -2, 2)` returns [] for 1-element arrays, but the
+    * reference's `x.split()[-2:]` keeps the single word.
     */
-  def lastTwoWords(c: Column): Column =
-    rtrim(array_join(slice(split(trim(c), "\\s+"), -2, 2), " "), ",")
+  def lastTwoWords(c: Column): Column = {
+    val words = split(trim(c), "\\s+")
+    rtrim(array_join(
+      slice(words, greatest(size(words) - 1, lit(1)), lit(2)), " "), ",")
+  }
 
   /** Everything except the last two words, trailing comma/space stripped —
     * the address rewrite when a region tail is present

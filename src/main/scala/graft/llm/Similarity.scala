@@ -212,7 +212,8 @@ object Similarity {
     def combos(start: Int, remaining: Int, acc: Long): Seq[Long] =
       if (remaining == 0) Seq(acc)
       else (start until bits).flatMap(b => combos(b + 1, remaining - 1, acc | (1L << b)))
-    (0 to math.min(flips, bits)).flatMap(f => combos(0, f, 0L))
+    // flips <= 0 → exact bucket only (never an empty probe list)
+    (0 to math.max(0, math.min(flips, bits))).flatMap(f => combos(0, f, 0L))
   }
 
   /** Exact near-duplicate pairs by brute force (oracle-expressible path,

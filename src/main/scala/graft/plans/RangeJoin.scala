@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *     in the same or a neighboring bucket
   *  3. equi-join on the bucket key, then apply the exact band predicate
   *
-  * The join fans out each row to at most 2 bucket keys, so the plan is a
-  * plain shuffled equi-join — linear in input plus true-match volume
-  * (same shape as the LSH/length-block dedup joins).
+  * The join fans out each right row to 3 bucket keys (own + both
+  * neighbors) and each left row to 1, so the plan is a plain shuffled
+  * equi-join — linear in input plus true-match volume (same shape as the
+  * LSH/length-block dedup joins).
   */
 object RangeJoin {
 

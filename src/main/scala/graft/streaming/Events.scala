@@ -150,7 +150,13 @@ object Events {
             sorted.foreach { case (t, v) =>
               cur match {
                 case Some(s) if t - s.last <= gapMicros =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sumC = s.sumC + cents(v)))
+                  // min/max bounds: a late-but-within-watermark event from a
+                  // LATER batch can sort before the open session's bounds —
+                  // merging must never move session_end backward (or the
+                  // event-time timeout would fire too early)
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
+                    sumC = s.sumC + cents(v)))
                 case Some(s) =>
                   closed += close(uid, s)
                   cur = Some(SessionState(t, t, 1L, cents(v)))

@@ -34,6 +34,8 @@ class ParseSpec extends SparkSpec {
     assert(evalStr("Namesti Svobody 5, Brno, Jihomoravsky kraj", Parse.lastTwoWords)
       == "Jihomoravsky kraj")
     assert(evalStr("a b,", Parse.lastTwoWords) == "a b")
+    // single word: python x.split()[-2:] keeps it (slice(-2,2) would not)
+    assert(evalStr("word", Parse.lastTwoWords) == "word")
   }
 
   test("dropLastTwoWords strips region tail + trailing comma (transform.py:91)") {
@@ -102,6 +104,7 @@ class ParseSpec extends SparkSpec {
       "X, Y, Moravskoslezsky KRAJ",
       "a b, kraj",
       "kraj word",
+      "Stredoceskykraj", // single word containing kraj — python keeps it
       "  spaced , Olomoucky kraj  ").toDF("a")
     val both = addrs.select(
         graft.expr.AddressParts(col("a")).as("__ap"),

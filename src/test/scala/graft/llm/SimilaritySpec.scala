@@ -28,6 +28,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got == math.floor(1.0 / math.sqrt(2.0) * 1e6).toLong) // 707106
   }
 
+  test("probeMasks: flips<=0 gives the exact bucket; counts match C(bits,k)") {
+    assert(Similarity.probeMasks(12, 0) == Seq(0L))
+    assert(Similarity.probeMasks(12, -1) == Seq(0L))
+    assert(Similarity.probeMasks(12, 1).length == 13)
+    assert(Similarity.probeMasks(12, 2).length == 1 + 12 + 66)
+    assert(Similarity.probeMasks(12, 1).distinct.length == 13)
+  }
+
   test("HyperplaneSig expression is bit-identical to the Column form") {
     val rnd = new scala.util.Random(43)
     val vecs = (0 until 100).map(_ => Tuple1(Array.fill(32)(rnd.nextGaussian().toFloat)))
