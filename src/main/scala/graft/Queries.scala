@@ -946,6 +946,14 @@ object Queries {
       None,
       bench = true),
 
+    Q("dedup_simhash_pairs",
+      // banded Hamming-ball near-dup pairs — hash-dependent, rows-only;
+      // the banding guarantee is unit-tested in DedupSpec.
+      (s, d) => Dedup.simhashNearDupPairs(tbl(s, d, "documents"),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // ---- LLM ops: similarity search -------------------------------------------
 
     Q("sim_cosine_topk",

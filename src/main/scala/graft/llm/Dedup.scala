@@ -148,6 +148,40 @@ object Dedup {
       }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs within a Hamming ball: two 64-bit
+    * simhashes within `maxHamming` bits differ in at most `maxHamming`
+    * positions, so by pigeonhole they agree EXACTLY on at least one of
+    * (maxHamming + 1) disjoint bit bands — block on the bands, equi-join,
+    * then filter by true Hamming distance (bit_count of xor). Same
+    * bucketed-never-all-pairs shape as MinHash-LSH; candidate volume is
+    * bounded by band-collision counts, not n².
+    */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val numBands = maxHamming + 1
+    val bandBits = 64 / numBands
+    val sigs = simhash(docs, textCol, idCol)
+    val bands = (0 until numBands).map { b =>
+      // band b = bandBits-wide chunk (last band takes the remainder)
+      val chunk =
+        if (b == numBands - 1) shiftrightunsigned(col("simhash"), b * bandBits)
+        else shiftrightunsigned(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))
+      struct(lit(b).as("band"), chunk.as("chunk"))
+    }
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array(bands: _*)).as("bk"))
+    val a = banded.select(col("bk"), col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("bk"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Word-set Jaccard similarity between two text columns — exact, set
     * semantics (distinct words).
     */

@@ -72,6 +72,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 4.0 / 6.0) < 1e-12)
   }
 
+  test("simhashNearDupPairs finds every pair within the Hamming ball (banding guarantee)") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet field"
+    val docs = Seq(
+      (1L, base), (2L, base + " today"), (3L, base + " now then"),
+      (4L, "completely different corpus text about spark shuffles executors partitions memory"),
+      (5L, base)).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: all pairs within hamming <= 3
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if hamming(sigs(a), sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain at least one near pair")
+    val found = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"banding must be lossless within the ball: $found vs $truth")
+  }
+
   test("MinHashSig expression matches the declarative Column formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
