@@ -648,7 +648,8 @@ object Queries {
           tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
           "l_returnflag", col("l_extendedprice"),
           col("l_orderkey") * 10 + col("l_linenumber"), 5)
-        .select(col("l_returnflag"), col("rnk"), col("l_orderkey"), col("l_linenumber"),
+        .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+          col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c")),
       Some(
         """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
@@ -750,7 +751,8 @@ object Queries {
           col("purpose").asc_nulls_first),
       Some(chainSql(DUMP_DATE, FILE_NAME) +
         """
-          |SELECT region, purpose, count(*) AS n, sum(price_czk) AS sum_price,
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
           |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
           |FROM final GROUP BY ROLLUP(region, purpose)
           |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
@@ -855,8 +857,8 @@ object Queries {
            |  FROM lagged
            |),
            |sess AS (
-           |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            |  FROM flagged
            |)
            |SELECT user_id, session_seq,

@@ -63,7 +63,8 @@ object TopKAggregator {
       .agg(new TopKAggregator(k).toColumn.name("top"))
       .flatMap { case (flag, top) =>
         top.zipWithIndex.map { case ((m, t), i) =>
-          (flag, i + 1, t / 10, (t % 10).toInt, m)
+          // rnk as long — matches the BIGINT row_number of the shared oracle
+          (flag, (i + 1).toLong, t / 10, (t % 10).toInt, m)
         }
       }
       .toDF("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "price_c")

@@ -65,7 +65,8 @@ object Similarity {
       .orderBy(col("sim_e6").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("sim_e6"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -128,7 +129,8 @@ object Similarity {
       .orderBy(col("sim_e6").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("sim_e6"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -184,7 +186,8 @@ object Similarity {
       .orderBy(col("sim_e6").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim_e6"))
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("sim_e6"))
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -156,11 +156,13 @@ object TextStats {
 
     counted.select(
       col("doc_id"),
-      tk.as("n_tokens"),
-      col("__c.n_subwords").as("n_subwords"),
-      length(col("__t")).as("n_chars_computed"),
-      col("__c.n_punct").as("n_punct"),
-      col("__c.n_digits").as("n_digits"),
+      // counts as BIGINT — DuckDB len()/length() are BIGINT, and matching
+      // widths keeps strict schema comparison happy
+      tk.cast("long").as("n_tokens"),
+      col("__c.n_subwords").cast("long").as("n_subwords"),
+      length(col("__t")).cast("long").as("n_chars_computed"),
+      col("__c.n_punct").cast("long").as("n_punct"),
+      col("__c.n_digits").cast("long").as("n_digits"),
       graft.util.Num.e6(stopRatio).as("stopword_ratio_e6"),
       graft.util.Num.e6(mwl).as("mean_word_len_e6"),
       graft.util.Num.e6(quality).as("quality_e6"),

@@ -46,8 +46,8 @@ class DashboardSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     val viaWindow = Dashboard.topKPerGroup(li, "l_returnflag",
         col("l_extendedprice"), col("l_orderkey") * 10 + col("l_linenumber"), 2)
-      .select(col("l_returnflag"), col("rnk"), col("l_orderkey"),
-        col("l_linenumber"),
+      .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+        col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
       .collect().map(_.toSeq).toSeq
     assert(viaAgg == viaWindow)

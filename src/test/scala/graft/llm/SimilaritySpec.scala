@@ -18,8 +18,8 @@ class SimilaritySpec extends SparkSpec {
       (4L, Array(-1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
-    assert(top == Seq((1, 1L), (2, 2L), (3, 3L)))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
   test("cosineE6 matches a hand-computed value") {
@@ -101,9 +101,9 @@ class SimilaritySpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id") % 10 === 0)
     // centStep 15 → 4 cells; nProbe 4 probes all of them → exact search
     val ivf = Similarity.ivfTopK(corpus, queries, k = 3, centStep = 15, nProbe = 4)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val bf = Similarity.bruteForceTopK(corpus, queries, k = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(ivf == bf)
   }
 

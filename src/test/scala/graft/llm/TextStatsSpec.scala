@@ -63,11 +63,11 @@ class TextStatsSpec extends SparkSpec {
     val t = col("text")
     val ref = docs.select(
         col("doc_id"),
-        TextStats.tokenCount(t).as("n_tokens"),
-        TextStats.subwordCount(t).as("n_subwords"),
-        length(t).as("n_chars_computed"),
-        TextStats.punctCount(t).as("n_punct"),
-        TextStats.digitCount(t).as("n_digits"),
+        TextStats.tokenCount(t).cast("long").as("n_tokens"),
+        TextStats.subwordCount(t).cast("long").as("n_subwords"),
+        length(t).cast("long").as("n_chars_computed"),
+        TextStats.punctCount(t).cast("long").as("n_punct"),
+        TextStats.digitCount(t).cast("long").as("n_digits"),
         graft.util.Num.e6(TextStats.stopwordRatio(t)).as("stopword_ratio_e6"),
         graft.util.Num.e6(TextStats.meanWordLength(t)).as("mean_word_len_e6"),
         graft.util.Num.e6(TextStats.qualityScore(t)).as("quality_e6"),
