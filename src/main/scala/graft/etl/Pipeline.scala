@@ -27,6 +27,11 @@ object Pipeline {
       .schema(PropertySchema.raw)
       .option("sep", "\t")
       .option("header", "true")
+      // quoted newlines inside values (pandas read_csv handles these by
+      // default; without multiLine a quoted record splits into malformed
+      // rows). Cost: multiLine CSV files are read whole, not split — fine
+      // for the reference's one-file-per-batch layout.
+      .option("multiLine", "true")
       .option("pathGlobFilter", "*.csv")
       .csv(dir)
 
@@ -90,6 +95,7 @@ object Pipeline {
       .schema(PropertySchema.raw)
       .option("sep", "\t")
       .option("header", "true")
+      .option("multiLine", "true")
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", 1)
       .option("cleanSource", "archive")
@@ -132,6 +138,11 @@ object Pipeline {
       .schema(PropertySchema.transformed)
       .option("sep", "\t")
       .option("header", "true")
+      // quoted newlines inside values (pandas read_csv handles these by
+      // default; without multiLine a quoted record splits into malformed
+      // rows). Cost: multiLine CSV files are read whole, not split — fine
+      // for the reference's one-file-per-batch layout.
+      .option("multiLine", "true")
       .option("pathGlobFilter", "*.csv")
       .csv(dir)
 
@@ -148,6 +159,7 @@ object Pipeline {
       .schema(PropertySchema.transformed)
       .option("sep", "\t")
       .option("header", "true")
+      .option("multiLine", "true")
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", 1)
       .option("cleanSource", "archive")

@@ -32,6 +32,17 @@ class PipelineSpec extends SparkSpec {
     assert(back.orderBy("link").collect().toSeq == df.orderBy("link").collect().toSeq)
   }
 
+  test("writeTsv round-trips values containing tabs, quotes and newlines") {
+    val dir = tmp()
+    val df = Seq(
+      ("Prodej bytu", "addr with\ttab", "80 m2", "de\"sign", "5 000 Kc", "/t1"),
+      ("Pronajem bytu", "line\nbreak, Praha", "60 m2", "2+kk", "900 Kc", "/t2"))
+      .toDF("purpose", "address", "size_m2", "design", "price_czk", "link")
+    Pipeline.writeTsv(df, s"$dir/out", singleFile = true)
+    val back = Pipeline.readRaw(spark, s"$dir/out")
+    assert(back.orderBy("link").collect().toSeq == df.orderBy("link").collect().toSeq)
+  }
+
   test("runBatch: transform, land parquet, archive inputs with processed_ prefix") {
     val root = tmp()
     Files.createDirectories(Paths.get(s"$root/raw"))

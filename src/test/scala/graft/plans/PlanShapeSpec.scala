@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression guards: the scale properties documented in
+  * README/Scaladoc (bounded exchanges, broadcast dimension joins) are
+  * asserted against the actual physical plans so a future edit can't
+  * silently reintroduce an extra shuffle or a shuffled dim join.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("transform chain: at most 4 exchanges (distinct, dedup, sort + AQE reuse)") {
+    val p = plan(Queries.transformChain(spark, sf))
+    val n = countOccurrences(p, "Exchange ")
+    assert(n <= 4, s"chain grew to $n exchanges:\n${p.take(2000)}")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p1 = plan(Queries.queryMap("join_orders_customer")(spark, sf))
+    assert(p1.contains("BroadcastHashJoin"), "orders-customer lost its broadcast")
+    val p2 = plan(Queries.queryMap("join_revenue_by_brand")(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), "lineitem-part lost its broadcast")
+  }
+
+  test("top-k window rides WindowGroupLimit partial pushdown") {
+    val p = plan(Queries.queryMap("dash_topk_per_group")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), "top-k lost the partial group limit")
+  }
+
+  test("as-of join plans as window carry-forward, not a nested loop") {
+    val p = plan(Queries.queryMap("join_asof")(spark, sf))
+    assert(!p.contains("NestedLoop"), "as-of join degenerated to a nested loop")
+    assert(p.contains("Window"), "as-of join lost its window carry-forward")
+  }
+
+  test("range join is an equi-join on bucket keys, not a nested loop") {
+    val p = plan(Queries.queryMap("join_range_events")(spark, sf))
+    assert(!p.contains("NestedLoop"), "range join degenerated to a nested loop")
+  }
+
+  test("minhash dedup never plans a cartesian/nested-loop product") {
+    val p = plan(Queries.queryMap("dedup_minhash_pairs")(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "minhash candidate join must stay a bucket equi-join")
+  }
+}
