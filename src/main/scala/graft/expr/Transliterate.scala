@@ -24,15 +24,12 @@ case class Transliterate(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "transliterate"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    UTF8String.fromString(Transliterate.strip(s))
-  }
+  override def nullSafeEval(input: Any): Any =
+    Transliterate.stripU8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = Transliterate.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c =>
-      s"UTF8String.fromString($cls.strip($c.toString()))")
+    defineCodeGen(ctx, ev, c => s"$cls.stripU8($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Transliterate =
@@ -40,6 +37,21 @@ case class Transliterate(child: Expression)
 }
 
 object Transliterate {
+
+  /** UTF8String form invoked from generated code: pure-ASCII inputs (the
+    * majority of cells — links, prices, sizes) are detected with one byte
+    * scan and returned as-is with ZERO allocation; only cells with
+    * multi-byte chars pay the String materialization + NFD pass.
+    */
+  def stripU8(u: UTF8String): UTF8String = {
+    // getByte, not getBytes: the latter copies unless the backing array is
+    // exactly aligned, which would defeat the zero-alloc fast path
+    val n = u.numBytes
+    var i = 0
+    while (i < n && u.getByte(i) >= 0) i += 1
+    if (i == n) u
+    else UTF8String.fromString(strip(u.toString))
+  }
 
   /** NFD-normalize then remove all combining marks. Pure + thread-safe;
     * invoked from generated code, so it must stay a static public method.
