@@ -25,20 +25,33 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max)
+      throw new IllegalArgumentException(
+        s"$name takes ${if (min == max) s"$min" else s"$min to $max"} " +
+          s"argument(s), got ${es.length}")
+
   /** (name, builder) for every SQL-exposed custom function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "transliterate" -> (es => Transliterate(es.head)),
-    "digits_only" -> (es => DigitsOnly(es.head)),
-    "cosine_sim_e6" -> (es => CosineSimE6(es(0), es(1))),
-    "minhash_sig" -> (es => MinHashSig(es.head,
-      if (es.length > 1) litInt(es(1), "shingleK") else 3,
-      if (es.length > 2) litInt(es(2), "numHashes") else 64)),
-    "hyperplane_sig" -> (es => HyperplaneSig(es.head,
-      if (es.length > 1) litInt(es(1), "bits") else 12)),
-    "address_parts" -> (es => AddressParts(es.head)),
-    "text_counts" -> (es => TextCounts(es.head, TextStats.enStopwords,
-      TextStats.langVocab("en"), TextStats.langVocab("de"),
-      TextStats.langVocab("es"), TextStats.langVocab("fr")))
+    "transliterate" -> (es => { arity("transliterate", es, 1, 1)
+      Transliterate(es.head) }),
+    "digits_only" -> (es => { arity("digits_only", es, 1, 1)
+      DigitsOnly(es.head) }),
+    "cosine_sim_e6" -> (es => { arity("cosine_sim_e6", es, 2, 2)
+      CosineSimE6(es(0), es(1)) }),
+    "minhash_sig" -> (es => { arity("minhash_sig", es, 1, 3)
+      MinHashSig(es.head,
+        if (es.length > 1) litInt(es(1), "shingleK") else 3,
+        if (es.length > 2) litInt(es(2), "numHashes") else 64) }),
+    "hyperplane_sig" -> (es => { arity("hyperplane_sig", es, 1, 2)
+      HyperplaneSig(es.head,
+        if (es.length > 1) litInt(es(1), "bits") else 12) }),
+    "address_parts" -> (es => { arity("address_parts", es, 1, 1)
+      AddressParts(es.head) }),
+    "text_counts" -> (es => { arity("text_counts", es, 1, 1)
+      TextCounts(es.head, TextStats.enStopwords,
+        TextStats.langVocab("en"), TextStats.langVocab("de"),
+        TextStats.langVocab("es"), TextStats.langVocab("fr")) })
   )
 
   /** Register every function on an existing session (temp functions). */

@@ -84,9 +84,12 @@ object Transform {
       .withColumn("size_m2", Parse.sizeToInt(col("size_m2")))
       // region derive + address rewrite (scripts/transform.py:81-91) —
       // AddressParts computes both from ONE split (the Column forms split
-      // the address four times); staged withColumn keeps it one eval/row
+      // the address four times); staged withColumn keeps it one eval/row.
+      // NULL address: the expression null-propagates, but the reference's
+      // when/otherwise semantics default region to Praha and keep the
+      // address NULL — coalesce restores that (and oracle parity).
       .withColumn("__ap", graft.expr.AddressParts(col("address")))
-      .withColumn("region", col("__ap.region"))
+      .withColumn("region", coalesce(col("__ap.region"), lit("Praha")))
       .withColumn("address", col("__ap.address"))
       .drop("__ap")
       // region whitelist (scripts/transform.py:92)

@@ -157,7 +157,7 @@ object Dedup {
     * bounded by band-collision counts, not n².
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val numBands = maxHamming + 1
     val bandBits = 64 / numBands
@@ -170,8 +170,14 @@ object Dedup {
           .bitwiseAND(lit((1L << bandBits) - 1))
       struct(lit(b).as("band"), chunk.as("chunk"))
     }
+    // mega-bucket cap, same rationale as minhashNearDupPairs: boilerplate
+    // corpora collapse to a few signatures, and an uncapped band bucket of
+    // m docs emits m² candidates
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array(bands: _*)).as("bk"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("__bn") <= maxBucketSize)
+      .drop("__bn")
     val a = banded.select(col("bk"), col("id").as("id_a"), col("simhash").as("sig_a"))
     val b = banded.select(col("bk"), col("id").as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("bk"))

@@ -51,6 +51,21 @@ object Similarity {
   def cosineE6Columns(a: Column, b: Column): Column =
     floor(cosine(a, b) * 1e6).cast("long")
 
+  /** Shared top-k epilogue: rank scored (query_id, neighbor_id, sim_e6)
+    * candidates per query — desc sim, neighbor-id tiebreak — keep k,
+    * emit the canonical (query_id, rnk BIGINT, neighbor_id, sim_e6)
+    * contract. One place to change the output shape for every ANN path.
+    */
+  private def topKSelect(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("sim_e6"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast.
     */
@@ -61,13 +76,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("sim_e6"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKSelect(scored, k)
   }
 
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
@@ -125,13 +134,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("sim_e6"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKSelect(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantization scale path.
@@ -182,13 +185,7 @@ object Similarity {
     val scored = cells.join(probes, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor_id"), col("sim_e6"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKSelect(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:

@@ -12,16 +12,20 @@ import org.apache.spark.sql.types.StructType
   *
   *  1. tag both sides and union them (right payloads packed in a struct,
   *     left rows carry a NULL struct)
-  *  2. one shuffle on key; within each key sort by (time, side) — right
-  *     rows sort BEFORE a left row at the same timestamp, giving the
-  *     inclusive `right.time <= left.time` semantics
+  *  2. one shuffle on key; within each key sort by (time, side, payload) —
+  *     right rows sort BEFORE a left row at the same timestamp, giving
+  *     the inclusive `right.time <= left.time` semantics, and the payload
+  *     tiebreak makes duplicate (key, time) right rows pick
+  *     deterministically (the greatest payload struct wins)
   *  3. `last(payload, ignoreNulls)` over rows-unbounded-preceding carries
   *     the latest right payload forward onto every left row
   *
-  * Scale shape: exactly one exchange (the key), sort within partitions,
-  * no join explosion — each left row meets only the carried-forward
-  * scalar, never the right side's history. Skewed keys behave like any
-  * windowed aggregation (salt upstream if one key dominates).
+  * Right rows with NULL time are dropped (NULL <= t is never true — the
+  * same semantics as SQL ASOF). Scale shape: exactly one exchange (the
+  * key), sort within partitions, no join explosion — each left row meets
+  * only the carried-forward scalar, never the right side's history.
+  * Skewed keys behave like any windowed aggregation (salt upstream if one
+  * key dominates).
   */
 object AsOf {
 
@@ -41,23 +45,25 @@ object AsOf {
     val l = left.select(
       leftCols.map(col) ++
         Seq(lit(1).as("__side"), lit(null).cast(rvType).as("__rv")): _*)
-    val rBase = right.select(col(key), col(time),
-      struct(rightVals.map(col).toIndexedSeq: _*).as("__rv"))
-    val r = leftCols.foldLeft(rBase) { (df, c) =>
-        if (c == key || c == time) df
-        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-      }
-      .select(leftCols.map(col) ++ Seq(lit(0).as("__side"), col("__rv")): _*)
+    // single select: every left column either exists on the right (key,
+    // time) or is null-padded — one projection, not a withColumn chain
+    val r = right
+      .filter(col(time).isNotNull)
+      .select(
+        leftCols.map { c =>
+          if (c == key || c == time) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)
+        } ++ Seq(lit(0).as("__side"),
+          struct(rightVals.map(col).toIndexedSeq: _*).as("__rv")): _*)
 
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"))
+      .orderBy(col(time), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = l.unionByName(r)
       .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    rightVals.foldLeft(carried) { (df, v) =>
-        df.withColumn(s"asof_$v", col(s"__asof.$v"))
-      }
-      .drop("__side", "__rv", "__asof")
+    carried.select(
+      leftCols.map(col) ++
+        rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
 }

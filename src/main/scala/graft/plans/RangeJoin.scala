@@ -28,14 +28,18 @@ object RangeJoin {
   def bandPairs(left: DataFrame, right: DataFrame, key: String,
       timeCol: String, width: Long): DataFrame = {
     require(width > 0, "width must be positive")
+    // integer `div`, not floor(x / width): double division loses exactness
+    // beyond ~2^53 and can shift a bucket by one. For an in-band pair
+    // (|Δ| <= width) the truncating quotients differ by at most 1, so the
+    // ±1 neighbor probes still cover the band for any sign of t.
     val lb = left.select(col(key).as("__k"), col(timeCol).as("__lt"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__l"))
-      .withColumn("__b", floor(col("__lt") / width))
+      .withColumn("__b", expr(s"__lt div $width"))
     // probe own + both neighbor buckets so the band is fully covered
     // regardless of which side of the boundary the partner falls on
     val rb = right.select(col(key).as("__k"), col(timeCol).as("__rt"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
-      .withColumn("__b0", floor(col("__rt") / width))
+      .withColumn("__b0", expr(s"__rt div $width"))
       .select(col("__k"), col("__rt"), col("__r"),
         explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)).as("__b"))
     lb.join(rb, Seq("__k", "__b"))

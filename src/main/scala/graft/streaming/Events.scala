@@ -149,17 +149,23 @@ object Events {
             var cur = state.getOption
             sorted.foreach { case (t, v) =>
               cur match {
-                case Some(s) if t - s.last <= gapMicros =>
-                  // min/max bounds: a late-but-within-watermark event from a
-                  // LATER batch can sort before the open session's bounds —
-                  // merging must never move session_end backward (or the
-                  // event-time timeout would fire too early)
+                case Some(s) if t >= s.start - gapMicros && t - s.last <= gapMicros =>
+                  // in or adjacent to the open session (a late-but-within-
+                  // watermark event from a later batch may extend it
+                  // BACKWARD) — min/max so bounds never regress
                   cur = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1,
                     sumC = s.sumC + cents(v)))
-                case Some(s) =>
+                case Some(s) if t > s.last =>
+                  // gap after the open session → close it, start fresh
                   closed += close(uid, s)
                   cur = Some(SessionState(t, t, 1L, cents(v)))
+                case Some(_) =>
+                  // late event more than gap BEFORE the open session: it
+                  // belongs to an earlier, already-elapsed session — emit
+                  // it as its own closed singleton (batch sessionize would
+                  // have put it in a separate earlier session too)
+                  closed += ClosedSession(uid, toTs(t), toTs(t), 1L, cents(v))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, cents(v)))
               }

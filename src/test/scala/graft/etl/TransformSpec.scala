@@ -53,6 +53,15 @@ class TransformSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("NULL address defaults region to Praha and keeps the row (when/otherwise semantics)") {
+    val raw = Seq((1L, "Prodej bytu", null, "80 m2", "3+1", "5 000 000 Kc", "/n1"))
+      .toDF("id", "purpose", "address", "size_m2", "design", "price_czk", "link")
+    val out = Transform(raw, dump, Some(fname), dedupOrder = Some(col("id"))).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("region") == "Praha")
+    assert(out(0).getAs[String]("address") == null)
+  }
+
   test("dedup keeps the FIRST row per link (pandas keep='first', transform.py:62)") {
     val raw = rawRows.toDF("id", "purpose", "address", "size_m2", "design", "price_czk", "link")
     val kept = Transform(raw, dump, Some(fname), dedupOrder = Some(col("id")))

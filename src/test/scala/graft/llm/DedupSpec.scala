@@ -92,6 +92,15 @@ class DedupSpec extends SparkSpec {
     assert(found == truth, s"banding must be lossless within the ball: $found vs $truth")
   }
 
+  test("simhash pair mega-bucket cap suppresses degenerate boilerplate corpora") {
+    val d = "identical boilerplate text shared by every document here"
+    val docs = (0 until 8).map(i => (i.toLong, d)).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 4).count() == 0)
+    assert(Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 100).count() == 28)
+  }
+
   test("MinHashSig expression matches the declarative Column formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

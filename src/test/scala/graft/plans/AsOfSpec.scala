@@ -32,6 +32,23 @@ class AsOfSpec extends SparkSpec {
       (1L, Some(10L)), (2L, Some(11L)), (3L, None), (4L, None)))
   }
 
+  test("asofJoin: duplicate (key, time) right rows pick deterministically; NULL right time never matches") {
+    val left = Seq((1L, 7L, ts("2026-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 09:00:00"), 1.0),
+      (11L, 7L, ts("2026-01-01 09:00:00"), 2.0), // same ts — greatest payload wins
+      (99L, 7L, null.asInstanceOf[Timestamp], 9.0) // NULL ts must never match
+    ).toDF("view_id", "user_id", "ts", "v")
+    val rows = (1 to 3).map { _ =>
+      AsOf.asofJoin(left, right, "user_id", "ts", Seq("view_id", "v"))
+        .collect()(0)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("asof_view_id") == 11L, s"got $r")
+      assert(r.getAs[Double]("asof_v") == 2.0)
+    }
+  }
+
   test("asofJoin emits exactly one row per left row and keeps left payloads") {
     val left = Seq(
       (1L, 7L, ts("2026-01-01 10:00:00"), "a"),

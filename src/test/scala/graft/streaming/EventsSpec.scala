@@ -110,6 +110,41 @@ class EventsSpec extends SparkSpec {
     assert(afterB2.contains((7L, 1L, 400L)), s"timeout session missing: $afterB2")
   }
 
+  test("streamingSessionizeCustom: a late event older than start-gap becomes its own session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws2").toString
+    val schema = events.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = Events.streamingSessionizeCustom(stream, gapMinutes = 30)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: user 7 open session at 12:40; user 9 at 13:00 pushes the
+    // watermark to ~12:00
+    Seq((1L, ts("2026-01-01 12:40:00"), 7L, "a", 1.0),
+        (2L, ts("2026-01-01 13:00:00"), 9L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    // batch 2: user 7 event at 12:05 — within the watermark but 35 min
+    // BEFORE the open session's start: must NOT merge (the batch
+    // sessionizer would put it in its own earlier session)
+    Seq((3L, ts("2026-01-01 12:05:00"), 7L, "a", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val sessions = spark.read.parquet(s"$dir/out")
+      .filter(col("user_id") === 7)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3), r.getLong(4))).toSet
+    assert(sessions.contains(("2026-01-01 12:05:00.0", 1L, 500L)),
+      s"late singleton missing: $sessions")
+    assert(!sessions.exists(_._2 == 2L), s"late event wrongly merged: $sessions")
+  }
+
   test("streamingHourly watermark drops events later than the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
     val schema = events.schema
