@@ -21,6 +21,37 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(3) == 5)
   }
 
+  test("arity violations raise real errors instead of silent truncation") {
+    GraftFunctions.register(spark)
+    val tooMany = intercept[Exception] {
+      spark.sql("SELECT transliterate('a', 'b')").collect()
+    }
+    assert(tooMany.getMessage.contains("argument"), tooMany.getMessage)
+    val tooFew = intercept[Exception] {
+      spark.sql("SELECT cosine_sim_e6(array(1.0f))").collect()
+    }
+    assert(tooFew.getMessage.contains("argument"), tooFew.getMessage)
+  }
+
+  test("GraftExtensions injects the functions into a session built with withExtensions") {
+    val prev = spark // force TestSpark session to exist first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT transliterate('Plzeňský kraj') AS r")
+        .collect()(0).getString(0)
+      assert(got == "Plzensky kraj")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("SQL minhash_sig/hyperplane_sig/cosine_sim_e6 match the Column forms") {
     GraftFunctions.register(spark)
     Seq(("alpha beta gamma delta epsilon",
