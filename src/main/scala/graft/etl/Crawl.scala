@@ -27,11 +27,16 @@ object Crawl {
   def crawlPages(spark: SparkSession, pages: Range, fetch: Int => String,
       perPageDelayMs: Long = 0, parallelism: Int = 0): DataFrame = {
     import spark.implicits._
-    val np =
+    require(pages.nonEmpty, "pages range is empty")
+    val np = math.max(1,
       if (parallelism > 0) parallelism
-      else math.min(pages.size, spark.sparkContext.defaultParallelism)
-    spark.range(pages.start, pages.end)
-      .repartition(math.max(np, 1))
+      else math.min(pages.size, spark.sparkContext.defaultParallelism))
+    // honor Range inclusivity AND step: head/last are inclusive bounds, so
+    // the exclusive end is one step past last. (A bare spark.range(start,
+    // end) would drop the last page of `1 to n` and ignore `by k`.)
+    // Partition count set here — no extra repartition shuffle.
+    spark.range(pages.head, pages.last + math.signum(pages.step),
+        pages.step, np)
       .as[Long]
       .mapPartitions { it =>
         var first = true

@@ -156,8 +156,15 @@ object Dedup {
     * bucketed-never-all-pairs shape as MinHash-LSH; candidate volume is
     * bounded by band-collision counts, not n².
     */
+  /** NOTE on `maxBucketSize` (default: uncapped): unlike MinHash — where an
+    * over-full bucket's members can still meet in their other content-hash
+    * bands — IDENTICAL simhashes collide in EVERY band, so a cap removes
+    * 100% of the pairs of an over-cap duplicate group, not just some
+    * recall. Run exact dedup first (the standard pipeline order), then cap
+    * consciously if boilerplate survives.
+    */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val numBands = maxHamming + 1
     val bandBits = 64 / numBands

@@ -34,7 +34,11 @@ object AsOf {
     * @param key       equi-join key column name (both sides)
     * @param time      event-time column name (both sides)
     * @param rightVals right-side columns to carry (emitted as
-    *                  `asof_<name>`, NULL when no right row precedes)
+    *                  `asof_<name>`, NULL when no right row precedes).
+    *                  Must be ORDERABLE types (they serve as the
+    *                  deterministic tiebreak for duplicate (key, time)
+    *                  right rows) — carrying a map requires pre-
+    *                  aggregating duplicates away first.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightVals: Seq[String]): DataFrame = {

@@ -147,28 +147,54 @@ object Events {
               .toIndexedSeq.sortBy(_._1)
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var cur = state.getOption
+            // chain of late events older than the open session: kept as a
+            // session of its own so late events within the gap of EACH
+            // OTHER merge (batch-sessionize parity), instead of emitting
+            // per-event singletons
+            var pending: Option[SessionState] = None
+            def closePending(): Unit = {
+              pending.foreach(p => closed += close(uid, p))
+              pending = None
+            }
             sorted.foreach { case (t, v) =>
               cur match {
                 case Some(s) if t >= s.start - gapMicros && t - s.last <= gapMicros =>
                   // in or adjacent to the open session (a late-but-within-
-                  // watermark event from a later batch may extend it
-                  // BACKWARD) — min/max so bounds never regress
+                  // watermark event may extend it BACKWARD) — min/max so
+                  // bounds never regress
                   cur = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1,
                     sumC = s.sumC + cents(v)))
                 case Some(s) if t > s.last =>
                   // gap after the open session → close it, start fresh
+                  closePending()
                   closed += close(uid, s)
                   cur = Some(SessionState(t, t, 1L, cents(v)))
                 case Some(_) =>
-                  // late event more than gap BEFORE the open session: it
-                  // belongs to an earlier, already-elapsed session — emit
-                  // it as its own closed singleton (batch sessionize would
-                  // have put it in a separate earlier session too)
-                  closed += ClosedSession(uid, toTs(t), toTs(t), 1L, cents(v))
+                  // late event more than gap BEFORE the open session:
+                  // extend or start the pending early chain
+                  pending = pending match {
+                    case Some(p) if t - p.last <= gapMicros =>
+                      Some(p.copy(last = math.max(p.last, t), n = p.n + 1,
+                        sumC = p.sumC + cents(v)))
+                    case Some(p) =>
+                      closed += close(uid, p)
+                      Some(SessionState(t, t, 1L, cents(v)))
+                    case None =>
+                      Some(SessionState(t, t, 1L, cents(v)))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1L, cents(v)))
               }
+            }
+            // if the early chain grew to within the gap of the open
+            // session, they are ONE session; otherwise the chain is closed
+            (pending, cur) match {
+              case (Some(p), Some(s)) if s.start - p.last <= gapMicros =>
+                cur = Some(s.copy(start = math.min(p.start, s.start),
+                  n = s.n + p.n, sumC = s.sumC + p.sumC))
+                pending = None
+              case _ => closePending()
             }
             cur.foreach { s =>
               state.update(s)

@@ -22,6 +22,15 @@ class CrawlSpec extends SparkSpec {
     (1 until 11).foreach(p => assert(rows(p.toLong) == fakePage(p)))
   }
 
+  test("crawlPages honors Range inclusivity and step") {
+    val inclusive = Crawl.crawlPages(spark, 1 to 10, fakePage _)
+      .select("page").collect().map(_.getLong(0)).toSet
+    assert(inclusive == (1L to 10L).toSet, "inclusive range lost its last page")
+    val stepped = Crawl.crawlPages(spark, 1 until 10 by 2, fakePage _)
+      .select("page").collect().map(_.getLong(0)).toSet
+    assert(stepped == Set(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("crawl output feeds the page-parse generator (extract.py crawl→parse chain)") {
     val pages = Crawl.crawlPages(spark, 1 until 4, fakePage _)
     val ads = pages.select(col("page"),

@@ -130,19 +130,21 @@ class EventsSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("append").parquet(s"$dir/in")
     run()
-    // batch 2: user 7 event at 12:05 — within the watermark but 35 min
-    // BEFORE the open session's start: must NOT merge (the batch
-    // sessionizer would put it in its own earlier session)
-    Seq((3L, ts("2026-01-01 12:05:00"), 7L, "a", 5.0))
+    // batch 2: user 7 events at 12:04 and 12:05 — within the watermark but
+    // >30 min BEFORE the open session's start: they must NOT merge into
+    // the open session, and being within the gap of EACH OTHER they must
+    // form ONE earlier session (batch sessionize parity), not singletons
+    Seq((3L, ts("2026-01-01 12:04:00"), 7L, "a", 2.0),
+        (4L, ts("2026-01-01 12:05:00"), 7L, "a", 3.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("append").parquet(s"$dir/in")
     run()
     val sessions = spark.read.parquet(s"$dir/out")
       .filter(col("user_id") === 7)
       .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3), r.getLong(4))).toSet
-    assert(sessions.contains(("2026-01-01 12:05:00.0", 1L, 500L)),
-      s"late singleton missing: $sessions")
-    assert(!sessions.exists(_._2 == 2L), s"late event wrongly merged: $sessions")
+    assert(sessions.contains(("2026-01-01 12:04:00.0", 2L, 500L)),
+      s"merged early chain missing: $sessions")
+    assert(!sessions.exists(_._2 >= 3L), s"late events wrongly merged into open session: $sessions")
   }
 
   test("streamingHourly watermark drops events later than the horizon") {
