@@ -186,9 +186,13 @@ object Queries {
        |         regexp_split_to_array(trim(address), '\\s+') AS w
        |       FROM p2),
        |p4 AS (SELECT id, purpose,
-       |         CASE WHEN has_kraj THEN rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',')
+       |         -- slice guards: DuckDB reads a negative upper bound as from-the-end
+       |         -- (w[1:-1] = whole list), so 1-2 word addresses need greatest()/CASE
+       |         -- to reproduce python's words[:-2] = [] / extract_last_two_words ''
+       |         CASE WHEN has_kraj THEN rtrim(rtrim(array_to_string(w[1:greatest(len(w)-2, 0)], ' ')), ',')
        |              ELSE address END AS address,
-       |         CASE WHEN has_kraj THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',')
+       |         CASE WHEN has_kraj THEN (CASE WHEN len(w) >= 2
+       |                THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END)
        |              ELSE 'Praha' END AS region,
        |         size_m2, design, price_czk, link
        |       FROM p3),
@@ -269,7 +273,8 @@ object Queries {
         .select(col("id"), Parse.lastTwoWords(Transliterate(col("address"))).as("tail"))
         .orderBy("id"),
       Some(withRaw(
-        """SELECT id, rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') AS tail
+        """SELECT id, CASE WHEN len(w) >= 2
+          |  THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END AS tail
           |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
           |ORDER BY id""".stripMargin))),
 
@@ -278,7 +283,7 @@ object Queries {
         .select(col("id"), Parse.dropLastTwoWords(Transliterate(col("address"))).as("head"))
         .orderBy("id"),
       Some(withRaw(
-        """SELECT id, rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',') AS head
+        """SELECT id, rtrim(rtrim(array_to_string(w[1:greatest(len(w)-2, 0)], ' ')), ',') AS head
           |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
           |ORDER BY id""".stripMargin))),
 
@@ -288,7 +293,9 @@ object Queries {
         .orderBy("id"),
       Some(withRaw(
         """SELECT id, CASE WHEN contains(lower(address), 'kraj')
-          |  THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE 'Praha' END AS region
+          |  THEN (CASE WHEN len(w) >= 2
+          |        THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END)
+          |  ELSE 'Praha' END AS region
           |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
           |ORDER BY id""".stripMargin))),
 
@@ -298,7 +305,7 @@ object Queries {
         .orderBy("id"),
       Some(withRaw(
         """SELECT id, CASE WHEN contains(lower(address), 'kraj')
-          |  THEN rtrim(rtrim(array_to_string(w[1:len(w)-2], ' ')), ',') ELSE address END AS address
+          |  THEN rtrim(rtrim(array_to_string(w[1:greatest(len(w)-2, 0)], ' ')), ',') ELSE address END AS address
           |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
           |ORDER BY id""".stripMargin))),
 
@@ -519,7 +526,9 @@ object Queries {
       Some(withRaw(
         s"""SELECT id, region FROM
            |  (SELECT id, CASE WHEN contains(lower(address), 'kraj')
-           |     THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE 'Praha' END AS region
+           |     THEN (CASE WHEN len(w) >= 2
+           |           THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END)
+           |     ELSE 'Praha' END AS region
            |   FROM (SELECT id, address, regexp_split_to_array(trim(address), '\\s+') AS w FROM t))
            |WHERE region IN ${sqlIn(PropertySchema.czechRegions)} ORDER BY id""".stripMargin))),
 

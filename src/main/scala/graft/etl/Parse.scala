@@ -35,16 +35,19 @@ object Parse {
     coalesce(graft.expr.DigitsOnly(replace(c, lit("m2"), lit("")))
       .try_cast("int"), lit(0))
 
-  /** Last two whitespace-separated words, trailing comma stripped
-    * (reference closure `extract_last_two_words`, scripts/transform.py:81-87).
-    * The start index is computed as max(n-1, 1) rather than a negative
-    * slice: `slice(arr, -2, 2)` returns [] for 1-element arrays, but the
-    * reference's `x.split()[-2:]` keeps the single word.
+  /** Last two whitespace-separated words, trailing comma stripped; ''
+    * when there are fewer than two words (reference closure
+    * `extract_last_two_words`, scripts/transform.py:81-87, which returns
+    * '' in its `else` branch). The start index is computed as
+    * max(n-1, 1) rather than a negative slice because `slice(arr, -2, 2)`
+    * returns [] for 1-element arrays; the <2-word case is handled by a
+    * slice length of 0.
     */
   def lastTwoWords(c: Column): Column = {
     val words = split(trim(c), "\\s+")
+    val len = when(size(words) >= 2, lit(2)).otherwise(lit(0))
     rtrim(array_join(
-      slice(words, greatest(size(words) - 1, lit(1)), lit(2)), " "), ",")
+      slice(words, greatest(size(words) - 1, lit(1)), len), " "), ",")
   }
 
   /** Everything except the last two words, trailing comma/space stripped —

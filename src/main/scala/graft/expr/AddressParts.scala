@@ -33,13 +33,14 @@ case class AddressParts(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (!s.toLowerCase.contains("kraj")) {
+    if (!StrUtil.lowerRoot(s).contains("kraj")) {
       new GenericInternalRow(Array[Any](
         UTF8String.fromString("Praha"), input.asInstanceOf[UTF8String]))
     } else {
       val words = StrUtil.splitWs(StrUtil.sparkTrim(s))
       val n = words.length
-      val tail = words.slice(math.max(n - 2, 0), n).mkString(" ")
+      // reference extract_last_two_words returns '' for <2-word addresses
+      val tail = if (n >= 2) words.slice(n - 2, n).mkString(" ") else ""
       val head = words.slice(0, math.max(n - 2, 0)).mkString(" ")
       new GenericInternalRow(Array[Any](
         UTF8String.fromString(rstrip(tail, ',')),

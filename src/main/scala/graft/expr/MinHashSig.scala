@@ -42,7 +42,7 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
     // StrUtil replicates Spark trim (0x20 only) and split (keeps trailing
     // empties) — java.lang.String's defaults differ on both and would
     // change signatures for tab/newline-edged text.
-    val words = StrUtil.splitWs(StrUtil.sparkTrim(text).toLowerCase)
+    val words = StrUtil.splitWs(StrUtil.lowerRoot(StrUtil.sparkTrim(text)))
     // distinct shingle hashes (murmur3 of the joined k-words, seed 42 —
     // identical to Spark's hash() over the array_join result)
     val n = words.length

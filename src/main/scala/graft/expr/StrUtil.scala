@@ -21,4 +21,10 @@ object StrUtil {
     * like Spark's split(col, "\\s+") (limit -1).
     */
   def splitWs(s: String): Array[String] = s.split("\\s+", -1)
+
+  /** Locale-independent lowercase. JVM-default-locale toLowerCase breaks
+    * bit-parity with Spark's `lower()` under e.g. a Turkish default locale
+    * ('I' → dotless 'ı'); Locale.ROOT matches UTF8String's behavior.
+    */
+  def lowerRoot(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
 }

@@ -84,7 +84,7 @@ case class TextCounts(child: Expression, stopwords: Seq[String],
 
     var stop = 0; var en = 0; var de = 0; var es = 0; var fr = 0
     if (trimmed.nonEmpty) {
-      val words = StrUtil.splitWs(trimmed.toLowerCase)
+      val words = StrUtil.splitWs(StrUtil.lowerRoot(trimmed))
       var w = 0
       while (w < words.length) {
         val word = words(w)

@@ -30,8 +30,8 @@ case class VocabHits(child: Expression, vocab: Seq[String])
   override def nullSafeEval(input: Any): Any = {
     // StrUtil = Spark trim/split semantics (0x20-only trim, trailing
     // empties kept) — String defaults differ on both.
-    val words = StrUtil.splitWs(
-      StrUtil.sparkTrim(input.asInstanceOf[UTF8String].toString).toLowerCase)
+    val words = StrUtil.splitWs(StrUtil.lowerRoot(
+      StrUtil.sparkTrim(input.asInstanceOf[UTF8String].toString)))
     var n = 0
     var i = 0
     while (i < words.length) {

@@ -34,8 +34,9 @@ class ParseSpec extends SparkSpec {
     assert(evalStr("Namesti Svobody 5, Brno, Jihomoravsky kraj", Parse.lastTwoWords)
       == "Jihomoravsky kraj")
     assert(evalStr("a b,", Parse.lastTwoWords) == "a b")
-    // single word: python x.split()[-2:] keeps it (slice(-2,2) would not)
-    assert(evalStr("word", Parse.lastTwoWords) == "word")
+    // <2 words: the reference's extract_last_two_words else-branch returns ''
+    assert(evalStr("word", Parse.lastTwoWords) == "")
+    assert(evalStr("  word  ", Parse.lastTwoWords) == "")
   }
 
   test("dropLastTwoWords strips region tail + trailing comma (transform.py:91)") {
@@ -49,6 +50,9 @@ class ParseSpec extends SparkSpec {
     assert(evalStr("Vinohradska 12, Praha", Parse.regionOf) == "Praha")
     // case-insensitive 'kraj' test
     assert(evalStr("X, Y, Moravskoslezsky KRAJ", Parse.regionOf) == "Moravskoslezsky KRAJ")
+    // 1-word kraj address: extract_last_two_words returns '' (whitelist
+    // later drops it either way, but the intermediate must match exactly)
+    assert(evalStr("Stredoceskykraj", Parse.regionOf) == "")
   }
 
   test("pricePerM2: ceil(price/size), NULL when size=0 (transform.py:96-102)") {
@@ -104,7 +108,7 @@ class ParseSpec extends SparkSpec {
       "X, Y, Moravskoslezsky KRAJ",
       "a b, kraj",
       "kraj word",
-      "Stredoceskykraj", // single word containing kraj — python keeps it
+      "Stredoceskykraj", // single word containing kraj — reference yields ''
       "  spaced , Olomoucky kraj  ").toDF("a")
     val both = addrs.select(
         graft.expr.AddressParts(col("a")).as("__ap"),

@@ -14,6 +14,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def is_missing(v):
+    # None / NaN / NaT only — the narrow normalization the value compare
+    # needs (pandas maps SQL NULL to any of these depending on dtype).
+    if v is None:
+        return True
+    try:
+        return v != v  # NaN/NaT are the only values unequal to themselves
+    except Exception:
+        return False
+
 def norm(df):
     # sort columns by name; values to python objects
     cols = sorted(df.columns)
@@ -62,8 +72,10 @@ def main(sf_dir, out_dir):
             for i, (a, b) in enumerate(zip(sv, dv)):
                 ok = (a == b) or (a is None and b is None) or \
                      (isinstance(a, float) and isinstance(b, float) and (a != a and b != b))
-                # pandas NaN/None normalization
-                if not ok and str(a) == str(b):
+                # pandas NaN/None/NaT normalization ONLY — a blanket
+                # str(a)==str(b) fallback would mask int-vs-string and
+                # repr-coincidence mismatches the driver's gate catches.
+                if not ok and is_missing(a) and is_missing(b):
                     ok = True
                 if not ok:
                     mismatch = f"VALUE col={c} row={i}: spark={a!r} duck={b!r}"
