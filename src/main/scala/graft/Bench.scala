@@ -24,11 +24,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Untimed warm-up: JIT + codegen compilation otherwise lands entirely
-    // on the first timed query (~6 s of noise at sf0.1).
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+    // Untimed warm-up: JIT + codegen compilation otherwise lands on the
+    // timed queries (the driver's r02 run showed 10-14 s first-query noise
+    // on ~1 s queries). Running the WHOLE bench set once against the
+    // smallest sibling scale factor compiles the same generated code and
+    // warms the same JIT paths at negligible data cost; fall back to a
+    // single light query if no sibling dir exists.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      Queries.benchSet.foreach { q =>
+        try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // failures surface in the timed pass
+      }
+    } else {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+    }
 
     var failed = List.empty[String]
     val results = Queries.benchSet.map { q =>

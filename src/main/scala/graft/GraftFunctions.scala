@@ -67,9 +67,14 @@ object GraftFunctions {
   * with `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    // whole-operator extension: per-group top-k heap operator + the rule
+    // that rewrites row_number-window + rank-filter plans into it
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+  }
 }

@@ -683,6 +683,28 @@ object Queries {
           |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
       bench = true),
 
+    Q("dash_topk_physical",
+      // third computation of the same contract: the custom physical
+      // operator (TopKPerGroupNode → partial/final TopKPerGroupExec around
+      // one group-key exchange; heap-bounded, no Window, no full sort) —
+      // hash-matches the same window-based oracle as the other two.
+      (s, d) => graft.plans.TopK.perGroup(
+          tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 5)
+        .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+        .orderBy("l_returnflag", "rnk"),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
     // ---- joins (north-star breadth: broadcast + shuffle joins) --------------
 
     Q("join_orders_customer",
@@ -986,8 +1008,11 @@ object Queries {
       bench = true),
 
     Q("sim_exact_neardup_pairs",
+      // threshold 0.3: the synthetic embeddings top out at cos ≈ 0.46, so a
+      // "real" near-dup threshold matches a 0-row oracle — vacuously. 0.3
+      // keeps ~42 pairs at sf0.01 so the value compare actually compares.
       (s, d) => Similarity.exactNearDupPairs(
-          tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0), minCosine = 0.7)
+          tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0), minCosine = 0.3)
         .orderBy("id_a", "id_b"),
       Some(
         """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
@@ -997,7 +1022,7 @@ object Queries {
           |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) AS cos_e6
           |FROM v a JOIN v b ON a.id < b.id
           |WHERE CAST(floor(list_inner_product(a.e, b.e) /
-          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) >= 700000
+          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) >= 300000
           |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("sim_lsh_topk",
@@ -1041,7 +1066,9 @@ object Queries {
       bench = true),
 
     Q("sim_embedding_neardup_lsh",
-      (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.7)
+      // 0.3 (see sim_exact_neardup_pairs) so the bucketed variant emits a
+      // nonzero candidate set; recall vs the exact pairs is unit-tested.
+      (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.3)
         .orderBy("id_a", "id_b"),
       None),
 

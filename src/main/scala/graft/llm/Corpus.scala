@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines: deterministic
+  * split assignment, capacity-based sequence packing, and distribution
+  * statistics. All pure Column/window compositions — codegen'd, one shuffle
+  * each, linear at any corpus size.
+  *
+  * (No counterpart in the reference, which stops at a cleaned table —
+  * scripts/transform.py:115-116; these are the downstream steps a corpus
+  * consumer runs before training.)
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment from a salted md5 of the id —
+    * stable across runs, machines, and partitionings; adding documents
+    * never reassigns existing ones (the property random splits lack).
+    *
+    * The first 8 md5 hex digits are a uniform u32 rendered in hex; split
+    * thresholds are the fraction boundaries as 8-digit hex strings, so the
+    * whole decision is ONE string compare — no bigint parsing, and
+    * trivially reproducible in any engine with md5().
+    *
+    * @param fractions (name, fraction) in order; fractions must sum to ≤ 1,
+    *                  the last bucket absorbs the remainder.
+    */
+  def splitAssign(idCol: Column, fractions: Seq[(String, Double)] =
+      Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "graft"): Column = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions must sum to <= 1: $fractions")
+    val h8 = substring(md5(concat(idCol.cast("string"), lit("#" + salt))), 1, 8)
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val cases = fractions.map(_._1).zip(bounds).dropRight(1)
+    cases.foldRight(lit(fractions.last._1): Column) { case ((name, hi), rest) =>
+      when(h8 < lit(f"${math.floor(hi * 4294967296.0).toLong}%08x"), lit(name))
+        .otherwise(rest)
+    }
+  }
+
+  /** Whitespace token count with the engine's standard semantics (empty
+    * after trim → 0; Spark split keeps interior empties — bit-identical to
+    * TextCounts.n_tokens and the DuckDB oracle's expression).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Capacity-based sequence packing: documents are laid out in a
+    * deterministic order (orderCol) per stream (partitionCol, e.g.
+    * language), concatenated conceptually, and cut into fixed token-budget
+    * chunks. Each doc is assigned the chunk its FIRST token lands in
+    * (GPT-style packing with document straddling). Emits
+    * (pack_id, pack_offset) per document.
+    *
+    * One shuffle (the window partition); running sum is O(n) per
+    * partition. A stream whose docs all share one partitionCol value
+    * serializes into one task — pick a partitionCol with enough
+    * cardinality at scale, or pre-shard ids.
+    */
+  def packSequences(docs: DataFrame, tokensCol: Column, partitionCol: Column,
+      orderCol: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumEnd = sum(tokensCol).over(w)
+    val start = cumEnd - tokensCol
+    docs
+      .withColumn("pack_id", floor(start / capacity))
+      .withColumn("pack_offset", (start % capacity).cast("long"))
+  }
+
+  /** Per-group exact token-count quantiles (linear interpolation — the
+    * standard type-7 estimator both Spark `percentile` and DuckDB
+    * `quantile_cont` implement). Exact percentile shuffles each group's
+    * values to one reducer — right for distribution reports over grouped
+    * corpora; at extreme group sizes use approx_percentile (sketch,
+    * mergeable) and give up oracle-exactness.
+    */
+  def tokenQuantiles(docs: DataFrame, textCol: Column, groupCol: Column,
+      fractions: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    val qs = percentile(tokenCount(textCol),
+      array(fractions.map(lit): _*)).as("qs")
+    docs.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_docs"), qs)
+      .select(Seq(col("grp"), col("n_docs")) ++
+        fractions.indices.map(i => col("qs").getItem(i).as(s"q$i")): _*)
+  }
+}

@@ -11,4 +11,11 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+  /** DataFrame from a custom logical plan (classic.Dataset.ofRows is
+    * private[sql]) — the construction path for custom operators like
+    * [[graft.plans.TopKPerGroupNode]].
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
