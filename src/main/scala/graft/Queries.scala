@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Dashboard
 import graft.etl.{Parse, Transform}
 import graft.expr.Transliterate
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
 import graft.streaming.Events
 import graft.util.Num.{cents, e6}
@@ -953,6 +953,64 @@ object Queries {
           |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
           |GROUP BY fp ORDER BY doc_id""".stripMargin),
       bench = true),
+
+    Q("text_split_assign",
+      // deterministic salted-md5 train/val/test assignment — stable under
+      // corpus growth, reproducible in any engine with md5()
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), Corpus.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+          |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_pack_sequences",
+      // GPT-style capacity packing: per-lang running token sum, each doc
+      // assigned the 2048-token chunk its first token lands in
+      (s, d) => Corpus.packSequences(
+          tbl(s, d, "documents").select("doc_id", "lang", "text")
+            .withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("n_tokens"), col("lang"), col("doc_id"), capacity = 2048)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id"),
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+          |  FROM b)
+          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(floor(CAST(st AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+          |  CAST(st % 2048 AS BIGINT) AS pack_offset
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("text_token_quantiles",
+      // per-lang exact token-count percentiles (type-7 interpolation in
+      // both engines); distribution report for corpus quality monitoring
+      (s, d) => Corpus.tokenQuantiles(tbl(s, d, "documents"), col("text"), col("lang"))
+        .select(col("grp").as("lang"), col("n_docs"),
+          e6(col("q0")).as("q25_e6"), e6(col("q1")).as("q50_e6"),
+          e6(col("q2")).as("q90_e6"), e6(col("q3")).as("q99_e6"))
+        .orderBy("lang"),
+      Some(
+        """WITH b AS (
+          |  SELECT lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(floor(quantile_cont(n_tokens, 0.25) * 1000000) AS BIGINT) AS q25_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.5)  * 1000000) AS BIGINT) AS q50_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.9)  * 1000000) AS BIGINT) AS q90_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
+          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- LLM ops: dedup -------------------------------------------------------
 

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign is deterministic and stable under corpus growth") {
+    val small = spark.range(0, 100).toDF("id")
+      .select(col("id"), Corpus.splitAssign(col("id")).as("s"))
+    val large = spark.range(0, 1000).toDF("id")
+      .select(col("id"), Corpus.splitAssign(col("id")).as("s"))
+    val smallMap = small.as[(Long, String)].collect().toMap
+    val largeMap = large.as[(Long, String)].collect().toMap
+    // growing the corpus never reassigns an existing id
+    smallMap.foreach { case (id, s) => assert(largeMap(id) == s, s"id $id moved") }
+    // rerun = same assignment
+    assert(small.as[(Long, String)].collect().toMap == smallMap)
+  }
+
+  test("splitAssign fractions are approximately honored") {
+    val counts = spark.range(0, 10000).toDF("id")
+      .select(Corpus.splitAssign(col("id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 9000L) < 300, counts)
+    assert(math.abs(counts.getOrElse("val", 0L) - 500L) < 150, counts)
+    assert(math.abs(counts.getOrElse("test", 0L) - 500L) < 150, counts)
+  }
+
+  test("splitAssign respects a custom salt and fraction list") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = df.select(Corpus.splitAssign(col("id"), salt = "a").as("s"))
+      .as[String].collect()
+    val b = df.select(Corpus.splitAssign(col("id"), salt = "b").as("s"))
+      .as[String].collect()
+    assert(a.toSeq != b.toSeq) // different salt → different assignment
+    val two = df.select(Corpus.splitAssign(col("id"),
+        Seq("x" -> 0.5, "y" -> 0.5), "a").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(two("x") - 500L) < 100, two)
+  }
+
+  test("packSequences assigns chunk by the doc's first token (golden)") {
+    // lang a: tokens 4,4,4 with capacity 10 → starts 0,4,8 → packs 0,0,0
+    // lang b: tokens 9,9   with capacity 10 → starts 0,9   → packs 0,0
+    //   then 5 → start 18 → pack 1, offset 8
+    val df = Seq(
+      (1L, "a", 4), (2L, "a", 4), (3L, "a", 4),
+      (4L, "b", 9), (5L, "b", 9), (6L, "b", 5)
+    ).toDF("id", "lang", "n")
+    val got = Corpus.packSequences(df, col("n"), col("lang"), col("id"), 10)
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(got(1L) == (0L, 0L) && got(2L) == (0L, 4L) && got(3L) == (0L, 8L), got)
+    assert(got(4L) == (0L, 0L) && got(5L) == (0L, 9L) && got(6L) == (1L, 8L), got)
+  }
+
+  test("packSequences offsets are always within capacity") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("lang", (col("id") % 3).cast("string"))
+      .withColumn("n", (col("id") % 97 + 1).cast("int"))
+    val bad = Corpus.packSequences(df, col("n"), col("lang"), col("id"), 64)
+      .filter(col("pack_offset") < 0 || col("pack_offset") >= 64)
+    assert(bad.count() == 0)
+  }
+
+  test("tokenCount matches TextCounts semantics incl. empty and edges") {
+    val df = Seq("", "   ", "one", "a b  c", " x\ty ").toDF("t")
+      .select(Corpus.tokenCount(col("t")).as("n"))
+    // "   " trims to empty → 0; " x\ty " spark-trims 0x20 only → "x\ty"
+    assert(df.as[Int].collect().toSeq == Seq(0, 0, 1, 3, 2))
+  }
+
+  test("tokenQuantiles golden: known distribution per group") {
+    val docs = (1 to 5).map(i => ("g1", ("w " * i).trim))
+      .toDF("lang", "text") // token counts 1..5
+    val r = Corpus.tokenQuantiles(docs, col("text"), col("lang"),
+        Seq(0.5, 1.0)).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Double]("q0") == 3.0) // median of 1..5
+    assert(r.getAs[Double]("q1") == 5.0) // max
+  }
+}
