@@ -1,8 +1,9 @@
 package graft.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *    address = the rest, trailing spaces then commas stripped.
   */
 case class AddressParts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = AddressParts.schema
   override def prettyName: String = "address_parts"
@@ -31,11 +32,14 @@ case class AddressParts(child: Expression)
     if (to == s.length) s else s.substring(0, to)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
     if (!StrUtil.lowerRoot(s).contains("kraj")) {
       new GenericInternalRow(Array[Any](
-        UTF8String.fromString("Praha"), input.asInstanceOf[UTF8String]))
+        UTF8String.fromString("Praha"), input))
     } else {
       val words = StrUtil.splitWs(StrUtil.sparkTrim(s))
       val n = words.length
@@ -46,6 +50,14 @@ case class AddressParts(child: Expression)
         UTF8String.fromString(rstrip(tail, ',')),
         UTF8String.fromString(rstrip(rstrip(head, ' '), ','))))
     }
+  }
+
+  // real codegen: the transform chain evaluates this once per row — as a
+  // CodegenFallback it would force boxed row-at-a-time eval inside the
+  // fused stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("addressParts", this, classOf[AddressParts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AddressParts =

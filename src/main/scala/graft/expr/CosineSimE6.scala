@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -20,14 +20,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * an ANSI long cast on the resulting Infinity).
   */
 case class CosineSimE6(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
+  // NULL on zero-norm input even when both children are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim_e6"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
-    val ys = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Boxed so codegen and interpreted eval share the zero-norm NULL. */
+  def compute(xs: ArrayData, ys: ArrayData): java.lang.Long = {
     val n = math.min(xs.numElements(), ys.numElements())
     var dot = 0.0
     var na = 0.0
@@ -43,7 +47,18 @@ case class CosineSimE6(left: Expression, right: Expression)
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null
-    else math.floor(dot / denom * 1e6).toLong
+    else java.lang.Long.valueOf(math.floor(dot / denom * 1e6).toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSimE6", this, classOf[CosineSimE6].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}Boxed = $ref.compute($a, $b);
+      if (${ev.value}Boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}Boxed.longValue();
+      }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -20,13 +20,15 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * element expression-tree eval).
   */
 case class HyperplaneSig(child: Expression, bits: Int, seed: Int = 42)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData): Long = {
     val n = v.numElements()
     var sig = 0L
     var b = 0
@@ -44,6 +46,11 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int = 42)
       b += 1
     }
     sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =

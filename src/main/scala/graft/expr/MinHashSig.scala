@@ -2,8 +2,8 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
     seed: Int = 42)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -37,8 +37,11 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
   @transient private lazy val coeffs: Array[(Long, Long)] =
     MinHashSig.coefficients(numHashes, seed)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString
     // StrUtil replicates Spark trim (0x20 only) and split (keeps trailing
     // empties) — java.lang.String's defaults differ on both and would
     // change signatures for tab/newline-edged text.
@@ -87,6 +90,11 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
       k += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

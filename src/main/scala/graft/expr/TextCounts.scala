@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TextCounts(child: Expression, stopwords: Seq[String],
     vocabEn: Seq[String], vocabDe: Seq[String], vocabEs: Seq[String],
     vocabFr: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TextCounts.schema
   override def prettyName: String = "text_counts"
@@ -42,8 +42,11 @@ case class TextCounts(child: Expression, stopwords: Seq[String],
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
 
     // one char pass: punct, digits, nonws, subword runs
     var punct = 0
@@ -99,6 +102,11 @@ case class TextCounts(child: Expression, stopwords: Seq[String],
 
     new GenericInternalRow(Array[Any](tokens, subwords, nonws, punct, digits,
       stop, en, de, es, fr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textCounts", this, classOf[TextCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextCounts =

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching the Column form and the DuckDB list_filter oracle.
   */
 case class VocabHits(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "vocab_hits"
@@ -27,11 +27,14 @@ case class VocabHits(child: Expression, vocab: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): Int = {
     // StrUtil = Spark trim/split semantics (0x20-only trim, trailing
     // empties kept) — String defaults differ on both.
     val words = StrUtil.splitWs(StrUtil.lowerRoot(
-      StrUtil.sparkTrim(input.asInstanceOf[UTF8String].toString)))
+      StrUtil.sparkTrim(input.toString)))
     var n = 0
     var i = 0
     while (i < words.length) {
@@ -39,6 +42,13 @@ case class VocabHits(child: Expression, vocab: Seq[String])
       i += 1
     }
     n
+  }
+
+  // real codegen (not CodegenFallback): one virtual call into compute(),
+  // no per-row boxed eval, and the surrounding stage stays fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabHits", this, classOf[VocabHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): VocabHits =
