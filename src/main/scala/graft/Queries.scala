@@ -926,6 +926,18 @@ object Queries {
         .orderBy("l_returnflag"),
       None),
 
+    Q("agg_salted_distinct",
+      // skew-safe exact distinct count (value-hash salting spreads a hot
+      // key's distinct set over many reducers) — same result as the plain
+      // count(DISTINCT), which is exactly what the oracle computes
+      (s, d) => graft.plans.Skew.saltedDistinctCount(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"), salts = 8)
+        .select(col("key").as("l_returnflag"), col("n_distinct"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("ev_props_json",
       (s, d) => eventsTable(s, d)
         .select(col("event_id"), Events.propsK(col("props")).as("k"))
