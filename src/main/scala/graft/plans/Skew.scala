@@ -53,7 +53,11 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltSource: Column, salts: Int = 16): DataFrame = {
     require(salts >= 1, s"salts must be >= 1: $salts")
-    val p = probe.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
+    // NULL saltSource must still salt somewhere: a null salt would never
+    // equi-match the build side and the row would silently vanish from an
+    // otherwise-matching join
+    val p = probe.withColumn("__salt",
+      coalesce(pmod(xxhash64(saltSource), lit(salts)), lit(0L)))
     val b = build.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     p.join(b, keys :+ "__salt").drop("__salt")

@@ -258,6 +258,8 @@ object TopK {
     */
   def perGroup(df: DataFrame, groupCols: Seq[String], orderCol: Column,
       tieCol: Column, k: Int, rankName: String = "rnk"): DataFrame = {
+    require(!df.columns.contains(rankName),
+      s"input already has a '$rankName' column; pass a different rankName")
     val spark = df.sparkSession
     installStrategy(spark)
     // alias the sort keys so the logical node only ever references

@@ -37,6 +37,15 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin keeps probe rows whose saltSource is NULL") {
+    val probe = Seq((Some(1L), "hot"), (None, "hot"), (None, "cold"))
+      .toDF("id", "k")
+    val build = Seq(("hot", 1.5), ("cold", 2.5)).toDF("k", "w")
+    val plain = probe.join(build, Seq("k")).count()
+    val salted = Skew.saltedJoin(probe, build, Seq("k"), col("id"), salts = 4).count()
+    assert(salted == plain && salted == 3)
+  }
+
   test("saltedJoin spreads a hot key across salt partitions") {
     val build = Seq(("hot", 1.5), ("cold", 2.5)).toDF("k", "w")
     val salted = Skew.saltedJoin(df, build, Seq("k"), col("id"), salts = 4)

@@ -59,6 +59,20 @@ class TopKSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("perGroup: null group keys and null order values match the window") {
+    val ndf = Seq(
+      (Option("a"), 1L, Option(5.0)), (None, 2L, Option(7.0)),
+      (None, 3L, Option(3.0)), (Option("a"), 4L, Option.empty[Double]),
+      (Option("b"), 5L, Option.empty[Double]), (Option("b"), 6L, Option(1.0))
+    ).toDF("g", "id", "v").repartition(3)
+    val got = TopK.perGroup(ndf, Seq("g"), col("v"), col("id"), 1)
+      .select("id", "rnk").as[(Long, Int)].collect().toSet
+    val want = windowTopK(ndf, 1)
+      .select("id", "rnk").as[(Long, Int)].collect().toSet
+    assert(got == want)
+    assert(got == Set((1L, 1), (2L, 1), (6L, 1))) // desc = NULLS LAST
+  }
+
   test("plan shape: partial + final exec, one exchange, no Window/Sort") {
     val got = TopK.perGroup(df, Seq("g"), col("v"), col("id"), 2)
     val plan = got.queryExecution.executedPlan.toString
