@@ -48,6 +48,10 @@ object GraftFunctions {
         if (es.length > 1) litInt(es(1), "bits") else 12) }),
     "address_parts" -> (es => { arity("address_parts", es, 1, 1)
       AddressParts(es.head) }),
+    "winnow_sig" -> (es => { arity("winnow_sig", es, 1, 3)
+      WinnowSig(es.head,
+        if (es.length > 1) litInt(es(1), "k") else 5,
+        if (es.length > 2) litInt(es(2), "w") else 4) }),
     "text_counts" -> (es => { arity("text_counts", es, 1, 1)
       TextCounts(es.head, TextStats.enStopwords,
         TextStats.langVocab("en"), TextStats.langVocab("de"),

@@ -1024,6 +1024,40 @@ object Queries {
           |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
           |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("text_winnow_fp",
+      // rolling-hash winnowing fingerprints (SIGMOD'03 scheme) — the
+      // base-31 wrap-around polynomial hash is not reasonably expressible
+      // in DuckDB SQL, so rows-only; WinnowSigSpec pins the values against
+      // an independent reimplementation
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), graft.expr.WinnowSig(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_hashes"), col("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("dedup_winnow_pairs",
+      // containment mining over the winnow signatures: hashes appearing in
+      // many documents are template/boilerplate grams — dropping them
+      // (df > 10) both removes noise pairs AND caps the join's bucket
+      // sizes (the winnowing analogue of the MinHash maxBucketSize cap:
+      // without it the hot grams make the self-join quasi-quadratic).
+      // Then explode → (hash, id), self-equi-join on the hash, keep pairs
+      // sharing >= 3 rare hashes.
+      (s, d) => {
+        val fp = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(graft.expr.WinnowSig(col("text"))).as("h"))
+        val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10).select("h")
+        val kept = fp.join(rare, "h")
+        kept.as("x").join(kept.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ---- LLM ops: dedup -------------------------------------------------------
 
     Q("dedup_jaccard_pairs",
