@@ -1043,19 +1043,9 @@ object Queries {
       // without it the hot grams make the self-join quasi-quadratic).
       // Then explode → (hash, id), self-equi-join on the hash, keep pairs
       // sharing >= 3 rare hashes.
-      (s, d) => {
-        val fp = tbl(s, d, "documents")
-          .select(col("doc_id"), explode(graft.expr.WinnowSig(col("text"))).as("h"))
-        val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 10).select("h")
-        val kept = fp.join(rare, "h")
-        kept.as("x").join(kept.as("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 3)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.winnowContainmentPairs(
+          tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b"),
       None),
 
     // ---- LLM ops: dedup -------------------------------------------------------

@@ -246,4 +246,32 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Containment pairs over winnowing fingerprints (graft.expr.WinnowSig):
+    * documents sharing at least `minShared` rare selected hashes. Catches
+    * CONTAINMENT (a long quote, a copied section, boilerplate-plus-new-text)
+    * that whole-document MinHash misses when the containing doc is much
+    * longer than the contained one.
+    *
+    * Hashes with document frequency above `maxDf` are dropped before the
+    * join: they are template/boilerplate grams, and the filter doubles as
+    * the bucket-size cap that keeps the self-equi-join linear-ish (the
+    * winnowing analogue of minhashNearDupPairs' maxBucketSize) — without
+    * it one hot gram joins every pair of documents containing it.
+    *
+    * Returns (id_a, id_b, shared) with id_a < id_b.
+    */
+  def winnowContainmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, maxDf: Int = 10, minShared: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      explode(graft.expr.WinnowSig(col(textCol), k, w)).as("h"))
+    val rare = fp.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("h")
+    val kept = fp.join(rare, "h")
+    kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

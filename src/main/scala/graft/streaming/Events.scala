@@ -84,6 +84,25 @@ object Events {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Per-window top-k event types over the output of a watermarked
+    * windowed count — the streaming "trending items" shape, computed by
+    * the custom heap operator (graft.plans.TopK), not a ranking window.
+    *
+    * Compose inside foreachBatch on an APPEND-mode stream: append mode
+    * emits each window exactly once, when the watermark closes it, so the
+    * per-micro-batch top-k IS the exact per-window top-k — no cross-batch
+    * state beyond what the windowed aggregation already keeps:
+    *
+    *   streamingHourly(src).writeStream.outputMode("append")
+    *     .foreachBatch((b, _) => sink(Events.topKPerWindow(b, 3)))
+    */
+  def topKPerWindow(windowCounts: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perGroup(
+      windowCounts.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n")),
+      Seq("win_start"), col("n"), col("event_type"), k)
+
   /** Streaming session windows via the native session_window: state per
     * (user, open session), closed by the watermark.
     */

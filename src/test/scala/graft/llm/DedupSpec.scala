@@ -142,4 +142,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashNearDupPairs(docs, "text", "doc_id",
       minJaccard = 0.1, maxBucketSize = 100).count() == 28)
   }
+
+  test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
+    val boiler = "standard license header text identical across every single document in the corpus"
+    val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"
+    // 12 docs all carry the boilerplate (df = 12 > maxDf=10 → filtered);
+    // only docs 3 and 9 also share the planted paragraph
+    val docs = (0 until 12).map { i =>
+      val body = s"document number $i with its own distinct body content variant $i"
+      val extra = if (i == 3 || i == 9) s" $planted" else ""
+      (i.toLong, s"$boiler $body$extra")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowContainmentPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 9L)), s"planted pair missing: $pairs")
+    // the boilerplate alone must not pair up unrelated docs
+    assert(!pairs.exists { case (a, b) => !(a == 3L && b == 9L) } ||
+      pairs == Set((3L, 9L)), s"boilerplate-only pairs leaked: $pairs")
+  }
 }

@@ -201,4 +201,54 @@ class EventsSpec extends SparkSpec {
       ("2026-01-01 10:00:00", "click", 3L),
       ("2026-01-01 11:00:00", "view", 1L)))
   }
+
+  test("topKPerWindow: batch parity with a ranking window") {
+    val counts = Seq(
+      (ts("2026-01-01 10:00:00"), "click", 9L),
+      (ts("2026-01-01 10:00:00"), "view", 5L),
+      (ts("2026-01-01 10:00:00"), "scroll", 5L),
+      (ts("2026-01-01 10:00:00"), "buy", 1L),
+      (ts("2026-01-01 11:00:00"), "view", 2L)
+    ).toDF("start", "event_type", "n")
+      .select(struct(col("start"), col("start").as("end")).as("window"),
+        col("event_type"), col("n"))
+    val got = Events.topKPerWindow(counts, 2)
+      .select("win_start", "event_type", "rnk")
+      .as[(String, String, Int)].collect().toSet
+    // ties on n=5 break by event_type ascending: scroll before view
+    assert(got == Set(
+      ("2026-01-01 10:00:00", "click", 1), ("2026-01-01 10:00:00", "scroll", 2),
+      ("2026-01-01 11:00:00", "view", 1)))
+  }
+
+  test("streaming trending: append-mode windows + foreachBatch top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      val q = Events.streamingHourly(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            Events.topKPerWindow(b, 1).write.mode("append").parquet(s"$dir/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    // advance the watermark far past 10:00-11:00 so those windows close
+    Seq((9L, ts("2026-01-01 15:00:00"), 7L, "late", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("win_start", "event_type", "rnk")
+      .as[(String, String, Int)].collect().toSet
+    // 10:00 window: click n=3 beats view; 11:00 window: view only
+    assert(got.contains(("2026-01-01 10:00:00", "click", 1)), s"got=$got")
+    assert(got.contains(("2026-01-01 11:00:00", "view", 1)), s"got=$got")
+    assert(got.forall(_._3 == 1), s"k=1 but got=$got")
+  }
 }
