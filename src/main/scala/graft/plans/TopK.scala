@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.IntegerType
 
@@ -87,6 +88,10 @@ case class TopKPerGroupExec(
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
@@ -95,6 +100,8 @@ case class TopKPerGroupExec(
     val outputAttrs = output
     val fin = isFinal
     val rank = rankAttr
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
 
     child.execute().mapPartitions { iter =>
       // codegen'd projections/orderings are built per partition on the
@@ -117,9 +124,11 @@ case class TopKPerGroupExec(
       }
 
       import scala.jdk.CollectionConverters._
+      numGroups += heaps.size()
       if (!fin) {
         // partial: emit survivors unranked, unsorted
         heaps.values.iterator.asScala.flatMap(_.iterator.asScala)
+          .map { r => numOutputRows += 1; r }
       } else {
         val outProj = UnsafeProjection.create(outputAttrs, inputAttrs :+ rank.get)
         val joined = new JoinedRow
@@ -128,6 +137,7 @@ case class TopKPerGroupExec(
           val rows = q.iterator.asScala.toArray.sorted(ordering)
           rows.iterator.zipWithIndex.map { case (row, i) =>
             rankRow.setInt(0, i + 1)
+            numOutputRows += 1
             outProj(joined(row, rankRow))
           }
         }
