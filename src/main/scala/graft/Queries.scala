@@ -1183,32 +1183,103 @@ object Queries {
       bench = true),
 
     Q("mm_decode_features",
-      // decode kernel is the declared deterministic stub — rows-only.
-      (s, d) => Multimodal.decodeFeatures(
-          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"))
-        .toDF().select("asset_id", "mime", "n_bytes", "width", "height", "n_frames")
-        .orderBy("asset_id"),
-      None),
+      // The decode kernel is the declared deterministic stub, but it is a
+      // PURE function of the payload bytes — so the whole decode path
+      // (binary plumbing, dims, frame counts, per-slot feature sums) is
+      // oracle-checkable: DuckDB re-derives every byte from hex(payload).
+      // feats(j) = sum(bytes at i≡j mod 8) / 255 / n with one double
+      // division, so round(f * 255 * n) recovers the integer sum exactly.
+      (s, d) => {
+        val feats = Multimodal.decodeFeatures(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text")).toDF()
+        val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+          round(element_at(col("features"), j + 1).cast("double") * 255.0 *
+            greatest(col("n_bytes"), lit(1L))).cast("long").as(s"f${j}_sum"))
+        feats.select(Seq(col("asset_id"), col("mime"), col("n_bytes"),
+            col("width"), col("height"), col("n_frames")) ++ sumCols: _*)
+          .orderBy("asset_id")
+      },
+      Some(MM_DECODE_SQL)),
 
     Q("mm_resize",
-      // resize kernel is the declared deterministic stub — rows-only.
+      // Resize stub is likewise byte-deterministic: dims scale to fit
+      // 32x32, the payload is truncated/zero-padded to area-proportional
+      // length — all reproducible from hex(payload) in DuckDB, with
+      // md5-of-hex as the content checksum (DuckDB cannot slice blobs,
+      // but slicing the hex string is byte-equivalent).
       (s, d) => Multimodal.resizeAssets(
           Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
           maxW = 32, maxH = 32)
-        .toDF().select("asset_id", "mime", "width", "height")
+        .toDF().select(col("asset_id"), col("mime"), col("width"), col("height"),
+          octet_length(col("payload")).cast("long").as("out_len"),
+          md5(hex(col("payload")).cast("binary")).as("hex_md5"))
         .orderBy("asset_id"),
-      None),
+      Some(MM_RESIZE_SQL)),
 
     Q("mm_frame_sample",
-      // frame sampler fans one video row out to n_frames/stride rows —
-      // rows-only (stub kernel).
+      // frame fan-out: every stride-th frame of a video asset, one row per
+      // (asset, frame) — n_frames is byte-deterministic, so the generator
+      // shape is exactly reproducible with range() in DuckDB.
       (s, d) => Multimodal.sampleFrames(
           Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
           stride = 10)
         .toDF().select("asset_id", "frame_idx")
         .orderBy("asset_id", "frame_idx"),
-      None)
+      Some(
+        """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          |f AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 1 + n % 30 ELSE 1 END AS nf FROM b)
+          |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin))
   )
+
+  // def, not val: the strict `all` vector forces the lazy MM_*_SQL strings
+  // during object init, before a val defined down here would be assigned.
+  private def MM_MIME_SQL: String =
+    "list_extract(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], CAST(doc_id % 4 AS INT) + 1)"
+
+  /** Oracle for mm_decode_features: every byte re-derived from hex(payload)
+    * (two hex chars → one byte), per-slot integer sums, dims from n.
+    */
+  private lazy val MM_DECODE_SQL: String = {
+    val sumSelects = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+      s"COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS f${j}_sum").mkString(",\n        ")
+    val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+      s"COALESCE(s.f${j}_sum, 0) AS f${j}_sum").mkString(",\n      ")
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |by AS (SELECT doc_id, i,
+       |         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1 AS byte
+       |       FROM (SELECT doc_id, hx, unnest(range(n)) AS i FROM b)),
+       |s AS (SELECT doc_id,
+       |        $sumSelects
+       |      FROM by GROUP BY doc_id)
+       |SELECT b.doc_id AS asset_id, $MM_MIME_SQL AS mime,
+       |      CAST(b.n AS BIGINT) AS n_bytes,
+       |      CAST(16 + b.n % 64 AS INT) AS width,
+       |      CAST(16 + (b.n // 64) % 64 AS INT) AS height,
+       |      CAST(CASE WHEN b.doc_id % 4 = 3 THEN 1 + b.n % 30 ELSE 1 END AS INT) AS n_frames,
+       |      $sumCols
+       |FROM b LEFT JOIN s USING (doc_id) ORDER BY asset_id""".stripMargin
+  }
+
+  /** Oracle for mm_resize: scale/truncate arithmetic mirrored op-for-op
+    * (same IEEE double ops, trunc-toward-zero), zero-byte padding as '0'
+    * hex chars via rpad.
+    */
+  private lazy val MM_RESIZE_SQL: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |g AS (SELECT doc_id, hx, n, 16 + n % 64 AS w0, 16 + (n // 64) % 64 AS h0 FROM b),
+       |sc AS (SELECT *, least(CAST(1.0 AS DOUBLE),
+       |         least(CAST(32.0 AS DOUBLE) / w0, CAST(32.0 AS DOUBLE) / h0)) AS scale FROM g),
+       |r AS (SELECT doc_id, hx, n,
+       |        greatest(1, CAST(trunc(w0 * scale) AS INT)) AS width,
+       |        greatest(1, CAST(trunc(h0 * scale) AS INT)) AS height,
+       |        greatest(1, CAST(trunc((n * scale) * scale) AS BIGINT)) AS out_len
+       |      FROM sc)
+       |SELECT doc_id AS asset_id, $MM_MIME_SQL AS mime, width, height, out_len,
+       |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
+       |           CAST(2 * out_len AS INT), '0')) AS hex_md5
+       |FROM r ORDER BY asset_id""".stripMargin
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
   private lazy val TEXT_STATS_SQL: String = {

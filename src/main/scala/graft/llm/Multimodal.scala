@@ -64,11 +64,18 @@ object Multimodal {
       val width = 16 + (n % 64)
       val height = 16 + ((n / 64) % 64)
       val nFrames = if (mime.startsWith("video")) 1 + (n % 30) else 1
-      val feats = new Array[Float](featureDim)
+      // Integer byte-sums first, one double division at the end: no
+      // accumulated float rounding, so feats(j) * 255 * n recovers the
+      // exact integer sum (the cross-engine check the oracle runs) for
+      // any payload under ~8 MB per slot.
+      val sums = new Array[Long](featureDim)
       var i = 0
-      while (i < n) { feats(i % featureDim) += (payload(i) & 0xff) / 255.0f; i += 1 }
+      while (i < n) { sums(i % featureDim) += (payload(i) & 0xff); i += 1 }
+      val feats = new Array[Float](featureDim)
       var j = 0
-      while (j < featureDim) { feats(j) = feats(j) / math.max(1, n); j += 1 }
+      while (j < featureDim) {
+        feats(j) = (sums(j).toDouble / 255.0 / math.max(1, n)).toFloat; j += 1
+      }
       (width, height, nFrames, feats)
     }
   }
