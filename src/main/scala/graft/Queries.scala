@@ -1068,18 +1068,29 @@ object Queries {
       bench = true),
 
     Q("dedup_simhash",
-      (s, d) => Dedup.simhash(tbl(s, d, "documents"), "text", "doc_id")
+      // md5-bit signature variant: per-token bits from the md5 hex digest
+      // instead of xxhash64, so the ±1-sum/sign aggregation is exactly
+      // reproducible in DuckDB (same machinery as the fast path — see
+      // Dedup.simhashFromBits). Output as hex: DuckDB can't build a
+      // bit-63 BIGINT without overflow, digit arithmetic is safe.
+      (s, d) => Dedup.simhashMd5(tbl(s, d, "documents"), "text", "doc_id")
+        .select(col("id"), Dedup.simhashHex(col("simhash")).as("sig"))
         .orderBy("id"),
-      None,
+      Some(s"WITH $SIMHASH_CTES\nSELECT id, sig FROM sigs ORDER BY id"),
       bench = true),
 
     Q("dedup_simhash_pairs",
-      // banded Hamming-ball near-dup pairs — hash-dependent, rows-only;
-      // the banding guarantee is unit-tested in DedupSpec.
-      (s, d) => Dedup.simhashNearDupPairs(tbl(s, d, "documents"),
-          "text", "doc_id", maxHamming = 3)
+      // Banded Hamming-ball pairs over the md5-bit signatures. With
+      // maxHamming=3 the band join uses 4 disjoint 16-bit bands, and by
+      // pigeonhole ANY pair within Hamming 3 shares a clean band — the
+      // banding is lossless, so the O(n²) hamming-filter oracle computes
+      // the exact same pair set the bucketed join does.
+      (s, d) => Dedup.simhashNearDupPairsFromSigs(
+          Dedup.simhashMd5(tbl(s, d, "documents"), "text", "doc_id"),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(SIMHASH_PAIRS_SQL)),
 
     // ---- LLM ops: similarity search -------------------------------------------
 
@@ -1280,6 +1291,55 @@ object Queries {
        |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
        |           CAST(2 * out_len AS INT), '0')) AS hex_md5
        |FROM r ORDER BY asset_id""".stripMargin
+
+  /** Shared CTEs for the md5-bit simhash oracle: tokenize → md5 hex digits
+    * (d0..d15, 4 bits each) → 64 ±1 sums → sign digits (dg0..dg15) →
+    * `sigs(id, sig)` hex string. Mirrors Dedup.simhashMd5 bit for bit.
+    */
+  private lazy val SIMHASH_CTES: String = {
+    val digitCols = (0 until 16).map(c =>
+      s"strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1 AS d$c").mkString(",\n       ")
+    val sumCols = (0 until 64).map { j =>
+      s"sum(CASE WHEN (d${j / 4} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n       ")
+    val digitRecon = (0 until 16).map { c =>
+      val terms = (0 until 4).map(k =>
+        s"(CASE WHEN b${4 * c + k} > 0 THEN ${1 << k} ELSE 0 END)").mkString(" + ")
+      s"$terms AS dg$c"
+    }.mkString(",\n       ")
+    val hexConcat = (0 until 16).map(c =>
+      s"substr('0123456789abcdef', dg$c + 1, 1)").mkString(" || ")
+    s"""toks AS (
+       |  SELECT id, w FROM (
+       |    SELECT doc_id AS id,
+       |      unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+       |    FROM documents) WHERE w <> ''
+       |),
+       |hh AS (SELECT id, md5(w) AS mh FROM toks),
+       |dd AS (SELECT id,
+       |       $digitCols
+       |       FROM hh),
+       |ss AS (SELECT id,
+       |       $sumCols
+       |       FROM dd GROUP BY id),
+       |sigd AS (SELECT id,
+       |       $digitRecon
+       |       FROM ss),
+       |sigs AS (SELECT id, $hexConcat AS sig FROM sigd)""".stripMargin
+  }
+
+  /** Oracle for dedup_simhash_pairs: exact O(n²) Hamming filter over the
+    * sign digits — equal to the banded join because 4 disjoint bands make
+    * Hamming ≤ 3 pigeonhole-lossless.
+    */
+  private lazy val SIMHASH_PAIRS_SQL: String = {
+    val ham = (0 until 16).map(c => s"bit_count(xor(a.dg$c, b.dg$c))").mkString(" + ")
+    s"""WITH $SIMHASH_CTES
+       |SELECT a.id AS id_a, b.id AS id_b, CAST($ham AS BIGINT) AS hamming
+       |FROM sigd a JOIN sigd b ON a.id < b.id
+       |WHERE $ham <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
   private lazy val TEXT_STATS_SQL: String = {

@@ -132,20 +132,63 @@ object Dedup {
     * (vs a collect_list of per-token arrays, which buffers every token).
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol).as("id"),
+    val tokens = distinctTokens(docs, textCol, idCol)
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    simhashFromBits(tokens, i => shiftright(col("h"), i).bitwiseAND(1))
+  }
+
+  /** SimHash whose per-token bits come from the md5 hex digest instead of
+    * xxhash64: bit j is bit (j%4) of hex digit j/4. md5 is identical in
+    * every engine, which makes this variant (and everything downstream of
+    * it — the ±1 sums, the sign bits, the Hamming banding) exactly
+    * reproducible in ANSI SQL, i.e. oracle-checkable end to end. Same
+    * aggregation machinery as [[simhash]]; xxhash64 stays the fast default
+    * (one hash call vs md5 + 16 digit extractions per token).
+    */
+  def simhashMd5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val digits = distinctTokens(docs, textCol, idCol)
+      .select(col("id"), md5(col("w").cast("binary")).as("mh"))
+      .select(col("id") +: (0 until 16).map(c =>
+        conv(substring(col("mh"), c + 1, 1), 16, 10).cast("int").as(s"d$c")): _*)
+    simhashFromBits(digits, j => shiftright(col(s"d${j / 4}"), j % 4).bitwiseAND(1))
+  }
+
+  /** (id, w): per-document distinct non-empty lowercase whitespace tokens. */
+  private def distinctTokens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
       explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    // 64 parallel ±1 sums — partial aggregation keeps the shuffle tiny.
+
+  /** 64 parallel ±1 sums over per-token bits, sign → packed 64-bit long.
+    * One hash-aggregation on `id` with fixed-size SUM buffers — map-side
+    * combinable, bounded memory at ANY document size.
+    */
+  private def simhashFromBits(tokens: DataFrame, bitOf: Int => Column): DataFrame = {
     val sums = tokens.groupBy("id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("b0"),
+      sum(when(bitOf(0) === 1, 1L).otherwise(-1L)).as("b0"),
       (1 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+        sum(when(bitOf(i) === 1, 1L).otherwise(-1L)).as(s"b$i")
       }: _*)
     sums.select(col("id"),
       (0 until 64).map { i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Render a packed simhash long as the 16-char lowercase hex string whose
+    * digit c carries bits 4c..4c+3 (bit k of the digit = sig bit 4c+k) —
+    * the engine-portable output form (DuckDB can't build a bit-63 long
+    * without overflow, but digit arithmetic is safe everywhere).
+    */
+  def simhashHex(sim: Column): Column = {
+    val hexChars = array("0123456789abcdef".map(ch => lit(ch.toString)): _*)
+    concat((0 until 16).map { c =>
+      val digit = (0 until 4).map { k =>
+        when(shiftrightunsigned(sim, 4 * c + k).bitwiseAND(1) === 1, lit(1 << k))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      element_at(hexChars, digit + 1)
+    }: _*)
   }
 
   /** SimHash near-duplicate pairs within a Hamming ball: two 64-bit
@@ -164,11 +207,19 @@ object Dedup {
     * consciously if boilerplate survives.
     */
   def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    simhashNearDupPairsFromSigs(simhash(docs, textCol, idCol), maxHamming, maxBucketSize)
+
+  /** Banded Hamming-ball pairs over a precomputed (id, simhash) frame —
+    * lets callers choose the signature variant ([[simhash]] fast path or
+    * [[simhashMd5]] oracle-reproducible path); the banding guarantee is
+    * hash-agnostic.
+    */
+  def simhashNearDupPairsFromSigs(sigs: DataFrame,
       maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val numBands = maxHamming + 1
     val bandBits = 64 / numBands
-    val sigs = simhash(docs, textCol, idCol)
     val bands = (0 until numBands).map { b =>
       // band b = bandBits-wide chunk (last band takes the remainder)
       val chunk =
