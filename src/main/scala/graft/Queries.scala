@@ -1059,12 +1059,17 @@ object Queries {
       bench = true),
 
     Q("dedup_minhash_pairs",
-      // murmur3-based signatures — not oracle-expressible; rows-only check +
-      // recall unit test vs the exact jaccard path.
+      // md5-head base hash + exact slice band keys make every stage of the
+      // LSH pair search SQL-reproducible: shingle → 32-bit base hash (first
+      // 8 md5 hex chars) → 64 affine perms mod 2^31-1 (same coefficient
+      // table as MinHashSig) → 16×4-row band equi-join → signature-
+      // agreement estimate. est = eq/64 and eq*15625 are double-exact, so
+      // the e6 fixed-point compare is bit-deterministic.
       (s, d) => Dedup.minhashNearDupPairs(tbl(s, d, "documents"),
-          "text", "doc_id", minJaccard = 0.3)
+          "text", "doc_id", minJaccard = 0.3, md5Base = true)
+        .select(col("id_a"), col("id_b"), e6(col("est_jaccard")).as("est_jaccard_e6"))
         .orderBy("id_a", "id_b"),
-      None,
+      Some(MINHASH_PAIRS_SQL),
       bench = true),
 
     Q("dedup_simhash",
@@ -1291,6 +1296,46 @@ object Queries {
        |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
        |           CAST(2 * out_len AS INT), '0')) AS hex_md5
        |FROM r ORDER BY asset_id""".stripMargin
+
+  /** Oracle for dedup_minhash_pairs — the full MinHash-LSH pipeline in
+    * DuckDB: word 3-shingles, md5-head base hashes, the same 64 (a,b)
+    * coefficients (generated from the one shared
+    * MinHashSig.coefficients(64, 42) table), per-permutation minima,
+    * 16 bands × 4 rows joined on the exact band values, then the
+    * signature-agreement fraction ≥ 0.3.
+    */
+  private lazy val MINHASH_PAIRS_SQL: String = {
+    val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val hexParse = (0 until 8).map { c =>
+      val mult = 1L << (4 * (7 - c))
+      s"(strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (SELECT id, unnest(list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+       |      i -> array_to_string(ws[i + 1:i + 3], ' ')),
+       |    x -> x <> ''))) AS s FROM w),
+       |hv AS (SELECT id, $hexParse AS h FROM (SELECT id, md5(s) AS mh FROM sh)),
+       |perms(pk, a, b) AS (VALUES $perms),
+       |sig AS (SELECT id, pk, min((h * a + b) % 2147483647) AS v
+       |        FROM hv CROSS JOIN perms GROUP BY id, pk),
+       |bands AS (SELECT id, pk // 4 AS band, string_agg(v, ',' ORDER BY pk) AS bkey
+       |          FROM sig GROUP BY id, pk // 4),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |m AS (SELECT c.id_a, c.id_b, count(*) FILTER (WHERE sa.v = sb.v) AS eq
+       |      FROM cand c
+       |      JOIN sig sa ON sa.id = c.id_a
+       |      JOIN sig sb ON sb.id = c.id_b AND sb.pk = sa.pk
+       |      GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b,
+       |  CAST(floor(CAST(eq AS DOUBLE) / 64 * 1000000) AS BIGINT) AS est_jaccard_e6
+       |FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Shared CTEs for the md5-bit simhash oracle: tokenize → md5 hex digits
     * (d0..d15, 4 bits each) → 64 ±1 sums → sign digits (dg0..dg15) →

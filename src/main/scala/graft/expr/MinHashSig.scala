@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns an empty array for blank text (callers filter size > 0).
   */
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
-    seed: Int = 42)
+    seed: Int = 42, md5Base: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -46,12 +46,16 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
     // empties) — java.lang.String's defaults differ on both and would
     // change signatures for tab/newline-edged text.
     val words = StrUtil.splitWs(StrUtil.lowerRoot(StrUtil.sparkTrim(text)))
-    // distinct shingle hashes (murmur3 of the joined k-words, seed 42 —
-    // identical to Spark's hash() over the array_join result)
+    // distinct shingle hashes: murmur3(seed 42) — identical to Spark's
+    // hash() over the array_join result — or, with md5Base, the first
+    // 4 md5 bytes as an unsigned 32-bit value (= the first 8 hex chars of
+    // md5(), which any engine can reproduce; see Dedup.minhashNearDupPairs).
+    // Dedup is by HASH value; min over a multiset ignores duplicates, so
+    // this never changes the signature.
     val n = words.length
     val nShingles = math.max(n - shingleK, 0) + 1
     val seen = new java.util.HashSet[Long](nShingles * 2)
-    val hashes = new Array[Int](nShingles)
+    val hashes = new Array[Long](nShingles)
     var m = 0
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -66,9 +70,11 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
       }
       if (sb.length > 0) {
         val u = UTF8String.fromString(sb.toString)
-        val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-          u.numBytes, 42)
-        if (seen.add(h.toLong)) { hashes(m) = h; m += 1 }
+        val h =
+          if (md5Base) MinHashSig.md5Head32(u.getBytes)
+          else Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+            u.numBytes, 42).toLong
+        if (seen.add(h)) { hashes(m) = h; m += 1 }
       }
       i += 1
     }
@@ -81,7 +87,9 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
       var best = Long.MaxValue
       var t = 0
       while (t < m) {
-        var r = (hashes(t).toLong * a + b) % p
+        // murmur h is sign-extended (can be negative), md5 h is unsigned —
+        // in both cases |h*a| < 2^63 (|h| < 2^32, a < 2^31), no overflow.
+        var r = (hashes(t) * a + b) % p
         if (r < 0) r += p
         if (r < best) best = r
         t += 1
@@ -110,6 +118,27 @@ object MinHashSig {
       rnd.nextInt(Int.MaxValue).toLong)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value — numerically equal to
+    * parsing the first 8 hex chars of md5() as a base-16 integer, which is
+    * how the SQL oracle reproduces it.
+    */
+  def md5Head32(bytes: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL))
+  }
+
   def apply(text: Column, shingleK: Int, numHashes: Int): Column =
-    GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes))
+    apply(text, shingleK, numHashes, md5Base = false)
+
+  def apply(text: Column, shingleK: Int, numHashes: Int, md5Base: Boolean): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(text), shingleK, numHashes,
+      md5Base = md5Base))
 }

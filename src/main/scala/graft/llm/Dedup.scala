@@ -52,6 +52,14 @@ object Dedup {
   def minhashSignature(shingleCol: Column, num: Int, seed: Int = 42): Column =
     minhashFromHashes(transform(shingleCol, s => hash(s).cast("long")), num, seed)
 
+  /** Column-form md5-based signature — base hash = first 8 hex chars of
+    * md5(shingle) as a base-16 integer, the engine-portable variant (the
+    * declarative mirror of MinHashSig(md5Base = true); parity-tested).
+    */
+  def minhashSignatureMd5(shingleCol: Column, num: Int, seed: Int = 42): Column =
+    minhashFromHashes(transform(shingleCol, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")), num, seed)
+
   /** Signature from a precomputed long-hash array (see the staging note in
     * [[minhashNearDupPairs]] — pass a materialized column here so the hash
     * array isn't re-evaluated per permutation).
@@ -76,6 +84,19 @@ object Dedup {
         hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }: _*)
 
+  /** Exact band keys: the raw signature slice instead of its 32-bit hash.
+    * A hashed bucket id can collide two different slices (~2^-32 per
+    * bucket pair), admitting a candidate that shares no true band — mostly
+    * filtered by the jaccard threshold but not always. The join already
+    * ships both full signatures per candidate, so the wider key costs
+    * nothing relative to the payload; the pair-finder uses this form.
+    */
+  def lshBandsExact(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        slice(sig, b * rowsPerBand + 1, rowsPerBand).as("vals"))
+    }: _*)
+
   /** MinHash-LSH near-duplicate candidate pairs over a documents table.
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where
     * est_jaccard is the signature-agreement fraction.
@@ -87,20 +108,23 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, numBands: Int = 16, minJaccard: Double = 0.5,
-      shingleK: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      shingleK: Int = 3, maxBucketSize: Int = 10000,
+      md5Base: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     // Signature via the custom MinHashSig expression: one primitive-loop
     // scan per doc. The equivalent pure-Column form (shingles → transform →
     // per-permutation array_min) runs on interpreted CodegenFallback
     // higher-order functions and measured ~100× slower at sf0.1 — and the
     // signature scan is THE dominant narrow stage of LSH dedup at scale.
+    // md5Base swaps the shingle hash for the engine-portable md5 head —
+    // with it every stage of the pair search is SQL-oracle-reproducible.
     val withSig = docs
       .select(col(idCol).as("id"),
-        graft.expr.MinHashSig(col(textCol), shingleK, numHashes).as("sig"))
+        graft.expr.MinHashSig(col(textCol), shingleK, numHashes, md5Base).as("sig"))
       .filter(size(col("sig")) > 0)
     val banded0 = withSig
       .select(col("id"), col("sig"),
-        explode(lshBands(col("sig"), numBands, rowsPerBand)).as("bk"))
+        explode(lshBandsExact(col("sig"), numBands, rowsPerBand)).as("bk"))
     // Mega-bucket guard: a bucket of degenerate boilerplate with m members
     // costs m² join output. Cap it — docs in an over-full bucket still meet
     // in their other (numBands - 1) bands, so recall degrades gracefully

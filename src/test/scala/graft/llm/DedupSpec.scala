@@ -143,6 +143,57 @@ class DedupSpec extends SparkSpec {
       minJaccard = 0.1, maxBucketSize = 100).count() == 28)
   }
 
+  test("MinHashSig md5Base matches the declarative md5 Column formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "x y"),
+      (4L, "single"),
+      (5L, "  spaced   out\ttabs\nand newlines  ")).toDF("doc_id", "text")
+    val viaExpr = docs
+      .select(col("doc_id"), graft.expr.MinHashSig(col("text"), 3, 64, md5Base = true).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.minhashSignatureMd5(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == viaCols.keySet)
+    viaCols.foreach { case (id, sig) =>
+      assert(viaExpr(id) == sig, s"doc $id md5-base signature mismatch")
+    }
+  }
+
+  test("md5Head32 equals the first 8 md5 hex chars as a base-16 integer") {
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592 → head32 = 0x5d41402a
+    assert(graft.expr.MinHashSig.md5Head32(
+      "hello".getBytes(java.nio.charset.StandardCharsets.UTF_8)) == 0x5d41402aL)
+    // high-bit case stays unsigned: md5("") = d41d8cd9... → 0xd41d8cd9 > Int.MaxValue
+    assert(graft.expr.MinHashSig.md5Head32(Array.emptyByteArray) == 0xd41d8cd9L)
+  }
+
+  test("simhashMd5 shares the sums/sign machinery: dup/near/far behavior and hex form") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green field"
+    val df = Seq((1L, base), (2L, base), (3L, base + " today"),
+      (4L, "completely unrelated corpus text about databases indexes partitions shuffles")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashMd5(df, "text", "doc_id")
+    val h = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 8)
+    // hex rendering: digit c carries bits 4c..4c+3, bit k of digit = bit 4c+k
+    val hex = sigs.select(col("id"), Dedup.simhashHex(col("simhash")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expectedHex(v: Long): String = (0 until 16).map { c =>
+      val digit = (0 until 4).map(k => (((v >>> (4 * c + k)) & 1L) << k).toInt).sum
+      "0123456789abcdef"(digit)
+    }.mkString
+    h.foreach { case (id, v) => assert(hex(id) == expectedHex(v), s"doc $id hex") }
+    // md5-sig pairs flow through the same banded join
+    val pairs = Dedup.simhashNearDupPairsFromSigs(sigs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
   test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
     val boiler = "standard license header text identical across every single document in the corpus"
     val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"
