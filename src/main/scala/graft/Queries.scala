@@ -1025,15 +1025,24 @@ object Queries {
           |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("text_winnow_fp",
-      // rolling-hash winnowing fingerprints (SIGMOD'03 scheme) — the
-      // base-31 wrap-around polynomial hash is not reasonably expressible
-      // in DuckDB SQL, so rows-only; WinnowSigSpec pins the values against
-      // an independent reimplementation
+      // Winnowing fingerprints (SIGMOD'03). With the default k=5 the
+      // base-31 polynomial values stay under 2^27 — the "wrap-around"
+      // arithmetic never wraps — so DuckDB can recompute every k-gram
+      // hash directly (unicode(char) * 31^t sums) and replay the
+      // rightmost-min window selection. fp emitted as a joined string:
+      // engine-portable, unlike array columns in the value compare.
       (s, d) => tbl(s, d, "documents")
         .select(col("doc_id"), graft.expr.WinnowSig(col("text")).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_hashes"), col("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_hashes"),
+          array_join(transform(col("fp"), h => h.cast("string")), ",").as("fp_str"))
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH $WINNOW_CTES,
+              |agg AS (SELECT id, count(*) AS n_hashes,
+              |        string_agg(h, ',' ORDER BY h) AS fp_str FROM fp GROUP BY id)
+              |SELECT d.doc_id, CAST(COALESCE(a.n_hashes, 0) AS INT) AS n_hashes,
+              |       COALESCE(a.fp_str, '') AS fp_str
+              |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+              |ORDER BY doc_id""".stripMargin)),
 
     Q("dedup_winnow_pairs",
       // containment mining over the winnow signatures: hashes appearing in
@@ -1042,11 +1051,18 @@ object Queries {
       // sizes (the winnowing analogue of the MinHash maxBucketSize cap:
       // without it the hot grams make the self-join quasi-quadratic).
       // Then explode → (hash, id), self-equi-join on the hash, keep pairs
-      // sharing >= 3 rare hashes.
+      // sharing >= 3 rare hashes. Oracle replays the same pipeline over
+      // the SQL-recomputed fingerprint sets.
       (s, d) => Dedup.winnowContainmentPairs(
           tbl(s, d, "documents"), "text", "doc_id")
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH $WINNOW_CTES,
+              |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 10),
+              |kept AS (SELECT fp.id, fp.h FROM fp JOIN rare USING (h))
+              |SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              |FROM kept x JOIN kept y ON x.h = y.h AND x.id < y.id
+              |GROUP BY x.id, y.id HAVING count(*) >= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- LLM ops: dedup -------------------------------------------------------
 
@@ -1296,6 +1312,33 @@ object Queries {
        |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
        |           CAST(2 * out_len AS INT), '0')) AS hex_md5
        |FROM r ORDER BY asset_id""".stripMargin
+
+  /** Shared CTEs for the winnowing oracles (k=5, w=4), ending in
+    * `fp(id, h)` — the distinct selected hash set per document. Gram
+    * hashes are the exact base-31 polynomial values WinnowSig computes
+    * (no wrap under 2^27 for k=5); windows replay the rightmost-min rule
+    * via (h ASC, pos DESC) ranking.
+    */
+  private lazy val WINNOW_CTES: String = {
+    val powers = Seq(923521L, 29791L, 961L, 31L, 1L)
+    val gramHash = powers.zipWithIndex.map { case (p, t) =>
+      if (p == 1L) s"unicode(substr(nrm, pos + $t, 1))"
+      else s"unicode(substr(nrm, pos + $t, 1)) * $p"
+    }.mkString(" + ")
+    s"""nd AS (SELECT doc_id AS id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
+       |       FROM documents),
+       |nn AS (SELECT id, nrm, length(nrm) - 4 AS m FROM nd WHERE length(nrm) >= 5),
+       |grams AS (SELECT id, m, pos, $gramHash AS h
+       |          FROM (SELECT id, nrm, m, unnest(range(1, m + 1)) AS pos FROM nn)),
+       |wins AS (SELECT id, h, pos,
+       |           unnest(range(greatest(pos - 3, 1), least(pos, greatest(m - 3, 1)) + 1)) AS win
+       |         FROM grams),
+       |sel AS (SELECT id, win, h FROM (
+       |          SELECT id, win, h,
+       |            row_number() OVER (PARTITION BY id, win ORDER BY h ASC, pos DESC) AS rn
+       |          FROM wins) WHERE rn = 1),
+       |fp AS (SELECT DISTINCT id, h FROM sel)""".stripMargin
+  }
 
   /** Oracle for dedup_minhash_pairs — the full MinHash-LSH pipeline in
     * DuckDB: word 3-shingles, md5-head base hashes, the same 64 (a,b)
