@@ -1152,13 +1152,16 @@ object Queries {
           |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("sim_lsh_topk",
-      // hyperplanes derived from Spark murmur3 — rows-only; recall is
-      // unit-tested against bruteForceTopK.
+      // The hyperplanes are deterministic constants (±1 by murmur3 parity
+      // of (seed, bit, dim)), so the oracle embeds the 12×64 sign matrix
+      // as literals and replays the projection with the same sequential
+      // double fold (list_reduce) — bit-identical signs, buckets, probes,
+      // and rerank. Fully oracle-checked, multi-probe included.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
       },
-      None,
+      Some(LSH_TOPK_SQL),
       bench = true),
 
     Q("sim_ivf_topk",
@@ -1193,10 +1196,12 @@ object Queries {
 
     Q("sim_embedding_neardup_lsh",
       // 0.3 (see sim_exact_neardup_pairs) so the bucketed variant emits a
-      // nonzero candidate set; recall vs the exact pairs is unit-tested.
+      // nonzero candidate set (23 pairs at sf0.01); recall vs the exact
+      // pairs is unit-tested. Oracle replays the 8-bit bucket blocking
+      // with the literal sign matrix (see sim_lsh_topk).
       (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.3)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(EMB_NEARDUP_LSH_SQL)),
 
     // ---- LLM ops: multimodal ---------------------------------------------------
 
@@ -1312,6 +1317,65 @@ object Queries {
        |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
        |           CAST(2 * out_len AS INT), '0')) AS hex_md5
        |FROM r ORDER BY asset_id""".stripMargin
+
+  /** The hyperplane-LSH bucket signature as a DuckDB expression over a
+    * DOUBLE[] column `e`: per bit, the ±1 sign matrix is precomputed here
+    * with the same murmur3 chain HyperplaneSig uses
+    * (hashInt(d, hashInt(b, hashInt(seed, 42)))) and embedded as literals;
+    * the projection is the same left-to-right double fold (list_reduce
+    * seeds with the first element — IEEE-identical to Spark's 0.0-seeded
+    * fold), so every sign bit matches exactly.
+    */
+  private def hyperplaneSigSql(bits: Int, dim: Int, seed: Int = 42): String = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    (0 until bits).map { b =>
+      val hb = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(seed, 42))
+      val signs = (0 until dim).map { dIdx =>
+        val h = Murmur3_x86_32.hashInt(dIdx, hb)
+        if (((h % 2) + 2) % 2 == 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+         |      d -> e[d] * (CAST($signs AS DOUBLE[]))[d]), (x, y) -> x + y) > 0
+         |    THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString("\n   + ")
+  }
+
+  private def COS_E6(a: String, b: String): String =
+    s"""CAST(floor(list_inner_product($a, $b) /
+       |    (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle for sim_lsh_topk: signatures + multi-probe (all 1-bit flips)
+    * + exact rerank, all replayed in SQL.
+    */
+  private lazy val LSH_TOPK_SQL: String = {
+    val masks = Similarity.probeMasks(12, 1).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT id, e,
+       |   ${hyperplaneSigSql(12, 64)} AS sig
+       |   FROM v),
+       |probes AS (SELECT id AS query_id, e AS qv, xor(sig, m) AS bucket
+       |           FROM s, (SELECT unnest($masks) AS m) WHERE id % 50 = 0),
+       |sc AS (SELECT p.query_id, c.id AS neighbor_id,
+       |         ${COS_E6("p.qv", "c.e")} AS sim_e6
+       |       FROM probes p JOIN s c ON c.sig = p.bucket AND c.id <> p.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Oracle for sim_embedding_neardup_lsh: 8-bit exact-bucket blocking,
+    * then the cosine threshold.
+    */
+  private lazy val EMB_NEARDUP_LSH_SQL: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT id, e,
+       |   ${hyperplaneSigSql(8, 64)} AS sig
+       |   FROM v)
+       |SELECT a.id AS id_a, b.id AS id_b, ${COS_E6("a.e", "b.e")} AS cos_e6
+       |FROM s a JOIN s b ON a.sig = b.sig AND a.id < b.id
+       |WHERE ${COS_E6("a.e", "b.e")} >= 300000
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared CTEs for the winnowing oracles (k=5, w=4), ending in
     * `fp(id, h)` — the distinct selected hash set per document. Gram
