@@ -1024,6 +1024,17 @@ object Queries {
           |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
           |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("text_curation_chain",
+      // The LLM flagship: lang filter → quality floor → exact dedup →
+      // simhash near-dup drop → split assignment, end to end — the
+      // training-corpus analogue of transform_chain, fully oracled by
+      // composing the stats and simhash CTEs.
+      (s, d) => Corpus.curate(tbl(s, d, "documents"),
+          keepLangs = Seq("en"), minQualityE6 = 650000L)
+        .orderBy("doc_id"),
+      Some(CURATION_SQL),
+      bench = true),
+
     Q("text_winnow_fp",
       // Winnowing fingerprints (SIGMOD'03). With the default k=5 the
       // base-31 polynomial values stay under 2^27 — the "wrap-around"
@@ -1484,8 +1495,12 @@ object Queries {
     * sign digits — equal to the banded join because 4 disjoint bands make
     * Hamming ≤ 3 pigeonhole-lossless.
     */
+  /** Hamming distance between two sign-digit rows aliased a and b. */
+  private def simhashHamSql: String =
+    (0 until 16).map(c => s"bit_count(xor(a.dg$c, b.dg$c))").mkString(" + ")
+
   private lazy val SIMHASH_PAIRS_SQL: String = {
-    val ham = (0 until 16).map(c => s"bit_count(xor(a.dg$c, b.dg$c))").mkString(" + ")
+    val ham = simhashHamSql
     s"""WITH $SIMHASH_CTES
        |SELECT a.id AS id_a, b.id AS id_b, CAST($ham AS BIGINT) AS hamming
        |FROM sigd a JOIN sigd b ON a.id < b.id
@@ -1494,13 +1509,48 @@ object Queries {
   }
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
-  private lazy val TEXT_STATS_SQL: String = {
+  private lazy val TEXT_STATS_SQL: String =
+    s"WITH $TEXT_STATS_CTES\nSELECT * FROM stats ORDER BY doc_id"
+
+  /** Oracle for text_curation_chain: stats CTEs + simhash CTEs composed —
+    * language/quality filter, min-id dedup on the content fingerprint,
+    * near-dup drop of every pair's greater id (restricted to surviving
+    * docs on both sides; per-doc signatures are corpus-independent so
+    * computing them over all documents and restricting the pairs is
+    * equivalent), then the salted-md5 split.
+    */
+  private lazy val CURATION_SQL: String =
+    s"""WITH $TEXT_STATS_CTES,
+       |$SIMHASH_CTES,
+       |fl AS (SELECT doc_id, lang_guess, quality_e6, fp FROM stats
+       |       WHERE lang_guess IN ('en') AND quality_e6 >= 650000),
+       |kp AS (SELECT min(doc_id) AS doc_id FROM fl GROUP BY fp),
+       |surv AS (SELECT fl.* FROM fl JOIN kp USING (doc_id)),
+       |prs AS (SELECT b.id AS id_b
+       |        FROM sigd a JOIN sigd b ON a.id < b.id
+       |        JOIN surv sa ON sa.doc_id = a.id
+       |        JOIN surv sb ON sb.doc_id = b.id
+       |        WHERE $simhashHamSql <= 3),
+       |fin AS (SELECT s.doc_id, s.lang_guess, s.quality_e6 FROM surv s
+       |        LEFT JOIN (SELECT DISTINCT id_b FROM prs) p ON p.id_b = s.doc_id
+       |        WHERE p.id_b IS NULL)
+       |SELECT doc_id, lang_guess, quality_e6,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** The documentStats computation as reusable CTEs ending in
+    * `stats(doc_id, …, quality_e6, lang_guess, fp)` — shared by the
+    * text_stats oracle and the curation chain.
+    */
+  private lazy val TEXT_STATS_CTES: String = {
     val stop = sqlList(TextStats.enStopwords)
     val en = sqlList(TextStats.langVocab("en"))
     val de = sqlList(TextStats.langVocab("de"))
     val fr = sqlList(TextStats.langVocab("fr"))
     val es = sqlList(TextStats.langVocab("es"))
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
@@ -1537,18 +1587,20 @@ object Queries {
        |                ELSE CAST(n_digits AS DOUBLE) / n_chars_computed END)) AS quality,
        |    greatest(h_en, h_de, h_es, h_fr) AS h_max
        |  FROM ratios
-       |)
-       |SELECT doc_id, n_tokens, n_subwords, n_chars_computed, n_punct, n_digits,
-       |  CAST(floor(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
-       |  CAST(floor(mean_word_len * 1000000) AS BIGINT) AS mean_word_len_e6,
-       |  CAST(floor(quality * 1000000) AS BIGINT) AS quality_e6,
-       |  CASE WHEN h_max = 0 THEN 'und'
-       |       WHEN h_en = h_max THEN 'en'
-       |       WHEN h_de = h_max THEN 'de'
-       |       WHEN h_es = h_max THEN 'es'
-       |       ELSE 'fr' END AS lang_guess,
-       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |),
+       |stats AS (
+       |  SELECT doc_id, n_tokens, n_subwords, n_chars_computed, n_punct, n_digits,
+       |    CAST(floor(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
+       |    CAST(floor(mean_word_len * 1000000) AS BIGINT) AS mean_word_len_e6,
+       |    CAST(floor(quality * 1000000) AS BIGINT) AS quality_e6,
+       |    CASE WHEN h_max = 0 THEN 'und'
+       |         WHEN h_en = h_max THEN 'en'
+       |         WHEN h_de = h_max THEN 'de'
+       |         WHEN h_es = h_max THEN 'es'
+       |         ELSE 'fr' END AS lang_guess,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM scored
+       |)""".stripMargin
   }
 
   /** Oracle for dedup_jaccard_pairs — replicates the symmetric

@@ -89,4 +89,39 @@ object Corpus {
       .select(Seq(col("grp"), col("n_docs")) ++
         fractions.indices.map(i => col("qs").getItem(i).as(s"q$i")): _*)
   }
+
+  /** End-to-end corpus curation — the LLM-pipeline analogue of the
+    * reference's 13-step property transform chain: language filter →
+    * quality floor → exact dedup (content fingerprint, keep min doc_id) →
+    * near-duplicate removal → deterministic split assignment. Operates on
+    * a `documents`-shaped table (doc_id + textCol).
+    *
+    * Near-dup rule: a document is dropped when it is the GREATER id of any
+    * near-dup pair (md5-bit simhash within `maxHamming`) among the
+    * filtered+deduped survivors. Each cluster's min-id member can never be
+    * a pair's greater element, so it always survives — deterministic, one
+    * anti-join, the standard cheap alternative to connected components
+    * (chain-transitive members are over-dropped by design).
+    *
+    * Plan shape: one narrow stats pass (a single TextCounts eval per doc)
+    * → fp-key aggregation + semi-join → simhash aggregation over the
+    * survivors only → banded Hamming pair join → anti-join → split
+    * column. Every stage is a bucketed equi-join or map-side-combinable
+    * aggregation — linear at corpus scale, no all-pairs work anywhere.
+    */
+  def curate(docs: DataFrame, keepLangs: Seq[String], minQualityE6: Long,
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val stats = TextStats.documentStats(docs, textCol)
+    val filtered = stats.filter(col("lang_guess").isin(keepLangs: _*) &&
+      col("quality_e6") >= minQualityE6)
+    val deduped = Dedup.exactDedupByKey(filtered, col("fp"), "doc_id")
+    val survivorText = docs.select(col("doc_id"), col(textCol))
+      .join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.simhashNearDupPairsFromSigs(
+      Dedup.simhashMd5(survivorText, textCol, "doc_id"), maxHamming)
+    val canonical = deduped.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    canonical.select(col("doc_id"), col("lang_guess"), col("quality_e6"),
+      splitAssign(col("doc_id")).as("split"))
+  }
 }

@@ -82,4 +82,31 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("q0") == 3.0) // median of 1..5
     assert(r.getAs[Double]("q1") == 5.0) // max
   }
+
+  test("curate: each stage filters — lang, quality, exact dup, near dup — and min id survives") {
+    val english = "the quick brown fox and the lazy dog walk with a friend " +
+      "over the green field while they watch the morning light together"
+    val docs = Seq(
+      (1L, english),                       // survivor (canonical)
+      (2L, english),                       // exact dup of 1 → dropped
+      // " the" adds no NEW distinct token → identical simhash (hamming 0)
+      // but a different md5 fingerprint: exactly the case near-dup removal
+      // catches and exact dedup misses
+      (3L, english + " the"),
+      (4L, "der schnelle braune fuchs und der faule hund gehen mit einem " +
+        "freund im feld und sie sehen das licht zusammen dort"), // German → lang drop
+      (5L, "x1 9$ @@ ## !! 77 %% ^^"),     // junk → quality drop
+      (6L, "a completely different english story where people read books " +
+        "and walk along the river with their friends every day")) // survivor
+      .toDF("doc_id", "text")
+    val out = Corpus.curate(docs, keepLangs = Seq("en"), minQualityE6 = 650000L)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 6L), s"expected canonical survivors, got $ids")
+    out.foreach { r =>
+      assert(Seq("train", "val", "test").contains(r.getAs[String]("split")))
+      assert(r.getAs[String]("lang_guess") == "en")
+      assert(r.getAs[Long]("quality_e6") >= 650000L)
+    }
+  }
 }
