@@ -123,14 +123,19 @@ object MinHashSig {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Raw 16-byte md5 digest (thread-local digest instance). */
+  def md5Bytes(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Digest.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
   /** First 4 md5 bytes as an unsigned 32-bit value — numerically equal to
     * parsing the first 8 hex chars of md5() as a base-16 integer, which is
     * how the SQL oracle reproduces it.
     */
   def md5Head32(bytes: Array[Byte]): Long = {
-    val d = md5Digest.get()
-    d.reset()
-    val h = d.digest(bytes)
+    val h = md5Bytes(bytes)
     (((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
       ((h(2) & 0xffL) << 8) | (h(3) & 0xffL))
   }

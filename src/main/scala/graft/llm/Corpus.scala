@@ -114,7 +114,17 @@ object Corpus {
     val stats = TextStats.documentStats(docs, textCol)
     val filtered = stats.filter(col("lang_guess").isin(keepLangs: _*) &&
       col("quality_e6") >= minQualityE6)
-    val deduped = Dedup.exactDedupByKey(filtered, col("fp"), "doc_id")
+    // Dedup as ONE min_by aggregation, not exactDedupByKey's agg+semi-join:
+    // the semi-join form evaluates its input subtree twice, and here that
+    // subtree is the TextCounts stats pass — the most expensive narrow
+    // stage of the chain. min_by carries the needed columns through the
+    // one fp shuffle instead (still map-side partial-aggregated).
+    val deduped = filtered
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang_guess"), col("quality_e6")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.lang_guess").as("lang_guess"),
+        col("__r.quality_e6").as("quality_e6"))
     val survivorText = docs.select(col("doc_id"), col(textCol))
       .join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = Dedup.simhashNearDupPairsFromSigs(

@@ -155,21 +155,35 @@ object Dedup {
     * buffers — map-side combinable, bounded memory at ANY document size
     * (vs a collect_list of per-token arrays, which buffers every token).
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.expr.SimHashBits(col(textCol), md5Base = false).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** SimHash whose per-token bits come from the md5 hex digest instead of
+    * xxhash64: bit j is bit (j%4) of hex digit j/4. md5 is identical in
+    * every engine, which makes this variant (and everything downstream of
+    * it — the ±1 counters, the sign bits, the Hamming banding) exactly
+    * reproducible in ANSI SQL, i.e. oracle-checkable end to end. Same
+    * one-pass SimHashBits kernel as [[simhash]]; xxhash64 stays the fast
+    * default (one hash call vs an md5 digest per token).
+    */
+  def simhashMd5(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.expr.SimHashBits(col(textCol), md5Base = true).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Declarative reference form of [[simhash]] (kept for parity tests):
+    * explode distinct tokens → 64 parallel ±1 sums → sign-pack.
+    */
+  def simhashColumns(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tokens = distinctTokens(docs, textCol, idCol)
       .select(col("id"), xxhash64(col("w")).as("h"))
     simhashFromBits(tokens, i => shiftright(col("h"), i).bitwiseAND(1))
   }
 
-  /** SimHash whose per-token bits come from the md5 hex digest instead of
-    * xxhash64: bit j is bit (j%4) of hex digit j/4. md5 is identical in
-    * every engine, which makes this variant (and everything downstream of
-    * it — the ±1 sums, the sign bits, the Hamming banding) exactly
-    * reproducible in ANSI SQL, i.e. oracle-checkable end to end. Same
-    * aggregation machinery as [[simhash]]; xxhash64 stays the fast default
-    * (one hash call vs md5 + 16 digit extractions per token).
-    */
-  def simhashMd5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Declarative reference form of [[simhashMd5]] (kept for parity tests). */
+  def simhashMd5Columns(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val digits = distinctTokens(docs, textCol, idCol)
       .select(col("id"), md5(col("w").cast("binary")).as("mh"))
       .select(col("id") +: (0 until 16).map(c =>

@@ -194,6 +194,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
   }
 
+  test("SimHashBits expression matches the declarative forms in both hash modes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "x y"),
+      (4L, "single"),
+      (5L, "  spaced   out\ttabs\nand newlines  "),
+      (6L, "repeated words repeated words repeated"),
+      (7L, "\ttab led words here"),
+      (8L, "trailing newline words\n")).toDF("doc_id", "text")
+    def collectMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collectMap(Dedup.simhash(docs, "text", "doc_id")) ==
+      collectMap(Dedup.simhashColumns(docs, "text", "doc_id")))
+    assert(collectMap(Dedup.simhashMd5(docs, "text", "doc_id")) ==
+      collectMap(Dedup.simhashMd5Columns(docs, "text", "doc_id")))
+    // whitespace-only text → no tokens → NULL → row filtered, like the
+    // declarative form where there is nothing to aggregate
+    val blank = Seq((9L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.simhash(blank, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashColumns(blank, "text", "doc_id").count() == 0)
+  }
+
   test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
     val boiler = "standard license header text identical across every single document in the corpus"
     val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"
