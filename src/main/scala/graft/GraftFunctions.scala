@@ -55,7 +55,16 @@ object GraftFunctions {
     "text_counts" -> (es => { arity("text_counts", es, 1, 1)
       TextCounts(es.head, TextStats.enStopwords,
         TextStats.langVocab("en"), TextStats.langVocab("de"),
-        TextStats.langVocab("es"), TextStats.langVocab("fr")) })
+        TextStats.langVocab("es"), TextStats.langVocab("fr")) }),
+    // simhash_bits(text[, md5_base]) — md5_base=true for the md5-portable
+    // bit source (see Dedup.simhashMd5), default the fast xxhash64
+    "simhash_bits" -> (es => { arity("simhash_bits", es, 1, 2)
+      SimHashBits(es.head,
+        es.length > 1 && (es(1).eval() match {
+          case b: Boolean => b
+          case other => throw new IllegalArgumentException(
+            s"md5_base must be a boolean literal, got $other")
+        })) })
   )
 
   /** Register every function on an existing session (temp functions). */

@@ -69,4 +69,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getLong(1) == viaCol.getLong(1))
     assert(viaSql.getLong(2) == viaCol.getLong(2))
   }
+
+  test("SQL simhash_bits matches the Column form in both modes") {
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("txt").createOrReplaceTempView("t_sqlfn3")
+    val viaSql = spark.sql(
+      "SELECT simhash_bits(txt) AS xx, simhash_bits(txt, true) AS m5 FROM t_sqlfn3")
+      .collect()(0)
+    val viaCol = spark.table("t_sqlfn3").select(
+      graft.expr.SimHashBits(col("txt"), md5Base = false).as("xx"),
+      graft.expr.SimHashBits(col("txt"), md5Base = true).as("m5")).collect()(0)
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+  }
 }
