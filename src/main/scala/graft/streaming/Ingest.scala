@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.llm.TextStats
+
+/** Streaming corpus ingestion with EXACT cross-batch deduplication and
+  * bounded state — the continuous-arrival form of the corpus pipeline.
+  *
+  * Why not streaming `dropDuplicates`: its dedup state lives in the state
+  * store, one row per distinct key FOREVER — unbounded growth, no TTL that
+  * preserves exactness. Here the "state" is a plain parquet fingerprint
+  * store on disk: each micro-batch computes content fingerprints
+  * (TextStats.fingerprint — md5 over normalized text, the same key the
+  * batch dedup uses), dedups within the batch (keep min id), anti-joins
+  * the store, appends the survivors to the corpus and their fingerprints
+  * to the store. Every stage is a shuffle-join or aggregation over the
+  * batch plus a scan of the store — executor memory stays O(batch), not
+  * O(corpus history).
+  *
+  * Delivery: the checkpoint guarantees each source file is processed once;
+  * the corpus append runs BEFORE the fingerprint append, so a crash
+  * between the two replays the batch and can duplicate corpus rows
+  * (at-least-once — same window Pipeline.startStream documents). A crash
+  * after both appends is safe: the replayed batch anti-joins to empty.
+  * For exactly-once, point both writers at a transactional table format.
+  */
+object Ingest {
+
+  /** Start the deduped ingest over a parquet file-arrival source.
+    *
+    * @param schema   schema of arriving documents (must contain idCol and
+    *                 textCol)
+    * @param corpusDir  output corpus (parquet, append)
+    * @param fpStoreDir fingerprint store (parquet, append; created on
+    *                   first batch)
+    */
+  def startDedupedIngest(spark: SparkSession, srcDir: String, schema: StructType,
+      idCol: String, textCol: String, corpusDir: String, fpStoreDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, idCol, textCol, corpusDir, fpStoreDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch of the deduped ingest (also usable for backfills). */
+  def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
+      corpusDir: String, fpStoreDir: String): Unit = {
+    val spark = batch.sparkSession
+    val cols = batch.columns
+    val withFp = batch.withColumn("__fp", TextStats.fingerprint(col(textCol)))
+    // within-batch dedup: one min_by aggregation per fingerprint (keep the
+    // smallest id — deterministic under replays and input reordering)
+    val localDedup = withFp
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__fp") +: cols.map(c => col(s"__r.$c").as(c)): _*)
+    val known =
+      try spark.read.parquet(fpStoreDir).select(col("fp").as("__fp"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(org.apache.spark.sql.types.StructField("__fp",
+              org.apache.spark.sql.types.StringType))))
+      }
+    val fresh = localDedup.join(known, Seq("__fp"), "left_anti").persist()
+    try {
+      // corpus first (see delivery note): replay after a mid-crash
+      // duplicates rather than losing documents
+      fresh.select(cols.map(col): _*).write.mode("append").parquet(corpusDir)
+      fresh.select(col("__fp").as("fp")).write.mode("append").parquet(fpStoreDir)
+    } finally fresh.unpersist()
+  }
+}
