@@ -109,8 +109,16 @@ object Corpus {
     * column. Every stage is a bucketed equi-join or map-side-combinable
     * aggregation — linear at corpus scale, no all-pairs work anywhere.
     */
+  /** @param persistIntermediate cache the post-dedup survivor frame, which
+    *        the DAG consumes twice (simhash side and final anti-join side)
+    *        — without it the stats pass runs twice. Off by default (the
+    *        operator then holds no storage); turn on for large corpora
+    *        where recomputing the stats scan costs more than caching the
+    *        (already filtered and deduped) survivors.
+    */
   def curate(docs: DataFrame, keepLangs: Seq[String], minQualityE6: Long,
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      persistIntermediate: Boolean = false): DataFrame = {
     val stats = TextStats.documentStats(docs, textCol)
     val filtered = stats.filter(col("lang_guess").isin(keepLangs: _*) &&
       col("quality_e6") >= minQualityE6)
@@ -119,12 +127,13 @@ object Corpus {
     // subtree is the TextCounts stats pass — the most expensive narrow
     // stage of the chain. min_by carries the needed columns through the
     // one fp shuffle instead (still map-side partial-aggregated).
-    val deduped = filtered
+    val deduped0 = filtered
       .groupBy(col("fp"))
       .agg(min_by(struct(col("doc_id"), col("lang_guess"), col("quality_e6")),
         col("doc_id")).as("__r"))
       .select(col("__r.doc_id").as("doc_id"), col("__r.lang_guess").as("lang_guess"),
         col("__r.quality_e6").as("quality_e6"))
+    val deduped = if (persistIntermediate) deduped0.persist() else deduped0
     val survivorText = docs.select(col("doc_id"), col(textCol))
       .join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = Dedup.simhashNearDupPairsFromSigs(

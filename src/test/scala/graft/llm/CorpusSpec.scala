@@ -101,6 +101,10 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Corpus.curate(docs, keepLangs = Seq("en"), minQualityE6 = 650000L)
       .orderBy("doc_id").collect()
+    // the persist knob changes execution (cache the twice-consumed survivor
+    // frame), never results
+    assert(Corpus.curate(docs, keepLangs = Seq("en"), minQualityE6 = 650000L,
+      persistIntermediate = true).orderBy("doc_id").collect().toSeq == out.toSeq)
     val ids = out.map(_.getLong(0)).toSeq
     assert(ids == Seq(1L, 6L), s"expected canonical survivors, got $ids")
     out.foreach { r =>
