@@ -217,6 +217,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashColumns(blank, "text", "doc_id").count() == 0)
   }
 
+  test("property: SimHashBits == declarative form on random noisy text (both modes)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val word: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      Gen.oneOf("Č", "ß", "ÿ", "déjà", "3x", "§"))
+    val text: Gen[String] = for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", "\n")
+      edge <- Gen.oneOf("", " ", "\t")
+    } yield edge + ws.mkString(sep) + edge
+    val docs = samples(text, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (md5Mode <- Seq(false, true)) {
+      val expr =
+        if (md5Mode) Dedup.simhashMd5(docs, "text", "doc_id")
+        else Dedup.simhash(docs, "text", "doc_id")
+      val cols =
+        if (md5Mode) Dedup.simhashMd5Columns(docs, "text", "doc_id")
+        else Dedup.simhashColumns(docs, "text", "doc_id")
+      val e = expr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c = cols.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(e == c, s"md5Mode=$md5Mode: expression and declarative forms diverge")
+    }
+  }
+
   test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
     val boiler = "standard license header text identical across every single document in the corpus"
     val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"
