@@ -926,6 +926,18 @@ object Queries {
         .orderBy("l_returnflag"),
       None),
 
+    Q("agg_kmv_distinct",
+      // KMV/bottom-k distinct sketch: approximate like HLL, but built on
+      // md5-derived hash points and the heap-based TopKPerGroupExec — so
+      // the APPROXIMATE answer itself is exactly oracle-checkable (the
+      // oracle recomputes the same k minima and the same estimator
+      // arithmetic). Groups with < k distinct values come out exact.
+      (s, d) => graft.analytics.Sketch.kmvDistinct(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"), k = 256)
+        .select(col("key").as("l_returnflag"), col("n_distinct_e6"))
+        .orderBy("l_returnflag"),
+      Some(KMV_SQL)),
+
     Q("agg_salted_distinct",
       // skew-safe exact distinct count (value-hash salting spreads a hot
       // key's distinct set over many reducers) — same result as the plain
@@ -1422,13 +1434,37 @@ object Queries {
     * 16 bands × 4 rows joined on the exact band values, then the
     * signature-agreement fraction ≥ 0.3.
     */
+  /** First 8 hex chars of a VARCHAR column `mh` (an md5 digest) parsed as
+    * a base-16 BIGINT — the SQL mirror of MinHashSig.md5Head32 /
+    * Sketch.hashPoint32.
+    */
+  private def hexHead32Sql: String = (0 until 8).map { c =>
+    val mult = 1L << (4 * (7 - c))
+    s"(strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1) * $mult"
+  }.mkString(" + ")
+
+  /** Oracle for agg_kmv_distinct: same hash points, same k minima, same
+    * estimator arithmetic (double-exact constant, one division).
+    */
+  private lazy val KMV_SQL: String = {
+    val k = 256
+    val c = (k - 1).toDouble * 4294967296.0
+    s"""WITH p AS (SELECT DISTINCT key, $hexHead32Sql AS h FROM
+       |       (SELECT l_returnflag AS key, md5(CAST(l_partkey AS VARCHAR)) AS mh
+       |        FROM lineitem WHERE l_partkey IS NOT NULL)),
+       |r AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM p),
+       |b AS (SELECT key, count(*) AS cnt, max(h) AS vk FROM r WHERE rn <= $k GROUP BY key)
+       |SELECT key AS l_returnflag,
+       |  CASE WHEN cnt < $k THEN CAST(cnt AS BIGINT) * 1000000
+       |       ELSE CAST(floor(CAST($c AS DOUBLE) / greatest(vk, 1) * 1000000) AS BIGINT) END
+       |    AS n_distinct_e6
+       |FROM b ORDER BY l_returnflag""".stripMargin
+  }
+
   private lazy val MINHASH_PAIRS_SQL: String = {
     val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    val hexParse = (0 until 8).map { c =>
-      val mult = 1L << (4 * (7 - c))
-      s"(strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1) * $mult"
-    }.mkString(" + ")
+    val hexParse = hexHead32Sql
     s"""WITH w AS (SELECT doc_id AS id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
