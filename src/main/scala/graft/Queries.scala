@@ -1136,6 +1136,21 @@ object Queries {
         .orderBy("id_a", "id_b"),
       Some(SIMHASH_PAIRS_SQL)),
 
+    Q("dedup_cc_labels",
+      // Transitive near-dup clusters: simhash pairs → connected components
+      // by min-label propagation (the correct canonical assignment — the
+      // greater-id-drop rule over-drops chains). Oracle computes the same
+      // components with a recursive transitive-closure CTE.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .orderBy("id")
+      },
+      Some(CC_SQL)),
+
     // ---- LLM ops: similarity search -------------------------------------------
 
     Q("sim_cosine_topk",
@@ -1543,6 +1558,27 @@ object Queries {
        |WHERE $ham <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Oracle for dedup_cc_labels: the same simhash pair set, components via
+    * a recursive transitive-closure CTE, label = least(self, min reachable),
+    * isolated docs labeled with themselves.
+    */
+  private lazy val CC_SQL: String =
+    s"""WITH RECURSIVE $SIMHASH_CTES,
+       |prs AS (SELECT a.id AS id_a, b.id AS id_b
+       |        FROM sigd a JOIN sigd b ON a.id < b.id
+       |        WHERE $simhashHamSql <= 3),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT d.doc_id AS id, COALESCE(l.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |ORDER BY id""".stripMargin
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
   private lazy val TEXT_STATS_SQL: String =

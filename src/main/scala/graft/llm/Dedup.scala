@@ -336,6 +336,58 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over a near-duplicate pair list by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the minimum of its label and its
+    * neighbors' labels; convergence (no label changed) is reached after
+    * O(component diameter) rounds. The standard distributed CC shape
+    * (cf. Vassilvitskii et al., "Connected components in MapReduce and
+    * beyond", SoCC'14 — this is their baseline label propagation; the
+    * large-star/small-star optimization only matters for high-diameter
+    * graphs, and near-dup clusters are shallow).
+    *
+    * This is the CORRECT canonical-assignment step for cluster dedup —
+    * the cheap alternative ([[winnowContainmentPairs]] consumers or
+    * Corpus.curate's drop-the-greater-id rule) over-drops chain-transitive
+    * members; CC keeps exactly one doc (the min id) per transitive
+    * cluster.
+    *
+    * Scale notes: each round is one equi-join + one min-aggregation over
+    * the edge list — no all-pairs work; `localCheckpoint` truncates the
+    * iterative lineage so round N doesn't replay rounds 1..N-1.
+    *
+    * @param nodes one-column frame of every node id (isolated nodes get
+    *              their own component)
+    * @param pairs (id_a, id_b) undirected edges
+    * @return (id, component) with component = min id in the cluster
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    val ids = nodes.toDF("id")
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b", "a").select(col("a"), col("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id")).agg(min(col("component")).as("__nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") < col("__old")).isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIterations rounds")
+    labels
+  }
+
   /** Containment pairs over winnowing fingerprints (graft.expr.WinnowSig):
     * documents sharing at least `minShared` rare selected hashes. Catches
     * CONTAINMENT (a long quote, a copied section, boilerplate-plus-new-text)

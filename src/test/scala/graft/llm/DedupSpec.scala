@@ -246,6 +246,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains merge, clusters stay separate, isolated nodes self-label") {
+    val nodes = (1L to 8L).toDF("id")
+    // component {1,2,3,4} via a chain, component {6,7}, isolated 5 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L), cc.toString)
+    // a long chain needs multiple propagation rounds (diameter > 2)
+    val chainN = 20L
+    val chain = (1L until chainN).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ccChain = Dedup.connectedComponents((1L to chainN).toDF("id"), chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ccChain.toSeq == Seq(1L))
+  }
+
   test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
     val boiler = "standard license header text identical across every single document in the corpus"
     val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"
