@@ -1047,6 +1047,25 @@ object Queries {
       Some(CURATION_SQL),
       bench = true),
 
+    Q("text_cms_counts",
+      // Count-Min frequency sketch over the corpus token stream, probed
+      // with the English stopword vocabulary: d=4 md5-derived hash rows ×
+      // w=1024 buckets, estimate = min over rows. Like the KMV sketch,
+      // the md5 buckets make the APPROXIMATE counters exactly
+      // reproducible in SQL.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val m = graft.analytics.Sketch.cmsMatrix(toks, col("tok"))
+        val probes = s.createDataset(TextStats.enStopwords)(
+          org.apache.spark.sql.Encoders.STRING).toDF("w")
+        graft.analytics.Sketch.cmsEstimate(m, probes, col("w"))
+          .select(col("item"), col("est_count").cast("long").as("est_count"))
+          .orderBy("item")
+      },
+      Some(CMS_SQL)),
+
     Q("text_winnow_fp",
       // Winnowing fingerprints (SIGMOD'03). With the default k=5 the
       // base-31 polynomial values stay under 2^27 — the "wrap-around"
@@ -1557,6 +1576,26 @@ object Queries {
        |FROM sigd a JOIN sigd b ON a.id < b.id
        |WHERE $ham <= 3
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Oracle for text_cms_counts: the same d×w counter matrix from the
+    * same md5-derived buckets, min over rows per probe.
+    */
+  private lazy val CMS_SQL: String = {
+    val stop = sqlList(TextStats.enStopwords)
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |              FROM documents),
+       |tr AS (SELECT tok, unnest([0, 1, 2, 3]) AS r FROM toks WHERE tok <> ''),
+       |tb AS (SELECT r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT r, md5(CAST(r AS VARCHAR) || '#' || tok) AS mh FROM tr)),
+       |m AS (SELECT r, bucket, count(*) AS cnt FROM tb GROUP BY r, bucket),
+       |pr AS (SELECT item, unnest([0, 1, 2, 3]) AS r
+       |       FROM (SELECT unnest($stop) AS item)),
+       |pb AS (SELECT item, r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pr))
+       |SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
+       |FROM pb LEFT JOIN m USING (r, bucket)
+       |GROUP BY item ORDER BY item""".stripMargin
   }
 
   /** Oracle for dedup_cc_labels: the same simhash pair set, components via

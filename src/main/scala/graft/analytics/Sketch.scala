@@ -54,4 +54,49 @@ object Sketch {
             greatest(col("__vk"), lit(1L)) * 1e6).cast("long"))
           .as("n_distinct_e6"))
   }
+
+  /** Row-r bucket of an item in a width-`w` Count-Min row: md5-derived, so
+    * any engine reproduces it (md5 of "r#item").
+    */
+  def cmsBucket(row: Int, item: Column, w: Int): Column =
+    pmod(hashPoint32(concat(lit(s"$row#"), item.cast("string"))), lit(w.toLong))
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) of an item
+    * stream: a d×w counter matrix, counter(r, c) = number of items whose
+    * row-r hash lands in bucket c. Fixed O(d·w) size regardless of stream
+    * length, mergeable by addition, estimate = min over rows (always an
+    * overcount, error ≤ 2n/w with prob 1-2^-d).
+    *
+    * One explode (×d) + one aggregation; the matrix is tiny and the
+    * md5-derived buckets make every counter — and thus every estimate —
+    * exactly reproducible in SQL, unlike a seeded-RNG sketch.
+    *
+    * @return (r, bucket, cnt) rows for the non-empty counters
+    */
+  def cmsMatrix(items: DataFrame, item: Column, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
+    val rows = items.select(item.as("__i"))
+      .select(col("__i"), explode(array((0 until d).map(lit): _*)).as("r"))
+      .select(col("r"), cmsBucket0(col("r"), col("__i"), w).as("bucket"))
+    rows.groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** cmsBucket with the row index as a column (internal explode form). */
+  private def cmsBucket0(row: Column, item: Column, w: Int): Column =
+    pmod(hashPoint32(concat(row.cast("string"), lit("#"), item.cast("string"))),
+      lit(w.toLong))
+
+  /** Point-query the sketch for each probe item: est = min over the d rows
+    * of the matching counter (0 when a row has no matching bucket — the
+    * item never appeared).
+    */
+  def cmsEstimate(matrix: DataFrame, probes: DataFrame, item: Column,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val p = probes.select(item.as("item"))
+      .select(col("item"), explode(array((0 until d).map(lit): _*)).as("r"))
+      .select(col("item"), col("r"), cmsBucket0(col("r"), col("item"), w).as("bucket"))
+    p.join(matrix, Seq("r", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

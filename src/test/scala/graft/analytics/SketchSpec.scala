@@ -25,6 +25,23 @@ class SketchSpec extends SparkSpec {
     assert(!out.contains("nulls"))
   }
 
+  test("CMS: never undercounts, exact when buckets are sparse, zero for absent items") {
+    val stream = Seq.fill(40)("apple") ++ Seq.fill(7)("pear") ++
+      (1 to 30).map(i => s"noise$i")
+    val items = stream.toDF("w")
+    val m = Sketch.cmsMatrix(items, col("w"), d = 4, w = 4096)
+    val probes = Seq("apple", "pear", "absent").toDF("w")
+    val est = Sketch.cmsEstimate(m, probes, col("w"), d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS is an overcount, and with 77 items in 4x4096 buckets collisions
+    // are vanishingly unlikely → exact here
+    assert(est("apple") == 40L, est.toString)
+    assert(est("pear") == 7L, est.toString)
+    assert(est("absent") == 0L, est.toString)
+    // the matrix is fixed-size: at most d*w rows regardless of stream size
+    assert(m.count() <= 4L * 4096L)
+  }
+
   test("kmvDistinct is deterministic and insensitive to row order") {
     val rows = (1 to 3000).map(i => ("g", (i % 997).toLong))
     val a = Sketch.kmvDistinct(rows.toDF("key", "v"), col("key"), col("v"), k = 32)
