@@ -34,7 +34,9 @@ object Bench {
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       Queries.benchSet.foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // failures surface in the timed pass
+        // NonFatal only: an OOM/VM error here leaves the session broken and
+        // must propagate, not resurface as confusing timed-pass failures
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     } else {
       spark.read.parquet(s"$sfDir/lineitem.parquet")

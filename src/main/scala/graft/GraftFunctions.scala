@@ -60,11 +60,18 @@ object GraftFunctions {
     // bit source (see Dedup.simhashMd5), default the fast xxhash64
     "simhash_bits" -> (es => { arity("simhash_bits", es, 1, 2)
       SimHashBits(es.head,
-        es.length > 1 && (es(1).eval() match {
-          case b: Boolean => b
-          case other => throw new IllegalArgumentException(
-            s"md5_base must be a boolean literal, got $other")
-        })) })
+        es.length > 1 && {
+          // foldable guard first: eval() on a non-literal (e.g. a column
+          // reference) throws an unbound-attribute internal error instead
+          // of this function's intended argument message
+          if (!es(1).foldable) throw new IllegalArgumentException(
+            s"md5_base must be a boolean literal, got ${es(1).sql}")
+          es(1).eval() match {
+            case b: Boolean => b
+            case other => throw new IllegalArgumentException(
+              s"md5_base must be a boolean literal, got $other")
+          }
+        }) })
   )
 
   /** Register every function on an existing session (temp functions). */

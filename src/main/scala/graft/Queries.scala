@@ -788,6 +788,24 @@ object Queries {
           |FROM final GROUP BY ROLLUP(region, purpose)
           |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
 
+    Q("dash_cube",
+      // cube(): all four grouping sets (detail, per-region, per-purpose,
+      // grand total) — the rollup's full-lattice sibling; gid orders the
+      // sets and disambiguates subtotal NULLs from data NULLs.
+      (s, d) => transformChain(s, d)
+        .cube(col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY CUBE(region, purpose)
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
     Q("join_asof",
       // as-of join (§2.12, no Spark native op): each click matched to the
       // user's latest view at-or-before it — union-tag + per-key ordered
@@ -938,6 +956,24 @@ object Queries {
         .orderBy("l_returnflag"),
       Some(KMV_SQL)),
 
+    Q("agg_kmv_quantiles",
+      // the sketch family's percentile member: per-lang token-count
+      // quantiles over a deterministic bottom-64-by-md5(doc_id) row
+      // sample — O(k) state per group at every stage (exact percentile
+      // ships EVERY group value to one reducer; see text_token_quantiles).
+      // md5 keying makes the approximate answer itself oracle-exact:
+      // DuckDB re-derives the identical sample, then the identical type-7
+      // interpolation.
+      (s, d) => graft.analytics.Sketch.kmvQuantiles(
+          tbl(s, d, "documents")
+            .withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("lang"), col("doc_id"), col("n_tokens"), k = 64)
+        .select(col("key").as("lang"), col("n_sample"),
+          e6(col("q0")).as("q25_e6"), e6(col("q1")).as("q50_e6"),
+          e6(col("q2")).as("q90_e6"), e6(col("q3")).as("q99_e6"))
+        .orderBy("lang"),
+      Some(KMV_QUANTILES_SQL)),
+
     Q("agg_salted_distinct",
       // skew-safe exact distinct count (value-hash salting spreads a hot
       // key's distinct set over many reducers) — same result as the plain
@@ -991,6 +1027,64 @@ object Queries {
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- set operations beyond union (§2.12) ---------------------------------
+
+    Q("setop_except",
+      // EXCEPT: the duplicate doc_ids the exact-dedup pass drops = all ids
+      // minus the kept ones. Spark `except` == SQL EXCEPT (distinct
+      // semantics), planned as a hash left-anti aggregation — one shuffle
+      // on the id, broadcastable when the kept side is small.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val kept = Dedup.exactDedupByKey(
+            docs.withColumn("fp", TextStats.fingerprint(col("text"))),
+            col("fp"), "doc_id")
+          .select("doc_id")
+        docs.select("doc_id").except(kept).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |EXCEPT
+          |SELECT min(doc_id) AS doc_id FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+          |GROUP BY fp
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("setop_intersect",
+      // INTERSECT: doc_ids landing in 'train' under two independent split
+      // salts — the reproducible-split analogue of a holdout-overlap audit.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        def train(salt: String) = docs
+          .select(col("doc_id"),
+            Corpus.splitAssign(col("doc_id"), salt = salt).as("split"))
+          .filter(col("split") === "train")
+          .select("doc_id")
+        train("graft").intersect(train("alt")).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666'
+          |INTERSECT
+          |SELECT doc_id FROM documents
+          |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#alt'), 1, 8) < 'e6666666'
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("setop_except_all",
+      // EXCEPT ALL: multiset difference (per-value count subtraction) of
+      // two lang streams — the bag semantics `except` silently collapses.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("lang")
+          .exceptAll(docs.filter(col("doc_id") % 3 === 0).select("lang"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang FROM documents WHERE doc_id % 2 = 0
+          |EXCEPT ALL
+          |SELECT lang FROM documents WHERE doc_id % 3 = 0
+          |ORDER BY lang""".stripMargin)),
+
     Q("text_pack_sequences",
       // GPT-style capacity packing: per-lang running token sum, each doc
       // assigned the 2048-token chunk its first token lands in
@@ -1010,7 +1104,7 @@ object Queries {
           |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
           |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
           |  FROM b)
-          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
           |  CAST(floor(CAST(st AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
           |  CAST(st % 2048 AS BIGINT) AS pack_offset
           |FROM c ORDER BY doc_id""".stripMargin)),
@@ -1066,6 +1160,27 @@ object Queries {
       },
       Some(CMS_SQL)),
 
+    Q("text_cms_heavy_hitters",
+      // Batch heavy-hitters on top of the Count-Min matrix: probe with the
+      // DISTINCT token set and keep items whose estimate clears φ = 1/32
+      // of the stream length. CMS never undercounts, so every true heavy
+      // hitter survives (perfect recall); the md5 buckets make each
+      // boundary decision identical in both engines. The support threshold
+      // rides a broadcast 1-row total — no driver-side collect.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val m = graft.analytics.Sketch.cmsMatrix(toks, col("tok"))
+        val est = graft.analytics.Sketch.cmsEstimate(m, toks.distinct(), col("tok"))
+        val total = toks.agg(count(lit(1)).as("__n"))
+        est.crossJoin(broadcast(total))
+          .filter(col("est_count") >= col("__n") / 32.0)
+          .select(col("item"), col("est_count").cast("long").as("est_count"))
+          .orderBy("item")
+      },
+      Some(CMS_HH_SQL)),
+
     Q("text_winnow_fp",
       // Winnowing fingerprints (SIGMOD'03). With the default k=5 the
       // base-31 polynomial values stay under 2^27 — the "wrap-around"
@@ -1104,7 +1219,8 @@ object Queries {
               |SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
               |FROM kept x JOIN kept y ON x.h = y.h AND x.id < y.id
               |GROUP BY x.id, y.id HAVING count(*) >= 3
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
 
     // ---- LLM ops: dedup -------------------------------------------------------
 
@@ -1166,6 +1282,23 @@ object Queries {
             Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
           .select("id_a", "id_b")
         Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .orderBy("id")
+      },
+      Some(CC_SQL),
+      bench = true),
+
+    Q("dedup_cc_labels_altstar",
+      // Same component contract computed by the alternating large-star/
+      // small-star algorithm — O(log² n) rounds regardless of diameter,
+      // the variant that survives chain-shaped duplicate graphs at scale.
+      // Oracled against the identical recursive-CTE truth as
+      // dedup_cc_labels (the two engines' outputs must agree exactly).
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponentsAltStar(docs.select(col("doc_id").as("id")), pairs)
           .orderBy("id")
       },
       Some(CC_SQL)),
@@ -1336,9 +1469,9 @@ object Queries {
     */
   private lazy val MM_DECODE_SQL: String = {
     val sumSelects = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
-      s"COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS f${j}_sum").mkString(",\n        ")
+      s"CAST(COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS BIGINT) AS f${j}_sum").mkString(",\n        ")
     val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
-      s"COALESCE(s.f${j}_sum, 0) AS f${j}_sum").mkString(",\n      ")
+      s"CAST(COALESCE(s.f${j}_sum, 0) AS BIGINT) AS f${j}_sum").mkString(",\n      ")
     s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
        |by AS (SELECT doc_id, i,
        |         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
@@ -1366,8 +1499,8 @@ object Queries {
        |sc AS (SELECT *, least(CAST(1.0 AS DOUBLE),
        |         least(CAST(32.0 AS DOUBLE) / w0, CAST(32.0 AS DOUBLE) / h0)) AS scale FROM g),
        |r AS (SELECT doc_id, hx, n,
-       |        greatest(1, CAST(trunc(w0 * scale) AS INT)) AS width,
-       |        greatest(1, CAST(trunc(h0 * scale) AS INT)) AS height,
+       |        CAST(greatest(1, trunc(w0 * scale)) AS INT) AS width,
+       |        CAST(greatest(1, trunc(h0 * scale)) AS INT) AS height,
        |        greatest(1, CAST(trunc((n * scale) * scale) AS BIGINT)) AS out_len
        |      FROM sc)
        |SELECT doc_id AS asset_id, $MM_MIME_SQL AS mime, width, height, out_len,
@@ -1495,6 +1628,26 @@ object Queries {
        |FROM b ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Oracle for agg_kmv_quantiles: identical bottom-64 sample (same md5
+    * hash points, id tiebreak), identical type-7 interpolation.
+    */
+  private lazy val KMV_QUANTILES_SQL: String = {
+    val k = 64
+    s"""WITH b AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    $hexHead32Sql AS h
+       |  FROM (SELECT lang, doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM b)
+       |SELECT lang, count(*) AS n_sample,
+       |  CAST(floor(quantile_cont(n_tokens, 0.25) * 1000000) AS BIGINT) AS q25_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.5)  * 1000000) AS BIGINT) AS q50_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.9)  * 1000000) AS BIGINT) AS q90_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
+       |FROM r WHERE rn <= $k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private lazy val MINHASH_PAIRS_SQL: String = {
     val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -1597,6 +1750,28 @@ object Queries {
        |FROM pb LEFT JOIN m USING (r, bucket)
        |GROUP BY item ORDER BY item""".stripMargin
   }
+
+  /** Oracle for text_cms_heavy_hitters: same matrix as CMS_SQL, probes =
+    * the distinct token set, same min-over-rows estimate, φ = 1/32 of the
+    * stream length as the support threshold.
+    */
+  private lazy val CMS_HH_SQL: String =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |              FROM documents),
+       |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+       |tr AS (SELECT tok, unnest([0, 1, 2, 3]) AS r FROM tk),
+       |tb AS (SELECT r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT r, md5(CAST(r AS VARCHAR) || '#' || tok) AS mh FROM tr)),
+       |m AS (SELECT r, bucket, count(*) AS cnt FROM tb GROUP BY r, bucket),
+       |pe AS (SELECT item, unnest([0, 1, 2, 3]) AS r
+       |       FROM (SELECT DISTINCT tok AS item FROM tk)),
+       |pb AS (SELECT item, r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pe)),
+       |est AS (SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
+       |        FROM pb LEFT JOIN m USING (r, bucket) GROUP BY item)
+       |SELECT item, est_count FROM est
+       |WHERE est_count >= (SELECT count(*) FROM tk) / 32.0
+       |ORDER BY item""".stripMargin
 
   /** Oracle for dedup_cc_labels: the same simhash pair set, components via
     * a recursive transitive-closure CTE, label = least(self, min reachable),

@@ -55,6 +55,45 @@ object Sketch {
           .as("n_distinct_e6"))
   }
 
+  /** Per-key approximate quantiles of `value` over a DETERMINISTIC uniform
+    * row sample: the k rows whose md5-derived id-hash is smallest (bottom-k
+    * in hash order = a fixed-size uniform sample, the KMV idea applied to
+    * sampling). Mergeable in the sketch sense — the bottom-k of a union is
+    * computable from per-partition bottom-k's, which is exactly what the
+    * heap-based TopKPerGroupExec's partial/final split does — so memory is
+    * O(k) per group at every stage, where exact percentile shuffles EVERY
+    * group value to one reducer (the 100 TB failure mode this twin exists
+    * for; `Corpus.tokenQuantiles` documents the exact form's limits).
+    *
+    * The hash is keyed on the row id, not the value: value-keyed sampling
+    * would weight by distinct values, biasing quantiles on skewed data.
+    * md5 keying makes the sample — and thus the approximate answer —
+    * exactly reproducible in any engine, same as kmvDistinct. Groups with
+    * <= k rows come out exact (the sample is the whole group).
+    *
+    * Returns (key, n_sample, q0..q{m-1}) with type-7 linear interpolation
+    * (what both Spark `percentile` and DuckDB `quantile_cont` compute).
+    * Sampling error is the standard order-statistic bound: rank error
+    * O(1/sqrt(k)) with high probability.
+    */
+  def kmvQuantiles(df: DataFrame, key: Column, id: Column, value: Column,
+      k: Int, fractions: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99)): DataFrame = {
+    require(k >= 2, s"kmvQuantiles needs k >= 2, got $k")
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1]: $fractions")
+    val base = df.filter(value.isNotNull)
+      .select(key.as("key"), id.as("id"), value.as("v"))
+      .withColumn("h", hashPoint32(col("id")))
+    // bottom-k by h ascending (heap keeps the k largest of -h); id tiebreak
+    // pins the sample even across the ~2^-32 hash-collision flukes
+    val sampled = graft.plans.TopK.perGroup(base, Seq("key"), -col("h"), col("id"), k)
+    sampled.groupBy("key")
+      .agg(count(lit(1)).as("n_sample"),
+        percentile(col("v"), array(fractions.map(lit): _*)).as("__qs"))
+      .select(Seq(col("key"), col("n_sample")) ++
+        fractions.indices.map(i => col("__qs").getItem(i).as(s"q$i")): _*)
+  }
+
   /** Row-r bucket of an item in a width-`w` Count-Min row: md5-derived, so
     * any engine reproduces it (md5 of "r#item").
     */

@@ -36,8 +36,11 @@ object Corpus {
     val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val cases = fractions.map(_._1).zip(bounds).dropRight(1)
     cases.foldRight(lit(fractions.last._1): Column) { case ((name, hi), rest) =>
-      when(h8 < lit(f"${math.floor(hi * 4294967296.0).toLong}%08x"), lit(name))
-        .otherwise(rest)
+      // clamp to 0xffffffff: a non-final cumulative bound that reaches 1.0
+      // (trailing zero-fraction buckets) would otherwise format as the
+      // 9-char "100000000", breaking the 8-hex-char lexicographic compare
+      val t = math.min(math.floor(hi * 4294967296.0).toLong, 0xFFFFFFFFL)
+      when(h8 < lit(f"$t%08x"), lit(name)).otherwise(rest)
     }
   }
 

@@ -141,8 +141,11 @@ object Dedup {
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes).as("est_jaccard"))
+        // SigAgreement: one fused primitive loop per pair. The zip_with +
+        // filter form it replaces is two interpreted CodegenFallback HOF
+        // traversals per candidate — the last interpreted loop this path had
+        (graft.expr.SigAgreement(col("sig_a"), col("sig_b")).cast("double") /
+          numHashes).as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
@@ -386,6 +389,75 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")
     labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the high-diameter scale path. Plain min-label propagation
+    * ([[connectedComponents]]) needs O(diameter) rounds: fine for shallow
+    * near-dup clusters, hopeless for chain-shaped graphs (a 10^6-link
+    * chain at 100 TB would run 10^6 joins). The star operations contract
+    * the graph toward stars in O(log² n) alternating rounds regardless of
+    * diameter:
+    *
+    *  - large-star: every node u links each STRICTLY LARGER neighbor v to
+    *    m(u) = min(Γ(u) ∪ {u}) — long tails fold onto local minima;
+    *  - small-star: on the larger→smaller orientation, every node u links
+    *    its smaller neighbors (and itself) to its minimum neighbor —
+    *    chains of minima collapse.
+    *
+    * Each operation is ONE groupBy-min plus ONE equi-join over the edge
+    * list (map-side combinable, no all-pairs stage); `localCheckpoint`
+    * truncates the iterative lineage exactly as in the propagation
+    * variant. Converged when the small-star edge set reaches a fixed
+    * point — the edges then ARE the component map (every non-minimum node
+    * points straight at its component's minimum id).
+    *
+    * Same contract as [[connectedComponents]]: (id, component) with
+    * component = min id in the cluster, isolated nodes labeling
+    * themselves — the two are interchangeable and parity-tested.
+    */
+  def connectedComponentsAltStar(nodes: DataFrame, pairs: DataFrame,
+      maxIterations: Int = 30): DataFrame = {
+    val ids = nodes.toDF("id")
+    // canonical larger→smaller orientation, self-loops and dups dropped
+    var edges = pairs.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty // an edgeless graph is already stars
+    var it = 0
+    while (!converged && it < maxIterations) {
+      // large-star over the symmetrized view: m(u) = min(Γ(u) ∪ {u});
+      // emit (v, m(u)) for v > u. m(u) ≤ u < v keeps hi/lo orientation.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mLarge = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val afterLarge = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint()
+      // small-star on hi→lo: m = min of u's smaller neighbors; relink
+      // those neighbors (less m itself) and u to m. All emitted edges
+      // keep hi > lo by construction.
+      val mSmall = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(mSmall, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mSmall.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      // fixed point: same edge multiset (counts equal + empty difference)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    require(converged,
+      s"connectedComponentsAltStar did not converge in $maxIterations rounds")
+    ids.join(edges.select(col("hi").as("id"), col("lo").as("component")).distinct(),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Containment pairs over winnowing fingerprints (graft.expr.WinnowSig):

@@ -35,7 +35,9 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("asset_id"),
       // deterministic fake mime from the id
-      element_at(typedlit(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4")),
+      // array(lit…), not typedlit: TypeTag reflection under foreign
+      // classloaders (REPL, some test harnesses) rejects typedlit literals
+      element_at(array(Seq("image/png", "image/jpeg", "audio/wav", "video/mp4").map(lit): _*),
         (pmod(col(idCol), lit(4)) + 1).cast("int")).as("mime"),
       col(payloadFrom).cast("binary").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
@@ -65,9 +67,12 @@ object Multimodal {
       val height = 16 + ((n / 64) % 64)
       val nFrames = if (mime.startsWith("video")) 1 + (n % 30) else 1
       // Integer byte-sums first, one double division at the end: no
-      // accumulated float rounding, so feats(j) * 255 * n recovers the
-      // exact integer sum (the cross-engine check the oracle runs) for
-      // any payload under ~8 MB per slot.
+      // accumulated float rounding, so round(feats(j) * 255 * n) recovers
+      // the exact integer sum (the cross-engine check the oracle runs)
+      // while the per-slot byte-sum stays below 2^23 — float32's 2^-24
+      // relative error times the sum must stay under 0.5. That is payloads
+      // of a few hundred KB at typical byte values, far above the test
+      // corpus's <1 KB payloads; store doubles if a corpus ever exceeds it.
       val sums = new Array[Long](featureDim)
       var i = 0
       while (i < n) { sums(i % featureDim) += (payload(i) & 0xff); i += 1 }

@@ -270,6 +270,12 @@ object TopK {
       tieCol: Column, k: Int, rankName: String = "rnk"): DataFrame = {
     require(!df.columns.contains(rankName),
       s"input already has a '$rankName' column; pass a different rankName")
+    // the appended sort-key aliases resolve BY NAME below — a pre-existing
+    // column of the same name would silently bind instead of the alias
+    Seq("__tk_ord", "__tk_tie").foreach { n =>
+      require(!df.columns.contains(n),
+        s"input already has a reserved '$n' column; rename it first")
+    }
     val spark = df.sparkSession
     installStrategy(spark)
     // alias the sort keys so the logical node only ever references

@@ -42,6 +42,30 @@ class SketchSpec extends SparkSpec {
     assert(m.count() <= 4L * 4096L)
   }
 
+  test("kmvQuantiles: exact below k, rank error bounded above k, order-insensitive") {
+    // "small" (40 rows < k=64): the sample IS the group → exact quantiles.
+    // "big" (4000 rows, values 1..4000 uniform): a 256-row uniform sample's
+    // median must land within ~3/sqrt(256) ≈ 19% rank error of the truth.
+    val rows = (1 to 40).map(i => ("small", i.toLong, i.toLong * 10)) ++
+      (1 to 4000).map(i => ("big", 1000L + i, i.toLong))
+    val df = rows.toDF("key", "id", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvQuantiles(d, col("key"), col("id"), col("v"), k = 256,
+          fractions = Seq(0.5))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val out = run(df)
+    val (nSmall, medSmall) = out("small")
+    assert(nSmall == 40L && medSmall == 205.0, // type-7 median of 10,20..400
+      s"small group must be exact: $out")
+    val (nBig, medBig) = out("big")
+    assert(nBig == 256L)
+    assert(math.abs(medBig - 2000.0) / 4000.0 < 0.19,
+      s"big-group median rank error too large: $medBig vs 2000")
+    // deterministic sample → identical answer under any row order
+    val shuffled = run(scala.util.Random.shuffle(rows).toDF("key", "id", "v"))
+    assert(shuffled == out)
+  }
+
   test("kmvDistinct is deterministic and insensitive to row order") {
     val rows = (1 to 3000).map(i => ("g", (i % 997).toLong))
     val a = Sketch.kmvDistinct(rows.toDF("key", "v"), col("key"), col("v"), k = 32)

@@ -42,6 +42,17 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(two("x") - 500L) < 100, two)
   }
 
+  test("splitAssign routes correctly when a cumulative bound reaches 1.0") {
+    // a trailing zero-fraction bucket makes the non-final cumulative bound
+    // hit 1.0 exactly; un-clamped that formats as 9-char "100000000" and
+    // the 8-char lexicographic compare misroutes nearly everything to "y"
+    val counts = spark.range(0, 1000).toDF("id")
+      .select(Corpus.splitAssign(col("id"),
+        Seq("x" -> 1.0, "y" -> 0.0), "a").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("x", 0L) >= 999L, counts) // ≤1-in-2^32 'ffffffff' flukes
+  }
+
   test("packSequences assigns chunk by the doc's first token (golden)") {
     // lang a: tokens 4,4,4 with capacity 10 → starts 0,4,8 → packs 0,0,0
     // lang b: tokens 9,9   with capacity 10 → starts 0,9   → packs 0,0

@@ -262,6 +262,44 @@ class DedupSpec extends SparkSpec {
     assert(ccChain.toSeq == Seq(1L))
   }
 
+  test("connectedComponentsAltStar matches label propagation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 120L
+    val pairs = (1 to 150).map(_ =>
+      (rnd.nextLong(n), rnd.nextLong(n))).toDF("id_a", "id_b")
+    val nodes = (0L until n).toDF("id")
+    val byProp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStar = Dedup.connectedComponentsAltStar(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar == byProp)
+  }
+
+  test("connectedComponentsAltStar collapses a high-diameter chain in few rounds") {
+    // a 400-node chain has diameter 399: label propagation's O(diameter)
+    // rounds would blow its iteration budget, the star alternation's
+    // O(log² n) must not — this is exactly the graph shape the variant
+    // exists for
+    val chainN = 400L
+    val chain = (1L until chainN).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsAltStar(
+        (1L to chainN).toDF("id"), chain, maxIterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.forall(_._2 == 1L), cc.filter(_._2 != 1L).take(5).toSeq.toString)
+  }
+
+  test("connectedComponentsAltStar handles empty edges and self-loops") {
+    val nodes = (1L to 4L).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsAltStar(nodes, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val loops = Seq((2L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsAltStar(nodes, loops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("winnowContainmentPairs finds a planted shared paragraph, filters boilerplate") {
     val boiler = "standard license header text identical across every single document in the corpus"
     val planted = "a very distinctive shared paragraph about zygomorphic quasar harmonics"

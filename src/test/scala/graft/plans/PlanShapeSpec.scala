@@ -51,4 +51,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
       "minhash candidate join must stay a bucket equi-join")
   }
+
+  test("minhash pair path has no interpreted HOFs (SigAgreement fused loop)") {
+    val p = plan(Queries.queryMap("dedup_minhash_pairs")(spark, sf))
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      "per-pair agreement regressed to interpreted higher-order functions")
+    assert(p.contains("sig_agreement"), "SigAgreement expression missing from plan")
+  }
 }

@@ -65,6 +65,17 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS spark={len(s)} duck={len(d)}"
             n_fail += 1
             continue
+        # dtype-strict: the driver hashes materialized values, so an int64
+        # column vs a float64 column fails there even when every value
+        # compares == in Python (12345 == 12345.0). Both frames come out of
+        # duckdb's .df() conversion, so dtypes are comparable apples-to-apples.
+        dmis = [(c, str(s[c].dtype), str(d[c].dtype))
+                for c in s.columns if s[c].dtype != d[c].dtype]
+        if dmis:
+            c, a, b = dmis[0]
+            results[name] = f"DTYPE col={c}: spark={a} duck={b}"
+            n_fail += 1
+            continue
         # row-order-sensitive value compare
         mismatch = None
         for c in s.columns:
