@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Dashboard
@@ -634,6 +635,43 @@ object Queries {
           |  count(*) AS n
           |FROM final GROUP BY 1 ORDER BY day""".stripMargin)),
 
+    Q("dash_dod_delta",
+      // analytic (non-ranking) window breadth: lag() day-over-day revenue
+      // delta plus percent_rank() of each day's revenue within its month.
+      // Both windows partition by month — bounded frames that shuffle once
+      // on the month key, never a global single-partition sort.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+        val byDay = Window.partitionBy(col("mon")).orderBy(col("day"))
+        val byRev = Window.partitionBy(col("mon")).orderBy(col("rev"))
+        daily
+          .withColumn("prev_rev", lag(col("rev"), 1).over(byDay))
+          .withColumn("pr", percent_rank().over(byRev))
+          .select(col("day").cast("string").as("day"),
+            (col("rev") * 100).cast("long").as("rev_c"),
+            ((col("rev") - col("prev_rev")) * 100).cast("long").as("delta_c"),
+            e6(col("pr")).as("pr_e6"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1),
+          |w AS (
+          |  SELECT day, rev,
+          |    lag(rev) OVER (PARTITION BY strftime(day, '%Y-%m') ORDER BY day) AS prev_rev,
+          |    percent_rank() OVER (PARTITION BY strftime(day, '%Y-%m') ORDER BY rev) AS pr
+          |  FROM daily)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(rev * 100 AS BIGINT) AS rev_c,
+          |  CAST((rev - prev_rev) * 100 AS BIGINT) AS delta_c,
+          |  CAST(floor(pr * 1000000) AS BIGINT) AS pr_e6
+          |FROM w ORDER BY day""".stripMargin)),
+
     Q("dash_filtered_avg",
       // §2.11 "dimension dropdown filters": the daily-avg line re-scoped by
       // purpose + region predicates (the dashboard's parameterized view).
@@ -735,6 +773,54 @@ object Queries {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bench = true),
+
+    Q("join_semi_anti",
+      // explicit LEFT SEMI + LEFT ANTI (§2.12): every customer flagged by
+      // order existence — semi and anti partition the table, so their
+      // union is exactly the EXISTS() truth. Both plan as one broadcast/
+      // hash join that ships only the key column, never duplicating
+      // customer rows on multi-order matches.
+      (s, d) => {
+        val c = tbl(s, d, "customer").select(col("c_custkey"))
+        val o = tbl(s, d, "orders").select(col("o_custkey"))
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .withColumn("has_orders", lit(true))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .withColumn("has_orders", lit(false))
+        semi.union(anti).orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey,
+          |  EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_full_outer",
+      // FULL OUTER (§2.12): negative-balance customer vs supplier counts
+      // per nation — either side can be absent, zero-filled after the
+      // coalesced key. One shuffle per pre-aggregated (tiny) side.
+      (s, d) => {
+        val c = tbl(s, d, "customer").filter(col("c_acctbal") < 0)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = tbl(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some(
+        """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          |           FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+          |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          |      FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+          |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+          |  COALESCE(c.n_cust, 0) AS n_cust,
+          |  COALESCE(s.n_supp, 0) AS n_supp
+          |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+          |ORDER BY nationkey""".stripMargin)),
 
     Q("dash_pivot_kind",
       // pivot (§2.12): per-region counts of sale vs rent listings as

@@ -371,7 +371,13 @@ object Dedup {
       .union(pairs.toDF("b", "a").select(col("a"), col("b")))
       .distinct()
       .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("component")).localCheckpoint()
+    // iterate ONLY over edge-touched nodes: near-dup graphs touch a small
+    // fraction of a corpus, and isolated nodes' labels never change — a
+    // 100 TB corpus with 1% near-dups shouldn't drag 99% of its ids
+    // through every propagation round. Isolated ids rejoin (self-labeled)
+    // in the final projection.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -388,7 +394,8 @@ object Dedup {
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")
-    labels
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
