@@ -672,6 +672,34 @@ object Queries {
           |  CAST(floor(pr * 1000000) AS BIGINT) AS pr_e6
           |FROM w ORDER BY day""".stripMargin)),
 
+    Q("dash_ntile_quartiles",
+      // ntile(): equal-height revenue quartile per day within its month —
+      // the dashboard's heat-coloring bucket. (rev, day) ordering pins the
+      // tie-break; the same month-bounded window shape as dash_dod_delta.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+        daily
+          .withColumn("quartile", ntile(4).over(
+            Window.partitionBy(col("mon")).orderBy(col("rev"), col("day"))))
+          .select(col("day").cast("string").as("day"),
+            (col("rev") * 100).cast("long").as("rev_c"),
+            col("quartile"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(rev * 100 AS BIGINT) AS rev_c,
+          |  CAST(ntile(4) OVER (PARTITION BY strftime(day, '%Y-%m')
+          |                      ORDER BY rev, day) AS INT) AS quartile
+          |FROM daily ORDER BY day""".stripMargin)),
+
     Q("dash_filtered_avg",
       // §2.11 "dimension dropdown filters": the daily-avg line re-scoped by
       // purpose + region predicates (the dashboard's parameterized view).
@@ -1155,6 +1183,21 @@ object Queries {
           |SELECT doc_id FROM documents
           |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#alt'), 1, 8) < 'e6666666'
           |ORDER BY doc_id""".stripMargin)),
+
+    Q("setop_intersect_all",
+      // INTERSECT ALL: multiset intersection (per-value count minimum) of
+      // the two lang streams — the counted twin of setop_except_all.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("lang")
+          .intersectAll(docs.filter(col("doc_id") % 3 === 0).select("lang"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang FROM documents WHERE doc_id % 2 = 0
+          |INTERSECT ALL
+          |SELECT lang FROM documents WHERE doc_id % 3 = 0
+          |ORDER BY lang""".stripMargin)),
 
     Q("setop_except_all",
       // EXCEPT ALL: multiset difference (per-value count subtraction) of

@@ -383,14 +383,18 @@ object Dedup {
     while (!converged && it < maxIterations) {
       val nbrMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id")).agg(min(col("component")).as("__nbr"))
+      // the changed flag is computed INSIDE the update join — the probe
+      // below then reads the checkpointed blocks instead of paying a
+      // second labels⋈next shuffle every round
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("__nbr"), col("component")) < col("component"))
+            .as("__chg"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") < col("__old")).isEmpty
-      labels = next
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIterations rounds")

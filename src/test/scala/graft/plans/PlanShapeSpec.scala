@@ -52,6 +52,16 @@ class PlanShapeSpec extends SparkSpec {
       "minhash candidate join must stay a bucket equi-join")
   }
 
+  test("semi/anti/full-outer queries plan their declared join types") {
+    val p1 = plan(Queries.queryMap("join_semi_anti")(spark, sf))
+    assert(p1.contains("LeftSemi") && p1.contains("LeftAnti"),
+      "semi/anti query lost its semi or anti join")
+    val p2 = plan(Queries.queryMap("join_full_outer")(spark, sf))
+    assert(p2.contains("FullOuter"), "full-outer query lost its join type")
+    assert(!p2.contains("Cartesian") && !p2.contains("NestedLoop"),
+      "full-outer degenerated to a product join")
+  }
+
   test("minhash pair path has no interpreted HOFs (SigAgreement fused loop)") {
     val p = plan(Queries.queryMap("dedup_minhash_pairs")(spark, sf))
     assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
