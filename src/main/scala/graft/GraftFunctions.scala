@@ -39,6 +39,8 @@ object GraftFunctions {
       DigitsOnly(es.head) }),
     "cosine_sim_e6" -> (es => { arity("cosine_sim_e6", es, 2, 2)
       CosineSimE6(es(0), es(1)) }),
+    "sig_agreement" -> (es => { arity("sig_agreement", es, 2, 2)
+      SigAgreement(es(0), es(1)) }),
     "minhash_sig" -> (es => { arity("minhash_sig", es, 1, 3)
       MinHashSig(es.head,
         if (es.length > 1) litInt(es(1), "shingleK") else 3,

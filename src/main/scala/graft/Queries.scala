@@ -850,6 +850,24 @@ object Queries {
           |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
           |ORDER BY nationkey""".stripMargin)),
 
+    Q("agg_collect_purposes",
+      // array-function breadth (§2.12): per-region distinct purpose list
+      // via collect_set → sort_array → array_join. The deterministic
+      // sorted-joined string is what makes a set-valued aggregate
+      // oracle-comparable; collect_set itself is a hash-agg buffer whose
+      // size is bounded by the dimension's cardinality, not the row count.
+      (s, d) => transformChain(s, d)
+        .groupBy("region")
+        .agg(array_join(sort_array(collect_set(col("purpose"))), ",").as("purposes"),
+          count_distinct(col("purpose")).as("n_purposes"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  string_agg(DISTINCT purpose, ',' ORDER BY purpose) AS purposes,
+          |  count(DISTINCT purpose) AS n_purposes
+          |FROM final GROUP BY region ORDER BY region""".stripMargin)),
+
     Q("dash_pivot_kind",
       // pivot (§2.12): per-region counts of sale vs rent listings as
       // columns — Spark pivot() with explicit values; the oracle uses

@@ -70,6 +70,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getLong(2) == viaCol.getLong(2))
   }
 
+  test("SQL sig_agreement matches the Column form") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS n")
+      .collect()(0).getInt(0)
+    assert(viaSql == 2)
+    val wrongArity = intercept[Exception] {
+      spark.sql("SELECT sig_agreement(array(1L))").collect()
+    }
+    assert(wrongArity.getMessage.contains("argument"), wrongArity.getMessage)
+  }
+
   test("SQL simhash_bits matches the Column form in both modes") {
     GraftFunctions.register(spark)
     Seq("the quick brown fox jumps over the lazy dog")
