@@ -868,6 +868,24 @@ object Queries {
           |  count(DISTINCT purpose) AS n_purposes
           |FROM final GROUP BY region ORDER BY region""".stripMargin)),
 
+    Q("agg_map_roundtrip",
+      // map-function breadth (§2.12): per-purpose region→count MAP built
+      // with map_from_entries over a sorted entry array, then exploded
+      // back to rows. The map is engine-internal plumbing under test
+      // (MapType agg buffers, map explode iteration order); the oracle
+      // checks the relational result it must round-trip to.
+      (s, d) => transformChain(s, d)
+        .groupBy("purpose", "region").agg(count(lit(1)).as("n"))
+        .groupBy("purpose")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("region"), col("n"))))).as("m"))
+        .select(col("purpose"), explode(col("m")).as(Seq("region", "n")))
+        .orderBy("purpose", "region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT purpose, region, count(*) AS n
+          |FROM final GROUP BY purpose, region ORDER BY purpose, region""".stripMargin)),
+
     Q("dash_pivot_kind",
       // pivot (§2.12): per-region counts of sale vs rent listings as
       // columns — Spark pivot() with explicit values; the oracle uses
