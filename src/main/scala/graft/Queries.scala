@@ -1452,6 +1452,23 @@ object Queries {
       Some(CC_SQL),
       bench = true),
 
+    Q("dedup_cc_keep",
+      // cluster-level dedup, the actionable form of the CC labels: one
+      // surviving doc (the min id) per transitive near-dup cluster, via a
+      // semi-join against the canonical-id set. The greater-id-drop rule
+      // this corrects over-drops chains.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        Dedup.keepClusterCanonical(docs.select("doc_id", "lang"), "doc_id", labels)
+          .orderBy("doc_id")
+      },
+      Some(CC_KEEP_SQL)),
+
     Q("dedup_cc_labels_altstar",
       // Same component contract computed by the alternating large-star/
       // small-star algorithm — O(log² n) rounds regardless of diameter,
@@ -1942,7 +1959,10 @@ object Queries {
     * a recursive transitive-closure CTE, label = least(self, min reachable),
     * isolated docs labeled with themselves.
     */
-  private lazy val CC_SQL: String =
+  /** Shared recursive-CTE prelude: simhash pairs → transitive closure →
+    * per-node min-label `lbl(id, component)`.
+    */
+  private lazy val CC_CTES: String =
     s"""WITH RECURSIVE $SIMHASH_CTES,
        |prs AS (SELECT a.id AS id_a, b.id AS id_b
        |        FROM sigd a JOIN sigd b ON a.id < b.id
@@ -1954,10 +1974,23 @@ object Queries {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |),
-       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
+
+  private lazy val CC_SQL: String =
+    s"""$CC_CTES
        |SELECT d.doc_id AS id, COALESCE(l.component, d.doc_id) AS component
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY id""".stripMargin
+
+  /** Oracle for dedup_cc_keep: the docs whose id IS their component's
+    * minimum label — exactly one survivor per transitive cluster.
+    */
+  private lazy val CC_KEEP_SQL: String =
+    s"""$CC_CTES
+       |SELECT d.doc_id, d.lang
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |WHERE COALESCE(l.component, d.doc_id) = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
   private lazy val TEXT_STATS_SQL: String =

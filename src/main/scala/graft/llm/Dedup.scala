@@ -402,6 +402,23 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Cluster-level dedup — the actionable form of [[connectedComponents]]:
+    * keep exactly one document (the minimum id, the cluster's canonical
+    * member) per transitive near-dup component. A label row with
+    * id == component IS the canonical member; everything else is a
+    * transitive near-duplicate of a kept doc. The greater-id-drop rule
+    * this replaces over-drops chains (A~B, B~C drops both B and C even
+    * when A≁C).
+    *
+    * One broadcast-able semi-join against the (small) canonical-id set —
+    * no extra shuffle of the corpus beyond the join itself.
+    */
+  def keepClusterCanonical(docs: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame =
+    docs.join(
+      labels.filter(col("id") === col("component")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the high-diameter scale path. Plain min-label propagation

@@ -262,6 +262,16 @@ class DedupSpec extends SparkSpec {
     assert(ccChain.toSeq == Seq(1L))
   }
 
+  test("keepClusterCanonical keeps one doc per cluster, unlike greater-id-drop") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "txt")
+    // chain 1~2, 2~3 (1 and 3 NOT directly similar), isolated 4
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    val kept = Dedup.keepClusterCanonical(docs, "doc_id", labels)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L), kept.toSeq.toString)
+  }
+
   test("connectedComponentsAltStar matches label propagation on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 120L

@@ -52,6 +52,19 @@ class PlanShapeSpec extends SparkSpec {
       "minhash candidate join must stay a bucket equi-join")
   }
 
+  test("scan prunes columns: daily-avg reads only the two columns it uses") {
+    val p = plan(Queries.queryMap("dash_daily_avg_orders")(spark, sf))
+    assert(p.contains("ReadSchema"), "no file scan in plan?")
+    assert(!p.contains("o_comment") && !p.contains("o_custkey"),
+      "scan reads columns the query never touches — pruning regressed")
+  }
+
+  test("filter pushdown reaches the events parquet scan") {
+    val p = plan(Queries.queryMap("join_range_events")(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      "event_type predicate no longer pushed to the scan")
+  }
+
   test("semi/anti/full-outer queries plan their declared join types") {
     val p1 = plan(Queries.queryMap("join_semi_anti")(spark, sf))
     assert(p1.contains("LeftSemi") && p1.contains("LeftAnti"),
