@@ -1306,6 +1306,15 @@ object Queries {
       Some(CURATION_SQL),
       bench = true),
 
+    Q("text_tfidf",
+      // TF-IDF salience with an exact rational idf (tf × (N·1e6 div df),
+      // all-integer — a log idf would hang the cross-engine compare on
+      // ln()'s last ulp). Vocabulary-sized df table broadcast back onto
+      // the tf aggregation; corpus count rides a broadcast 1-row total.
+      (s, d) => TextStats.tfIdf(tbl(s, d, "documents"))
+        .orderBy("doc_id", "tok"),
+      Some(TFIDF_SQL)),
+
     Q("text_cms_counts",
       // Count-Min frequency sketch over the corpus token stream, probed
       // with the English stopword vocabulary: d=4 md5-derived hash rows ×
@@ -1932,6 +1941,21 @@ object Queries {
        |FROM pb LEFT JOIN m USING (r, bucket)
        |GROUP BY item ORDER BY item""".stripMargin
   }
+
+  /** Oracle for text_tfidf: identical tf/df counts and the same exact
+    * integer-division idf.
+    */
+  private lazy val TFIDF_SQL: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |              FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT t.doc_id, t.tok, t.tf, d.df,
+      |  t.tf * ((n.n * 1000000) // d.df) AS score_e6
+      |FROM tf t JOIN df d USING (tok) CROSS JOIN n
+      |ORDER BY doc_id, tok""".stripMargin
 
   /** Oracle for text_cms_heavy_hitters: same matrix as CMS_SQL, probes =
     * the distinct token set, same min-over-rows estimate, φ = 1/32 of the

@@ -125,6 +125,33 @@ object TextStats {
     * [[langId]]) operation-for-operation, so values are bit-identical —
     * parity-tested in TextStatsSpec.
     */
+  /** TF-IDF-style per-(doc, token) salience with an exact RATIONAL idf:
+    * score_e6 = tf × (N·10⁶ div df), integer arithmetic end to end.
+    * A logarithmic idf would hang the cross-engine comparison on ln()'s
+    * last-ulp behavior; the rational form keeps the defining monotonicity
+    * (rarer token → larger idf, higher tf → higher score) while staying
+    * bit-deterministic in any engine with integer division.
+    *
+    * Scale shape: one (doc, token) aggregation (map-side combinable), a
+    * vocabulary-sized df table broadcast back onto it, and the corpus
+    * count as a broadcast 1-row total — no driver-side collect, no
+    * corpus-sized shuffle beyond the tf aggregation itself.
+    */
+  def tfIdf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.select(count(lit(1)).as("__n"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * expr("(__n * CAST(1000000 AS BIGINT)) div df")).as("score_e6"))
+  }
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val counted = docs.select(

@@ -77,6 +77,20 @@ class TextStatsSpec extends SparkSpec {
     assert(fast == ref)
   }
 
+  test("tfIdf golden: exact rational idf, rarer token scores higher") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextStats.tfIdf(docs)
+      .select("doc_id", "tok", "tf", "df", "score_e6")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // N=2; df: a=1, b=2, c=1 → idf_e6: a=2e6, b=1e6, c=2e6
+    assert(got((1L, "a")) == ((2L, 1L, 4000000L)), got.toString)
+    assert(got((1L, "b")) == ((1L, 2L, 1000000L)), got.toString)
+    assert(got((2L, "b")) == ((1L, 2L, 1000000L)), got.toString)
+    assert(got((2L, "c")) == ((1L, 1L, 2000000L)), got.toString)
+  }
+
   test("qualityScore stays in [0,1] across pathological inputs") {
     val inputs = Seq("", "a", "!!!!!!!!", "1234567890" * 50,
       "the and of to is in that it was for " * 20, "word " * 1000)
