@@ -41,6 +41,8 @@ object GraftFunctions {
       CosineSimE6(es(0), es(1)) }),
     "sig_agreement" -> (es => { arity("sig_agreement", es, 2, 2)
       SigAgreement(es(0), es(1)) }),
+    "sorted_set_contains_all" -> (es => { arity("sorted_set_contains_all", es, 2, 2)
+      SortedSetContainsAll(es(0), es(1)) }),
     "minhash_sig" -> (es => { arity("minhash_sig", es, 1, 3)
       MinHashSig(es.head,
         if (es.length > 1) litInt(es(1), "shingleK") else 3,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Dashboard
+import graft.analytics.{Bloom, Dashboard}
 import graft.etl.{Parse, Transform}
 import graft.expr.Transliterate
 import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
@@ -211,6 +211,15 @@ object Queries {
 
   val DUMP_DATE = "2026_08_12_080000"
   val FILE_NAME = "raw_properties_2026_08_12_080000.csv"
+
+  /** Bloom shapes: the join prune sizes for a small dim key set (fill
+    * stays ~0.1% at sf0.1, FP ~1e-9 — prune ≈ exact semi-join); the
+    * blocklist filter is deliberately small so false positives actually
+    * occur at test scale and the oracle proves it reproduces them.
+    */
+  private val BLOOM_JOIN_M = 1 << 14
+  private val BLOOM_LIST_M = 2048
+  private val BLOOM_K = 3
 
   /** Spark form of the full chain (the flagship query). */
   def transformChain(spark: SparkSession, dir: String): DataFrame =
@@ -1647,7 +1656,152 @@ object Queries {
         """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
           |f AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 1 + n % 30 ELSE 1 END AS nf FROM b)
           |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
-          |FROM f ORDER BY asset_id, frame_idx""".stripMargin))
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // ---- Bloom-filter pruning, stratified sampling, robust quality gates,
+    //      edit-distance dedup, grouping-sets / union-by-name breadth ------
+
+    Q("join_bloom_prune",
+      // Bloom-pruned fact-dim join: the dim side (European suppliers)
+      // builds an md5-deterministic Bloom filter (analytics/Bloom.scala);
+      // the fact scan is pruned by the codegen'd SortedSetContainsAll
+      // binary search BEFORE any exchange — the explicit, engine-portable
+      // form of Spark's runtime row-level filtering. False positives are
+      // swallowed by the exact broadcast join that follows, so the oracle
+      // is the PLAIN join SQL: the bloom may only ever change the plan,
+      // never the answer.
+      (s, d) => {
+        val dim = tbl(s, d, "supplier")
+          .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("n_name"))
+        val packed = Bloom.packSorted(
+          Bloom.bits(dim, col("s_suppkey"), BLOOM_JOIN_M, BLOOM_K))
+        val pruned = Bloom.prune(
+          tbl(s, d, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_suppkey"), packed, BLOOM_JOIN_M, BLOOM_K)
+        pruned.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(28,4)").multiply(10000).cast("long").as("revenue_e4"))
+          .orderBy("n_name")
+      },
+      Some(
+        """SELECT n_name, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true),
+
+    Q("text_bloom_blocklist",
+      // Blocklist filtering through the bloom, false positives VISIBLE:
+      // per-doc (bloom_hit, exact_hit) against a fingerprint blocklist.
+      // The md5-derived bit positions make the filter itself — including
+      // any false positive — bit-reproducible in DuckDB, so this oracle
+      // checks the bloom's exact semantics, not just the rescued answer.
+      (s, d) => {
+        val fp = tbl(s, d, "documents").select(col("doc_id"), col("source"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        val block = fp.filter(col("source").isin("src0", "src1"))
+          .select("fp").distinct()
+        val bbits = Bloom.bits(block, col("fp"), BLOOM_LIST_M, BLOOM_K)
+        val mem = Bloom.membership(fp, col("doc_id"), col("fp"),
+            bbits, BLOOM_LIST_M, BLOOM_K)
+          .select(col("id").as("doc_id"), col("might_contain").as("bloom_hit"))
+        val exact = fp.join(broadcast(block.withColumn("__b", lit(1))), Seq("fp"), "left")
+          .select(col("doc_id"), col("__b").isNotNull.as("exact_hit"))
+        mem.join(exact, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some(BLOOM_BLOCKLIST_SQL)),
+
+    Q("text_stratified_sample",
+      // deterministic per-language quota rebalancing: bottom-40 docs per
+      // lang in md5(doc_id)-hash order via the heap-based top-k exec —
+      // exact stratum sizes, no RNG, oracle re-derives the identical set
+      (s, d) => Corpus.stratifiedSample(
+          tbl(s, d, "documents"), col("lang"), col("doc_id"), quota = 40)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"))
+        .orderBy("lang", "doc_id"),
+      Some(STRATIFIED_SAMPLE_SQL)),
+
+    Q("text_robust_outliers",
+      // median/MAD length-anomaly gate per language — the robust quality
+      // filter (mean/stddev breaks down on the exact blobs it should
+      // catch); every intermediate is an exact x.0/x.5 double on integer
+      // token counts, so even the boolean flag is oracle-exact
+      (s, d) => TextStats.robustOutliers(
+          tbl(s, d, "documents").withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("lang"), col("doc_id"), col("n_tokens"), cutoff = 2.0)
+        .select(col("grp").as("lang"), col("id").as("doc_id"),
+          col("v").cast("long").as("n_tokens"),
+          e6(col("med")).as("med_e6"), e6(col("mad")).as("mad_e6"),
+          col("is_outlier"))
+        .orderBy("doc_id"),
+      Some(ROBUST_OUTLIERS_SQL)),
+
+    Q("dedup_edit_distance_pairs",
+      // character-level near-dup complement to the word-set measures:
+      // banded levenshtein(l, r, threshold) inside (lang, length-bucket)
+      // blocks with the |len diff| <= maxDist necessary-condition pushed
+      // into the join predicate. Exact/oracle path (quasi-quadratic in a
+      // block) — MinHash/SimHash banding stays the scale path.
+      (s, d) => Dedup.editDistancePairs(
+          tbl(s, d, "documents"), "text", "doc_id", "lang", maxDist = 64)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH b AS (SELECT doc_id, text, lang, length(text) AS len,
+          |            CAST(floor(length(text) / 64) AS BIGINT) AS lb FROM documents),
+          |p AS (SELECT doc_id, text, lang, len, unnest([lb, lb + 1]) AS lb FROM b)
+          |SELECT least(x.doc_id, y.doc_id) AS id_a, greatest(x.doc_id, y.doc_id) AS id_b,
+          |  CAST(min(levenshtein(x.text, y.text)) AS INT) AS dist
+          |FROM b x JOIN p y ON x.lang = y.lang AND x.lb = y.lb
+          |  AND x.doc_id <> y.doc_id AND abs(x.len - y.len) <= 64
+          |GROUP BY 1, 2 HAVING min(levenshtein(x.text, y.text)) <= 64
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dash_grouping_sets",
+      // explicit GROUPING SETS beyond rollup/cube: the two one-dimension
+      // summaries in ONE pass over the chain (no detail level, no grand
+      // total — a set cube() cannot express without post-filtering)
+      (s, d) => transformChain(s, d)
+        .groupingSets(Seq(Seq(col("region")), Seq(col("purpose"))),
+          col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY GROUPING SETS ((region), (purpose))
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
+    Q("setop_union_by_name",
+      // schema-evolution union: two projections with different column
+      // sets aligned BY NAME, absent columns null-filled — the set-op
+      // the positional UNION family can't express
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val a = docs.filter(col("lang") === "en")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val b = docs.filter(col("lang") === "de")
+          .select(col("doc_id"), col("source"), col("lang"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+          |UNION ALL BY NAME
+          |SELECT doc_id, source, lang FROM documents WHERE lang = 'de'
+          |ORDER BY doc_id""".stripMargin))
   )
 
   // def, not val: the strict `all` vector forces the lazy MM_*_SQL strings
@@ -1800,6 +1954,65 @@ object Queries {
     val mult = 1L << (4 * (7 - c))
     s"(strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1) * $mult"
   }.mkString(" + ")
+
+  /** UNION ALL of the k per-row Bloom positions of column `fp` from table
+    * `src` — the SQL mirror of Bloom.positions (md5("r#" || fp) head-32
+    * mod m), with `extra` columns carried through.
+    */
+  private def bloomPosSql(src: String, m: Int, extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else s"$extra, "
+    (0 until BLOOM_K).map { r =>
+      s"""SELECT $ex($hexHead32Sql) % $m AS pos
+         |  FROM (SELECT ${ex}md5('$r#' || fp) AS mh FROM $src)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+  }
+
+  /** Oracle for text_bloom_blocklist: the filter's set bits, every probe's
+    * k positions, and the all-k-present test re-derived bit-for-bit —
+    * false positives and all.
+    */
+  private def BLOOM_BLOCKLIST_SQL: String =
+    s"""WITH fp AS (SELECT doc_id, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+       |block AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src0', 'src1')),
+       |bpos AS (SELECT DISTINCT pos FROM (
+       |  ${bloomPosSql("block", BLOOM_LIST_M)}
+       |)),
+       |ppos AS (
+       |  ${bloomPosSql("fp", BLOOM_LIST_M, extra = "doc_id")}
+       |),
+       |bh AS (SELECT p.doc_id, count(b.pos) = $BLOOM_K AS bloom_hit
+       |       FROM ppos p LEFT JOIN bpos b USING (pos) GROUP BY p.doc_id),
+       |eh AS (SELECT doc_id, fp IN (SELECT fp FROM block) AS exact_hit FROM fp)
+       |SELECT doc_id, bloom_hit, exact_hit FROM bh JOIN eh USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_stratified_sample: identical md5 hash points, bottom
+    * 40 per language with the same doc_id tiebreak.
+    */
+  private def STRATIFIED_SAMPLE_SQL: String =
+    s"""WITH h AS (SELECT lang, doc_id, ($hexHead32Sql) AS h
+       |  FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents)),
+       |r AS (SELECT lang, doc_id,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+       |SELECT lang, doc_id FROM r WHERE rn <= 40 ORDER BY lang, doc_id""".stripMargin
+
+  /** Oracle for text_robust_outliers: DuckDB median() is the same type-7
+    * interpolation as Spark percentile(0.5); on integer token counts the
+    * med/mad/flag arithmetic is exact in both engines.
+    */
+  private def ROBUST_OUTLIERS_SQL: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n FROM documents),
+      |m AS (SELECT lang, median(n) AS med FROM t GROUP BY lang),
+      |d AS (SELECT t.doc_id, t.lang, t.n, m.med, abs(n - med) AS ad FROM t JOIN m USING (lang)),
+      |md AS (SELECT lang, median(ad) AS mad FROM d GROUP BY lang)
+      |SELECT d.lang, d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+      |  CAST(floor(med * 1000000) AS BIGINT) AS med_e6,
+      |  CAST(floor(mad * 1000000) AS BIGINT) AS mad_e6,
+      |  ad > 2.0 * mad AS is_outlier
+      |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin
 
   /** Oracle for agg_kmv_distinct: same hash points, same k minima, same
     * estimator arithmetic (double-exact constant, one division).

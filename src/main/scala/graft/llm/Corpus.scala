@@ -146,4 +146,33 @@ object Corpus {
     canonical.select(col("doc_id"), col("lang_guess"), col("quality_e6"),
       splitAssign(col("doc_id")).as("split"))
   }
+
+  /** Deterministic stratified quota sample: the `quota` rows of each
+    * stratum (e.g. language) whose md5-derived id-hash is smallest — the
+    * bottom-k-in-hash-order idea of [[graft.analytics.Sketch.kmvQuantiles]]
+    * applied to corpus REBALANCING. A language-skewed crawl (90% en) comes
+    * out with ≤ quota docs per language, uniformly sampled within each.
+    *
+    * Properties a `sampleBy`-style Bernoulli sample lacks:
+    *  - exact output size per stratum (min(quota, |stratum|), never ±√n);
+    *  - determinism: same corpus → same sample on any engine or
+    *    partitioning (md5, no seeded RNG), and a grown corpus only ever
+    *    SWAPS sample members whose hash displaces a larger one — so the
+    *    selection is engine-portable and oracle-checkable.
+    *
+    * Scale shape: hash is narrow; the bottom-k per group runs on the
+    * heap-based TopKPerGroupExec (partial heaps before the exchange), so
+    * state is O(quota) per stratum at every stage — no per-group sort, no
+    * global sample table.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val base = df.select(stratum.as("stratum"), id.as("id"),
+      graft.analytics.Sketch.hashPoint32(id).as("__h"))
+    // bottom-quota by hash ascending (heap keeps the quota largest of -h);
+    // id tiebreak pins the sample across ~2^-32 hash-collision flukes
+    graft.plans.TopK.perGroup(base, Seq("stratum"), -col("__h"), col("id"), quota)
+      .select(col("stratum"), col("id"))
+  }
 }

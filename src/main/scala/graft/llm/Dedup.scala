@@ -339,6 +339,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact edit-distance (Levenshtein) near-dup pairs with the same
+    * (lang, length-bucket + adjacent-probe) blocking as
+    * [[jaccardNearDupPairs]] — the character-level complement to the
+    * word-set measures: it catches single-char OCR noise, diacritic
+    * mangling, and small in-place edits that leave the word SET intact
+    * (jaccard 1.0) yet matter for byte-exact corpora.
+    *
+    * Two pre-join/early-exit bounds keep the quadratic block honest:
+    * |len(a) - len(b)| ≤ maxDist is NECESSARY for distance ≤ maxDist, so
+    * the join predicate drops most candidates before any O(n·m) work; the
+    * survivors use Spark's banded `levenshtein(l, r, threshold)`, which
+    * abandons a pair at O(n·maxDist) the moment its distance provably
+    * exceeds the threshold (returning -1, filtered here).
+    *
+    * SCALE NOTE: like the jaccard form, quasi-quadratic within a block —
+    * the exact/oracle path for small corpora or for VERIFYING candidate
+    * pairs that MinHash/SimHash banding (the scale path) proposes.
+    */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, maxDist: Int, bucketChars: Int = 64): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      col(langCol).as("lang"), length(col(textCol)).as("len"),
+      floor(length(col(textCol)) / bucketChars).as("lb"))
+    // adjacent-bucket probe + least/greatest canonicalization: symmetric
+    // blocking, every boundary pair found once (see jaccardNearDupPairs)
+    val probes = base.select(col("id"), col("t"), col("lang"), col("len"),
+      explode(array(col("lb"), col("lb") + 1)).as("lb"))
+    base.as("x").join(probes.as("y"),
+        col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
+          col("x.id") =!= col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        levenshtein(col("x.t"), col("y.t"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+  }
+
   /** Connected components over a near-duplicate pair list by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round every node takes the minimum of its label and its

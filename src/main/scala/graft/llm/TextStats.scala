@@ -197,4 +197,35 @@ object TextStats {
       fingerprint(col("__t")).as("fp")
     )
   }
+
+  /** Robust per-group outlier flagging by median/MAD — the quality gate a
+    * mean/stddev z-score can't be: a handful of 100 MB crawl blobs drags a
+    * mean-based threshold far enough to wave every other anomaly through,
+    * while the median and the median-absolute-deviation ignore them
+    * entirely (50% breakdown point vs 0%).
+    *
+    * Flags rows with |value - median| > cutoff × MAD. Both medians use
+    * percentile(0.5) (type-7 interpolation, same as DuckDB median()), so
+    * on integer inputs every intermediate is an exact x.0/x.5 double and
+    * the flag is bit-reproducible cross-engine.
+    *
+    * Scale shape: two grouped EXACT percentiles (each ships its group's
+    * values to one reducer — fine for per-LANGUAGE groups, whose count is
+    * tiny and bounded; for per-group cardinalities that grow with the
+    * corpus use the O(k)-state [[graft.analytics.Sketch.kmvQuantiles]]
+    * sample median instead) and two broadcast joins of tiny per-group
+    * frames back onto the narrow doc stream.
+    */
+  def robustOutliers(df: DataFrame, group: Column, id: Column, value: Column,
+      cutoff: Double = 2.0): DataFrame = {
+    require(cutoff > 0.0, s"cutoff must be positive, got $cutoff")
+    val base = df.select(group.as("grp"), id.as("id"), value.cast("double").as("v"))
+    val med = base.groupBy("grp").agg(percentile(col("v"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("abs_dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy("grp").agg(percentile(col("abs_dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .select(col("grp"), col("id"), col("v"), col("med"), col("mad"),
+        (col("abs_dev") > col("mad") * cutoff).as("is_outlier"))
+  }
 }
