@@ -44,11 +44,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // two timed passes, min per query: a transient noisy-neighbor spike in
+    // Two timed passes, min per query: a transient noisy-neighbor spike in
     // one pass (the driver's r02 run showed 10-14 s outliers on ~1 s
-    // queries) doesn't misreport the engine's speed
+    // queries) doesn't misreport the engine's speed. The second pass runs in
+    // REVERSE query order: a sustained machine-load window then inflates
+    // DIFFERENT queries in each pass, so min-per-query rejects it — same-order
+    // passes let one load window contaminate the same queries twice
+    // (VERDICT r4 §wrong.1: positions 2-12 inflated 2.2-2.9x in both passes).
     var failed = Set.empty[String]
-    def timedPass(): Seq[(String, Double)] = Queries.benchSet.map { q =>
+    def timeOne(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -56,14 +60,30 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           failed += q.name
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = timedPass().toMap
-    val results = timedPass().map { case (n, t2) => n -> math.min(pass1(n), t2) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Canary: one fixed small query timed at start / between passes / end.
+    // Identical work each time, so divergent canary timings expose a
+    // contaminated run directly in the artifact.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryStart = canary()
+    val pass1 = Queries.benchSet.map(q => q.name -> timeOne(q))
+    val canaryMid = canary()
+    val pass2 = Queries.benchSet.reverse.map(q => q.name -> timeOne(q))
+    val canaryEnd = canary()
+    val p2 = pass2.toMap
+    val results = pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

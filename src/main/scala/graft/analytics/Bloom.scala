@@ -73,10 +73,15 @@ object Bloom {
     * membership test runs fused in the scan stage — `df` reaches its next
     * operator already pruned, with no shuffle spent on dropped rows.
     */
-  def prune(df: DataFrame, item: Column, packed: DataFrame, m: Int, k: Int): DataFrame =
-    df.crossJoin(broadcast(packed))
-      .filter(SortedSetContainsAll(col("set"), positions(item, m, k)))
-      .drop("set")
+  def prune(df: DataFrame, item: Column, packed: DataFrame, m: Int, k: Int): DataFrame = {
+    // collision-proof internal alias (ADVICE r4): an input df that already
+    // carries a `set` column must neither hit ambiguous resolution in the
+    // filter nor lose its own column on the drop
+    val packedAliased = packed.toDF("__bloom_set")
+    df.crossJoin(broadcast(packedAliased))
+      .filter(SortedSetContainsAll(col("__bloom_set"), positions(item, m, k)))
+      .drop("__bloom_set")
+  }
 
   /** Oracle-path probe: (id, might_contain) via explode + broadcast join +
     * count == k — the form a SQL oracle replays verbatim. Exactly the
@@ -86,8 +91,12 @@ object Bloom {
     */
   def membership(df: DataFrame, id: Column, item: Column,
       bitsDf: DataFrame, m: Int, k: Int): DataFrame = {
-    val probes = df.select(id.as("id"), explode(positions(item, m, k)).as("pos"))
-    probes.join(broadcast(bitsDf.withColumn("__in", lit(1))), Seq("pos"), "left")
-      .groupBy("id").agg((count(col("__in")) === k).as("might_contain"))
+    // internal names are __bloom_-prefixed for the same collision-proofing
+    // as prune(); `id`/`might_contain` are the documented output contract
+    val probes = df.select(id.as("id"),
+      explode(positions(item, m, k)).as("__bloom_pos"))
+    val marked = bitsDf.select(col("pos").as("__bloom_pos"), lit(1).as("__bloom_in"))
+    probes.join(broadcast(marked), Seq("__bloom_pos"), "left")
+      .groupBy("id").agg((count(col("__bloom_in")) === k).as("might_contain"))
   }
 }

@@ -31,11 +31,13 @@ object Dashboard {
   /** "frequency in %" donut: share of rows per dimension value. */
   def shareByDim(df: DataFrame, dim: String): DataFrame = {
     val counts = df.groupBy(col(dim)).agg(count(lit(1)).as("n"))
-    // total via cross-join of a 1-row aggregate: Catalyst plans a broadcast
-    // nested-loop join of a scalar — no global window, scales to any
-    // cardinality of `dim`.
+    // total via cross-join of a 1-row aggregate: a broadcast nested-loop
+    // join of a scalar — no global window, scales to any cardinality of
+    // `dim`. The broadcast hint is explicit (not left to stats estimation)
+    // so a misestimate can never pick a shuffle BNLJ, matching Bloom.prune
+    // and TextStats.tfIdf.
     val total = df.agg(count(lit(1)).as("total"))
-    counts.crossJoin(total)
+    counts.crossJoin(broadcast(total))
       .withColumn("pct", col("n") * 100.0 / col("total"))
       .drop("total")
       .orderBy(col(dim))
