@@ -1093,15 +1093,19 @@ object Queries {
       bench = true),
 
     Q("agg_approx_distinct",
-      // HLL++ approximate distincts (deterministic for fixed data/config but
-      // not reproducible by DuckDB's HLL — rows-only check; the tolerance
-      // vs exact counts is unit-tested in DashboardSpec).
-      (s, d) => tbl(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts"))
+      // md5-register HyperLogLog: the same raw estimator as the builtin
+      // approx_count_distinct, but with engine-portable registers (bucket =
+      // md5 head, rho = leading zeros of the tail) and integer-space
+      // harmonic sum, so the APPROXIMATE answer itself is oracle-exact —
+      // closing r4's one rows-only row. The builtin (xxhash64 + private
+      // registers, unreplayable by any oracle) stays as the unit-compared
+      // twin in SketchSpec.
+      (s, d) => graft.analytics.Sketch.hllDistinct(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))
+        .select(col("key").as("l_returnflag"), col("n_distinct_e6"))
         .orderBy("l_returnflag"),
-      None),
+      Some(graft.analytics.Sketch.hllDistinctSql(
+        "lineitem", "l_returnflag", "l_returnflag", "l_partkey"))),
 
     Q("agg_kmv_distinct",
       // KMV/bottom-k distinct sketch: approximate like HLL, but built on

@@ -94,6 +94,141 @@ object Sketch {
         fractions.indices.map(i => col("__qs").getItem(i).as(s"q$i")): _*)
   }
 
+  /** HLL parameters shared by the Spark form and the SQL oracle so both
+    * spell IDENTICAL estimator arithmetic (see [[hllDistinct]]).
+    *
+    * @param bucketHexChars b: register index = first b md5 hex chars
+    *                       (m = 16^b registers)
+    * @param tailHexChars   t: rho is computed over the next t hex chars
+    *                       (4t bits); rho ∈ [1, 4t+1]
+    */
+  final case class HllParams(bucketHexChars: Int = 2, tailHexChars: Int = 12) {
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars must be in [1,4], got $bucketHexChars")
+    require(tailHexChars >= 1 && tailHexChars <= 13,
+      s"tailHexChars must be in [1,13], got $tailHexChars")
+    val m: Int = 1 << (4 * bucketHexChars)
+    /** rho upper bound (all-zero tail) — also the fixed-point scale R:
+      * Σ 2^-rho is summed as Σ 2^(R-rho), an exact BIGINT.
+      */
+    val rhoCap: Int = 4 * tailHexChars + 1
+    /** Flajolet et al.'s alpha_m bias constant. */
+    val alpha: Double = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case mm => 0.7213 / (1.0 + 1.079 / mm)
+    }
+    /** The full numerator alpha·m²·2^R as ONE double literal: computed once
+      * here, embedded verbatim (Double.toString round-trips exactly, and
+      * decimal→double parsing is correctly rounded in both the JVM and
+      * DuckDB) so both engines divide the same numerator by the same
+      * integer-derived denominator.
+      */
+    val numerator: Double = alpha * m * m * math.pow(2.0, rhoCap)
+  }
+
+  /** Per-key HyperLogLog distinct count (Flajolet, Fusy, Gandouet, Meunier,
+    * "HyperLogLog: the analysis of a near-optimal cardinality estimation
+    * algorithm", AofA 2007) built on md5 registers so the APPROXIMATE
+    * answer is exactly reproducible in any SQL engine — the HLL member of
+    * the KMV/CMS/Bloom md5-portable sketch family, closing the one
+    * rows-only row the builtin approx_count_distinct (whose xxhash64 +
+    * engine-private registers no oracle can replay) left on the board.
+    *
+    * Construction, identical in both engines:
+    *  - register index = first b md5 hex chars of the value (m = 16^b);
+    *  - rho = 1 + number of leading zero BITS of the next t hex chars
+    *    (counted via strip-leading-'0'-chars + a 4-way CASE on the first
+    *    nonzero hex digit — pure string ops, no bit intrinsics needed),
+    *    capped at 4t+1 on an all-zero tail;
+    *  - register value M_j = max rho per (key, register);
+    *  - raw estimate E = alpha·m² / Σ_j 2^-M_j with EVERY register
+    *    counted — absent registers contribute 2^-0 = 1 via the
+    *    (m - nb) term.
+    *
+    * Determinism: the harmonic sum is computed in INTEGER space —
+    * Σ 2^(R-M_j) with R = 4t+1 is a sum of exact BIGINTs (each ≤ 2^(R-1),
+    * total < 2^(R+b·4) — fits int64 for every legal param), so it is
+    * order-independent where a double sum of 2^-M_j would round
+    * differently under Spark's vs DuckDB's reduction order. The only
+    * floating-point steps are one int64→double cast, one division by the
+    * shared literal numerator, one ×1e6 and a floor — each IEEE-exact
+    * deterministic, so the fixed-point result hash-matches cross-engine.
+    *
+    * The classic small/large-range corrections are deliberately OMITTED
+    * (they need ln(), whose last-ulp rounding libms don't agree on); this
+    * is the raw estimator, accurate in the n ≳ 2.5m regime the sketch
+    * targets — callers needing exactness on small groups use the KMV twin,
+    * which degrades to exact there. Scale shape: one (key, bucket)
+    * hash-agg (map-side combinable, ≤ m rows per key out) + one tiny
+    * final agg; O(m) state per key at every stage; no distinct shuffle of
+    * the raw values at all.
+    */
+  def hllDistinct(df: DataFrame, key: Column, value: Column,
+      params: HllParams = HllParams()): DataFrame = {
+    val p = params
+    val mh = md5(value.cast("string").cast("binary"))
+    val tail = substring(mh, p.bucketHexChars + 1, p.tailHexChars)
+    // leading zero bits of the tail, via hex-char string surgery: each
+    // stripped '0' char is 4 zero bits; the first nonzero hex digit adds
+    // 0-3 more (1→3, 2-3→2, 4-7→1, 8-f→0)
+    val stripped = regexp_replace(tail, "^0+", "")
+    val firstNz = substring(stripped, 1, 1)
+    val extra = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(stripped) === 0, p.rhoCap)
+      .otherwise((lit(p.tailHexChars) - length(stripped)) * 4 + extra + 1)
+    val registers = df.filter(value.isNotNull)
+      .select(key.as("key"), substring(mh, 1, p.bucketHexChars).as("bucket"),
+        rho.as("rho"))
+      .groupBy("key", "bucket").agg(max(col("rho")).as("rmax"))
+    registers.groupBy("key")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${p.rhoCap} - rmax)")).as("si"))
+      .select(col("key"),
+        floor(lit(p.numerator) /
+            (shiftleft(lit(p.m.toLong) - col("nb"), p.rhoCap) + col("si"))
+              .cast("double") * 1e6)
+          .cast("long").as("n_distinct_e6"))
+  }
+
+  /** The DuckDB oracle for [[hllDistinct]] over a (keyExpr, valueExpr)
+    * pair — generated HERE, next to the Spark form, so the two can never
+    * drift: same b/t/R constants, same CASE table, same integer-space
+    * harmonic sum, same literal numerator.
+    */
+  def hllDistinctSql(table: String, keyExpr: String, keyName: String,
+      valueExpr: String, params: HllParams = HllParams()): String = {
+    val p = params
+    val b = p.bucketHexChars
+    val t = p.tailHexChars
+    s"""WITH v AS (SELECT DISTINCT $keyExpr AS key, md5(CAST($valueExpr AS VARCHAR)) AS mh
+       |           FROM $table WHERE $valueExpr IS NOT NULL),
+       |r AS (SELECT key, substring(mh, 1, $b) AS bucket,
+       |        regexp_replace(substring(mh, ${b + 1}, $t), '^0+', '') AS st
+       |      FROM v),
+       |q AS (SELECT key, bucket,
+       |        CASE WHEN length(st) = 0 THEN ${p.rhoCap}
+       |             ELSE 4 * ($t - length(st)) +
+       |                  CASE WHEN substring(st, 1, 1) = '1' THEN 3
+       |                       WHEN substring(st, 1, 1) IN ('2', '3') THEN 2
+       |                       WHEN substring(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                       ELSE 0 END + 1 END AS rho
+       |      FROM r),
+       |g AS (SELECT key, bucket, max(rho) AS rmax FROM q GROUP BY key, bucket),
+       |a AS (SELECT key, count(*) AS nb,
+       |        CAST(sum(CAST(1 AS BIGINT) << (${p.rhoCap} - rmax)) AS BIGINT) AS si
+       |      FROM g GROUP BY key)
+       |SELECT key AS $keyName,
+       |  CAST(floor(${p.numerator} /
+       |      CAST((CAST(${p.m} - nb AS BIGINT) << ${p.rhoCap}) + si AS DOUBLE) * 1000000)
+       |    AS BIGINT) AS n_distinct_e6
+       |FROM a ORDER BY $keyName""".stripMargin
+  }
+
   /** Row-r bucket of an item in a width-`w` Count-Min row: md5-derived, so
     * any engine reproduces it (md5 of "r#item").
     */

@@ -74,4 +74,33 @@ class SketchSpec extends SparkSpec {
       col("key"), col("v"), k = 32).collect()(0).getLong(1)
     assert(a == b)
   }
+
+  test("hllDistinct: within HLL error of exact, agrees with the builtin twin, order-insensitive") {
+    // m=256 registers → standard error ~ 1.04/sqrt(256) ≈ 6.5%; assert a
+    // generous 3-sigma 20% on 5000 and 800 distincts (raw estimator, no
+    // small-range correction — both are comfortably above 2.5m = 640)
+    val rows = (1 to 5000).flatMap(i => Seq(("a", Some(i.toLong)), ("a", Some(i.toLong)))) ++
+      (1 to 800).map(i => ("b", Some(900000L + i))) ++
+      Seq(("nulls", Option.empty[Long]))
+    val df = rows.toDF("key", "v")
+    val out = Sketch.hllDistinct(df, col("key"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    assert(math.abs(out("a") - 5000.0) / 5000.0 < 0.20, s"a: $out")
+    assert(math.abs(out("b") - 800.0) / 800.0 < 0.20, s"b: $out")
+    assert(!out.contains("nulls"), "null-only group must vanish (count-distinct semantics)")
+    // the builtin HLL++ twin (same raw-estimator family, rsd 5% default)
+    // must land in the same neighborhood — a cheap cross-check that our
+    // register construction implements the same estimator, not a lookalike
+    val builtin = df.filter(col("v").isNotNull).groupBy("key")
+      .agg(approx_count_distinct("v").as("a")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    for (k <- Seq("a", "b"))
+      assert(math.abs(out(k) - builtin(k)) / builtin(k) < 0.25,
+        s"md5-HLL and builtin disagree on $k: ${out(k)} vs ${builtin(k)}")
+    // deterministic registers → identical answer under any row order
+    val shuffled = Sketch.hllDistinct(
+        scala.util.Random.shuffle(rows).toDF("key", "v"), col("key"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+    assert(shuffled == out)
+  }
 }
