@@ -1433,6 +1433,22 @@ object Queries {
       Some(MINHASH_PAIRS_SQL),
       bench = true),
 
+    Q("dedup_minhash_verified",
+      // The standard two-stage scale dedup as ONE verified query: LSH
+      // proposes candidates (capped banded equi-join), exact word-set
+      // jaccard confirms them with work bounded by the CANDIDATE count —
+      // the labeled exact path used the way its label says — then CC makes
+      // confirmation transitive and the min-id canonical survives.
+      // VerifiedDedupSpec pins the plan shape: the exact stage joins the
+      // candidate set, never self-joins the corpus.
+      (s, d) => Dedup.minhashVerifiedKeep(
+          tbl(s, d, "documents").select("doc_id", "lang", "text"),
+          "text", "doc_id", md5Base = true)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(MINHASH_VERIFIED_SQL),
+      bench = true),
+
     Q("dedup_simhash",
       // md5-bit signature variant: per-token bits from the md5 hex digest
       // instead of xxhash64, so the ±1-sum/sign aggregation is exactly
@@ -2056,11 +2072,16 @@ object Queries {
        |FROM r WHERE rn <= $k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
-  private lazy val MINHASH_PAIRS_SQL: String = {
+  /** Shared CTEs of the MinHash-LSH oracle: word 3-shingles → md5-head
+    * base hashes → the 64 shared affine perms → 16×4 band candidates →
+    * signature agreement `m(id_a, id_b, eq)`. Reused by the verified
+    * two-stage pipeline's oracle.
+    */
+  private lazy val MINHASH_CTES: String = {
     val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val hexParse = hexHead32Sql
-    s"""WITH w AS (SELECT doc_id AS id,
+    s"""w AS (SELECT doc_id AS id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
        |sh AS (SELECT id, unnest(list_distinct(list_filter(
@@ -2079,12 +2100,42 @@ object Queries {
        |      FROM cand c
        |      JOIN sig sa ON sa.id = c.id_a
        |      JOIN sig sb ON sb.id = c.id_b AND sb.pk = sa.pk
-       |      GROUP BY c.id_a, c.id_b)
+       |      GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
+
+  private lazy val MINHASH_PAIRS_SQL: String =
+    s"""WITH $MINHASH_CTES
        |SELECT id_a, id_b,
        |  CAST(floor(CAST(eq AS DOUBLE) / 64 * 1000000) AS BIGINT) AS est_jaccard_e6
        |FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Oracle for dedup_minhash_verified — the full two-stage pipeline:
+    * LSH candidates (MINHASH_CTES), exact word-set jaccard confirm
+    * restricted to the candidate pairs, recursive-CTE transitive closure
+    * over the CONFIRMED pairs, min-id canonical keep.
+    */
+  private lazy val MINHASH_VERIFIED_SQL: String =
+    s"""WITH RECURSIVE $MINHASH_CTES,
+       |mcand AS (SELECT id_a, id_b FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3),
+       |vws AS (SELECT doc_id AS id,
+       |          list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+       |        FROM documents),
+       |vp AS (SELECT c.id_a, c.id_b
+       |       FROM mcand c JOIN vws a ON a.id = c.id_a JOIN vws b ON b.id = c.id_b
+       |       WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+       |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+       |vedges AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+       |vreach(a, b) AS (
+       |  SELECT a, b FROM vedges
+       |  UNION
+       |  SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a
+       |),
+       |vlbl AS (SELECT a AS id, least(a, min(b)) AS component FROM vreach GROUP BY a)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d LEFT JOIN vlbl l ON l.id = d.doc_id
+       |WHERE COALESCE(l.component, d.doc_id) = d.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Shared CTEs for the md5-bit simhash oracle: tokenize → md5 hex digits
     * (d0..d15, 4 bits each) → 64 ±1 sums → sign digits (dg0..dg15) →

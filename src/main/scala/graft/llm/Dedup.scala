@@ -385,6 +385,64 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
+  /** VERIFY stage of the two-stage dedup pipeline: exact word-set Jaccard
+    * computed ONLY for the given candidate pairs — two equi-joins of the
+    * (small) candidate set against the per-doc word sets, never a self-join
+    * of the corpus. This is how the exact paths ([[jaccardNearDupPairs]] /
+    * [[editDistancePairs]], quasi-quadratic within blocks) are meant to be
+    * used at scale: the sketch proposes, the exact measure disposes, and
+    * the exact work is O(|candidates|), not O(n²/blocks).
+    *
+    * Word sets are distinct xxhash64 points (set SIZES are what the
+    * jaccard needs, and they are hash-invariant modulo ~|ws|²/2⁻⁶⁴
+    * collisions — same trick, same argument as [[jaccardNearDupPairs]]).
+    * The division is small-int-exact, so the value is engine-portable.
+    *
+    * @param cands (id_a, id_b) candidate pairs (extra columns pass through)
+    * @return the candidate rows whose exact jaccard >= minJaccard, with a
+    *         `jaccard` column appended
+    */
+  def verifyPairsJaccard(cands: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, minJaccard: Double): DataFrame = {
+    val ws = docs.select(col(idCol).as("__vid"),
+      array_distinct(transform(split(lower(trim(col(textCol))), "\\s+"),
+        w => xxhash64(w))).as("__vws"))
+    val inter = size(array_intersect(col("__wa"), col("__wb"))).cast("double")
+    cands
+      .join(ws.select(col("__vid").as("id_a"), col("__vws").as("__wa")), Seq("id_a"))
+      .join(ws.select(col("__vid").as("id_b"), col("__vws").as("__wb")), Seq("id_b"))
+      .withColumn("jaccard",
+        inter / (size(col("__wa")) + size(col("__wb")) - inter))
+      .filter(col("jaccard") >= minJaccard)
+      .drop("__wa", "__wb")
+  }
+
+  /** The standard two-stage verified dedup pipeline, end to end:
+    * MinHash-LSH proposes candidate pairs (one-pass signatures, banded
+    * equi-join, capped buckets — the 100 TB scale path), exact word-set
+    * Jaccard confirms them ([[verifyPairsJaccard]] — exact work bounded by
+    * the candidate count), connected components make confirmation
+    * transitive, and [[keepClusterCanonical]] keeps the min-id doc per
+    * cluster. Every stage is oracle-expressible, so the whole pipeline is
+    * verified as one query (dedup_minhash_verified).
+    *
+    * @param estJaccard  LSH signature-agreement threshold (recall knob —
+    *                    set BELOW verifyJaccard so banding noise can't
+    *                    pre-drop pairs the exact stage would confirm)
+    * @param verifyJaccard exact word-set Jaccard a pair must meet
+    */
+  def minhashVerifiedKeep(docs: DataFrame, textCol: String, idCol: String,
+      estJaccard: Double = 0.3, verifyJaccard: Double = 0.5,
+      md5Base: Boolean = false): DataFrame = {
+    val cands = minhashNearDupPairs(docs, textCol, idCol,
+      minJaccard = estJaccard, md5Base = md5Base)
+    val confirmed = verifyPairsJaccard(cands.select("id_a", "id_b"), docs,
+      textCol, idCol, verifyJaccard)
+    val labels = connectedComponents(
+      docs.select(col(idCol).as("id")), confirmed.select("id_a", "id_b"))
+    keepClusterCanonical(docs, idCol, labels)
+  }
+
   /** Connected components over a near-duplicate pair list by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round every node takes the minimum of its label and its
