@@ -1,6 +1,8 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -13,8 +15,72 @@ import org.apache.spark.sql.functions.col
   * per query. Periodic compaction is the standard fix; the reference's
   * single-CSV-a-day world never meets it, but any Spark user of this
   * library at scale will.
+  *
+  * Visibility model: a compacted dataset is a directory of immutable
+  * version subdirs (`v=N/`) plus a tiny `_CURRENT` pointer file naming the
+  * live one. [[compact]] writes the NEXT version fully, then swaps the
+  * pointer with an ATOMIC overwrite-rename — so a [[read]]/[[resolve]]
+  * reader sees the old version or the new version, never a missing or
+  * half-written directory (the delete-then-rename swap this replaces had a
+  * reader-visible hole). The previous version is retained one cycle as an
+  * in-flight-reader grace period; older versions are garbage-collected.
+  * This is the minimal pointer-swap core of what ACID table formats do —
+  * they remain the right tool when concurrent WRITERS also need
+  * transactions.
   */
 object Compact {
+
+  private val Pointer = "_CURRENT"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(fs: FileSystem, dir: String): Option[Long] = {
+    val p = new Path(dir, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Path of the live data: `dir/v=N` when a `_CURRENT` pointer exists,
+    * `dir` itself for a plain (never-compacted) directory.
+    */
+  def resolve(spark: SparkSession, dir: String): String =
+    currentVersion(fsOf(spark, dir), dir) match {
+      case Some(n) => s"${dir.stripSuffix("/")}/v=$n"
+      case None => dir
+    }
+
+  /** Read the live version of a (possibly compacted) dataset. The resolved
+    * path is refreshed first: Spark's session file-status cache may hold a
+    * pre-swap listing for it, and a versioned read must reflect the
+    * CURRENT pointer, not a cached directory snapshot.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val p = resolve(spark, dir)
+    spark.catalog.refreshByPath(p)
+    spark.read.parquet(p)
+  }
+
+  /** Publish `version` as live: write the pointer to a temp file, then
+    * atomically overwrite-rename it onto `_CURRENT` (FileContext.rename
+    * with OVERWRITE — atomic on posix and HDFS). The data directory is
+    * fully written BEFORE this runs, so the pointer only ever names
+    * complete data.
+    */
+  private[etl] def publish(spark: SparkSession, dir: String, version: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+  }
 
   /** Count and total bytes of parquet data files directly under `dir`. */
   def parquetFootprint(spark: SparkSession, dir: String): (Int, Long) = {
@@ -28,34 +94,51 @@ object Compact {
     }
   }
 
-  /** Rewrite `dir` into ceil(totalBytes / targetFileBytes) files when it
-    * currently holds more; no-op (and no data pass) when already compact.
-    * Returns the resulting file count.
+  /** Rewrite the live version into ceil(totalBytes / targetFileBytes)
+    * files when it currently holds more; no-op (and no data pass) when
+    * already compact. Returns the resulting file count.
     *
-    * The rewrite is read → repartition → write-to-sibling → swap. The swap
-    * (delete + rename) is NOT transactional — callers pause writers for
-    * the duration, exactly as any non-table-format compactor must; ACID
-    * table formats own this problem transactionally and are the right
-    * tool above this layer. Readers mid-swap see a missing directory, not
-    * corrupt data.
+    * Write-then-publish: the next `v=N+1/` directory is written COMPLETELY,
+    * then the `_CURRENT` pointer is swapped atomically ([[publish]]) —
+    * readers at ANY instant resolve to a complete directory (old or new,
+    * never missing or half-written). Superseded data (the previous version
+    * directory, or a migrated plain directory's loose files) is NOT
+    * deleted in the same cycle: it is garbage-collected at the START of
+    * the NEXT compact invocation, giving in-flight readers a full cycle
+    * of grace. Concurrent readers are safe; concurrent compactors/writers
+    * still need external coordination (the table-format layer's job).
+    *
+    * A plain directory is migrated on its first compaction: the compacted
+    * copy lands in `v=1/` and the pointer is published; the loose
+    * top-level files remain until the next cycle's GC — same guarantee.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    val (nFiles, totalBytes) = parquetFootprint(spark, dir)
+    val fs = fsOf(spark, dir)
+    val base = dir.stripSuffix("/")
+    val curV = currentVersion(fs, dir)
+    // GC of everything a PREVIOUS cycle superseded: by the time compact
+    // runs again, anything older than the live version has had a full
+    // cycle for in-flight readers to drain
+    curV.foreach { v =>
+      fs.listStatus(new Path(dir))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach(s => fs.delete(s.getPath, false))
+      (1L until v).foreach(old => fs.delete(new Path(s"$base/v=$old"), true))
+    }
+    val cur = resolve(spark, dir)
+    val (nFiles, totalBytes) = parquetFootprint(spark, cur)
     val targetFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (nFiles <= targetFiles) nFiles
     else {
-      val tmp = dir.stripSuffix("/") + ".compacting"
-      spark.read.parquet(dir)
+      val nextV = curV.getOrElse(0L) + 1
+      spark.catalog.refreshByPath(cur)
+      spark.read.parquet(cur)
         .repartition(targetFiles)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dst = new Path(dir)
-      val fs = dst.getFileSystem(conf)
-      fs.delete(dst, true)
-      fs.rename(new Path(tmp), dst)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/v=$nextV")
+      publish(spark, dir, nextV)
       targetFiles
     }
   }

@@ -13,9 +13,9 @@ class CompactSpec extends SparkSpec {
     val (n0, bytes) = Compact.parquetFootprint(spark, dir)
     assert(n0 == 16, s"fixture should start fragmented, got $n0 files")
     assert(Compact.compact(spark, dir, targetFileBytes = bytes) == 1)
-    val (n1, _) = Compact.parquetFootprint(spark, dir)
+    val (n1, _) = Compact.parquetFootprint(spark, Compact.resolve(spark, dir))
     assert(n1 == 1, s"expected a single compacted file, got $n1")
-    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == (1 to 1000))
+    assert(Compact.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 1000))
     // already compact → reported count unchanged, no rewrite pass
     assert(Compact.compact(spark, dir, targetFileBytes = bytes) == 1)
   }
@@ -24,6 +24,75 @@ class CompactSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-compact2").toString + "/t"
     (1 to 100).toDF("v").repartition(2).write.parquet(dir)
     assert(Compact.compact(spark, dir, targetFileBytes = 1L) == 2) // target ≥ current
+    // never compacted → resolve is the plain directory, read still works
+    assert(Compact.resolve(spark, dir) == dir)
+    assert(Compact.read(spark, dir).count() == 100)
+  }
+
+  test("a reader succeeds at every step around the swap, seeing old or new data, never nothing") {
+    val dir = Files.createTempDirectory("graft-compact3").toString + "/t"
+    (1 to 500).toDF("v").repartition(8).write.parquet(dir)
+    val (_, bytes) = Compact.parquetFootprint(spark, dir)
+    def readSum(): Long = Compact.read(spark, dir).as[Int].collect().map(_.toLong).sum
+    val expected = (1 to 500).map(_.toLong).sum
+
+    // step 0: plain dir
+    assert(readSum() == expected)
+    // step 1: v=1 published (migration) — loose files gone, pointer live
+    Compact.compact(spark, dir, targetFileBytes = bytes)
+    assert(readSum() == expected)
+    assert(new java.io.File(dir, "_CURRENT").isFile)
+
+    // Now replay the swap of a SECOND compaction step by step, asserting a
+    // reader succeeds between every pair of steps. Step A: the next version
+    // directory exists, fully written, but the pointer still names v=1 —
+    // reader must see OLD data.
+    (501 to 600).toDF("v").write.mode("append").parquet(dir + "/v=1")
+    val withAppend = (1 to 600).map(_.toLong).sum
+    assert(readSum() == withAppend)
+    spark.read.parquet(dir + "/v=1").repartition(1)
+      .write.parquet(dir + "/v=2")
+    assert(readSum() == withAppend, "pre-publish reader must still see v=1")
+
+    // Step B: pointer swap — the same atomic overwrite-rename compact
+    // performs; reader flips to NEW data; old version stays as grace
+    Compact.publish(spark, dir, 2L)
+    assert(readSum() == withAppend, "post-publish reader must see v=2")
+    assert(new java.io.File(dir, "v=1").isDirectory, "previous version kept as reader grace")
+  }
+
+  test("a concurrent reader never fails across repeated compaction cycles") {
+    val dir = Files.createTempDirectory("graft-compact4").toString + "/t"
+    (1 to 300).toDF("v").repartition(6).write.parquet(dir)
+    val (_, bytes) = Compact.parquetFootprint(spark, dir)
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && readerError.isEmpty) {
+        try {
+          val n = Compact.read(spark, dir).count()
+          assert(n >= 300, s"reader saw a truncated dataset: $n rows")
+        } catch { case t: Throwable => readerError = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      Compact.compact(spark, dir, targetFileBytes = bytes)
+      (1 to 3).foreach { i =>
+        // fragment the live version so each cycle genuinely re-compacts;
+        // the pause models a real compaction cadence — the documented
+        // guarantee is ONE CYCLE of reader grace, and back-to-back cycles
+        // with a zero-length cycle would give in-flight readers none
+        Thread.sleep(1000)
+        (1 to 50).map(_ + 300 * i).toDF("v").repartition(4)
+          .write.mode("append").parquet(Compact.resolve(spark, dir))
+        Compact.compact(spark, dir, targetFileBytes = Long.MaxValue / 2)
+      }
+    } finally {
+      stop = true
+      reader.join(30000)
+    }
+    assert(readerError.isEmpty, s"concurrent reader failed: ${readerError.map(_.getMessage)}")
   }
 
   test("writeClustered partitions by value and survives a pruned read") {
