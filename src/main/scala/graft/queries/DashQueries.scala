@@ -1,0 +1,522 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** §2.11 dashboard aggregations plus the aggregation/sketch and set-op
+  * families (rollup/cube/grouping sets, pivot, collect/map aggregates,
+  * KMV/HLL sketches, set operations). Pure move.
+  */
+private[graft] object DashQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("dash_share_by_purpose",
+      (s, d) => Dashboard.shareByDim(transformChain(s, d), "purpose")
+        .select(col("purpose"), col("n"), e6(col("pct")).as("pct_e6"))
+        .orderBy("purpose"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, c AS (SELECT purpose, count(*) AS n FROM final GROUP BY purpose),
+          |tot AS (SELECT count(*) AS total FROM final)
+          |SELECT purpose, n, CAST(floor(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE) / total * 1000000) AS BIGINT) AS pct_e6
+          |FROM c, tot ORDER BY purpose""".stripMargin),
+      bench = true),
+
+    Q("dash_share_by_region",
+      (s, d) => Dashboard.shareByDim(transformChain(s, d), "region")
+        .select(col("region"), col("n"), e6(col("pct")).as("pct_e6"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, c AS (SELECT region, count(*) AS n FROM final GROUP BY region),
+          |tot AS (SELECT count(*) AS total FROM final)
+          |SELECT region, n, CAST(floor(CAST(n AS DOUBLE) * CAST(100.0 AS DOUBLE) / total * 1000000) AS BIGINT) AS pct_e6
+          |FROM c, tot ORDER BY region""".stripMargin)),
+
+    Q("dash_count_by_region",
+      (s, d) => Dashboard.countByDim(transformChain(s, d), "region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        "\nSELECT region, count(*) AS n FROM final GROUP BY region ORDER BY region")),
+
+    Q("dash_avg_ppm2_by_region",
+      (s, d) => Dashboard.avgByDim(transformChain(s, d), "region", "price_per_m2")
+        .select(col("region"), e6(col("avg_measure")).as("avg_ppm2_e6"), col("n"))
+        .orderBy(desc("avg_ppm2_e6"), col("region")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final GROUP BY region ORDER BY avg_ppm2_e6 DESC, region""".stripMargin),
+      bench = true),
+
+    Q("dash_daily_avg_orders",
+      (s, d) => Dashboard.dailyAvg(tbl(s, d, "orders"), "o_orderdate", "o_totalprice")
+        .select(col("day").cast("string").as("day"),
+          e6(col("avg_measure")).as("avg_price_e6"), col("n")),
+      Some(
+        """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+          |  CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) * 1000000) AS BIGINT) AS avg_price_e6,
+          |  count(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY day""".stripMargin),
+      bench = true),
+
+    Q("dash_daily_avg_dump_date",
+      // the reference's actual dashboard shape: avg over the dump_date STRING
+      (s, d) => Dashboard.dailyAvg(transformChain(s, d), "dump_date", "price_per_m2",
+          tsFormat = Some("yyyy_MM_dd_HHmmss"))
+        .select(col("day").cast("string").as("day"),
+          e6(col("avg_measure")).as("avg_ppm2_e6"), col("n")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT CAST(CAST(strptime(dump_date, '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    Q("dash_dod_delta",
+      // analytic (non-ranking) window breadth: lag() day-over-day revenue
+      // delta plus percent_rank() of each day's revenue within its month.
+      // Both windows partition by month — bounded frames that shuffle once
+      // on the month key, never a global single-partition sort.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+        val byDay = Window.partitionBy(col("mon")).orderBy(col("day"))
+        val byRev = Window.partitionBy(col("mon")).orderBy(col("rev"))
+        daily
+          .withColumn("prev_rev", lag(col("rev"), 1).over(byDay))
+          .withColumn("pr", percent_rank().over(byRev))
+          .select(col("day").cast("string").as("day"),
+            (col("rev") * 100).cast("long").as("rev_c"),
+            ((col("rev") - col("prev_rev")) * 100).cast("long").as("delta_c"),
+            e6(col("pr")).as("pr_e6"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1),
+          |w AS (
+          |  SELECT day, rev,
+          |    lag(rev) OVER (PARTITION BY strftime(day, '%Y-%m') ORDER BY day) AS prev_rev,
+          |    percent_rank() OVER (PARTITION BY strftime(day, '%Y-%m') ORDER BY rev) AS pr
+          |  FROM daily)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(rev * 100 AS BIGINT) AS rev_c,
+          |  CAST((rev - prev_rev) * 100 AS BIGINT) AS delta_c,
+          |  CAST(floor(pr * 1000000) AS BIGINT) AS pr_e6
+          |FROM w ORDER BY day""".stripMargin)),
+
+    Q("dash_ntile_quartiles",
+      // ntile(): equal-height revenue quartile per day within its month —
+      // the dashboard's heat-coloring bucket. (rev, day) ordering pins the
+      // tie-break; the same month-bounded window shape as dash_dod_delta.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+        daily
+          .withColumn("quartile", ntile(4).over(
+            Window.partitionBy(col("mon")).orderBy(col("rev"), col("day"))))
+          .select(col("day").cast("string").as("day"),
+            (col("rev") * 100).cast("long").as("rev_c"),
+            col("quartile"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(rev * 100 AS BIGINT) AS rev_c,
+          |  CAST(ntile(4) OVER (PARTITION BY strftime(day, '%Y-%m')
+          |                      ORDER BY rev, day) AS INT) AS quartile
+          |FROM daily ORDER BY day""".stripMargin)),
+
+    Q("dash_filtered_avg",
+      // §2.11 "dimension dropdown filters": the daily-avg line re-scoped by
+      // purpose + region predicates (the dashboard's parameterized view).
+      (s, d) => Dashboard.avgByDim(
+          transformChain(s, d)
+            .filter(col("purpose").startsWith("Prodej") &&
+              col("region") =!= "Praha"),
+          "region", "price_per_m2")
+        .select(col("region"), e6(col("avg_measure")).as("avg_ppm2_e6"), col("n"))
+        .orderBy(desc("avg_ppm2_e6"), col("region")),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  CAST(floor(CAST(sum(CAST(price_per_m2 AS DECIMAL(18,2))) AS DOUBLE) / count(price_per_m2) * 1000000) AS BIGINT) AS avg_ppm2_e6,
+          |  count(*) AS n
+          |FROM final WHERE purpose LIKE 'Prodej%' AND region <> 'Praha'
+          |GROUP BY region ORDER BY avg_ppm2_e6 DESC, region""".stripMargin)),
+
+    Q("dash_topk_per_group",
+      (s, d) => Dashboard.topKPerGroup(
+          tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          "l_returnflag", col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 5)
+        .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c")),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
+    Q("dash_topk_agg",
+      // same result contract as dash_topk_per_group, computed by the typed
+      // TopKAggregator (bounded k-entry partial buffers instead of a
+      // ranking window) — both hash-match the one window-based oracle.
+      (s, d) => graft.analytics.TopKAggregator.topLineitems(tbl(s, d, "lineitem"), 5),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
+    Q("dash_topk_physical",
+      // third computation of the same contract: the custom physical
+      // operator (TopKPerGroupNode → partial/final TopKPerGroupExec around
+      // one group-key exchange; heap-bounded, no Window, no full sort) —
+      // hash-matches the same window-based oracle as the other two.
+      (s, d) => graft.plans.TopK.perGroup(
+          tbl(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 5)
+        .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+        .orderBy("l_returnflag", "rnk"),
+      Some(
+        """SELECT l_returnflag, rnk, l_orderkey, l_linenumber,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk
+          |      FROM lineitem)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin),
+      bench = true),
+
+    // ---- joins (north-star breadth: broadcast + shuffle joins) --------------
+
+    Q("agg_collect_purposes",
+      // array-function breadth (§2.12): per-region distinct purpose list
+      // via collect_set → sort_array → array_join. The deterministic
+      // sorted-joined string is what makes a set-valued aggregate
+      // oracle-comparable; collect_set itself is a hash-agg buffer whose
+      // size is bounded by the dimension's cardinality, not the row count.
+      (s, d) => transformChain(s, d)
+        .groupBy("region")
+        .agg(array_join(sort_array(collect_set(col("purpose"))), ",").as("purposes"),
+          count_distinct(col("purpose")).as("n_purposes"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  string_agg(DISTINCT purpose, ',' ORDER BY purpose) AS purposes,
+          |  count(DISTINCT purpose) AS n_purposes
+          |FROM final GROUP BY region ORDER BY region""".stripMargin)),
+
+    Q("agg_map_roundtrip",
+      // map-function breadth (§2.12): per-purpose region→count MAP built
+      // with map_from_entries over a sorted entry array, then exploded
+      // back to rows. The map is engine-internal plumbing under test
+      // (MapType agg buffers, map explode iteration order); the oracle
+      // checks the relational result it must round-trip to.
+      (s, d) => transformChain(s, d)
+        .groupBy("purpose", "region").agg(count(lit(1)).as("n"))
+        .groupBy("purpose")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("region"), col("n"))))).as("m"))
+        .select(col("purpose"), explode(col("m")).as(Seq("region", "n")))
+        .orderBy("purpose", "region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT purpose, region, count(*) AS n
+          |FROM final GROUP BY purpose, region ORDER BY purpose, region""".stripMargin)),
+
+    Q("dash_pivot_kind",
+      // pivot (§2.12): per-region counts of sale vs rent listings as
+      // columns — Spark pivot() with explicit values; the oracle uses
+      // FILTER aggregation (the engine-portable pivot form).
+      (s, d) => transformChain(s, d)
+        .withColumn("kind",
+          when(col("purpose").startsWith("Prodej"), lit("sale"))
+            .otherwise(lit("rent")))
+        .groupBy("region")
+        .pivot("kind", Seq("sale", "rent"))
+        .count()
+        .na.fill(0L, Seq("sale", "rent"))
+        .orderBy("region"),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region,
+          |  count(*) FILTER (WHERE purpose LIKE 'Prodej%') AS sale,
+          |  count(*) FILTER (WHERE purpose NOT LIKE 'Prodej%') AS rent
+          |FROM final GROUP BY region ORDER BY region""".stripMargin)),
+
+    Q("dash_rollup",
+      // grouping-sets breadth: region x purpose rollup with subtotal rows,
+      // grouping_id disambiguates NULL-as-subtotal from NULL data.
+      (s, d) => transformChain(s, d)
+        .rollup(col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY ROLLUP(region, purpose)
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
+    Q("dash_cube",
+      // cube(): all four grouping sets (detail, per-region, per-purpose,
+      // grand total) — the rollup's full-lattice sibling; gid orders the
+      // sets and disambiguates subtotal NULLs from data NULLs.
+      (s, d) => transformChain(s, d)
+        .cube(col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY CUBE(region, purpose)
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
+    Q("agg_approx_distinct",
+      // md5-register HyperLogLog: the same raw estimator as the builtin
+      // approx_count_distinct, but with engine-portable registers (bucket =
+      // md5 head, rho = leading zeros of the tail) and integer-space
+      // harmonic sum, so the APPROXIMATE answer itself is oracle-exact —
+      // closing r4's one rows-only row. The builtin (xxhash64 + private
+      // registers, unreplayable by any oracle) stays as the unit-compared
+      // twin in SketchSpec.
+      (s, d) => graft.analytics.Sketch.hllDistinct(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))
+        .select(col("key").as("l_returnflag"), col("n_distinct_e6"))
+        .orderBy("l_returnflag"),
+      Some(graft.analytics.Sketch.hllDistinctSql(
+        "lineitem", "l_returnflag", "l_returnflag", "l_partkey"))),
+
+    Q("agg_kmv_distinct",
+      // KMV/bottom-k distinct sketch: approximate like HLL, but built on
+      // md5-derived hash points and the heap-based TopKPerGroupExec — so
+      // the APPROXIMATE answer itself is exactly oracle-checkable (the
+      // oracle recomputes the same k minima and the same estimator
+      // arithmetic). Groups with < k distinct values come out exact.
+      (s, d) => graft.analytics.Sketch.kmvDistinct(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"), k = 256)
+        .select(col("key").as("l_returnflag"), col("n_distinct_e6"))
+        .orderBy("l_returnflag"),
+      Some(KMV_SQL)),
+
+    Q("agg_kmv_quantiles",
+      // the sketch family's percentile member: per-lang token-count
+      // quantiles over a deterministic bottom-64-by-md5(doc_id) row
+      // sample — O(k) state per group at every stage (exact percentile
+      // ships EVERY group value to one reducer; see text_token_quantiles).
+      // md5 keying makes the approximate answer itself oracle-exact:
+      // DuckDB re-derives the identical sample, then the identical type-7
+      // interpolation.
+      (s, d) => graft.analytics.Sketch.kmvQuantiles(
+          tbl(s, d, "documents")
+            .withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("lang"), col("doc_id"), col("n_tokens"), k = 64)
+        .select(col("key").as("lang"), col("n_sample"),
+          e6(col("q0")).as("q25_e6"), e6(col("q1")).as("q50_e6"),
+          e6(col("q2")).as("q90_e6"), e6(col("q3")).as("q99_e6"))
+        .orderBy("lang"),
+      Some(KMV_QUANTILES_SQL)),
+
+    Q("agg_salted_distinct",
+      // skew-safe exact distinct count (value-hash salting spreads a hot
+      // key's distinct set over many reducers) — same result as the plain
+      // count(DISTINCT), which is exactly what the oracle computes
+      (s, d) => graft.plans.Skew.saltedDistinctCount(
+          tbl(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"), salts = 8)
+        .select(col("key").as("l_returnflag"), col("n_distinct"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("setop_except",
+      // EXCEPT: the duplicate doc_ids the exact-dedup pass drops = all ids
+      // minus the kept ones. Spark `except` == SQL EXCEPT (distinct
+      // semantics), planned as a hash left-anti aggregation — one shuffle
+      // on the id, broadcastable when the kept side is small.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val kept = Dedup.exactDedupByKey(
+            docs.withColumn("fp", TextStats.fingerprint(col("text"))),
+            col("fp"), "doc_id")
+          .select("doc_id")
+        docs.select("doc_id").except(kept).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |EXCEPT
+          |SELECT min(doc_id) AS doc_id FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+          |GROUP BY fp
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("setop_intersect",
+      // INTERSECT: doc_ids landing in 'train' under two independent split
+      // salts — the reproducible-split analogue of a holdout-overlap audit.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        def train(salt: String) = docs
+          .select(col("doc_id"),
+            Corpus.splitAssign(col("doc_id"), salt = salt).as("split"))
+          .filter(col("split") === "train")
+          .select("doc_id")
+        train("graft").intersect(train("alt")).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id FROM documents
+          |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666'
+          |INTERSECT
+          |SELECT doc_id FROM documents
+          |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || '#alt'), 1, 8) < 'e6666666'
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("setop_intersect_all",
+      // INTERSECT ALL: multiset intersection (per-value count minimum) of
+      // the two lang streams — the counted twin of setop_except_all.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("lang")
+          .intersectAll(docs.filter(col("doc_id") % 3 === 0).select("lang"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang FROM documents WHERE doc_id % 2 = 0
+          |INTERSECT ALL
+          |SELECT lang FROM documents WHERE doc_id % 3 = 0
+          |ORDER BY lang""".stripMargin)),
+
+    Q("setop_except_all",
+      // EXCEPT ALL: multiset difference (per-value count subtraction) of
+      // two lang streams — the bag semantics `except` silently collapses.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        docs.filter(col("doc_id") % 2 === 0).select("lang")
+          .exceptAll(docs.filter(col("doc_id") % 3 === 0).select("lang"))
+          .orderBy("lang")
+      },
+      Some(
+        """SELECT lang FROM documents WHERE doc_id % 2 = 0
+          |EXCEPT ALL
+          |SELECT lang FROM documents WHERE doc_id % 3 = 0
+          |ORDER BY lang""".stripMargin)),
+
+    Q("dash_grouping_sets",
+      // explicit GROUPING SETS beyond rollup/cube: the two one-dimension
+      // summaries in ONE pass over the chain (no detail level, no grand
+      // total — a set cube() cannot express without post-filtering)
+      (s, d) => transformChain(s, d)
+        .groupingSets(Seq(Seq(col("region")), Seq(col("purpose"))),
+          col("region"), col("purpose"))
+        .agg(count(lit(1)).as("n"), sum(col("price_czk")).as("sum_price"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("region").asc_nulls_first,
+          col("purpose").asc_nulls_first),
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |SELECT region, purpose, count(*) AS n,
+          |  CAST(sum(price_czk) AS BIGINT) AS sum_price,
+          |  CAST(GROUPING(region) * 2 + GROUPING(purpose) AS INT) AS gid
+          |FROM final GROUP BY GROUPING SETS ((region), (purpose))
+          |ORDER BY gid, region ASC NULLS FIRST, purpose ASC NULLS FIRST""".stripMargin)),
+
+    Q("setop_union_by_name",
+      // schema-evolution union: two projections with different column
+      // sets aligned BY NAME, absent columns null-filled — the set-op
+      // the positional UNION family can't express
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val a = docs.filter(col("lang") === "en")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val b = docs.filter(col("lang") === "de")
+          .select(col("doc_id"), col("source"), col("lang"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+          |UNION ALL BY NAME
+          |SELECT doc_id, source, lang FROM documents WHERE lang = 'de'
+          |ORDER BY doc_id""".stripMargin))
+  )
+
+  private lazy val KMV_SQL: String = {
+    val k = 256
+    val c = (k - 1).toDouble * 4294967296.0
+    s"""WITH p AS (SELECT DISTINCT key, $hexHead32Sql AS h FROM
+       |       (SELECT l_returnflag AS key, md5(CAST(l_partkey AS VARCHAR)) AS mh
+       |        FROM lineitem WHERE l_partkey IS NOT NULL)),
+       |r AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM p),
+       |b AS (SELECT key, count(*) AS cnt, max(h) AS vk FROM r WHERE rn <= $k GROUP BY key)
+       |SELECT key AS l_returnflag,
+       |  CASE WHEN cnt < $k THEN CAST(cnt AS BIGINT) * 1000000
+       |       ELSE CAST(floor(CAST($c AS DOUBLE) / greatest(vk, 1) * 1000000) AS BIGINT) END
+       |    AS n_distinct_e6
+       |FROM b ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Oracle for agg_kmv_quantiles: identical bottom-64 sample (same md5
+    * hash points, id tiebreak), identical type-7 interpolation.
+    */
+  private lazy val KMV_QUANTILES_SQL: String = {
+    val k = 64
+    s"""WITH b AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    $hexHead32Sql AS h
+       |  FROM (SELECT lang, doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM b)
+       |SELECT lang, count(*) AS n_sample,
+       |  CAST(floor(quantile_cont(n_tokens, 0.25) * 1000000) AS BIGINT) AS q25_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.5)  * 1000000) AS BIGINT) AS q50_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.9)  * 1000000) AS BIGINT) AS q90_e6,
+       |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
+       |FROM r WHERE rn <= $k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** Shared CTEs of the MinHash-LSH oracle: word 3-shingles → md5-head
+    * base hashes → the 64 shared affine perms → 16×4 band candidates →
+    * signature agreement `m(id_a, id_b, eq)`. Reused by the verified
+    * two-stage pipeline's oracle.
+    */}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** Near-duplicate family: winnow containment, exact jaccard/edit
+  * distance (labeled oracle paths), MinHash-LSH, the two-stage verified
+  * pipeline, simhash, connected components. Pure move.
+  */
+private[graft] object DedupQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("dedup_winnow_pairs",
+      // containment mining over the winnow signatures: hashes appearing in
+      // many documents are template/boilerplate grams — dropping them
+      // (df > 10) both removes noise pairs AND caps the join's bucket
+      // sizes (the winnowing analogue of the MinHash maxBucketSize cap:
+      // without it the hot grams make the self-join quasi-quadratic).
+      // Then explode → (hash, id), self-equi-join on the hash, keep pairs
+      // sharing >= 3 rare hashes. Oracle replays the same pipeline over
+      // the SQL-recomputed fingerprint sets.
+      (s, d) => Dedup.winnowContainmentPairs(
+          tbl(s, d, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $WINNOW_CTES,
+              |rare AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 10),
+              |kept AS (SELECT fp.id, fp.h FROM fp JOIN rare USING (h))
+              |SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              |FROM kept x JOIN kept y ON x.h = y.h AND x.id < y.id
+              |GROUP BY x.id, y.id HAVING count(*) >= 3
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // ---- LLM ops: dedup -------------------------------------------------------
+
+    Q("dedup_jaccard_pairs",
+      (s, d) => Dedup.jaccardNearDupPairs(tbl(s, d, "documents"),
+          "text", "doc_id", "lang", minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), e6(col("jaccard")).as("jaccard_e6"))
+        .orderBy("id_a", "id_b"),
+      Some(JACCARD_SQL),
+      bench = true),
+
+    Q("dedup_minhash_pairs",
+      // md5-head base hash + exact slice band keys make every stage of the
+      // LSH pair search SQL-reproducible: shingle → 32-bit base hash (first
+      // 8 md5 hex chars) → 64 affine perms mod 2^31-1 (same coefficient
+      // table as MinHashSig) → 16×4-row band equi-join → signature-
+      // agreement estimate. est = eq/64 and eq*15625 are double-exact, so
+      // the e6 fixed-point compare is bit-deterministic.
+      (s, d) => Dedup.minhashNearDupPairs(tbl(s, d, "documents"),
+          "text", "doc_id", minJaccard = 0.3, md5Base = true)
+        .select(col("id_a"), col("id_b"), e6(col("est_jaccard")).as("est_jaccard_e6"))
+        .orderBy("id_a", "id_b"),
+      Some(MINHASH_PAIRS_SQL),
+      bench = true),
+
+    Q("dedup_minhash_verified",
+      // The standard two-stage scale dedup as ONE verified query: LSH
+      // proposes candidates (capped banded equi-join), exact word-set
+      // jaccard confirms them with work bounded by the CANDIDATE count —
+      // the labeled exact path used the way its label says — then CC makes
+      // confirmation transitive and the min-id canonical survives.
+      // VerifiedDedupSpec pins the plan shape: the exact stage joins the
+      // candidate set, never self-joins the corpus.
+      (s, d) => Dedup.minhashVerifiedKeep(
+          tbl(s, d, "documents").select("doc_id", "lang", "text"),
+          "text", "doc_id", md5Base = true)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(MINHASH_VERIFIED_SQL),
+      bench = true),
+
+    Q("dedup_simhash",
+      // md5-bit signature variant: per-token bits from the md5 hex digest
+      // instead of xxhash64, so the ±1-sum/sign aggregation is exactly
+      // reproducible in DuckDB (same machinery as the fast path — see
+      // Dedup.simhashFromBits). Output as hex: DuckDB can't build a
+      // bit-63 BIGINT without overflow, digit arithmetic is safe.
+      (s, d) => Dedup.simhashMd5(tbl(s, d, "documents"), "text", "doc_id")
+        .select(col("id"), Dedup.simhashHex(col("simhash")).as("sig"))
+        .orderBy("id"),
+      Some(s"WITH $SIMHASH_CTES\nSELECT id, sig FROM sigs ORDER BY id"),
+      bench = true),
+
+    Q("dedup_simhash_pairs",
+      // Banded Hamming-ball pairs over the md5-bit signatures. With
+      // maxHamming=3 the band join uses 4 disjoint 16-bit bands, and by
+      // pigeonhole ANY pair within Hamming 3 shares a clean band — the
+      // banding is lossless, so the O(n²) hamming-filter oracle computes
+      // the exact same pair set the bucketed join does.
+      (s, d) => Dedup.simhashNearDupPairsFromSigs(
+          Dedup.simhashMd5(tbl(s, d, "documents"), "text", "doc_id"),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(SIMHASH_PAIRS_SQL)),
+
+    Q("dedup_cc_labels",
+      // Transitive near-dup clusters: simhash pairs → connected components
+      // by min-label propagation (the correct canonical assignment — the
+      // greater-id-drop rule over-drops chains). Oracle computes the same
+      // components with a recursive transitive-closure CTE.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .orderBy("id")
+      },
+      Some(CC_SQL),
+      bench = true),
+
+    Q("dedup_cc_keep",
+      // cluster-level dedup, the actionable form of the CC labels: one
+      // surviving doc (the min id) per transitive near-dup cluster, via a
+      // semi-join against the canonical-id set. The greater-id-drop rule
+      // this corrects over-drops chains.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        Dedup.keepClusterCanonical(docs.select("doc_id", "lang"), "doc_id", labels)
+          .orderBy("doc_id")
+      },
+      Some(CC_KEEP_SQL)),
+
+    Q("dedup_cc_labels_altstar",
+      // Same component contract computed by the alternating large-star/
+      // small-star algorithm — O(log² n) rounds regardless of diameter,
+      // the variant that survives chain-shaped duplicate graphs at scale.
+      // Oracled against the identical recursive-CTE truth as
+      // dedup_cc_labels (the two engines' outputs must agree exactly).
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponentsAltStar(docs.select(col("doc_id").as("id")), pairs)
+          .orderBy("id")
+      },
+      Some(CC_SQL)),
+
+    // ---- LLM ops: similarity search -------------------------------------------
+
+    Q("dedup_edit_distance_pairs",
+      // character-level near-dup complement to the word-set measures:
+      // banded levenshtein(l, r, threshold) inside (lang, length-bucket)
+      // blocks with the |len diff| <= maxDist necessary-condition pushed
+      // into the join predicate. Exact/oracle path (quasi-quadratic in a
+      // block) — MinHash/SimHash banding stays the scale path.
+      (s, d) => Dedup.editDistancePairs(
+          tbl(s, d, "documents"), "text", "doc_id", "lang", maxDist = 64)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH b AS (SELECT doc_id, text, lang, length(text) AS len,
+          |            CAST(floor(length(text) / 64) AS BIGINT) AS lb FROM documents),
+          |p AS (SELECT doc_id, text, lang, len, unnest([lb, lb + 1]) AS lb FROM b)
+          |SELECT least(x.doc_id, y.doc_id) AS id_a, greatest(x.doc_id, y.doc_id) AS id_b,
+          |  CAST(min(levenshtein(x.text, y.text)) AS INT) AS dist
+          |FROM b x JOIN p y ON x.lang = y.lang AND x.lb = y.lb
+          |  AND x.doc_id <> y.doc_id AND abs(x.len - y.len) <= 64
+          |GROUP BY 1, 2 HAVING min(levenshtein(x.text, y.text)) <= 64
+          |ORDER BY id_a, id_b""".stripMargin))
+  )
+
+  private lazy val MINHASH_CTES: String = {
+    val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val hexParse = hexHead32Sql
+    s"""w AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (SELECT id, unnest(list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+       |      i -> array_to_string(ws[i + 1:i + 3], ' ')),
+       |    x -> x <> ''))) AS s FROM w),
+       |hv AS (SELECT id, $hexParse AS h FROM (SELECT id, md5(s) AS mh FROM sh)),
+       |perms(pk, a, b) AS (VALUES $perms),
+       |sig AS (SELECT id, pk, min((h * a + b) % 2147483647) AS v
+       |        FROM hv CROSS JOIN perms GROUP BY id, pk),
+       |bands AS (SELECT id, pk // 4 AS band, string_agg(v, ',' ORDER BY pk) AS bkey
+       |          FROM sig GROUP BY id, pk // 4),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |m AS (SELECT c.id_a, c.id_b, count(*) FILTER (WHERE sa.v = sb.v) AS eq
+       |      FROM cand c
+       |      JOIN sig sa ON sa.id = c.id_a
+       |      JOIN sig sb ON sb.id = c.id_b AND sb.pk = sa.pk
+       |      GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
+
+  private lazy val MINHASH_PAIRS_SQL: String =
+    s"""WITH $MINHASH_CTES
+       |SELECT id_a, id_b,
+       |  CAST(floor(CAST(eq AS DOUBLE) / 64 * 1000000) AS BIGINT) AS est_jaccard_e6
+       |FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for dedup_minhash_verified — the full two-stage pipeline:
+    * LSH candidates (MINHASH_CTES), exact word-set jaccard confirm
+    * restricted to the candidate pairs, recursive-CTE transitive closure
+    * over the CONFIRMED pairs, min-id canonical keep.
+    */
+  private lazy val MINHASH_VERIFIED_SQL: String =
+    s"""WITH RECURSIVE $MINHASH_CTES,
+       |mcand AS (SELECT id_a, id_b FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3),
+       |vws AS (SELECT doc_id AS id,
+       |          list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+       |        FROM documents),
+       |vp AS (SELECT c.id_a, c.id_b
+       |       FROM mcand c JOIN vws a ON a.id = c.id_a JOIN vws b ON b.id = c.id_b
+       |       WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+       |             (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+       |vedges AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+       |vreach(a, b) AS (
+       |  SELECT a, b FROM vedges
+       |  UNION
+       |  SELECT r.a, e.b FROM vreach r JOIN vedges e ON r.b = e.a
+       |),
+       |vlbl AS (SELECT a AS id, least(a, min(b)) AS component FROM vreach GROUP BY a)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d LEFT JOIN vlbl l ON l.id = d.doc_id
+       |WHERE COALESCE(l.component, d.doc_id) = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared CTEs for the md5-bit simhash oracle: tokenize → md5 hex digits
+    * (d0..d15, 4 bits each) → 64 ±1 sums → sign digits (dg0..dg15) →
+    * `sigs(id, sig)` hex string. Mirrors Dedup.simhashMd5 bit for bit.
+    */
+  private lazy val SIMHASH_PAIRS_SQL: String = {
+    val ham = simhashHamSql
+    s"""WITH $SIMHASH_CTES
+       |SELECT a.id AS id_a, b.id AS id_b, CAST($ham AS BIGINT) AS hamming
+       |FROM sigd a JOIN sigd b ON a.id < b.id
+       |WHERE $ham <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Oracle for text_cms_counts: the same d×w counter matrix from the
+    * same md5-derived buckets, min over rows per probe.
+    */
+  private lazy val CC_CTES: String =
+    s"""WITH RECURSIVE $SIMHASH_CTES,
+       |prs AS (SELECT a.id AS id_a, b.id AS id_b
+       |        FROM sigd a JOIN sigd b ON a.id < b.id
+       |        WHERE $simhashHamSql <= 3),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
+
+  private lazy val CC_SQL: String =
+    s"""$CC_CTES
+       |SELECT d.doc_id AS id, COALESCE(l.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |ORDER BY id""".stripMargin
+
+  /** Oracle for dedup_cc_keep: the docs whose id IS their component's
+    * minimum label — exactly one survivor per transitive cluster.
+    */
+  private lazy val CC_KEEP_SQL: String =
+    s"""$CC_CTES
+       |SELECT d.doc_id, d.lang
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |WHERE COALESCE(l.component, d.doc_id) = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
+  private lazy val JACCARD_SQL: String =
+    """WITH b AS (
+      |  SELECT doc_id AS id, text AS t, lang,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS lb,
+      |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS ws
+      |  FROM documents
+      |),
+      |p AS (SELECT id, lang, ws, unnest([lb, lb + 1]) AS lb FROM b),
+      |pairs AS (
+      |  SELECT least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b,
+      |    CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+      |      / (len(x.ws) + len(y.ws) - len(list_intersect(x.ws, y.ws))) AS j
+      |  FROM b x JOIN p y ON x.lang = y.lang AND x.lb = y.lb AND x.id <> y.id
+      |),
+      |agg AS (SELECT id_a, id_b, max(j) AS j FROM pairs GROUP BY id_a, id_b)
+      |SELECT id_a, id_b, CAST(floor(j * 1000000) AS BIGINT) AS jaccard_e6
+      |FROM agg WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** name → query fn, for SparkEntry. */}

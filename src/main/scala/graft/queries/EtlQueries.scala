@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** §2.4-2.8 scalar/string/filter/transform-chain queries (the reference's
+  * ETL surface) plus the deterministic hash sample. Pure move.
+  */
+private[graft] object EtlQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("etl_digits_parse",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.digitsToLong(col("price_czk")).as("price_czk"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price_czk
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_size_parse",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.sizeToInt(col("size_m2")).as("size_m2"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS size_m2
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_transliterate",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          Transliterate(col("purpose")).as("purpose_ascii"),
+          Transliterate(col("address")).as("address_ascii"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, strip_accents(purpose) AS purpose_ascii, strip_accents(address) AS address_ascii
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_nbsp_normalize",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.normalizeNbsp(col("price_czk")).as("price_str"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, replace(price_czk, chr(160), ' ') AS price_str
+          |FROM raw ORDER BY id""".stripMargin))),
+
+    Q("etl_last_two_words",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.lastTwoWords(Transliterate(col("address"))).as("tail"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN len(w) >= 2
+          |  THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END AS tail
+          |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_drop_last_two_words",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.dropLastTwoWords(Transliterate(col("address"))).as("head"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, rtrim(rtrim(array_to_string(w[1:greatest(len(w)-2, 0)], ' ')), ',') AS head
+          |FROM (SELECT id, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_region_derive",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.regionOf(Transliterate(col("address"))).as("region"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN contains(lower(address), 'kraj')
+          |  THEN (CASE WHEN len(w) >= 2
+          |        THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END)
+          |  ELSE 'Praha' END AS region
+          |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_address_rewrite",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.addressWithoutRegion(Transliterate(col("address"))).as("address"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN contains(lower(address), 'kraj')
+          |  THEN rtrim(rtrim(array_to_string(w[1:greatest(len(w)-2, 0)], ' ')), ',') ELSE address END AS address
+          |FROM (SELECT id, address, regexp_split_to_array(trim(address), '\s+') AS w FROM t)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_price_per_m2",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          Parse.digitsToLong(col("price_czk")).as("p"),
+          Parse.sizeToInt(col("size_m2")).as("sz"))
+        .select(col("id"), Parse.pricePerM2(col("p"), col("sz")).as("price_per_m2"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, CASE WHEN sz <> 0 THEN CAST(ceil(CAST(p AS DOUBLE) / sz) AS INTEGER) END AS price_per_m2
+          |FROM (SELECT id,
+          |        CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS p,
+          |        COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS sz
+          |      FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_file_key_ops",
+      // basename + raw_→processed_ prefix surgery (transform.py:112,123-125)
+      (s, d) => rawProperties(s, d)
+        .select(col("id"),
+          concat(lit("raw_data/to_process/raw_"), col("id").cast("string"), lit(".csv")).as("key"))
+        .select(col("id"),
+          Parse.baseName(col("key")).as("file_name"),
+          concat(lit("processed_"),
+            substring_index(Parse.baseName(col("key")), "raw_", -1)).as("archived"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, split_part(key, '/', -1) AS file_name,
+          |       'processed_' || regexp_replace(split_part(key, '/', -1), '^raw_', '') AS archived
+          |FROM (SELECT id, 'raw_data/to_process/raw_' || CAST(id AS VARCHAR) || '.csv' AS key FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("etl_trim",
+      (s, d) => tbl(s, d, "customer")
+        .select(col("c_custkey"), trim(concat(lit("  "), col("c_name"), lit("  "))).as("name"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, trim('  ' || c_name || '  ') AS name FROM customer ORDER BY c_custkey")),
+
+    Q("etl_scalar_funcs",
+      // strict/coerce casts, null-fill, ternary, ceil, nullif, division (§2.8)
+      (s, d) => tbl(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          coalesce(col("l_returnflag").try_cast("int"), lit(0)).as("coerce0"),
+          when(col("l_discount") > 0.05, lit("hi")).otherwise(lit("lo")).as("disc_band"),
+          ceil(col("l_extendedprice") / col("l_quantity")).cast("long").as("unit_ceil"),
+          nullif(col("l_linenumber"), lit(1)).as("ln_nullif"))
+        .orderBy("k", "ln"),
+      Some(
+        """SELECT l_orderkey AS k, l_linenumber AS ln,
+          |  COALESCE(TRY_CAST(l_returnflag AS INTEGER), 0) AS coerce0,
+          |  CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS disc_band,
+          |  CAST(ceil(l_extendedprice / l_quantity) AS BIGINT) AS unit_ceil,
+          |  NULLIF(l_linenumber, 1) AS ln_nullif
+          |FROM lineitem ORDER BY k, ln""".stripMargin)),
+
+    Q("etl_dump_date_roundtrip",
+      // strftime yyyy_MM_dd_HHmmss + dashboard re-parse (§2.9, README.md:130)
+      (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy_MM_dd_HHmmss").as("dump_date"))
+        .select(col("o_orderkey"), col("dump_date"),
+          to_date(to_timestamp(col("dump_date"), "yyyy_MM_dd_HHmmss")).cast("string").as("day"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, strftime(o_orderdate, '%Y_%m_%d_%H%M%S') AS dump_date,
+          |  CAST(CAST(strptime(strftime(o_orderdate, '%Y_%m_%d_%H%M%S'), '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- §2.3 row generation / union ---------------------------------------
+
+    Q("gen_explode_tokens",
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .orderBy("doc_id", "token"),
+      Some(
+        """SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          |FROM documents ORDER BY doc_id, token""".stripMargin)),
+
+    Q("gen_parse_page",
+      // §2.3 DOM→rows generator (extract.py:17-40): synthesize one "page"
+      // string per 8 ads (deterministic order), then parse it back into
+      // per-ad rows — one-page-to-many-rows via regexp_extract_all+explode,
+      // the Catalyst Generator shape SURVEY mapped the scraper to.
+      (s, d) => {
+        val ads = rawProperties(s, d).select(
+          expr("id div 8").as("page"), col("id"),
+          concat(lit("<article><h2>"), col("purpose"), lit("</h2><p>"),
+            col("address"), lit("</p><span>"), col("price_czk"),
+            lit("</span></article>")).as("ad"))
+        val pages = ads.groupBy("page").agg(
+          array_join(transform(array_sort(collect_list(struct(col("id"), col("ad")))),
+            x => x.getField("ad")), "").as("html"))
+        pages
+          .select(col("page"),
+            explode(regexp_extract_all(col("html"),
+              lit("<article>(.*?)</article>"), lit(1))).as("block"))
+          .select(col("page"),
+            regexp_extract(col("block"), "<h2>(.*?)</h2>", 1).as("purpose"),
+            regexp_extract(col("block"), "<p>(.*?)</p>", 1).as("address"),
+            regexp_extract(col("block"), "<span>(.*?)</span>", 1).as("price_czk"))
+          .orderBy("page", "purpose", "address", "price_czk")
+      },
+      Some(withRaw(
+        """, ads AS (
+          |  SELECT id // 8 AS page, id,
+          |    '<article><h2>' || purpose || '</h2><p>' || address ||
+          |      '</p><span>' || price_czk || '</span></article>' AS ad
+          |  FROM raw
+          |),
+          |pages AS (SELECT page, string_agg(ad, '' ORDER BY id) AS html FROM ads GROUP BY page),
+          |blocks AS (SELECT page, unnest(regexp_extract_all(html, '<article>(.*?)</article>', 1)) AS block FROM pages)
+          |SELECT page,
+          |  regexp_extract(block, '<h2>(.*?)</h2>', 1) AS purpose,
+          |  regexp_extract(block, '<p>(.*?)</p>', 1) AS address,
+          |  regexp_extract(block, '<span>(.*?)</span>', 1) AS price_czk
+          |FROM blocks ORDER BY page, purpose, address, price_czk""".stripMargin))),
+
+    Q("gen_field_disambiguation",
+      // extract.py:27-34: size_m2 and design arrive in ONE attribute list;
+      // classify by "is it an area?" ('m2' containment) — the optional-field
+      // disambiguation re-expressed over an array column.
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), array(col("size_m2"), col("design")).as("attrs"))
+        .select(col("id"),
+          element_at(concat(filter(col("attrs"), a => a.contains("m2")), array(lit(null))), 1)
+            .as("size_pick"),
+          element_at(concat(filter(col("attrs"), a => !a.contains("m2") && length(a) > 0),
+            array(lit(null))), 1).as("design_pick"))
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id,
+          |  list_extract(list_concat(list_filter(attrs, a -> contains(a, 'm2')), [NULL]), 1) AS size_pick,
+          |  list_extract(list_concat(list_filter(attrs, a -> NOT contains(a, 'm2') AND length(a) > 0), [NULL]), 1) AS design_pick
+          |FROM (SELECT id, [size_m2, design] AS attrs FROM raw)
+          |ORDER BY id""".stripMargin))),
+
+    Q("gen_rows_to_df",
+      // extract.py:44: impose a schema on positional rows —
+      // spark.createDataFrame(rows, schema); oracle = VALUES.
+      (s, d) => {
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("purpose",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.LongType)))
+        val rows = Seq(
+          org.apache.spark.sql.Row("Prodej bytu", 5000000L),
+          org.apache.spark.sql.Row("Pronajem bytu", 900L)).asJava
+        s.createDataFrame(rows, schema).orderBy("price")
+      },
+      Some(
+        """SELECT * FROM (VALUES ('Prodej bytu', CAST(5000000 AS BIGINT)),
+          |  ('Pronajem bytu', CAST(900 AS BIGINT))) t(purpose, price)
+          |ORDER BY price""".stripMargin)),
+
+    Q("etl_union_pages",
+      // per-page union (extract.py:63): two disjoint "pages" unioned back
+      (s, d) => {
+        val r = rawProperties(s, d)
+        r.filter(pmod(col("id"), lit(3)) === 0).select("id", "link")
+          .union(r.filter(pmod(col("id"), lit(3)) === 1).select("id", "link"))
+          .orderBy("id")
+      },
+      Some(withRaw(
+        """SELECT id, link FROM raw WHERE id % 3 = 0
+          |UNION ALL SELECT id, link FROM raw WHERE id % 3 = 1
+          |ORDER BY id""".stripMargin))),
+
+    // ---- §2.5 filters -------------------------------------------------------
+
+    Q("flt_eur",
+      (s, d) => rawProperties(s, d)
+        .filter(!col("price_czk").contains("EUR"))
+        .select("id", "price_czk").orderBy("id"),
+      Some(withRaw(
+        "SELECT id, price_czk FROM raw WHERE NOT contains(price_czk, 'EUR') ORDER BY id"))),
+
+    Q("flt_min_price",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(col("price") >= 500)
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, price FROM
+          |  (SELECT id, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM raw)
+          |WHERE price >= 500 ORDER BY id""".stripMargin))),
+
+    Q("flt_rent_sane",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(Parse.keepRentSane(col("purpose"), col("price")))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, purpose, price FROM
+           |  (SELECT id, purpose, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM t)
+           |WHERE NOT (regexp_matches(purpose, '$rentAlt') AND price <= 1000) ORDER BY id""".stripMargin))),
+
+    Q("flt_sale_sane",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("price"))
+        .filter(Parse.keepSaleSane(col("purpose"), col("price")))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, purpose, price FROM
+           |  (SELECT id, purpose, CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price FROM t)
+           |WHERE NOT (regexp_matches(purpose, '$saleAlt') AND price <= 20000) ORDER BY id""".stripMargin))),
+
+    Q("flt_region_whitelist",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Parse.regionOf(Transliterate(col("address"))).as("region"))
+        .filter(col("region").isin(PropertySchema.czechRegions: _*))
+        .orderBy("id"),
+      Some(withRaw(
+        s"""SELECT id, region FROM
+           |  (SELECT id, CASE WHEN contains(lower(address), 'kraj')
+           |     THEN (CASE WHEN len(w) >= 2
+           |           THEN rtrim(array_to_string(w[len(w)-1:len(w)], ' '), ',') ELSE '' END)
+           |     ELSE 'Praha' END AS region
+           |   FROM (SELECT id, address, regexp_split_to_array(trim(address), '\\s+') AS w FROM t))
+           |WHERE region IN ${sqlIn(PropertySchema.czechRegions)} ORDER BY id""".stripMargin))),
+
+    Q("flt_land_cap",
+      (s, d) => rawProperties(s, d)
+        .select(col("id"), Transliterate(col("purpose")).as("purpose"),
+          Parse.digitsToLong(col("price_czk")).as("p"),
+          Parse.sizeToInt(col("size_m2")).as("sz"))
+        .withColumn("ppm2", Parse.pricePerM2(col("p"), col("sz")))
+        .filter(Parse.keepLandCap(col("purpose"), col("ppm2")))
+        .select("id", "purpose", "ppm2")
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT id, purpose, ppm2 FROM
+          |  (SELECT id, purpose, CASE WHEN sz <> 0 THEN CAST(ceil(CAST(p AS DOUBLE) / sz) AS INTEGER) END AS ppm2
+          |   FROM (SELECT id, purpose,
+          |           CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS p,
+          |           COALESCE(TRY_CAST(regexp_replace(replace(size_m2, 'm2', ''), '[^0-9]', '', 'g') AS INTEGER), 0) AS sz
+          |         FROM t))
+          |WHERE NOT (contains(purpose, 'Prodej pozemku') AND COALESCE(ppm2 > 80000, false))
+          |ORDER BY id""".stripMargin))),
+
+    // ---- §2.6 dedup ---------------------------------------------------------
+
+    Q("dedup_link_keep_first",
+      (s, d) => Dedup.exactDedupByKey(
+          rawProperties(s, d).select(col("id"), col("link")), col("link"), "id")
+        .orderBy("id"),
+      Some(withRaw(
+        """SELECT min(id) AS id, link FROM raw GROUP BY link ORDER BY id""".stripMargin)),
+      bench = true),
+
+    // ---- the flagship: full transform chain (§3.2) --------------------------
+
+    Q("transform_chain",
+      (s, d) => transformChain(s, d),
+      Some(chainSql(DUMP_DATE, FILE_NAME) + "\nSELECT * FROM final ORDER BY link"),
+      bench = true),
+
+    // ---- §2.11 dashboard analytics over the transformed table ---------------
+
+    Q("etl_hash_sample",
+      // deterministic sampling (§2.12): md5-bucket sample — md5 is md5 in
+      // every engine, so the sample is reproducible AND oracle-checkable
+      // (unlike Bernoulli sample(), whose RNG is engine-specific).
+      // First hex digit in {0,1} → exact 1/8 expected rate.
+      (s, d) => tbl(s, d, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+          |ORDER BY o_orderkey""".stripMargin))
+  )
+}

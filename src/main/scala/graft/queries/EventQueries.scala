@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** Event-stream analytics run as batch queries: hourly rollup,
+  * sessionization, sliding windows, JSON props. Pure move.
+  */
+private[graft] object EventQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("ev_hourly_rollup",
+      (s, d) => Events.hourlyRollup(eventsTable(s, d))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("sum_value_c"), col("avg_value_e6"))
+        .orderBy("hour", "event_type"),
+      Some(
+        s"""WITH $EV_SQL
+           |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c,
+           |  CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) * 1000000) AS BIGINT) AS avg_value_e6
+           |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      bench = true),
+
+    Q("ev_session_summary",
+      (s, d) => Events.sessionSummary(eventsTable(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"), col("sum_value_c"))
+        .orderBy("user_id", "session_seq"),
+      Some(
+        s"""WITH $EV_SQL,
+           |lagged AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+           |),
+           |flagged AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           |    THEN 1 ELSE 0 END AS is_new
+           |  FROM lagged
+           |),
+           |sess AS (
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id, session_seq,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+           |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin),
+      bench = true),
+
+    Q("ev_sliding_counts",
+      // sliding windows: every event lands in 4 overlapping 1h/15m windows.
+      (s, d) => Events.slidingCounts(eventsTable(s, d)),
+      Some(
+        s"""WITH $EV_SQL,
+           |slid AS (
+           |  SELECT to_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) AS win_start,
+           |         event_type
+           |  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k)
+           |)
+           |SELECT strftime(win_start AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
+           |       event_type, count(*) AS n
+           |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+      bench = true),
+
+    Q("ev_props_json",
+      (s, d) => eventsTable(s, d)
+        .select(col("event_id"), Events.propsK(col("props")).as("k"))
+        .orderBy("event_id"),
+      Some(
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- LLM ops: text analysis ----------------------------------------------
+  )
+}

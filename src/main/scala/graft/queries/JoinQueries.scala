@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** Join family: broadcast/SMJ equi-joins, semi/anti, full outer, as-of,
+  * range/band, and the bloom-pruned join. Pure move.
+  */
+private[graft] object JoinQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("join_orders_customer",
+      (s, d) => tbl(s, d, "orders")
+        .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("sum_price_c"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
+    Q("join_revenue_by_brand",
+      (s, d) => tbl(s, d, "lineitem")
+        .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,4)").multiply(10000).cast("long").as("revenue_e4"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      bench = true),
+
+    Q("join_semi_anti",
+      // explicit LEFT SEMI + LEFT ANTI (§2.12): every customer flagged by
+      // order existence — semi and anti partition the table, so their
+      // union is exactly the EXISTS() truth. Both plan as one broadcast/
+      // hash join that ships only the key column, never duplicating
+      // customer rows on multi-order matches.
+      (s, d) => {
+        val c = tbl(s, d, "customer").select(col("c_custkey"))
+        val o = tbl(s, d, "orders").select(col("o_custkey"))
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .withColumn("has_orders", lit(true))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .withColumn("has_orders", lit(false))
+        semi.union(anti).orderBy("c_custkey")
+      },
+      Some(
+        """SELECT c_custkey,
+          |  EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+          |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_full_outer",
+      // FULL OUTER (§2.12): negative-balance customer vs supplier counts
+      // per nation — either side can be absent, zero-filled after the
+      // coalesced key. One shuffle per pre-aggregated (tiny) side.
+      (s, d) => {
+        val c = tbl(s, d, "customer").filter(col("c_acctbal") < 0)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = tbl(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some(
+        """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          |           FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+          |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          |      FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+          |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+          |  COALESCE(c.n_cust, 0) AS n_cust,
+          |  COALESCE(s.n_supp, 0) AS n_supp
+          |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+          |ORDER BY nationkey""".stripMargin)),
+
+    Q("join_asof",
+      // as-of join (§2.12, no Spark native op): each click matched to the
+      // user's latest view at-or-before it — union-tag + per-key ordered
+      // window carry-forward, oracled by DuckDB's native ASOF LEFT JOIN.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // unique (user, ts) on the right so the as-of pick is deterministic
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("__r"))
+          .select(col("user_id"), col("ts"),
+            col("__r.event_id").as("view_id"), col("__r.value").as("view_value"))
+        graft.plans.AsOf.asofJoin(clicks, views, "user_id", "ts",
+            Seq("view_id", "view_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("asof_view_id"),
+            (col("asof_view_value").cast("decimal(18,2)") * 100).cast("long")
+              .as("view_value_c"))
+          .orderBy("event_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |views AS (
+           |  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           |    FROM ev WHERE event_type = 'view') WHERE rn = 1
+           |)
+           |SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |  v.view_id AS asof_view_id,
+           |  CAST(CAST(v.view_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS view_value_c
+           |FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts
+           |ORDER BY event_id""".stripMargin),
+      bench = true),
+
+    Q("join_range_events",
+      // band join (§2.12): click-purchase pairs of the same user within
+      // 5 minutes — interval-bucketed equi-join, never a nested loop.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        graft.plans.RangeJoin.bandPairs(clicks, purchases, "user_id", "t",
+            width = 300000000L)
+          .select(col("l.click_id").as("click_id"),
+            col("r.purchase_id").as("purchase_id"),
+            (col("r.t") - col("l.t")).as("delta_us"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t FROM ev WHERE event_type = 'click'),
+           |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t FROM ev WHERE event_type = 'purchase')
+           |SELECT c.click_id, p.purchase_id, p.t - c.t AS delta_us
+           |FROM c JOIN p ON c.user_id = p.user_id AND abs(c.t - p.t) <= 300000000
+           |ORDER BY click_id, purchase_id""".stripMargin),
+      bench = true),
+
+    // ---- §2.10 events / time windows (batch forms) ---------------------------
+
+    Q("join_bloom_prune",
+      // Bloom-pruned fact-dim join: the dim side (European suppliers)
+      // builds an md5-deterministic Bloom filter (analytics/Bloom.scala);
+      // the fact scan is pruned by the codegen'd SortedSetContainsAll
+      // binary search BEFORE any exchange — the explicit, engine-portable
+      // form of Spark's runtime row-level filtering. False positives are
+      // swallowed by the exact broadcast join that follows, so the oracle
+      // is the PLAIN join SQL: the bloom may only ever change the plan,
+      // never the answer.
+      (s, d) => {
+        val dim = tbl(s, d, "supplier")
+          .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("n_name"))
+        val packed = Bloom.packSorted(
+          Bloom.bits(dim, col("s_suppkey"), BLOOM_JOIN_M, BLOOM_K))
+        val pruned = Bloom.prune(
+          tbl(s, d, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_suppkey"), packed, BLOOM_JOIN_M, BLOOM_K)
+        pruned.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(28,4)").multiply(10000).cast("long").as("revenue_e4"))
+          .orderBy("n_name")
+      },
+      Some(
+        """SELECT n_name, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'EUROPE'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true)
+  )
+}

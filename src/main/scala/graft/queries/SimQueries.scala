@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** Similarity-search and multimodal families: brute-force/LSH/IVF ANN,
+  * embedding near-dup, asset metadata/decode/resize/frame-sample. Pure
+  * move.
+  */
+private[graft] object SimQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("sim_cosine_topk",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM c, q WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin),
+      bench = true),
+
+    Q("sim_exact_neardup_pairs",
+      // threshold 0.3: the synthetic embeddings top out at cos ≈ 0.46, so a
+      // "real" near-dup threshold matches a 0-row oracle — vacuously. 0.3
+      // keeps ~42 pairs at sf0.01 so the value compare actually compares.
+      (s, d) => Similarity.exactNearDupPairs(
+          tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0), minCosine = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(
+        """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings WHERE vec_id % 5 = 0)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  CAST(floor(list_inner_product(a.e, b.e) /
+          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) AS cos_e6
+          |FROM v a JOIN v b ON a.id < b.id
+          |WHERE CAST(floor(list_inner_product(a.e, b.e) /
+          |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) * 1000000) AS BIGINT) >= 300000
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("sim_lsh_topk",
+      // The hyperplanes are deterministic constants (±1 by murmur3 parity
+      // of (seed, bit, dim)), so the oracle embeds the 12×64 sign matrix
+      // as literals and replays the projection with the same sequential
+      // double fold (list_reduce) — bit-identical signs, buckets, probes,
+      // and rerank. Fully oracle-checked, multi-probe included.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(LSH_TOPK_SQL),
+      bench = true),
+
+    Q("sim_ivf_topk",
+      // IVF coarse quantization with deterministic centroids (vec_id % 100
+      // = 0) — fully oracle-checkable, unlike trained-kmeans IVF.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, centStep = 100, nProbe = 2)
+      },
+      Some(
+        """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |vc AS (
+          |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT v.id, v.e, c.cent_id,
+          |          CAST(floor(list_inner_product(v.e, c.cv) /
+          |            (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM v, c)
+          |),
+          |cells AS (SELECT id AS neighbor_id, e AS cv, cent_id FROM vc WHERE rn = 1),
+          |probes AS (SELECT id AS query_id, e AS qv, cent_id FROM vc WHERE rn <= 2 AND id % 50 = 0),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM cells JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin),
+      bench = true),
+
+    Q("sim_embedding_neardup_lsh",
+      // 0.3 (see sim_exact_neardup_pairs) so the bucketed variant emits a
+      // nonzero candidate set (23 pairs at sf0.01); recall vs the exact
+      // pairs is unit-tested. Oracle replays the 8-bit bucket blocking
+      // with the literal sign matrix (see sim_lsh_topk).
+      (s, d) => Similarity.embeddingNearDupPairs(tbl(s, d, "embeddings"), minCosine = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(EMB_NEARDUP_LSH_SQL)),
+
+    // ---- LLM ops: multimodal ---------------------------------------------------
+
+    Q("mm_asset_metadata",
+      (s, d) => Multimodal.assetMetadata(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"))
+        .orderBy("asset_id"),
+      Some(
+        """SELECT doc_id AS asset_id,
+          |  list_extract(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], CAST(doc_id % 4 AS INT) + 1) AS mime,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS checksum,
+          |  substring(md5(text), 1, 8) AS shard_key,
+          |  octet_length(encode(text)) > 1048576 AS is_large
+          |FROM documents ORDER BY asset_id""".stripMargin),
+      bench = true),
+
+    Q("mm_decode_features",
+      // The decode kernel is the declared deterministic stub, but it is a
+      // PURE function of the payload bytes — so the whole decode path
+      // (binary plumbing, dims, frame counts, per-slot feature sums) is
+      // oracle-checkable: DuckDB re-derives every byte from hex(payload).
+      // feats(j) = sum(bytes at i≡j mod 8) / 255 / n with one double
+      // division, so round(f * 255 * n) recovers the integer sum exactly.
+      (s, d) => {
+        val feats = Multimodal.decodeFeatures(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text")).toDF()
+        val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+          round(element_at(col("features"), j + 1).cast("double") * 255.0 *
+            greatest(col("n_bytes"), lit(1L))).cast("long").as(s"f${j}_sum"))
+        feats.select(Seq(col("asset_id"), col("mime"), col("n_bytes"),
+            col("width"), col("height"), col("n_frames")) ++ sumCols: _*)
+          .orderBy("asset_id")
+      },
+      Some(MM_DECODE_SQL)),
+
+    Q("mm_resize",
+      // Resize stub is likewise byte-deterministic: dims scale to fit
+      // 32x32, the payload is truncated/zero-padded to area-proportional
+      // length — all reproducible from hex(payload) in DuckDB, with
+      // md5-of-hex as the content checksum (DuckDB cannot slice blobs,
+      // but slicing the hex string is byte-equivalent).
+      (s, d) => Multimodal.resizeAssets(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
+          maxW = 32, maxH = 32)
+        .toDF().select(col("asset_id"), col("mime"), col("width"), col("height"),
+          octet_length(col("payload")).cast("long").as("out_len"),
+          md5(hex(col("payload")).cast("binary")).as("hex_md5"))
+        .orderBy("asset_id"),
+      Some(MM_RESIZE_SQL)),
+
+    Q("mm_frame_sample",
+      // frame fan-out: every stride-th frame of a video asset, one row per
+      // (asset, frame) — n_frames is byte-deterministic, so the generator
+      // shape is exactly reproducible with range() in DuckDB.
+      (s, d) => Multimodal.sampleFrames(
+          Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text"),
+          stride = 10)
+        .toDF().select("asset_id", "frame_idx")
+        .orderBy("asset_id", "frame_idx"),
+      Some(
+        """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          |f AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 1 + n % 30 ELSE 1 END AS nf FROM b)
+          |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
+          |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    // ---- Bloom-filter pruning, stratified sampling, robust quality gates,
+    //      edit-distance dedup, grouping-sets / union-by-name breadth ------
+  )
+
+  private def MM_MIME_SQL: String =
+    "list_extract(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], CAST(doc_id % 4 AS INT) + 1)"
+
+  /** Oracle for mm_decode_features: every byte re-derived from hex(payload)
+    * (two hex chars → one byte), per-slot integer sums, dims from n.
+    */
+  private lazy val MM_DECODE_SQL: String = {
+    val sumSelects = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+      s"CAST(COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS BIGINT) AS f${j}_sum").mkString(",\n        ")
+    val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+      s"CAST(COALESCE(s.f${j}_sum, 0) AS BIGINT) AS f${j}_sum").mkString(",\n      ")
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |by AS (SELECT doc_id, i,
+       |         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1 AS byte
+       |       FROM (SELECT doc_id, hx, unnest(range(n)) AS i FROM b)),
+       |s AS (SELECT doc_id,
+       |        $sumSelects
+       |      FROM by GROUP BY doc_id)
+       |SELECT b.doc_id AS asset_id, $MM_MIME_SQL AS mime,
+       |      CAST(b.n AS BIGINT) AS n_bytes,
+       |      CAST(16 + b.n % 64 AS INT) AS width,
+       |      CAST(16 + (b.n // 64) % 64 AS INT) AS height,
+       |      CAST(CASE WHEN b.doc_id % 4 = 3 THEN 1 + b.n % 30 ELSE 1 END AS INT) AS n_frames,
+       |      $sumCols
+       |FROM b LEFT JOIN s USING (doc_id) ORDER BY asset_id""".stripMargin
+  }
+
+  /** Oracle for mm_resize: scale/truncate arithmetic mirrored op-for-op
+    * (same IEEE double ops, trunc-toward-zero), zero-byte padding as '0'
+    * hex chars via rpad.
+    */
+  private lazy val MM_RESIZE_SQL: String =
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       |g AS (SELECT doc_id, hx, n, 16 + n % 64 AS w0, 16 + (n // 64) % 64 AS h0 FROM b),
+       |sc AS (SELECT *, least(CAST(1.0 AS DOUBLE),
+       |         least(CAST(32.0 AS DOUBLE) / w0, CAST(32.0 AS DOUBLE) / h0)) AS scale FROM g),
+       |r AS (SELECT doc_id, hx, n,
+       |        CAST(greatest(1, trunc(w0 * scale)) AS INT) AS width,
+       |        CAST(greatest(1, trunc(h0 * scale)) AS INT) AS height,
+       |        greatest(1, CAST(trunc((n * scale) * scale) AS BIGINT)) AS out_len
+       |      FROM sc)
+       |SELECT doc_id AS asset_id, $MM_MIME_SQL AS mime, width, height, out_len,
+       |  md5(rpad(substr(hx, 1, CAST(2 * least(out_len, n) AS INT)),
+       |           CAST(2 * out_len AS INT), '0')) AS hex_md5
+       |FROM r ORDER BY asset_id""".stripMargin
+
+  /** The hyperplane-LSH bucket signature as a DuckDB expression over a
+    * DOUBLE[] column `e`: per bit, the ±1 sign matrix is precomputed here
+    * with the same murmur3 chain HyperplaneSig uses
+    * (hashInt(d, hashInt(b, hashInt(seed, 42)))) and embedded as literals;
+    * the projection is the same left-to-right double fold (list_reduce
+    * seeds with the first element — IEEE-identical to Spark's 0.0-seeded
+    * fold), so every sign bit matches exactly.
+    */
+  private def hyperplaneSigSql(bits: Int, dim: Int, seed: Int = 42): String = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    (0 until bits).map { b =>
+      val hb = Murmur3_x86_32.hashInt(b, Murmur3_x86_32.hashInt(seed, 42))
+      val signs = (0 until dim).map { dIdx =>
+        val h = Murmur3_x86_32.hashInt(dIdx, hb)
+        if (((h % 2) + 2) % 2 == 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+         |      d -> e[d] * (CAST($signs AS DOUBLE[]))[d]), (x, y) -> x + y) > 0
+         |    THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString("\n   + ")
+  }
+
+  private def COS_E6(a: String, b: String): String =
+    s"""CAST(floor(list_inner_product($a, $b) /
+       |    (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle for sim_lsh_topk: signatures + multi-probe (all 1-bit flips)
+    * + exact rerank, all replayed in SQL.
+    */
+  private lazy val LSH_TOPK_SQL: String = {
+    val masks = Similarity.probeMasks(12, 1).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT id, e,
+       |   ${hyperplaneSigSql(12, 64)} AS sig
+       |   FROM v),
+       |probes AS (SELECT id AS query_id, e AS qv, xor(sig, m) AS bucket
+       |           FROM s, (SELECT unnest($masks) AS m) WHERE id % 50 = 0),
+       |sc AS (SELECT p.query_id, c.id AS neighbor_id,
+       |         ${COS_E6("p.qv", "c.e")} AS sim_e6
+       |       FROM probes p JOIN s c ON c.sig = p.bucket AND c.id <> p.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Oracle for sim_embedding_neardup_lsh: 8-bit exact-bucket blocking,
+    * then the cosine threshold.
+    */
+  private lazy val EMB_NEARDUP_LSH_SQL: String =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT id, e,
+       |   ${hyperplaneSigSql(8, 64)} AS sig
+       |   FROM v)
+       |SELECT a.id AS id_a, b.id AS id_b, ${COS_E6("a.e", "b.e")} AS cos_e6
+       |FROM s a JOIN s b ON a.sig = b.sig AND a.id < b.id
+       |WHERE ${COS_E6("a.e", "b.e")} >= 300000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared CTEs for the winnowing oracles (k=5, w=4), ending in
+    * `fp(id, h)` — the distinct selected hash set per document. Gram
+    * hashes are the exact base-31 polynomial values WinnowSig computes
+    * (no wrap under 2^27 for k=5); windows replay the rightmost-min rule
+    * via (h ASC, pos DESC) ranking.
+    */}

@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Bloom, Dashboard}
+import graft.etl.{Parse, Transform}
+import graft.expr.Transliterate
+import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.schema.PropertySchema
+import graft.streaming.Events
+import graft.util.Num.{cents, e6}
+import graft.queries.Fixtures._
+import graft.queries.OracleShared._
+
+/** Text-analysis family: stats/quality/lang-id, TF-IDF, CMS, packing,
+  * splits, quantiles, winnow fingerprints, bloom blocklist, stratified
+  * sample, robust outliers, curation chain. Pure move.
+  */
+private[graft] object TextQueries {
+
+  val qs: Vector[Q] = Vector(
+    Q("text_stats",
+      (s, d) => TextStats.documentStats(tbl(s, d, "documents")).orderBy("doc_id"),
+      Some(TEXT_STATS_SQL),
+      bench = true),
+
+    Q("text_exact_dedup",
+      (s, d) => Dedup.exactDedupByKey(
+          tbl(s, d, "documents")
+            .withColumn("fp", TextStats.fingerprint(col("text"))),
+          col("fp"), "doc_id")
+        .select("doc_id", "fp")
+        .orderBy("doc_id"),
+      Some(
+        """SELECT min(doc_id) AS doc_id, fp FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+          |GROUP BY fp ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    Q("text_split_assign",
+      // deterministic salted-md5 train/val/test assignment — stable under
+      // corpus growth, reproducible in any engine with md5()
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), Corpus.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+          |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- set operations beyond union (§2.12) ---------------------------------
+
+    Q("text_pack_sequences",
+      // GPT-style capacity packing: per-lang running token sum, each doc
+      // assigned the 2048-token chunk its first token lands in
+      (s, d) => Corpus.packSequences(
+          tbl(s, d, "documents").select("doc_id", "lang", "text")
+            .withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("n_tokens"), col("lang"), col("doc_id"), capacity = 2048)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id"),
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+          |  FROM b)
+          |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+          |  CAST(floor(CAST(st AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+          |  CAST(st % 2048 AS BIGINT) AS pack_offset
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Q("text_token_quantiles",
+      // per-lang exact token-count percentiles (type-7 interpolation in
+      // both engines); distribution report for corpus quality monitoring
+      (s, d) => Corpus.tokenQuantiles(tbl(s, d, "documents"), col("text"), col("lang"))
+        .select(col("grp").as("lang"), col("n_docs"),
+          e6(col("q0")).as("q25_e6"), e6(col("q1")).as("q50_e6"),
+          e6(col("q2")).as("q90_e6"), e6(col("q3")).as("q99_e6"))
+        .orderBy("lang"),
+      Some(
+        """WITH b AS (
+          |  SELECT lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+          |  FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(floor(quantile_cont(n_tokens, 0.25) * 1000000) AS BIGINT) AS q25_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.5)  * 1000000) AS BIGINT) AS q50_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.9)  * 1000000) AS BIGINT) AS q90_e6,
+          |  CAST(floor(quantile_cont(n_tokens, 0.99) * 1000000) AS BIGINT) AS q99_e6
+          |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("text_curation_chain",
+      // The LLM flagship: lang filter → quality floor → exact dedup →
+      // simhash near-dup drop → split assignment, end to end — the
+      // training-corpus analogue of transform_chain, fully oracled by
+      // composing the stats and simhash CTEs.
+      (s, d) => Corpus.curate(tbl(s, d, "documents"),
+          keepLangs = Seq("en"), minQualityE6 = 650000L)
+        .orderBy("doc_id"),
+      Some(CURATION_SQL),
+      bench = true),
+
+    Q("text_tfidf",
+      // TF-IDF salience with an exact rational idf (tf × (N·1e6 div df),
+      // all-integer — a log idf would hang the cross-engine compare on
+      // ln()'s last ulp). Vocabulary-sized df table broadcast back onto
+      // the tf aggregation; corpus count rides a broadcast 1-row total.
+      (s, d) => TextStats.tfIdf(tbl(s, d, "documents"))
+        .orderBy("doc_id", "tok"),
+      Some(TFIDF_SQL)),
+
+    Q("text_cms_counts",
+      // Count-Min frequency sketch over the corpus token stream, probed
+      // with the English stopword vocabulary: d=4 md5-derived hash rows ×
+      // w=1024 buckets, estimate = min over rows. Like the KMV sketch,
+      // the md5 buckets make the APPROXIMATE counters exactly
+      // reproducible in SQL.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val m = graft.analytics.Sketch.cmsMatrix(toks, col("tok"))
+        val probes = s.createDataset(TextStats.enStopwords)(
+          org.apache.spark.sql.Encoders.STRING).toDF("w")
+        graft.analytics.Sketch.cmsEstimate(m, probes, col("w"))
+          .select(col("item"), col("est_count").cast("long").as("est_count"))
+          .orderBy("item")
+      },
+      Some(CMS_SQL)),
+
+    Q("text_cms_heavy_hitters",
+      // Batch heavy-hitters on top of the Count-Min matrix: probe with the
+      // DISTINCT token set and keep items whose estimate clears φ = 1/32
+      // of the stream length. CMS never undercounts, so every true heavy
+      // hitter survives (perfect recall); the md5 buckets make each
+      // boundary decision identical in both engines. The support threshold
+      // rides a broadcast 1-row total — no driver-side collect.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val m = graft.analytics.Sketch.cmsMatrix(toks, col("tok"))
+        val est = graft.analytics.Sketch.cmsEstimate(m, toks.distinct(), col("tok"))
+        val total = toks.agg(count(lit(1)).as("__n"))
+        est.crossJoin(broadcast(total))
+          .filter(col("est_count") >= col("__n") / 32.0)
+          .select(col("item"), col("est_count").cast("long").as("est_count"))
+          .orderBy("item")
+      },
+      Some(CMS_HH_SQL)),
+
+    Q("text_winnow_fp",
+      // Winnowing fingerprints (SIGMOD'03). With the default k=5 the
+      // base-31 polynomial values stay under 2^27 — the "wrap-around"
+      // arithmetic never wraps — so DuckDB can recompute every k-gram
+      // hash directly (unicode(char) * 31^t sums) and replay the
+      // rightmost-min window selection. fp emitted as a joined string:
+      // engine-portable, unlike array columns in the value compare.
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"), graft.expr.WinnowSig(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_hashes"),
+          array_join(transform(col("fp"), h => h.cast("string")), ",").as("fp_str"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $WINNOW_CTES,
+              |agg AS (SELECT id, count(*) AS n_hashes,
+              |        string_agg(h, ',' ORDER BY h) AS fp_str FROM fp GROUP BY id)
+              |SELECT d.doc_id, CAST(COALESCE(a.n_hashes, 0) AS INT) AS n_hashes,
+              |       COALESCE(a.fp_str, '') AS fp_str
+              |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("text_bloom_blocklist",
+      // Blocklist filtering through the bloom, false positives VISIBLE:
+      // per-doc (bloom_hit, exact_hit) against a fingerprint blocklist.
+      // The md5-derived bit positions make the filter itself — including
+      // any false positive — bit-reproducible in DuckDB, so this oracle
+      // checks the bloom's exact semantics, not just the rescued answer.
+      (s, d) => {
+        val fp = tbl(s, d, "documents").select(col("doc_id"), col("source"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        val block = fp.filter(col("source").isin("src0", "src1"))
+          .select("fp").distinct()
+        val bbits = Bloom.bits(block, col("fp"), BLOOM_LIST_M, BLOOM_K)
+        val mem = Bloom.membership(fp, col("doc_id"), col("fp"),
+            bbits, BLOOM_LIST_M, BLOOM_K)
+          .select(col("id").as("doc_id"), col("might_contain").as("bloom_hit"))
+        val exact = fp.join(broadcast(block.withColumn("__b", lit(1))), Seq("fp"), "left")
+          .select(col("doc_id"), col("__b").isNotNull.as("exact_hit"))
+        mem.join(exact, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some(BLOOM_BLOCKLIST_SQL)),
+
+    Q("text_stratified_sample",
+      // deterministic per-language quota rebalancing: bottom-40 docs per
+      // lang in md5(doc_id)-hash order via the heap-based top-k exec —
+      // exact stratum sizes, no RNG, oracle re-derives the identical set
+      (s, d) => Corpus.stratifiedSample(
+          tbl(s, d, "documents"), col("lang"), col("doc_id"), quota = 40)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"))
+        .orderBy("lang", "doc_id"),
+      Some(STRATIFIED_SAMPLE_SQL)),
+
+    Q("text_robust_outliers",
+      // median/MAD length-anomaly gate per language — the robust quality
+      // filter (mean/stddev breaks down on the exact blobs it should
+      // catch); every intermediate is an exact x.0/x.5 double on integer
+      // token counts, so even the boolean flag is oracle-exact
+      (s, d) => TextStats.robustOutliers(
+          tbl(s, d, "documents").withColumn("n_tokens", Corpus.tokenCount(col("text"))),
+          col("lang"), col("doc_id"), col("n_tokens"), cutoff = 2.0)
+        .select(col("grp").as("lang"), col("id").as("doc_id"),
+          col("v").cast("long").as("n_tokens"),
+          e6(col("med")).as("med_e6"), e6(col("mad")).as("mad_e6"),
+          col("is_outlier"))
+        .orderBy("doc_id"),
+      Some(ROBUST_OUTLIERS_SQL))
+  )
+
+  private def BLOOM_BLOCKLIST_SQL: String =
+    s"""WITH fp AS (SELECT doc_id, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+       |block AS (SELECT DISTINCT fp FROM fp WHERE source IN ('src0', 'src1')),
+       |bpos AS (SELECT DISTINCT pos FROM (
+       |  ${bloomPosSql("block", BLOOM_LIST_M)}
+       |)),
+       |ppos AS (
+       |  ${bloomPosSql("fp", BLOOM_LIST_M, extra = "doc_id")}
+       |),
+       |bh AS (SELECT p.doc_id, count(b.pos) = $BLOOM_K AS bloom_hit
+       |       FROM ppos p LEFT JOIN bpos b USING (pos) GROUP BY p.doc_id),
+       |eh AS (SELECT doc_id, fp IN (SELECT fp FROM block) AS exact_hit FROM fp)
+       |SELECT doc_id, bloom_hit, exact_hit FROM bh JOIN eh USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_stratified_sample: identical md5 hash points, bottom
+    * 40 per language with the same doc_id tiebreak.
+    */
+  private def STRATIFIED_SAMPLE_SQL: String =
+    s"""WITH h AS (SELECT lang, doc_id, ($hexHead32Sql) AS h
+       |  FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents)),
+       |r AS (SELECT lang, doc_id,
+       |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+       |SELECT lang, doc_id FROM r WHERE rn <= 40 ORDER BY lang, doc_id""".stripMargin
+
+  /** Oracle for text_robust_outliers: DuckDB median() is the same type-7
+    * interpolation as Spark percentile(0.5); on integer token counts the
+    * med/mad/flag arithmetic is exact in both engines.
+    */
+  private def ROBUST_OUTLIERS_SQL: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n FROM documents),
+      |m AS (SELECT lang, median(n) AS med FROM t GROUP BY lang),
+      |d AS (SELECT t.doc_id, t.lang, t.n, m.med, abs(n - med) AS ad FROM t JOIN m USING (lang)),
+      |md AS (SELECT lang, median(ad) AS mad FROM d GROUP BY lang)
+      |SELECT d.lang, d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+      |  CAST(floor(med * 1000000) AS BIGINT) AS med_e6,
+      |  CAST(floor(mad * 1000000) AS BIGINT) AS mad_e6,
+      |  ad > 2.0 * mad AS is_outlier
+      |FROM d JOIN md USING (lang) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for agg_kmv_distinct: same hash points, same k minima, same
+    * estimator arithmetic (double-exact constant, one division).
+    */
+  private lazy val CMS_SQL: String = {
+    val stop = sqlList(TextStats.enStopwords)
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |              FROM documents),
+       |tr AS (SELECT tok, unnest([0, 1, 2, 3]) AS r FROM toks WHERE tok <> ''),
+       |tb AS (SELECT r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT r, md5(CAST(r AS VARCHAR) || '#' || tok) AS mh FROM tr)),
+       |m AS (SELECT r, bucket, count(*) AS cnt FROM tb GROUP BY r, bucket),
+       |pr AS (SELECT item, unnest([0, 1, 2, 3]) AS r
+       |       FROM (SELECT unnest($stop) AS item)),
+       |pb AS (SELECT item, r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pr))
+       |SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
+       |FROM pb LEFT JOIN m USING (r, bucket)
+       |GROUP BY item ORDER BY item""".stripMargin
+  }
+
+  /** Oracle for text_tfidf: identical tf/df counts and the same exact
+    * integer-division idf.
+    */
+  private lazy val TFIDF_SQL: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |              FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT t.doc_id, t.tok, t.tf, d.df,
+      |  t.tf * ((n.n * 1000000) // d.df) AS score_e6
+      |FROM tf t JOIN df d USING (tok) CROSS JOIN n
+      |ORDER BY doc_id, tok""".stripMargin
+
+  /** Oracle for text_cms_heavy_hitters: same matrix as CMS_SQL, probes =
+    * the distinct token set, same min-over-rows estimate, φ = 1/32 of the
+    * stream length as the support threshold.
+    */
+  private lazy val CMS_HH_SQL: String =
+    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |              FROM documents),
+       |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+       |tr AS (SELECT tok, unnest([0, 1, 2, 3]) AS r FROM tk),
+       |tb AS (SELECT r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT r, md5(CAST(r AS VARCHAR) || '#' || tok) AS mh FROM tr)),
+       |m AS (SELECT r, bucket, count(*) AS cnt FROM tb GROUP BY r, bucket),
+       |pe AS (SELECT item, unnest([0, 1, 2, 3]) AS r
+       |       FROM (SELECT DISTINCT tok AS item FROM tk)),
+       |pb AS (SELECT item, r, ($hexHead32Sql) % 1024 AS bucket
+       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pe)),
+       |est AS (SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
+       |        FROM pb LEFT JOIN m USING (r, bucket) GROUP BY item)
+       |SELECT item, est_count FROM est
+       |WHERE est_count >= (SELECT count(*) FROM tk) / 32.0
+       |ORDER BY item""".stripMargin
+
+  /** Oracle for dedup_cc_labels: the same simhash pair set, components via
+    * a recursive transitive-closure CTE, label = least(self, min reachable),
+    * isolated docs labeled with themselves.
+    */
+  /** Shared recursive-CTE prelude: simhash pairs → transitive closure →
+    * per-node min-label `lbl(id, component)`.
+    */
+  private lazy val TEXT_STATS_SQL: String =
+    s"WITH $TEXT_STATS_CTES\nSELECT * FROM stats ORDER BY doc_id"
+
+  /** Oracle for text_curation_chain: stats CTEs + simhash CTEs composed —
+    * language/quality filter, min-id dedup on the content fingerprint,
+    * near-dup drop of every pair's greater id (restricted to surviving
+    * docs on both sides; per-doc signatures are corpus-independent so
+    * computing them over all documents and restricting the pairs is
+    * equivalent), then the salted-md5 split.
+    */
+  private lazy val CURATION_SQL: String =
+    s"""WITH $TEXT_STATS_CTES,
+       |$SIMHASH_CTES,
+       |fl AS (SELECT doc_id, lang_guess, quality_e6, fp FROM stats
+       |       WHERE lang_guess IN ('en') AND quality_e6 >= 650000),
+       |kp AS (SELECT min(doc_id) AS doc_id FROM fl GROUP BY fp),
+       |surv AS (SELECT fl.* FROM fl JOIN kp USING (doc_id)),
+       |prs AS (SELECT b.id AS id_b
+       |        FROM sigd a JOIN sigd b ON a.id < b.id
+       |        JOIN surv sa ON sa.doc_id = a.id
+       |        JOIN surv sb ON sb.doc_id = b.id
+       |        WHERE $simhashHamSql <= 3),
+       |fin AS (SELECT s.doc_id, s.lang_guess, s.quality_e6 FROM surv s
+       |        LEFT JOIN (SELECT DISTINCT id_b FROM prs) p ON p.id_b = s.doc_id
+       |        WHERE p.id_b IS NULL)
+       |SELECT doc_id, lang_guess, quality_e6,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** The documentStats computation as reusable CTEs ending in
+    * `stats(doc_id, …, quality_e6, lang_guess, fp)` — shared by the
+    * text_stats oracle and the curation chain.
+    */
+  private lazy val TEXT_STATS_CTES: String = {
+    val stop = sqlList(TextStats.enStopwords)
+    val en = sqlList(TextStats.langVocab("en"))
+    val de = sqlList(TextStats.langVocab("de"))
+    val fr = sqlList(TextStats.langVocab("fr"))
+    val es = sqlList(TextStats.langVocab("es"))
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+       |    length(text) AS n_chars_computed,
+       |    length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS n_punct,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+       |  FROM documents
+       |),
+       |ratios AS (
+       |  SELECT *,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(len(list_filter(words, w -> list_contains($stop, w))) AS DOUBLE) / n_tokens END AS stopword_ratio,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens END AS mean_word_len,
+       |    len(list_filter(words, w -> list_contains($en, w))) AS h_en,
+       |    len(list_filter(words, w -> list_contains($de, w))) AS h_de,
+       |    len(list_filter(words, w -> list_contains($es, w))) AS h_es,
+       |    len(list_filter(words, w -> list_contains($fr, w))) AS h_fr
+       |  FROM base
+       |),
+       |scored AS (
+       |  SELECT *,
+       |    least(CAST(n_chars_computed AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+       |    + least(stopword_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+       |    + (CASE WHEN mean_word_len >= CAST(3.0 AS DOUBLE) AND mean_word_len <= CAST(10.0 AS DOUBLE)
+       |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    + greatest(CAST(0.0 AS DOUBLE),
+       |        CAST(0.2 AS DOUBLE)
+       |        - (CASE WHEN n_chars_computed = 0 THEN CAST(0.0 AS DOUBLE)
+       |                ELSE CAST(n_punct AS DOUBLE) / n_chars_computed END)
+       |        - (CASE WHEN n_chars_computed = 0 THEN CAST(0.0 AS DOUBLE)
+       |                ELSE CAST(n_digits AS DOUBLE) / n_chars_computed END)) AS quality,
+       |    greatest(h_en, h_de, h_es, h_fr) AS h_max
+       |  FROM ratios
+       |),
+       |stats AS (
+       |  SELECT doc_id, n_tokens, n_subwords, n_chars_computed, n_punct, n_digits,
+       |    CAST(floor(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
+       |    CAST(floor(mean_word_len * 1000000) AS BIGINT) AS mean_word_len_e6,
+       |    CAST(floor(quality * 1000000) AS BIGINT) AS quality_e6,
+       |    CASE WHEN h_max = 0 THEN 'und'
+       |         WHEN h_en = h_max THEN 'en'
+       |         WHEN h_de = h_max THEN 'de'
+       |         WHEN h_es = h_max THEN 'es'
+       |         ELSE 'fr' END AS lang_guess,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM scored
+       |)""".stripMargin
+  }
+
+  /** Oracle for dedup_jaccard_pairs — replicates the symmetric
+    * (lang, length-bucket ±1) blocking exactly.
+    */}
