@@ -480,8 +480,9 @@ object Dedup {
     // 100 TB corpus with 1% near-dups shouldn't drag 99% of its ids
     // through every propagation round. Isolated ids rejoin (self-labeled)
     // in the final projection.
+    // lazy: round 1's probe action materializes this along with its own work
     var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint()
+      .select(col("id"), col("id").as("component")).localCheckpoint(false)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {

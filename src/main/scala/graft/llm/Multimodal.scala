@@ -51,7 +51,7 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      features: Array[Float])
+      features: Array[Double])
 
   /** STUB decode kernel — deterministic fake standing in for a real codec.
     * A production build replaces the body with e.g. ImageIO/ffmpeg; the
@@ -59,7 +59,7 @@ object Multimodal {
     */
   object FakeDecoder {
     val featureDim = 8
-    def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Array[Float]) = {
+    def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Array[Double]) = {
       // ??? <- real codec goes here; deterministic fake below keeps the
       // pipeline testable without media libraries in the container.
       val n = payload.length
@@ -67,19 +67,18 @@ object Multimodal {
       val height = 16 + ((n / 64) % 64)
       val nFrames = if (mime.startsWith("video")) 1 + (n % 30) else 1
       // Integer byte-sums first, one double division at the end: no
-      // accumulated float rounding, so round(feats(j) * 255 * n) recovers
-      // the exact integer sum (the cross-engine check the oracle runs)
-      // while the per-slot byte-sum stays below 2^23 — float32's 2^-24
-      // relative error times the sum must stay under 0.5. That is payloads
-      // of a few hundred KB at typical byte values, far above the test
-      // corpus's <1 KB payloads; store doubles if a corpus ever exceeds it.
+      // accumulated rounding, so round(feats(j) * 255 * n) recovers the
+      // exact integer sum (the cross-engine check the oracle runs) for any
+      // payload a 53-bit mantissa can hold — i.e. petabyte-scale payloads;
+      // the former float32 form bounded the per-slot sum at 2^23 (~100 KB
+      // payloads), a limit a larger test corpus would eventually hit.
       val sums = new Array[Long](featureDim)
       var i = 0
       while (i < n) { sums(i % featureDim) += (payload(i) & 0xff); i += 1 }
-      val feats = new Array[Float](featureDim)
+      val feats = new Array[Double](featureDim)
       var j = 0
       while (j < featureDim) {
-        feats(j) = (sums(j).toDouble / 255.0 / math.max(1, n)).toFloat; j += 1
+        feats(j) = sums(j).toDouble / 255.0 / math.max(1, n); j += 1
       }
       (width, height, nFrames, feats)
     }
@@ -154,7 +153,7 @@ object Multimodal {
   final case class FrameFeatures(
       asset_id: Long,
       frame_idx: Int,
-      features: Array[Float])
+      features: Array[Double])
 
   /** Frame sampling for video assets: every `stride`-th frame decoded to a
     * feature vector; non-video assets yield their single frame. One input
@@ -171,7 +170,7 @@ object Multimodal {
           (0 until nFrames by stride).iterator.map { f =>
             // stub per-frame features: rotate the asset features by the
             // frame index so frames are distinct but deterministic
-            val fv = new Array[Float](feats.length)
+            val fv = new Array[Double](feats.length)
             var i = 0
             while (i < feats.length) {
               fv(i) = feats((i + f) % feats.length)
