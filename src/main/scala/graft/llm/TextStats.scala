@@ -198,6 +198,97 @@ object TextStats {
     )
   }
 
+  /** Gopher-style repetition statistics (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, App. A — the repetition family of quality filters):
+    * per document, the fraction of duplicate tokens and the fraction of
+    * characters covered by the most frequent word 2-gram. Machine-generated
+    * and template text scores high on both; the flag combines them with
+    * the paper's threshold style (duplicate share > 0.3, top-2-gram
+    * share > 0.2).
+    *
+    * Determinism: all ratios are exact small-integer divisions emitted as
+    * *_e6 fixed point; the top bigram tie-breaks deterministically (max
+    * count, then lexicographically greatest gram — the max-struct order,
+    * mirrored by ORDER BY cnt DESC, bg DESC in the oracle). The 2-gram
+    * character share counts every occurrence, so heavily looping docs can
+    * exceed 1.0 — that is the signal working, not an error.
+    *
+    * Scale shape: the duplicate-token side is a NARROW projection (token
+    * and distinct-token counts from the in-row word array — no shuffle);
+    * the bigram side is one explode + one (doc, gram) map-side-combinable
+    * count + one per-doc max-struct aggregation. Nothing quadratic,
+    * nothing driver-side.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("ws"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val narrow = base.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+      when(col("n_tokens") === 0, lit(0L))
+        .otherwise(size(array_distinct(col("ws"))).cast("long"))
+        .as("n_distinct_tokens"))
+    val bigrams = base.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))"))
+          .as("bg"))
+    val counts = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+    val top = counts.groupBy("doc_id")
+      .agg(max(struct(col("cnt"), col("bg"))).as("__top"))
+      .select(col("doc_id"), col("__top.bg").as("top_bigram"),
+        col("__top.cnt").as("top_bigram_cnt"))
+    val dupRatio = when(col("n_tokens") === 0, lit(0.0))
+      .otherwise(lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
+    val bgRatio = when(col("n_chars") === 0, lit(0.0))
+      .otherwise(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") *
+        length(coalesce(col("top_bigram"), lit(""))) / col("n_chars"))
+    narrow.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        graft.util.Num.e6(dupRatio).as("dup_token_ratio_e6"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        graft.util.Num.e6(bgRatio).as("top_bigram_ratio_e6"),
+        (dupRatio > 0.3 || bgRatio > 0.2).as("repetition_flag"))
+  }
+
+  /** RE2-compatible redaction patterns (no lookaround, no backreferences —
+    * they replay identically in Java regex and RE2-based engines).
+    * Application order matters and is part of the contract: URLs first
+    * (they may contain '@' userinfo an email pattern would bite into),
+    * then emails, then 7+ digit runs (ids/phones) — digits LAST so the
+    * digit rule can't mangle a URL or email before its own pass.
+    */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitsRe = "[0-9]{7,}"
+
+  /** PII/noise redaction for training corpora: emails, URLs and long digit
+    * runs replaced by typed placeholder tokens. Pure codegen'd
+    * regexp_replace chain — narrow, one pass, no shuffle; at 100 TB this
+    * runs fused into the scan like every other TextStats column op.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      longDigitsRe, "<NUM>")
+
+  /** Per-document redaction counts, measured in the same staged order the
+    * replacement applies (URLs on the raw text, emails on the URL-redacted
+    * text, digit runs after both) so count and replacement semantics can
+    * never disagree.
+    */
+  def redactionCounts(text: Column): (Column, Column, Column) = {
+    val afterUrl = regexp_replace(text, urlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, emailRe, "<EMAIL>")
+    (size(regexp_extract_all(text, lit(urlRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterUrl, lit(emailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(longDigitsRe), lit(0))).cast("long"))
+  }
+
   /** Robust per-group outlier flagging by median/MAD — the quality gate a
     * mean/stddev z-score can't be: a handful of 100 MB crawl blobs drags a
     * mean-based threshold far enough to wave every other anomaly through,

@@ -223,8 +223,105 @@ private[graft] object TextQueries {
           e6(col("med")).as("med_e6"), e6(col("mad")).as("mad_e6"),
           col("is_outlier"))
         .orderBy("doc_id"),
-      Some(ROBUST_OUTLIERS_SQL))
+      Some(ROBUST_OUTLIERS_SQL)),
+
+    Q("text_repetition",
+      // Gopher-style repetition filters (duplicate-token share + top-2-gram
+      // character share): exact integer-ratio arithmetic and a
+      // deterministic max-struct tie-break make even the filter FLAG
+      // oracle-exact. The duplicate side is a narrow projection; only the
+      // bigram argmax shuffles (map-side combinable).
+      (s, d) => TextStats.repetitionStats(tbl(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(REPETITION_SQL),
+      bench = true),
+
+    Q("text_redact",
+      // PII redaction over deterministically PII-spiked text (the corpus
+      // has no natural emails/URLs, so the query plants one of each plus a
+      // long id per doc — both engines build the identical spike). The
+      // RE2-safe pattern chain and the staged counts replay verbatim in
+      // DuckDB, so the redacted STRING itself is hash-compared.
+      (s, d) => {
+        val spiked = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or https://ex.example/d/"),
+            col("doc_id").cast("string"), lit("?ref=abc id "),
+            ((col("doc_id") + 1) * 1234567L).cast("string")).as("text"))
+        val (nUrls, nEmails, nNums) = TextStats.redactionCounts(col("text"))
+        spiked.select(col("doc_id"),
+            TextStats.redactPii(col("text")).as("redacted"),
+            nUrls.as("n_urls"), nEmails.as("n_emails"), nNums.as("n_nums"))
+          .orderBy("doc_id")
+      },
+      Some(REDACT_SQL))
   )
+
+  /** Oracle for text_repetition: same word arrays, same bigram counts,
+    * same (cnt DESC, bg DESC) argmax, same exact ratio arithmetic.
+    */
+  private lazy val REPETITION_SQL: String =
+    """WITH w AS (SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+      |    length(text) AS nc,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+      |  FROM documents),
+      |t AS (SELECT doc_id, nc, nt,
+      |        CASE WHEN nt = 0 THEN 0 ELSE len(list_distinct(ws)) END AS nd
+      |      FROM w),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |       FROM w WHERE len(ws) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, bg, cnt FROM (
+      |          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg DESC) AS rn
+      |          FROM bc) WHERE rn = 1)
+      |SELECT t.doc_id,
+      |  CAST(t.nt AS BIGINT) AS n_tokens,
+      |  CAST(t.nd AS BIGINT) AS n_distinct_tokens,
+      |  CAST(floor((CASE WHEN t.nt = 0 THEN 0.0
+      |        ELSE 1.0 - CAST(t.nd AS DOUBLE) / t.nt END) * 1000000) AS BIGINT)
+      |    AS dup_token_ratio_e6,
+      |  COALESCE(top.bg, '') AS top_bigram,
+      |  CAST(COALESCE(top.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+      |  CAST(floor((CASE WHEN t.nc = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(top.cnt, 0) AS DOUBLE) * length(COALESCE(top.bg, '')) / t.nc END)
+      |      * 1000000) AS BIGINT) AS top_bigram_ratio_e6,
+      |  (CASE WHEN t.nt = 0 THEN 0.0 ELSE 1.0 - CAST(t.nd AS DOUBLE) / t.nt END) > 0.3
+      |    OR (CASE WHEN t.nc = 0 THEN 0.0
+      |        ELSE CAST(COALESCE(top.cnt, 0) AS DOUBLE) * length(COALESCE(top.bg, '')) / t.nc END) > 0.2
+      |    AS repetition_flag
+      |FROM t LEFT JOIN top USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_redact: identical spike construction, identical
+    * pattern chain in the identical order ('g' — DuckDB replaces only the
+    * first match without it; Spark always replaces all).
+    */
+  private lazy val REDACT_SQL: String = {
+    val url = """https?://[^\s]+"""
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val digits = "[0-9]{7,}"
+    s"""WITH sp AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |    '@mail.example.com or https://ex.example/d/' || CAST(doc_id AS VARCHAR) ||
+       |    '?ref=abc id ' || CAST((doc_id + 1) * 1234567 AS VARCHAR) AS text
+       |  FROM documents),
+       |st AS (SELECT doc_id, text,
+       |         regexp_replace(text, '$url', '<URL>', 'g') AS after_url
+       |       FROM sp),
+       |st2 AS (SELECT doc_id, text, after_url,
+       |          regexp_replace(after_url, '$email', '<EMAIL>', 'g') AS after_email
+       |        FROM st)
+       |SELECT doc_id,
+       |  regexp_replace(after_email, '$digits', '<NUM>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(after_url, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(after_email, '$digits')) AS BIGINT) AS n_nums
+       |FROM st2 ORDER BY doc_id""".stripMargin
+  }
 
   private def BLOOM_BLOCKLIST_SQL: String =
     s"""WITH fp AS (SELECT doc_id, source,

@@ -100,4 +100,52 @@ class TextStatsSpec extends SparkSpec {
     // prose with stopwords beats punctuation soup
     assert(scores(4) > scores(2))
   }
+
+  test("repetitionStats: looping text flags, varied text doesn't, empty/single-token are safe") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),       // all-dup + dominant bigram
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")), // all distinct, long enough
+                                                      // that one bigram < 20% of chars
+      (3L, ""),                                    // empty
+      (4L, "single")                               // one token, no bigram
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 6 tokens 1 distinct → dup ratio 5/6; top bigram "spam spam" x5
+    assert(out(1L).getLong(1) == 6L && out(1L).getLong(2) == 1L)
+    assert(out(1L).getLong(3) == 833333L) // floor(5/6 * 1e6)
+    assert(out(1L).getString(4) == "spam spam" && out(1L).getLong(5) == 5L)
+    assert(out(1L).getBoolean(7), "looping doc must flag")
+    // doc 2: zero dup ratio, every bigram count 1 → no flag
+    assert(out(2L).getLong(3) == 0L && !out(2L).getBoolean(7))
+    // max-struct tie-break: all counts 1 → lexicographically greatest bigram
+    assert(out(2L).getString(4) == "w9 w10")
+    // empty + single-token: zeros, empty bigram, no flag, no crash
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).getLong(5) == 0L && out(id).getString(4) == "")
+      assert(!out(id).getBoolean(7))
+    }
+  }
+
+  test("redactPii: urls, emails, digit runs; staged counts match; benign text untouched") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x-corp.example.org or see https://ex.org/p?id=1234567890 ref 99887766"),
+      (2L, "no pii here, just words and the number 42"),
+      (3L, "https://u:p@host.example/a b@c.de 1234567")
+    ).toDF("doc_id", "text")
+    val (u, e, n) = TextStats.redactionCounts(col("text"))
+    val out = docs.select(col("doc_id"),
+        TextStats.redactPii(col("text")).as("r"),
+        u.as("u"), e.as("e"), n.as("n"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) ==
+      "mail me at <EMAIL> or see <URL> ref <NUM>")
+    assert((out(1L).getLong(2), out(1L).getLong(3), out(1L).getLong(4)) == ((1L, 1L, 1L)))
+    assert(out(2L).getString(1) == "no pii here, just words and the number 42")
+    assert((out(2L).getLong(2), out(2L).getLong(3), out(2L).getLong(4)) == ((0L, 0L, 0L)))
+    // order contract: the URL (with @userinfo) is consumed by the URL pass,
+    // so the email pass only sees the standalone address
+    assert(out(3L).getString(1) == "<URL> <EMAIL> <NUM>")
+    assert((out(3L).getLong(2), out(3L).getLong(3), out(3L).getLong(4)) == ((1L, 1L, 1L)))
+  }
 }
