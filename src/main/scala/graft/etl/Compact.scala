@@ -110,22 +110,36 @@ object Compact {
     *
     * A plain directory is migrated on its first compaction: the compacted
     * copy lands in `v=1/` and the pointer is published; the loose
-    * top-level files remain until the next cycle's GC — same guarantee.
+    * top-level files (version "0" for retention purposes) remain until
+    * GC supersedes them — same guarantee.
+    *
+    * @param retainPriorVersions how many superseded versions to keep on
+    *        disk besides the live one — the in-flight-reader grace window,
+    *        measured in compaction cycles (the same retention knob ACID
+    *        table formats expose). 1 is right for infrequent maintenance
+    *        compaction; raise it when compaction runs at a cadence
+    *        comparable to the longest reader.
     */
   def compact(spark: SparkSession, dir: String,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      retainPriorVersions: Int = 1): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    require(retainPriorVersions >= 0,
+      s"retainPriorVersions must be >= 0: $retainPriorVersions")
     val fs = fsOf(spark, dir)
     val base = dir.stripSuffix("/")
     val curV = currentVersion(fs, dir)
-    // GC of everything a PREVIOUS cycle superseded: by the time compact
-    // runs again, anything older than the live version has had a full
-    // cycle for in-flight readers to drain
+    // GC of versions older than the retention window (current version v,
+    // keep v-retain..v; the migrated plain directory's loose files count
+    // as version 0)
     curV.foreach { v =>
-      fs.listStatus(new Path(dir))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach(s => fs.delete(s.getPath, false))
-      (1L until v).foreach(old => fs.delete(new Path(s"$base/v=$old"), true))
+      if (v > retainPriorVersions) {
+        fs.listStatus(new Path(dir))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+      (1L until v - retainPriorVersions).foreach(old =>
+        fs.delete(new Path(s"$base/v=$old"), true))
     }
     val cur = resolve(spark, dir)
     val (nFiles, totalBytes) = parquetFootprint(spark, cur)

@@ -77,16 +77,17 @@ class CompactSpec extends SparkSpec {
     })
     reader.start()
     try {
-      Compact.compact(spark, dir, targetFileBytes = bytes)
+      // retainPriorVersions=3: this test compacts every ~1s — a cadence
+      // comparable to a loaded reader's scan — which is exactly the case
+      // the retention knob exists for (grace is measured in CYCLES)
+      Compact.compact(spark, dir, targetFileBytes = bytes,
+        retainPriorVersions = 3)
       (1 to 3).foreach { i =>
-        // fragment the live version so each cycle genuinely re-compacts;
-        // the pause models a real compaction cadence — the documented
-        // guarantee is ONE CYCLE of reader grace, and back-to-back cycles
-        // with a zero-length cycle would give in-flight readers none
-        Thread.sleep(1000)
+        Thread.sleep(500)
         (1 to 50).map(_ + 300 * i).toDF("v").repartition(4)
           .write.mode("append").parquet(Compact.resolve(spark, dir))
-        Compact.compact(spark, dir, targetFileBytes = Long.MaxValue / 2)
+        Compact.compact(spark, dir, targetFileBytes = Long.MaxValue / 2,
+          retainPriorVersions = 3)
       }
     } finally {
       stop = true
