@@ -141,7 +141,9 @@ object Similarity {
     *
     * Centroids are the corpus vectors whose id ≡ 0 (mod centStep):
     * deterministic, tiny, broadcastable, and SQL-expressible so the whole
-    * operator is oracle-checkable (unlike trained k-means centroids).
+    * operator is oracle-checkable with no training pass ([[ivfTopKTrained]]
+    * is the trained-centroid variant — equally oracle-checkable thanks to
+    * fixed-point k-means, at the cost of the training iterations).
     * Corpus vectors are assigned to their nearest centroid's cell (one
     * broadcast join + argmax, no shuffle of the corpus); queries probe the
     * `nProbe` nearest cells and exact-rerank inside them. At 100 TB the
@@ -183,6 +185,137 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cent_id"))
 
     val scored = cells.join(probes, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    topKSelect(scored, k)
+  }
+
+  /** Zero-norm-safe fixed-point cosine for mixed float/double arrays (the
+    * trained-centroid path, where centroids are e6-derived double arrays
+    * [[CosineSimE6]]'s float kernel must not round): NULL on zero norm,
+    * same as the expression form.
+    */
+  private def cosineE6SafeFold(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d === 0.0, lit(null).cast("long"))
+      .otherwise(floor(dot(a, b) / d * 1e6).cast("long"))
+  }
+
+  /** Deterministic distributed k-means (Lloyd's algorithm) over the
+    * embedding column, every step in e6 FIXED POINT so training is
+    * bit-reproducible and SQL-oracle-checkable — the construction the
+    * sampled-centroid [[ivfTopK]] doc calls impossible for "trained
+    * k-means" is possible once the arithmetic is pinned:
+    *
+    *  - init: the k vectors with smallest md5(id) hash (the KMV
+    *    deterministic-sample trick), cell index = hash rank;
+    *  - assign: argmax fixed-point cosine against the broadcast centroids,
+    *    ties to the lower cell — spherical k-means (cosine is invariant
+    *    to centroid scale, so unnormalized mean centroids are exact);
+    *  - update: per-dimension e6-quantized integer sums (exact,
+    *    order-independent — the same reason [[graft.analytics.Sketch]]
+    *    sums HLL registers in integer space) divided by the cell count
+    *    with one deterministic floor.
+    *
+    * Dead cells (no assigned vectors) drop out, the standard Lloyd
+    * behavior; zero-norm vectors are excluded from training (their cosine
+    * is undefined). Scale shape per iteration: one broadcast cross join +
+    * map-side-combinable argmax (one row per vector through the
+    * exchange), then a (cell, dim) sum aggregation — |v|·dim rows,
+    * map-side combinable to k·dim. No driver-side state beyond the plan.
+    *
+    * @return (cell, ce) — centroid components as e6 longs
+    */
+  def kMeansCentroidsE6(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(l2Norm(col("v")) > 0.0)
+    val hashed = v.withColumn("__h", graft.analytics.Sketch.hashPoint32(col("id")))
+      .withColumn("__g", lit(0))
+    // bottom-k by hash via the heap operator (no global sort of the
+    // corpus); the k survivors are tiny, so the indexing window is free
+    val seed = graft.plans.TopK.perGroup(hashed, Seq("__g"), -col("__h"), col("id"), k)
+    val wk = Window.partitionBy(col("__g")).orderBy(col("__h"), col("id"))
+    val quantize: Column => Column =
+      vc => transform(vc, x => floor(x.cast("double") * 1e6).cast("long"))
+    // cell as BIGINT from the start: the oracle's row_number() is BIGINT
+    // and the driver's schema compare is strict about integer widths
+    var cents = seed.withColumn("cell", (row_number().over(wk) - 1).cast("long"))
+      .select(col("cell"), quantize(col("v")).as("ce"))
+    for (_ <- 0 until iters) {
+      val cd = cents.select(col("cell"),
+        transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+      val assigned = v.crossJoin(broadcast(cd))
+        .withColumn("__sim", cosineE6SafeFold(col("v"), col("cd")))
+        .groupBy("id")
+        .agg(max_by(struct(col("v"), col("cell")),
+          struct(col("__sim"), (-col("cell")).as("__nc"))).as("__r"))
+        .select(col("__r.v").as("v"), col("__r.cell").as("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(quantize(col("v"))))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("c")))).as("__pc"))
+        .select(col("cell"), transform(col("__pc"), p => p.getField("c")).as("ce"))
+    }
+    cents
+  }
+
+  /** Final cell assignment against trained centroids: (id, cell, sim_e6),
+    * argmax fixed-point cosine, ties to the lower cell.
+    */
+  def kMeansAssign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cd = centroids.select(col("cell"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+    vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cd))
+      .withColumn("__sim", cosineE6SafeFold(col("v"), col("cd")))
+      .filter(col("__sim").isNotNull)
+      .groupBy("id")
+      .agg(max_by(struct(col("cell"), col("__sim")),
+        struct(col("__sim"), (-col("cell")).as("__nc"))).as("__r"))
+      .select(col("id"), col("__r.cell").as("cell"), col("__r.__sim").as("sim_e6"))
+  }
+
+  /** Trained-IVF ANN: [[ivfTopK]]'s probe/rerank shape with
+    * [[kMeansCentroidsE6]] cells instead of the modulo-sampled ones —
+    * cells sized by the data, not by id arithmetic, which is what keeps
+    * probe selectivity stable on skewed corpora. Same contract and the
+    * same oracle-checkability (the centroids are fixed-point-exact).
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, trainIters: Int = 2, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kMeansCentroidsE6(corpus, numCells, trainIters, idCol, vecCol)
+    val cd = cents.select(col("cell"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+
+    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6SafeFold(col("cv"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+      .groupBy("neighbor_id")
+      .agg(max_by(struct(col("cv"), col("cell")),
+        struct(col("cent_sim"), (-col("cell")).as("__nc"))).as("__r"))
+      .select(col("neighbor_id"), col("__r.cv").as("cv"), col("__r.cell").as("cell"))
+
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6SafeFold(col("qv"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+      .drop("cd")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = cells.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
     topKSelect(scored, k)

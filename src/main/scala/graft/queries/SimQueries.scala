@@ -70,9 +70,36 @@ private[graft] object SimQueries {
       Some(LSH_TOPK_SQL),
       bench = true),
 
+    Q("sim_kmeans_cells",
+      // deterministic fixed-point k-means (Lloyd, 2 iterations, k=8):
+      // md5-rank seed sample, e6-quantized integer centroid sums, argmax
+      // cosine assignment with lower-cell tie-break — the TRAINED
+      // clustering path made bit-reproducible, so DuckDB replays the whole
+      // training trajectory and the final assignment hash-matches.
+      (s, d) => Similarity.kMeansAssign(
+          tbl(s, d, "embeddings"),
+          Similarity.kMeansCentroidsE6(tbl(s, d, "embeddings"), k = 8, iters = 2))
+        .select(col("id").as("vec_id"), col("cell"), col("sim_e6"))
+        .orderBy("vec_id"),
+      Some(KMEANS_CELLS_SQL),
+      bench = true),
+
+    Q("sim_ivf_trained_topk",
+      // IVF ANN over TRAINED k-means cells (the faiss-style coarse
+      // quantizer): cells sized by the data rather than id arithmetic, and
+      // still fully oracle-checkable because the training is fixed-point.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopKTrained(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, numCells = 8, trainIters = 2, nProbe = 2)
+      },
+      Some(IVF_TRAINED_SQL)),
+
     Q("sim_ivf_topk",
       // IVF coarse quantization with deterministic centroids (vec_id % 100
-      // = 0) — fully oracle-checkable, unlike trained-kmeans IVF.
+      // = 0) — fully oracle-checkable with no training pass; the trained
+      // variant is sim_ivf_trained_topk.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
@@ -233,6 +260,75 @@ private[graft] object SimQueries {
     * seeds with the first element — IEEE-identical to Spark's 0.0-seeded
     * fold), so every sign bit matches exactly.
     */
+  /** Fixed-point cosine in DuckDB — the SQL mirror of both CosineSimE6 and
+    * the fold form (sequential double accumulation, one floor).
+    */
+  private def cosE6Sql(a: String, b: String): String =
+    s"""CAST(floor(list_inner_product($a, $b) /
+       |  (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) * 1000000) AS BIGINT)""".stripMargin
+
+  /** k-means CTE chain: seed sample by md5 rank → `iters` unrolled
+    * assign/update rounds, every number e6 fixed point — generated next to
+    * the Spark form so the two trainings cannot drift. Exposes
+    * `c$iters(cell, ce)` (final centroids, e6 longs) and `c${iters}d
+    * (cell, cd)` (double form).
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""ve AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |         WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+       |kh AS (SELECT id, e, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, e, md5(CAST(id AS VARCHAR)) AS mh FROM ve)),
+       |seed AS (SELECT id, e, row_number() OVER (ORDER BY h, id) AS rn FROM kh),
+       |c0 AS (SELECT rn - 1 AS cell,
+       |         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS ce
+       |       FROM seed WHERE rn <= $k)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |c${i}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$i),
+       |a$i AS (SELECT id, e, cell FROM (
+       |    SELECT v.id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM ve v, c${i}d c) WHERE rn = 1),
+       |u$i AS (SELECT cell, pos, sum(q) AS s, count(*) AS n FROM (
+       |    SELECT cell, unnest(range(1, len(e) + 1)) AS pos,
+       |           unnest(list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT))) AS q
+       |    FROM a$i) GROUP BY cell, pos),
+       |c${i + 1} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |          FROM u$i GROUP BY cell)""".stripMargin
+    }
+    b ++= s""",
+       |c${iters}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$iters)""".stripMargin
+    b.toString
+  }
+
+  /** Oracle for sim_kmeans_cells: the training chain + final argmax
+    * assignment (cs DESC, cell — the max-struct tie-break's mirror).
+    */
+  private lazy val KMEANS_CELLS_SQL: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |fin AS (SELECT id, cell, cs AS sim_e6 FROM (
+       |    SELECT v.id, c.cell, ${cosE6Sql("v.e", "c.cd")} AS cs,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM ve v, c2d c) WHERE rn = 1)
+       |SELECT id AS vec_id, cell, sim_e6 FROM fin ORDER BY vec_id""".stripMargin
+
+  /** Oracle for sim_ivf_trained_topk: k-means cells + the IVF probe/rerank
+    * shape of the sampled-centroid oracle.
+    */
+  private lazy val IVF_TRAINED_SQL: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |asg AS (SELECT id, e, cell, row_number() OVER (PARTITION BY id ORDER BY ${cosE6Sql("av.e", "c.cd")} DESC, c.cell) AS rn
+       |        FROM av, c2d c),
+       |cells AS (SELECT id AS neighbor_id, e AS cv, cell FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, e AS qv, cell FROM asg WHERE rn <= 2 AND id % 50 = 0),
+       |s AS (SELECT query_id, neighbor_id, ${cosE6Sql("qv", "cv")} AS sim_e6
+       |      FROM cells JOIN probes USING (cell) WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   private def hyperplaneSigSql(bits: Int, dim: Int, seed: Int = 42): String = {
     import org.apache.spark.unsafe.hash.Murmur3_x86_32
     (0 until bits).map { b =>

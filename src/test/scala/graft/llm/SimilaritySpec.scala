@@ -124,4 +124,52 @@ class SimilaritySpec extends SparkSpec {
     // the twins are cos≈0.999+; LSH at 8 bits should surface most of them
     assert(lsh.size >= 3, s"LSH found only ${lsh.size} of ${exact.size} pairs")
   }
+
+  test("kMeans separates well-separated clusters and is deterministic") {
+    val rnd = new scala.util.Random(7)
+    // three tight direction clusters in 8-d (cosine clustering is about
+    // direction, not magnitude)
+    def around(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(8)(0f).updated(0, 1f)
+    val c2 = Array.fill(8)(0f).updated(3, 1f)
+    val c3 = Array.fill(8)(0f).updated(6, -1f)
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, around(Seq(c1, c2, c3)(i % 3)))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroidsE6(vecs, k = 3, iters = 2)
+    val cells = Similarity.kMeansAssign(vecs, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member of a true cluster must land in the same learned cell
+    for (m <- 0 until 3) {
+      val assigned = (0 until 30).filter(_ % 3 == m).map(i => cells(i.toLong)).distinct
+      assert(assigned.size == 1, s"true cluster $m split across cells $assigned")
+    }
+    // and the three true clusters land in three DIFFERENT cells
+    assert((0 until 3).map(m => cells(m.toLong)).distinct.size == 3)
+    // bit-determinism: a reshuffled input trains the identical model
+    val cents2 = Similarity.kMeansCentroidsE6(
+      vecs.orderBy(org.apache.spark.sql.functions.rand(99)), k = 3, iters = 2)
+    val a = cents.orderBy("cell").collect().map(_.toSeq).toSeq
+    val b = cents2.orderBy("cell").collect().map(_.toSeq).toSeq
+    assert(a == b, "training must be order-independent")
+  }
+
+  test("trained IVF with enough probes matches brute force on a clustered corpus") {
+    val rnd = new scala.util.Random(21)
+    def around(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(8)(0f).updated(0, 1f)
+    val c2 = Array.fill(8)(0f).updated(4, 1f)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, around(if (i % 2 == 0) c1 else c2))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val ivf = Similarity.ivfTopKTrained(corpus, queries, k = 3,
+        numCells = 2, trainIters = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ivf == bf)
+  }
 }
