@@ -190,16 +190,13 @@ object Similarity {
     topKSelect(scored, k)
   }
 
-  /** Zero-norm-safe fixed-point cosine for mixed float/double arrays (the
-    * trained-centroid path, where centroids are e6-derived double arrays
-    * [[CosineSimE6]]'s float kernel must not round): NULL on zero norm,
-    * same as the expression form.
+  /** Fixed-point cosine for the trained-centroid path: CosineSimE6
+    * dispatches per-side element types at analysis, so the mixed
+    * float-vector × double-centroid pair runs the same primitive loop as
+    * the float-only hot paths (NULL on zero norm either way).
     */
-  private def cosineE6SafeFold(a: Column, b: Column): Column = {
-    val d = l2Norm(a) * l2Norm(b)
-    when(d === 0.0, lit(null).cast("long"))
-      .otherwise(floor(dot(a, b) / d * 1e6).cast("long"))
-  }
+  private def cosineE6Mixed(a: Column, b: Column): Column =
+    graft.expr.CosineSimE6(a, b)
 
   /** Deterministic distributed k-means (Lloyd's algorithm) over the
     * embedding column, every step in e6 FIXED POINT so training is
@@ -248,7 +245,7 @@ object Similarity {
       val cd = cents.select(col("cell"),
         transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
       val assigned = v.crossJoin(broadcast(cd))
-        .withColumn("__sim", cosineE6SafeFold(col("v"), col("cd")))
+        .withColumn("__sim", cosineE6Mixed(col("v"), col("cd")))
         .groupBy("id")
         .agg(max_by(struct(col("v"), col("cell")),
           struct(col("__sim"), (-col("cell")).as("__nc"))).as("__r"))
@@ -274,7 +271,7 @@ object Similarity {
       transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
     vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cd))
-      .withColumn("__sim", cosineE6SafeFold(col("v"), col("cd")))
+      .withColumn("__sim", cosineE6Mixed(col("v"), col("cd")))
       .filter(col("__sim").isNotNull)
       .groupBy("id")
       .agg(max_by(struct(col("cell"), col("__sim")),
@@ -297,7 +294,7 @@ object Similarity {
 
     val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cd))
-      .withColumn("cent_sim", cosineE6SafeFold(col("cv"), col("cd")))
+      .withColumn("cent_sim", cosineE6Mixed(col("cv"), col("cd")))
       .filter(col("cent_sim").isNotNull)
       .groupBy("neighbor_id")
       .agg(max_by(struct(col("cv"), col("cell")),
@@ -306,7 +303,7 @@ object Similarity {
 
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cd))
-      .withColumn("cent_sim", cosineE6SafeFold(col("qv"), col("cd")))
+      .withColumn("cent_sim", cosineE6Mixed(col("qv"), col("cd")))
       .filter(col("cent_sim").isNotNull)
       .drop("cd")
     val cw = Window.partitionBy(col("query_id"))
