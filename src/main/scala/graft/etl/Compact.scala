@@ -1,8 +1,6 @@
 package graft.etl
 
-import java.nio.charset.StandardCharsets
-
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -17,35 +15,48 @@ import org.apache.spark.sql.functions.col
   * library at scale will.
   *
   * Visibility model: a compacted dataset is a directory of immutable
-  * version subdirs (`v=N/`) plus a tiny `_CURRENT` pointer file naming the
-  * live one. [[compact]] writes the NEXT version fully, then swaps the
-  * pointer with an ATOMIC overwrite-rename — so a [[read]]/[[resolve]]
-  * reader sees the old version or the new version, never a missing or
-  * half-written directory (the delete-then-rename swap this replaces had a
-  * reader-visible hole). The previous version is retained one cycle as an
+  * version subdirs (`v=N/`), each carrying a `_READY` marker created only
+  * after its data is completely written. [[resolve]] reads the HIGHEST
+  * ready version. Nothing is ever overwritten or renamed — publishing is
+  * one create of a new empty marker file — so a concurrent [[read]] sees
+  * the old version or the new version, never a missing, half-written, or
+  * half-renamed state. (A mutable pointer file this replaces was NOT
+  * atomic everywhere: Hadoop's checksummed local FS renames the data file
+  * and its .crc sidecar in two steps, and a reader between them fails the
+  * checksum.) The previous version is retained one cycle as an
   * in-flight-reader grace period; older versions are garbage-collected.
-  * This is the minimal pointer-swap core of what ACID table formats do —
+  * This is the minimal commit-marker core of what ACID table formats do —
   * they remain the right tool when concurrent WRITERS also need
   * transactions.
   */
 object Compact {
 
-  private val Pointer = "_CURRENT"
+  private val Ready = "_READY"
+  private val VersionDir = "^v=(\\d+)$".r
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(fs: FileSystem, dir: String): Option[Long] = {
-    val p = new Path(dir, Pointer)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
+  /** All `v=N` subdirs paired with their readiness (marker present). */
+  private def versions(fs: FileSystem, dir: String): Seq[(Long, Boolean)] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory =>
+        s.getPath.getName match {
+          case VersionDir(n) =>
+            Some(n.toLong -> fs.exists(new Path(s.getPath, Ready)))
+          case _ => None
+        }
+    }.flatten
   }
 
-  /** Path of the live data: `dir/v=N` when a `_CURRENT` pointer exists,
+  private def currentVersion(fs: FileSystem, dir: String): Option[Long] = {
+    val ready = versions(fs, dir).collect { case (n, true) => n }
+    if (ready.isEmpty) None else Some(ready.max)
+  }
+
+  /** Path of the live data: the highest ready `dir/v=N` when one exists,
     * `dir` itself for a plain (never-compacted) directory.
     */
   def resolve(spark: SparkSession, dir: String): String =
@@ -56,8 +67,8 @@ object Compact {
 
   /** Read the live version of a (possibly compacted) dataset. The resolved
     * path is refreshed first: Spark's session file-status cache may hold a
-    * pre-swap listing for it, and a versioned read must reflect the
-    * CURRENT pointer, not a cached directory snapshot.
+    * pre-publish listing for it, and a versioned read must reflect the
+    * CURRENT ready set, not a cached directory snapshot.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val p = resolve(spark, dir)
@@ -65,21 +76,17 @@ object Compact {
     spark.read.parquet(p)
   }
 
-  /** Publish `version` as live: write the pointer to a temp file, then
-    * atomically overwrite-rename it onto `_CURRENT` (FileContext.rename
-    * with OVERWRITE — atomic on posix and HDFS). The data directory is
-    * fully written BEFORE this runs, so the pointer only ever names
-    * complete data.
+  /** Publish `version` as live: create its `_READY` marker. The data
+    * directory is fully written BEFORE this runs, so a marker only ever
+    * names complete data; the marker itself is create-once (never
+    * overwritten, never renamed), which is what makes the flip safe on
+    * every FileSystem — a reader observes it either absent (keeps the
+    * previous version) or present (data already complete).
     */
   private[etl] def publish(spark: SparkSession, dir: String, version: Long): Unit = {
     val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s"$Pointer.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(new Path(dir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+    val marker = new Path(s"${dir.stripSuffix("/")}/v=$version", Ready)
+    fs.create(marker, false).close()
   }
 
   /** Count and total bytes of parquet data files directly under `dir`. */
@@ -99,19 +106,19 @@ object Compact {
     * already compact. Returns the resulting file count.
     *
     * Write-then-publish: the next `v=N+1/` directory is written COMPLETELY,
-    * then the `_CURRENT` pointer is swapped atomically ([[publish]]) —
-    * readers at ANY instant resolve to a complete directory (old or new,
-    * never missing or half-written). Superseded data (the previous version
-    * directory, or a migrated plain directory's loose files) is NOT
-    * deleted in the same cycle: it is garbage-collected at the START of
-    * the NEXT compact invocation, giving in-flight readers a full cycle
-    * of grace. Concurrent readers are safe; concurrent compactors/writers
-    * still need external coordination (the table-format layer's job).
+    * then its `_READY` marker is created ([[publish]]) — readers at ANY
+    * instant resolve to a complete directory (old or new, never missing or
+    * half-written). Superseded data (previous version directories, or a
+    * migrated plain directory's loose files) is NOT deleted in the same
+    * cycle: it is garbage-collected at the START of the NEXT compact
+    * invocation, giving in-flight readers a full cycle of grace.
+    * Concurrent readers are safe; concurrent compactors/writers still need
+    * external coordination (the table-format layer's job).
     *
     * A plain directory is migrated on its first compaction: the compacted
-    * copy lands in `v=1/` and the pointer is published; the loose
-    * top-level files (version "0" for retention purposes) remain until
-    * GC supersedes them — same guarantee.
+    * copy lands in `v=1/` and is published; the loose top-level files
+    * (version "0" for retention purposes) remain until GC supersedes them —
+    * same guarantee.
     *
     * @param retainPriorVersions how many superseded versions to keep on
     *        disk besides the live one — the in-flight-reader grace window,
@@ -128,18 +135,22 @@ object Compact {
       s"retainPriorVersions must be >= 0: $retainPriorVersions")
     val fs = fsOf(spark, dir)
     val base = dir.stripSuffix("/")
-    val curV = currentVersion(fs, dir)
+    val vs = versions(fs, dir)
+    val curV = { val r = vs.collect { case (n, true) => n }; if (r.isEmpty) None else Some(r.max) }
     // GC of versions older than the retention window (current version v,
     // keep v-retain..v; the migrated plain directory's loose files count
-    // as version 0)
+    // as version 0). Unready dirs below the live version are failed writes
+    // — dead weight, collected with the same bound.
     curV.foreach { v =>
       if (v > retainPriorVersions) {
         fs.listStatus(new Path(dir))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .foreach(s => fs.delete(s.getPath, false))
       }
-      (1L until v - retainPriorVersions).foreach(old =>
-        fs.delete(new Path(s"$base/v=$old"), true))
+      vs.foreach { case (n, ready) =>
+        if (n < v - retainPriorVersions || (!ready && n < v))
+          fs.delete(new Path(s"$base/v=$n"), true)
+      }
     }
     val cur = resolve(spark, dir)
     val (nFiles, totalBytes) = parquetFootprint(spark, cur)
@@ -147,7 +158,7 @@ object Compact {
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (nFiles <= targetFiles) nFiles
     else {
-      val nextV = curV.getOrElse(0L) + 1
+      val nextV = (vs.map(_._1) :+ 0L).max + 1
       spark.catalog.refreshByPath(cur)
       spark.read.parquet(cur)
         .repartition(targetFiles)

@@ -38,15 +38,15 @@ class CompactSpec extends SparkSpec {
 
     // step 0: plain dir
     assert(readSum() == expected)
-    // step 1: v=1 published (migration) — loose files gone, pointer live
+    // step 1: v=1 published (migration) — loose files gone, marker live
     Compact.compact(spark, dir, targetFileBytes = bytes)
     assert(readSum() == expected)
-    assert(new java.io.File(dir, "_CURRENT").isFile)
+    assert(new java.io.File(dir + "/v=1", "_READY").isFile)
 
-    // Now replay the swap of a SECOND compaction step by step, asserting a
-    // reader succeeds between every pair of steps. Step A: the next version
-    // directory exists, fully written, but the pointer still names v=1 —
-    // reader must see OLD data.
+    // Now replay the publish of a SECOND compaction step by step, asserting
+    // a reader succeeds between every pair of steps. Step A: the next
+    // version directory exists, fully written, but carries no _READY marker
+    // yet — reader must see OLD data.
     (501 to 600).toDF("v").write.mode("append").parquet(dir + "/v=1")
     val withAppend = (1 to 600).map(_.toLong).sum
     assert(readSum() == withAppend)
@@ -54,7 +54,7 @@ class CompactSpec extends SparkSpec {
       .write.parquet(dir + "/v=2")
     assert(readSum() == withAppend, "pre-publish reader must still see v=1")
 
-    // Step B: pointer swap — the same atomic overwrite-rename compact
+    // Step B: marker create — the same create-once publish compact
     // performs; reader flips to NEW data; old version stays as grace
     Compact.publish(spark, dir, 2L)
     assert(readSum() == withAppend, "post-publish reader must see v=2")
