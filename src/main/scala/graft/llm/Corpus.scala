@@ -147,6 +147,48 @@ object Corpus {
       splitAssign(col("doc_id")).as("split"))
   }
 
+  /** Benchmark decontamination report: for every corpus document, how many
+    * of its word n-gram hashes also occur in an evaluation set. Training
+    * corpora must be scrubbed of eval-set text or downstream benchmark
+    * numbers are meaningless; the standard check (13-grams at web scale,
+    * n is a knob) is exactly this overlap count plus a threshold flag.
+    *
+    * Returns (id, n_grams, n_hits, contam_ppm, contaminated): n_grams =
+    * distinct n-grams in the doc, n_hits = how many of them appear in the
+    * eval set, contam_ppm = the integer-exact ratio in parts-per-million,
+    * contaminated = n_hits ≥ flagPct% of n_grams. All arithmetic is
+    * integer (`div`, cross-multiplied compare) and the gram hash is the
+    * engine-portable md5-head32, so the whole report — flags included — is
+    * reproducible bit-for-bit in any engine with md5().
+    *
+    * Scale shape: eval sets are tiny next to a training corpus (O(10^5)
+    * grams vs O(10^11)), so the eval gram set is BROADCAST and the overlap
+    * is a map-side semi-join — the corpus is never shuffled before the
+    * per-doc hit count, and that aggregation is map-side combinable. One
+    * small exchange total, no corpus-sized state anywhere.
+    */
+  def contaminationReport(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, flagPct: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(flagPct >= 1 && flagPct <= 100, s"flagPct must be in [1,100], got $flagPct")
+    val gramHashes = (t: Column) => transform(Dedup.shingles(t, n),
+      s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val corpusGrams = corpus.select(col(idCol).as("id"), gramHashes(col(textCol)).as("gs"))
+    val evalGrams = evalDocs.select(explode(gramHashes(col(textCol))).as("h")).distinct()
+    val hits = corpusGrams.select(col("id"), explode(col("gs")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpusGrams.select(col("id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("id"), col("n_grams"), col("n_hits"),
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("n_hits * 1000000 DIV n_grams")).as("contam_ppm"),
+        (col("n_grams") > 0 && col("n_hits") * 100 >= col("n_grams") * flagPct)
+          .as("contaminated"))
+  }
+
   /** Deterministic stratified quota sample: the `quota` rows of each
     * stratum (e.g. language) whose md5-derived id-hash is smallest — the
     * bottom-k-in-hash-order idea of [[graft.analytics.Sketch.kmvQuantiles]]

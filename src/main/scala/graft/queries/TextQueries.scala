@@ -255,8 +255,57 @@ private[graft] object TextQueries {
             nUrls.as("n_urls"), nEmails.as("n_emails"), nNums.as("n_nums"))
           .orderBy("doc_id")
       },
-      Some(REDACT_SQL))
+      Some(REDACT_SQL)),
+
+    Q("text_decontaminate",
+      // benchmark decontamination: word-3-gram md5 hashes of every corpus
+      // doc vs the gram set of a held-out "eval" slice (doc_id % 50 = 0 as
+      // the stand-in benchmark). The eval gram set is BROADCAST — a map-
+      // side semi-join, no corpus shuffle before the per-doc hit count —
+      // and the ppm ratio + flag are integer arithmetic, so the whole
+      // report replays bit-for-bit in DuckDB.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Corpus.contaminationReport(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0),
+            "text", "doc_id")
+          .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+            col("contam_ppm"), col("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(DECONTAMINATE_SQL),
+      bench = true)
   )
+
+  /** Oracle for text_decontaminate: identical word-3-gram construction
+    * (the MINHASH_CTES shingle shape), identical md5-head32 gram hashes,
+    * integer `//` ppm and the cross-multiplied flag compare.
+    */
+  private lazy val DECONTAMINATE_SQL: String =
+    s"""WITH w AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (SELECT id, list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+       |      i -> array_to_string(ws[i + 1:i + 3], ' ')),
+       |    x -> x <> '')) AS gs FROM w),
+       |cg AS (SELECT id, unnest(gs) AS s FROM g WHERE id % 50 <> 0),
+       |ch AS (SELECT id, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, md5(s) AS mh FROM cg)),
+       |eh AS (SELECT DISTINCT ($hexHead32Sql) AS h
+       |       FROM (SELECT md5(s) AS mh
+       |             FROM (SELECT unnest(gs) AS s FROM g WHERE id % 50 = 0))),
+       |hits AS (SELECT id, count(*) AS n_hits FROM ch JOIN eh USING (h) GROUP BY id),
+       |rep AS (SELECT g.id, len(gs) AS n_grams, COALESCE(h.n_hits, 0) AS n_hits
+       |        FROM g LEFT JOIN hits h ON h.id = g.id WHERE g.id % 50 <> 0)
+       |SELECT id AS doc_id,
+       |  CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE n_hits * 1000000 // n_grams END AS BIGINT)
+       |    AS contam_ppm,
+       |  (n_grams > 0 AND n_hits * 100 >= n_grams * 10) AS contaminated
+       |FROM rep ORDER BY doc_id""".stripMargin
 
   /** Oracle for text_repetition: same word arrays, same bigram counts,
     * same (cnt DESC, bg DESC) argmax, same exact ratio arithmetic.

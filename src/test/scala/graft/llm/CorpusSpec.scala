@@ -124,4 +124,37 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Long]("quality_e6") >= 650000L)
     }
   }
+
+  test("contaminationReport counts eval-set n-gram overlap and flags by threshold") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact eval copy
+      (2L, "the quick brown fox sat still today and watched the river"), // partial
+      (3L, "completely different words entirely here now again friends"), // disjoint
+      (4L, "")) // empty
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rep = Corpus.contaminationReport(corpus, eval, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("contam_ppm"), r.getAs[Boolean]("contaminated")))).toMap
+    // doc 1 is the eval doc verbatim: every 3-gram hits
+    assert(rep(1L) == ((7L, 7L, 1000000L, true)), rep(1L))
+    // doc 2 shares exactly the "the quick brown"/"quick brown fox" prefix grams
+    assert(rep(2L)._2 == 2L && rep(2L)._4 == (rep(2L)._2 * 100 >= rep(2L)._1 * 10), rep(2L))
+    // doc 3: zero hits, not contaminated
+    assert(rep(3L) == ((6L, 0L, 0L, false)), rep(3L))
+    // empty doc: no grams, ppm 0, never flagged (no division by zero)
+    assert(rep(4L) == ((0L, 0L, 0L, false)), rep(4L))
+  }
+
+  test("contaminationReport broadcasts the eval gram set (no corpus shuffle for the probe)") {
+    val corpus = spark.range(0, 50).selectExpr("id AS doc_id",
+      "concat('alpha beta gamma delta ', CAST(id AS STRING)) AS text")
+    val eval = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val plan = Corpus.contaminationReport(corpus, eval, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval gram set must broadcast, got:\n$plan")
+  }
 }
