@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance — the warehouse-load step the
+  * reference's JDBC append (scripts/load_db.py:24-58) gestures at without
+  * versioning: its daily table overwrites history, so "what was this row
+  * last month" is unanswerable. Type-2 merge is the standard fix: every
+  * key keeps a timeline of versioned rows `(valid_from, valid_to,
+  * is_current)`, and a batch of updates closes changed rows and opens new
+  * versions instead of destroying the old values.
+  */
+object Scd {
+
+  /** Type-2 merge of an update batch into a versioned dimension.
+    *
+    * `dim` rows carry `keyCols ++ attrCols ++ (valid_from, valid_to,
+    * is_current)`; `updates` carry `keyCols ++ attrCols` (at most one row
+    * per key — dedupe upstream, e.g. [[graft.llm.Dedup.exactDedupByKey]]).
+    * For each update: a key whose current attributes differ gets its
+    * current row CLOSED (`valid_to = batchDate, is_current = false`) and a
+    * new current version opened at `batchDate`; an unseen key gets a first
+    * version; an update equal to the current row is a no-op. Non-current
+    * (history) rows and un-updated keys pass through untouched.
+    *
+    * Shape: ONE shuffle — the full-outer key join of the current slice
+    * against the batch. Each joined row then emits its 0/1/2 output rows
+    * through a single exploded CASE array, so the join is never recomputed
+    * per branch (the naive union-of-three-filters form pays the join three
+    * times). History rows ride a union outside the join — no shuffle.
+    * Attribute comparison is null-safe (`<=>`), so NULL→value and
+    * value→NULL transitions version correctly.
+    */
+  def mergeType2(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], batchDate: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeType2 needs at least one key column")
+    require(attrCols.nonEmpty, "mergeType2 needs at least one attribute column")
+    val metaCols = Seq("valid_from", "valid_to", "is_current")
+    val outCols = keyCols ++ attrCols ++ metaCols
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current")).select(outCols.map(col): _*)
+    val u = updates.select((keyCols ++ attrCols).map(col): _*)
+
+    val joinCond = keyCols.map(k => col(s"c.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val joined = cur.as("c").join(u.as("u"), joinCond, "full_outer")
+
+    val cMissing = keyCols.map(k => col(s"c.$k").isNull).reduce(_ && _)
+    val uMissing = keyCols.map(k => col(s"u.$k").isNull).reduce(_ && _)
+    val attrsEqual = attrCols.map(a => col(s"c.$a") <=> col(s"u.$a")).reduce(_ && _)
+
+    def rowStruct(key: String => Column, attr: String => Column,
+        vf: Column, vt: Column, curFlag: Column): Column =
+      struct((keyCols.map(k => key(k).as(k)) ++ attrCols.map(a => attr(a).as(a)) ++
+        Seq(vf.as("valid_from"), vt.as("valid_to"), curFlag.as("is_current"))): _*)
+
+    val carried = rowStruct(k => col(s"c.$k"), a => col(s"c.$a"),
+      col("c.valid_from"), col("c.valid_to"), col("c.is_current"))
+    val closed = rowStruct(k => col(s"c.$k"), a => col(s"c.$a"),
+      col("c.valid_from"), lit(batchDate), lit(false))
+    val opened = rowStruct(k => coalesce(col(s"u.$k"), col(s"c.$k")),
+      a => col(s"u.$a"), lit(batchDate), lit(null).cast("string"), lit(true))
+
+    val emitted = when(uMissing, array(carried)) // un-updated key: pass through
+      .when(cMissing, array(opened)) // brand-new key: first version
+      .when(attrsEqual, array(carried)) // no-op update
+      .otherwise(array(closed, opened)) // changed: close + open
+    joined.select(explode(emitted).as("__r")).select(col("__r.*"))
+      .unionByName(hist)
+  }
+}

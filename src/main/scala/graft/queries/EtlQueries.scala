@@ -369,6 +369,67 @@ private[graft] object EtlQueries {
       Some(
         """SELECT o_orderkey, o_custkey FROM orders
           |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
-          |ORDER BY o_orderkey""".stripMargin))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("etl_scd2_merge",
+      // Type-2 dimension merge (the versioned form of the reference's
+      // daily JDBC overwrite): dim = customers as current rows plus a
+      // deterministic history slice; batch = changed segments (key%20=0),
+      // no-op updates (key%20=10), and brand-new keys (key%100=1). One
+      // full-outer key join; each joined row explodes into its 0/1/2
+      // output rows, so close+open never recomputes the join.
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+        val dim = c.select(col("c_custkey").as("key"),
+            col("c_mktsegment").as("seg"),
+            lit("2019-01-01").as("valid_from"),
+            lit(null).cast("string").as("valid_to"),
+            lit(true).as("is_current"))
+          .unionByName(c.filter(col("c_custkey") % 100 === 7)
+            .select(col("c_custkey").as("key"), lit("OLD").as("seg"),
+              lit("2018-01-01").as("valid_from"),
+              lit("2019-01-01").as("valid_to"), lit(false).as("is_current")))
+        val upd = c.filter(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey").as("key"),
+            concat(col("c_mktsegment"), lit("*")).as("seg"))
+          .unionByName(c.filter(col("c_custkey") % 20 === 10)
+            .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg")))
+          .unionByName(c.filter(col("c_custkey") % 100 === 1)
+            .select((col("c_custkey") + 10000000L).as("key"),
+              lit("NEWSEG").as("seg")))
+        graft.etl.Scd.mergeType2(dim, upd, Seq("key"), Seq("seg"), "2024-06-01")
+          .orderBy("key", "valid_from")
+      },
+      Some(SCD2_SQL),
+      bench = true)
   )
+
+  /** Oracle for etl_scd2_merge: the same fixture CTEs, a full outer key
+    * join, and the three output branches spelled as unions (the set the
+    * single exploded CASE array computes).
+    */
+  private lazy val SCD2_SQL: String =
+    """WITH c AS (SELECT c_custkey AS key, c_mktsegment AS seg FROM customer),
+      |dimh AS (SELECT key, 'OLD' AS seg, '2018-01-01' AS valid_from,
+      |           '2019-01-01' AS valid_to, false AS is_current
+      |         FROM c WHERE key % 100 = 7),
+      |upd AS (SELECT key, seg || '*' AS seg FROM c WHERE key % 20 = 0
+      |        UNION ALL SELECT key, seg FROM c WHERE key % 20 = 10
+      |        UNION ALL SELECT key + 10000000, 'NEWSEG' FROM c WHERE key % 100 = 1),
+      |j AS (SELECT d.key AS ck, d.seg AS cseg, u.key AS uk, u.seg AS useg
+      |      FROM c d FULL OUTER JOIN upd u ON d.key = u.key),
+      |merged AS (
+      |  SELECT ck AS key, cseg AS seg, '2019-01-01' AS valid_from,
+      |    CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+      |  FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR useg IS NOT DISTINCT FROM cseg)
+      |  UNION ALL
+      |  SELECT ck, cseg, '2019-01-01', '2024-06-01', false
+      |  FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND useg IS DISTINCT FROM cseg
+      |  UNION ALL
+      |  SELECT uk, useg, '2024-06-01', CAST(NULL AS VARCHAR), true
+      |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR useg IS DISTINCT FROM cseg)
+      |  UNION ALL
+      |  SELECT key, seg, valid_from, valid_to, is_current FROM dimh)
+      |SELECT key, seg, valid_from, valid_to, is_current
+      |FROM merged ORDER BY key, valid_from""".stripMargin
 }

@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dim = Seq(
+    // key, attr, valid_from, valid_to, is_current
+    (1L, Option("a"), "2019-01-01", Option.empty[String], true), // will change
+    (2L, Option("b"), "2019-01-01", Option.empty[String], true), // no-op update
+    (3L, Option("c"), "2019-01-01", Option.empty[String], true), // not in batch
+    (4L, Option.empty[String], "2019-01-01", Option.empty[String], true), // NULL → value
+    (1L, Option("a0"), "2018-01-01", Option("2019-01-01"), false) // history row
+  ).toDF("key", "attr", "valid_from", "valid_to", "is_current")
+
+  private def upd = Seq(
+    (1L, Option("a2")), // changed
+    (2L, Option("b")), // equal → no-op
+    (4L, Option("x")), // NULL → value must version
+    (9L, Option("n")) // brand-new key
+  ).toDF("key", "attr")
+
+  test("mergeType2 closes changed rows, opens new versions, passes the rest through") {
+    val out = Scd.mergeType2(dim, upd, Seq("key"), Seq("attr"), "2024-06-01")
+      .as[(Long, Option[String], String, Option[String], Boolean)]
+      .collect().sortBy(r => (r._1, r._3))
+    assert(out.toSeq == Seq(
+      (1L, Option("a0"), "2018-01-01", Option("2019-01-01"), false), // history untouched
+      (1L, Option("a"), "2019-01-01", Option("2024-06-01"), false), // closed
+      (1L, Option("a2"), "2024-06-01", None, true), // opened
+      (2L, Option("b"), "2019-01-01", None, true), // no-op update
+      (3L, Option("c"), "2019-01-01", None, true), // un-updated key
+      (4L, None, "2019-01-01", Option("2024-06-01"), false), // NULL→value closed
+      (4L, Option("x"), "2024-06-01", None, true),
+      (9L, Option("n"), "2024-06-01", None, true) // first version of a new key
+    ))
+  }
+
+  test("mergeType2 is idempotent: re-applying the same batch is a no-op") {
+    val once = Scd.mergeType2(dim, upd, Seq("key"), Seq("attr"), "2024-06-01")
+    val twice = Scd.mergeType2(once, upd, Seq("key"), Seq("attr"), "2024-07-01")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("mergeType2 keeps exactly one current row per key") {
+    val out = Scd.mergeType2(dim, upd, Seq("key"), Seq("attr"), "2024-06-01")
+    val dup = out.filter(col("is_current")).groupBy("key").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+}
