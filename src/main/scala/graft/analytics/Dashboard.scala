@@ -72,6 +72,48 @@ object Dashboard {
       .orderBy(col("day"))
   }
 
+  /** Calendar densification + fill: turn a sparse per-(key, day) series
+    * into a gapless daily one. Dashboards and window features (deltas,
+    * moving averages) silently mis-compute over missing days — a
+    * day-over-day delta across a 3-day gap isn't a daily delta — so the
+    * series is re-gridded first: each key's observed [min(day), max(day)]
+    * span is exploded from a `sequence()` of dates, observations are
+    * left-joined back, counts/sums zero-fill, and `lastCols` carry the
+    * last observed value forward (`last(_, ignoreNulls)` over the key's
+    * timeline).
+    *
+    * Scale shape: the per-key bounds ride the SAME aggregation shuffle as
+    * the daily rollup; the calendar explode is narrow (dates are generated,
+    * not shuffled); the forward-fill window partitions BY KEY, so no
+    * global-sort bottleneck — per-key days are bounded (a decade is ~3.7k
+    * rows) even when keys number in the millions.
+    *
+    * @param aggs     (outName, aggregate-expression) computed per (key, day);
+    *                 missing days get 0 (coalesce) for these.
+    * @param lastCols subset of agg outNames to ALSO expose forward-filled
+    *                 as `<name>_ffill` (level-style measures; leave count-
+    *                 style measures to their zero fill).
+    */
+  def gapFillDaily(df: DataFrame, key: Column, day: Column,
+      aggs: Seq[(String, Column)], lastCols: Seq[String]): DataFrame = {
+    require(aggs.nonEmpty, "gapFillDaily needs at least one aggregate")
+    require(lastCols.forall(aggs.map(_._1).contains),
+      s"lastCols must name agg outputs: $lastCols vs ${aggs.map(_._1)}")
+    val daily = df.groupBy(key.as("key"), day.as("day"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    val bounds = daily.groupBy("key")
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val calendar = bounds.select(col("key"),
+      explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as("day"))
+    val dense = calendar.join(daily, Seq("key", "day"), "left")
+    val w = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = aggs.map { case (n, _) => coalesce(col(n), lit(0L)).as(n) }
+    val ffills = lastCols.map(n => last(col(n), ignoreNulls = true).over(w).as(s"${n}_ffill"))
+    dense.select(Seq(col("key"), col("day")) ++ filled ++ ffills: _*)
+  }
+
   /** Top-k rows per group by a measure — ranking window, one shuffle on the
     * group key; ties broken deterministically by `tieBreak`.
     */

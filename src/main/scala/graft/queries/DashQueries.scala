@@ -477,8 +477,46 @@ private[graft] object DashQueries {
         """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
           |UNION ALL BY NAME
           |SELECT doc_id, source, lang FROM documents WHERE lang = 'de'
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin)),
+
+    Q("dash_gapfill",
+      // calendar densification: sparse per-(priority, day) order series →
+      // gapless daily grid (sequence + explode), counts/sums zero-filled,
+      // revenue ALSO forward-filled (last ignoreNulls over the key's
+      // timeline) — the regrid every day-over-day/moving-average feature
+      // needs before it can be trusted. Per-key windows, no global sort.
+      (s, d) => Dashboard.gapFillDaily(tbl(s, d, "orders"),
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          Seq("n_orders" -> count(lit(1)),
+            "rev_cents" -> cents(col("o_totalprice"))),
+          Seq("rev_cents"))
+        .select(col("key").as("priority"), col("day").cast("string").as("day"),
+          col("n_orders"), col("rev_cents"), col("rev_cents_ffill"))
+        .orderBy("priority", "day"),
+      Some(GAPFILL_SQL),
+      bench = true)
   )
+
+  /** Oracle for dash_gapfill: generate_series calendar per key, the same
+    * left join, zero fills, and IGNORE NULLS forward fill.
+    */
+  private lazy val GAPFILL_SQL: String =
+    """WITH daily AS (SELECT o_orderpriority AS priority,
+      |    CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (SELECT priority,
+      |          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM b),
+      |dense AS (SELECT c.priority, c.day, d.n_orders, d.rev_cents
+      |          FROM cal c LEFT JOIN daily d ON d.priority = c.priority AND d.day = c.day)
+      |SELECT priority, CAST(day AS VARCHAR) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(rev_cents, 0) AS rev_cents,
+      |  last_value(rev_cents IGNORE NULLS) OVER (PARTITION BY priority ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cents_ffill
+      |FROM dense ORDER BY priority, day""".stripMargin
 
   private lazy val KMV_SQL: String = {
     val k = 256

@@ -65,4 +65,23 @@ class DashboardSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.10,
       s"approx=$approx exact=$exact")
   }
+
+  test("gapFillDaily densifies each key's span, zero-fills counts, forward-fills levels") {
+    val df = Seq(
+      ("a", "2024-01-01", 10L), ("a", "2024-01-01", 20L), // two rows same day
+      ("a", "2024-01-04", 40L), // 2-day gap before this
+      ("b", "2024-02-01", 7L)) // different span entirely
+      .toDF("k", "day", "v")
+      .select(col("k"), to_date(col("day")).as("day"), col("v"))
+    val out = Dashboard.gapFillDaily(df, col("k"), col("day"),
+        Seq("n" -> count(lit(1)), "s" -> sum(col("v"))), Seq("s"))
+      .select(col("key"), col("day").cast("string"), col("n"), col("s"), col("s_ffill"))
+      .as[(String, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 2L, 30L, 30L),
+      ("a", "2024-01-02", 0L, 0L, 30L), // gap day: count 0, level carried
+      ("a", "2024-01-03", 0L, 0L, 30L),
+      ("a", "2024-01-04", 1L, 40L, 40L),
+      ("b", "2024-02-01", 1L, 7L, 7L))) // b's calendar never bleeds into a's span
+  }
 }
