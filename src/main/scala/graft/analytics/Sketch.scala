@@ -94,6 +94,61 @@ object Sketch {
         fractions.indices.map(i => col("__qs").getItem(i).as(s"q$i")): _*)
   }
 
+  /** KMV set algebra: approximate |A ∪ B|, |A ∩ B| and Jaccard from two
+    * bottom-k sketches (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD'07). The union of two
+    * KMV sketches is itself a KMV sketch (bottom-k of the merged point
+    * set), which estimates |A ∪ B| exactly like [[kmvDistinct]]; the
+    * Jaccard index is estimated by the fraction of those k union points
+    * present in BOTH side sketches, and |A ∩ B| ≈ J · |A ∪ B|. This is
+    * the sketch identity that makes distinct-count sketches COMPOSABLE —
+    * overlap questions ("how many customers bought in both periods?")
+    * answered from two O(k) summaries, no re-scan of either population.
+    *
+    * When the merged sketch holds fewer than k points both populations
+    * were captured whole and every answer is EXACT (integer arithmetic);
+    * the estimator path spells its double arithmetic in the same
+    * operation order as the SQL oracle, so even approximate answers are
+    * bit-reproducible cross-engine.
+    *
+    * Scale shape: each side is one distinct-agg + heap bottom-k (O(k)
+    * state at every stage, exactly [[kmvDistinct]]'s plan); everything
+    * after operates on ≤ 2k rows. Returns one row
+    * (union_e6, intersect_e6, jaccard_e6).
+    */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueA: Column, valueB: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def sketch(df: DataFrame, v: Column, side: String): DataFrame = {
+      val pts = df.filter(v.isNotNull)
+        .select(hashPoint32(v).as("h")).distinct()
+        .select(col("h"), lit(1).as("__g"))
+      graft.plans.TopK.perGroup(pts, Seq("__g"), -col("h"), col("h"), k)
+        .select(col("h"), lit(true).as(side))
+    }
+    val merged = sketch(a, valueA, "in_a")
+      .join(sketch(b, valueB, "in_b"), Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(false)).as("in_a"),
+        coalesce(col("in_b"), lit(false)).as("in_b"), lit(1).as("__g"))
+    val bottom = graft.plans.TopK.perGroup(merged, Seq("__g"), -col("h"), col("h"), k)
+    val c = (k - 1).toDouble * 4294967296.0
+    bottom
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("vk"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("m"))
+      .select(
+        when(col("cnt") < k, col("cnt") * 1000000L)
+          .otherwise(floor(lit(c) / greatest(col("vk"), lit(1L)) * 1e6).cast("long"))
+          .as("union_e6"),
+        when(col("cnt") < k, col("m") * 1000000L)
+          .otherwise(floor((lit(c) / greatest(col("vk"), lit(1L))) *
+            (col("m").cast("double") / lit(k.toDouble)) * lit(1e6)).cast("long"))
+          .as("intersect_e6"),
+        when(col("cnt") === 0, lit(0L))
+          .when(col("cnt") < k, expr("m * 1000000 DIV cnt"))
+          .otherwise(expr(s"m * 1000000 DIV $k"))
+          .as("jaccard_e6"))
+  }
+
   /** HLL parameters shared by the Spark form and the SQL oracle so both
     * spell IDENTICAL estimator arithmetic (see [[hllDistinct]]).
     *

@@ -341,6 +341,20 @@ private[graft] object DashQueries {
         .orderBy("l_returnflag"),
       Some(KMV_SQL)),
 
+    Q("agg_kmv_setops",
+      // sketch set algebra: |A ∪ B| / |A ∩ B| / Jaccard of the open- vs
+      // finished-order customer populations from two O(k) bottom-k
+      // sketches — the composability HLL-style sketches are kept for,
+      // with the estimator arithmetic replayed digit-for-digit in DuckDB
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        graft.analytics.Sketch.kmvSetOps(
+          o.filter(col("o_orderstatus") === "O"),
+          o.filter(col("o_orderstatus") === "F"),
+          col("o_custkey"), col("o_custkey"), k = 256)
+      },
+      Some(KMV_SETOPS_SQL)),
+
     Q("agg_kmv_quantiles",
       // the sketch family's percentile member: per-lang token-count
       // quantiles over a deterministic bottom-64-by-md5(doc_id) row
@@ -517,6 +531,44 @@ private[graft] object DashQueries {
       |  last_value(rev_cents IGNORE NULLS) OVER (PARTITION BY priority ORDER BY day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cents_ffill
       |FROM dense ORDER BY priority, day""".stripMargin
+
+  /** Oracle for agg_kmv_setops: same per-side bottom-256 md5 point sets,
+    * same merged bottom-k, same estimator arithmetic in the same
+    * operation order (exact integer path when the merged sketch is
+    * under-full).
+    */
+  private lazy val KMV_SETOPS_SQL: String = {
+    val k = 256
+    val c = (k - 1).toDouble * 4294967296.0
+    def side(status: String): String =
+      s"""(SELECT h FROM (
+         |   SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+         |     SELECT DISTINCT ($hexHead32Sql) AS h FROM
+         |       (SELECT md5(CAST(o_custkey AS VARCHAR)) AS mh FROM orders
+         |        WHERE o_orderstatus = '$status')))
+         | WHERE rn <= $k)""".stripMargin
+    s"""WITH sa AS ${side("O")},
+       |sb AS ${side("F")},
+       |m0 AS (SELECT COALESCE(a.h, b.h) AS h,
+       |         a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b
+       |       FROM sa a FULL OUTER JOIN sb b ON a.h = b.h),
+       |bot AS (SELECT * FROM (
+       |          SELECT *, row_number() OVER (ORDER BY h) AS rn FROM m0)
+       |        WHERE rn <= $k),
+       |ag AS (SELECT count(*) AS cnt, max(h) AS vk,
+       |         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS m
+       |       FROM bot)
+       |SELECT
+       |  CAST(CASE WHEN cnt < $k THEN cnt * 1000000
+       |       ELSE floor($c / greatest(vk, 1) * 1000000) END AS BIGINT) AS union_e6,
+       |  CAST(CASE WHEN cnt < $k THEN m * 1000000
+       |       ELSE floor(($c / greatest(vk, 1)) * (CAST(m AS DOUBLE) / ${k.toDouble}) * 1000000) END
+       |    AS BIGINT) AS intersect_e6,
+       |  CAST(CASE WHEN cnt = 0 THEN 0
+       |       WHEN cnt < $k THEN m * 1000000 // cnt
+       |       ELSE m * 1000000 // $k END AS BIGINT) AS jaccard_e6
+       |FROM ag ORDER BY union_e6""".stripMargin
+  }
 
   private lazy val KMV_SQL: String = {
     val k = 256

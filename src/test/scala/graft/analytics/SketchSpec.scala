@@ -103,4 +103,27 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
     assert(shuffled == out)
   }
+
+  test("kmvSetOps: exact union/intersection/jaccard when both populations fit in the sketch") {
+    val a = (0L until 100L).toDF("v") // A = [0, 100)
+    val b = (60L until 150L).toDF("v") // B = [60, 150): |A∪B|=150, |A∩B|=40
+    val Array(r) = Sketch.kmvSetOps(a, b, col("v"), col("v"), k = 256).collect()
+    assert(r.getAs[Long]("union_e6") == 150L * 1000000)
+    assert(r.getAs[Long]("intersect_e6") == 40L * 1000000)
+    assert(r.getAs[Long]("jaccard_e6") == 40L * 1000000 / 150) // integer div
+  }
+
+  test("kmvSetOps: estimator path lands within KMV error bounds above k") {
+    val a = (0L until 20000L).toDF("v") // |A∪B| = 30000, |A∩B| = 10000
+    val b = (10000L until 30000L).toDF("v")
+    val Array(r) = Sketch.kmvSetOps(a, b, col("v"), col("v"), k = 512).collect()
+    val (u, i) = (r.getAs[Long]("union_e6") / 1e6, r.getAs[Long]("intersect_e6") / 1e6)
+    // rel. error ~ 1/sqrt(k) ≈ 4.4%; allow 4 sigma
+    assert(math.abs(u - 30000) / 30000.0 < 0.18, s"union est $u")
+    assert(math.abs(i - 10000) / 10000.0 < 0.35, s"intersect est $i") // J error compounds
+    // disjoint populations: intersection and jaccard exactly 0
+    val c = (100000L until 120000L).toDF("v")
+    val Array(d) = Sketch.kmvSetOps(a, c, col("v"), col("v"), k = 512).collect()
+    assert(d.getAs[Long]("intersect_e6") == 0L && d.getAs[Long]("jaccard_e6") == 0L)
+  }
 }
