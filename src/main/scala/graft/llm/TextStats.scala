@@ -152,6 +152,51 @@ object TextStats {
         (col("tf") * expr("(__n * CAST(1000000 AS BIGINT)) div df")).as("score_e6"))
   }
 
+  /** BM25 top-k retrieval over the corpus for a bag-of-tokens query
+    * (Robertson & Walker's Okapi weighting, the standard lexical ranking
+    * TF-IDF graduates into), with every score an exact integer so ranking
+    * is bit-reproducible cross-engine. With k1 = 1.2 and b = 0.75 the
+    * per-term score idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    * becomes, after multiplying through by 10·L (L = corpus token count,
+    * N = corpus doc count, avglen = L/N):
+    *
+    *   part_e6 = (idf_e6 · 22 · tf · L) div (10·tf·L + 3·L + 9·len·N)
+    *
+    * with the same rational idf_e6 = N·10⁶ div df as [[tfIdf]]. All-long
+    * arithmetic; the numerator needs idf_e6·22·tf·L < 2⁶³, ample at any
+    * tested SF (document the bound rather than silently overflow — ANSI
+    * mode would raise). Scale shape: the tf aggregation touches ONLY
+    * query-token postings (the isin filter prunes before the shuffle);
+    * df and the two 1-row totals broadcast; the final top-k runs on the
+    * heap-based TopKPerGroupExec, not a global sort.
+    */
+  def bm25(docs: DataFrame, queryTokens: Seq[String], k: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTokens.nonEmpty, "bm25 needs at least one query token")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val tf = toks.filter(col("tok").isin(queryTokens: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totN = docs.agg(count(lit(1)).as("__n"))
+    val totL = lens.agg(sum(col("len")).as("__l"))
+    val scored = tf.join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totN)).crossJoin(broadcast(totL))
+      .select(col("doc_id"),
+        expr("(((__n * 1000000) DIV df) * 22 * tf * __l) DIV " +
+          "(10 * tf * __l + 3 * __l + 9 * len * __n)").as("part_e6"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("part_e6")).as("score_e6"))
+      .select(col("doc_id"), col("n_terms"), col("score_e6"), lit(1).as("__g"))
+    graft.plans.TopK.perGroup(perDoc, Seq("__g"), col("score_e6"), col("doc_id"), k)
+      .select(col("doc_id"), col("n_terms"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+  }
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val counted = docs.select(

@@ -493,6 +493,24 @@ private[graft] object DashQueries {
           |SELECT doc_id, source, lang FROM documents WHERE lang = 'de'
           |ORDER BY doc_id""".stripMargin)),
 
+    Q("dash_histogram",
+      // equi-width order-value histogram (20 x 30k buckets, top bucket
+      // open-ended): one map-side-combinable hash agg — the distribution
+      // panel every BI dashboard renders
+      (s, d) => tbl(s, d, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 30000).cast("long"), lit(19L))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("sum_cents"))
+        .select((col("bucket") * 30000).as("lo"),
+          col("bucket"), col("n"), col("sum_cents"))
+        .orderBy("bucket"),
+      Some(
+        """SELECT least(CAST(floor(o_totalprice / 30000) AS BIGINT), 19) * 30000 AS lo,
+          |  least(CAST(floor(o_totalprice / 30000) AS BIGINT), 19) AS bucket,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
+          |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
+
     Q("dash_gapfill",
       // calendar densification: sparse per-(priority, day) order series →
       // gapless daily grid (sequence + explode), counts/sums zero-filled,

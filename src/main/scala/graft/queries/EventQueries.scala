@@ -88,6 +88,36 @@ private[graft] object EventQueries {
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
           |FROM events ORDER BY event_id""".stripMargin)),
 
-    // ---- LLM ops: text analysis ----------------------------------------------
+    Q("ev_funnel",
+      // ordered view → click → purchase funnel: each stage's time is the
+      // user's earliest qualifying event STRICTLY AFTER the previous
+      // stage's — conditional-min aggregations chained on user_id, then a
+      // 1-row reduce exploded into per-stage rows with integer ppm
+      // conversions
+      (s, d) => Events.funnelReport(eventsTable(s, d),
+        Seq("view", "click", "purchase")),
+      Some(
+        s"""WITH $EV_SQL,
+           |s1 AS (SELECT user_id AS u,
+           |         min(ts) FILTER (WHERE event_type = 'view') AS t1
+           |       FROM ev GROUP BY 1),
+           |s2 AS (SELECT s1.u, s1.t1,
+           |         min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t1) AS t2
+           |       FROM s1 JOIN ev e ON e.user_id = s1.u GROUP BY s1.u, s1.t1),
+           |s3 AS (SELECT s2.u, s2.t1, s2.t2,
+           |         min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t2) AS t3
+           |       FROM s2 JOIN ev e ON e.user_id = s2.u GROUP BY s2.u, s2.t1, s2.t2),
+           |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3)
+           |SELECT * FROM (
+           |  SELECT 1 AS stage_idx, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+           |    CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+           |  UNION ALL
+           |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+           |    CAST(CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END AS BIGINT) FROM c
+           |  UNION ALL
+           |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           |    CAST(CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000000 // n2 END AS BIGINT) FROM c)
+           |ORDER BY stage_idx""".stripMargin),
+      bench = true)
   )
 }

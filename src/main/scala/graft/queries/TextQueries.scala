@@ -275,8 +275,45 @@ private[graft] object TextQueries {
           .orderBy("doc_id")
       },
       Some(DECONTAMINATE_SQL),
-      bench = true)
+      bench = true),
+
+    Q("text_bm25",
+      // Okapi BM25 top-20 retrieval for the query {hash, join, spark}:
+      // postings pruned to query tokens BEFORE the tf shuffle, df + corpus
+      // totals broadcast, heap-based top-k — and the k1=1.2/b=0.75 scoring
+      // cleared to all-long rational arithmetic (x10L), so the ranking
+      // replays digit-for-digit in DuckDB
+      (s, d) => TextStats.bm25(tbl(s, d, "documents"),
+        Seq("hash", "join", "spark"), k = 20),
+      Some(BM25_SQL))
   )
+
+  /** Oracle for text_bm25: identical tokenization, the same query-token
+    * tf/df, and the same integer-cleared BM25 arithmetic (see
+    * TextStats.bm25 — numerator and denominator multiplied through by
+    * 10·L, integer division last).
+    */
+  private lazy val BM25_SQL: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |              FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+      |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |l AS (SELECT sum(len) AS l FROM lens),
+      |sc AS (SELECT t.doc_id,
+      |         (((n.n * 1000000) // d.df) * 22 * t.tf * l.l) //
+      |           (10 * t.tf * l.l + 3 * l.l + 9 * le.len * n.n) AS part
+      |       FROM tf t JOIN df d USING (tok)
+      |       JOIN lens le ON le.doc_id = t.doc_id
+      |       CROSS JOIN n CROSS JOIN l),
+      |agg AS (SELECT doc_id, count(*) AS n_terms, sum(part) AS score_e6
+      |        FROM sc GROUP BY 1)
+      |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
+      |FROM (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rn FROM agg)
+      |WHERE rn <= 20 ORDER BY score_e6 DESC, doc_id""".stripMargin
 
   /** Oracle for text_decontaminate: identical word-3-gram construction
     * (the MINHASH_CTES shingle shape), identical md5-head32 gram hashes,

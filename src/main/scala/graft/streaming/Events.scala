@@ -62,6 +62,54 @@ object Events {
         graft.util.Num.cents(col("value")).as("sum_value_c"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Ordered funnel analysis: how many users reach each stage IN ORDER —
+    * stage i counts only when it happens strictly after the user's
+    * earliest qualifying stage i−1 event (earliest-first semantics; a
+    * click before any view does not convert). The product-analytics
+    * staple sessionization feeds.
+    *
+    * Computation: one aggregation per stage over the user's events —
+    * stage 1 is min(ts | type₁); stage i is min(ts | typeᵢ ∧ ts > tᵢ₋₁),
+    * a conditional min after rejoining the per-user stage times. Every
+    * join/agg keys on user_id, so the chain stays co-partitioned on one
+    * key; per-stage counts and ppm conversions (integer div) come from a
+    * final 1-row reduce exploded into per-stage rows.
+    *
+    * Returns (stage_idx, stage, n_users, conv_ppm) where conv_ppm is the
+    * parts-per-million conversion from the PREVIOUS stage (10⁶ for the
+    * first).
+    */
+  def funnelReport(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    val evs = events.select(col("user_id").as("user"),
+      col("ts").as("__ts"), col("event_type").as("__type"))
+    var perUser = evs.groupBy("user")
+      .agg(min(when(col("__type") === stages.head, col("__ts"))).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (stage, i) =>
+      val prevCols = (1 to i + 1).map(j => min(col(s"t$j")).as(s"t$j"))
+      perUser = evs.join(perUser, Seq("user"))
+        .groupBy("user")
+        .agg(prevCols.head,
+          (prevCols.tail :+
+            min(when(col("__type") === stage && col("__ts") > col(s"t${i + 1}"),
+              col("__ts"))).as(s"t${i + 2}")): _*)
+    }
+    val counts = perUser.agg(
+      count(col("t1")).as("n1"),
+      stages.indices.tail.map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+    val stageRows = stages.zipWithIndex.map { case (name, i) =>
+      val n = col(s"n${i + 1}")
+      val ppm =
+        if (i == 0) lit(1000000L)
+        else when(col(s"n$i") === 0, lit(0L))
+          .otherwise(expr(s"n${i + 1} * 1000000 DIV n$i"))
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        n.as("n_users"), ppm.as("conv_ppm"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("__r"))
+      .select(col("__r.*")).orderBy("stage_idx")
+  }
+
   /** Sliding-window counts (batch form): each event lands in
     * windowLen/slide overlapping windows. Spark aligns window starts to the
     * epoch, which the oracle reproduces with integer epoch arithmetic.

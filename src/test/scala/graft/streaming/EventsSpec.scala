@@ -251,4 +251,31 @@ class EventsSpec extends SparkSpec {
     assert(got.contains(("2026-01-01 11:00:00", "view", 1)), s"got=$got")
     assert(got.forall(_._3 == 1), s"k=1 but got=$got")
   }
+
+  test("funnelReport enforces stage order and counts strictly-after conversions") {
+    val fe = Seq(
+      // user 1: full ordered funnel
+      (10L, ts("2026-01-01 09:00:00"), 1L, "view", 0.0),
+      (11L, ts("2026-01-01 09:05:00"), 1L, "click", 0.0),
+      (12L, ts("2026-01-01 09:10:00"), 1L, "purchase", 0.0),
+      // user 2: click BEFORE any view — click must not convert; later
+      // click after the view does, but no purchase follows
+      (20L, ts("2026-01-01 08:00:00"), 2L, "click", 0.0),
+      (21L, ts("2026-01-01 08:30:00"), 2L, "view", 0.0),
+      (22L, ts("2026-01-01 08:45:00"), 2L, "click", 0.0),
+      // user 3: purchase before click — ordered funnel stops at click
+      (30L, ts("2026-01-01 07:00:00"), 3L, "view", 0.0),
+      (31L, ts("2026-01-01 07:10:00"), 3L, "purchase", 0.0),
+      (32L, ts("2026-01-01 07:20:00"), 3L, "click", 0.0),
+      // user 4: never views
+      (40L, ts("2026-01-01 06:00:00"), 4L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.funnelReport(fe, Seq("view", "click", "purchase"))
+      .select("stage_idx", "stage", "n_users", "conv_ppm")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "view", 3L, 1000000L), // users 1, 2, 3
+      (2, "click", 3L, 1000000L), // all three clicked after their view
+      (3, "purchase", 1L, 333333L))) // only user 1 purchased after the click
+  }
 }
