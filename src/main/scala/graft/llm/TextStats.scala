@@ -197,6 +197,34 @@ object TextStats {
       .orderBy(col("score_e6").desc, col("doc_id"))
   }
 
+  /** Inverted index build: token → (true document frequency, posting list
+    * of the first `cap` containing doc_ids, ascending). The capped list
+    * is the retrieval-serving artifact ([[bm25]]'s candidate generator at
+    * scale); df stays EXACT beyond the cap so scoring never lies about
+    * rarity.
+    *
+    * Scale shape: distinct (doc, token) pairs → one shuffle on token; the
+    * cap runs on the heap-based TopKPerGroupExec (O(cap) state per token,
+    * partial heaps before the exchange — a stopword's millions of
+    * postings never sit in one task's memory), and df aggregates on the
+    * same key, co-partitioned with the list build.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val postings = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val dfreq = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    val capped = graft.plans.TopK.perGroup(
+      postings, Seq("tok"), -col("doc_id"), col("doc_id"), cap)
+    capped.groupBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .join(dfreq, "tok")
+      .select(col("tok"), col("df"), col("postings"))
+  }
+
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val counted = docs.select(

@@ -511,6 +511,39 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
           |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
 
+    Q("dash_equidepth",
+      // equi-depth (quartile) histogram: global exact quartile bounds on
+      // cent-exact values, broadcast back onto the scan, one hash agg per
+      // bin. The global exact percentile is the documented small-side
+      // form — Sketch.kmvQuantiles is the 100 TB twin (bounded state);
+      // .25/.5/.75 interpolations on integers are exact binary fractions,
+      // so even the bin EDGES hash-match cross-engine.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("c"))
+        val bounds = o.agg(percentile(col("c"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+          .select(col("q").getItem(0).as("q1"), col("q").getItem(1).as("q2"),
+            col("q").getItem(2).as("q3"))
+        o.crossJoin(broadcast(bounds))
+          .select(col("c"),
+            when(col("c") <= col("q1"), lit(0)).when(col("c") <= col("q2"), lit(1))
+              .when(col("c") <= col("q3"), lit(2)).otherwise(lit(3)).as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+          .orderBy("bin")
+      },
+      Some(
+        """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |           FROM orders),
+          |q AS (SELECT quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.5) AS q2,
+          |        quantile_cont(c, 0.75) AS q3 FROM c),
+          |b AS (SELECT c, CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
+          |        WHEN c <= q3 THEN 2 ELSE 3 END AS bin FROM c CROSS JOIN q)
+          |SELECT bin, count(*) AS n, min(c) AS min_c, max(c) AS max_c
+          |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     Q("dash_gapfill",
       // calendar densification: sparse per-(priority, day) order series →
       // gapless daily grid (sequence + explode), counts/sums zero-filled,

@@ -118,6 +118,37 @@ private[graft] object EventQueries {
            |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
            |    CAST(CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000000 // n2 END AS BIGINT) FROM c)
            |ORDER BY stage_idx""".stripMargin),
+      bench = true),
+
+    Q("ev_attribution",
+      // last-touch ad attribution: each click joined to same-user views in
+      // the 30 minutes before it (the BATCH face of the stream-stream
+      // interval join — JoinsSpec drives the identical function through
+      // MemoryStream with watermark-bounded state), then one max_by
+      // aggregation picks the most recent view per click
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        graft.streaming.Joins.lastTouch(graft.streaming.Joins.attributionJoin(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "click")))
+          .orderBy("click_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM ev
+           |      WHERE event_type = 'view'),
+           |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev
+           |      WHERE event_type = 'click'),
+           |pairs AS (SELECT c.click_id, i.imp_id, i.imp_ts
+           |          FROM c JOIN i ON c.user_id = i.user_id
+           |            AND i.imp_ts <= c.click_ts
+           |            AND c.click_ts <= i.imp_ts + INTERVAL 30 MINUTE),
+           |ranked AS (SELECT click_id, imp_id,
+           |    row_number() OVER (PARTITION BY click_id ORDER BY imp_ts DESC, imp_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY click_id) AS n_candidates
+           |  FROM pairs)
+           |SELECT click_id, imp_id, CAST(n_candidates AS BIGINT) AS n_candidates
+           |FROM ranked WHERE rn = 1 ORDER BY click_id""".stripMargin),
       bench = true)
   )
 }

@@ -285,7 +285,25 @@ private[graft] object TextQueries {
       // replays digit-for-digit in DuckDB
       (s, d) => TextStats.bm25(tbl(s, d, "documents"),
         Seq("hash", "join", "spark"), k = 20),
-      Some(BM25_SQL))
+      Some(BM25_SQL)),
+
+    Q("text_inverted_index",
+      // inverted index with capped posting lists (first 50 doc_ids per
+      // token via the heap exec) and EXACT df beyond the cap — the
+      // candidate-generation artifact BM25 serves from at scale
+      (s, d) => TextStats.invertedIndex(tbl(s, d, "documents"), cap = 50)
+        .orderBy("tok"),
+      Some(
+        """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |    FROM documents) WHERE tok <> ''),
+          |d AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+          |r AS (SELECT tok, doc_id,
+          |        row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM tk),
+          |p AS (SELECT tok, list_sort(list(doc_id)) AS postings
+          |      FROM r WHERE rn <= 50 GROUP BY tok)
+          |SELECT p.tok, d.df, p.postings FROM p JOIN d USING (tok)
+          |ORDER BY tok""".stripMargin))
   )
 
   /** Oracle for text_bm25: identical tokenization, the same query-token
@@ -316,25 +334,29 @@ private[graft] object TextQueries {
       |WHERE rn <= 20 ORDER BY score_e6 DESC, doc_id""".stripMargin
 
   /** Oracle for text_decontaminate: identical word-3-gram construction
-    * (the MINHASH_CTES shingle shape), identical md5-head32 gram hashes,
-    * integer `//` ppm and the cross-multiplied flag compare.
+    * (the MINHASH_CTES shingle shape), identical md5-head32 gram hashes
+    * with `list_distinct` applied AFTER hashing — deduping by hash, not
+    * by gram string, exactly as NgramHashes does, so an md5-head32
+    * collision can never split the engines — then the integer `//` ppm
+    * and the cross-multiplied flag compare.
     */
   private lazy val DECONTAMINATE_SQL: String =
     s"""WITH w AS (SELECT doc_id AS id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
        |  FROM documents),
-       |g AS (SELECT id, list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
-       |      i -> array_to_string(ws[i + 1:i + 3], ' ')),
-       |    x -> x <> '')) AS gs FROM w),
-       |cg AS (SELECT id, unnest(gs) AS s FROM g WHERE id % 50 <> 0),
-       |ch AS (SELECT id, ($hexHead32Sql) AS h
-       |       FROM (SELECT id, md5(s) AS mh FROM cg)),
-       |eh AS (SELECT DISTINCT ($hexHead32Sql) AS h
-       |       FROM (SELECT md5(s) AS mh
-       |             FROM (SELECT unnest(gs) AS s FROM g WHERE id % 50 = 0))),
-       |hits AS (SELECT id, count(*) AS n_hits FROM ch JOIN eh USING (h) GROUP BY id),
-       |rep AS (SELECT g.id, len(gs) AS n_grams, COALESCE(h.n_hits, 0) AS n_hits
+       |g AS (SELECT id, list_distinct(list_transform(
+       |    list_transform(
+       |      list_filter(
+       |        list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+       |          i -> array_to_string(ws[i + 1:i + 3], ' ')),
+       |        x -> x <> ''),
+       |      s -> md5(s)),
+       |    mh -> ($hexHead32Sql))) AS hs FROM w),
+       |cg AS (SELECT id, unnest(hs) AS h FROM g WHERE id % 50 <> 0),
+       |eh AS (SELECT DISTINCT h FROM
+       |       (SELECT unnest(hs) AS h FROM g WHERE id % 50 = 0)),
+       |hits AS (SELECT id, count(*) AS n_hits FROM cg JOIN eh USING (h) GROUP BY id),
+       |rep AS (SELECT g.id, len(hs) AS n_grams, COALESCE(h.n_hits, 0) AS n_hits
        |        FROM g LEFT JOIN hits h ON h.id = g.id WHERE g.id % 50 <> 0)
        |SELECT id AS doc_id,
        |  CAST(n_grams AS BIGINT) AS n_grams,

@@ -148,6 +148,22 @@ class CorpusSpec extends SparkSpec {
     assert(rep(4L) == ((0L, 0L, 0L, false)), rep(4L))
   }
 
+  test("NgramHashes matches the declarative shingle-then-md5 Column form") {
+    val texts = Seq("the quick brown fox jumps", "one two", "solo", "",
+      "  padded   whitespace  text here ", "Tabs\tand\nnewlines mixed in",
+      "repeat repeat repeat repeat repeat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val declarative = transform(Dedup.shingles(col("text"), 3),
+      s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val got = texts.select(col("id"),
+        graft.expr.NgramHashes(col("text"), 3).as("fast"),
+        array_distinct(declarative).as("slow"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    got.foreach { case (id, fast, slow) =>
+      assert(fast.sorted == slow.sorted, s"id $id: $fast vs $slow")
+    }
+  }
+
   test("contaminationReport broadcasts the eval gram set (no corpus shuffle for the probe)") {
     val corpus = spark.range(0, 50).selectExpr("id AS doc_id",
       "concat('alpha beta gamma delta ', CAST(id AS STRING)) AS text")

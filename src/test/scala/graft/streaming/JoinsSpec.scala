@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // impressions (views) and clicks for two users
+  private val views = Seq(
+    (100L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0),
+    (101L, ts("2026-01-01 10:20:00"), 1L, "view", 0.0),
+    (102L, ts("2026-01-01 09:00:00"), 2L, "view", 0.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private val clicks = Seq(
+    (200L, ts("2026-01-01 10:25:00"), 1L, "click", 0.0), // within 30m of both views
+    (201L, ts("2026-01-01 10:45:00"), 1L, "click", 0.0), // 45m after view 100: only view 101 in range
+    (202L, ts("2026-01-01 11:00:00"), 2L, "click", 0.0), // 2h after the view: no match
+    (203L, ts("2026-01-01 09:59:59"), 1L, "click", 0.0) // one second BEFORE view 100
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private val expectedPairs = Set((200L, 100L), (200L, 101L), (201L, 101L))
+
+  test("attributionJoin (batch): inclusive 30-minute window, same user only") {
+    val got = Joins.attributionJoin(views, clicks)
+      .select("click_id", "imp_id").as[(Long, Long)].collect().toSet
+    assert(got == expectedPairs)
+  }
+
+  test("attributionJoin (streaming): same pairs through two file-source streams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    views.write.parquet(s"$dir/views")
+    clicks.write.parquet(s"$dir/clicks")
+    val vs = spark.readStream.schema(views.schema).parquet(s"$dir/views")
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$dir/clicks")
+    val q = Joins.attributionJoin(vs, cs)
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("ssj_test")
+      .select("click_id", "imp_id").as[(Long, Long)].collect().toSet
+    assert(got == expectedPairs)
+  }
+
+  test("lastTouch picks the most recent impression per click") {
+    val got = Joins.lastTouch(Joins.attributionJoin(views, clicks))
+      .select("click_id", "imp_id", "n_candidates")
+      .as[(Long, Long, Long)].collect().toSet
+    // click 200 had two candidates; the later view (101) wins
+    assert(got == Set((200L, 101L, 2L), (201L, 101L, 1L)))
+  }
+}

@@ -29,6 +29,13 @@ def norm(df):
     cols = sorted(df.columns)
     return df[cols]
 
+def plain(v):
+    # numpy arrays / lists (LIST-typed columns) to nested python lists so
+    # == is a scalar bool, never an elementwise array
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [plain(x) for x in v]
+    return v
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -81,6 +88,7 @@ def main(sf_dir, out_dir):
         for c in s.columns:
             sv, dv = s[c].tolist(), d[c].tolist()
             for i, (a, b) in enumerate(zip(sv, dv)):
+                a, b = plain(a), plain(b)
                 ok = (a == b) or (a is None and b is None) or \
                      (isinstance(a, float) and isinstance(b, float) and (a != a and b != b))
                 # pandas NaN/None/NaT normalization ONLY — a blanket
