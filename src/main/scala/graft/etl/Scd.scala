@@ -68,4 +68,37 @@ object Scd {
     joined.select(explode(emitted).as("__r")).select(col("__r.*"))
       .unionByName(hist)
   }
+
+  /** Snapshot diff: classify every key across two table versions as
+    * `added` / `removed` / `changed` (attribute values from BOTH sides
+    * carried as `old_<attr>` / `new_<attr>`). The audit face of
+    * [[mergeType2]] — what changed between yesterday's load and today's —
+    * and the pre-flight check before applying a batch: a diff that is 90%
+    * `removed` usually means the extract broke, not the world.
+    *
+    * One full-outer key join (null-safe attribute compare); unchanged
+    * keys are dropped by default — at 100 TB the interesting rows are the
+    * delta, not the 99.9% that didn't move — pass includeUnchanged=true
+    * for the full classification.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(attrCols.nonEmpty, "snapshotDiff needs at least one attribute column")
+    val o = oldDf.select((keyCols ++ attrCols).map(col): _*)
+    val n = newDf.select((keyCols ++ attrCols).map(col): _*)
+    val joinCond = keyCols.map(k => col(s"o.$k") <=> col(s"n.$k")).reduce(_ && _)
+    val oMissing = keyCols.map(k => col(s"o.$k").isNull).reduce(_ && _)
+    val nMissing = keyCols.map(k => col(s"n.$k").isNull).reduce(_ && _)
+    val attrsEqual = attrCols.map(a => col(s"o.$a") <=> col(s"n.$a")).reduce(_ && _)
+    val status = when(oMissing, lit("added"))
+      .when(nMissing, lit("removed"))
+      .when(attrsEqual, lit("unchanged"))
+      .otherwise(lit("changed"))
+    val out = o.as("o").join(n.as("n"), joinCond, "full_outer")
+      .select(keyCols.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+        Seq(status.as("status")) ++
+        attrCols.flatMap(a => Seq(col(s"o.$a").as(s"old_$a"), col(s"n.$a").as(s"new_$a"))): _*)
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
 }

@@ -104,4 +104,26 @@ object Transform {
       // canonical column order (scripts/transform.py:115-116)
       .select(PropertySchema.transformed.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Validation with a quarantine verdict instead of silent drops: every
+    * row keeps an array of the rule names it VIOLATES plus an `is_valid`
+    * flag. The reference's sanity filters (scripts/transform.py:63-73)
+    * discard rows without a trace; production pipelines route rejects to
+    * a dead-letter table with the reason attached so upstream breakage is
+    * observable — this is that routing decision as a narrow projection
+    * (no shuffle; split into valid/quarantine frames with two filters on
+    * the same lazy plan).
+    *
+    * A rule whose predicate evaluates to NULL counts as a VIOLATION: an
+    * unevaluable sanity check means the row's data was malformed for that
+    * rule, which is precisely what quarantine exists to surface.
+    */
+  def validateWithReasons(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "validateWithReasons needs at least one rule")
+    val verdicts = rules.map { case (name, keep) =>
+      when(!coalesce(keep, lit(false)), lit(name)).otherwise(lit(null).cast("string"))
+    }
+    df.withColumn("reasons", filter(array(verdicts: _*), _.isNotNull))
+      .withColumn("is_valid", size(col("reasons")) === 0)
+  }
 }

@@ -422,7 +422,81 @@ private[graft] object EtlQueries {
           .orderBy("bucket")
       },
       Some(ZORDER_SQL),
-      bench = true)
+      bench = true),
+
+    Q("etl_quarantine",
+      // dead-letter routing: the reference's sanity filters as VERDICTS
+      // instead of silent drops — every row carries the names of the rules
+      // it violates plus an is_valid flag (narrow projection, no shuffle);
+      // a rule that can't evaluate counts as a violation
+      (s, d) => {
+        val parsed = rawProperties(s, d).select(col("id"),
+          Transliterate(col("purpose")).as("purpose"),
+          col("price_czk"),
+          Parse.digitsToLong(col("price_czk")).as("price"))
+        graft.etl.Transform.validateWithReasons(parsed, Seq(
+            "currency_eur" -> !col("price_czk").contains("EUR"),
+            "min_price" -> (col("price") >= 500),
+            "rent_sane" -> Parse.keepRentSane(col("purpose"), col("price")),
+            "sale_sane" -> Parse.keepSaleSane(col("purpose"), col("price"))))
+          .select(col("id"), col("is_valid"),
+            array_join(col("reasons"), ",").as("reasons"))
+          .orderBy("id")
+      },
+      Some(withRaw(
+        s"""SELECT id, len(rs) = 0 AS is_valid,
+           |  COALESCE(array_to_string(rs, ','), '') AS reasons
+           |FROM (SELECT id, list_filter([
+           |    CASE WHEN contains(price_czk, 'EUR') THEN 'currency_eur' END,
+           |    CASE WHEN NOT (price >= 500) THEN 'min_price' END,
+           |    CASE WHEN regexp_matches(purpose, '$rentAlt') AND price <= 1000 THEN 'rent_sane' END,
+           |    CASE WHEN regexp_matches(purpose, '$saleAlt') AND price <= 20000 THEN 'sale_sane' END
+           |  ], x -> x IS NOT NULL) AS rs
+           |  FROM (SELECT id, purpose, price_czk,
+           |          CAST(regexp_replace(price_czk, '[^0-9]', '', 'g') AS BIGINT) AS price
+           |        FROM t))
+           |ORDER BY id""".stripMargin))),
+
+    Q("etl_snapshot_diff",
+      // snapshot-to-snapshot audit: yesterday's customer table vs today's
+      // (deterministic removals %97, balance bumps %13, new keys %89=3) —
+      // one full-outer key join classifying added/removed/changed with
+      // both sides' values carried; unchanged rows dropped (the delta is
+      // the interesting 0.1% at scale)
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+        val oldSnap = c.select(col("c_custkey").as("key"),
+          col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_c"))
+        val newSnap = oldSnap.filter(col("key") % 97 =!= 0)
+          .select(col("key"), col("seg"),
+            when(col("key") % 13 === 0, col("bal_c") + 1000L)
+              .otherwise(col("bal_c")).as("bal_c"))
+          .unionByName(c.filter(col("c_custkey") % 89 === 3)
+            .select((col("c_custkey") + 2000000L).as("key"),
+              lit("NEW").as("seg"), lit(0L).as("bal_c")))
+        graft.etl.Scd.snapshotDiff(oldSnap, newSnap, Seq("key"), Seq("seg", "bal_c"))
+          .orderBy("key")
+      },
+      Some(
+        """WITH o AS (SELECT c_custkey AS key, c_mktsegment AS seg,
+          |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c FROM customer),
+          |n AS (SELECT key, seg,
+          |        CASE WHEN key % 13 = 0 THEN bal_c + 1000 ELSE bal_c END AS bal_c
+          |      FROM o WHERE key % 97 <> 0
+          |      UNION ALL
+          |      SELECT key + 2000000, 'NEW', 0 FROM o WHERE key % 89 = 3),
+          |j AS (SELECT COALESCE(n.key, o.key) AS key,
+          |        CASE WHEN o.key IS NULL THEN 'added'
+          |             WHEN n.key IS NULL THEN 'removed'
+          |             WHEN o.seg IS NOT DISTINCT FROM n.seg
+          |               AND o.bal_c IS NOT DISTINCT FROM n.bal_c THEN 'unchanged'
+          |             ELSE 'changed' END AS status,
+          |        o.seg AS old_seg, n.seg AS new_seg,
+          |        o.bal_c AS old_bal_c, n.bal_c AS new_bal_c
+          |      FROM o FULL OUTER JOIN n ON o.key = n.key)
+          |SELECT key, status, old_seg, new_seg, old_bal_c, new_bal_c
+          |FROM j WHERE status <> 'unchanged' ORDER BY key""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the

@@ -49,6 +49,50 @@ private[graft] object JoinQueries {
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
       bench = true),
 
+    Q("join_multiway_revenue",
+      // the TPC-H Q3 shape: selective filters pushed to all three scans
+      // BEFORE any join, the small filtered dimension broadcast, the two
+      // fact-sized sides hash-joined on their keys, then top-10 via the
+      // heap exec — the canonical multiway star-join plan AQE and join
+      // reordering exist for
+      (s, d) => {
+        val cutoff = lit("1998-06-01").cast("timestamp")
+        val c = tbl(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = tbl(s, d, "orders").filter(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = tbl(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val grouped = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .multiply(10000).cast("long").as("revenue_e4"))
+        graft.plans.TopK.perGroup(grouped.withColumn("__g", lit(1)), Seq("__g"),
+            col("revenue_e4"), col("l_orderkey"), 10)
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+      },
+      Some(
+        """WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+          |o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+          |      WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+          |l AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+          |      WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+          |g AS (SELECT l.l_orderkey, o.o_orderdate,
+          |        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |      FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+          |      JOIN c ON o.o_custkey = c.c_custkey
+          |      GROUP BY 1, 2)
+          |SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue_e4
+          |FROM (SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, l_orderkey) AS rn FROM g)
+          |WHERE rn <= 10 ORDER BY revenue_e4 DESC, l_orderkey""".stripMargin),
+      bench = true),
+
     Q("join_semi_anti",
       // explicit LEFT SEMI + LEFT ANTI (§2.12): every customer flagged by
       // order existence — semi and anti partition the table, so their

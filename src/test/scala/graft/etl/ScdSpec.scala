@@ -51,4 +51,19 @@ class ScdSpec extends SparkSpec {
       .filter(col("count") > 1).count()
     assert(dup == 0L)
   }
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged by default") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "v")
+    val newDf = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("key", "v")
+    val out = Scd.snapshotDiff(oldDf, newDf, Seq("key"), Seq("v"))
+      .select("key", "status", "old_v", "new_v")
+      .as[(Long, String, Option[String], Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (2L, "changed", Option("b"), Option("B")),
+      (3L, "removed", Option("c"), None),
+      (4L, "added", None, Option("d"))))
+    val full = Scd.snapshotDiff(oldDf, newDf, Seq("key"), Seq("v"),
+      includeUnchanged = true)
+    assert(full.filter(col("status") === "unchanged").count() == 1L)
+  }
 }

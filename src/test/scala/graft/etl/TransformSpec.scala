@@ -83,4 +83,23 @@ class TransformSpec extends SparkSpec {
     val out2 = Transform(again, dump, Some(fname), dedupOrder = Some(col("id")))
     assert(out2.count() == once.count())
   }
+
+  test("validateWithReasons collects every violated rule; NULL predicates are violations") {
+    val df = Seq(
+      (1L, Option(2000L)), // passes both rules
+      (2L, Option(100L)), // fails min_price only
+      (3L, Option(5L)), // fails min_price and tiny
+      (4L, Option.empty[Long]) // NULL: both predicates unevaluable → both violated
+    ).toDF("id", "price")
+    val out = Transform.validateWithReasons(df, Seq(
+        "min_price" -> (col("price") >= 500),
+        "tiny" -> (col("price") >= 10)))
+      .select(col("id"), col("is_valid"), array_join(col("reasons"), ",").as("r"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, true, ""),
+      (2L, false, "min_price"),
+      (3L, false, "min_price,tiny"),
+      (4L, false, "min_price,tiny")))
+  }
 }
