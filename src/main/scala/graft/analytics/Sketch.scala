@@ -250,6 +250,85 @@ object Sketch {
           .cast("long").as("n_distinct_e6"))
   }
 
+  /** HLL as a RE-AGGREGABLE sketch table: registers materialized at
+    * (coarseKey, fineKey) granularity — e.g. one row per (month, day,
+    * bucket), the daily sketch table a 100 TB pipeline persists — then
+    * rolled up to coarseKey by register-max and estimated. Because
+    * register max is associative, the rolled-up estimate is IDENTICAL to
+    * running [[hllDistinct]] directly on the coarse key (pinned in
+    * SketchSpec): this is the property that lets distinct-count dashboards
+    * answer any coarser window from incrementally-maintained fine sketches
+    * without ever re-scanning the raw data. Same register construction and
+    * estimator arithmetic as [[hllDistinct]], so the rollup path is
+    * oracle-exact too.
+    */
+  def hllRollup(df: DataFrame, coarseKey: Column, fineKey: Column,
+      value: Column, params: HllParams = HllParams()): DataFrame = {
+    val p = params
+    val mh = md5(value.cast("string").cast("binary"))
+    val tail = substring(mh, p.bucketHexChars + 1, p.tailHexChars)
+    val stripped = regexp_replace(tail, "^0+", "")
+    val firstNz = substring(stripped, 1, 1)
+    val extra = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(stripped) === 0, p.rhoCap)
+      .otherwise((lit(p.tailHexChars) - length(stripped)) * 4 + extra + 1)
+    // the materializable fine-grained sketch table: (coarse, fine, bucket)
+    val fineRegisters = df.filter(value.isNotNull)
+      .select(coarseKey.as("key"), fineKey.as("fine"),
+        substring(mh, 1, p.bucketHexChars).as("bucket"), rho.as("rho"))
+      .groupBy("key", "fine", "bucket").agg(max(col("rho")).as("rmax"))
+    // rollup: register max over the fine axis (associative — both
+    // aggregations are map-side combinable on their keys)
+    val rolled = fineRegisters.groupBy("key", "bucket")
+      .agg(max(col("rmax")).as("rmax"))
+    rolled.groupBy("key")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${p.rhoCap} - rmax)")).as("si"))
+      .select(col("key"),
+        floor(lit(p.numerator) /
+            (shiftleft(lit(p.m.toLong) - col("nb"), p.rhoCap) + col("si"))
+              .cast("double") * 1e6)
+          .cast("long").as("n_distinct_e6"))
+  }
+
+  /** The DuckDB oracle for [[hllRollup]] — [[hllDistinctSql]]'s CTE chain
+    * with the explicit two-level register aggregation spelled out.
+    */
+  def hllRollupSql(table: String, coarseExpr: String, coarseName: String,
+      fineExpr: String, valueExpr: String,
+      params: HllParams = HllParams()): String = {
+    val p = params
+    val b = p.bucketHexChars
+    val t = p.tailHexChars
+    s"""WITH v AS (SELECT DISTINCT $coarseExpr AS key, $fineExpr AS fine,
+       |             md5(CAST($valueExpr AS VARCHAR)) AS mh
+       |           FROM $table WHERE $valueExpr IS NOT NULL),
+       |r AS (SELECT key, fine, substring(mh, 1, $b) AS bucket,
+       |        regexp_replace(substring(mh, ${b + 1}, $t), '^0+', '') AS st
+       |      FROM v),
+       |q AS (SELECT key, fine, bucket,
+       |        CASE WHEN length(st) = 0 THEN ${p.rhoCap}
+       |             ELSE 4 * ($t - length(st)) +
+       |                  CASE WHEN substring(st, 1, 1) = '1' THEN 3
+       |                       WHEN substring(st, 1, 1) IN ('2', '3') THEN 2
+       |                       WHEN substring(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                       ELSE 0 END + 1 END AS rho
+       |      FROM r),
+       |g0 AS (SELECT key, fine, bucket, max(rho) AS rmax FROM q GROUP BY key, fine, bucket),
+       |g AS (SELECT key, bucket, max(rmax) AS rmax FROM g0 GROUP BY key, bucket),
+       |a AS (SELECT key, count(*) AS nb,
+       |        CAST(sum(CAST(1 AS BIGINT) << (${p.rhoCap} - rmax)) AS BIGINT) AS si
+       |      FROM g GROUP BY key)
+       |SELECT key AS $coarseName,
+       |  CAST(floor(${p.numerator} /
+       |      CAST((CAST(${p.m} - nb AS BIGINT) << ${p.rhoCap}) + si AS DOUBLE) * 1000000)
+       |    AS BIGINT) AS n_distinct_e6
+       |FROM a ORDER BY $coarseName""".stripMargin
+  }
+
   /** The DuckDB oracle for [[hllDistinct]] over a (keyExpr, valueExpr)
     * pair — generated HERE, next to the Spark form, so the two can never
     * drift: same b/t/R constants, same CASE table, same integer-space

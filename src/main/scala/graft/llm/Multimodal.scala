@@ -146,6 +146,60 @@ object Multimodal {
       }
   }
 
+  /** Perceptual (average) hash over decoded features: bit j is set when
+    * feature slot j exceeds the mean slot — aHash's "cell vs mean"
+    * structure over the decode output, so visually-identical assets land
+    * on the same hash even when their byte streams differ in length-
+    * preserving ways. The comparison is cleared to integers (8·sum_j >
+    * total ⟺ feat_j > mean) via the exact integer slot sums
+    * round(feat·255·n) recovers, so the hash — and the oracle — never
+    * touch float comparisons. Appends (s0..s7, phash) to the frame.
+    */
+  def perceptualHash(featRows: DataFrame): DataFrame = {
+    val dim = FakeDecoder.featureDim
+    val n = greatest(col("n_bytes"), lit(1L))
+    val sums = (0 until dim).map(j =>
+      round(element_at(col("features"), j + 1) * 255.0 * n).cast("long").as(s"s$j"))
+    val withSums = featRows.select(Seq(col("asset_id"), col("mime"),
+      col("n_bytes"), col("width"), col("height")) ++ sums: _*)
+    val total = (0 until dim).map(j => col(s"s$j")).reduce(_ + _)
+    val bits = (0 until dim).map(j =>
+      when(col(s"s$j") * dim > col("__total"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withSums.withColumn("__total", total)
+      .withColumn("phash", bits).drop("__total")
+  }
+
+  /** Perceptual near-duplicate pairs: block on (phash, width, height) —
+    * a bucketed equi-join, never all-pairs — then VERIFY inside each
+    * bucket with a scale-invariant byte-profile tolerance: for every slot,
+    * |sum_a·n_b − sum_b·n_a| · 100 ≤ 255 · tolPct · n_a · n_b
+    * (the integer cross-multiplied form of |feat_a − feat_b| ≤
+    * tolPct/100 · 255-normalized). The same propose-then-verify shape as
+    * MinHash-LSH dedup, applied to media: the blocking key is cheap and
+    * collision-dense only for genuinely similar assets, and the verify
+    * work is bounded by bucket sizes. All-integer arithmetic end to end.
+    */
+  def phashNearDupPairs(featRows: DataFrame, tolPct: Int = 1): DataFrame = {
+    require(tolPct >= 0 && tolPct <= 100, s"tolPct in [0,100], got $tolPct")
+    val dim = FakeDecoder.featureDim
+    val h = perceptualHash(featRows)
+    def side(tag: String) = h.select(
+      Seq(col("asset_id").as(s"id_$tag"), col("phash"),
+        col("width").as(s"w_$tag"), col("height").as(s"h_$tag"),
+        col("n_bytes").as(s"n_$tag")) ++
+        (0 until dim).map(j => col(s"s$j").as(s"s${j}_$tag")): _*)
+    val cond = (0 until dim).map { j =>
+      abs(col(s"s${j}_a") * col("n_b") - col(s"s${j}_b") * col("n_a")) * 100 <=
+        lit(255L * tolPct) * col("n_a") * col("n_b")
+    }.reduce(_ && _)
+    side("a").join(side("b").withColumnRenamed("phash", "phash_b"),
+        col("phash") === col("phash_b") &&
+          col("w_a") === col("w_b") && col("h_a") === col("h_b") &&
+          col("id_a") < col("id_b") && cond)
+      .select(col("id_a"), col("id_b"), col("phash"))
+  }
+
   /** Per-frame feature row: one output row per sampled frame (row
     * explosion happens inside the partition iterator — the Generator
     * shape, no shuffle).

@@ -329,6 +329,24 @@ private[graft] object DashQueries {
       Some(graft.analytics.Sketch.hllDistinctSql(
         "lineitem", "l_returnflag", "l_returnflag", "l_partkey"))),
 
+    Q("agg_hll_rollup",
+      // the sketch-TABLE pattern: HLL registers materialized per
+      // (month, day, bucket) — what an incremental pipeline persists —
+      // then rolled up to monthly estimates by register max. Associativity
+      // makes the rolled estimate identical to sketching the month
+      // directly (SketchSpec pins that), and the oracle replays the
+      // explicit two-level aggregation.
+      (s, d) => graft.analytics.Sketch.hllRollup(
+          tbl(s, d, "orders"),
+          date_format(col("o_orderdate"), "yyyy-MM"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_custkey"))
+        .select(col("key").as("month"), col("n_distinct_e6"))
+        .orderBy("month"),
+      Some(graft.analytics.Sketch.hllRollupSql(
+        "orders", "strftime(o_orderdate, '%Y-%m')", "month",
+        "strftime(o_orderdate, '%Y-%m-%d')", "o_custkey"))),
+
     Q("agg_kmv_distinct",
       // KMV/bottom-k distinct sketch: approximate like HLL, but built on
       // md5-derived hash points and the heap-based TopKPerGroupExec — so

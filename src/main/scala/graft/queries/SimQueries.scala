@@ -171,6 +171,19 @@ private[graft] object SimQueries {
       },
       Some(MM_DECODE_SQL)),
 
+    Q("mm_phash_neardup",
+      // media near-dup via perceptual hash: aHash bits (slot vs mean,
+      // integer cross-multiplied) block on (phash, w, h) — a bucketed
+      // equi-join, the LSH propose-then-verify shape for assets — then a
+      // scale-invariant byte-profile tolerance confirms inside buckets.
+      // Every quantity is an exact integer, so the pair set replays
+      // byte-for-byte in DuckDB.
+      (s, d) => Multimodal.phashNearDupPairs(
+          Multimodal.decodeFeatures(
+            Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text")).toDF())
+        .orderBy("id_a", "id_b"),
+      Some(MM_PHASH_SQL)),
+
     Q("mm_resize",
       // Resize stub is likewise byte-deterministic: dims scale to fit
       // 32x32, the payload is truncated/zero-padded to area-proportional
@@ -211,6 +224,41 @@ private[graft] object SimQueries {
   /** Oracle for mm_decode_features: every byte re-derived from hex(payload)
     * (two hex chars → one byte), per-slot integer sums, dims from n.
     */
+  /** Oracle for mm_phash_neardup: the decode byte sums (MM_DECODE_SQL's
+    * CTEs), the same integer aHash bits, the same (phash, w, h) block and
+    * cross-multiplied profile tolerance.
+    */
+  private lazy val MM_PHASH_SQL: String = {
+    val dim = Multimodal.FakeDecoder.featureDim
+    val sumSelects = (0 until dim).map(j =>
+      s"CAST(COALESCE(sum(byte) FILTER (WHERE i % $dim = $j), 0) AS BIGINT) AS f$j").mkString(",\n        ")
+    val sumCols = (0 until dim).map(j => s"COALESCE(s.f$j, 0) AS s$j").mkString(", ")
+    val total = (0 until dim).map(j => s"s$j").mkString(" + ")
+    val bits = (0 until dim).map(j =>
+      s"(CASE WHEN s$j * $dim > ($total) THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val tolCond = (0 until dim).map(j =>
+      s"abs(a.s$j * b.n - b.s$j * a.n) * 100 <= 255 * a.n * b.n").mkString("\n  AND ")
+    s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS n FROM documents),
+       |by AS (SELECT doc_id, i,
+       |         (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1 AS byte
+       |       FROM (SELECT doc_id, hx, unnest(range(n)) AS i FROM b)),
+       |s AS (SELECT doc_id,
+       |        $sumSelects
+       |      FROM by GROUP BY doc_id),
+       |p AS (SELECT b.doc_id AS id, b.n,
+       |        16 + b.n % 64 AS w, 16 + (b.n // 64) % 64 AS h,
+       |        $sumCols
+       |      FROM b LEFT JOIN s USING (doc_id)),
+       |q AS (SELECT *, CAST($bits AS BIGINT) AS phash FROM p)
+       |SELECT a.id AS id_a, b.id AS id_b, a.phash
+       |FROM q a JOIN q b ON a.phash = b.phash AND a.w = b.w AND a.h = b.h
+       |  AND a.id < b.id
+       |  AND $tolCond
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private lazy val MM_DECODE_SQL: String = {
     val sumSelects = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
       s"CAST(COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS BIGINT) AS f${j}_sum").mkString(",\n        ")

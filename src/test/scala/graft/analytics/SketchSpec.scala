@@ -104,6 +104,19 @@ class SketchSpec extends SparkSpec {
     assert(shuffled == out)
   }
 
+  test("hllRollup: rolled-up fine registers give the identical coarse estimate") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 5000).map { i =>
+      (s"m${i % 3}", s"d${i % 17}", rnd.nextInt(800).toLong)
+    }
+    val df = rows.toDF("month", "day", "v")
+    val direct = Sketch.hllDistinct(df, col("month"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = Sketch.hllRollup(df, col("month"), col("day"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct, s"rollup must equal direct: $rolled vs $direct")
+  }
+
   test("kmvSetOps: exact union/intersection/jaccard when both populations fit in the sketch") {
     val a = (0L until 100L).toDF("v") // A = [0, 100)
     val b = (60L until 150L).toDF("v") // B = [60, 150): |A∪B|=150, |A∩B|=40

@@ -59,4 +59,17 @@ class MultimodalSpec extends SparkSpec {
     // non-video assets have exactly one frame
     assert(frames(1L) == 1 && frames(2L) == 1 && frames(6L) == 1)
   }
+
+  test("phashNearDupPairs pairs identical payloads, rejects same-size different profiles") {
+    val docs = Seq(
+      (1L, "abcabcabc"), // identical twins → must pair
+      (2L, "abcabcabc"),
+      (3L, "zzzzzzzzz"), // same length (same w/h bucket) but different byte profile
+      (4L, "a completely different longer text payload")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.decodeFeatures(Multimodal.synthesizeAssets(docs, "doc_id", "text")).toDF())
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
