@@ -48,6 +48,18 @@ object Joins {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: every streaming event left-joined to a
+    * static dimension on `keys` — the third join mode Structured
+    * Streaming supports (besides batch and stream-stream), and the
+    * stateless one: the dimension is broadcast per micro-batch, so no
+    * state store, no watermark, and dimension updates picked up by
+    * re-reading the static source each batch (Spark re-plans the static
+    * side per micro-batch). Unmatched events keep flowing with nulls —
+    * an enrichment miss must never drop a fact.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Last-touch reduction over [[attributionJoin]]: the single most recent
     * impression per click (ties broken by largest imp_id for determinism).
     * One map-side-combinable max_by aggregation — no ranking window.

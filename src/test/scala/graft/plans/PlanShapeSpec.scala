@@ -81,4 +81,32 @@ class PlanShapeSpec extends SparkSpec {
       "per-pair agreement regressed to interpreted higher-order functions")
     assert(p.contains("sig_agreement"), "SigAgreement expression missing from plan")
   }
+
+  test("multiway star join: filters pushed to every scan, dimension broadcast, no product") {
+    val p = plan(Queries.queryMap("join_multiway_revenue")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "filtered customer dim lost its broadcast")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "star join degenerated to a product")
+    // each selective predicate reaches its parquet scan
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"),
+      "customer segment filter not pushed to the scan")
+    assert(p.contains("o_orderdate") && p.contains("l_shipdate"),
+      "date range filters missing from the scans")
+  }
+
+  test("funnel keeps every join/agg on user_id (no product, no global window)") {
+    val p = plan(Queries.queryMap("ev_funnel")(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "funnel degenerated to a product join")
+    assert(!p.contains("Window"), "funnel should be aggregation-only, no window")
+  }
+
+  test("snapshot diff and SCD2 merge plan single full-outer joins") {
+    Seq("etl_snapshot_diff", "etl_scd2_merge").foreach { q =>
+      val p = plan(Queries.queryMap(q)(spark, sf))
+      assert(p.contains("FullOuter"), s"$q lost its full-outer join")
+      assert(countOccurrences(p, "FullOuter") == 1,
+        s"$q should join exactly once:\n${p.take(1500)}")
+    }
+  }
 }

@@ -52,6 +52,25 @@ class JoinsSpec extends SparkSpec {
     assert(got == expectedPairs)
   }
 
+  test("enrich: stream-static left join keeps unmatched events with nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sse").toString
+    clicks.write.parquet(s"$dir/clicks")
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val cs = spark.readStream.schema(clicks.schema).parquet(s"$dir/clicks")
+    val q = Joins.enrich(cs, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("sse_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("sse_test")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    // user 1's clicks enriched; user 2 (no dim row) flows through with null
+    assert(got == Map(200L -> Some("gold"), 201L -> Some("gold"),
+      203L -> Some("gold"), 202L -> None))
+  }
+
   test("lastTouch picks the most recent impression per click") {
     val got = Joins.lastTouch(Joins.attributionJoin(views, clicks))
       .select("click_id", "imp_id", "n_candidates")
