@@ -56,6 +56,9 @@ object GraftFunctions {
       WinnowSig(es.head,
         if (es.length > 1) litInt(es(1), "k") else 5,
         if (es.length > 2) litInt(es(2), "w") else 4) }),
+    "ngram_hashes" -> (es => { arity("ngram_hashes", es, 1, 2)
+      NgramHashes(es.head,
+        if (es.length > 1) litInt(es(1), "n") else 3) }),
     "text_counts" -> (es => { arity("text_counts", es, 1, 1)
       TextCounts(es.head, TextStats.enStopwords,
         TextStats.langVocab("en"), TextStats.langVocab("de"),

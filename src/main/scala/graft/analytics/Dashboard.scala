@@ -72,6 +72,41 @@ object Dashboard {
       .orderBy(col("day"))
   }
 
+  /** Pearson correlation + least-squares fit from EXACT integer moments:
+    * one aggregation computes n, Σx, Σy, Σx², Σy², Σxy over floor()-ed
+    * long inputs (bit-exact in any engine), and the closed-form
+    * r/slope/intercept epilogue is a fixed sequence of IEEE double ops
+    * spelled identically in the SQL oracle — so even the statistical
+    * outputs hash-match cross-engine, where a builtin corr()/regr_slope()
+    * is order-of-aggregation-dependent and never reproducible.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the table; the
+    * epilogue is scalar. Integer-overflow bound: Σy² must fit a long —
+    * |y| ≤ 10⁵ holds to ~10⁸ rows per group; larger scales pre-bucket y.
+    * Degenerate inputs (zero variance) yield NULL fit columns rather than
+    * NaN/Infinity (which ANSI long casts would refuse).
+    */
+  def linearFit(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val m = df.filter(x.isNotNull && y.isNotNull)
+      .select(floor(x).cast("long").as("x"), floor(y).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val cov = nd * d("sxy") - d("sx") * d("sy")
+    val varx = nd * d("sxx") - d("sx") * d("sx")
+    val vary = nd * d("syy") - d("sy") * d("sy")
+    val e6 = (c: Column) => floor(c * 1e6).cast("long")
+    val slope = cov / varx
+    m.select(col("n"),
+      when(varx > 0 && vary > 0, e6(cov / sqrt(varx * vary)))
+        .otherwise(lit(null).cast("long")).as("corr_e6"),
+      when(varx > 0, e6(slope)).otherwise(lit(null).cast("long")).as("slope_e6"),
+      when(varx > 0, e6((d("sy") - slope * d("sx")) / nd))
+        .otherwise(lit(null).cast("long")).as("intercept_e6"))
+  }
+
   /** Calendar densification + fill: turn a sparse per-(key, day) series
     * into a gapless daily one. Dashboards and window features (deltas,
     * moving averages) silently mis-compute over missing days — a

@@ -529,6 +529,40 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
           |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
 
+    Q("dash_linreg",
+      // correlation + least-squares fit of line-item price on quantity
+      // from exact integer moments (one combinable aggregation), with the
+      // closed-form epilogue spelled as the identical IEEE double sequence
+      // in both engines — reproducible statistics, unlike builtin corr()
+      (s, d) => Dashboard.linearFit(tbl(s, d, "lineitem"),
+        col("l_quantity"), col("l_extendedprice")),
+      Some(
+        """WITH m AS (SELECT count(*) AS n,
+          |    sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+          |  FROM (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+          |          CAST(floor(l_extendedprice) AS BIGINT) AS y
+          |        FROM lineitem
+          |        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL))
+          |SELECT n,
+          |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+          |       THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |         * 1000000) AS BIGINT) END AS corr_e6,
+          |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          |       THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         * 1000000) AS BIGINT) END AS slope_e6,
+          |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          |       THEN CAST(floor((CAST(sy AS DOUBLE)
+          |         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+          |         * 1000000) AS BIGINT) END AS intercept_e6
+          |FROM m ORDER BY n""".stripMargin)),
+
     Q("dash_equidepth",
       // equi-depth (quartile) histogram: global exact quartile bounds on
       // cent-exact values, broadcast back onto the scan, one hash agg per

@@ -66,6 +66,19 @@ class DashboardSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("linearFit recovers an exact line and nulls out degenerate variance") {
+    val line = (1L to 100L).map(x => (x.toDouble, (2 * x + 3).toDouble)).toDF("x", "y")
+    val Array(r) = Dashboard.linearFit(line, col("x"), col("y")).collect()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("corr_e6") == 1000000L) // perfectly correlated
+    assert(r.getAs[Long]("slope_e6") == 2000000L)
+    assert(r.getAs[Long]("intercept_e6") == 3000000L)
+    // constant x: no variance, fit undefined → NULLs, not NaN crashes
+    val flat = Seq((1.0, 5.0), (1.0, 7.0)).toDF("x", "y")
+    val Array(f) = Dashboard.linearFit(flat, col("x"), col("y")).collect()
+    assert(f.isNullAt(f.fieldIndex("corr_e6")) && f.isNullAt(f.fieldIndex("slope_e6")))
+  }
+
   test("gapFillDaily densifies each key's span, zero-fills counts, forward-fills levels") {
     val df = Seq(
       ("a", "2024-01-01", 10L), ("a", "2024-01-01", 20L), // two rows same day
