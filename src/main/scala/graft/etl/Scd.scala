@@ -1,7 +1,9 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Slowly-changing-dimension maintenance — the warehouse-load step the
   * reference's JDBC append (scripts/load_db.py:24-58) gestures at without
@@ -100,5 +102,68 @@ object Scd {
         Seq(status.as("status")) ++
         attrCols.flatMap(a => Seq(col(s"o.$a").as(s"old_$a"), col(s"n.$a").as(s"new_$a"))): _*)
     if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** Streaming merge-on-ingest: a continuously-maintained type-2 dimension.
+    * Each arriving update file is one micro-batch; foreachBatch reads the
+    * CURRENT dimension version ([[Compact.read]]), applies [[mergeType2]]
+    * with the batch id as a synthetic batch date, writes the merged
+    * dimension COMPLETELY into the next `v=N/` directory, and publishes it
+    * with a create-once `_READY` marker ([[Compact.publish]]) — so a
+    * concurrent dimension reader sees the previous or the next complete
+    * version at every instant, never a partial merge. This composes three
+    * engine pieces into the standard warehouse ingestion loop: streaming
+    * file arrival → versioned SCD2 history → atomic reader-safe publish.
+    *
+    * foreachBatch (not a streaming join) because the merge must read its
+    * OWN previous output — a feedback edge streaming DAGs can't express —
+    * and because per-batch semantics hold no standing state: the dimension
+    * lives in parquet, not the state store, so a restart resumes from the
+    * checkpoint + the last published version. Batch dates are
+    * `baseDate + batchId` days (deterministic under replay); a real
+    * deployment passes event-derived dates instead.
+    */
+  def startStreamingMerge(spark: SparkSession, updatesDir: String,
+      updateSchema: StructType, dimDir: String, keyCols: Seq[String],
+      attrCols: Seq[String], baseDate: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val updates = spark.readStream
+      .schema(updateSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(updatesDir)
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sess = batch.sparkSession
+        val base = dimDir.stripSuffix("/")
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(sess.sparkContext.hadoopConfiguration)
+        val hasDim = fs.exists(new org.apache.hadoop.fs.Path(base))
+        val dim =
+          if (hasDim) Compact.read(sess, base)
+          else {
+            // empty bootstrap dimension with the output schema
+            val empty = batch.select(
+              (keyCols ++ attrCols).map(col) ++ Seq(
+                lit("").as("valid_from"),
+                lit(null).cast("string").as("valid_to"),
+                lit(true).as("is_current")): _*).limit(0)
+            empty
+          }
+        val batchDate = java.time.LocalDate.parse(baseDate)
+          .plusDays(batchId).toString
+        val merged = mergeType2(dim, batch, keyCols, attrCols, batchDate)
+        // next version = max existing + 1 (replayed batches overwrite
+        // their own unpublished dir harmlessly; Compact GCs failed writes)
+        val nextV = if (!hasDim) 1L
+        else (fs.listStatus(new org.apache.hadoop.fs.Path(base)).collect {
+          case s if s.isDirectory && s.getPath.getName.matches("^v=\\d+$") =>
+            s.getPath.getName.stripPrefix("v=").toLong
+        } :+ 0L).max + 1
+        merged.write.mode(SaveMode.Overwrite).parquet(s"$base/v=$nextV")
+        Compact.publish(sess, base, nextV)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
   }
 }

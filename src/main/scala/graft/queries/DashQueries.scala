@@ -345,7 +345,8 @@ private[graft] object DashQueries {
         .orderBy("month"),
       Some(graft.analytics.Sketch.hllRollupSql(
         "orders", "strftime(o_orderdate, '%Y-%m')", "month",
-        "strftime(o_orderdate, '%Y-%m-%d')", "o_custkey"))),
+        "strftime(o_orderdate, '%Y-%m-%d')", "o_custkey")),
+      bench = true),
 
     Q("agg_kmv_distinct",
       // KMV/bottom-k distinct sketch: approximate like HLL, but built on
@@ -561,7 +562,8 @@ private[graft] object DashQueries {
           |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
           |         * 1000000) AS BIGINT) END AS intercept_e6
-          |FROM m ORDER BY n""".stripMargin)),
+          |FROM m ORDER BY n""".stripMargin),
+      bench = true),
 
     Q("dash_equidepth",
       // equi-depth (quartile) histogram: global exact quartile bounds on
@@ -594,7 +596,8 @@ private[graft] object DashQueries {
           |b AS (SELECT c, CASE WHEN c <= q1 THEN 0 WHEN c <= q2 THEN 1
           |        WHEN c <= q3 THEN 2 ELSE 3 END AS bin FROM c CROSS JOIN q)
           |SELECT bin, count(*) AS n, min(c) AS min_c, max(c) AS max_c
-          |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)),
+          |FROM b GROUP BY 1 ORDER BY bin""".stripMargin),
+      bench = true),
 
     Q("dash_gapfill",
       // calendar densification: sparse per-(priority, day) order series →

@@ -182,7 +182,8 @@ private[graft] object SimQueries {
           Multimodal.decodeFeatures(
             Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text")).toDF())
         .orderBy("id_a", "id_b"),
-      Some(MM_PHASH_SQL)),
+      Some(MM_PHASH_SQL),
+      bench = true),
 
     Q("mm_resize",
       // Resize stub is likewise byte-deterministic: dims scale to fit

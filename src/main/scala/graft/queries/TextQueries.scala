@@ -285,7 +285,8 @@ private[graft] object TextQueries {
       // replays digit-for-digit in DuckDB
       (s, d) => TextStats.bm25(tbl(s, d, "documents"),
         Seq("hash", "join", "spark"), k = 20),
-      Some(BM25_SQL)),
+      Some(BM25_SQL),
+      bench = true),
 
     Q("text_inverted_index",
       // inverted index with capped posting lists (first 50 doc_ids per
@@ -303,7 +304,8 @@ private[graft] object TextQueries {
           |p AS (SELECT tok, list_sort(list(doc_id)) AS postings
           |      FROM r WHERE rn <= 50 GROUP BY tok)
           |SELECT p.tok, d.df, p.postings FROM p JOIN d USING (tok)
-          |ORDER BY tok""".stripMargin))
+          |ORDER BY tok""".stripMargin),
+      bench = true)
   )
 
   /** Oracle for text_bm25: identical tokenization, the same query-token

@@ -52,6 +52,42 @@ class ScdSpec extends SparkSpec {
     assert(dup == 0L)
   }
 
+  test("startStreamingMerge maintains a versioned SCD2 dimension across update files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_scdstream").toString
+    val src = s"$root/updates"; val dimDir = s"$root/dim"; val ckpt = s"$root/ckpt"
+    val schema = Seq.empty[(Long, String)].toDF("key", "attr").schema
+
+    // batch 0: initial load
+    Seq((1L, "a"), (2L, "b")).toDF("key", "attr")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = Scd.startStreamingMerge(spark, src, schema, dimDir,
+      Seq("key"), Seq("attr"), "2024-01-01", ckpt)
+    q1.awaitTermination()
+    val v1 = Compact.read(spark, dimDir)
+      .as[(Long, String, String, Option[String], Boolean)].collect().sortBy(_._1)
+    assert(v1.toSeq == Seq(
+      (1L, "a", "2024-01-01", None, true),
+      (2L, "b", "2024-01-01", None, true)))
+
+    // batch 1 (stream restart): key 1 changes, key 3 appears
+    Seq((1L, "a2"), (3L, "c")).toDF("key", "attr")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = Scd.startStreamingMerge(spark, src, schema, dimDir,
+      Seq("key"), Seq("attr"), "2024-01-01", ckpt)
+    q2.awaitTermination()
+    val v2 = Compact.read(spark, dimDir)
+      .as[(Long, String, String, Option[String], Boolean)].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(v2.toSeq == Seq(
+      (1L, "a", "2024-01-01", Some("2024-01-02"), false), // closed
+      (1L, "a2", "2024-01-02", None, true), // new version
+      (2L, "b", "2024-01-01", None, true), // untouched
+      (3L, "c", "2024-01-02", None, true))) // first version
+    // both dimension versions exist; the marker names the newest
+    assert(new java.io.File(s"$dimDir/v=1", "_READY").isFile)
+    assert(new java.io.File(s"$dimDir/v=2", "_READY").isFile)
+  }
+
   test("snapshotDiff classifies added/removed/changed and hides unchanged by default") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "v")
     val newDf = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("key", "v")
