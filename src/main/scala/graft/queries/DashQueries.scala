@@ -565,6 +565,60 @@ private[graft] object DashQueries {
           |FROM m ORDER BY n""".stripMargin),
       bench = true),
 
+    Q("dash_moving_avg",
+      // moving statistics the way they're safe: a 7-day trailing window
+      // over the GAP-FILLED series (on the sparse one, "7 rows" silently
+      // spans months) — integer sums + integer-division average, so the
+      // rolling numbers hash-match. Composes gapFillDaily with a per-key
+      // bounded window: one agg shuffle + one window shuffle on the key.
+      (s, d) => {
+        val dense = Dashboard.gapFillDaily(tbl(s, d, "orders"),
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          Seq("n_orders" -> count(lit(1)),
+            "rev_cents" -> cents(col("o_totalprice"))), Seq.empty)
+        val w = Window.partitionBy(col("key")).orderBy(col("day"))
+          .rowsBetween(-6, Window.currentRow)
+        dense.select(col("key").as("priority"),
+            col("day").cast("string").as("day"),
+            col("n_orders"), col("rev_cents"),
+            sum(col("rev_cents")).over(w).as("rev_7d_cents"),
+            count(lit(1)).over(w).as("w_rows"))
+          .select(col("priority"), col("day"), col("n_orders"), col("rev_cents"),
+            col("rev_7d_cents"),
+            expr("rev_7d_cents DIV w_rows").as("rev_7d_avg_c"))
+          .orderBy("priority", "day")
+      },
+      Some(MOVING_AVG_SQL)),
+
+    Q("agg_array_ops",
+      // array-function family breadth (§2.12): per-language source sets via
+      // collect_set, then union/intersect/except against a probe list —
+      // every result sorted so the SET semantics compare engine-neutrally
+      (s, d) => {
+        val probe = array(lit("src1"), lit("src3"), lit("srcX"))
+        tbl(s, d, "documents")
+          .groupBy("lang")
+          .agg(sort_array(collect_set(col("source"))).as("sources"))
+          .select(col("lang"), col("sources"),
+            size(col("sources")).as("n_sources"),
+            sort_array(array_union(col("sources"), probe)).as("union_s"),
+            sort_array(array_intersect(col("sources"), probe)).as("inter_s"),
+            sort_array(array_except(col("sources"), probe)).as("except_s"),
+            slice(col("sources"), 1, 2).as("first_two"))
+          .orderBy("lang")
+      },
+      Some(
+        """WITH s AS (SELECT lang, list_sort(list_distinct(list(source))) AS sources
+          |           FROM documents GROUP BY lang),
+          |p AS (SELECT ['src1', 'src3', 'srcX'] AS probe)
+          |SELECT lang, sources,
+          |  CAST(len(sources) AS INT) AS n_sources,
+          |  list_sort(list_distinct(list_concat(sources, probe))) AS union_s,
+          |  list_sort(list_intersect(sources, probe)) AS inter_s,
+          |  list_sort(list_filter(sources, x -> NOT list_contains(probe, x))) AS except_s,
+          |  sources[1:2] AS first_two
+          |FROM s CROSS JOIN p ORDER BY lang""".stripMargin)),
+
     Q("dash_equidepth",
       // equi-depth (quartile) histogram: global exact quartile bounds on
       // cent-exact values, broadcast back onto the scan, one hash agg per
@@ -616,6 +670,34 @@ private[graft] object DashQueries {
       Some(GAPFILL_SQL),
       bench = true)
   )
+
+  /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row
+    * trailing window (integer sums and integer-division average — the
+    * moving statistics stay bit-exact).
+    */
+  private lazy val MOVING_AVG_SQL: String =
+    """WITH daily AS (SELECT o_orderpriority AS priority,
+      |    CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (SELECT priority,
+      |          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM b),
+      |dense AS (SELECT c.priority, c.day,
+      |            COALESCE(d.n_orders, 0) AS n_orders,
+      |            COALESCE(d.rev_cents, 0) AS rev_cents
+      |          FROM cal c LEFT JOIN daily d ON d.priority = c.priority AND d.day = c.day),
+      |w AS (SELECT priority, day, n_orders, rev_cents,
+      |        sum(rev_cents) OVER (PARTITION BY priority ORDER BY day
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rev_7d_cents,
+      |        count(*) OVER (PARTITION BY priority ORDER BY day
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w_rows
+      |      FROM dense)
+      |SELECT priority, CAST(day AS VARCHAR) AS day, n_orders, rev_cents,
+      |  CAST(rev_7d_cents AS BIGINT) AS rev_7d_cents,
+      |  CAST(rev_7d_cents // w_rows AS BIGINT) AS rev_7d_avg_c
+      |FROM w ORDER BY priority, day""".stripMargin
 
   /** Oracle for dash_gapfill: generate_series calendar per key, the same
     * left join, zero fills, and IGNORE NULLS forward fill.
