@@ -195,6 +195,50 @@ object Corpus {
           .as("contaminated"))
   }
 
+  /** Fixed-window document chunking with overlap — the retrieval/RAG
+    * preprocessing step: each document's whitespace tokens are cut into
+    * windows of `width` tokens whose starts advance by `width - overlap`,
+    * so consecutive chunks share `overlap` tokens and every token lands in
+    * at least one chunk. Emits (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text); empty/whitespace-only documents emit no chunks.
+    *
+    * Tokenization is the engine's standard whitespace split (same
+    * semantics as [[tokenCount]]), so chunk boundaries agree with every
+    * other token-count operator. The chunk count is the closed form
+    * `1 + ceil(max(0, n - width) / step)` computed in ALL-INTEGER
+    * arithmetic (`DIV` over non-negative operands — no float ceil), so the
+    * layout replays bit-for-bit in any engine.
+    *
+    * Scale shape: a narrow per-row explode — output is a bounded
+    * ~`n/step` multiple of the input and chunking needs NO shuffle at any
+    * corpus size; the window slice is positional on the already-split
+    * token array (no re-scan of the text per chunk).
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      width: Int, overlap: Int): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(overlap >= 0 && overlap < width,
+      s"overlap must be in [0, width), got $overlap")
+    val step = width - overlap
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      // nc = 1 + ceil(max(0, n - width) / step), kept non-negative so
+      // integer DIV (truncation) IS the ceil and engines can't disagree
+      // on negative-operand rounding
+      .withColumn("__nc", expr(
+        s"1 + (greatest(size(__toks) - $width, 0) + ${step - 1}) DIV $step"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * step + 1).cast("int"),
+          lit(width)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Deterministic stratified quota sample: the `quota` rows of each
     * stratum (e.g. language) whose md5-derived id-hash is smallest — the
     * bottom-k-in-hash-order idea of [[graft.analytics.Sketch.kmvQuantiles]]

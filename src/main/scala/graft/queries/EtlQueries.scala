@@ -457,6 +457,38 @@ private[graft] object EtlQueries {
            |        FROM t))
            |ORDER BY id""".stripMargin))),
 
+    Q("etl_profile_columns",
+      // per-column data-quality profile over orders: row/null/exact-
+      // distinct counts plus min/max, one narrow columnar aggregation per
+      // column — doubles and timestamps pre-projected to fixed-point /
+      // formatted strings so the string rendering is engine-exact
+      (s, d) => graft.analytics.Profile.profile(
+          tbl(s, d, "orders").select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("o_totalprice_c"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice_c",
+            "o_orderdate_s"))
+        .orderBy("col_name"),
+      Some {
+        val branches = Seq(
+          "o_orderkey" -> "o_orderkey",
+          "o_custkey" -> "o_custkey",
+          "o_orderstatus" -> "o_orderstatus",
+          "o_totalprice_c" ->
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "o_orderdate_s" -> "strftime(o_orderdate, '%Y-%m-%d')")
+        branches.map { case (name, e) =>
+          s"""SELECT '$name' AS col_name, count(*) AS n,
+             |  count(*) - count($e) AS n_null,
+             |  count(DISTINCT $e) AS n_distinct,
+             |  CAST(min($e) AS VARCHAR) AS min_s,
+             |  CAST(max($e) AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
+
     Q("etl_snapshot_diff",
       // snapshot-to-snapshot audit: yesterday's customer table vs today's
       // (deterministic removals %97, balance bumps %13, new keys %89=3) —

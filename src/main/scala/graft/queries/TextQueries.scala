@@ -305,6 +305,29 @@ private[graft] object TextQueries {
           |      FROM r WHERE rn <= 50 GROUP BY tok)
           |SELECT p.tok, d.df, p.postings FROM p JOIN d USING (tok)
           |ORDER BY tok""".stripMargin),
+      bench = true),
+
+    Q("text_chunk_windows",
+      // RAG-style overlapping chunking: 64-token windows advancing by 48
+      // (16 shared tokens between neighbors), all-integer chunk-count
+      // closed form, no shuffle — the oracle replays the identical layout
+      // via the same non-negative DIV arithmetic
+      (s, d) => Corpus.chunkDocuments(
+          tbl(s, d, "documents"), "text", "doc_id", width = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |n AS (
+          |  SELECT doc_id, toks,
+          |    1 + (GREATEST(len(toks) - 64, 0) + 47) // 48 AS nc
+          |  FROM t),
+          |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+          |SELECT doc_id, chunk_id,
+          |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+          |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       bench = true)
   )
 

@@ -173,4 +173,51 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"eval gram set must broadcast, got:\n$plan")
   }
+
+  test("chunkDocuments covers every token, overlaps exactly, and replays the closed form") {
+    // doc lengths straddle the interesting boundaries for width=8 step=5:
+    // 0 (dropped), 1..8 (one chunk), 9 (two), 13 (two, full), 14 (three)
+    val docs = Seq(0, 1, 7, 8, 9, 13, 14, 40).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, "text", "doc_id", width = 8, overlap = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!got.contains(0L), "empty doc must emit no chunks")
+    docs.as[(Long, String)].collect().filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val toks = text.split("\\s+")
+      val chunks = got(id)
+      val expNc = 1 + math.max(0, (toks.length - 8 + 4) / 5)
+      assert(chunks.length == expNc, s"doc $id: ${chunks.length} vs $expNc")
+      chunks.foreach { case (_, cid, nTok, ctext) =>
+        val exp = toks.slice((cid * 5).toInt, (cid * 5).toInt + 8)
+        assert(ctext == exp.mkString(" "), s"doc $id chunk $cid")
+        assert(nTok == exp.length)
+      }
+      // every token index covered: last chunk reaches the end
+      val (_, lastCid, lastN, _) = chunks.last
+      assert(lastCid * 5 + lastN == toks.length, s"doc $id tail uncovered")
+      // consecutive full-width chunks share exactly `overlap` tokens
+      chunks.sliding(2).foreach {
+        case Array(a, b) if a._3 == 8 =>
+          val aToks = a._4.split(" ").takeRight(3)
+          assert(b._4.split(" ").take(aToks.length).sameElements(aToks),
+            s"doc $id chunks ${a._2}/${b._2} overlap broken")
+        case _ => ()
+      }
+    }
+  }
+
+  test("chunkDocuments plans no exchange and rejects bad parameters") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Corpus.chunkDocuments(docs, "text", "doc_id", 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(docs, "text", "doc_id", 0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.chunkDocuments(docs, "text", "doc_id", 8, 8)
+    }
+  }
 }
