@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Long-format column profiling — the data-quality summary every ingest
@@ -46,5 +46,33 @@ object Profile {
         .select(lit(c).as("col_name"), col("n"), col("n_null"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_.unionAll(_))
+  }
+
+  /** Order-independent per-group table fingerprint — the anti-entropy
+    * digest for comparing two copies of a table (a replica, a migrated
+    * load, yesterday's snapshot) WITHOUT sorting either side: each row is
+    * rendered canonically, hashed (md5 head-32, the engine-portable hash
+    * the sketch family uses), and the hashes are SUMMED per group. Sum and
+    * count are commutative, so the digest is independent of row order and
+    * partitioning, map-side combinable, and two tables agree iff every
+    * (group, n_rows, hash_sum) row matches — one narrow scan per side, no
+    * shuffle of the data itself, no sort at any scale.
+    *
+    * Canonical rendering: each column CAST to string, NULL replaced by the
+    * \u0002 sentinel, columns joined by \u0001 — positional, so
+    * (a, NULL) never collides with (NULL, a). Callers pre-project
+    * non-portable types (doubles to fixed-point, timestamps through
+    * date_format), same contract as [[profile]]. The separators are
+    * control characters no sane text column contains; a column that CAN
+    * contain them needs its own escaping before the call.
+    */
+  def fingerprint(df: DataFrame, group: Column, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val parts = cols.map(c => coalesce(c.cast("string"), lit("\u0002")))
+    val canonical = concat(
+      parts.flatMap(p => Seq(p, lit("\u0001"))).dropRight(1): _*)
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Sketch.hashPoint32(canonical)).as("hash_sum"))
   }
 }

@@ -279,6 +279,59 @@ private[graft] object DashQueries {
           |  count(*) FILTER (WHERE purpose NOT LIKE 'Prodej%') AS rent
           |FROM final GROUP BY region ORDER BY region""".stripMargin)),
 
+    Q("dash_unpivot_measures",
+      // unpivot/melt (the inverse of pivot, §2.12): the per-status wide
+      // measure row melted to (status, measure, value) long format via the
+      // native unpivot operator — a narrow positional explode after the
+      // aggregation, no extra shuffle; oracle spells it as the UNION ALL
+      // it is
+      (s, d) => {
+        val wide = tbl(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            cents(col("o_totalprice")).as("sum_price_c"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+        wide.unpivot(Array(col("status")),
+            Array(col("n_orders"), col("sum_price_c"), col("n_cust")),
+            "measure", "value")
+          .orderBy("status", "measure")
+      },
+      Some(
+        """WITH a AS (SELECT o_orderstatus AS status, count(*) AS n_orders,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c,
+          |    count(DISTINCT o_custkey) AS n_cust
+          |  FROM orders GROUP BY 1)
+          |SELECT status, 'n_orders' AS measure, n_orders AS value FROM a
+          |UNION ALL SELECT status, 'sum_price_c', sum_price_c FROM a
+          |UNION ALL SELECT status, 'n_cust', n_cust FROM a
+          |ORDER BY status, measure""".stripMargin)),
+
+    Q("agg_table_fingerprint",
+      // order-independent replica/migration audit: canonical row render →
+      // md5-head32 → per-status SUM + COUNT. Commutative, so the digest
+      // ignores row order and partitioning — compare two 100 TB copies
+      // with one narrow scan each and a 3-row diff, no sort anywhere
+      (s, d) => graft.analytics.Profile.fingerprint(
+          tbl(s, d, "orders").select(
+            col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("price_c"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_s")),
+          col("o_orderstatus"),
+          Seq(col("o_orderkey"), col("o_custkey"), col("price_c"),
+            col("date_s")))
+        .orderBy("grp"),
+      Some(
+        s"""WITH r AS (SELECT o_orderstatus AS grp,
+           |    md5(CAST(o_orderkey AS VARCHAR) || chr(1) ||
+           |        CAST(o_custkey AS VARCHAR) || chr(1) ||
+           |        CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || chr(1) ||
+           |        strftime(o_orderdate, '%Y-%m-%d')) AS mh
+           |  FROM orders)
+           |SELECT grp, count(*) AS n_rows,
+           |  CAST(sum($hexHead32Sql) AS BIGINT) AS hash_sum
+           |FROM r GROUP BY grp ORDER BY grp""".stripMargin)),
+
     Q("dash_rollup",
       // grouping-sets breadth: region x purpose rollup with subtotal rows,
       // grouping_id disambiguates NULL-as-subtotal from NULL data.

@@ -41,4 +41,37 @@ class ProfileSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Profile.profile(q, Seq("nope")) }
   }
+
+  test("fingerprint is order- and partitioning-independent, value-sensitive") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
+      .toDF("g", "s", "v")
+    val digest = Profile.fingerprint(base, col("g"), Seq(col("s"), col("v")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // shuffled row order + different partitioning → identical digest
+    val shuffled = Profile.fingerprint(
+        base.orderBy(col("v").desc).repartition(7), col("g"),
+        Seq(col("s"), col("v")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(digest == shuffled)
+    assert(digest.map(r => (r._1, r._2)) == List((1L, 2L), (2L, 1L)))
+    // a single changed value changes its group's digest and no other
+    val tweaked = Profile.fingerprint(
+        Seq((1L, "a", 10L), (1L, "b", 21L), (2L, "c", 30L)).toDF("g", "s", "v"),
+        col("g"), Seq(col("s"), col("v")))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(tweaked.head._3 != digest.head._3)
+    assert(tweaked(1) == digest(1))
+  }
+
+  test("fingerprint renders NULL positionally: (a,NULL) differs from (NULL,a)") {
+    import org.apache.spark.sql.functions._
+    val x = Seq((1L, Some("a"), Option.empty[String])).toDF("g", "c1", "c2")
+    val y = Seq((1L, Option.empty[String], Some("a"))).toDF("g", "c1", "c2")
+    val dx = Profile.fingerprint(x, col("g"), Seq(col("c1"), col("c2")))
+      .as[(Long, Long, Long)].collect().head
+    val dy = Profile.fingerprint(y, col("g"), Seq(col("c1"), col("c2")))
+      .as[(Long, Long, Long)].collect().head
+    assert(dx._3 != dy._3, "NULL position must be part of the digest")
+  }
 }
