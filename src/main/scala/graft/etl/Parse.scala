@@ -109,4 +109,47 @@ object Parse {
     * (scripts/transform.py:112).
     */
   def baseName(c: Column): Column = substring_index(c, "/", -1)
+
+  /** Canonical URL form for crawl dedup — the link-dedup key the
+    * reference's keep-first rule (scripts/transform.py:62) SHOULD use once
+    * links come from more than one crawl session: the same listing fetched
+    * as `HTTP://WWW.Example.com/x/?utm_source=feed#top` and
+    * `https://example.com/x` must collapse to one key.
+    *
+    * Steps (each a codegen'd builtin; every regex is RE2-safe — no
+    * lookaround — so any engine replays it):
+    *  1. drop the fragment (`#...`);
+    *  2. lowercase the scheme+host head and strip a leading `www.`
+    *     (path/query case is preserved — it is significant);
+    *  3. unify `?` to `&` (heuristic: a literal `?` inside a query value
+    *     is not survived), drop tracking params (`utm_*`, `gclid`,
+    *     `fbclid`), then restore the first surviving separator to `?`;
+    *  4. drop trailing slashes on the path and any empty leftover query.
+    *
+    * Scheme-less inputs (relative links) pass through steps 1, 3, 4
+    * unchanged by step 2 (the head extract matches nothing). Narrow,
+    * shuffle-free; feed the result to exactDedupByKey / min_by for the
+    * actual dedup.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring(noFrag, length(head) + 1, lit(Int.MaxValue))
+    val hostNorm = concat(
+      regexp_replace(lower(head), "://www\\.", "://"), rest)
+    val unified = regexp_replace(hostNorm, "\\?", "&")
+    val untracked = regexp_replace(unified,
+      "&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*", "")
+    // restore the first '&' (the path/query boundary by construction) to
+    // '?' — positional splice, identical arithmetic in any engine, since
+    // regexp_replace replace-first semantics differ across engines
+    val p = instr(untracked, "&")
+    val restored = when(p > 0,
+      concat(substring(untracked, lit(1), p - 1), lit("?"),
+        substring(untracked, p + 1, lit(Int.MaxValue))))
+      .otherwise(untracked)
+    regexp_replace(
+      regexp_replace(regexp_replace(restored, "/+\\?", "?"), "/+$", ""),
+      "[?&]+$", "")
+  }
 }

@@ -457,6 +457,58 @@ private[graft] object EtlQueries {
            |        FROM t))
            |ORDER BY id""".stripMargin))),
 
+    Q("etl_url_canonicalize",
+      // crawl-session URL dedup: the same listing link dressed in the
+      // scheme/case/www/trailing-slash/utm/fragment noise real crawls
+      // produce, collapsed by Parse.normalizeUrl to one canonical key and
+      // keep-first deduped — oracle replays every normalization step
+      // (all RE2-safe regexes + one positional splice) digit-for-digit
+      (s, d) => {
+        val id = col("id")
+        val noisy = rawProperties(s, d).select(id, concat(
+          when(id % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+          when(id % 3 === 0, lit("www.Reality-Example.cz"))
+            .otherwise(lit("reality-example.CZ")),
+          col("link"),
+          when(id % 4 === 0, lit("/")).otherwise(lit("")),
+          when(id % 5 === 0, lit("?utm_source=feed&utm_campaign=daily"))
+            .when(id % 5 === 1, lit("?page=2&utm_medium=email"))
+            .otherwise(lit("")),
+          when(id % 7 === 0, lit("#photo")).otherwise(lit(""))).as("url"))
+        noisy.select(id, Parse.normalizeUrl(col("url")).as("url_canonical"))
+          .groupBy("url_canonical")
+          .agg(min(id).as("first_id"), count(lit(1)).as("n_variants"))
+          .orderBy("url_canonical")
+      },
+      Some(s"WITH $RAW_SQL,\n" +
+        """noisy AS (SELECT id,
+          |    (CASE WHEN id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+          |    (CASE WHEN id % 3 = 0 THEN 'www.Reality-Example.cz' ELSE 'reality-example.CZ' END) ||
+          |    link ||
+          |    (CASE WHEN id % 4 = 0 THEN '/' ELSE '' END) ||
+          |    (CASE WHEN id % 5 = 0 THEN '?utm_source=feed&utm_campaign=daily'
+          |          WHEN id % 5 = 1 THEN '?page=2&utm_medium=email' ELSE '' END) ||
+          |    (CASE WHEN id % 7 = 0 THEN '#photo' ELSE '' END) AS url
+          |  FROM raw),
+          |s1 AS (SELECT id, regexp_replace(url, '#.*', '', 'g') AS u FROM noisy),
+          |s2 AS (SELECT id,
+          |    regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')),
+          |      '://www\.', '://') ||
+          |    substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
+          |  FROM s1),
+          |s3 AS (SELECT id, regexp_replace(u, '\?', '&', 'g') AS u FROM s2),
+          |s4 AS (SELECT id,
+          |    regexp_replace(u, '&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*', '', 'g') AS u
+          |  FROM s3),
+          |s5 AS (SELECT id, CASE WHEN strpos(u, '&') > 0
+          |      THEN substr(u, 1, strpos(u, '&') - 1) || '?' || substr(u, strpos(u, '&') + 1)
+          |      ELSE u END AS u
+          |  FROM s4),
+          |s6 AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(u,
+          |    '/+\?', '?', 'g'), '/+$', '', 'g'), '[?&]+$', '', 'g') AS u FROM s5)
+          |SELECT u AS url_canonical, min(id) AS first_id, count(*) AS n_variants
+          |FROM s6 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("etl_profile_columns",
       // per-column data-quality profile over orders: row/null/exact-
       // distinct counts plus min/max, one narrow columnar aggregation per

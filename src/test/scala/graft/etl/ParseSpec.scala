@@ -131,4 +131,24 @@ class ParseSpec extends SparkSpec {
   test("normalizeNbsp replaces U+00A0 with a plain space (transform.py:63)") {
     assert(evalStr("5 000", Parse.normalizeNbsp) == "5 000")
   }
+
+  test("normalizeUrl collapses crawl noise to one canonical key") {
+    def n(u: String): String = evalStr(u, Parse.normalizeUrl)
+    // the motivating pair: every kind of noise at once vs the clean form
+    assert(n("HTTP://WWW.Example.com/x/?utm_source=feed#top") == "http://example.com/x")
+    assert(n("https://example.com/x") == "https://example.com/x")
+    // scheme+host lowercased, path case preserved
+    assert(n("HTTPS://Example.COM/Path/File") == "https://example.com/Path/File")
+    // real params survive in order; tracking params vanish anywhere
+    assert(n("https://a.com/p?page=2&utm_medium=email") == "https://a.com/p?page=2")
+    assert(n("https://a.com/p?utm_a=1&q=2&fbclid=x&r=3") == "https://a.com/p?q=2&r=3")
+    // all-tracking query disappears entirely, with its trailing slash
+    assert(n("https://a.com/p/?utm_a=1&gclid=2") == "https://a.com/p")
+    // fragment-only and root-slash cases
+    assert(n("https://a.com/#frag") == "https://a.com")
+    // scheme-less relative links: path rules still apply, no case change
+    assert(n("/Nemovitosti/123/?utm_x=1") == "/Nemovitosti/123")
+    // www in the PATH is not stripped; www host without scheme untouched
+    assert(n("https://a.com/www.b/") == "https://a.com/www.b")
+  }
 }
