@@ -318,6 +318,148 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  // ---- Product quantization (PQ) ------------------------------------------
+
+  /** e6 quantization of a float/double vector — the shared fixed point of
+    * the PQ family (train, encode, and ADC all operate on these longs, so
+    * every stage is exact integer arithmetic).
+    */
+  private def quantE6(vc: Column): Column =
+    transform(vc, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** Exploded subspace view: (id, sub, sv) with sv = the `sub`-th of
+    * `numSub` equal slices of the e6-quantized vector (trailing remainder
+    * dims are dropped when numSub does not divide the dimension — pick a
+    * divisor in practice).
+    */
+  private def subVectors(vectors: DataFrame, numSub: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val w = expr(s"size(vq) DIV $numSub").cast("int")
+    vectors.select(col(idCol).as("id"), quantE6(col(vecCol)).as("vq"))
+      .select(col("id"), explode(sequence(lit(0), lit(numSub - 1))).as("sub"),
+        col("vq"))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        slice(col("vq"), (col("sub") * w + 1).cast("int"), w).as("sv"))
+  }
+
+  /** Squared L2 distance between two e6 long vectors via the integer
+    * identity |a−b|² = a·a + b·b − 2·a·b — three [[graft.expr.LongDot]]
+    * primitive loops, no interpreted HOF, exact at any partitioning.
+    */
+  private def l2DistE12(a: Column, b: Column): Column =
+    graft.expr.LongDot(a, a) + graft.expr.LongDot(b, b) -
+      lit(2L) * graft.expr.LongDot(a, b)
+
+  /** Product-quantization codebooks: an independent `kSub`-word codebook
+    * per subspace, trained with integer-L2 Lloyd iterations in e6 fixed
+    * point — deterministic and SQL-replayable end to end, the PQ analogue
+    * of [[kMeansCentroidsE6]] (same md5-bottom-k seeding, same floored
+    * integer mean update, argmin L2 with ties to the lower code).
+    *
+    * PQ is the 100 TB memory story for embeddings: a D-dim float vector
+    * (4·D bytes) compresses to `numSub` single-byte codes (kSub ≤ 256) —
+    * 32× for D=64/numSub=8 — so a trillion-vector corpus' codes fit a
+    * cluster's RAM and ADC scoring never touches the raw floats. [Jégou,
+    * Douze, Schmid: "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011.]
+    *
+    * Scale shape per iteration: subvectors × broadcast codebooks (the
+    * codebook is numSub·kSub rows — tiny), map-side-combinable argmin,
+    * then a (sub, code, pos) integer-sum aggregation. One exchange per
+    * round over |v|·numSub narrow rows; no driver state.
+    *
+    * @return (sub, code, ce: array<long>) — codeword components, e6
+    */
+  def pqCodebooksE6(vectors: DataFrame, numSub: Int, kSub: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
+    require(kSub >= 1, s"kSub must be >= 1, got $kSub")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val subs = subVectors(vectors, numSub, idCol, vecCol)
+    // seed: the kSub vectors with smallest md5(id) — the SAME ids seed
+    // every subspace (their sv differs per sub), code = hash rank
+    val hashed = vectors.select(col(idCol).as("id"))
+      .withColumn("__h", graft.analytics.Sketch.hashPoint32(col("id")))
+      .withColumn("__g", lit(0))
+    val seed = graft.plans.TopK.perGroup(hashed, Seq("__g"), -col("__h"),
+      col("id"), kSub)
+    val wk = Window.partitionBy(col("__g")).orderBy(col("__h"), col("id"))
+    val seedCodes = seed
+      .withColumn("code", (row_number().over(wk) - 1).cast("long"))
+      .select(col("id"), col("code"))
+    var cb = subs.join(seedCodes, Seq("id"))
+      .select(col("sub"), col("code"), col("sv").as("ce"))
+    for (_ <- 0 until iters) {
+      val assigned = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("__d", l2DistE12(col("sv"), col("ce")))
+        .groupBy("id", "sub")
+        .agg(min_by(struct(col("sv"), col("code")),
+          struct(col("__d"), col("code"))).as("__r"))
+        .select(col("sub"), col("__r.sv").as("sv"), col("__r.code").as("code"))
+      cb = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy("sub", "code", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy("sub", "code")
+        .agg(sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("c"))))
+          .as("__pc"))
+        .select(col("sub"), col("code"),
+          transform(col("__pc"), p => p.getField("c")).as("ce"))
+    }
+    cb
+  }
+
+  /** PQ encoding: each vector's nearest codeword per subspace (integer
+    * L2 argmin, ties to the lower code) — long format (id, sub, code),
+    * the join-friendly shape of the compressed corpus.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, numSub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    subVectors(vectors, numSub, idCol, vecCol)
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__d", l2DistE12(col("sv"), col("ce")))
+      .groupBy("id", "sub")
+      .agg(min_by(col("code"), struct(col("__d"), col("code"))).as("code"))
+
+  /** PQ-ADC top-k: asymmetric distance computation — the query stays
+    * exact, the corpus is its codes, and each candidate's score is the
+    * sum over subspaces of a PRECOMPUTED query·codeword dot (the lookup
+    * table), so scoring a candidate costs numSub integer adds and never
+    * touches the original vectors. Scores are exact e12 integer dots of
+    * the query against each vector's RECONSTRUCTION (the PQ
+    * approximation), deterministic in any engine.
+    *
+    * Scale shape: the LUT is |queries|·numSub·kSub rows — broadcast; the
+    * compressed corpus joins it on (sub, code) with no shuffle of the
+    * codes, and the per-(query, candidate) sum is map-side combinable.
+    * At 100 TB the codes table is the only corpus-sized input — the raw
+    * embeddings are read once at encode time, never per query.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, numSub: Int,
+      kSub: Int, trainIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebooksE6(corpus, numSub, kSub, trainIters, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, numSub, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+    val lut = subVectors(queries, numSub, idCol, vecCol)
+      .select(col("id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.expr.LongDot(col("sv"), col("ce")).as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot")).as("adc_e12"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e12").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("adc_e12"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
     * same plan shape as MinHash-LSH dedup but over vectors.
     */

@@ -96,6 +96,22 @@ private[graft] object SimQueries {
       },
       Some(IVF_TRAINED_SQL)),
 
+    Q("sim_pq_topk",
+      // product-quantization ADC top-k (Jégou et al., TPAMI 2011): per-
+      // subspace integer-L2 codebooks trained in e6 fixed point, corpus
+      // compressed to (sub, code) pairs, query scored via a broadcast
+      // lookup table of precomputed query·codeword dots — the 32×
+      // embedding-compression ANN path, and the whole trajectory
+      // (seeding, Lloyd rounds, encode, ADC) replays digit-for-digit in
+      // DuckDB because every number is a long
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, numSub = 4, kSub = 16, trainIters = 2)
+      },
+      Some(PQ_TOPK_SQL),
+      bench = true),
+
     Q("sim_ivf_topk",
       // IVF coarse quantization with deterministic centroids (vec_id % 100
       // = 0) — fully oracle-checkable with no training pass; the trained
@@ -350,6 +366,76 @@ private[graft] object SimQueries {
        |c${iters}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$iters)""".stripMargin
     b.toString
   }
+
+  /** Exact integer dot of two BIGINT lists in DuckDB: the values this
+    * oracle handles stay far below 2^53, so routing through DOUBLE
+    * list_inner_product is exact — the SQL mirror of graft.expr.LongDot.
+    */
+  private def intDotSql(a: String, b: String): String =
+    s"""CAST(list_inner_product(list_transform($a, x -> CAST(x AS DOUBLE)),
+       |      list_transform($b, x -> CAST(x AS DOUBLE))) AS BIGINT)""".stripMargin
+
+  private def l2DistSql(a: String, b: String): String =
+    s"(${intDotSql(a, a)} + ${intDotSql(b, b)} - 2 * ${intDotSql(a, b)})"
+
+  /** PQ CTE chain — the SQL twin of Similarity.pqCodebooksE6/pqEncode:
+    * e6 subvector split, md5-bottom-k seeding, `iters` unrolled integer-L2
+    * Lloyd rounds, final encode. Exposes `subs(id, sub, sv)`,
+    * `cb$iters(sub, code, ce)`, `enc(id, sub, code)`.
+    */
+  private def pqCtes(numSub: Int, kSub: Int, iters: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""vq AS (SELECT vec_id AS id,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |subs AS (SELECT id, CAST(m.sub AS BIGINT) AS sub,
+       |           list_slice(q, CAST(m.sub * (len(q) // $numSub) + 1 AS INT),
+       |             CAST((m.sub + 1) * (len(q) // $numSub) AS INT)) AS sv
+       |         FROM vq, (SELECT unnest(range(0, $numSub)) AS sub) m),
+       |kh AS (SELECT id, ($hexHead32Sql) AS h
+       |       FROM (SELECT vec_id AS id, md5(CAST(vec_id AS VARCHAR)) AS mh FROM embeddings)),
+       |sd AS (SELECT id, rn - 1 AS code FROM
+       |        (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM kh)
+       |       WHERE rn <= $kSub),
+       |cb0 AS (SELECT s.sub, sd.code, s.sv AS ce FROM subs s JOIN sd ON s.id = sd.id)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |a$i AS (SELECT sub, sv, code FROM (
+       |    SELECT s.sub, s.id, s.sv, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM subs s JOIN cb$i c ON s.sub = c.sub) WHERE rn = 1),
+       |u$i AS (SELECT sub, code, pos, sum(x) AS sx, count(*) AS n FROM (
+       |    SELECT sub, code, unnest(range(1, len(sv) + 1)) AS pos, unnest(sv) AS x
+       |    FROM a$i) GROUP BY sub, code, pos),
+       |cb${i + 1} AS (SELECT sub, code,
+       |    list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |  FROM u$i GROUP BY sub, code)""".stripMargin
+    }
+    b ++= s""",
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM subs s JOIN cb$iters c ON s.sub = c.sub) WHERE rn = 1)""".stripMargin
+    b.toString
+  }
+
+  /** Oracle for sim_pq_topk: codebooks + encode + broadcast-LUT ADC. */
+  private lazy val PQ_TOPK_SQL: String =
+    s"""WITH ${pqCtes(4, 16, 2)},
+       |lut AS (SELECT s.id AS query_id, s.sub, c.code,
+       |          ${intDotSql("s.sv", "c.ce")} AS pdot
+       |        FROM subs s JOIN cb2 c ON s.sub = c.sub WHERE s.id % 50 = 0),
+       |sc AS (SELECT l.query_id, e.id AS neighbor_id,
+       |         CAST(sum(l.pdot) AS BIGINT) AS adc_e12
+       |       FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |       WHERE e.id <> l.query_id GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, adc_e12 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Oracle for sim_kmeans_cells: the training chain + final argmax
     * assignment (cs DESC, cell — the max-struct tie-break's mirror).

@@ -1,7 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, IntegerType, LongType}
 
 /** Bridge for declaring `inputTypes` from graft expressions: Spark 4's
   * `AbstractDataType` is `private[sql]`, so an expression living in
@@ -13,4 +13,14 @@ trait GraftIntArrayArrayArgs extends ImplicitCastInputTypes {
   /** Both arguments: array&lt;int&gt;, implicit-cast where safe. */
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+}
+
+/** Both arguments: array&lt;long&gt;, implicit-cast where safe (the
+  * [[GraftIntArrayArrayArgs]] pattern for long-array kernels like
+  * graft.expr.LongDot).
+  */
+trait GraftLongArrayArrayArgs extends ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 }

@@ -172,4 +172,53 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(ivf == bf)
   }
+
+  test("LongDot matches the declarative zip_with/aggregate form and null rules") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(2000000L, -2000000L), Seq(2000000L, 2000000L))
+    ).toDF("a", "b")
+    val got = df.select(graft.expr.LongDot(col("a"), col("b")).as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null element -> null; top-level null -> null
+    val nulls = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+    assert(nulls.select(graft.expr.LongDot(col("a"), col("b"))).collect()(0).isNullAt(0))
+    assert(df.limit(1).select(graft.expr.LongDot(lit(null).cast("array<bigint>"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("PQ: codebook shapes, exact self-match on codeword vectors, ADC finds cluster kin") {
+    val rnd = new scala.util.Random(7)
+    def around(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(16)(0f).updated(0, 1f).updated(8, 1f)
+    val c2 = Array.fill(16)(0f).updated(4, 1f).updated(12, -1f)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, around(if (i % 2 == 0) c1 else c2))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksE6(corpus, numSub = 4, kSub = 4, iters = 2)
+    val rows = cb.collect()
+    // every surviving (sub, code) codeword spans its full subspace width
+    assert(rows.nonEmpty && rows.forall(_.getSeq[Long](2).length == 4))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    // ADC ranks same-cluster vectors above cross-cluster ones
+    val queries = corpus.filter(col("vec_id") < 2)
+    val top = Similarity.pqTopK(corpus, queries, k = 5, numSub = 4, kSub = 4,
+        trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    top.foreach { case (q, n) =>
+      assert((q - n) % 2 == 0, s"query $q got cross-cluster neighbor $n")
+    }
+    // determinism: reshuffled corpus -> identical codes
+    val codes1 = Similarity.pqEncode(corpus, cb, numSub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val codes2 = Similarity.pqEncode(
+        corpus.orderBy(org.apache.spark.sql.functions.rand(3)), cb, numSub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(codes1 == codes2)
+  }
 }
