@@ -52,6 +52,8 @@ object GraftFunctions {
         if (es.length > 1) litInt(es(1), "bits") else 12) }),
     "address_parts" -> (es => { arity("address_parts", es, 1, 1)
       AddressParts(es.head) }),
+    "long_dot" -> (es => { arity("long_dot", es, 2, 2)
+      LongDot(es(0), es(1)) }),
     "winnow_sig" -> (es => { arity("winnow_sig", es, 1, 3)
       WinnowSig(es.head,
         if (es.length > 1) litInt(es(1), "k") else 5,

@@ -330,12 +330,26 @@ object Similarity {
   /** Exploded subspace view: (id, sub, sv) with sv = the `sub`-th of
     * `numSub` equal slices of the e6-quantized vector (trailing remainder
     * dims are dropped when numSub does not divide the dimension — pick a
-    * divisor in practice).
+    * divisor in practice). With `normalize` (the default across the PQ
+    * family) each vector is L2-normalized BEFORE quantization, so ADC
+    * dots approximate COSINE — the ranking the rest of the similarity
+    * family uses; zero-norm vectors are excluded (they have no cosine).
+    * Division and sqrt are IEEE-identical across engines, so normalized
+    * quantization replays exactly like the raw form.
     */
   private def subVectors(vectors: DataFrame, numSub: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, normalize: Boolean): DataFrame = {
+    val base =
+      if (!normalize)
+        vectors.select(col(idCol).as("id"), quantE6(col(vecCol)).as("vq"))
+      else vectors
+        .filter(l2Norm(col(vecCol)) > 0.0)
+        .withColumn("__n", l2Norm(col(vecCol)))
+        .select(col(idCol).as("id"),
+          quantE6(transform(col(vecCol), x => x.cast("double") / col("__n")))
+            .as("vq"))
     val w = expr(s"size(vq) DIV $numSub").cast("int")
-    vectors.select(col(idCol).as("id"), quantE6(col(vecCol)).as("vq"))
+    base
       .select(col("id"), explode(sequence(lit(0), lit(numSub - 1))).as("sub"),
         col("vq"))
       .select(col("id"), col("sub").cast("long").as("sub"),
@@ -371,14 +385,17 @@ object Similarity {
     * @return (sub, code, ce: array<long>) — codeword components, e6
     */
   def pqCodebooksE6(vectors: DataFrame, numSub: Int, kSub: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      normalize: Boolean = true): DataFrame = {
     require(numSub >= 1, s"numSub must be >= 1, got $numSub")
     require(kSub >= 1, s"kSub must be >= 1, got $kSub")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val subs = subVectors(vectors, numSub, idCol, vecCol)
+    val subs = subVectors(vectors, numSub, idCol, vecCol, normalize)
     // seed: the kSub vectors with smallest md5(id) — the SAME ids seed
-    // every subspace (their sv differs per sub), code = hash rank
-    val hashed = vectors.select(col(idCol).as("id"))
+    // every subspace (their sv differs per sub), code = hash rank;
+    // seeded from the same (possibly normalize-filtered) id set the
+    // subvectors come from, so a seed id always has rows to seed with
+    val hashed = subs.filter(col("sub") === 0).select(col("id"))
       .withColumn("__h", graft.analytics.Sketch.hashPoint32(col("id")))
       .withColumn("__g", lit(0))
     val seed = graft.plans.TopK.perGroup(hashed, Seq("__g"), -col("__h"),
@@ -415,8 +432,9 @@ object Similarity {
     * the join-friendly shape of the compressed corpus.
     */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, numSub: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    subVectors(vectors, numSub, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      normalize: Boolean = true): DataFrame =
+    subVectors(vectors, numSub, idCol, vecCol, normalize)
       .join(broadcast(codebooks), Seq("sub"))
       .withColumn("__d", l2DistE12(col("sv"), col("ce")))
       .groupBy("id", "sub")
@@ -436,21 +454,33 @@ object Similarity {
     * At 100 TB the codes table is the only corpus-sized input — the raw
     * embeddings are read once at encode time, never per query.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, numSub: Int,
-      kSub: Int, trainIters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cb = pqCodebooksE6(corpus, numSub, kSub, trainIters, idCol, vecCol)
-    val codes = pqEncode(corpus, cb, numSub, idCol, vecCol)
+  /** ADC scores for every (query, candidate) pair: train codebooks,
+    * encode the corpus, broadcast the per-query lookup table, sum — the
+    * shared front half of [[pqTopK]] and [[pqTopKReranked]].
+    */
+  private def pqAdcScores(corpus: DataFrame, queries: DataFrame, numSub: Int,
+      kSub: Int, trainIters: Int, idCol: String, vecCol: String,
+      normalize: Boolean): DataFrame = {
+    val cb = pqCodebooksE6(corpus, numSub, kSub, trainIters, idCol, vecCol,
+      normalize)
+    val codes = pqEncode(corpus, cb, numSub, idCol, vecCol, normalize)
       .select(col("id").as("neighbor_id"), col("sub"), col("code"))
-    val lut = subVectors(queries, numSub, idCol, vecCol)
+    val lut = subVectors(queries, numSub, idCol, vecCol, normalize)
       .select(col("id").as("query_id"), col("sub"), col("sv"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         graft.expr.LongDot(col("sv"), col("ce")).as("pdot"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("pdot")).as("adc_e12"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, numSub: Int,
+      kSub: Int, trainIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", normalize: Boolean = true): DataFrame = {
+    val scored = pqAdcScores(corpus, queries, numSub, kSub, trainIters,
+      idCol, vecCol, normalize)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_e12").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -459,6 +489,50 @@ object Similarity {
         col("neighbor_id"), col("adc_e12"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** The production PQ pipeline: ADC ranks a cheap SHORTLIST (compressed
+    * codes only), then the shortlist alone is re-scored with the exact
+    * cosine — recall recovers most of what quantization lost while the
+    * exact kernel touches `shortlist`/|corpus| of the vectors per query.
+    * At 100 TB the shortlist join is the only stage that reads raw
+    * embeddings after encode time, and it reads them by id.
+    */
+  def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, numSub: Int, kSub: Int, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      normalize: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val scored = pqAdcScores(corpus, queries, numSub, kSub, trainIters,
+      idCol, vecCol, normalize)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e12").desc, col("neighbor_id"))
+    val short = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = short
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    topKSelect(rescored, k)
+  }
+
+  /** Recall@k — the evaluation harness every approximate-ANN deployment
+    * needs ("measure, don't guess"): per query, the fraction of the EXACT
+    * top-k that the ANN result recovered, as an integer-exact e6 ratio.
+    * Both inputs use the family's (query_id, neighbor_id, ...) contract;
+    * one equi-join on small per-query result sets — negligible next to
+    * either input pipeline at any scale.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 DIV n_exact").as("recall_e6"))
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked:
     * same plan shape as MinHash-LSH dedup but over vectors.

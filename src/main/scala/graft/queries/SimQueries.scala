@@ -107,10 +107,44 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
-          k = 5, numSub = 4, kSub = 16, trainIters = 2)
+          k = 5, numSub = 8, kSub = 32, trainIters = 2)
       },
       Some(PQ_TOPK_SQL),
       bench = true),
+
+    Q("sim_pq_recall",
+      // recall@5 of PQ-ADC against the exact cosine ground truth — the
+      // evaluation harness run before trusting any ANN config; per-query
+      // integer-exact e6 ratios, both pipelines replayed in the oracle
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.pqTopK(emb, queries, k = 5, numSub = 8, kSub = 32,
+              trainIters = 2),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(PQ_RECALL_SQL)),
+
+    Q("sim_pq_rerank_recall",
+      // the production PQ config measured: ADC shortlists 25 candidates
+      // from the compressed codes, the exact cosine re-scores only those,
+      // and recall@5 against brute force quantifies what the shortlist
+      // recovered — on this isotropic synthetic corpus raw ADC recall is
+      // ~0.2 (near-equidistant points; quantization scrambles hairline
+      // rank gaps) and the rerank lifts exactly as the harness shows,
+      // which is the point: config quality is MEASURED, not assumed
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.pqTopKReranked(emb, queries, k = 5, shortlist = 25,
+              numSub = 8, kSub = 32, trainIters = 2),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(PQ_RERANK_RECALL_SQL)),
 
     Q("sim_ivf_topk",
       // IVF coarse quantization with deterministic centroids (vec_id % 100
@@ -385,16 +419,19 @@ private[graft] object SimQueries {
     */
   private def pqCtes(numSub: Int, kSub: Int, iters: Int): String = {
     val b = new StringBuilder
-    b ++= s"""vq AS (SELECT vec_id AS id,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-       |       FROM embeddings),
+    // normalized-then-quantized vectors: x / sqrt(Σx²) is IEEE-identical
+    // to Spark's fold-norm division, so the e6 floor matches exactly
+    b ++= s"""vq AS (SELECT id,
+       |         list_transform(e,
+       |           x -> CAST(floor(x / sqrt(list_inner_product(e, e)) * 1000000) AS BIGINT)) AS q
+       |       FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |       WHERE list_inner_product(e, e) > 0),
        |subs AS (SELECT id, CAST(m.sub AS BIGINT) AS sub,
        |           list_slice(q, CAST(m.sub * (len(q) // $numSub) + 1 AS INT),
        |             CAST((m.sub + 1) * (len(q) // $numSub) AS INT)) AS sv
        |         FROM vq, (SELECT unnest(range(0, $numSub)) AS sub) m),
        |kh AS (SELECT id, ($hexHead32Sql) AS h
-       |       FROM (SELECT vec_id AS id, md5(CAST(vec_id AS VARCHAR)) AS mh FROM embeddings)),
+       |       FROM (SELECT id, md5(CAST(id AS VARCHAR)) AS mh FROM vq)),
        |sd AS (SELECT id, rn - 1 AS code FROM
        |        (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM kh)
        |       WHERE rn <= $kSub),
@@ -422,20 +459,78 @@ private[graft] object SimQueries {
     b.toString
   }
 
-  /** Oracle for sim_pq_topk: codebooks + encode + broadcast-LUT ADC. */
-  private lazy val PQ_TOPK_SQL: String =
-    s"""WITH ${pqCtes(4, 16, 2)},
+  /** pqCtes + the query LUT and summed ADC scores — ends in
+    * `sc(query_id, neighbor_id, adc_e12)`, shared by all three PQ oracles.
+    */
+  private def pqScoreCtes(numSub: Int, kSub: Int, iters: Int): String =
+    s"""${pqCtes(numSub, kSub, iters)},
        |lut AS (SELECT s.id AS query_id, s.sub, c.code,
        |          ${intDotSql("s.sv", "c.ce")} AS pdot
-       |        FROM subs s JOIN cb2 c ON s.sub = c.sub WHERE s.id % 50 = 0),
+       |        FROM subs s JOIN cb$iters c ON s.sub = c.sub WHERE s.id % 50 = 0),
        |sc AS (SELECT l.query_id, e.id AS neighbor_id,
        |         CAST(sum(l.pdot) AS BIGINT) AS adc_e12
        |       FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
-       |       WHERE e.id <> l.query_id GROUP BY 1, 2),
+       |       WHERE e.id <> l.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** Brute-force cosine top-5 CTEs, ending in `ex(query_id, neighbor_id)`
+    * — the ground truth both recall oracles compare against.
+    */
+  private lazy val EXACT_TOP5_CTES: String =
+    s"""qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |bs AS (SELECT query_id, neighbor_id,
+       |        CAST(floor(list_inner_product(qe, ce) /
+       |          (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))) * 1000000) AS BIGINT) AS sim_e6
+       |      FROM cv, qv WHERE neighbor_id <> query_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM bs) WHERE rnk <= 5)""".stripMargin
+
+  private lazy val RECALL_SELECT: String =
+    s"""SELECT e.query_id, count(*) AS n_exact, count(a.neighbor_id) AS n_hits,
+       |  count(a.neighbor_id) * 1000000 // count(*) AS recall_e6
+       |FROM ex e LEFT JOIN ann a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  /** Oracle for sim_pq_topk: codebooks + encode + broadcast-LUT ADC. */
+  private lazy val PQ_TOPK_SQL: String =
+    s"""WITH ${pqScoreCtes(8, 32, 2)},
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc)
        |SELECT query_id, rnk, neighbor_id, adc_e12 FROM r WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** Oracle for sim_pq_rerank_recall: ADC shortlist-25 → exact cosine
+    * rerank top-5 → recall against the brute-force truth.
+    */
+  private lazy val PQ_RERANK_RECALL_SQL: String =
+    s"""WITH ${pqScoreCtes(8, 32, 2)},
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc) WHERE rnk <= 25),
+       |$EXACT_TOP5_CTES,
+       |rs AS (SELECT s.query_id, s.neighbor_id,
+       |         CAST(floor(list_inner_product(q.qe, c.ce) /
+       |           (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.ce, c.ce))) * 1000000) AS BIGINT) AS sim_e6
+       |       FROM short s JOIN qv q ON s.query_id = q.query_id
+       |       JOIN cv c ON s.neighbor_id = c.neighbor_id),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM rs) WHERE rnk <= 5)
+       |$RECALL_SELECT""".stripMargin
+
+  /** Oracle for sim_pq_recall: the full PQ ranking, the exact cosine
+    * ranking, and the recall join — all in one statement.
+    */
+  private lazy val PQ_RECALL_SQL: String =
+    s"""WITH ${pqScoreCtes(8, 32, 2)},
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc) WHERE rnk <= 5),
+       |$EXACT_TOP5_CTES
+       |$RECALL_SELECT""".stripMargin
 
   /** Oracle for sim_kmeans_cells: the training chain + final argmax
     * assignment (cs DESC, cell — the max-struct tie-break's mirror).

@@ -95,4 +95,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getLong(0) == viaCol.getLong(0))
     assert(viaSql.getLong(1) == viaCol.getLong(1))
   }
+
+  test("SQL long_dot matches the Column form and casts int arrays") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT long_dot(array(2L, -3L, 4L), array(5L, 7L, 11L)) AS d")
+      .collect()(0).getLong(0)
+    assert(got == 2L * 5 - 3L * 7 + 4L * 11)
+    // declared input types: int arrays implicit-cast to long arrays
+    assert(spark.sql("SELECT long_dot(array(1, 2), array(3, 4)) AS d")
+      .collect()(0).getLong(0) == 11L)
+  }
 }

@@ -221,4 +221,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(codes1 == codes2)
   }
+
+  test("PQ rerank with a full-corpus shortlist equals brute force; recallAtK is exact") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    // shortlist = whole corpus -> the exact rerank IS brute force
+    val rr = Similarity.pqTopKReranked(corpus, queries, k = 4, shortlist = 29,
+        numSub = 4, kSub = 4, trainIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rr == bf)
+    // and recallAtK reports exactly 1.0 for identical result sets
+    val rec = Similarity.recallAtK(
+        Similarity.bruteForceTopK(corpus, queries, k = 4),
+        Similarity.bruteForceTopK(corpus, queries, k = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rec.length == 3 && rec.forall(_._2 == 1000000L))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKReranked(corpus, queries, k = 5, shortlist = 4,
+        numSub = 4, kSub = 4)
+    }
+  }
 }
