@@ -101,6 +101,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "funnel should be aggregation-only, no window")
   }
 
+  test("PQ path: every codebook/LUT join broadcasts, no product or shuffle join") {
+    val p = plan(Queries.queryMap("sim_pq_topk")(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "PQ degenerated to a product join")
+    assert(!p.contains("SortMergeJoin"),
+      "codebook/LUT join lost its broadcast — a shuffle join of the corpus")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in PQ plan?")
+    assert(p.contains("long_dot"), "LongDot kernel missing from the PQ plan")
+  }
+
   test("snapshot diff and SCD2 merge plan single full-outer joins") {
     Seq("etl_snapshot_diff", "etl_scd2_merge").foreach { q =>
       val p = plan(Queries.queryMap(q)(spark, sf))
