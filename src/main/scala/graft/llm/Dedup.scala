@@ -634,4 +634,66 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Cross-document repeated-SPAN extraction — the distributed form of
+    * exact-substring training-data dedup [Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022], which removes
+    * literal repeated passages (licenses, boilerplate, quoted blocks) that
+    * whole-document MinHash can't see and winnowing only counts: for every
+    * document pair, every maximal run of tokens ≥ `minTokens` long that
+    * appears verbatim in both, with both start positions.
+    *
+    * Method — seed-and-chain on the gram diagonal, the classic alignment
+    * trick: positional n-gram hashes ([[graft.expr.NgramHashSeq]] — the
+    * array index is the token coordinate), equi-join on the hash, and a
+    * match at (pa, pb) belongs to the diagonal pa − pb; consecutive
+    * matches on one diagonal are one shared span (islands via
+    * pa − row_number). A run of m shared grams covers m + n − 1 tokens.
+    *
+    * Scale shape: narrow gram pass → document-frequency cap (`maxDf`
+    * drops template grams — the same hot-bucket guard every pair-finding
+    * path here uses, so one boilerplate gram can't go quadratic) →
+    * hash-bucketed equi-join → per-(pair, diagonal) window over match
+    * runs, which are short by construction. Never all-pairs; matches are
+    * bounded by df² per gram ≤ maxDf² per bucket.
+    *
+    * md5-head32 collisions can fabricate a shared GRAM; a fabricated SPAN
+    * of minTokens needs minTokens − n + 1 consecutive collisions on one
+    * diagonal — vanishing, and the family-standard risk already accepted
+    * by the decontamination and winnowing operators.
+    */
+  def sharedSpanPairs(docs: DataFrame, n: Int = 8, minTokens: Int = 16,
+      maxDf: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(graft.expr.NgramHashSeq(col(textCol), n)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // df cap, and df >= 2: a gram in one document can't seed a pair
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("h")
+    val g = grams.join(shared, Seq("h"))
+    val matches = g.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(g.select(col("h"), col("id").as("id_b"), col("pos").as("pb")),
+        Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("__grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (n - 1)).as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("n_tokens"))
+  }
 }

@@ -42,6 +42,40 @@ private[graft] object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
+    Q("dedup_shared_spans",
+      // exact-substring dedup (Lee et al., ACL 2022) as seed-and-chain:
+      // positional 8-gram hashes, df-capped hash equi-join, consecutive
+      // matches on one (pair, diagonal) merged into maximal shared spans
+      // >= 16 tokens; oracle rebuilds positional grams, replays the cap,
+      // the diagonal islands, and the span arithmetic
+      (s, d) => Dedup.sharedSpanPairs(tbl(s, d, "documents"),
+          n = 8, minTokens = 16, maxDf = 20)
+        .orderBy("id_a", "id_b", "start_a", "start_b"),
+      Some(
+        s"""WITH w AS (SELECT doc_id AS id,
+           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+           |  FROM documents),
+           |gr AS (SELECT id, i + 1 AS pos,
+           |    md5(array_to_string(ws[i + 1: i + 8], ' ')) AS mh
+           |  FROM (SELECT id, ws, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS i FROM w)
+           |  WHERE array_to_string(ws[i + 1: i + 8], ' ') <> ''),
+           |g0 AS (SELECT id, pos, ($hexHead32Sql) AS h FROM gr),
+           |ok AS (SELECT h FROM g0 GROUP BY h
+           |       HAVING count(DISTINCT id) BETWEEN 2 AND 20),
+           |g AS (SELECT g0.id, g0.pos, g0.h FROM g0 JOIN ok USING (h)),
+           |m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
+           |        a.pos - b.pos AS diag
+           |      FROM g a JOIN g b ON a.h = b.h AND a.id < b.id),
+           |isl AS (SELECT *, pa - row_number() OVER (
+           |          PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp FROM m),
+           |sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+           |         count(*) + 7 AS n_tokens
+           |       FROM isl GROUP BY id_a, id_b, diag, grp)
+           |SELECT id_a, id_b, start_a, start_b, n_tokens FROM sp
+           |WHERE n_tokens >= 16
+           |ORDER BY id_a, id_b, start_a, start_b""".stripMargin),
+      bench = true),
+
     // ---- LLM ops: dedup -------------------------------------------------------
 
     Q("dedup_jaccard_pairs",

@@ -327,4 +327,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => !(a == 3L && b == 9L) } ||
       pairs == Set((3L, 9L)), s"boilerplate-only pairs leaked: $pairs")
   }
+
+  test("sharedSpanPairs finds exact span boundaries and merges diagonals") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // doc 1: 10 unique + 20 shared + 10 unique; doc 2: 5 unique + the same
+    // 20 shared + 5 unique. Shared block starts at token 11 in doc 1 and
+    // token 6 in doc 2. A SECOND shared block of 18 tokens further out.
+    val blockA = words("shared", 20)
+    val blockB = words("other", 18)
+    val docs = Seq(
+      (1L, s"${words("u", 10)} $blockA ${words("v", 10)} $blockB"),
+      (2L, s"${words("x", 5)} $blockA ${words("y", 7)} $blockB ${words("z", 3)}"),
+      (3L, words("w", 40))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpanPairs(docs, n = 8, minTokens = 12, maxDf = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._3, r._4)).toList
+    // two maximal spans between docs 1 and 2, none touching doc 3
+    assert(spans.map(r => (r._1, r._2)).forall(_ == (1L, 2L)), spans.toString)
+    assert(spans == List(
+      (1L, 2L, 11L, 6L, 20L),   // blockA: starts tok 11 (doc1) / tok 6 (doc2)
+      (1L, 2L, 41L, 33L, 18L))) // blockB: after 10+20+10 / 5+20+7 tokens
+  }
+
+  test("sharedSpanPairs df-cap suppresses boilerplate-seeded spans") {
+    val boiler = (0 until 30).map(i => s"b$i").mkString(" ")
+    // the same 30-token block in 12 documents: df of every gram is 12 > maxDf
+    val docs = (0 until 12).map(i => (i.toLong, s"head$i $boiler tail$i"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.sharedSpanPairs(docs, n = 8, minTokens = 12, maxDf = 10)
+    assert(spans.count() == 0, "template block must be df-capped out")
+    // ...but with a permissive cap the spans ARE found
+    val loose = Dedup.sharedSpanPairs(docs, n = 8, minTokens = 12, maxDf = 50)
+    assert(loose.count() == 12L * 11 / 2, "every pair shares the block")
+  }
 }
