@@ -696,4 +696,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
         col("n_tokens"))
   }
+
+  /** Merged per-document token intervals [s, e) from a
+    * [[sharedSpanPairs]] result: `sides` selects which side(s) of each
+    * pair contribute (coverage wants both; scrubbing cuts only the
+    * GREATER id so each span's first appearance survives). Overlap merge
+    * is the classic running-max island: a new island starts where the
+    * span's start clears every previous end on the doc.
+    */
+  private def mergedSpanIntervals(spans: DataFrame,
+      sides: Seq[String]): DataFrame = {
+    val perSide = sides.map {
+      case "a" => spans.select(col("id_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("n_tokens")).as("e"))
+      case "b" => spans.select(col("id_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("n_tokens")).as("e"))
+      case other => throw new IllegalArgumentException(s"side must be a|b: $other")
+    }
+    val iv = perSide.reduce(_.unionAll(_))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prevMaxEnd = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("__new", when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L)
+        .otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select(col("id"), col("s"), col("e"))
+  }
+
+  /** Per-document duplication coverage from the shared-span report: how
+    * many of each document's tokens sit inside at least one cross-document
+    * verbatim span (both sides of every pair count), as an exact e6
+    * ratio. The corpus-health dial of exact-substring dedup — run it
+    * before and after scrubbing. Documents with no spans report 0.
+    */
+  def spanCoverage(docs: DataFrame, n: Int = 8, minTokens: Int = 16,
+      maxDf: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spans = sharedSpanPairs(docs, n, minTokens, maxDf, textCol, idCol)
+    val covered = mergedSpanIntervals(spans, Seq("a", "b"))
+      .groupBy("id")
+      .agg(sum(col("e") - col("s")).as("covered"))
+    docs
+      .select(col(idCol).as("id"),
+        Corpus.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("coalesce(covered, 0L) * 1000000 DIV n_tokens"))
+          .as("dup_ratio_e6"))
+  }
+
+  /** Scrub shared spans (the write side of exact-substring dedup): every
+    * maximal cross-document span is CUT from the greater-id document of
+    * each pair — the lower id keeps the passage, so exactly one copy of
+    * every repeated passage survives a pass. Tokens outside the merged
+    * intervals are rejoined with single spaces (original case; span
+    * positions come from the case-insensitive gram view, but token
+    * BOUNDARIES are identical). Narrow except the span machinery itself:
+    * the positional explode re-joins its own document's intervals on the
+    * id, never another document's.
+    */
+  def removeSharedSpans(docs: DataFrame, n: Int = 8, minTokens: Int = 16,
+      maxDf: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spans = sharedSpanPairs(docs, n, minTokens, maxDf, textCol, idCol)
+    val cut = mergedSpanIntervals(spans, Seq("b"))
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+    val kept = toks.join(cut,
+        toks("id") === cut("id") && col("p") >= col("s") && col("p") < col("e"),
+        "left_anti")
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(col("p"), col("tok"))))
+        .getField("tok"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    docs.select(col(idCol).as("id"),
+        Corpus.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
+          .as("n_removed_tokens"))
+  }
 }

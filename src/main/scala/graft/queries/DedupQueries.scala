@@ -213,6 +213,55 @@ private[graft] object DedupQueries {
           |ORDER BY id_a, id_b""".stripMargin))
   )
 
+  /** Shared-span CTE chain (n=8, minTokens=16, maxDf=20) ending in
+    * `sp(id_a, id_b, start_a, start_b, n_tokens)` — the un-thresholded
+    * island aggregation; consumers apply the >= 16 filter. Mirrors
+    * Dedup.sharedSpanPairs step for step.
+    */
+  private lazy val SPAN_CTES: String =
+    s"""w AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |gr AS (SELECT id, i + 1 AS pos,
+       |    md5(array_to_string(ws[i + 1: i + 8], ' ')) AS mh
+       |  FROM (SELECT id, ws, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS i FROM w)
+       |  WHERE array_to_string(ws[i + 1: i + 8], ' ') <> ''),
+       |g0 AS (SELECT id, pos, ($hexHead32Sql) AS h FROM gr),
+       |ok AS (SELECT h FROM g0 GROUP BY h
+       |       HAVING count(DISTINCT id) BETWEEN 2 AND 20),
+       |g AS (SELECT g0.id, g0.pos, g0.h FROM g0 JOIN ok USING (h)),
+       |m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
+       |        a.pos - b.pos AS diag
+       |      FROM g a JOIN g b ON a.h = b.h AND a.id < b.id),
+       |isl AS (SELECT *, pa - row_number() OVER (
+       |          PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp FROM m),
+       |sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
+       |         count(*) + 7 AS n_tokens
+       |       FROM isl GROUP BY id_a, id_b, diag, grp)""".stripMargin
+
+  /** Merged-interval CTEs over the thresholded spans: `iv(id, s, e)` from
+    * the side selection, running-max islands, `mg(id, s, e)` merged.
+    */
+  private def spanMergeCtes(sides: String): String = {
+    val sideSelects = sides.map {
+      case 'a' => "SELECT id_a AS id, start_a AS s, start_a + n_tokens AS e FROM spk"
+      case 'b' => "SELECT id_b AS id, start_b AS s, start_b + n_tokens AS e FROM spk"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""spk AS (SELECT * FROM sp WHERE n_tokens >= 16),
+       |iv AS ($sideSelects),
+       |ivn AS (SELECT id, s, e,
+       |    CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR s > max(e) OVER (PARTITION BY id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS nw
+       |  FROM iv),
+       |ivg AS (SELECT id, s, e, sum(nw) OVER (PARTITION BY id ORDER BY s, e
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM ivn),
+       |mg AS (SELECT id, min(s) AS s, max(e) AS e FROM ivg GROUP BY id, grp)""".stripMargin
+  }
+
   private lazy val MINHASH_CTES: String = {
     val perms = graft.expr.MinHashSig.coefficients(64, 42).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
