@@ -52,11 +52,15 @@ object Profile {
     * digest for comparing two copies of a table (a replica, a migrated
     * load, yesterday's snapshot) WITHOUT sorting either side: each row is
     * rendered canonically, hashed (md5 head-32, the engine-portable hash
-    * the sketch family uses), and the hashes are SUMMED per group. Sum and
-    * count are commutative, so the digest is independent of row order and
+    * the sketch family uses), and the hashes are SUMMED per group — in two
+    * 16-bit lanes (hi/lo halves of the 32-bit hash summed separately), so
+    * each accumulator provably fits a long for any group under 2^47 rows
+    * (~1.4e14; a 32-bit single-lane sum would wrap silently past ~2^31
+    * rows — exactly the scale the digest exists to serve). Sum and count
+    * are commutative, so the digest is independent of row order and
     * partitioning, map-side combinable, and two tables agree iff every
-    * (group, n_rows, hash_sum) row matches — one narrow scan per side, no
-    * shuffle of the data itself, no sort at any scale.
+    * (group, n_rows, hash_sum_hi, hash_sum_lo) row matches — one narrow
+    * scan per side, no shuffle of the data itself, no sort at any scale.
     *
     * Canonical rendering: each column CAST to string, NULL replaced by the
     * \u0002 sentinel, columns joined by \u0001 — positional, so
@@ -71,8 +75,10 @@ object Profile {
     val parts = cols.map(c => coalesce(c.cast("string"), lit("\u0002")))
     val canonical = concat(
       parts.flatMap(p => Seq(p, lit("\u0001"))).dropRight(1): _*)
+    val h = Sketch.hashPoint32(canonical)
     df.groupBy(group.as("grp"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(Sketch.hashPoint32(canonical)).as("hash_sum"))
+        sum(shiftright(h, 16)).as("hash_sum_hi"),
+        sum(h.bitwiseAND(lit(0xFFFFL))).as("hash_sum_lo"))
   }
 }

@@ -121,9 +121,11 @@ object Parse {
     *  1. drop the fragment (`#...`);
     *  2. lowercase the scheme+host head and strip a leading `www.`
     *     (path/query case is preserved — it is significant);
-    *  3. unify `?` to `&` (heuristic: a literal `?` inside a query value
-    *     is not survived), drop tracking params (`utm_*`, `gclid`,
-    *     `fbclid`), then restore the first surviving separator to `?`;
+    *  3. split at the FIRST `?` and drop tracking params (`utm_*`,
+    *     `gclid`, `fbclid`) from the query side only — a literal `&`
+    *     in a query-less path survives untouched, and the path/query
+    *     boundary never moves (a literal `?` inside a query value is
+    *     still not survived: the first `?` wins);
     *  4. drop trailing slashes on the path and any empty leftover query.
     *
     * Scheme-less inputs (relative links) pass through steps 1, 3, 4
@@ -137,17 +139,20 @@ object Parse {
     val rest = substring(noFrag, length(head) + 1, lit(Int.MaxValue))
     val hostNorm = concat(
       regexp_replace(lower(head), "://www\\.", "://"), rest)
-    val unified = regexp_replace(hostNorm, "\\?", "&")
-    val untracked = regexp_replace(unified,
+    // split at the FIRST '?' — positional, so a literal '&' in a
+    // query-less path is never rewritten and the path/query boundary
+    // never shifts ('/a&b' stays '/a&b'; '/a&b?q=1' keeps its '?')
+    val qpos = instr(hostNorm, "?")
+    val path = when(qpos > 0, substring(hostNorm, lit(1), qpos - 1))
+      .otherwise(hostNorm)
+    val rawQuery = substring(hostNorm, qpos + 1, lit(Int.MaxValue))
+    // separator-anchored tracking strip: a '&' sentinel prefix makes every
+    // param '&'-led, so one RE2-safe pattern drops a param at any position
+    val stripped = regexp_replace(concat(lit("&"), rawQuery),
       "&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*", "")
-    // restore the first '&' (the path/query boundary by construction) to
-    // '?' — positional splice, identical arithmetic in any engine, since
-    // regexp_replace replace-first semantics differ across engines
-    val p = instr(untracked, "&")
-    val restored = when(p > 0,
-      concat(substring(untracked, lit(1), p - 1), lit("?"),
-        substring(untracked, p + 1, lit(Int.MaxValue))))
-      .otherwise(untracked)
+    val cleanQuery = regexp_replace(stripped, "^&", "")
+    val restored = when(qpos > 0 && length(cleanQuery) > 0,
+      concat(path, lit("?"), cleanQuery)).otherwise(path)
     regexp_replace(
       regexp_replace(regexp_replace(restored, "/+\\?", "?"), "/+$", ""),
       "[?&]+$", "")

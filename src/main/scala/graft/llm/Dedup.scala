@@ -669,6 +669,11 @@ object Dedup {
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     val grams = docs
+      // docs shorter than n tokens emit NgramHashSeq's one whole-list gram,
+      // which spans fewer than n tokens — it would inflate n_tokens past
+      // the doc length (and can never hold a span of >= minTokens >= n
+      // tokens anyway), so this positional path skips them outright
+      .filter(Corpus.tokenCount(col(textCol)) >= n)
       .select(col(idCol).as("id"),
         posexplode(graft.expr.NgramHashSeq(col(textCol), n)))
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),

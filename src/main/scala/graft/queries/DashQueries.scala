@@ -308,9 +308,11 @@ private[graft] object DashQueries {
 
     Q("agg_table_fingerprint",
       // order-independent replica/migration audit: canonical row render →
-      // md5-head32 → per-status SUM + COUNT. Commutative, so the digest
-      // ignores row order and partitioning — compare two 100 TB copies
-      // with one narrow scan each and a 3-row diff, no sort anywhere
+      // md5-head32 → per-status SUM + COUNT, summed in two 16-bit lanes
+      // so each accumulator provably fits a long under 2^47 rows per
+      // group. Commutative, so the digest ignores row order and
+      // partitioning — compare two 100 TB copies with one narrow scan
+      // each and a 3-row diff, no sort anywhere
       (s, d) => graft.analytics.Profile.fingerprint(
           tbl(s, d, "orders").select(
             col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
@@ -329,7 +331,8 @@ private[graft] object DashQueries {
            |        strftime(o_orderdate, '%Y-%m-%d')) AS mh
            |  FROM orders)
            |SELECT grp, count(*) AS n_rows,
-           |  CAST(sum($hexHead32Sql) AS BIGINT) AS hash_sum
+           |  CAST(sum(($hexHead32Sql) // 65536) AS BIGINT) AS hash_sum_hi,
+           |  CAST(sum(($hexHead32Sql) % 65536) AS BIGINT) AS hash_sum_lo
            |FROM r GROUP BY grp ORDER BY grp""".stripMargin)),
 
     Q("dash_rollup",
@@ -646,30 +649,35 @@ private[graft] object DashQueries {
     Q("agg_array_ops",
       // array-function family breadth (§2.12): per-language source sets via
       // collect_set, then union/intersect/except against a probe list —
-      // every result sorted so the SET semantics compare engine-neutrally
+      // every result sorted so the SET semantics compare engine-neutrally,
+      // then rendered as comma-joined strings at the query boundary (the
+      // harness comparator hashes scalar cells; the array ops themselves
+      // are exercised unchanged upstream of the join)
       (s, d) => {
         val probe = array(lit("src1"), lit("src3"), lit("srcX"))
         tbl(s, d, "documents")
           .groupBy("lang")
-          .agg(sort_array(collect_set(col("source"))).as("sources"))
-          .select(col("lang"), col("sources"),
-            size(col("sources")).as("n_sources"),
-            sort_array(array_union(col("sources"), probe)).as("union_s"),
-            sort_array(array_intersect(col("sources"), probe)).as("inter_s"),
-            sort_array(array_except(col("sources"), probe)).as("except_s"),
-            slice(col("sources"), 1, 2).as("first_two"))
+          .agg(sort_array(collect_set(col("source"))).as("src_set"))
+          .select(col("lang"),
+            array_join(col("src_set"), ",").as("sources"),
+            size(col("src_set")).as("n_sources"),
+            array_join(sort_array(array_union(col("src_set"), probe)), ",").as("union_s"),
+            array_join(sort_array(array_intersect(col("src_set"), probe)), ",").as("inter_s"),
+            array_join(sort_array(array_except(col("src_set"), probe)), ",").as("except_s"),
+            array_join(slice(col("src_set"), 1, 2), ",").as("first_two"))
           .orderBy("lang")
       },
       Some(
         """WITH s AS (SELECT lang, list_sort(list_distinct(list(source))) AS sources
           |           FROM documents GROUP BY lang),
           |p AS (SELECT ['src1', 'src3', 'srcX'] AS probe)
-          |SELECT lang, sources,
+          |SELECT lang,
+          |  array_to_string(sources, ',') AS sources,
           |  CAST(len(sources) AS INT) AS n_sources,
-          |  list_sort(list_distinct(list_concat(sources, probe))) AS union_s,
-          |  list_sort(list_intersect(sources, probe)) AS inter_s,
-          |  list_sort(list_filter(sources, x -> NOT list_contains(probe, x))) AS except_s,
-          |  sources[1:2] AS first_two
+          |  array_to_string(list_sort(list_distinct(list_concat(sources, probe))), ',') AS union_s,
+          |  array_to_string(list_sort(list_intersect(sources, probe)), ',') AS inter_s,
+          |  array_to_string(list_sort(list_filter(sources, x -> NOT list_contains(probe, x))), ',') AS except_s,
+          |  array_to_string(sources[1:2], ',') AS first_two
           |FROM s CROSS JOIN p ORDER BY lang""".stripMargin)),
 
     Q("dash_equidepth",

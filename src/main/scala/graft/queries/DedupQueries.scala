@@ -52,29 +52,65 @@ private[graft] object DedupQueries {
           n = 8, minTokens = 16, maxDf = 20)
         .orderBy("id_a", "id_b", "start_a", "start_b"),
       Some(
-        s"""WITH w AS (SELECT doc_id AS id,
-           |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
-           |  FROM documents),
-           |gr AS (SELECT id, i + 1 AS pos,
-           |    md5(array_to_string(ws[i + 1: i + 8], ' ')) AS mh
-           |  FROM (SELECT id, ws, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS i FROM w)
-           |  WHERE array_to_string(ws[i + 1: i + 8], ' ') <> ''),
-           |g0 AS (SELECT id, pos, ($hexHead32Sql) AS h FROM gr),
-           |ok AS (SELECT h FROM g0 GROUP BY h
-           |       HAVING count(DISTINCT id) BETWEEN 2 AND 20),
-           |g AS (SELECT g0.id, g0.pos, g0.h FROM g0 JOIN ok USING (h)),
-           |m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb,
-           |        a.pos - b.pos AS diag
-           |      FROM g a JOIN g b ON a.h = b.h AND a.id < b.id),
-           |isl AS (SELECT *, pa - row_number() OVER (
-           |          PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp FROM m),
-           |sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
-           |         count(*) + 7 AS n_tokens
-           |       FROM isl GROUP BY id_a, id_b, diag, grp)
+        s"""WITH $SPAN_CTES
            |SELECT id_a, id_b, start_a, start_b, n_tokens FROM sp
            |WHERE n_tokens >= 16
            |ORDER BY id_a, id_b, start_a, start_b""".stripMargin),
       bench = true),
+
+    Q("dedup_span_coverage",
+      // the corpus-health dial of exact-substring dedup: per-document
+      // share of tokens inside at least one cross-document verbatim span
+      // (both sides of every pair count), exact e6 ratio — run before and
+      // after scrubbing to see what a pass would reclaim
+      (s, d) => Dedup.spanCoverage(tbl(s, d, "documents"),
+          n = 8, minTokens = 16, maxDf = 20)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $SPAN_CTES,
+           |${spanMergeCtes("ab")},
+           |cov AS (SELECT id, CAST(sum(e - s) AS BIGINT) AS covered FROM mg GROUP BY id),
+           |tc AS (SELECT doc_id AS id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+           |  FROM documents)
+           |SELECT tc.id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(covered, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(CASE WHEN n_tokens = 0 THEN 0
+           |       ELSE COALESCE(covered, 0) * 1000000 // n_tokens END AS BIGINT) AS dup_ratio_e6
+           |FROM tc LEFT JOIN cov ON cov.id = tc.id
+           |ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_remove_spans",
+      // the write side of exact-substring dedup (Lee et al., ACL 2022):
+      // every maximal shared span is CUT from the greater-id document of
+      // its pair, so exactly one copy of each repeated passage survives;
+      // oracle replays the merged intervals and the positional splice
+      (s, d) => Dedup.removeSharedSpans(tbl(s, d, "documents"),
+          n = 8, minTokens = 16, maxDf = 20)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $SPAN_CTES,
+           |${spanMergeCtes("b")},
+           |tko AS (SELECT id, i + 1 AS p, wso[i + 1] AS tok
+           |  FROM (SELECT doc_id AS id,
+           |          regexp_split_to_array(trim(text), '\\s+') AS wso,
+           |          unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+           |        FROM documents WHERE length(trim(text)) > 0)),
+           |kept AS (SELECT t.id, t.p, t.tok FROM tko t
+           |  WHERE NOT EXISTS (SELECT 1 FROM mg
+           |                    WHERE mg.id = t.id AND t.p >= mg.s AND t.p < mg.e)),
+           |ag AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+           |         count(*) AS n_kept FROM kept GROUP BY id),
+           |tc AS (SELECT doc_id AS id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+           |  FROM documents)
+           |SELECT tc.id AS doc_id, COALESCE(clean_text, '') AS clean_text,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens
+           |FROM tc LEFT JOIN ag ON ag.id = tc.id
+           |ORDER BY doc_id""".stripMargin)),
 
     // ---- LLM ops: dedup -------------------------------------------------------
 
@@ -221,7 +257,9 @@ private[graft] object DedupQueries {
   private lazy val SPAN_CTES: String =
     s"""w AS (SELECT doc_id AS id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 8
+       |    AND length(trim(text)) > 0),
        |gr AS (SELECT id, i + 1 AS pos,
        |    md5(array_to_string(ws[i + 1: i + 8], ' ')) AS mh
        |  FROM (SELECT id, ws, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS i FROM w)

@@ -496,13 +496,15 @@ private[graft] object EtlQueries {
           |      '://www\.', '://') ||
           |    substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u
           |  FROM s1),
-          |s3 AS (SELECT id, regexp_replace(u, '\?', '&', 'g') AS u FROM s2),
-          |s4 AS (SELECT id,
-          |    regexp_replace(u, '&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*', '', 'g') AS u
+          |s3 AS (SELECT id, strpos(u, '?') AS qp, u FROM s2),
+          |s4 AS (SELECT id, qp,
+          |    CASE WHEN qp > 0 THEN substr(u, 1, qp - 1) ELSE u END AS p,
+          |    regexp_replace('&' || substr(u, qp + 1),
+          |      '&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*', '', 'g') AS sq
           |  FROM s3),
-          |s5 AS (SELECT id, CASE WHEN strpos(u, '&') > 0
-          |      THEN substr(u, 1, strpos(u, '&') - 1) || '?' || substr(u, strpos(u, '&') + 1)
-          |      ELSE u END AS u
+          |s5 AS (SELECT id, CASE WHEN qp > 0 AND length(regexp_replace(sq, '^&', '')) > 0
+          |      THEN p || '?' || regexp_replace(sq, '^&', '')
+          |      ELSE p END AS u
           |  FROM s4),
           |s6 AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(u,
           |    '/+\?', '?', 'g'), '/+$', '', 'g'), '[?&]+$', '', 'g') AS u FROM s5)

@@ -291,8 +291,13 @@ private[graft] object TextQueries {
     Q("text_inverted_index",
       // inverted index with capped posting lists (first 50 doc_ids per
       // token via the heap exec) and EXACT df beyond the cap — the
-      // candidate-generation artifact BM25 serves from at scale
+      // candidate-generation artifact BM25 serves from at scale. The
+      // posting list is rendered as a comma-joined string at the query
+      // boundary: the harness comparator hashes scalar cells, and the
+      // sorted-list semantics are already pinned before the join.
       (s, d) => TextStats.invertedIndex(tbl(s, d, "documents"), cap = 50)
+        .select(col("tok"), col("df"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"))
         .orderBy("tok"),
       Some(
         """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
@@ -303,7 +308,9 @@ private[graft] object TextQueries {
           |        row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM tk),
           |p AS (SELECT tok, list_sort(list(doc_id)) AS postings
           |      FROM r WHERE rn <= 50 GROUP BY tok)
-          |SELECT p.tok, d.df, p.postings FROM p JOIN d USING (tok)
+          |SELECT p.tok, d.df,
+          |  array_to_string(list_transform(p.postings, x -> CAST(x AS VARCHAR)), ',') AS postings
+          |FROM p JOIN d USING (tok)
           |ORDER BY tok""".stripMargin),
       bench = true),
 

@@ -20,4 +20,22 @@ class QueriesSpec extends SparkSpec {
       assert(sql.toUpperCase.contains("ORDER BY"), s"$n oracle lacks ORDER BY")
     }
   }
+
+  test("no registered query emits array/map/struct output columns (comparator contract)") {
+    // the driver's pandas comparator sorts/hashes output cells — complex
+    // types are unhashable there, so a query that leaks one reads as a
+    // correctness FAILURE even when Spark and DuckDB agree (r5's only two
+    // red rows). Schema construction is lazy: no query executes here.
+    assume(Files.exists(Paths.get("/root/testdata/sf0.001/lineitem.parquet")))
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    Queries.all.foreach { q =>
+      val bad = q.fn(spark, "/root/testdata/sf0.001").schema.fields.filter { f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType]
+      }
+      assert(bad.isEmpty,
+        s"${q.name} emits complex-typed columns ${bad.map(_.name).mkString(", ")} — " +
+          "render them through array_join/to_json at the query boundary")
+    }
+  }
 }

@@ -47,20 +47,20 @@ class ProfileSpec extends SparkSpec {
     val base = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
       .toDF("g", "s", "v")
     val digest = Profile.fingerprint(base, col("g"), Seq(col("s"), col("v")))
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     // shuffled row order + different partitioning → identical digest
     val shuffled = Profile.fingerprint(
         base.orderBy(col("v").desc).repartition(7), col("g"),
         Seq(col("s"), col("v")))
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(digest == shuffled)
     assert(digest.map(r => (r._1, r._2)) == List((1L, 2L), (2L, 1L)))
     // a single changed value changes its group's digest and no other
     val tweaked = Profile.fingerprint(
         Seq((1L, "a", 10L), (1L, "b", 21L), (2L, "c", 30L)).toDF("g", "s", "v"),
         col("g"), Seq(col("s"), col("v")))
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
-    assert(tweaked.head._3 != digest.head._3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert((tweaked.head._3, tweaked.head._4) != (digest.head._3, digest.head._4))
     assert(tweaked(1) == digest(1))
   }
 
@@ -69,9 +69,30 @@ class ProfileSpec extends SparkSpec {
     val x = Seq((1L, Some("a"), Option.empty[String])).toDF("g", "c1", "c2")
     val y = Seq((1L, Option.empty[String], Some("a"))).toDF("g", "c1", "c2")
     val dx = Profile.fingerprint(x, col("g"), Seq(col("c1"), col("c2")))
-      .as[(Long, Long, Long)].collect().head
+      .as[(Long, Long, Long, Long)].collect().head
     val dy = Profile.fingerprint(y, col("g"), Seq(col("c1"), col("c2")))
-      .as[(Long, Long, Long)].collect().head
-    assert(dx._3 != dy._3, "NULL position must be part of the digest")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((dx._3, dx._4) != (dy._3, dy._4),
+      "NULL position must be part of the digest")
+  }
+
+  test("fingerprint hi/lo lanes each stay within the per-row 16-bit bound") {
+    import org.apache.spark.sql.functions._
+    // the lane split exists so a group's sum provably fits a long at any
+    // realistic row count (< 2^47 rows): per row each lane is < 2^16
+    val df = spark.range(0, 2000).selectExpr("id % 3 AS g", "id AS v")
+    val perRow = df.select(
+      Sketch.hashPoint32(concat(col("v").cast("string"))).as("h"))
+    val bad = perRow.filter(
+      shiftright(col("h"), 16) >= 65536L ||
+        col("h").bitwiseAND(lit(0xFFFFL)) >= 65536L ||
+        col("h") < 0L || col("h") > 0xFFFFFFFFL)
+    assert(bad.count() == 0)
+    val lanes = Profile.fingerprint(df, col("g"), Seq(col("v")))
+      .as[(Long, Long, Long, Long)].collect()
+    lanes.foreach { case (_, n, hi, lo) =>
+      assert(hi >= 0 && hi < n * 65536L, s"hi lane out of bound: $hi")
+      assert(lo >= 0 && lo < n * 65536L, s"lo lane out of bound: $lo")
+    }
   }
 }

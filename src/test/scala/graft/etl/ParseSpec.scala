@@ -151,4 +151,17 @@ class ParseSpec extends SparkSpec {
     // www in the PATH is not stripped; www host without scheme untouched
     assert(n("https://a.com/www.b/") == "https://a.com/www.b")
   }
+
+  test("normalizeUrl never rewrites a literal '&' in the path (r5 ADVICE)") {
+    def n(u: String): String = evalStr(u, Parse.normalizeUrl)
+    // query-less path with '&': untouched — NOT collapsed onto '?' forms
+    assert(n("https://a.com/x&y") == "https://a.com/x&y")
+    assert(n("https://a.com/x&y") != n("https://a.com/x?y"))
+    // path '&' plus a real query: the boundary stays at the first '?'
+    assert(n("https://a.com/a&b?q=1") == "https://a.com/a&b?q=1")
+    // path '&' plus an all-tracking query: query vanishes, path intact
+    assert(n("https://a.com/a&b?utm_a=1&gclid=2") == "https://a.com/a&b")
+    // tracking strip still works in any position after the boundary
+    assert(n("https://a.com/a&b?utm_a=1&q=2") == "https://a.com/a&b?q=2")
+  }
 }

@@ -361,4 +361,39 @@ class DedupSpec extends SparkSpec {
     val loose = Dedup.sharedSpanPairs(docs, n = 8, minTokens = 12, maxDf = 50)
     assert(loose.count() == 12L * 11 / 2, "every pair shares the block")
   }
+
+  test("sharedSpanPairs skips docs shorter than n tokens (r5 ADVICE)") {
+    // two identical 3-token docs under n=8: NgramHashSeq's whole-list gram
+    // would have fabricated an 8-token "span" extending past the doc end
+    val docs = Seq((1L, "a b c"), (2L, "a b c"),
+      (3L, (0 until 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(docs, n = 8, minTokens = 8, maxDf = 10).count() == 0)
+    // and coverage can never exceed the document's own token count
+    val cov = Dedup.spanCoverage(docs, n = 8, minTokens = 8, maxDf = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    cov.foreach { case (id, nTok, dup, ratio) =>
+      assert(dup <= nTok, s"doc $id: dup_tokens $dup > n_tokens $nTok")
+      assert(ratio <= 1000000L, s"doc $id: dup_ratio_e6 $ratio > 1e6")
+    }
+  }
+
+  test("removeSharedSpans keeps the min-id copy; re-detection finds nothing") {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val blockA = words("shared", 20)
+    val d1 = s"${words("u", 10)} $blockA ${words("v", 10)}"
+    val d2 = s"${words("x", 5)} $blockA ${words("y", 7)}"
+    val docs = Seq((1L, d1), (2L, d2), (3L, words("w", 40))).toDF("doc_id", "text")
+    val cleaned = Dedup.removeSharedSpans(docs, n = 8, minTokens = 12, maxDf = 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    // lower id keeps its passage verbatim; greater id loses exactly the span
+    assert(cleaned(0) == (1L, d1, 40L, 0L))
+    assert(cleaned(1) == (2L, s"${words("x", 5)} ${words("y", 7)}", 32L, 20L))
+    assert(cleaned(2) == (3L, words("w", 40), 40L, 0L))
+    // the defining property of a scrub pass: detection on the cleaned
+    // corpus reports zero spans at the same threshold
+    val again = Seq(cleaned(0), cleaned(1), cleaned(2))
+      .map(r => (r._1, r._2)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(again, n = 8, minTokens = 12, maxDf = 10).count() == 0)
+  }
 }
