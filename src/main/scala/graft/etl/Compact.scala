@@ -89,6 +89,22 @@ object Compact {
     fs.create(marker, false).close()
   }
 
+  /** Write `df` completely as the next `v=N` of `dir`, then publish it
+    * with the create-once marker flip — the generic produce-an-artifact
+    * path (trained models, reference tables): a writer materializes once,
+    * any number of readers [[read]] the published copy, and a reader at
+    * ANY instant sees the previous version or the new one, never a
+    * partial directory. Returns the published version number.
+    */
+  def publishVersion(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    val base = dir.stripSuffix("/")
+    val nextV = (versions(fs, dir).map(_._1) :+ 0L).max + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$base/v=$nextV")
+    publish(spark, dir, nextV)
+    nextV
+  }
+
   /** Count and total bytes of parquet data files directly under `dir`. */
   def parquetFootprint(spark: SparkSession, dir: String): (Int, Long) = {
     val p = new Path(dir)

@@ -198,6 +198,24 @@ object Similarity {
   private def cosineE6Mixed(a: Column, b: Column): Column =
     graft.expr.CosineSimE6(a, b)
 
+  /** Deterministic bounded training sample: the `n` vectors with smallest
+    * md5(id) — the same KMV bottom-k rank the centroid/codebook seeding
+    * uses, so the seed set is always a prefix of the training set. This is
+    * how training costs stay FIXED at 100 TB: Lloyd iterations touch a
+    * few thousand sampled rows instead of the corpus, and only the
+    * one-pass assign/encode stages ever scan everything. Heap-based
+    * bottom-k — no global sort, no RNG state.
+    */
+  def hashSample(vectors: DataFrame, n: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val hashed = vectors
+      .withColumn("__h", graft.analytics.Sketch.hashPoint32(col(idCol)))
+      .withColumn("__g", lit(0))
+    graft.plans.TopK.perGroup(hashed, Seq("__g"), -col("__h"), col(idCol), n)
+      .drop("__h", "__g")
+  }
+
   /** Deterministic distributed k-means (Lloyd's algorithm) over the
     * embedding column, every step in e6 FIXED POINT so training is
     * bit-reproducible and SQL-oracle-checkable — the construction the
@@ -224,10 +242,18 @@ object Similarity {
     * @return (cell, ce) — centroid components as e6 longs
     */
   def kMeansCentroidsE6(vectors: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    require(trainSample == 0 || trainSample >= k,
+      s"trainSample ($trainSample) must be 0 (full corpus) or >= k ($k)")
+    // bounded training set (see [[hashSample]]): at scale the Lloyd rounds
+    // run over the sample; seeding is unchanged because the seed bottom-k
+    // is a prefix of the sample bottom-n under the same hash order
+    val base = if (trainSample > 0) hashSample(vectors, trainSample, idCol)
+               else vectors
+    val v = base.select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(l2Norm(col("v")) > 0.0)
     val hashed = v.withColumn("__h", graft.analytics.Sketch.hashPoint32(col("id")))
       .withColumn("__g", lit(0))
@@ -287,8 +313,10 @@ object Similarity {
     */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, trainIters: Int = 2, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kMeansCentroidsE6(corpus, numCells, trainIters, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kMeansCentroidsE6(corpus, numCells, trainIters, idCol, vecCol))
     val cd = cents.select(col("cell"),
       transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
 
@@ -386,11 +414,18 @@ object Similarity {
     */
   def pqCodebooksE6(vectors: DataFrame, numSub: Int, kSub: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true, trainSample: Int = 0): DataFrame = {
     require(numSub >= 1, s"numSub must be >= 1, got $numSub")
     require(kSub >= 1, s"kSub must be >= 1, got $kSub")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val subs = subVectors(vectors, numSub, idCol, vecCol, normalize)
+    require(trainSample == 0 || trainSample >= kSub,
+      s"trainSample ($trainSample) must be 0 (full corpus) or >= kSub ($kSub)")
+    // bounded training set (see [[hashSample]]): the seed bottom-kSub is a
+    // prefix of the sample bottom-n under the same hash order, so sampled
+    // training changes the Lloyd inputs, never the seeding rule
+    val base = if (trainSample > 0) hashSample(vectors, trainSample, idCol)
+               else vectors
+    val subs = subVectors(base, numSub, idCol, vecCol, normalize)
     // seed: the kSub vectors with smallest md5(id) — the SAME ids seed
     // every subspace (their sv differs per sub), code = hash rank;
     // seeded from the same (possibly normalize-filtered) id set the
@@ -460,9 +495,9 @@ object Similarity {
     */
   private def pqAdcScores(corpus: DataFrame, queries: DataFrame, numSub: Int,
       kSub: Int, trainIters: Int, idCol: String, vecCol: String,
-      normalize: Boolean): DataFrame = {
-    val cb = pqCodebooksE6(corpus, numSub, kSub, trainIters, idCol, vecCol,
-      normalize)
+      normalize: Boolean, codebooks: Option[DataFrame] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooksE6(corpus, numSub, kSub,
+      trainIters, idCol, vecCol, normalize))
     val codes = pqEncode(corpus, cb, numSub, idCol, vecCol, normalize)
       .select(col("id").as("neighbor_id"), col("sub"), col("code"))
     val lut = subVectors(queries, numSub, idCol, vecCol, normalize)
@@ -478,9 +513,10 @@ object Similarity {
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, numSub: Int,
       kSub: Int, trainIters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding", normalize: Boolean = true): DataFrame = {
+      vecCol: String = "embedding", normalize: Boolean = true,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     val scored = pqAdcScores(corpus, queries, numSub, kSub, trainIters,
-      idCol, vecCol, normalize)
+      idCol, vecCol, normalize, codebooks)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_e12").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -500,10 +536,10 @@ object Similarity {
   def pqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
       shortlist: Int, numSub: Int, kSub: Int, trainIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      normalize: Boolean = true): DataFrame = {
+      normalize: Boolean = true, codebooks: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val scored = pqAdcScores(corpus, queries, numSub, kSub, trainIters,
-      idCol, vecCol, normalize)
+      idCol, vecCol, normalize, codebooks)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_e12").desc, col("neighbor_id"))
     val short = scored.withColumn("__r", row_number().over(w))
@@ -516,6 +552,78 @@ object Similarity {
         Seq("neighbor_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
     topKSelect(rescored, k)
+  }
+
+  /** IVF-PQ: the trillion-vector composition [Jégou et al., TPAMI 2011,
+    * §V] — a coarse k-means quantizer routes every vector to a cell, the
+    * corpus is stored ONLY as PQ codes (+ one cell id per vector), and a
+    * query ADC-scores just the codes inside its `nProbe` nearest cells
+    * instead of all of them. This variant encodes the (normalized)
+    * vectors directly rather than cell residuals — the `by_residual =
+    * false` flavor — which keeps one shared codebook table and an
+    * oracle-replayable integer trajectory; residual encoding is the
+    * accuracy refinement on top, not a different plan shape.
+    *
+    * Both models train on the [[hashSample]] bounded sample (`trainSample`
+    * > 0 is the scale path; 0 falls back to full-corpus training), so at
+    * 100 TB the ONLY corpus-sized stages are the one-pass assign + encode
+    * (build-time artifacts, stored once) and the probed-cell ADC join —
+    * which touches ~nProbe/numCells of the codes per query. Training cost
+    * no longer grows with the corpus at all. Pretrained `centroids` /
+    * `codebooks` (e.g. read from a [[ModelStore]] publish) skip training
+    * entirely — the serve-many path.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, nProbe: Int = 2, numSub: Int = 8, kSub: Int = 32,
+      trainIters: Int = 2, trainSample: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(kMeansCentroidsE6(corpus, numCells,
+      trainIters, idCol, vecCol, trainSample))
+    val cb = codebooks.getOrElse(pqCodebooksE6(corpus, numSub, kSub,
+      trainIters, idCol, vecCol, normalize = true, trainSample))
+
+    // build-time artifacts (one narrow pass each over the corpus; at scale
+    // these are written once and served, not recomputed per query)
+    val cells = kMeansAssign(corpus, cents, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val codes = pqEncode(corpus, cb, numSub, idCol, vecCol, normalize = true)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+
+    // query side: nProbe nearest cells per query (tiny), plus the ADC LUT
+    val cd = cents.select(col("cell"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6Mixed(col("qv"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val lut = subVectors(queries, numSub, idCol, vecCol, normalize = true)
+      .select(col("id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.expr.LongDot(col("sv"), col("ce")).as("pdot"))
+
+    // routing BEFORE scoring is the point: only codes in probed cells meet
+    // the LUT, so the ADC join carries ~nProbe/numCells of the corpus
+    val scored = codes.join(cells, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("pdot")).as("adc_e12"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e12").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("adc_e12"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Recall@k — the evaluation harness every approximate-ANN deployment

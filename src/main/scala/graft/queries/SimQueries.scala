@@ -20,6 +20,38 @@ import graft.queries.OracleShared._
   */
 private[graft] object SimQueries {
 
+  /** Published-model helpers: each trainer runs AT MOST ONCE per (dataset,
+    * config) per store root and is served from the [[graft.llm.ModelStore]]
+    * create-once artifact afterwards — production's train-once/serve-many,
+    * and why one suite run no longer pays three identical PQ trainings.
+    * All trainers are deterministic, so serving from the artifact is a
+    * pure memoization (bit-identical to retraining) and the oracles can
+    * keep replaying the training inline. The `_v1` suffix is the
+    * algorithm-version half of the cache key — bump it if a trainer's
+    * arithmetic ever changes.
+    */
+  private def modelKey(d: String, name: String): String =
+    name + "_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+
+  private def pqCb(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "pq_s8_k32_i2_v1"))(
+      Similarity.pqCodebooksE6(tbl(s, d, "embeddings"),
+        numSub = 8, kSub = 32, iters = 2))
+
+  private def km8(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "kmeans_k8_i2_v1"))(
+      Similarity.kMeansCentroidsE6(tbl(s, d, "embeddings"), k = 8, iters = 2))
+
+  private def ivfpqCents(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "ivfpq_cents_c8_i2_n100_v1"))(
+      Similarity.kMeansCentroidsE6(tbl(s, d, "embeddings"), k = 8, iters = 2,
+        trainSample = 100))
+
+  private def ivfpqCb(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "ivfpq_cb_s8_k32_i2_n100_v1"))(
+      Similarity.pqCodebooksE6(tbl(s, d, "embeddings"),
+        numSub = 8, kSub = 32, iters = 2, trainSample = 100))
+
   val qs: Vector[Q] = Vector(
     Q("sim_cosine_topk",
       (s, d) => {
@@ -76,9 +108,7 @@ private[graft] object SimQueries {
       // cosine assignment with lower-cell tie-break — the TRAINED
       // clustering path made bit-reproducible, so DuckDB replays the whole
       // training trajectory and the final assignment hash-matches.
-      (s, d) => Similarity.kMeansAssign(
-          tbl(s, d, "embeddings"),
-          Similarity.kMeansCentroidsE6(tbl(s, d, "embeddings"), k = 8, iters = 2))
+      (s, d) => Similarity.kMeansAssign(tbl(s, d, "embeddings"), km8(s, d))
         .select(col("id").as("vec_id"), col("cell"), col("sim_e6"))
         .orderBy("vec_id"),
       Some(KMEANS_CELLS_SQL),
@@ -92,7 +122,8 @@ private[graft] object SimQueries {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfTopKTrained(emb,
           emb.filter(pmod(col("vec_id"), lit(50)) === 0),
-          k = 5, numCells = 8, trainIters = 2, nProbe = 2)
+          k = 5, numCells = 8, trainIters = 2, nProbe = 2,
+          centroids = Some(km8(s, d)))
       },
       Some(IVF_TRAINED_SQL)),
 
@@ -101,16 +132,60 @@ private[graft] object SimQueries {
       // subspace integer-L2 codebooks trained in e6 fixed point, corpus
       // compressed to (sub, code) pairs, query scored via a broadcast
       // lookup table of precomputed query·codeword dots — the 32×
-      // embedding-compression ANN path, and the whole trajectory
-      // (seeding, Lloyd rounds, encode, ADC) replays digit-for-digit in
-      // DuckDB because every number is a long
+      // embedding-compression story, and the whole trajectory (seeding,
+      // Lloyd rounds, encode, ADC) replays digit-for-digit in DuckDB
+      // because every number is a long. This FLAT scan (every code meets
+      // every query) is the exact/verify ADC baseline; the scale path is
+      // sim_ivfpq_topk, which routes through coarse cells and trains on a
+      // bounded sample. Codebooks come from the published model artifact
+      // — trained once per suite, served here.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
-          k = 5, numSub = 8, kSub = 32, trainIters = 2)
+          k = 5, numSub = 8, kSub = 32, trainIters = 2,
+          codebooks = Some(pqCb(s, d)))
       },
       Some(PQ_TOPK_SQL),
       bench = true),
+
+    Q("sim_ivfpq_topk",
+      // IVF-PQ (Jégou et al., TPAMI 2011, §V): coarse k-means cells route
+      // each query to nProbe=2 of 8 cells and ADC scores ONLY the PQ codes
+      // inside them — ~nProbe/numCells of the corpus per query instead of
+      // the flat scan — with BOTH models trained on a bounded md5-bottom-k
+      // sample (100 of 500 vectors here; fixed size at any corpus scale)
+      // and served from published artifacts. The trillion-vector shape:
+      // after encode, training cost is constant and serving reads codes
+      // plus one cell id per vector.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfPqTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
+          trainIters = 2, trainSample = 100,
+          centroids = Some(ivfpqCents(s, d)), codebooks = Some(ivfpqCb(s, d)))
+      },
+      Some(IVFPQ_TOPK_SQL),
+      bench = true),
+
+    Q("sim_ivfpq_recall",
+      // recall@5 of routed IVF-PQ against the exact cosine ground truth —
+      // the probe-count dial is tuned by MEASURING this number, never by
+      // guessing; both pipelines (sampled training included) replay in the
+      // oracle
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.ivfPqTopK(emb, queries,
+              k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
+              trainIters = 2, trainSample = 100,
+              centroids = Some(ivfpqCents(s, d)),
+              codebooks = Some(ivfpqCb(s, d))),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(IVFPQ_RECALL_SQL)),
 
     Q("sim_pq_recall",
       // recall@5 of PQ-ADC against the exact cosine ground truth — the
@@ -121,7 +196,7 @@ private[graft] object SimQueries {
         val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
         Similarity.recallAtK(
             Similarity.pqTopK(emb, queries, k = 5, numSub = 8, kSub = 32,
-              trainIters = 2),
+              trainIters = 2, codebooks = Some(pqCb(s, d))),
             Similarity.bruteForceTopK(emb, queries, k = 5))
           .orderBy("query_id")
       },
@@ -140,7 +215,8 @@ private[graft] object SimQueries {
         val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
         Similarity.recallAtK(
             Similarity.pqTopKReranked(emb, queries, k = 5, shortlist = 25,
-              numSub = 8, kSub = 32, trainIters = 2),
+              numSub = 8, kSub = 32, trainIters = 2,
+              codebooks = Some(pqCb(s, d))),
             Similarity.bruteForceTopK(emb, queries, k = 5))
           .orderBy("query_id")
       },
@@ -471,6 +547,124 @@ private[graft] object SimQueries {
        |         CAST(sum(l.pdot) AS BIGINT) AS adc_e12
        |       FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
        |       WHERE e.id <> l.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** Sampled-training IVF-PQ CTE chain — the SQL twin of
+    * Similarity.ivfPqTopK with trainSample=sampleN: one md5-bottom-k
+    * sample feeds BOTH trainers (coarse k-means over `ve`, PQ Lloyd over
+    * `subsT`), while assignment (`asg`), encode (`enc`) and the query LUT
+    * run over the FULL corpus — exactly the Spark split between bounded
+    * training and one-pass build stages. Ends in
+    * `sc(query_id, neighbor_id, adc_e12)` with scoring restricted to the
+    * nProbe probed cells. Queries are `id % 50 = 0`.
+    */
+  private def ivfPqScoreCtes(numCells: Int, nProbe: Int, numSub: Int,
+      kSub: Int, iters: Int, sampleN: Int): String = {
+    val b = new StringBuilder
+    // the sample ranks ALL ids (zero-norm included) by md5 head-32, the
+    // mirror of hashSample running before the trainers' norm filters
+    b ++= s"""allv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sh AS (SELECT id, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, md5(CAST(id AS VARCHAR)) AS mh FROM allv)),
+       |smp AS (SELECT id FROM (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM sh)
+       |        WHERE rn <= $sampleN),
+       |ve AS (SELECT a.id, a.e FROM allv a JOIN smp USING (id)
+       |       WHERE sqrt(list_inner_product(a.e, a.e)) > 0),
+       |kh AS (SELECT id, e, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, e, md5(CAST(id AS VARCHAR)) AS mh FROM ve)),
+       |seed AS (SELECT id, e, row_number() OVER (ORDER BY h, id) AS rn FROM kh),
+       |c0 AS (SELECT rn - 1 AS cell,
+       |         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS ce
+       |       FROM seed WHERE rn <= $numCells)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |c${i}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$i),
+       |a$i AS (SELECT id, e, cell FROM (
+       |    SELECT v.id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM ve v, c${i}d c) WHERE rn = 1),
+       |u$i AS (SELECT cell, pos, sum(q) AS s, count(*) AS n FROM (
+       |    SELECT cell, unnest(range(1, len(e) + 1)) AS pos,
+       |           unnest(list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT))) AS q
+       |    FROM a$i) GROUP BY cell, pos),
+       |c${i + 1} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |          FROM u$i GROUP BY cell)""".stripMargin
+    }
+    b ++= s""",
+       |c${iters}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$iters),
+       |vqA AS (SELECT id,
+       |          list_transform(e,
+       |            x -> CAST(floor(x / sqrt(list_inner_product(e, e)) * 1000000) AS BIGINT)) AS q
+       |        FROM allv WHERE list_inner_product(e, e) > 0),
+       |subsA AS (SELECT id, CAST(m.sub AS BIGINT) AS sub,
+       |            list_slice(q, CAST(m.sub * (len(q) // $numSub) + 1 AS INT),
+       |              CAST((m.sub + 1) * (len(q) // $numSub) AS INT)) AS sv
+       |          FROM vqA, (SELECT unnest(range(0, $numSub)) AS sub) m),
+       |subsT AS (SELECT s.id, s.sub, s.sv FROM subsA s JOIN smp USING (id)),
+       |pkh AS (SELECT v.id, ($hexHead32Sql) AS h
+       |        FROM (SELECT vq.id, md5(CAST(vq.id AS VARCHAR)) AS mh
+       |              FROM vqA vq JOIN smp USING (id)) v),
+       |sd AS (SELECT id, rn - 1 AS code FROM
+       |        (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM pkh)
+       |       WHERE rn <= $kSub),
+       |cb0 AS (SELECT s.sub, sd.code, s.sv AS ce FROM subsT s JOIN sd ON s.id = sd.id)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |pa$i AS (SELECT sub, sv, code FROM (
+       |    SELECT s.sub, s.id, s.sv, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM subsT s JOIN cb$i c ON s.sub = c.sub) WHERE rn = 1),
+       |pu$i AS (SELECT sub, code, pos, sum(x) AS sx, count(*) AS n FROM (
+       |    SELECT sub, code, unnest(range(1, len(sv) + 1)) AS pos, unnest(sv) AS x
+       |    FROM pa$i) GROUP BY sub, code, pos),
+       |cb${i + 1} AS (SELECT sub, code,
+       |    list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |  FROM pu$i GROUP BY sub, code)""".stripMargin
+    }
+    b ++= s""",
+       |enc AS (SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM subsA s JOIN cb$iters c ON s.sub = c.sub) WHERE rn = 1),
+       |lut AS (SELECT s.id AS query_id, s.sub, c.code,
+       |          ${intDotSql("s.sv", "c.ce")} AS pdot
+       |        FROM subsA s JOIN cb$iters c ON s.sub = c.sub WHERE s.id % 50 = 0),
+       |asg AS (SELECT id, cell, rn FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM (SELECT id, e FROM allv WHERE sqrt(list_inner_product(e, e)) > 0) v,
+       |         c${iters}d c)),
+       |cells AS (SELECT id AS neighbor_id, cell FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, cell FROM asg WHERE rn <= $nProbe AND id % 50 = 0),
+       |sc AS (SELECT l.query_id, e.id AS neighbor_id,
+       |         CAST(sum(l.pdot) AS BIGINT) AS adc_e12
+       |       FROM enc e
+       |       JOIN cells cl ON cl.neighbor_id = e.id
+       |       JOIN probes p ON p.cell = cl.cell
+       |       JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+       |       WHERE e.id <> l.query_id GROUP BY 1, 2)""".stripMargin
+    b.toString
+  }
+
+  /** Oracle for sim_ivfpq_topk: sampled training, cell routing, ADC. */
+  private lazy val IVFPQ_TOPK_SQL: String =
+    s"""WITH ${ivfPqScoreCtes(8, 2, 8, 32, 2, 100)},
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, adc_e12 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Oracle for sim_ivfpq_recall: routed IVF-PQ top-5 vs the exact
+    * cosine top-5.
+    */
+  private lazy val IVFPQ_RECALL_SQL: String =
+    s"""WITH ${ivfPqScoreCtes(8, 2, 8, 32, 2, 100)},
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc) WHERE rnk <= 5),
+       |$EXACT_TOP5_CTES
+       |$RECALL_SELECT""".stripMargin
 
   /** Brute-force cosine top-5 CTEs, ending in `ex(query_id, neighbor_id)`
     * — the ground truth both recall oracles compare against.

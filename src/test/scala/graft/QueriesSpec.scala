@@ -25,7 +25,9 @@ class QueriesSpec extends SparkSpec {
     // the driver's pandas comparator sorts/hashes output cells — complex
     // types are unhashable there, so a query that leaks one reads as a
     // correctness FAILURE even when Spark and DuckDB agree (r5's only two
-    // red rows). Schema construction is lazy: no query executes here.
+    // red rows). Plan construction stays lazy for the data path; the only
+    // eager work is the model-backed queries publishing their (tiny,
+    // sf0.001) training artifacts through ModelStore on first touch.
     assume(Files.exists(Paths.get("/root/testdata/sf0.001/lineitem.parquet")))
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     Queries.all.foreach { q =>

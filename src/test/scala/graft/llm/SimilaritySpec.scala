@@ -246,4 +246,56 @@ class SimilaritySpec extends SparkSpec {
         numSub = 4, kSub = 4)
     }
   }
+
+  test("hashSample is a deterministic bounded subset and seeds are its prefix") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val s1 = Similarity.hashSample(corpus, 20).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Similarity.hashSample(corpus.orderBy(rand(5)), 20).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.length == 20, "sample must be deterministic and bounded")
+    // the seed bottom-k is a PREFIX of the sample bottom-n under the same
+    // hash order: with iters=0 the centroids ARE the seeds, so sampled and
+    // full-corpus training must produce identical frames
+    val full = Similarity.kMeansCentroidsE6(corpus, k = 4, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val sampled = Similarity.kMeansCentroidsE6(corpus, k = 4, iters = 0,
+        trainSample = 20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(full == sampled)
+    intercept[IllegalArgumentException] {
+      Similarity.kMeansCentroidsE6(corpus, k = 8, iters = 1, trainSample = 4)
+    }
+  }
+
+  test("ivfPqTopK probing every cell equals the flat ADC scan") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val cb = Similarity.pqCodebooksE6(corpus, numSub = 4, kSub = 8, iters = 1,
+      trainSample = 24)
+    val cents = Similarity.kMeansCentroidsE6(corpus, k = 4, iters = 1,
+      trainSample = 24)
+    // nProbe = numCells → routing covers the whole corpus, so the routed
+    // ADC ranking must equal the flat scan's on the same codebooks
+    val routed = Similarity.ivfPqTopK(corpus, queries, k = 5, numCells = 4,
+        nProbe = 4, numSub = 4, kSub = 8,
+        centroids = Some(cents), codebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val flat = Similarity.pqTopK(corpus, queries, k = 5, numSub = 4, kSub = 8,
+        codebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(routed == flat)
+    // tight probing returns a subset of per-query candidates with <= k rows
+    val tight = Similarity.ivfPqTopK(corpus, queries, k = 5, numCells = 4,
+      nProbe = 1, numSub = 4, kSub = 8,
+      centroids = Some(cents), codebooks = Some(cb))
+    tight.collect().foreach(r => assert(r.getLong(1) <= 5, "rank within k"))
+    assert(tight.count() <= flat.size)
+  }
 }

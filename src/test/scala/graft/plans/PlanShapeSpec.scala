@@ -111,6 +111,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("long_dot"), "LongDot kernel missing from the PQ plan")
   }
 
+  test("IVF-PQ path: probes/LUT broadcast, no product join anywhere") {
+    val p = plan(Queries.queryMap("sim_ivfpq_topk")(spark, sf))
+    // the centroid fanout is a BROADCAST nested loop over numCells rows by
+    // design; what must never appear is an unhinted product of big sides
+    assert(!p.contains("Cartesian"), "IVF-PQ degenerated to a cartesian join")
+    assert(countOccurrences(p, "NestedLoopJoin") ==
+      countOccurrences(p, "BroadcastNestedLoopJoin"),
+      "a nested-loop join lost its broadcast hint")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe/LUT joins lost their broadcast hints")
+    assert(p.contains("long_dot"), "LongDot kernel missing from the ADC stage")
+    // the codes ⋈ cells build join (both corpus-derived, keyed by id) is
+    // the ONLY stage allowed to shuffle-join; anything more means a LUT or
+    // probe join fell off its broadcast
+    assert(countOccurrences(p, "SortMergeJoin") <= 1,
+      s"unexpected shuffle joins in IVF-PQ plan:\n${p.take(2000)}")
+  }
+
   test("snapshot diff and SCD2 merge plan single full-outer joins") {
     Seq("etl_snapshot_diff", "etl_scd2_merge").foreach { q =>
       val p = plan(Queries.queryMap(q)(spark, sf))
