@@ -635,6 +635,43 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Semantic dedup [Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2023]: duplicate
+    * pruning in EMBEDDING space — near-identical meaning rather than
+    * near-identical bytes (paraphrases, re-renders, templated rewrites),
+    * which MinHash/SimHash token machinery cannot see. Vectors route to
+    * their trained k-means cell (the same coarse quantizer the IVF family
+    * uses — pass centroids from a [[ModelStore]] publish to share it),
+    * pairwise cosine runs ONLY within a cell, pairs ≥ `minCosine` become
+    * edges, and the min-id representative of each connected semantic
+    * group survives.
+    *
+    * Scale shape: the quadratic stage is bounded per cell — numCells
+    * grows with the corpus so cell population stays fixed, the same
+    * bucket-bounding argument as every pair-finder here — and the group
+    * step is the bounded [[connectedComponents]] machinery. Output one
+    * row per vector: (id, component, keep).
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = Similarity.kMeansAssign(vectors, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells, Seq("id"))
+    val a = v.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineE6(col("va"), col("vb")).as("cos_e6"))
+      .filter(col("cos_e6") >= math.floor(minCosine * 1e6).toLong)
+    connectedComponents(vectors.select(col(idCol).as("id")),
+        pairs.select("id_a", "id_b"))
+      .select(col("id"), col("component"),
+        (col("id") === col("component")).as("keep"))
+  }
+
   /** Cross-document repeated-SPAN extraction — the distributed form of
     * exact-substring training-data dedup [Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022], which removes

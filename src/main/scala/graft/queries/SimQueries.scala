@@ -253,6 +253,21 @@ private[graft] object SimQueries {
           |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    Q("dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): embedding-space dedup — route every
+      // vector to its trained k-means cell (the SAME published centroid
+      // artifact the IVF family serves from), pairwise cosine only within
+      // a cell, >= 0.3 pairs become edges, min-id survivor per connected
+      // semantic group. Catches paraphrase-class duplicates token dedup
+      // can't; quadratic work bounded per cell. Oracle replays training,
+      // assignment, within-cell pairs, and the transitive closure.
+      (s, d) => Dedup.semanticDedup(tbl(s, d, "embeddings"), km8(s, d),
+          minCosine = 0.3)
+        .select(col("id").as("vec_id"), col("component"), col("keep"))
+        .orderBy("vec_id"),
+      Some(SEMANTIC_DEDUP_SQL),
+      bench = true),
+
     Q("sim_embedding_neardup_lsh",
       // 0.3 (see sim_exact_neardup_pairs) so the bucketed variant emits a
       // nonzero candidate set (23 pairs at sf0.01); recall vs the exact
@@ -725,6 +740,35 @@ private[graft] object SimQueries {
        |      ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc) WHERE rnk <= 5),
        |$EXACT_TOP5_CTES
        |$RECALL_SELECT""".stripMargin
+
+  /** Oracle for dedup_semantic: k-means training + assignment, within-cell
+    * cosine pairs, recursive-CTE transitive closure, min-label component,
+    * keep = id-is-its-own-component. Isolated vectors (no qualifying pair,
+    * or no cell for a zero-norm vector) self-label and survive.
+    */
+  private lazy val SEMANTIC_DEDUP_SQL: String =
+    s"""WITH RECURSIVE ${kmeansCtes(8, 2)},
+       |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |asg AS (SELECT id, e, cell FROM (
+       |    SELECT v.id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM (SELECT id, e FROM av WHERE sqrt(list_inner_product(e, e)) > 0) v,
+       |         c2d c) WHERE rn = 1),
+       |prs AS (SELECT a.id AS id_a, b.id AS id_b
+       |        FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+       |        WHERE ${cosE6Sql("a.e", "b.e")} >= 300000),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |),
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT v.vec_id, COALESCE(l.component, v.vec_id) AS component,
+       |  COALESCE(l.component, v.vec_id) = v.vec_id AS keep
+       |FROM embeddings v LEFT JOIN lbl l ON l.id = v.vec_id
+       |ORDER BY vec_id""".stripMargin
 
   /** Oracle for sim_kmeans_cells: the training chain + final argmax
     * assignment (cs DESC, cell — the max-struct tie-break's mirror).

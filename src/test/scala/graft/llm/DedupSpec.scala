@@ -377,6 +377,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps one representative per embedding cluster") {
+    // two tight clusters around (1,0,0,0) and (0,1,0,0) plus one isolated
+    // vector: within-cluster cosine ~1, across ~0
+    def jig(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 3) }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val vecs = (Seq(
+      (0L, jig(a, 0)), (1L, jig(a, 1)), (2L, jig(a, 2)),
+      (10L, jig(b, 0)), (11L, jig(b, 1)),
+      (20L, Array(0f, 0f, 1f, 0f)))).toDF("vec_id", "embedding")
+    val cents = Similarity.kMeansCentroidsE6(vecs, k = 3, iters = 2)
+    val out = Dedup.semanticDedup(vecs, cents, minCosine = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toList
+    assert(out.map(_._1) == List(0L, 1L, 2L, 10L, 11L, 20L))
+    // min-id survivors: 0 for the a-cluster, 10 for the b-cluster, the
+    // isolated 20 keeps itself
+    assert(out.filter(_._3).map(_._1) == List(0L, 10L, 20L))
+    assert(out.filter(t => Set(1L, 2L).contains(t._1)).forall(_._2 == 0L))
+    assert(out.find(_._1 == 11L).get._2 == 10L)
+  }
+
   test("removeSharedSpans keeps the min-id copy; re-detection finds nothing") {
     def words(prefix: String, n: Int): String =
       (0 until n).map(i => s"$prefix$i").mkString(" ")
