@@ -755,7 +755,12 @@ object Dedup {
         (col("start_b") + col("n_tokens")).as("e"))
       case other => throw new IllegalArgumentException(s"side must be a|b: $other")
     }
-    val iv = perSide.reduce(_.unionAll(_))
+    // DISTINCT before the merge: the same interval reaches a doc once per
+    // PARTNER (doc B sharing one span with A and C emits (B, s, e) twice),
+    // and exact-duplicate rows are the one tie class the running-max
+    // window's ORDER BY (s, e) cannot order — dropping them makes the
+    // window input duplicate-free and the merge provably order-independent
+    val iv = perSide.reduce(_.unionAll(_)).distinct()
     val w = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
     val prevMaxEnd = max(col("e")).over(
       w.rowsBetween(Window.unboundedPreceding, -1))

@@ -366,9 +366,12 @@ object Similarity {
     * quantization replays exactly like the raw form.
     */
   private def subVectors(vectors: DataFrame, numSub: Int,
-      idCol: String, vecCol: String, normalize: Boolean): DataFrame = {
+      idCol: String, vecCol: String, normalize: Boolean,
+      quantized: Boolean = false): DataFrame = {
     val base =
-      if (!normalize)
+      if (quantized) // vecCol is ALREADY an e6 long array (e.g. residuals)
+        vectors.select(col(idCol).as("id"), col(vecCol).as("vq"))
+      else if (!normalize)
         vectors.select(col(idCol).as("id"), quantE6(col(vecCol)).as("vq"))
       else vectors
         .filter(l2Norm(col(vecCol)) > 0.0)
@@ -414,7 +417,8 @@ object Similarity {
     */
   def pqCodebooksE6(vectors: DataFrame, numSub: Int, kSub: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      normalize: Boolean = true, trainSample: Int = 0): DataFrame = {
+      normalize: Boolean = true, trainSample: Int = 0,
+      quantized: Boolean = false): DataFrame = {
     require(numSub >= 1, s"numSub must be >= 1, got $numSub")
     require(kSub >= 1, s"kSub must be >= 1, got $kSub")
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -425,7 +429,7 @@ object Similarity {
     // training changes the Lloyd inputs, never the seeding rule
     val base = if (trainSample > 0) hashSample(vectors, trainSample, idCol)
                else vectors
-    val subs = subVectors(base, numSub, idCol, vecCol, normalize)
+    val subs = subVectors(base, numSub, idCol, vecCol, normalize, quantized)
     // seed: the kSub vectors with smallest md5(id) — the SAME ids seed
     // every subspace (their sv differs per sub), code = hash rank;
     // seeded from the same (possibly normalize-filtered) id set the
@@ -468,8 +472,8 @@ object Similarity {
     */
   def pqEncode(vectors: DataFrame, codebooks: DataFrame, numSub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      normalize: Boolean = true): DataFrame =
-    subVectors(vectors, numSub, idCol, vecCol, normalize)
+      normalize: Boolean = true, quantized: Boolean = false): DataFrame =
+    subVectors(vectors, numSub, idCol, vecCol, normalize, quantized)
       .join(broadcast(codebooks), Seq("sub"))
       .withColumn("__d", l2DistE12(col("sv"), col("ce")))
       .groupBy("id", "sub")
@@ -617,6 +621,111 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("pdot")).as("adc_e12"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_e12").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("adc_e12"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Residual IVF-PQ — the faithful IVFADC of [Jégou et al., TPAMI 2011,
+    * §V]: PQ encodes each vector's RESIDUAL from its coarse centroid
+    * (r = v − c_cell) instead of the vector itself. Residuals concentrate
+    * near the origin once the coarse quantizer has absorbed the cell's
+    * mean, so the same code budget spends its precision on the part of
+    * the vector the routing hasn't already explained — the accuracy
+    * refinement over [[ivfPqTopK]]'s `by_residual = false` form.
+    *
+    * Everything stays exact integer arithmetic: vectors are L2-normalized
+    * then e6-quantized; the coarse k-means trains ON THE NORMALIZED
+    * vectors (so centroids and residuals live in one space); the residual
+    * is a long-array subtraction; PQ trains/encodes the residual longs
+    * directly (`quantized = true` path); and the ADC score decomposes as
+    * q·(c_cell + r̂) = q·c_cell + Σ q_sub·r̂_code — one extra broadcast
+    * (query, cell) dot added to the LUT sum. Same scale shape as
+    * [[ivfPqTopK]]: bounded-sample training, one-pass assign/encode build
+    * artifacts, probed-cell-only scoring.
+    */
+  /** L2-normalized double view (id, nv) of an embedding column — the one
+    * shared space the residual family (coarse centroids, residuals,
+    * queries) lives in. Zero-norm vectors are excluded.
+    */
+  def normalizedView(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = df
+    .filter(l2Norm(col(vecCol)) > 0.0)
+    .withColumn("__n", l2Norm(col(vecCol)))
+    .select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / col("__n")).as("nv"))
+
+  /** Residual view (id, cell, rq): each normalized-then-e6-quantized
+    * vector minus its assigned cell's centroid components — exact long
+    * subtraction, the PQ training/encode input of [[ivfPqResidualTopK]].
+    * `centroids` must come from [[kMeansCentroidsE6]] over
+    * [[normalizedView]] of the same corpus.
+    */
+  def residualView(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cn = normalizedView(corpus, idCol, vecCol)
+    val cells = kMeansAssign(cn, centroids, "id", "nv").select("id", "cell")
+    cn.select(col("id"), quantE6(col("nv")).as("vq"))
+      .join(cells, Seq("id"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("vq"), col("ce"), (a, b) => a - b).as("rq"))
+  }
+
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, nProbe: Int = 2, numSub: Int = 8, kSub: Int = 32,
+      trainIters: Int = 2, trainSample: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    val cn = normalizedView(corpus, idCol, vecCol)
+    val cents = centroids.getOrElse(kMeansCentroidsE6(cn, numCells,
+      trainIters, "id", "nv", trainSample))
+    val resid = residualView(corpus, cents, idCol, vecCol)
+    val cells = resid.select("id", "cell")
+    val cb = codebooks.getOrElse(pqCodebooksE6(resid, numSub, kSub,
+      trainIters, "id", "rq", normalize = false, trainSample,
+      quantized = true))
+    val codes = pqEncode(resid, cb, numSub, "id", "rq",
+      normalize = false, quantized = true)
+
+    // query side: nProbe nearest cells, each with the q·c_cell dot the ADC
+    // decomposition needs, plus the per-(sub, code) residual LUT
+    val cd = cents.select(col("cell"), col("ce"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+    val qn = normalizedView(queries, idCol, vecCol)
+    val qScored = qn
+      .select(col("id").as("query_id"), col("nv"), quantE6(col("nv")).as("qq"))
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6Mixed(col("nv"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        graft.expr.LongDot(col("qq"), col("ce")).as("qcdot"))
+    val lut = subVectors(
+        qn.select(col("id"), quantE6(col("nv")).as("qq")),
+        numSub, "id", "qq", normalize = false, quantized = true)
+      .select(col("id").as("query_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        graft.expr.LongDot(col("sv"), col("ce")).as("pdot"))
+
+    val scored = codes.join(cells, Seq("id"))
+      .withColumnRenamed("id", "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id", "qcdot")
+      .agg(sum(col("pdot")).as("rdot"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qcdot") + col("rdot")).as("adc_e12"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_e12").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -286,7 +286,7 @@ private[graft] object DedupQueries {
       case 'b' => "SELECT id_b AS id, start_b AS s, start_b + n_tokens AS e FROM spk"
     }.mkString("\n       UNION ALL\n       ")
     s"""spk AS (SELECT * FROM sp WHERE n_tokens >= 16),
-       |iv AS ($sideSelects),
+       |iv AS (SELECT DISTINCT id, s, e FROM ($sideSelects)),
        |ivn AS (SELECT id, s, e,
        |    CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL

@@ -52,6 +52,22 @@ private[graft] object SimQueries {
       Similarity.pqCodebooksE6(tbl(s, d, "embeddings"),
         numSub = 8, kSub = 32, iters = 2, trainSample = 100))
 
+  // residual family: coarse centroids live in the NORMALIZED space (so
+  // centroids and residuals subtract meaningfully) and the codebooks train
+  // on the residual longs — both published once, served by both queries
+  private def ivfpqrCents(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "ivfpqr_cents_c8_i2_n100_v1"))(
+      Similarity.kMeansCentroidsE6(
+        Similarity.normalizedView(tbl(s, d, "embeddings")),
+        k = 8, iters = 2, idCol = "id", vecCol = "nv", trainSample = 100))
+
+  private def ivfpqrCb(s: SparkSession, d: String): DataFrame =
+    graft.llm.ModelStore.getOrTrain(s, modelKey(d, "ivfpqr_cb_s8_k32_i2_n100_v1"))(
+      Similarity.pqCodebooksE6(
+        Similarity.residualView(tbl(s, d, "embeddings"), ivfpqrCents(s, d)),
+        numSub = 8, kSub = 32, iters = 2, idCol = "id", vecCol = "rq",
+        normalize = false, trainSample = 100, quantized = true))
+
   val qs: Vector[Q] = Vector(
     Q("sim_cosine_topk",
       (s, d) => {
@@ -167,6 +183,43 @@ private[graft] object SimQueries {
       },
       Some(IVFPQ_TOPK_SQL),
       bench = true),
+
+    Q("sim_ivfpq_residual_topk",
+      // the faithful IVFADC (Jégou TPAMI'11 §V): PQ encodes each vector's
+      // RESIDUAL from its coarse centroid, so the code budget spends its
+      // precision on what routing hasn't already explained; the ADC score
+      // decomposes exactly as q·c_cell + Σ q_sub·r̂_code in e12 integers.
+      // Coarse centroids train in the normalized space on the same bounded
+      // sample; both models are published artifacts.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfPqResidualTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
+          trainIters = 2, trainSample = 100,
+          centroids = Some(ivfpqrCents(s, d)),
+          codebooks = Some(ivfpqrCb(s, d)))
+      },
+      Some(IVFPQ_RES_TOPK_SQL),
+      bench = true),
+
+    Q("sim_ivfpq_residual_recall",
+      // recall@5 of residual IVF-PQ vs exact cosine truth — measured next
+      // to sim_ivfpq_recall so the residual refinement's lift (or its
+      // absence on this isotropic corpus) is a number, not a guess
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.ivfPqResidualTopK(emb, queries,
+              k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
+              trainIters = 2, trainSample = 100,
+              centroids = Some(ivfpqrCents(s, d)),
+              codebooks = Some(ivfpqrCb(s, d))),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(IVFPQ_RES_RECALL_SQL)),
 
     Q("sim_ivfpq_recall",
       // recall@5 of routed IVF-PQ against the exact cosine ground truth —
@@ -661,6 +714,128 @@ private[graft] object SimQueries {
        |       WHERE e.id <> l.query_id GROUP BY 1, 2)""".stripMargin
     b.toString
   }
+
+  /** Residual IVF-PQ CTE chain — the SQL twin of
+    * Similarity.ivfPqResidualTopK: everything lives in the NORMALIZED
+    * space (`nv`), the sample ranks the nonzero-norm ids (hashSample runs
+    * on the normalized view), coarse k-means trains on sampled normalized
+    * vectors, residuals are exact long subtractions of the assigned
+    * centroid, PQ Lloyd runs over sampled residual slices, and the ADC
+    * score is qcdot(query, cell) + Σ pdot(sub, code). Ends in
+    * `sc(query_id, neighbor_id, adc_e12)`.
+    */
+  private def ivfPqResidualScoreCtes(numCells: Int, nProbe: Int, numSub: Int,
+      kSub: Int, iters: Int, sampleN: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""allv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |nv AS (SELECT id, list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
+       |       FROM allv WHERE list_inner_product(e, e) > 0),
+       |sh AS (SELECT id, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, md5(CAST(id AS VARCHAR)) AS mh FROM nv)),
+       |smp AS (SELECT id FROM (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM sh)
+       |        WHERE rn <= $sampleN),
+       |ve AS (SELECT n.id, n.ne AS e FROM nv n JOIN smp USING (id)),
+       |kh AS (SELECT id, e, ($hexHead32Sql) AS h
+       |       FROM (SELECT id, e, md5(CAST(id AS VARCHAR)) AS mh FROM ve)),
+       |seed AS (SELECT id, e, row_number() OVER (ORDER BY h, id) AS rn FROM kh),
+       |c0 AS (SELECT rn - 1 AS cell,
+       |         list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT)) AS ce
+       |       FROM seed WHERE rn <= $numCells)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |c${i}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$i),
+       |a$i AS (SELECT id, e, cell FROM (
+       |    SELECT v.id, v.e, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM ve v, c${i}d c) WHERE rn = 1),
+       |u$i AS (SELECT cell, pos, sum(q) AS s, count(*) AS n FROM (
+       |    SELECT cell, unnest(range(1, len(e) + 1)) AS pos,
+       |           unnest(list_transform(e, x -> CAST(floor(x * 1000000) AS BIGINT))) AS q
+       |    FROM a$i) GROUP BY cell, pos),
+       |c${i + 1} AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |          FROM u$i GROUP BY cell)""".stripMargin
+    }
+    b ++= s""",
+       |c${iters}d AS (SELECT cell, list_transform(ce, x -> CAST(x AS DOUBLE) / 1000000) AS cd FROM c$iters),
+       |vq AS (SELECT id, list_transform(ne, x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM nv),
+       |asg AS (SELECT id, cell, rn FROM (
+       |    SELECT n.id, c.cell,
+       |      row_number() OVER (PARTITION BY n.id ORDER BY ${cosE6Sql("n.ne", "c.cd")} DESC, c.cell) AS rn
+       |    FROM nv n, c${iters}d c)),
+       |cells AS (SELECT id, cell FROM asg WHERE rn = 1),
+       |resid AS (SELECT v.id, cl.cell,
+       |    list_transform(range(1, len(v.q) + 1), i -> v.q[i] - ct.ce[i]) AS rq
+       |  FROM vq v JOIN cells cl ON cl.id = v.id JOIN c$iters ct ON ct.cell = cl.cell),
+       |rsubs AS (SELECT id, CAST(m.sub AS BIGINT) AS sub,
+       |    list_slice(rq, CAST(m.sub * (len(rq) // $numSub) + 1 AS INT),
+       |      CAST((m.sub + 1) * (len(rq) // $numSub) AS INT)) AS sv
+       |  FROM resid, (SELECT unnest(range(0, $numSub)) AS sub) m),
+       |rsubsT AS (SELECT s.id, s.sub, s.sv FROM rsubs s JOIN smp USING (id)),
+       |pkh AS (SELECT r.id, ($hexHead32Sql) AS h
+       |        FROM (SELECT rr.id, md5(CAST(rr.id AS VARCHAR)) AS mh
+       |              FROM resid rr JOIN smp USING (id)) r),
+       |sd AS (SELECT id, rn - 1 AS code FROM
+       |        (SELECT id, row_number() OVER (ORDER BY h, id) AS rn FROM pkh)
+       |       WHERE rn <= $kSub),
+       |rcb0 AS (SELECT s.sub, sd.code, s.sv AS ce FROM rsubsT s JOIN sd ON s.id = sd.id)""".stripMargin
+    for (i <- 0 until iters) {
+      b ++= s""",
+       |pa$i AS (SELECT sub, sv, code FROM (
+       |    SELECT s.sub, s.id, s.sv, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM rsubsT s JOIN rcb$i c ON s.sub = c.sub) WHERE rn = 1),
+       |pu$i AS (SELECT sub, code, pos, sum(x) AS sx, count(*) AS n FROM (
+       |    SELECT sub, code, unnest(range(1, len(sv) + 1)) AS pos, unnest(sv) AS x
+       |    FROM pa$i) GROUP BY sub, code, pos),
+       |rcb${i + 1} AS (SELECT sub, code,
+       |    list(CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS ce
+       |  FROM pu$i GROUP BY sub, code)""".stripMargin
+    }
+    b ++= s""",
+       |renc AS (SELECT id, sub, code FROM (
+       |    SELECT s.id, s.sub, c.code,
+       |      row_number() OVER (PARTITION BY s.id, s.sub
+       |        ORDER BY ${l2DistSql("s.sv", "c.ce")}, c.code) AS rn
+       |    FROM rsubs s JOIN rcb$iters c ON s.sub = c.sub) WHERE rn = 1),
+       |qsub AS (SELECT id, CAST(m.sub AS BIGINT) AS sub,
+       |    list_slice(q, CAST(m.sub * (len(q) // $numSub) + 1 AS INT),
+       |      CAST((m.sub + 1) * (len(q) // $numSub) AS INT)) AS sv
+       |  FROM vq, (SELECT unnest(range(0, $numSub)) AS sub) m WHERE id % 50 = 0),
+       |rlut AS (SELECT s.id AS query_id, s.sub, c.code,
+       |          ${intDotSql("s.sv", "c.ce")} AS pdot
+       |        FROM qsub s JOIN rcb$iters c ON s.sub = c.sub),
+       |qc AS (SELECT v.id AS query_id, ct.cell, ${intDotSql("v.q", "ct.ce")} AS qcdot
+       |       FROM vq v, c$iters ct WHERE v.id % 50 = 0),
+       |probes AS (SELECT id AS query_id, cell FROM asg WHERE rn <= $nProbe AND id % 50 = 0),
+       |sc AS (SELECT l.query_id, e.id AS neighbor_id,
+       |         CAST(min(qc.qcdot) + sum(l.pdot) AS BIGINT) AS adc_e12
+       |       FROM renc e
+       |       JOIN cells cl ON cl.id = e.id
+       |       JOIN probes p ON p.cell = cl.cell
+       |       JOIN rlut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+       |       JOIN qc ON qc.query_id = p.query_id AND qc.cell = cl.cell
+       |       WHERE e.id <> p.query_id
+       |       GROUP BY 1, 2)""".stripMargin
+    b.toString
+  }
+
+  /** Oracle for sim_ivfpq_residual_topk. */
+  private lazy val IVFPQ_RES_TOPK_SQL: String =
+    s"""WITH ${ivfPqResidualScoreCtes(8, 2, 8, 32, 2, 100)},
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, rnk, neighbor_id, adc_e12 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Oracle for sim_ivfpq_residual_recall. */
+  private lazy val IVFPQ_RES_RECALL_SQL: String =
+    s"""WITH ${ivfPqResidualScoreCtes(8, 2, 8, 32, 2, 100)},
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_e12 DESC, neighbor_id) AS rnk FROM sc) WHERE rnk <= 5),
+       |$EXACT_TOP5_CTES
+       |$RECALL_SELECT""".stripMargin
 
   /** Oracle for sim_ivfpq_topk: sampled training, cell routing, ADC. */
   private lazy val IVFPQ_TOPK_SQL: String =

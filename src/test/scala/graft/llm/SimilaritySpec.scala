@@ -298,4 +298,29 @@ class SimilaritySpec extends SparkSpec {
     tight.collect().foreach(r => assert(r.getLong(1) <= 5, "rank within k"))
     assert(tight.count() <= flat.size)
   }
+
+  test("ivfPqResidualTopK retrieves within-cluster neighbors deterministically") {
+    // two orthogonal tight clusters (cos across ~0, within ~1): the
+    // reconstruction q·(c_cell + r̂) must rank same-cluster vectors first
+    // regardless of how the coarse seeds landed
+    val rnd = new scala.util.Random(29)
+    def pt(center: Array[Float]) =
+      center.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val cA = Array.fill(16)(1f)
+    val cB = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+    val corpus = ((0 until 30 by 2).map(i => (i.toLong, pt(cA))) ++
+      (1 until 30 by 2).map(i => (i.toLong, pt(cB)))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 2)
+    val top = Similarity.ivfPqResidualTopK(corpus, queries, k = 5,
+      numCells = 2, nProbe = 2, numSub = 4, kSub = 8, trainIters = 1)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    rows.map(r => (r.getLong(0), r.getLong(2))).foreach { case (q, n) =>
+      assert((q - n) % 2 == 0, s"query $q got cross-cluster neighbor $n")
+    }
+    // bit-determinism under corpus reshuffle (training included)
+    val again = Similarity.ivfPqResidualTopK(corpus.orderBy(rand(7)), queries,
+      k = 5, numCells = 2, nProbe = 2, numSub = 4, kSub = 8, trainIters = 1)
+    assert(rows.toSeq == again.collect().toSeq)
+  }
 }
