@@ -150,6 +150,59 @@ private[graft] object DashQueries {
           |                      ORDER BY rev, day) AS INT) AS quartile
           |FROM daily ORDER BY day""".stripMargin)),
 
+    Q("dash_window_values",
+      // value-function window breadth: first/last/nth_value + lead +
+      // cume_dist over the month-bounded daily series. The full-partition
+      // ROWS frame is EXPLICIT on both engines — the ANSI default frame
+      // ends at the current row, which silently turns last_value into
+      // "current value"; pinning the frame keeps the semantics unambiguous
+      // and the two engines trivially aligned.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .withColumn("mon", date_format(col("day"), "yyyy-MM"))
+        val full = Window.partitionBy(col("mon")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val byDay = Window.partitionBy(col("mon")).orderBy(col("day"))
+        val byRev = Window.partitionBy(col("mon")).orderBy(col("rev"))
+        daily
+          .withColumn("first_c", (first(col("rev")).over(full) * 100).cast("long"))
+          .withColumn("last_c", (last(col("rev")).over(full) * 100).cast("long"))
+          .withColumn("third_c", (nth_value(col("rev"), 3).over(full) * 100).cast("long"))
+          .withColumn("next_c", (lead(col("rev"), 1).over(byDay) * 100).cast("long"))
+          .withColumn("cd_e6", e6(cume_dist().over(byRev)))
+          .select(col("day").cast("string").as("day"),
+            (col("rev") * 100).cast("long").as("rev_c"),
+            col("first_c"), col("last_c"), col("third_c"), col("next_c"),
+            col("cd_e6"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          |  FROM orders GROUP BY 1),
+          |m AS (SELECT day, rev, strftime(day, '%Y-%m') AS mon FROM daily),
+          |w AS (SELECT day, rev,
+          |    first_value(rev) OVER (PARTITION BY mon ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f,
+          |    last_value(rev) OVER (PARTITION BY mon ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l,
+          |    nth_value(rev, 3) OVER (PARTITION BY mon ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS t,
+          |    lead(rev) OVER (PARTITION BY mon ORDER BY day) AS nx,
+          |    cume_dist() OVER (PARTITION BY mon ORDER BY rev) AS cd
+          |  FROM m)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(rev * 100 AS BIGINT) AS rev_c,
+          |  CAST(f * 100 AS BIGINT) AS first_c,
+          |  CAST(l * 100 AS BIGINT) AS last_c,
+          |  CAST(t * 100 AS BIGINT) AS third_c,
+          |  CAST(nx * 100 AS BIGINT) AS next_c,
+          |  CAST(floor(cd * 1000000) AS BIGINT) AS cd_e6
+          |FROM w ORDER BY day""".stripMargin)),
+
     Q("dash_filtered_avg",
       // §2.11 "dimension dropdown filters": the daily-avg line re-scoped by
       // purpose + region predicates (the dashboard's parameterized view).

@@ -52,6 +52,58 @@ private[graft] object TextQueries {
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("text_split_drift",
+      // split-health diagnostic: per-token occurrence-rate gap between the
+      // train and val splits, top-20 most-divergent tokens — the check
+      // that catches split leakage or distribution shift before a model
+      // trains on it. Exact integer rates (count * 1e6 DIV total), so the
+      // ranking is engine-stable; two narrow shuffles (token counts,
+      // split totals) at any scale.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(Corpus.splitAssign(col("doc_id")).as("split"), col("text"))
+          .filter(col("split").isin("train", "val"))
+          .select(col("split"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val counts = toks.groupBy("split", "tok").agg(count(lit(1)).as("n"))
+        val totals = toks.groupBy("split").agg(count(lit(1)).as("tot"))
+        val rates = counts.join(broadcast(totals), Seq("split"))
+          .select(col("tok"), col("split"), expr("n * 1000000 DIV tot").as("rate"))
+        val tr = rates.filter(col("split") === "train")
+          .select(col("tok"), col("rate").as("train_rate_e6"))
+        val vl = rates.filter(col("split") === "val")
+          .select(col("tok"), col("rate").as("val_rate_e6"))
+        tr.join(vl, Seq("tok"), "full_outer")
+          .select(col("tok"),
+            coalesce(col("train_rate_e6"), lit(0L)).as("train_rate_e6"),
+            coalesce(col("val_rate_e6"), lit(0L)).as("val_rate_e6"))
+          .withColumn("gap_e6", abs(col("train_rate_e6") - col("val_rate_e6")))
+          .orderBy(desc("gap_e6"), col("tok"))
+          .limit(20)
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+          |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+          |         ELSE 'test' END AS split, text
+          |  FROM documents),
+          |tk AS (SELECT split, tok FROM (
+          |    SELECT split, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |    FROM d WHERE split IN ('train', 'val')) WHERE tok <> ''),
+          |c AS (SELECT split, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+          |tt AS (SELECT split, count(*) AS tot FROM tk GROUP BY 1),
+          |r AS (SELECT tok, split, n * 1000000 // tot AS rate FROM c JOIN tt USING (split)),
+          |a AS (SELECT tok, rate AS tr FROM r WHERE split = 'train'),
+          |b AS (SELECT tok, rate AS vr FROM r WHERE split = 'val'),
+          |j AS (SELECT COALESCE(a.tok, b.tok) AS tok,
+          |        CAST(COALESCE(tr, 0) AS BIGINT) AS train_rate_e6,
+          |        CAST(COALESCE(vr, 0) AS BIGINT) AS val_rate_e6
+          |      FROM a FULL OUTER JOIN b ON a.tok = b.tok)
+          |SELECT tok, train_rate_e6, val_rate_e6,
+          |  abs(train_rate_e6 - val_rate_e6) AS gap_e6
+          |FROM j ORDER BY gap_e6 DESC, tok LIMIT 20""".stripMargin)),
+
     // ---- set operations beyond union (§2.12) ---------------------------------
 
     Q("text_pack_sequences",
