@@ -90,27 +90,9 @@ private[graft] object DedupQueries {
           n = 8, minTokens = 16, maxDf = 20)
         .orderBy("doc_id"),
       Some(
-        s"""WITH $SPAN_CTES,
-           |${spanMergeCtes("b")},
-           |tko AS (SELECT id, i + 1 AS p, wso[i + 1] AS tok
-           |  FROM (SELECT doc_id AS id,
-           |          regexp_split_to_array(trim(text), '\\s+') AS wso,
-           |          unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
-           |        FROM documents WHERE length(trim(text)) > 0)),
-           |kept AS (SELECT t.id, t.p, t.tok FROM tko t
-           |  WHERE NOT EXISTS (SELECT 1 FROM mg
-           |                    WHERE mg.id = t.id AND t.p >= mg.s AND t.p < mg.e)),
-           |ag AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
-           |         count(*) AS n_kept FROM kept GROUP BY id),
-           |tc AS (SELECT doc_id AS id,
-           |    CASE WHEN length(trim(text)) = 0 THEN 0
-           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-           |  FROM documents)
-           |SELECT tc.id AS doc_id, COALESCE(clean_text, '') AS clean_text,
-           |  CAST(n_tokens AS BIGINT) AS n_tokens,
-           |  CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens
-           |FROM tc LEFT JOIN ag ON ag.id = tc.id
-           |ORDER BY doc_id""".stripMargin)),
+        s"""WITH $CLEAN_TEXT_CTES
+           |SELECT id AS doc_id, clean_text, n_tokens, n_removed_tokens
+           |FROM cleaned ORDER BY doc_id""".stripMargin)),
 
     // ---- LLM ops: dedup -------------------------------------------------------
 
@@ -276,6 +258,32 @@ private[graft] object DedupQueries {
        |sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
        |         count(*) + 7 AS n_tokens
        |       FROM isl GROUP BY id_a, id_b, diag, grp)""".stripMargin
+
+  /** Span-scrub chain ending in `cleaned(id, clean_text, n_tokens,
+    * n_removed_tokens)` — the SQL twin of Dedup.removeSharedSpans, shared
+    * by the dedup_remove_spans oracle and the curation-chain composition.
+    */
+  private[queries] lazy val CLEAN_TEXT_CTES: String =
+    s"""$SPAN_CTES,
+       |${spanMergeCtes("b")},
+       |tko AS (SELECT id, i + 1 AS p, wso[i + 1] AS tok
+       |  FROM (SELECT doc_id AS id,
+       |          regexp_split_to_array(trim(text), '\\s+') AS wso,
+       |          unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+       |        FROM documents WHERE length(trim(text)) > 0)),
+       |kept AS (SELECT t.id, t.p, t.tok FROM tko t
+       |  WHERE NOT EXISTS (SELECT 1 FROM mg
+       |                    WHERE mg.id = t.id AND t.p >= mg.s AND t.p < mg.e)),
+       |ag AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+       |         count(*) AS n_kept FROM kept GROUP BY id),
+       |tc AS (SELECT doc_id AS id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |cleaned AS (SELECT tc.id, COALESCE(clean_text, '') AS clean_text,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens
+       |  FROM tc LEFT JOIN ag ON ag.id = tc.id)""".stripMargin
 
   /** Merged-interval CTEs over the thresholded spans: `iv(id, s, e)` from
     * the side selection, running-max islands, `mg(id, s, e)` merged.

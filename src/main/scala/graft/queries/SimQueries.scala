@@ -321,6 +321,32 @@ private[graft] object SimQueries {
       Some(SEMANTIC_DEDUP_SQL),
       bench = true),
 
+    Q("text_curation_chain_v2",
+      // the round-6 operators composed end to end, the way a training-data
+      // pipeline actually runs them: exact-substring span SCRUB (one copy
+      // of every repeated passage survives) → md5-fingerprint exact dedup
+      // of the cleaned text (fingerprint, not full-string, is the shuffle
+      // key at scale) → SEMANTIC keep via trained-cell embedding CC. The
+      // surviving corpus with clean token counts and copy multiplicities.
+      (s, d) => {
+        val cleaned = Dedup.removeSharedSpans(tbl(s, d, "documents"),
+            n = 8, minTokens = 16, maxDf = 20)
+          .filter(length(col("clean_text")) > 0)
+          .select(col("doc_id"), col("clean_text"),
+            (col("n_tokens") - col("n_removed_tokens")).as("n_clean_tokens"))
+        val exact = cleaned.groupBy(md5(col("clean_text")).as("__fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            min(col("n_clean_tokens")).as("n_clean_tokens"))
+        val semKeep = Dedup.semanticDedup(tbl(s, d, "embeddings"), km8(s, d),
+            minCosine = 0.3)
+          .filter(col("keep")).select(col("id").as("doc_id"))
+        exact.join(semKeep, Seq("doc_id"))
+          .select(col("doc_id"), col("n_clean_tokens"), col("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some(CURATION_V2_SQL)),
+
     Q("sim_embedding_neardup_lsh",
       // 0.3 (see sim_exact_neardup_pairs) so the bucketed variant emits a
       // nonzero candidate set (23 pairs at sf0.01); recall vs the exact
@@ -921,8 +947,12 @@ private[graft] object SimQueries {
     * keep = id-is-its-own-component. Isolated vectors (no qualifying pair,
     * or no cell for a zero-norm vector) self-label and survive.
     */
-  private lazy val SEMANTIC_DEDUP_SQL: String =
-    s"""WITH RECURSIVE ${kmeansCtes(8, 2)},
+  /** Semantic-dedup CTE chain ending in `lbl(id, component)` — k-means
+    * training + assignment, within-cell pairs, recursive closure. Shared
+    * by the dedup_semantic oracle and the curation-chain composition.
+    */
+  private lazy val SEM_CC_CTES: String =
+    s"""${kmeansCtes(8, 2)},
        |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |asg AS (SELECT id, e, cell FROM (
        |    SELECT v.id, v.e, c.cell,
@@ -939,11 +969,32 @@ private[graft] object SimQueries {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |),
-       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |lbl AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
+
+  private lazy val SEMANTIC_DEDUP_SQL: String =
+    s"""WITH RECURSIVE $SEM_CC_CTES
        |SELECT v.vec_id, COALESCE(l.component, v.vec_id) AS component,
        |  COALESCE(l.component, v.vec_id) = v.vec_id AS keep
        |FROM embeddings v LEFT JOIN lbl l ON l.id = v.vec_id
        |ORDER BY vec_id""".stripMargin
+
+  /** Oracle for text_curation_chain_v2: span scrub → md5 exact dedup →
+    * semantic min-id keep, every stage the proven CTE chain of its own
+    * oracle.
+    */
+  private lazy val CURATION_V2_SQL: String =
+    s"""WITH RECURSIVE ${DedupQueries.CLEAN_TEXT_CTES},
+       |$SEM_CC_CTES,
+       |ex AS (SELECT min(id) AS doc_id, count(*) AS n_copies,
+       |         CAST(min(n_tokens - n_removed_tokens) AS BIGINT) AS n_clean_tokens
+       |       FROM cleaned WHERE length(clean_text) > 0
+       |       GROUP BY md5(clean_text)),
+       |semkeep AS (SELECT v.vec_id AS id FROM embeddings v
+       |            LEFT JOIN lbl l ON l.id = v.vec_id
+       |            WHERE COALESCE(l.component, v.vec_id) = v.vec_id)
+       |SELECT e.doc_id, e.n_clean_tokens, e.n_copies
+       |FROM ex e JOIN semkeep s ON s.id = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
 
   /** Oracle for sim_kmeans_cells: the training chain + final argmax
     * assignment (cs DESC, cell — the max-struct tie-break's mirror).
