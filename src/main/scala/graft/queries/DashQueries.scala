@@ -150,6 +150,62 @@ private[graft] object DashQueries {
           |                      ORDER BY rev, day) AS INT) AS quartile
           |FROM daily ORDER BY day""".stripMargin)),
 
+    Q("agg_incremental_merge",
+      // incremental aggregate maintenance, proven: the base period's
+      // partial aggregates merged with a late-arriving delta batch by
+      // RE-AGGREGATION (sum of sums, sum of counts) must equal the direct
+      // full recompute — which is exactly what the oracle computes, so a
+      // hash match IS the proof. The pattern that maintains a 100 TB
+      // rollup with one delta-sized pass instead of a full rescan.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_c"), col("o_orderdate"))
+        val base = o.filter(col("o_orderdate") < "1996-01-01")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+        val delta = o.filter(col("o_orderdate") >= "1996-01-01")
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+        base.unionByName(delta)
+          .groupBy("status")
+          .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"))
+          .orderBy("status")
+      },
+      Some(
+        """SELECT o_orderstatus AS status, count(*) AS n,
+          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+          |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    Q("dash_range_frame",
+      // RANGE-framed trailing window on the SPARSE daily series: a
+      // 7-day trailing revenue sum anchored on the day VALUE (missing days
+      // shrink the window) — the frame family dash_moving_avg's gap-filled
+      // ROWS form cannot express. Day count is exact integer epoch-days on
+      // both engines.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(cents(col("o_totalprice")).as("rev_c"))
+          .withColumn("dn", datediff(col("day"), lit("1992-01-01").cast("date")))
+        val w = Window.orderBy(col("dn")).rangeBetween(-6, Window.currentRow)
+        daily
+          .select(col("day").cast("string").as("day"), col("rev_c"),
+            sum(col("rev_c")).over(w).as("rev_7d_c"),
+            count(lit(1)).over(w).as("n_days_present"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1),
+          |n AS (SELECT day, rev_c, datediff('day', DATE '1992-01-01', day) AS dn FROM daily)
+          |SELECT CAST(day AS VARCHAR) AS day, rev_c,
+          |  CAST(sum(rev_c) OVER (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_c,
+          |  count(*) OVER (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_present
+          |FROM n ORDER BY day""".stripMargin)),
+
     Q("dash_window_values",
       // value-function window breadth: first/last/nth_value + lead +
       // cume_dist over the month-bounded daily series. The full-partition
