@@ -177,6 +177,27 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
           |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    Q("agg_string_agg",
+      // ordered string aggregation (listagg): distinct order priorities per
+      // market segment, sorted then joined. Spark's collect_set is
+      // unordered by design (merge order is partition-arrival order), so
+      // the deterministic form is collect_set → array_sort → array_join —
+      // map-side-combinable and bounded by the distinct-value count, never
+      // by group row count. Oracle is DuckDB's native ordered string_agg.
+      (s, d) => tbl(s, d, "orders")
+        .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment,
+          |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+          |  count(*) AS n
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("dash_range_frame",
       // RANGE-framed trailing window on the SPARSE daily series: a
       // 7-day trailing revenue sum anchored on the day VALUE (missing days

@@ -162,6 +162,42 @@ private[graft] object EtlQueries {
           |  CAST(CAST(strptime(strftime(o_orderdate, '%Y_%m_%d_%H%M%S'), '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day
           |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("etl_date_breadth",
+      // calendar-function breadth over the distinct order dates (§2.9):
+      // ISO week truncation, clamped month arithmetic, month end, weekday,
+      // ISO week-of-year, quarter, epoch-day offset. Engines disagree on
+      // weekday NUMBERING conventions, not weekday math — Spark's
+      // weekday() (0=Monday) lines up with DuckDB's isodow()-1, and both
+      // date_trunc('week') anchors are ISO Mondays, so every column is
+      // convention-pinned rather than engine-defaulted.
+      (s, d) => {
+        val days = tbl(s, d, "orders")
+          .select(col("o_orderdate").cast("date").as("day"))
+          .distinct().orderBy("day").limit(60)
+        days.select(
+          col("day").cast("string").as("day"),
+          date_trunc("week", col("day")).cast("date").cast("string").as("week_start"),
+          add_months(col("day"), 2).cast("string").as("plus_2m"),
+          last_day(col("day")).cast("string").as("month_end"),
+          expr("weekday(day)").as("wd"),
+          weekofyear(col("day")).as("iso_week"),
+          quarter(col("day")).as("qtr"),
+          datediff(col("day"), lit("1992-01-01").cast("date")).cast("long").as("epoch_days"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH days AS (
+          |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders ORDER BY day LIMIT 60)
+          |SELECT CAST(day AS VARCHAR) AS day,
+          |  CAST(date_trunc('week', day) AS VARCHAR) AS week_start,
+          |  CAST(CAST(day + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus_2m,
+          |  CAST(last_day(day) AS VARCHAR) AS month_end,
+          |  CAST(isodow(day) - 1 AS INT) AS wd,
+          |  CAST(weekofyear(day) AS INT) AS iso_week,
+          |  CAST(quarter(day) AS INT) AS qtr,
+          |  datediff('day', DATE '1992-01-01', day) AS epoch_days
+          |FROM days ORDER BY day""".stripMargin)),
+
     // ---- §2.3 row generation / union ---------------------------------------
 
     Q("gen_explode_tokens",

@@ -206,6 +206,37 @@ private[graft] object JoinQueries {
            |ORDER BY click_id, purchase_id""".stripMargin),
       bench = true),
 
+    Q("join_correlated_subquery",
+      // correlated scalar subqueries (orders priced above 2× their own
+      // customer's average), written in SQL so Catalyst's decorrelation
+      // rewrites them — at scale this MUST become one aggregate + one join
+      // over orders, not a per-row re-scan. The threshold compare is exact
+      // integer cross-multiplication (price_cents × n > 2 × sum_cents), so
+      // no engine ever divides: DuckDB's double avg() vs Spark's decimal
+      // avg() can disagree in the last ulp exactly at the boundary rows.
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("corr_sq_orders")
+        tbl(s, d, "customer").createOrReplaceTempView("corr_sq_customer")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+            |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+            |FROM corr_sq_orders o JOIN corr_sq_customer c ON o_custkey = c_custkey
+            |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            |      * (SELECT count(*) FROM corr_sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            |    > 2 * (SELECT CAST(sum(CAST(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+            |           FROM corr_sq_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some(
+        """SELECT c_mktsegment, count(*) AS n,
+          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+          |FROM orders o JOIN customer c ON o_custkey = c_custkey
+          |WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |    > 2 * (SELECT CAST(sum(CAST(CAST(o2.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+          |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // ---- §2.10 events / time windows (batch forms) ---------------------------
 
     Q("join_bloom_prune",

@@ -41,6 +41,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of join lost its window carry-forward")
   }
 
+  test("correlated scalar subqueries decorrelate to aggregate+join, no re-scan per row") {
+    val p = plan(Queries.queryMap("join_correlated_subquery")(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      "correlated subquery planned a per-row re-scan")
+    assert(!p.contains("Subquery"),
+      "scalar subquery survived decorrelation (would re-execute per row)")
+    assert(p.contains("HashAggregate"), "decorrelated aggregate missing")
+  }
+
   test("range join is an equi-join on bucket keys, not a nested loop") {
     val p = plan(Queries.queryMap("join_range_events")(spark, sf))
     assert(!p.contains("NestedLoop"), "range join degenerated to a nested loop")
