@@ -177,6 +177,41 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
           |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
 
+    Q("agg_hof_breadth",
+      // higher-order array lambdas — transform / filter / aggregate /
+      // exists / forall — Spark's codegen'd in-row loop surface. At scale
+      // these run WITHOUT exploding: one row stays one row through the
+      // whole projection, so a 100-element array costs a loop iteration,
+      // not a 100-row shuffle + re-group. Arrays are rendered as joined
+      // strings (the driver comparator hashes scalars only).
+      (s, d) => {
+        val g = tbl(s, d, "lineitem").filter(col("l_orderkey") <= 200)
+          .groupBy(col("l_orderkey").as("k"))
+          .agg(array_sort(collect_list(col("l_quantity").cast("int"))).as("qs"))
+        g.select(col("k"),
+          array_join(col("qs").cast("array<string>"), ",").as("qs_str"),
+          array_join(expr("transform(qs, x -> x * 2)").cast("array<string>"), ",").as("doubled"),
+          array_join(expr("filter(qs, x -> x > 25)").cast("array<string>"), ",").as("over25"),
+          expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("qsum"),
+          expr("exists(qs, x -> x > 45)").as("has_over_45"),
+          expr("forall(qs, x -> x > 0)").as("all_pos"),
+          size(col("qs")).as("n"))
+          .orderBy("k")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT l_orderkey AS k, list_sort(list(CAST(l_quantity AS INT))) AS qs
+          |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1)
+          |SELECT k,
+          |  array_to_string(qs, ',') AS qs_str,
+          |  array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+          |  COALESCE(array_to_string(list_filter(qs, x -> x > 25), ','), '') AS over25,
+          |  CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+          |  len(list_filter(qs, x -> x > 45)) > 0 AS has_over_45,
+          |  len(list_filter(qs, x -> x <= 0)) = 0 AS all_pos,
+          |  CAST(len(qs) AS INT) AS n
+          |FROM g ORDER BY k""".stripMargin)),
+
     Q("agg_string_agg",
       // ordered string aggregation (listagg): distinct order priorities per
       // market segment, sorted then joined. Spark's collect_set is

@@ -149,6 +149,35 @@ private[graft] object EventQueries {
            |  FROM pairs)
            |SELECT click_id, imp_id, CAST(n_candidates AS BIGINT) AS n_candidates
            |FROM ranked WHERE rn = 1 ORDER BY click_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    Q("ev_retention",
+      // weekly cohort retention: cohort = ISO week of a user's FIRST
+      // event, wk = whole weeks since that first day, cell = distinct
+      // users still active. The shape that matters at scale: the
+      // first-seen frame is a self-aggregation of events keyed by
+      // user_id, so the join back is key-aligned — one shuffle total,
+      // and AQE can reuse the exchange for the groupBy that follows.
+      (s, d) => {
+        val ev = eventsTable(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+        val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        ev.join(first, "user_id")
+          .select(col("user_id"),
+            date_trunc("week", col("first_day")).cast("date").as("cohort"),
+            expr("datediff(day, first_day) div 7").as("wk"))
+          .groupBy("cohort", "wk")
+          .agg(countDistinct(col("user_id")).as("users"))
+          .select(col("cohort").cast("string").as("cohort_week"), col("wk"), col("users"))
+          .orderBy("cohort_week", "wk")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM ev),
+           |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+           |SELECT CAST(date_trunc('week', first_day) AS VARCHAR) AS cohort_week,
+           |  datediff('day', first_day, day) // 7 AS wk,
+           |  count(DISTINCT e.user_id) AS users
+           |FROM e JOIN f ON e.user_id = f.user_id
+           |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin))
   )
 }
