@@ -151,6 +151,32 @@ private[graft] object EventQueries {
            |FROM ranked WHERE rn = 1 ORDER BY click_id""".stripMargin),
       bench = true),
 
+    Q("ev_attribution_outer",
+      // batch face of the left-outer watermarked stream-stream join
+      // (streaming/Joins.attributionJoinOuter, state-eviction semantics
+      // spec-driven in JoinsSpec): every impression emits, null-extended
+      // when no click follows within 30 min. The sort key coalesces the
+      // nullable click_id because the engines disagree on default null
+      // ordering (Spark NULLS FIRST asc, DuckDB NULLS LAST).
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        graft.streaming.Joins.attributionJoinOuter(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "click"))
+          .select(col("imp_id"), col("user_id"), col("click_id"))
+          .orderBy(col("imp_id"), coalesce(col("click_id"), lit(-1L)))
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts FROM ev
+           |      WHERE event_type = 'view'),
+           |c AS (SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts FROM ev
+           |      WHERE event_type = 'click')
+           |SELECT imp_id, i.user_id, click_id
+           |FROM i LEFT JOIN c ON click_user = i.user_id
+           |  AND imp_ts <= click_ts AND click_ts <= imp_ts + INTERVAL 30 MINUTE
+           |ORDER BY imp_id, COALESCE(click_id, -1)""".stripMargin)),
+
     Q("ev_retention",
       // weekly cohort retention: cohort = ISO week of a user's FIRST
       // event, wk = whole weeks since that first day, cell = distinct

@@ -48,6 +48,36 @@ object Joins {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Left-outer face of [[attributionJoin]], impressions-major: every
+    * impression emits, matched or not. Streaming semantics are the point:
+    * an unmatched impression CANNOT be emitted when it arrives (a matching
+    * click may still come), so the state store holds it until the global
+    * watermark passes `imp_ts + within` — only then does the null-extended
+    * row flush. State stays O(rate × horizon) like the inner form; the
+    * outer rows just ride the same eviction. Spark's global watermark is
+    * the MIN across both inputs, so a stalled click stream also stalls
+    * impression flushes — by design (a click could still arrive). On batch
+    * frames this degrades to a plain left interval join (the oracle face).
+    */
+  def attributionJoinOuter(impressions: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val imp = impressions
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", within)
+    val clk = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", within)
+    imp.join(clk,
+        col("user_id") === col("imp_user") &&
+          col("imp_ts") <= col("click_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"interval $within"),
+        "leftOuter")
+      .select(col("imp_id"), col("imp_user").as("user_id"),
+        col("imp_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment: every streaming event left-joined to a
     * static dimension on `keys` — the third join mode Structured
     * Streaming supports (besides batch and stream-stream), and the

@@ -71,6 +71,52 @@ class JoinsSpec extends SparkSpec {
       203L -> Some("gold"), 202L -> None))
   }
 
+  test("attributionJoinOuter (streaming): unmatched impressions flush after the watermark passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssoj").toString
+    // batch 1 per side: the real data (imp 300 never matched; imp 301
+    // matched by click 400). batch 2 per side: far-future flush events
+    // that drag BOTH watermarks past imp_ts + 30m so 300's state evicts
+    // and the null-extended row emits. The flush rows themselves stay in
+    // state (watermark never passes them) — they must NOT appear.
+    Seq((300L, ts("2026-01-01 10:00:00"), 9L, "view", 0.0),
+        (301L, ts("2026-01-01 10:20:00"), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/views/b1")
+    Seq((390L, ts("2026-01-01 12:00:00"), 98L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/views/b2")
+    Seq((400L, ts("2026-01-01 10:25:00"), 1L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/clicks/b1")
+    Seq((490L, ts("2026-01-01 12:00:00"), 99L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/clicks/b2")
+
+    val vs = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/views/*")
+    val cs = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/clicks/*")
+    val q = Joins.attributionJoinOuter(vs, cs)
+      .writeStream.format("memory").queryName("ssoj_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssoj_test")
+      .select("imp_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    // 301 matched inner-style; 300 flushed as an outer null row once the
+    // watermark passed 10:30; the 12:00 flush rows are still in state.
+    assert(got == Set(301L -> Some(400L), 300L -> None))
+  }
+
+  test("attributionJoinOuter (batch): plain left interval join, every impression emits") {
+    val got = Joins.attributionJoinOuter(views, clicks)
+      .select("imp_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set(100L -> Some(200L), 101L -> Some(200L),
+      101L -> Some(201L), 102L -> None))
+  }
+
   test("lastTouch picks the most recent impression per click") {
     val got = Joins.lastTouch(Joins.attributionJoin(views, clicks))
       .select("click_id", "imp_id", "n_candidates")
