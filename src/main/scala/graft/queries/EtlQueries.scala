@@ -162,6 +162,50 @@ private[graft] object EtlQueries {
           |  CAST(CAST(strptime(strftime(o_orderdate, '%Y_%m_%d_%H%M%S'), '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day
           |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    Q("etl_cdc_apply",
+      // change-data-capture apply: a keyed I/U/D change feed (synthesized
+      // deterministically from orders, ordered by per-key seq) collapses
+      // to final table state — latest op wins, deletes drop the key. The
+      // scale shape: ONE max_by(struct) aggregation, map-side combinable,
+      // no ranking window and no per-key shuffle beyond the single
+      // groupBy — the merge pattern a 100 TB nightly change feed needs.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+        val ins = o.select(col("key"), lit(1L).as("seq"), lit("I").as("op"),
+          col("status"), col("price_c"))
+        val upd = o.filter(pmod(col("key"), lit(7)).isin(1, 2))
+          .select(col("key"), lit(2L).as("seq"), lit("U").as("op"),
+            lit("U*").as("status"), (col("price_c") + 1000L).as("price_c"))
+        val del = o.filter(pmod(col("key"), lit(7)) === 0)
+          .select(col("key"), lit(2L).as("seq"), lit("D").as("op"),
+            lit(null).cast("string").as("status"), lit(null).cast("long").as("price_c"))
+        ins.unionByName(upd).unionByName(del)
+          .groupBy("key")
+          .agg(max(struct(col("seq"), col("op"), col("status"), col("price_c"))).as("last"))
+          .filter(col("last.op") =!= "D")
+          .select(col("key"), col("last.status").as("status"),
+            col("last.price_c").as("price_c"))
+          .orderBy("key")
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT o_orderkey AS key, o_orderstatus AS status,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |  FROM orders),
+          |feed AS (
+          |  SELECT key, 1 AS seq, 'I' AS op, status, price_c FROM base
+          |  UNION ALL
+          |  SELECT key, 2, 'U', 'U*', price_c + 1000 FROM base WHERE key % 7 IN (1, 2)
+          |  UNION ALL
+          |  SELECT key, 2, 'D', NULL, NULL FROM base WHERE key % 7 = 0),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+          |  FROM feed)
+          |SELECT key, status, price_c FROM ranked
+          |WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin)),
+
     Q("etl_date_breadth",
       // calendar-function breadth over the distinct order dates (§2.9):
       // ISO week truncation, clamped month arithmetic, month end, weekday,

@@ -237,6 +237,48 @@ private[graft] object JoinQueries {
           |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    Q("join_scd2_pointintime",
+      // point-in-time (temporal) dimension join: each order joins the
+      // customer-dimension VERSION valid at its order date — v1 before
+      // 1996-07-01, v2 (open-ended) after. The equi-key carries the join;
+      // the validity range is a residual predicate on the joined row, so
+      // there is no interval explosion and no extra shuffle: versions per
+      // key are few and bounded, which is what keeps SCD2 lookups cheap
+      // at fact-table scale. Complements join_asof (event-to-event) with
+      // the dimension-history flavor.
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+        val dim = c.select(col("c_custkey").as("dkey"),
+            concat(col("c_mktsegment"), lit("@v1")).as("seg"),
+            lit("1992-01-01").cast("date").as("vf"),
+            lit("1996-07-01").cast("date").as("vt"))
+          .unionByName(c.select(col("c_custkey").as("dkey"),
+            concat(col("c_mktsegment"), lit("@v2")).as("seg"),
+            lit("1996-07-01").cast("date").as("vf"),
+            lit(null).cast("date").as("vt")))
+        tbl(s, d, "orders")
+          .select(col("o_custkey").as("fkey"),
+            col("o_orderdate").cast("date").as("day"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
+          .join(broadcast(dim), col("fkey") === col("dkey") &&
+            col("day") >= col("vf") && (col("vt").isNull || col("day") < col("vt")))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
+          .orderBy("seg")
+      },
+      Some(
+        """WITH dim AS (
+          |  SELECT c_custkey AS dkey, c_mktsegment || '@v1' AS seg,
+          |    DATE '1992-01-01' AS vf, DATE '1996-07-01' AS vt FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, c_mktsegment || '@v2', DATE '1996-07-01', NULL FROM customer)
+          |SELECT seg, count(*) AS n,
+          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+          |FROM orders JOIN dim ON o_custkey = dkey
+          |  AND CAST(o_orderdate AS DATE) >= vf
+          |  AND (vt IS NULL OR CAST(o_orderdate AS DATE) < vt)
+          |GROUP BY seg ORDER BY seg""".stripMargin)),
+
     // ---- §2.10 events / time windows (batch forms) ---------------------------
 
     Q("join_bloom_prune",
