@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Bloom, Dashboard}
-import graft.etl.{Parse, Transform}
+import graft.etl.{Ids, Parse, Transform}
 import graft.expr.Transliterate
 import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
@@ -160,6 +160,21 @@ private[graft] object EtlQueries {
       Some(
         """SELECT o_orderkey, strftime(o_orderdate, '%Y_%m_%d_%H%M%S') AS dump_date,
           |  CAST(CAST(strptime(strftime(o_orderdate, '%Y_%m_%d_%H%M%S'), '%Y_%m_%d_%H%M%S') AS DATE) AS VARCHAR) AS day
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("etl_global_ids",
+      // contiguous 0-based ids in key order WITHOUT the single-partition
+      // window (see etl/Ids.scala — range exchange + per-partition count
+      // + offset mapPartitions). The unique sort key makes the assignment
+      // partition-boundary-independent, so a plain row_number()-1 oracle
+      // reproduces it exactly.
+      (s, d) => Ids.contiguousIds(
+          tbl(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          Seq(col("o_orderkey")))
+        .orderBy("o_orderkey"),
+      Some(
+        """SELECT o_orderkey, o_orderstatus,
+          |  row_number() OVER (ORDER BY o_orderkey) - 1 AS id
           |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     Q("etl_cdc_apply",

@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contiguousIds matches the single-partition window result, without the single partition") {
+    // shuffled keys spread over several input partitions
+    val df = spark.range(0, 1000).select(
+        (col("id") * 2654435761L % 1000003L).as("key"),
+        col("id").as("payload"))
+      .repartition(7)
+    // explicit partition count: AQE would (correctly) coalesce this tiny
+    // exchange to one partition and defeat the multi-partition assertion
+    val got = Ids.contiguousIds(df, Seq(col("key")), numPartitions = Some(8))
+
+    // ids are exactly the rank in key order (keys are unique here)
+    val expected = df.withColumn("id",
+      row_number().over(Window.orderBy("key")).cast("long") - 1)
+    assert(got.select("key", "id").except(expected.select("key", "id")).isEmpty)
+
+    // contiguity: 0..n-1, no gaps or dups
+    val n = got.count()
+    assert(got.agg(min("id"), max("id"), countDistinct("id"))
+      .as[(Long, Long, Long)].head() == ((0L, n - 1, n)))
+
+    // the data never collapsed to one partition: the sort stage is a
+    // range exchange, and the output keeps that parallelism
+    val plan = df.repartitionByRange(col("key"))
+      .sortWithinPartitions(col("key"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(got.rdd.getNumPartitions > 1)
+  }
+
+  test("contiguousIds on an empty frame yields an empty frame with the id column") {
+    val empty = spark.range(0).select(col("id").as("key"))
+    val got = Ids.contiguousIds(empty, Seq(col("key")))
+    assert(got.columns.toSeq == Seq("key", "id") && got.count() == 0)
+  }
+}
