@@ -212,6 +212,25 @@ private[graft] object DashQueries {
           |  CAST(len(qs) AS INT) AS n
           |FROM g ORDER BY k""".stripMargin)),
 
+    Q("agg_bitwise",
+      // bitwise aggregates (bit_and / bit_or / bit_xor) — flag-mask
+      // reduction over a bounded key domain. All three are commutative,
+      // associative, fixed-width accumulators: perfectly map-side
+      // combinable, so the group-by ships one long per group per
+      // partition no matter how many rows fold into it.
+      (s, d) => tbl(s, d, "orders")
+        .select(col("o_orderstatus").as("status"),
+          pmod(col("o_orderkey"), lit(4096L)).as("m"))
+        .groupBy("status")
+        .agg(expr("bit_and(m)").as("band"), expr("bit_or(m)").as("bor"),
+          expr("bit_xor(m)").as("bxor"), count(lit(1)).as("n"))
+        .orderBy("status"),
+      Some(
+        """SELECT o_orderstatus AS status,
+          |  bit_and(o_orderkey % 4096) AS band, bit_or(o_orderkey % 4096) AS bor,
+          |  bit_xor(o_orderkey % 4096) AS bxor, count(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("agg_string_agg",
       // ordered string aggregation (listagg): distinct order priorities per
       // market segment, sorted then joined. Spark's collect_set is

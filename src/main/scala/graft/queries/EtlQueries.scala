@@ -175,7 +175,8 @@ private[graft] object EtlQueries {
       Some(
         """SELECT o_orderkey, o_orderstatus,
           |  row_number() OVER (ORDER BY o_orderkey) - 1 AS id
-          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+      bench = true),
 
     Q("etl_cdc_apply",
       // change-data-capture apply: a keyed I/U/D change feed (synthesized
@@ -219,7 +220,8 @@ private[graft] object EtlQueries {
           |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
           |  FROM feed)
           |SELECT key, status, price_c FROM ranked
-          |WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin)),
+          |WHERE rn = 1 AND op <> 'D' ORDER BY key""".stripMargin),
+      bench = true),
 
     Q("etl_date_breadth",
       // calendar-function breadth over the distinct order dates (§2.9):

@@ -175,7 +175,8 @@ private[graft] object EventQueries {
            |SELECT imp_id, i.user_id, click_id
            |FROM i LEFT JOIN c ON click_user = i.user_id
            |  AND imp_ts <= click_ts AND click_ts <= imp_ts + INTERVAL 30 MINUTE
-           |ORDER BY imp_id, COALESCE(click_id, -1)""".stripMargin)),
+           |ORDER BY imp_id, COALESCE(click_id, -1)""".stripMargin),
+      bench = true),
 
     Q("ev_retention",
       // weekly cohort retention: cohort = ISO week of a user's FIRST

@@ -277,7 +277,8 @@ private[graft] object JoinQueries {
           |FROM orders JOIN dim ON o_custkey = dkey
           |  AND CAST(o_orderdate AS DATE) >= vf
           |  AND (vt IS NULL OR CAST(o_orderdate AS DATE) < vt)
-          |GROUP BY seg ORDER BY seg""".stripMargin)),
+          |GROUP BY seg ORDER BY seg""".stripMargin),
+      bench = true),
 
     // ---- §2.10 events / time windows (batch forms) ---------------------------
 
