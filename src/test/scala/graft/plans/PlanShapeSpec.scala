@@ -41,6 +41,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "as-of join lost its window carry-forward")
   }
 
+  test("join strategy hints are honored: broadcast, shuffle_hash, merge") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val cond = col("o_custkey") === col("c_custkey")
+    assert(plan(orders.join(broadcast(cust), cond)).contains("BroadcastHashJoin"))
+    assert(plan(orders.join(cust.hint("shuffle_hash"), cond)).contains("ShuffledHashJoin"),
+      "shuffle_hash hint ignored")
+    assert(plan(orders.join(cust.hint("merge"), cond)).contains("SortMergeJoin"),
+      "merge hint ignored")
+  }
+
   test("correlated scalar subqueries decorrelate to aggregate+join, no re-scan per row") {
     val p = plan(Queries.queryMap("join_correlated_subquery")(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
