@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.{Bloom, Dashboard}
-import graft.etl.{Parse, Transform}
+import graft.etl.{Ids, Parse, Transform}
 import graft.expr.Transliterate
 import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
@@ -211,6 +211,40 @@ private[graft] object DashQueries {
           |  len(list_filter(qs, x -> x <= 0)) = 0 AS all_pos,
           |  CAST(len(qs) AS INT) AS n
           |FROM g ORDER BY k""".stripMargin)),
+
+    Q("dash_pareto_deciles",
+      // Pareto analysis: customers ranked by revenue, rolled into deciles.
+      // The naive decile is ntile(10) OVER (ORDER BY rev) — a
+      // single-partition window over every customer. Here the rank comes
+      // from Ids.contiguousIds (range exchange + offset mapPartitions, no
+      // partition collapse) and the decile is pure arithmetic on it:
+      // rank*10 div n — which is also exactly reproducible in SQL, unlike
+      // ntile's remainder-distribution convention. The 1-row total joins
+      // in via broadcast.
+      (s, d) => {
+        val rev = tbl(s, d, "orders").groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("rev_c"))
+        Ids.contiguousIds(rev, Seq(col("rev_c").desc, col("o_custkey")), "rank")
+          .crossJoin(broadcast(rev.agg(count(lit(1)).as("n_tot"))))
+          .select(expr("CAST(rank * 10 div n_tot AS INT)").as("decile"),
+            col("rev_c"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("rev_c"))
+          .orderBy("decile")
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT o_custkey,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT rev_c,
+          |        row_number() OVER (ORDER BY rev_c DESC, o_custkey) - 1 AS rank,
+          |        count(*) OVER () AS n_tot
+          |      FROM rev)
+          |SELECT CAST(rank * 10 // n_tot AS INT) AS decile,
+          |  count(*) AS n_cust, CAST(sum(rev_c) AS BIGINT) AS rev_c
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("agg_bitwise",
       // bitwise aggregates (bit_and / bit_or / bit_xor) — flag-mask
