@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{DashQueries, DedupQueries, EtlQueries, EventQueries,
-  Fixtures, JoinQueries, SimQueries, TextQueries}
+  Fixtures, GraphQueries, JoinQueries, SimQueries, TextQueries}
 
 /** The driver-checked query registry: one named query per SURVEY.md §2
   * operator (plus the LLM-pipeline operators), each with an equivalent
@@ -35,7 +35,7 @@ object Queries {
 
   val all: Vector[Q] =
     EtlQueries.qs ++ DashQueries.qs ++ JoinQueries.qs ++ EventQueries.qs ++
-      TextQueries.qs ++ DedupQueries.qs ++ SimQueries.qs
+      TextQueries.qs ++ DedupQueries.qs ++ SimQueries.qs ++ GraphQueries.qs
 
   lazy val queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

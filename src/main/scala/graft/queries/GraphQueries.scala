@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Graph
+import graft.queries.Fixtures._
+
+/** Graph-analytics family: PageRank over the customer→part purchase
+  * graph, a-priori-pruned co-purchase pair mining, and degree-ordered
+  * triangle counting over the resulting co-purchase graph. All three are
+  * edge-list-shaped (equi-joins + aggregations, never adjacency
+  * matrices), the only graph representation that survives 100 TB.
+  */
+private[graft] object GraphQueries {
+
+  /** Unrolled integer-exact PageRank oracle — the SAME fixed-point
+    * recurrence as [[Graph.pageRank]] (e12 mass, truncating division;
+    * all operands positive so DuckDB's floor `//` == Spark's DIV).
+    * Dangling mass (parts have no out-edges in the directed purchase
+    * graph) is redistributed uniformly each round, exercising the
+    * dangling path of the implementation, not just the join.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH raw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM raw),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |consts AS (SELECT COUNT(*) AS n, 1000000000000 // COUNT(*) AS rinit,
+        |  ((1000000000000 // COUNT(*)) * 15) // 100 AS bconst FROM nodes),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, (SELECT rinit FROM consts) AS r FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+         |  FROM r${k - 1} WHERE id NOT IN (SELECT src FROM edges)),
+         |r$k AS (SELECT n.id,
+         |    (SELECT bconst FROM consts)
+         |      + (85 * (COALESCE(i.s, 0)
+         |               + ((SELECT dang FROM d$k) // (SELECT n FROM consts)))) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.r // o.outdeg) AS BIGINT) AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) i ON n.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY rank_e12 DESC, id LIMIT 20"
+  }
+
+  /** Shared co-purchase SQL: distinct (order, part) items, a-priori
+    * document-frequency prune, canonical a<b pair counts.
+    */
+  private val copurchaseCte =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item FROM lineitem),
+      |freq AS (SELECT item FROM items GROUP BY item HAVING COUNT(*) >= 25),
+      |fi AS (SELECT ord, item FROM items WHERE item IN (SELECT item FROM freq)),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n
+      |  FROM fi a JOIN fi b ON a.ord = b.ord AND a.item < b.item
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val qs: Vector[Q] = Vector(
+
+    Q("graph_pagerank",
+      // Directed purchase graph customer→part (node id = 2·key + type
+      // bit so the two key spaces cannot collide). 3 fixed iterations —
+      // no convergence probe, so Spark runs zero mid-loop actions and
+      // the oracle unrolls the identical horizon.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.pageRank(raw, iterations = 3)
+          .orderBy(col("rank_e12").desc, col("id"))
+          .limit(20)
+      },
+      Some(pagerankSql(3)),
+      bench = true),
+
+    Q("graph_copurchase_pairs",
+      // Market-basket pair mining, a-priori pruned (Agrawal & Srikant,
+      // VLDB'94): items below min-support cannot appear in a frequent
+      // pair, so the per-basket quadratic join runs on the PRUNED item
+      // set only — and the frequent-item dim is small by construction,
+      // hence broadcast. The self-join shuffles the pruned items by
+      // basket once; both sides share the exchange.
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+        val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 25).select("item")
+        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        fi.as("a")
+          .join(fi.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("item_a"), col("item_b"))
+          .limit(50)
+      },
+      Some(copurchaseCte +
+        "\nSELECT item_a, item_b, n FROM pairs ORDER BY n DESC, item_a, item_b LIMIT 50"),
+      bench = true),
+
+    Q("graph_triangles",
+      // Triangle count over the co-purchase graph (pairs seen in ≥2
+      // baskets), via degree-ordered orientation — the oracle counts the
+      // same triangles with the naive canonical x<y<z 3-way join, which
+      // is fine for DuckDB at test scale but is exactly the skew-fragile
+      // plan the oriented form exists to replace.
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+        val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 25).select("item")
+        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val pairs = fi.as("a")
+          .join(fi.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+        Graph.triangleCount(
+          pairs.filter(col("n") >= 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")))
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        |FROM pe e1 JOIN pe e2 ON e2.a = e1.b
+        |JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin))
+  )
+}

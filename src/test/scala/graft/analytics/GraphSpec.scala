@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the Graph module's claims on graphs small enough to check by
+  * hand: PageRank's mass conservation + known orderings, and triangle
+  * counting against enumerable truths (including a hub-skewed graph
+  * where the degree-ordered orientation is doing the work).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: star graph ranks the hub highest, leaves equal") {
+    // 5 leaves all point at node 100 and 100 points back at each —
+    // symmetric star: hub gets 5 contributions, leaves 1/5 each
+    val edges = (1L to 5L).flatMap(l => Seq((l, 100L), (100L, l))).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iterations = 3).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(100L) > r(1L))
+    assert((1L to 5L).map(r).distinct.size == 1, "leaves must tie exactly")
+  }
+
+  test("pageRank: dangling mass is redistributed, not lost") {
+    // chain 1→2→3: node 3 is dangling; without redistribution total mass
+    // shrinks every round. With it, total stays within N rounding units
+    // of E12 (each node's update truncates at most 2 divisions).
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val total = Graph.pageRank(edges, iterations = 4)
+      .agg(sum("rank_e12")).as[Long].head()
+    assert(math.abs(total - 1000000000000L) < 1000L,
+      s"mass not conserved: $total")
+  }
+
+  test("pageRank: equal-structure nodes tie bit-exactly") {
+    // 4-cycle: every node is structurally identical → identical ranks
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rs = Graph.pageRank(edges, iterations = 5)
+      .select("rank_e12").as[Long].collect().toSet
+    assert(rs.size == 1, s"cycle nodes diverged: $rs")
+  }
+
+  test("triangleCount: K4 has 4 triangles, square has 0") {
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    assert(Graph.triangleCount(k4).as[Long].head() == 4L)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCount(square).as[Long].head() == 0L)
+  }
+
+  test("triangleCount: hub-skewed graph matches naive enumeration") {
+    // hub 0 connected to 1..20, plus a sparse ring among the leaves —
+    // triangles are exactly the (0, i, i+1) closures the ring creates.
+    // The degree orientation points every leaf at the hub; correctness
+    // must not depend on which endpoint is the apex.
+    val ring = (1L to 19L).map(i => (i, i + 1))
+    val spokes = (1L to 20L).map(i => (0L, i))
+    val edges = (spokes ++ ring).toDF("a", "b")
+    val expected = ring.size.toLong // each ring edge closes with the hub
+    assert(Graph.triangleCount(edges).as[Long].head() == expected)
+  }
+}
