@@ -267,4 +267,52 @@ object Corpus {
     graft.plans.TopK.perGroup(base, Seq("stratum"), -col("__h"), col("id"), quota)
       .select(col("stratum"), col("id"))
   }
+
+  /** Weighted priority sample (Duffield, Lund & Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM'07): each
+    * row draws a deterministic uniform u from its id's md5, gets priority
+    * p = w / u, and the k highest-priority rows form the sample. The
+    * (k+1)-th priority τ is the estimation threshold: Σ max(w_i, τ) over
+    * the sample is an unbiased estimator of the TOTAL weight — the
+    * published optimal way to cut a 100 TB corpus to a fixed-size subset
+    * that still answers weighted aggregate questions.
+    *
+    * Determinism: u is md5-head32 (engine-portable, no seeded RNG) and p
+    * is ONE long→double division — IEEE 754 division is correctly
+    * rounded in every engine, so priorities are bit-identical in the
+    * DuckDB oracle and ties (broken by id) cannot reorder.
+    *
+    * Scale shape: the signature is narrow (one md5 per row); top-(k+1)
+    * by (p, id) plans as TakeOrderedAndProject — an O(k) heap per
+    * partition, then a single k-row merge on the driver side of the
+    * exchange. No global sort, no full shuffle. The k+1-row result is
+    * broadcast-sized by construction.
+    *
+    * @return top-(k+1) rows as (doc_id, w, pri, rk); rk ∈ [1, k+1] —
+    *         rk ≤ k is the sample, rk = k+1 carries τ. Requires the
+    *         input to have more than k rows (else τ is undefined).
+    */
+  def prioritySample(docs: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // u = (h+1)/2^32 ∈ (0, 1]; computed as p = w·2^32 / (h+1) — one IEEE
+    // multiply + one divide, both correctly rounded, both engines.
+    // w·2^32 stays exactly representable while w < 2^21 (~2M per-row
+    // weight; token/char counts are far under it).
+    val h = conv(substring(md5(
+      concat(id.cast("string"), lit("#psamp")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val ranked = docs
+      .select(id.cast("long").as("doc_id"), weight.cast("long").as("w"),
+        h.as("__h"))
+      .withColumn("pri", (col("w").cast("double") * lit(4294967296.0)) /
+        (col("__h") + 1L).cast("double"))
+      .drop("__h")
+      .orderBy(col("pri").desc, col("doc_id")) // TakeOrderedAndProject heap
+      .limit(k + 1)
+    // rank the k+1 survivors; the window runs on a broadcast-sized frame
+    ranked.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("pri").desc, col("doc_id"))))
+  }
 }

@@ -132,6 +132,7 @@ private[graft] object GraphQueries {
         |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2)
         |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
         |FROM pe e1 JOIN pe e2 ON e2.a = e1.b
-        |JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin))
+        |JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY triangles""".stripMargin))
   )
 }

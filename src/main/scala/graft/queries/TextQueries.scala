@@ -262,6 +262,45 @@ private[graft] object TextQueries {
         .orderBy("lang", "doc_id"),
       Some(STRATIFIED_SAMPLE_SQL)),
 
+    Q("text_priority_sample",
+      // Duffield–Lund–Thorup priority sampling (JACM'07): 64-doc sample
+      // weighted by char count, τ = 65th priority, and the unbiased
+      // subset-sum estimate Σ max(w, τ) reported AGAINST the true total —
+      // the measure-don't-guess row for weighted corpus subsampling.
+      // Priorities are one IEEE multiply+divide on an md5 draw, so the
+      // oracle replays them bit-exactly; terms are floored to e6 longs
+      // BEFORE summing so the estimate is order-independent.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val w = length(col("text")).cast("long") + 1L
+        val top = Corpus.prioritySample(docs, col("doc_id"), w, k = 64)
+        val tau = top.filter(col("rk") === 65).select(col("pri").as("tau"))
+        val tot = docs.agg(sum(length(col("text")).cast("long") + 1L)
+          .as("true_total"))
+        top.filter(col("rk") <= 64)
+          .crossJoin(broadcast(tau)) // 1-row τ, broadcast-hinted
+          .select(floor(greatest(col("w").cast("double"), col("tau")) * 1e6)
+            .cast("long").as("term_e6"), col("tau"))
+          .agg(floor(max(col("tau")) * 1e6).cast("long").as("tau_e6"),
+            sum(col("term_e6")).as("est_total_e6"))
+          .withColumn("k", lit(64))
+          .crossJoin(broadcast(tot)) // 1-row total, broadcast-hinted
+      },
+      Some(
+        s"""WITH wt AS (SELECT doc_id, CAST(length(text) + 1 AS BIGINT) AS w,
+           |    md5(CAST(doc_id AS VARCHAR) || '#psamp') AS mh FROM documents),
+           |pr AS (SELECT doc_id, w,
+           |    (CAST(w AS DOUBLE) * 4294967296.0) / CAST(($hexHead32Sql) + 1 AS DOUBLE) AS pri
+           |  FROM wt),
+           |top AS (SELECT doc_id, w, pri,
+           |    ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rk FROM pr),
+           |tau AS (SELECT pri AS tau FROM top WHERE rk = 65),
+           |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS true_total FROM wt)
+           |SELECT CAST(floor((SELECT tau FROM tau) * 1e6) AS BIGINT) AS tau_e6,
+           |  CAST(SUM(CAST(floor(GREATEST(CAST(w AS DOUBLE), (SELECT tau FROM tau)) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_e6,
+           |  64 AS k, (SELECT true_total FROM tot) AS true_total
+           |FROM top WHERE rk <= 64""".stripMargin)),
+
     Q("text_robust_outliers",
       // median/MAD length-anomaly gate per language — the robust quality
       // filter (mean/stddev breaks down on the exact blobs it should

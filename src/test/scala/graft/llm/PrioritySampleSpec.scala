@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the DLT priority-sample claims: the sample is exactly the top-k
+  * by (priority, id), the τ row is the (k+1)-th, and the subset-sum
+  * estimator lands near the true total on data it has never seen.
+  */
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 400L)
+    .map(i => (i, 10L + (i * 7L) % 500L)).toDF("id", "w")
+
+  test("returns k+1 ranked rows, ranks dense from 1") {
+    val out = Corpus.prioritySample(docs, col("id"), col("w"), k = 32).collect()
+    assert(out.length == 33)
+    assert(out.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 33))
+  }
+
+  test("sample = global top-k by (priority desc, id): heap path matches full sort") {
+    val viaOp = Corpus.prioritySample(docs, col("id"), col("w"), k = 32)
+      .filter(col("rk") <= 32).select("doc_id").as[Long].collect().toSet
+    // independent full-sort reference on the same deterministic priority
+    val h = conv(substring(md5(concat(col("id").cast("string"),
+      lit("#psamp")).cast("binary")), 1, 8), 16, 10).cast("long")
+    val ref = docs
+      .withColumn("pri",
+        (col("w").cast("double") * lit(4294967296.0)) /
+          (h + 1L).cast("double"))
+      .orderBy(col("pri").desc, col("id"))
+      .limit(32).select(col("id")).as[Long].collect().toSet
+    assert(viaOp == ref)
+  }
+
+  test("subset-sum estimate is within 25% of the true total at k=64") {
+    val top = Corpus.prioritySample(docs, col("id"), col("w"), k = 64)
+    val tau = top.filter(col("rk") === 65).select("pri").as[Double].head()
+    val est = top.filter(col("rk") <= 64)
+      .select(greatest(col("w").cast("double"), lit(tau)).as("t"))
+      .agg(sum("t")).as[Double].head()
+    val truth = docs.agg(sum("w")).as[Long].head().toDouble
+    assert(math.abs(est - truth) / truth < 0.25,
+      s"estimate $est too far from $truth")
+  }
+}
