@@ -158,4 +158,37 @@ class PlanShapeSpec extends SparkSpec {
         s"$q should join exactly once:\n${p.take(1500)}")
     }
   }
+
+  test("co-purchase mining: a-priori prune broadcasts, no cartesian pair stage") {
+    val p = plan(Queries.queryMap("graph_copurchase_pairs")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "frequent-item prune lost its broadcast semi-join")
+    assert(!p.contains("Cartesian"),
+      "pair generation degenerated to a cartesian product")
+    // final ordering is top-50: must plan as the k-row heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 lost its TakeOrderedAndProject heap")
+  }
+
+  test("pagerank: no cartesian beyond the 1-row broadcast dangling scalar") {
+    val df = Queries.queryMap("graph_pagerank")(spark, sf)
+    val p = plan(df)
+    assert(countOccurrences(p, "NestedLoopJoin") ==
+      countOccurrences(p, "BroadcastNestedLoopJoin"),
+      "the dangling-mass scalar join lost its broadcast hint")
+    assert(!p.contains("CartesianProduct"),
+      "pagerank planned an unhinted product join")
+    // top-20 by rank must be the heap, not a global sort of all nodes
+    assert(p.contains("TakeOrderedAndProject"),
+      "rank top-20 lost its TakeOrderedAndProject heap")
+  }
+
+  test("priority sample: top-(k+1) plans as TakeOrderedAndProject heap") {
+    val p = plan(Queries.queryMap("text_priority_sample")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "priority top-k lost its per-partition heap plan")
+    assert(countOccurrences(p, "NestedLoopJoin") ==
+      countOccurrences(p, "BroadcastNestedLoopJoin"),
+      "a 1-row scalar join (τ or total) lost its broadcast hint")
+  }
 }
