@@ -864,6 +864,38 @@ private[graft] object DashQueries {
       },
       Some(MOVING_AVG_SQL)),
 
+    Q("dash_ewma",
+      // trailing exponential smoothing (α=0.2, horizon 8) as 8 codegen'd
+      // lag() terms with the decay coefficients PRE-COMPUTED to e12 longs
+      // and embedded as identical literals in both engines — exponential
+      // decay without a single cross-engine pow()/exp() call, and a pure
+      // integer dot product so the smoothed series hash-matches. Window
+      // is partitioned per priority key over the gap-filled series:
+      // bounded state per key, no global sort. Rows without the full
+      // 8-day history are excluded (truncated-horizon EWMA, the standard
+      // bounded-lag form for distributed windows).
+      (s, d) => {
+        val dense = Dashboard.gapFillDaily(tbl(s, d, "orders"),
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          Seq("n_orders" -> count(lit(1))), Seq.empty)
+        val lagged = EWMA_COEF_E12.indices.foldLeft(
+          dense.select(col("key").as("priority"),
+            col("day").cast("string").as("day"), col("n_orders"))) {
+          (df, j) =>
+            if (j == 0) df
+            else df.withColumn(s"__l$j", lag(col("n_orders"), j).over(
+              Window.partitionBy(col("priority")).orderBy(col("day"))))
+        }
+        val dot = EWMA_COEF_E12.zipWithIndex.map { case (c, j) =>
+          if (j == 0) s"${c}L * n_orders" else s"${c}L * __l$j"
+        }.mkString(" + ")
+        lagged.filter(col(s"__l${EWMA_COEF_E12.size - 1}").isNotNull)
+          .select(col("priority"), col("day"), col("n_orders"),
+            expr(dot).as("ewma_e12"))
+          .orderBy("priority", "day")
+      },
+      Some(EWMA_SQL)),
+
     Q("agg_array_ops",
       // array-function family breadth (§2.12): per-language source sets via
       // collect_set, then union/intersect/except against a probe list —
@@ -954,6 +986,41 @@ private[graft] object DashQueries {
     * trailing window (integer sums and integer-division average — the
     * moving statistics stay bit-exact).
     */
+  /** α(1-α)^j decay weights for dash_ewma, floored to e12 longs ONCE here
+    * and embedded as identical literals in the Spark expression and the
+    * oracle SQL — the binary-double inexactness of 0.2·0.8^j is irrelevant
+    * because both engines consume the same already-floored integers.
+    */
+  private lazy val EWMA_COEF_E12: Seq[Long] = {
+    var c = 0.2 * 1e12
+    (0 until 8).map { _ => val v = math.floor(c).toLong; c *= 0.8; v }
+  }
+
+  /** Oracle for dash_ewma: same gap-fill, same 7 lags, same embedded
+    * integer coefficient dot product.
+    */
+  private lazy val EWMA_SQL: String = {
+    val lags = (1 to 7).map(j => s"lag(n_orders, $j) OVER w AS l$j").mkString(",\n|        ")
+    val dot = EWMA_COEF_E12.zipWithIndex.map { case (c, j) =>
+      if (j == 0) s"$c * n_orders" else s"$c * l$j"
+    }.mkString(" + ")
+    s"""WITH daily AS (SELECT o_orderpriority AS priority,
+       |    CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       |cal AS (SELECT priority,
+       |          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |        FROM b),
+       |dense AS (SELECT c.priority, c.day, COALESCE(d.n_orders, 0) AS n_orders
+       |          FROM cal c LEFT JOIN daily d ON d.priority = c.priority AND d.day = c.day),
+       |l AS (SELECT priority, day, n_orders,
+       |        $lags
+       |      FROM dense WINDOW w AS (PARTITION BY priority ORDER BY day))
+       |SELECT priority, CAST(day AS VARCHAR) AS day, n_orders,
+       |  CAST($dot AS BIGINT) AS ewma_e12
+       |FROM l WHERE l7 IS NOT NULL ORDER BY priority, day""".stripMargin
+  }
+
   private lazy val MOVING_AVG_SQL: String =
     """WITH daily AS (SELECT o_orderpriority AS priority,
       |    CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
