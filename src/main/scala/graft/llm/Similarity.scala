@@ -742,6 +742,56 @@ object Similarity {
     * one equi-join on small per-query result sets — negligible next to
     * either input pipeline at any scale.
     */
+  // ---- Scalar quantization (SQ8) ------------------------------------------
+
+  /** Symmetric signed-byte scalar quantization of the L2-normalized
+    * vector: q_i = floor(127·x_i + 0.5) ∈ [−127, 127] (zero-point 0, one
+    * global scale — the faiss `SQ8_direct_signed` / int8-inference
+    * convention). Sits between raw floats and PQ on the memory/recall
+    * curve: 4× compression (byte per dim vs 32× for PQ-8) but
+    * near-lossless ranking, because each dimension keeps its own value
+    * instead of sharing a codeword.
+    *
+    * Integer dot of two code vectors = 127²·cosine up to rounding, so
+    * ranking needs no dequantization and the whole scoring path is exact
+    * long arithmetic (LongDot primitive loop) — SQL-replayable, and on a
+    * cluster it's the SIMD-able int8 kernel hardware loves.
+    *
+    * Zero-norm vectors are excluded (no cosine), mirroring the PQ family.
+    */
+  def sq8Encode(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vectors.filter(l2Norm(col(vecCol)) > 0.0)
+      .withColumn("__n", l2Norm(col(vecCol)))
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") / col("__n") * 127.0 + lit(0.5))
+            .cast("long")).as("codes"))
+
+  /** Top-k by SQ8 integer dot product — the compressed-domain full-scan
+    * baseline (the only corpus-sized input after encode is the byte
+    * codes). The scale path routes queries through IVF cells first
+    * exactly as [[ivfTopKTrained]] does for exact scoring; this flat
+    * variant is the correctness/recall anchor for that composition.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = sq8Encode(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("codes").as("cc"))
+    val q = sq8Encode(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("codes").as("qc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_i8", graft.expr.LongDot(col("qc"), col("cc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_i8").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("score_i8"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id"),

@@ -143,6 +143,31 @@ private[graft] object SimQueries {
       },
       Some(IVF_TRAINED_SQL)),
 
+    Q("sim_sq8_topk",
+      // scalar-quantization tier: signed-byte codes (4× compression),
+      // ranking by exact integer dot — the compressed-domain full-scan
+      // baseline between raw cosine and PQ-ADC on the memory/recall curve
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.sq8TopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(SQ8_TOPK_SQL),
+      bench = true),
+
+    Q("sim_sq8_recall",
+      // recall@5 of the SQ8 scan vs exact cosine — the harness row that
+      // justifies (or vetoes) the 4× compression for a given corpus
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.sq8TopK(emb, queries, k = 5),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(SQ8_RECALL_SQL)),
+
     Q("sim_pq_topk",
       // product-quantization ADC top-k (Jégou et al., TPAMI 2011): per-
       // subspace integer-L2 codebooks trained in e6 fixed point, corpus
@@ -934,6 +959,54 @@ private[graft] object SimQueries {
   /** Oracle for sim_pq_recall: the full PQ ranking, the exact cosine
     * ranking, and the recall join — all in one statement.
     */
+  /** Shared SQ8 CTE prefix: normalized e0 codes per vector (floor(127·x
+    * + 0.5) on the L2-normalized components), corpus + query views, and
+    * the integer-dot scores — the exact mirror of Similarity.sq8Encode /
+    * sq8TopK (sums of small integers are exact in doubles, so
+    * list_inner_product over the cast code lists replays LongDot).
+    */
+  private lazy val SQ8_CORE_SQL: String =
+    """WITH nv AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                                  CAST(embedding AS DOUBLE[]))) * 127.0 + 0.5) AS BIGINT)) AS codes
+      |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+      |c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM nv),
+      |q AS (SELECT vec_id AS query_id, codes AS qc FROM nv WHERE vec_id % 50 = 0),
+      |s AS (SELECT query_id, neighbor_id,
+      |        CAST(list_inner_product(CAST(qc AS DOUBLE[]), CAST(cc AS DOUBLE[])) AS BIGINT) AS score_i8
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_i8 DESC, neighbor_id) AS rnk FROM s)""".stripMargin
+
+  private lazy val SQ8_TOPK_SQL: String =
+    SQ8_CORE_SQL +
+      """
+        |SELECT query_id, rnk, neighbor_id, score_i8 FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin
+
+  private lazy val SQ8_RECALL_SQL: String =
+    SQ8_CORE_SQL +
+      """,
+        |sq AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5),
+        |dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |es AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+        |         CAST(floor(list_inner_product(q2.v, c2.v) /
+        |           (sqrt(list_inner_product(q2.v, q2.v)) * sqrt(list_inner_product(c2.v, c2.v))) * 1000000) AS BIGINT) AS sim_e6
+        |       FROM dv c2, dv q2
+        |       WHERE q2.vec_id % 50 = 0 AND c2.vec_id <> q2.vec_id),
+        |er AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM es),
+        |ex AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= 5),
+        |g AS (SELECT e.query_id, COUNT(*) AS n_exact, COUNT(s2.neighbor_id) AS n_hits
+        |      FROM ex e LEFT JOIN sq s2
+        |        ON e.query_id = s2.query_id AND e.neighbor_id = s2.neighbor_id
+        |      GROUP BY e.query_id)
+        |SELECT query_id, n_exact, n_hits,
+        |  (n_hits * 1000000) // n_exact AS recall_e6
+        |FROM g ORDER BY query_id""".stripMargin
+
   private lazy val PQ_RECALL_SQL: String =
     s"""WITH ${pqScoreCtes(8, 32, 2)},
        |ann AS (SELECT query_id, neighbor_id FROM (

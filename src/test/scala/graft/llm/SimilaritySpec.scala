@@ -323,4 +323,33 @@ class SimilaritySpec extends SparkSpec {
       k = 5, numCells = 2, nProbe = 2, numSub = 4, kSub = 8, trainIters = 1)
     assert(rows.toSeq == again.collect().toSeq)
   }
+
+  test("sq8Encode: codes bounded in [-127,127], self-dot ≈ 127², zero-norm dropped") {
+    val vecs = Seq(
+      (0L, Array(3.0f, 4.0f)),
+      (1L, Array(-1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)) // zero norm: must be excluded
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(!enc.contains(2L), "zero-norm vector must be dropped")
+    assert(enc.values.flatten.forall(c => c >= -127 && c <= 127))
+    // (3,4)/5 = (0.6, 0.8) → codes (76, 102); self-dot near 127² = 16129
+    assert(enc(0L) == Seq(76L, 102L))
+    val selfDot = enc(0L).map(c => c * c).sum
+    assert(math.abs(selfDot - 16129L) < 300, s"self-dot drifted: $selfDot")
+  }
+
+  test("sq8TopK preserves the exact cosine ranking on well-separated vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.sq8TopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
 }
