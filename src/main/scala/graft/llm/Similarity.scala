@@ -792,6 +792,63 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-routed SQ8 (the faiss "IVF,SQ8" production shape): corpus rows
+    * are assigned to their nearest trained centroid cell in the same
+    * single pass that computes their byte codes; queries probe their
+    * nProbe nearest cells and score ONLY those cells' codes with the
+    * integer dot. Combines the two scale levers — the candidate set
+    * shrinks by ~numCells/nProbe via routing, and the scan that remains
+    * touches 4×-compressed codes instead of floats. Training is shared
+    * with [[ivfTopKTrained]] (same centroids artifact → train once,
+    * serve every index variant).
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int, trainIters: Int = 2, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kMeansCentroidsE6(corpus, numCells, trainIters, idCol, vecCol))
+    val cd = cents.select(col("cell"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+    // one pass over the corpus: norm → codes → broadcast-centroid argmax;
+    // the ONLY corpus-sized state after this is (id, cell, codes)
+    def encoded(df: DataFrame, outId: String): DataFrame = df
+      .filter(l2Norm(col(vecCol)) > 0.0)
+      .withColumn("__n", l2Norm(col(vecCol)))
+      .select(col(idCol).as(outId), col(vecCol).as("__v"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") / col("__n") * 127.0 + lit(0.5))
+            .cast("long")).as("codes"))
+    val cells = encoded(corpus, "neighbor_id")
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6Mixed(col("__v"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+      .groupBy("neighbor_id")
+      .agg(max_by(struct(col("codes"), col("cell")),
+        struct(col("cent_sim"), (-col("cell")).as("__nc"))).as("__r"))
+      .select(col("neighbor_id"), col("__r.codes").as("cc"),
+        col("__r.cell").as("cell"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = encoded(queries, "query_id")
+      .crossJoin(broadcast(cd))
+      .withColumn("cent_sim", cosineE6Mixed(col("__v"), col("cd")))
+      .filter(col("cent_sim").isNotNull)
+      .withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("codes").as("qc"), col("cell"))
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_i8", graft.expr.LongDot(col("qc"), col("cc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_i8").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("score_i8"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id"),

@@ -143,6 +143,20 @@ private[graft] object SimQueries {
       },
       Some(IVF_TRAINED_SQL)),
 
+    Q("sim_ivfsq8_topk",
+      // the faiss "IVF,SQ8" production composition: trained-cell routing
+      // (shared centroid artifact with sim_ivf_trained_topk — train once,
+      // serve every index variant) shrinks the candidate set, then the
+      // integer byte-dot scores only the probed cells' 4×-compressed codes
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfSq8TopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          k = 5, numCells = 8, trainIters = 2, nProbe = 2,
+          centroids = Some(km8(s, d)))
+      },
+      Some(IVF_SQ8_SQL)),
+
     Q("sim_sq8_topk",
       // scalar-quantization tier: signed-byte codes (4× compression),
       // ranking by exact integer dot — the compressed-domain full-scan
@@ -1006,6 +1020,34 @@ private[graft] object SimQueries {
         |SELECT query_id, n_exact, n_hits,
         |  (n_hits * 1000000) // n_exact AS recall_e6
         |FROM g ORDER BY query_id""".stripMargin
+
+  /** Oracle for sim_ivfsq8_topk: the trained-centroid CTE chain (same
+    * replayed fixed-point k-means as IVF_TRAINED_SQL), the same rn-ranked
+    * cell assignment, but scoring via the SQ8 integer dot over the code
+    * lists instead of the float cosine.
+    */
+  private lazy val IVF_SQ8_SQL: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cod AS (SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                                  CAST(embedding AS DOUBLE[]))) * 127.0 + 0.5) AS BIGINT)) AS codes
+       |  FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+       |asg AS (SELECT id, e, cell, row_number() OVER (PARTITION BY id ORDER BY ${cosE6Sql("av.e", "c.cd")} DESC, c.cell) AS rn
+       |        FROM av, c2d c),
+       |cells AS (SELECT a.id AS neighbor_id, a.cell, cd.codes AS cc
+       |          FROM asg a JOIN cod cd ON a.id = cd.id WHERE a.rn = 1),
+       |probes AS (SELECT a.id AS query_id, a.cell, cd.codes AS qc
+       |           FROM asg a JOIN cod cd ON a.id = cd.id
+       |           WHERE a.rn <= 2 AND a.id % 50 = 0),
+       |s AS (SELECT query_id, neighbor_id,
+       |        CAST(list_inner_product(CAST(qc AS DOUBLE[]), CAST(cc AS DOUBLE[])) AS BIGINT) AS score_i8
+       |      FROM cells JOIN probes USING (cell) WHERE neighbor_id <> query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_i8 DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, rnk, neighbor_id, score_i8 FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 
   private lazy val PQ_RECALL_SQL: String =
     s"""WITH ${pqScoreCtes(8, 32, 2)},
