@@ -392,4 +392,56 @@ object TextStats {
       .select(col("grp"), col("id"), col("v"), col("med"), col("mad"),
         (col("abs_dev") > col("mad") * cutoff).as("is_outlier"))
   }
+
+  /** Bigram language-model surprisal scoring — the CCNet/Gopher-class
+    * "LM perplexity" quality filter, made engine-exact: instead of
+    * Σ −ln p (whose last-ulp transcendentals never replay across
+    * engines), each bigram contributes its INTEGER log2 surprisal
+    * ⌊log2(1/p)⌋, computed with pure integer arithmetic:
+    *
+    *   p = (c12 + 1) / (c1 + V)       add-one smoothed bigram model
+    *   ⌊log2(den/num)⌋ = length(bin(den DIV num)) − 1
+    *
+    * (for q = den DIV num ≥ 1: 2^(bitlen(q)−1) ≤ q ≤ den/num < q+1 ≤
+    * 2^bitlen(q), so the bit length IS the floored log — and bin() is
+    * unpadded in both Spark and DuckDB). The summed bits rank documents
+    * the way summed −log2 p would at whole-bit resolution, which is what
+    * a quality CUT consumes; no transcendental is ever evaluated.
+    *
+    * The model is trained on the corpus itself (self-perplexity, the
+    * bootstrap configuration CCNet uses before a curated LM exists).
+    *
+    * Scale shape: one narrow tokenize pass; bigram counts are map-side
+    * combinable; the stream⋈model joins are token-keyed equi-joins (the
+    * LM tables shuffle once, V rides a broadcast 1-row frame). Nothing
+    * is ever densified per document.
+    *
+    * @return (doc_id, n_bigrams, surprisal_bits, mean_bits_e6) for every
+    *         doc with ≥ 2 tokens
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("ws"))
+      .select(col("doc_id"), expr("filter(ws, w -> w <> '')").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pairs = toks.select(col("doc_id"), explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vDf = pairs.agg(countDistinct(col("w2")).as("v"))
+    pairs
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vDf)) // 1-row vocab size
+      .withColumn("k", expr("length(bin((c1 + v) DIV (c12 + 1))) - 1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("k")).as("surprisal_bits"))
+      .withColumn("mean_bits_e6",
+        expr("surprisal_bits * 1000000 DIV n_bigrams"))
+  }
 }

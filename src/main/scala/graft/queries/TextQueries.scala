@@ -171,6 +171,16 @@ private[graft] object TextQueries {
         .orderBy("doc_id", "tok"),
       Some(TFIDF_SQL)),
 
+    Q("text_lm_surprisal",
+      // bigram-LM quality scoring with INTEGER log2 surprisal — the
+      // perplexity-filter semantics without a single transcendental:
+      // ⌊log2(den/num)⌋ = length(bin(den DIV num)) − 1, exact in both
+      // engines, so even this "statistical" score hash-matches
+      (s, d) => TextStats.lmSurprisal(tbl(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(LM_SURPRISAL_SQL),
+      bench = true),
+
     Q("text_cms_counts",
       // Count-Min frequency sketch over the corpus token stream, probed
       // with the English stopword vocabulary: d=4 md5-derived hash rows ×
@@ -620,6 +630,33 @@ private[graft] object TextQueries {
   /** Oracle for text_tfidf: identical tf/df counts and the same exact
     * integer-division idf.
     */
+  /** Oracle for text_lm_surprisal: same tokenize convention as TFIDF_SQL,
+    * bigrams by positional index, same add-one model and the identical
+    * integer ⌊log2⌋ via unpadded bin().
+    */
+  private lazy val LM_SURPRISAL_SQL: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws0
+      |              FROM documents),
+      |tk AS (SELECT doc_id, list_filter(ws0, w -> w <> '') AS ws FROM toks),
+      |tk2 AS (SELECT doc_id, ws FROM tk WHERE len(ws) >= 2),
+      |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |          FROM (SELECT doc_id, ws,
+      |                  unnest(generate_series(1, len(ws) - 1)) AS i
+      |                FROM tk2)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM pairs),
+      |sc AS (SELECT p.doc_id,
+      |         length(bin((c1.c1 + v.v) // (c12.c12 + 1))) - 1 AS k
+      |       FROM pairs p
+      |       JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+      |       JOIN c1 ON p.w1 = c1.w1
+      |       CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(k) AS BIGINT) AS surprisal_bits,
+      |  (CAST(sum(k) AS BIGINT) * 1000000) // count(*) AS mean_bits_e6
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private lazy val TFIDF_SQL: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
       |              FROM documents),

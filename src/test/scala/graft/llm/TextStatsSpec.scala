@@ -148,4 +148,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L).getString(1) == "<URL> <EMAIL> <NUM>")
     assert((out(3L).getLong(2), out(3L).getLong(3), out(3L).getLong(4)) == ((1L, 1L, 1L)))
   }
+
+  test("lmSurprisal: hand-computed add-one bigram bits") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c" → c(a,b)=2, c(a,c)=1, c1(a)=3, V=|{b,c}|=2
+    // p(b|a)=3/5 → ⌊log2(5/3)⌋=0 bits; p(c|a)=2/5 → ⌊log2(5/2)⌋=1 bit
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.lmSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal_bits"))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((1L, 1L)))
+  }
+
+  test("lmSurprisal: single-token and empty docs are excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
+    val ids = TextStats.lmSurprisal(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
 }
