@@ -54,4 +54,28 @@ class BucketingSpec extends SparkSpec {
     // region 2 holds ids ≡ 2 (mod 4); v = 3·id > 100 → id ≥ 34 → 34,38,…,998
     assert(q.count() == 242, formatted)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered fact join") {
+    // the 100 TB date-partitioned-fact ⋈ filtered-dim shape: the fact
+    // scan cannot prune statically (the filter is on the dim), so Spark
+    // must inject a runtime DPP subquery filter into the fact's partition
+    // column — without it, every partition of a year-long fact table is
+    // read for a one-week dim selection
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    spark.range(0, 2000).toDF("id")
+      .withColumn("day_k", (col("id") % 20))
+      .withColumn("v", col("id") * 7)
+      .write.mode("overwrite").partitionBy("day_k").parquet(dir)
+    val dim = spark.range(0, 20).toDF("day_k")
+      .withColumn("flag", col("day_k") < 3)
+    val q = spark.read.parquet(dir)
+      .join(dim.filter(col("flag")), Seq("day_k"))
+      .select(col("day_k"), col("v"))
+    // rows from partitions 0,1,2 only
+    assert(q.count() == 300)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") ||
+      p.contains("DynamicPruning") || p.contains("SubqueryBroadcast"),
+      s"no dynamic partition pruning in the fact scan:\n${p.take(2500)}")
+  }
 }
