@@ -315,4 +315,32 @@ object Corpus {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("pri").desc, col("doc_id"))))
   }
+
+  /** Per-stratum [[prioritySample]]: an independent DLT priority sample
+    * of size `k` (+ the τ row) inside EVERY group, in one pass — the
+    * heap-based TopKPerGroupExec keeps O(k) state per stratum before the
+    * exchange, so sampling 10k language×domain strata of a 100 TB corpus
+    * is one aggregation, not 10k jobs. Each stratum's Σ max(w, τ) then
+    * estimates that stratum's total weight unbiasedly (subset sums are
+    * exactly what DLT priorities exist for).
+    *
+    * @return (stratum, doc_id, w, pri, rnk) with rnk ∈ [1, k+1] per
+    *         stratum; rnk ≤ k is the sample, rnk = k+1 carries τ.
+    *         Strata with ≤ k rows have no τ row (their "sample" is the
+    *         whole stratum — estimation is exact there by definition).
+    */
+  def prioritySampleByGroup(docs: DataFrame, stratum: Column, id: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(
+      concat(id.cast("string"), lit("#psamp")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val base = docs.select(stratum.as("stratum"), id.cast("long").as("doc_id"),
+      weight.cast("long").as("w"), h.as("__h"))
+      .withColumn("pri", (col("w").cast("double") * lit(4294967296.0)) /
+        (col("__h") + 1L).cast("double"))
+      .drop("__h")
+    graft.plans.TopK.perGroup(base, Seq("stratum"), col("pri"),
+      col("doc_id"), k + 1, rankName = "rk")
+  }
 }

@@ -311,6 +311,56 @@ private[graft] object TextQueries {
            |  64 AS k, (SELECT true_total FROM tot) AS true_total
            |FROM top WHERE rk <= 64""".stripMargin)),
 
+    Q("text_priority_sample_by_lang",
+      // per-stratum DLT: an independent 16-doc weighted sample + τ + the
+      // unbiased per-language total-weight estimate, all strata in ONE
+      // heap-exec pass (O(k) state per stratum) — how a 100 TB corpus
+      // gets a fixed-budget sample per language×domain cell without 10k
+      // separate jobs. Estimates land next to each stratum's true total.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val w = length(col("text")).cast("long") + 1L
+        val top = Corpus.prioritySampleByGroup(
+          docs, col("lang"), col("doc_id"), w, k = 16)
+        val tau = top.filter(col("rk") === 17)
+          .select(col("stratum"), col("pri").as("tau"))
+        val tot = docs.groupBy(col("lang").as("stratum"))
+          .agg(sum(length(col("text")).cast("long") + 1L).as("true_total"))
+        top.filter(col("rk") <= 16)
+          .join(broadcast(tau), Seq("stratum")) // one τ row per stratum
+          .select(col("stratum"), col("tau"),
+            floor(greatest(col("w").cast("double"), col("tau")) * 1e6)
+              .cast("long").as("term_e6"))
+          .groupBy("stratum")
+          .agg(floor(max(col("tau")) * 1e6).cast("long").as("tau_e6"),
+            sum(col("term_e6")).as("est_total_e6"))
+          .withColumn("k", lit(16))
+          .join(broadcast(tot), Seq("stratum"))
+          .select(col("stratum").as("lang"), col("tau_e6"),
+            col("est_total_e6"), col("k"), col("true_total"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH wt AS (SELECT lang AS stratum, doc_id,
+           |    CAST(length(text) + 1 AS BIGINT) AS w,
+           |    md5(CAST(doc_id AS VARCHAR) || '#psamp') AS mh FROM documents),
+           |pr AS (SELECT stratum, doc_id, w,
+           |    (CAST(w AS DOUBLE) * 4294967296.0) / CAST(($hexHead32Sql) + 1 AS DOUBLE) AS pri
+           |  FROM wt),
+           |rnk AS (SELECT *, row_number() OVER (PARTITION BY stratum
+           |          ORDER BY pri DESC, doc_id) AS rk FROM pr),
+           |tau AS (SELECT stratum, pri AS tau FROM rnk WHERE rk = 17),
+           |tot AS (SELECT stratum, CAST(SUM(w) AS BIGINT) AS true_total
+           |        FROM wt GROUP BY 1),
+           |g AS (SELECT r.stratum,
+           |        CAST(floor(MAX(t.tau) * 1e6) AS BIGINT) AS tau_e6,
+           |        CAST(SUM(CAST(floor(GREATEST(CAST(r.w AS DOUBLE), t.tau) * 1e6) AS BIGINT)) AS BIGINT) AS est_total_e6
+           |      FROM rnk r JOIN tau t ON r.stratum = t.stratum
+           |      WHERE r.rk <= 16 GROUP BY r.stratum)
+           |SELECT g.stratum AS lang, g.tau_e6, g.est_total_e6, 16 AS k,
+           |  tot.true_total
+           |FROM g JOIN tot ON g.stratum = tot.stratum ORDER BY lang""".stripMargin)),
+
     Q("text_robust_outliers",
       // median/MAD length-anomaly gate per language — the robust quality
       // filter (mean/stddev breaks down on the exact blobs it should

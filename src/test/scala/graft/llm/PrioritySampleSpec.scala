@@ -35,6 +35,24 @@ class PrioritySampleSpec extends SparkSpec {
     assert(viaOp == ref)
   }
 
+  test("per-group sample equals the global sample run on each stratum alone") {
+    val grouped = docs.withColumn("g",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val byGroup = Corpus.prioritySampleByGroup(
+        grouped, col("g"), col("id"), col("w"), k = 10)
+      .collect()
+      .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rk")))
+      .toSet
+    val perStratum = Seq("even", "odd").flatMap { g =>
+      Corpus.prioritySample(grouped.filter(col("g") === g),
+          col("id"), col("w"), k = 10)
+        .collect()
+        .map(r => (g, r.getAs[Long]("doc_id"), r.getAs[Int]("rk")))
+    }.toSet
+    assert(byGroup == perStratum)
+  }
+
   test("subset-sum estimate is within 25% of the true total at k=64") {
     val top = Corpus.prioritySample(docs, col("id"), col("w"), k = 64)
     val tau = top.filter(col("rk") === 65).select("pri").as[Double].head()
