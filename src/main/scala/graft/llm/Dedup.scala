@@ -835,4 +835,71 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
           .as("n_removed_tokens"))
   }
+
+  /** EXACT Jaccard similarity join via prefix filtering — the SSJoin /
+    * All-Pairs / PPJoin family (Chaudhuri et al. ICDE'06; Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08): order every shingle set by GLOBAL
+    * rarity (ascending document frequency, ties by token), emit only
+    * each set's first n − ⌈τ·n⌉ + 1 tokens as join keys, and verify the
+    * exact Jaccard on the candidates. The prefix theorem makes the
+    * filter LOSSLESS: two sets with J ≥ τ must overlap in ≥ ⌈τ·n⌉
+    * elements, so they cannot avoid sharing a token within those
+    * prefixes — every qualifying pair is found, with NO quadratic stage.
+    *
+    * This is the exactness counterpart to [[minhashNearDupPairs]]: the
+    * same banded-equi-join plan shape (candidates come from an
+    * inverted-index join, rarest tokens first so postings are short),
+    * but the result is provably complete instead of probabilistic — the
+    * right default when a pipeline needs "all pairs ≥ τ", not "almost
+    * all". A length filter (τ·max ≤ min, exact rational) prunes
+    * candidates before verification.
+    *
+    * Scale shape: one df aggregation (map-side combinable), one
+    * per-document ranking window (state bounded by set size), one
+    * token-keyed equi-join whose fan-out is bounded by prefix length ×
+    * posting length of RARE tokens, then verification only on the
+    * candidate pairs. τ is an exact rational (tauNum/tauDen) end to end.
+    *
+    * @return (id_a, id_b, inter, uni, jacc_e6) for all pairs with
+    *         J ≥ tauNum/tauDen, id_a < id_b
+    */
+  def ppjoinPairs(docs: DataFrame, tauNum: Int, tauDen: Int,
+      shingleK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0,1], got $tauNum/$tauDen")
+    val ts = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("s"))
+      .filter(size(col("s")) >= 1)
+      .withColumn("n", size(col("s")))
+      .localCheckpoint(false) // reused by prefix build AND verification
+    val tokDf = ts.select(explode(col("s")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val rarity = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefix = ts.select(col("id"), col("n"), explode(col("s")).as("tok"))
+      .join(tokDf, Seq("tok"))
+      .withColumn("__r", row_number().over(rarity))
+      // prefix length = n − ⌈τ·n⌉ + 1, all-integer ceiling
+      .filter(col("__r") <=
+        expr(s"n - ((n * $tauNum + ${tauDen - 1}) DIV $tauDen) + 1"))
+      .select(col("tok"), col("id"), col("n"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      // J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|): exact length prune
+      .filter(greatest(col("a.n"), col("b.n")) * tauNum <=
+        least(col("a.n"), col("b.n")) * tauDen)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(ts.select(col("id").as("id_a"), col("s").as("sa"),
+        col("n").as("na")), Seq("id_a"))
+      .join(ts.select(col("id").as("id_b"), col("s").as("sb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 1000000 DIV uni").as("jacc_e6"))
+  }
 }

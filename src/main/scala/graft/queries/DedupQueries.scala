@@ -104,6 +104,18 @@ private[graft] object DedupQueries {
       Some(JACCARD_SQL),
       bench = true),
 
+    Q("dedup_ppjoin_pairs",
+      // EXACT Jaccard ≥ 3/5 over 3-word shingles via prefix filtering
+      // (SSJoin/PPJoin): rarity-ordered prefixes bound the candidate join,
+      // the prefix theorem guarantees completeness, and the oracle states
+      // the brute-force DEFINITION — so the gate certifies the optimized
+      // algorithm's exactness, not a replay of its steps
+      (s, d) => Dedup.ppjoinPairs(tbl(s, d, "documents"),
+          tauNum = 3, tauDen = 5)
+        .orderBy("id_a", "id_b"),
+      Some(PPJOIN_SQL),
+      bench = true),
+
     Q("dedup_minhash_pairs",
       // md5-head base hash + exact slice band keys make every stage of the
       // LSH pair search SQL-reproducible: shingle → 32-bit base hash (first
@@ -415,6 +427,30 @@ private[graft] object DedupQueries {
        |ORDER BY doc_id""".stripMargin
 
   /** Oracle for text_stats — mirrors TextStats.documentStats op-for-op. */
+  /** Oracle for dedup_ppjoin_pairs: the brute-force definition of "all
+    * pairs with shingle-set Jaccard ≥ 3/5" — quadratic is fine for the
+    * oracle at test scale, and deliberately NOT the prefix-filter plan:
+    * a value match here proves the optimized join is lossless. The
+    * shingle construction mirrors Dedup.shingles exactly (collapse
+    * whitespace, k=3 word windows from every position, short docs yield
+    * their whole-text shingle, empties dropped).
+    */
+  private lazy val PPJOIN_SQL: String =
+    """WITH tk AS (SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |sh0 AS (SELECT doc_id, list_distinct(list_filter(
+      |          [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+      |           FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
+      |          x -> len(x) > 0)) AS s FROM tk),
+      |sh AS (SELECT doc_id, s, len(s) AS n FROM sh0 WHERE len(s) >= 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |        CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, inter, uni, (inter * 1000000) // uni AS jacc_e6
+      |FROM p WHERE inter * 5 >= uni * 3 ORDER BY id_a, id_b""".stripMargin
+
   private lazy val JACCARD_SQL: String =
     """WITH b AS (
       |  SELECT doc_id AS id, text AS t, lang,

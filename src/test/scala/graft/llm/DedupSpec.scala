@@ -417,4 +417,40 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2)).toDF("doc_id", "text")
     assert(Dedup.sharedSpanPairs(again, n = 8, minTokens = 12, maxDf = 10).count() == 0)
   }
+
+  test("ppjoinPairs is lossless: equals the brute-force pair set on a randomized corpus") {
+    // 80 docs from a small vocabulary with heavy mutation + 10 planted
+    // near-identical pairs — high-overlap AND borderline pairs both occur
+    val rnd = new scala.util.Random(1234)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc(): String = Seq.fill(12 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 70).map(i => (i.toLong, doc()))
+    val dups = (0 until 10).map { i =>
+      val (id, t) = base(i * 5)
+      val ws = t.split(" ").toBuffer
+      ws(rnd.nextInt(ws.size)) = vocab(rnd.nextInt(vocab.size)) // 1 mutation
+      (1000L + id, ws.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val got = Dedup.ppjoinPairs(docs, tauNum = 1, tauDen = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // independent quadratic reference on the same shingle sets
+    val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("s"))
+      .filter(size(col("s")) >= 1)
+    val ref = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("i", size(array_intersect(col("a.s"), col("b.s"))))
+      .withColumn("u", size(col("a.s")) + size(col("b.s")) - col("i"))
+      .filter(col("i") * 2 >= col("u") * 1)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(ref.nonEmpty, "reference found no pairs — corpus too sparse to test")
+    assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
+  }
 }
