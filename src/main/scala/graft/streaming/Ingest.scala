@@ -52,6 +52,38 @@ object Ingest {
       .start()
   }
 
+  /** The NATIVE bounded-state alternative: content dedup via
+    * `dropDuplicatesWithinWatermark` on the text fingerprint. State is
+    * TTL'd by the event-time watermark — an entry lives until the
+    * watermark passes its event time + `horizon`, so executor state is
+    * O(arrival rate × horizon) BY CONSTRUCTION, with no external store.
+    *
+    * The contract difference vs [[startDedupedIngest]], stated plainly:
+    * this path is exact only WITHIN the horizon — a duplicate arriving
+    * after the original's entry expired is re-admitted (the spec pins
+    * exactly this). The store-backed path is exact forever but owns its
+    * own compaction. Pick by duplicate-arrival distribution: crawl
+    * re-fetches cluster within hours → watermark path; cold-archive
+    * re-uploads arrive months later → store path.
+    */
+  def startWatermarkDedupedIngest(spark: SparkSession, srcDir: String,
+      schema: StructType, textCol: String, tsCol: String,
+      corpusDir: String, checkpoint: String, horizon: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("__fp", graft.llm.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+      .writeStream
+      .format("parquet")
+      .option("path", corpusDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** One micro-batch of the deduped ingest (also usable for backfills). */
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       corpusDir: String, fpStoreDir: String): Unit = {

@@ -48,4 +48,40 @@ class IngestSpec extends SparkSpec {
     q3.awaitTermination()
     assert(spark.read.parquet(corpus).count() == 3)
   }
+
+  test("watermark dedup: exact within the horizon, re-admits after expiry (bounded state)") {
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val root = Files.createTempDirectory("graft_wmdedup").toString
+    val src = s"$root/src"; val corpus = s"$root/corpus"; val ckpt = s"$root/ckpt"
+    val schema = Seq.empty[(Long, String, Timestamp)]
+      .toDF("doc_id", "text", "ts").schema
+    def run(rows: (Long, String, Timestamp)*): Unit = {
+      rows.toDF("doc_id", "text", "ts").write.mode("append").parquet(src)
+      Ingest.startWatermarkDedupedIngest(spark, src, schema, "text", "ts",
+        corpus, ckpt, horizon = "30 minutes").awaitTermination()
+    }
+    def ids: Seq[Long] =
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+
+    // in-batch duplicate content: one survivor
+    run((1L, "alpha text", ts("2026-01-01 10:00:00")),
+      (2L, "alpha text", ts("2026-01-01 10:01:00")))
+    assert(ids.size == 1 && Set(1L, 2L).contains(ids.head))
+    val kept = ids.head
+
+    // cross-batch duplicate WITHIN the 30-min horizon: dropped
+    run((3L, "alpha text", ts("2026-01-01 10:05:00")))
+    assert(ids == Seq(kept))
+
+    // advance the watermark well past the alpha entry's expiry…
+    run((4L, "delta text", ts("2026-01-01 12:00:00")))
+    assert(ids == Seq(kept, 4L).sorted)
+
+    // …and the SAME content is now re-admitted: the documented horizon
+    // contract of the bounded-state path (the store-backed ingest above
+    // keeps exactness forever at the cost of owning a store)
+    run((5L, "alpha text", ts("2026-01-01 12:01:00")))
+    assert(ids == Seq(kept, 4L, 5L).sorted)
+  }
 }
