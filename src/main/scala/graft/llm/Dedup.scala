@@ -34,8 +34,18 @@ object Dedup {
     df.join(keep.select(col(idCol)), Seq(idCol), "left_semi")
   }
 
-  /** Word k-shingles of normalized text. */
-  def shingles(text: Column, k: Int): Column = {
+  /** Word k-shingles of normalized text — the fused one-pass expression
+    * (see [[graft.expr.WordShingles]]; parity-pinned against the
+    * declarative HOF chain it replaced, which is kept below as the
+    * reference form).
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.expr.WordShingles(text, k)
+
+  /** The declarative Column form of [[shingles]] — interpreted HOFs, ~8×
+    * slower; retained ONLY as the parity-test reference.
+    */
+  private[graft] def shinglesDeclarative(text: Column, k: Int): Column = {
     val ws = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
     // distinct k-word shingles: positions 0..n-k
     array_distinct(
@@ -879,18 +889,32 @@ object Dedup {
     val prefix = ts.select(col("id"), col("n"), explode(col("s")).as("tok"))
       .join(tokDf, Seq("tok"))
       .withColumn("__r", row_number().over(rarity))
-      // prefix length = n − ⌈τ·n⌉ + 1, all-integer ceiling
+      // prefix length = n − ⌈τ·n⌉ + 1, all-integer ceiling; __r keeps the
+      // token's position in the doc's FULL rarity order for the
+      // positional filter below
       .filter(col("__r") <=
         expr(s"n - ((n * $tauNum + ${tauDen - 1}) DIV $tauDen) + 1"))
-      .select(col("tok"), col("id"), col("n"))
+      .select(col("tok"), col("id"), col("n"), col("__r"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       // J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|): exact length prune
       .filter(greatest(col("a.n"), col("b.n")) * tauNum <=
         least(col("a.n"), col("b.n")) * tauDen)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(min(col("a.__r")).as("pa"), min(col("b.__r")).as("pb"),
+        max(col("a.n")).as("na0"), max(col("b.n")).as("nb0"))
+      // POSITIONAL filter (the "PP" of PPJoin): no common element can
+      // precede the earliest shared prefix position in either sorted set
+      // (anything rarer than that token, present in both, would itself be
+      // an earlier shared prefix token), so overlap ≤ 1 + min(n−p). J ≥ τ
+      // needs overlap ≥ ⌈τ/(1+τ)·(na+nb)⌉ — prune candidates whose bound
+      // can't reach it BEFORE shipping shingle arrays to verification.
+      .filter(lit(1) +
+        least(col("na0") - col("pa"), col("nb0") - col("pb")) >=
+        expr(s"(($tauNum * (na0 + nb0)) + ${tauNum + tauDen - 1}) " +
+          s"DIV ${tauNum + tauDen}"))
+      .select(col("id_a"), col("id_b"))
     cand
       .join(ts.select(col("id").as("id_a"), col("s").as("sa"),
         col("n").as("na")), Seq("id_a"))
