@@ -96,6 +96,65 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
 
+  /** Personalized PageRank (Page et al. '99 §6; the random surfer
+    * teleports to a uniform distribution over a SEED set instead of all
+    * nodes) — the crawl-frontier / related-entity form of [[pageRank]]:
+    * rank mass concentrates in the seed set's neighborhood, so the top
+    * ranks ARE "pages like the seeds". Same e12 fixed point, same
+    * integral ops, same one-join-one-agg per iteration; dangling mass
+    * teleports back to the seeds (the standard PPR correction).
+    *
+    *   r0(v)  = [v ∈ S] · (E12 DIV |S|)
+    *   r'(v)  = [v ∈ S] · ((E12 DIV |S|)·15 DIV 100
+    *              + 85·(inc(v) + dang DIV |S|) DIV 100 's seed share)
+    *   precisely:
+    *   r'(v ∈ S) = base + (85·(inc(v) + dang DIV |S|)) DIV 100
+    *   r'(v ∉ S) = (85·inc(v)) DIV 100
+    *
+    * @param seeds one-column frame of seed node ids; seeds outside the
+    *              edge list's node set are ignored
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int): DataFrame = {
+    val e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val sd = seeds.toDF("id").select(col("id").cast("long")).distinct()
+    val nodeDeg = nodes.join(outdeg, Seq("id"), "left")
+      .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
+      .localCheckpoint(false)
+
+    val nS = nodeDeg.filter(col("__s").isNotNull).count()
+    require(nS > 0, "personalizedPageRank: no seed is a graph node")
+    val r0 = E12 / nS
+    val base = r0 * 15L / 100L
+
+    var ranks = nodeDeg.select(col("id"), col("outdeg"), col("__s"),
+      when(col("__s").isNotNull, lit(r0)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iterations) {
+      val dang = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("__dang"))
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(e("dst").as("id"), expr("r DIV outdeg").as("c"))
+      val incoming = contrib.groupBy("id").agg(sum(col("c")).as("__in"))
+      ranks = ranks.select(col("id"), col("outdeg"), col("__s"))
+        .join(incoming, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"), col("outdeg"), col("__s"),
+          expr(
+            s"""CASE WHEN __s IS NOT NULL
+               |  THEN ${base}L + (85L * (coalesce(__in, 0L) + (__dang DIV ${nS}L))) DIV 100L
+               |  ELSE (85L * coalesce(__in, 0L)) DIV 100L END""".stripMargin)
+            .as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("id"), col("r").as("rank_e12"))
+  }
+
   /** Count triangles in an undirected graph given as canonical (a < b)
     * edge pairs, via degree-ordered orientation (the node-iterator++ /
     * "forward" algorithm — Schank & Wagner, WEA'05): orient every edge

@@ -47,6 +47,44 @@ private[graft] object GraphQueries {
     s"$head,\n$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY rank_e12 DESC, id LIMIT 20"
   }
 
+  /** Unrolled personalized-PageRank oracle: same graph CTEs, seed set =
+    * every 100th customer node, teleport/base mass only on seeds, dangling
+    * mass returned to the seeds — the exact mirror of
+    * [[Graph.personalizedPageRank]]'s CASE recurrence.
+    */
+  private def pprSql(iters: Int): String = {
+    val head =
+      """WITH raw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM raw),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |sd AS (SELECT id FROM nodes WHERE id % 2 = 0 AND (id // 2) % 100 = 0),
+        |consts AS (SELECT COUNT(*) AS ns, 1000000000000 // COUNT(*) AS rinit,
+        |  ((1000000000000 // COUNT(*)) * 15) // 100 AS bconst FROM sd),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT n.id,
+        |         CASE WHEN s.id IS NOT NULL THEN (SELECT rinit FROM consts) ELSE 0 END AS r
+        |       FROM nodes n LEFT JOIN sd s ON n.id = s.id)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+         |  FROM r${k - 1} WHERE id NOT IN (SELECT src FROM edges)),
+         |r$k AS (SELECT n.id,
+         |    CASE WHEN s.id IS NOT NULL
+         |      THEN (SELECT bconst FROM consts)
+         |        + (85 * (COALESCE(i.s, 0)
+         |                 + ((SELECT dang FROM d$k) // (SELECT ns FROM consts)))) // 100
+         |      ELSE (85 * COALESCE(i.s, 0)) // 100 END AS r
+         |  FROM nodes n LEFT JOIN sd s ON n.id = s.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.r // o.outdeg) AS BIGINT) AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY e.dst) i ON n.id = i.id)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT id, r AS rank_e12 FROM r$iters WHERE r > 0 ORDER BY rank_e12 DESC, id LIMIT 20"
+  }
+
   /** Shared co-purchase SQL: distinct (order, part) items, a-priori
     * document-frequency prune, canonical a<b pair counts.
     */
@@ -79,6 +117,26 @@ private[graft] object GraphQueries {
       },
       Some(pagerankSql(3)),
       bench = true),
+
+    Q("graph_ppr",
+      // personalized PageRank from every-100th-customer seeds over the
+      // same purchase graph — the "expand a crawl frontier / find
+      // entities like these" query; mass teleports only to seeds, so the
+      // top ranks are the seed neighborhood, not the global hubs
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val seeds = raw.select(col("src").as("id")).distinct()
+          .filter(expr("(id DIV 2) % 100 = 0"))
+        Graph.personalizedPageRank(raw, seeds, iterations = 3)
+          .filter(col("rank_e12") > 0)
+          .orderBy(col("rank_e12").desc, col("id"))
+          .limit(20)
+      },
+      Some(pprSql(3))),
 
     Q("graph_copurchase_pairs",
       // Market-basket pair mining, a-priori pruned (Agrawal & Srikant,

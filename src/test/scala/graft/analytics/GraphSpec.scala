@@ -41,6 +41,24 @@ class GraphSpec extends SparkSpec {
     assert(rs.size == 1, s"cycle nodes diverged: $rs")
   }
 
+  test("personalizedPageRank: mass stays in the seed component and is conserved") {
+    // two disconnected chains: 1→2→3 and 10→11; seed = {1}.
+    // The 10/11 component must hold exactly ZERO mass; total stays within
+    // rounding units of E12 (dangling node 3 teleports back to the seed).
+    // (On a 1-out-degree chain the seed does NOT outrank its successor —
+    // it forwards ALL its mass each round and keeps only the teleport —
+    // so the ordering claims are down-chain decay and off-component zero.)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 4)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L, s"mass leaked off-component: $r")
+    assert(r(2L) > r(3L), s"mass must decay down-chain past the funnel: $r")
+    assert(r(1L) > 0L)
+    val total = r.values.sum
+    assert(math.abs(total - 1000000000000L) < 1000L, s"mass not conserved: $total")
+  }
+
   test("triangleCount: K4 has 4 triangles, square has 0") {
     val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
       .toDF("a", "b")
