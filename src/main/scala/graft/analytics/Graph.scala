@@ -155,6 +155,52 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM'99) — the mutual-
+    * reinforcement ranking built for bipartite graphs like
+    * customer→part: a part is authoritative when good hub customers buy
+    * it; a customer is a good hub when they buy authoritative parts.
+    * Integer-exact: updates are pure sums, and instead of the usual L2
+    * normalization (whose sqrt never replays cross-engine) each
+    * half-step rescales by the MAX via integral division to e6 fixed
+    * point — same ranking, exact arithmetic, no overflow (scores ≤ 1e6,
+    * so a sum over any realistic degree stays far under 2^63).
+    *
+    * Scale shape per half-step: one equi-join of the edge list against
+    * the current scores (shuffle on the join key), one map-side-
+    * combinable sum, one broadcast 1-row max. Lineage truncated with a
+    * lazy checkpoint per round.
+    *
+    * @return (id, kind, score_e6) with kind ∈ {'hub','auth'} — every
+    *         node appearing on the matching side of an edge
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    val E6 = 1000000L
+    var hubs = e.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(E6))
+    var auth = hubs.limit(0).select(col("id"), col("h").as("a")) // replaced below
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(e("dst").as("id")).agg(sum(col("h")).as("ar"))
+      val amax = aRaw.agg(max(col("ar")).as("m"))
+      auth = aRaw.crossJoin(broadcast(amax))
+        .select(col("id"), expr(s"(ar * ${E6}L) DIV m").as("a"))
+        .localCheckpoint(false)
+      val hRaw = e.join(auth, e("dst") === auth("id"))
+        .groupBy(e("src").as("id")).agg(sum(col("a")).as("hr"))
+      val hmax = hRaw.agg(max(col("hr")).as("m"))
+      hubs = hRaw.crossJoin(broadcast(hmax))
+        .select(col("id"), expr(s"(hr * ${E6}L) DIV m").as("h"))
+        .localCheckpoint(false)
+    }
+    auth.select(col("id"), lit("auth").as("kind"), col("a").as("score_e6"))
+      .union(hubs.select(col("id"), lit("hub").as("kind"),
+        col("h").as("score_e6")))
+  }
+
   /** Count triangles in an undirected graph given as canonical (a < b)
     * edge pairs, via degree-ordered orientation (the node-iterator++ /
     * "forward" algorithm — Schank & Wagner, WEA'05): orient every edge

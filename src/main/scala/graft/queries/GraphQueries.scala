@@ -164,6 +164,82 @@ private[graft] object GraphQueries {
         "\nSELECT item_a, item_b, n FROM pairs ORDER BY n DESC, item_a, item_b LIMIT 50"),
       bench = true),
 
+    Q("graph_hits",
+      // HITS on the bipartite purchase graph: top-20 authority parts.
+      // Max-rescaled integer half-steps — the ranking L2 normalization
+      // would give, with arithmetic the oracle replays bit-for-bit.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.hits(raw, iterations = 2)
+          .filter(col("kind") === "auth")
+          .select(col("id"), col("score_e6").as("auth_e6"))
+          .orderBy(col("auth_e6").desc, col("id"))
+          .limit(20)
+      },
+      Some(
+        """WITH raw AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM raw),
+          |h0 AS (SELECT DISTINCT src AS id, 1000000 AS h FROM edges),
+          |a1r AS (SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS ar
+          |        FROM edges e JOIN h0 h ON e.src = h.id GROUP BY e.dst),
+          |a1 AS (SELECT id, (ar * 1000000) // (SELECT MAX(ar) FROM a1r) AS a FROM a1r),
+          |h1r AS (SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS hr
+          |        FROM edges e JOIN a1 a ON e.dst = a.id GROUP BY e.src),
+          |h1 AS (SELECT id, (hr * 1000000) // (SELECT MAX(hr) FROM h1r) AS h FROM h1r),
+          |a2r AS (SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS ar
+          |        FROM edges e JOIN h1 h ON e.src = h.id GROUP BY e.dst),
+          |a2 AS (SELECT id, (ar * 1000000) // (SELECT MAX(ar) FROM a2r) AS a FROM a2r)
+          |SELECT id, a AS auth_e6 FROM a2
+          |ORDER BY auth_e6 DESC, id LIMIT 20""".stripMargin)),
+
+    Q("graph_pair_lift",
+      // association mining on top of the co-purchase pairs: exact
+      // rational lift (N·c_ab / c_a·c_b, e6) and directional confidence
+      // — support alone ranks ubiquitous items; lift finds pairs bought
+      // together MORE than their popularity predicts
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+        val nB = items.select(countDistinct(col("ord")).as("nb"))
+        val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 25)
+        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val pairs = fi.as("a")
+          .join(fi.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2)
+        pairs
+          .join(broadcast(freq.select(col("item").as("item_a"), col("df").as("ca"))), Seq("item_a"))
+          .join(broadcast(freq.select(col("item").as("item_b"), col("df").as("cb"))), Seq("item_b"))
+          .crossJoin(broadcast(nB))
+          .select(col("item_a"), col("item_b"), col("n"),
+            expr("(n * nb * 1000000L) DIV (ca * cb)").as("lift_e6"),
+            expr("(n * 1000000L) DIV ca").as("conf_ab_e6"),
+            expr("(n * 1000000L) DIV cb").as("conf_ba_e6"))
+          .orderBy(col("lift_e6").desc, col("item_a"), col("item_b"))
+          .limit(30)
+      },
+      Some(copurchaseCte + """,
+        |nb AS (SELECT COUNT(DISTINCT ord) AS nb FROM items),
+        |fq AS (SELECT item, COUNT(*) AS df FROM items GROUP BY item HAVING COUNT(*) >= 25),
+        |l AS (SELECT p.item_a, p.item_b, p.n,
+        |        (p.n * (SELECT nb FROM nb) * 1000000) // (fa.df * fb.df) AS lift_e6,
+        |        (p.n * 1000000) // fa.df AS conf_ab_e6,
+        |        (p.n * 1000000) // fb.df AS conf_ba_e6
+        |      FROM pairs p JOIN fq fa ON p.item_a = fa.item
+        |      JOIN fq fb ON p.item_b = fb.item
+        |      WHERE p.n >= 2)
+        |SELECT * FROM l ORDER BY lift_e6 DESC, item_a, item_b LIMIT 30""".stripMargin)),
+
     Q("graph_triangles",
       // Triangle count over the co-purchase graph (pairs seen in ≥2
       // baskets), via degree-ordered orientation — the oracle counts the

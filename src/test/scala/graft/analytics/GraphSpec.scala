@@ -59,6 +59,21 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - 1000000000000L) < 1000L, s"mass not conserved: $total")
   }
 
+  test("hits: hand-computed bipartite hubs and authorities") {
+    // customers {1,2}, parts {101,103}: 1 buys both, 2 buys only 103.
+    // Round 1: a(101)=1e6→rescale .5e6, a(103)=2e6→1e6; h(1)=1.5e6→1e6,
+    // h(2)=1e6→666666. Round 2: a(101)=1e6→600000, a(103)=1666666→1e6;
+    // h(1)=1.6e6→1e6, h(2)=1e6→625000. The shared part is the authority;
+    // the two-part buyer is the stronger hub.
+    val edges = Seq((1L, 101L), (1L, 103L), (2L, 103L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iterations = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out((103L, "auth")) == 1000000L)
+    assert(out((101L, "auth")) == 600000L)
+    assert(out((1L, "hub")) == 1000000L)
+    assert(out((2L, "hub")) == 625000L)
+  }
+
   test("triangleCount: K4 has 4 triangles, square has 0") {
     val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
       .toDF("a", "b")
