@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{Bloom, Dashboard}
 import graft.etl.{Parse, Transform}
 import graft.expr.Transliterate
-import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
 import graft.streaming.Events
 import graft.util.Num.{cents, e6}
@@ -486,8 +486,73 @@ private[graft] object TextQueries {
           |  CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_chunk_tokens,
           |  array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
           |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    Q("text_bpe_train",
+      // BPE tokenizer training (Sennrich ACL'16): one corpus pass for
+      // word freqs, then 3 merge rounds each touching only the
+      // vocabulary. Integer pair counts, deterministic (cnt desc, l, r)
+      // argmax, literal-replace rewrite — the oracle unrolls the same 3
+      // rounds and matches bit-for-bit.
+      (s, d) => {
+        val (merges, _) = Bpe.learnMerges(
+          Bpe.wordFreqs(tbl(s, d, "documents"), minFreq = 5L), k = 3)
+        merges.orderBy("step")
+      },
+      Some(s"""${bpeCtes(3)}
+        |SELECT step, left_sym, right_sym, pair_count FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, l AS left_sym, r AS right_sym, cnt AS pair_count FROM t1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM t2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), l, r, cnt FROM t3)
+        |ORDER BY step""".stripMargin),
+      bench = true),
+
+    Q("text_bpe_segment",
+      // the trained vocabulary applied: top-30 words by frequency with
+      // their post-merge segmentations — the artifact a tokenizer ships
+      (s, d) => {
+        val (_, words) = Bpe.learnMerges(
+          Bpe.wordFreqs(tbl(s, d, "documents"), minFreq = 5L), k = 3)
+        Bpe.segmented(words)
+          .orderBy(col("freq").desc, col("w"))
+          .limit(30)
+      },
+      Some(s"""${bpeCtes(3)}
+        |SELECT w,
+        |  array_to_string(string_split(trim(sym, chr(31)), chr(31)||chr(31)), '|') AS seg,
+        |  CAST(len(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS BIGINT) AS n_sym,
+        |  freq
+        |FROM w3 ORDER BY freq DESC, w LIMIT 30""".stripMargin))
   )
+
+  /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
+    * symbol strings (each symbol in its own chr(31) pair, so a literal
+    * replace of "␟l␟␟r␟"→"␟lr␟" IS the greedy left-to-right BPE merge),
+    * then `k` unrolled rounds of pair-count → argmax → rewrite,
+    * mirroring Bpe.learnMerges exactly.
+    */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      """toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents),
+        |wf AS (
+        |  SELECT w, COUNT(*) AS freq FROM toks
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) BETWEEN 2 AND 12
+        |  GROUP BY w HAVING COUNT(*) >= 5),
+        |w0 AS (SELECT w, regexp_replace(w, '(.)', chr(31)||'\1'||chr(31), 'g') AS sym, freq FROM wf)"""
+        .stripMargin
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest([ {'l': parts[j], 'r': parts[j+1]} FOR j IN generate_series(1, len(parts)-1) ]) AS p, freq
+         |    FROM (SELECT string_split(trim(sym, chr(31)), chr(31)||chr(31)) AS parts, freq FROM w${i - 1})
+         |    WHERE len(parts) >= 2)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, replace(sym, chr(31)||t.l||chr(31)||chr(31)||t.r||chr(31), chr(31)||t.l||t.r||chr(31)) AS sym, freq FROM w${i - 1}, t$i t)"""
+        .stripMargin
+    }
+    (base +: steps).mkString("WITH ", ",\n", "")
+  }
 
   /** Oracle for text_bm25: identical tokenization, the same query-token
     * tf/df, and the same integer-cleared BM25 arithmetic (see
