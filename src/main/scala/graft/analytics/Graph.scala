@@ -201,6 +201,43 @@ object Graph {
         col("h").as("score_e6")))
   }
 
+  /** Hop-bounded breadth-first search from a seed set: the minimum hop
+    * distance to every node reachable within `maxHops` — the crawl-depth /
+    * "N degrees of separation" primitive (and the building block of
+    * neighborhood sampling for graph feature extraction).
+    *
+    * Frontier-expansion shape: round h joins ONLY the hop-(h-1) frontier
+    * against the edge list (shuffle on src), then folds the discoveries
+    * into the distance table with one min-aggregation — so per-round cost
+    * is O(frontier × avg-degree), not O(nodes), and the round count is a
+    * constant `maxHops`, not the graph diameter. Lineage is truncated
+    * with a lazy localCheckpoint per round (materialized by the terminal
+    * action — the single-action discipline of [[pageRank]]).
+    *
+    * @param edges (src, dst) directed edge list; symmetrize upstream for
+    *              undirected reachability
+    * @param seeds one-column frame of seed node ids (hop 0)
+    * @return (id, hop) — minimum hop count per reached node, seeds at 0
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    var dist = seeds.toDF("id").select(col("id").cast("long")).distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(false)
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("hop") === (h - 1).toLong)
+        .join(e, col("id") === e("src"))
+        .select(e("dst").as("id"), lit(h.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy("id").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Count triangles in an undirected graph given as canonical (a < b)
     * edge pairs, via degree-ordered orientation (the node-iterator++ /
     * "forward" algorithm — Schank & Wagner, WEA'05): orient every edge

@@ -52,6 +52,43 @@ object Corpus {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Temperature-scaled multilingual/domain mixture plan (Conneau et al.,
+    * ACL'20 "Unsupervised Cross-lingual Representation Learning at Scale"
+    * §3.1; the α-exponentiated sampling every multilingual pretraining
+    * corpus uses): target share of source i ∝ tokens_i^α with α = 1/2, so
+    * low-resource sources are up-weighted relative to their raw size
+    * without letting any single source dominate.
+    *
+    * Integer-exact cross-engine: the only non-integral op is
+    * floor(sqrt(tokens)) — IEEE-754 sqrt is correctly rounded in both
+    * JVM and DuckDB, and for tokens < 2^52 the floor is bit-identical
+    * (document corpora measured in tokens-per-source stay far below).
+    * From the weights everything is integral e6 arithmetic:
+    *
+    *   share_e6(i)  = w_i·1e6 DIV Σw     (w_i = floor(sqrt(tokens_i)))
+    *   repeat_e6(i) = share_e6(i)·T DIV tokens_i    (T = Σ tokens)
+    *
+    * repeat_e6 is the epochs-over-this-source factor needed to hit its
+    * target share of a token budget equal to the whole corpus — > 1e6
+    * means the source is seen more than once per budget (up-sampled),
+    * < 1e6 down-sampled. One groupBy over the corpus plus a broadcast
+    * 1-row totals join; nothing corpus-sized is shuffled twice.
+    */
+  def mixturePlan(docs: DataFrame, textCol: Column, groupCol: Column): DataFrame = {
+    val base = docs
+      .groupBy(groupCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(textCol).cast("long")).as("tokens"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        floor(sqrt(col("tokens").cast("double"))).cast("long").as("w"))
+    val totals = base.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("w")).as("tot_w"))
+    base.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(w * 1000000L) DIV tot_w").as("share_e6"),
+        expr("(((w * 1000000L) DIV tot_w) * tot_tokens) DIV tokens").as("repeat_e6"))
+  }
+
   /** Capacity-based sequence packing: documents are laid out in a
     * deterministic order (orderCol) per stream (partitionCol, e.g.
     * language), concatenated conceptually, and cut into fixed token-budget

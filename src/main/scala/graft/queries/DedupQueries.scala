@@ -146,6 +146,31 @@ private[graft] object DedupQueries {
       Some(MINHASH_VERIFIED_SQL),
       bench = true),
 
+    Q("dedup_minhash_recall",
+      // measure-don't-guess for the propose stage itself: recall and
+      // precision of the LSH candidate set (est ≥ 0.3) against EXACT
+      // shingle-Jaccard ≥ 3/5 truth from the lossless prefix-filtered
+      // join. Recall is the number that justifies trusting banded LSH at
+      // 100 TB (where the exact join is the thing you can no longer run);
+      // precision quantifies how much the cheap verify stage filters.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val truth = Dedup.ppjoinPairs(docs, tauNum = 3, tauDen = 5)
+          .select("id_a", "id_b")
+        val prop = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+            minJaccard = 0.3, md5Base = true)
+          .select("id_a", "id_b")
+        val hit = truth.join(prop, Seq("id_a", "id_b"), "left_semi")
+        val tc = truth.agg(count(lit(1)).as("n_truth"))
+        val pc = prop.agg(count(lit(1)).as("n_proposed"))
+        val hc = hit.agg(count(lit(1)).as("n_hit"))
+        tc.crossJoin(broadcast(pc)).crossJoin(broadcast(hc))
+          .select(col("n_truth"), col("n_proposed"), col("n_hit"),
+            expr("(n_hit * 1000000L) DIV n_truth").as("recall_e6"),
+            expr("(n_hit * 1000000L) DIV n_proposed").as("precision_e6"))
+      },
+      Some(MINHASH_RECALL_SQL)),
+
     Q("dedup_simhash",
       // md5-bit signature variant: per-token bits from the md5 hex digest
       // instead of xxhash64, so the ±1-sum/sign aggregation is exactly
@@ -352,6 +377,37 @@ private[graft] object DedupQueries {
        |  CAST(floor(CAST(eq AS DOUBLE) / 64 * 1000000) AS BIGINT) AS est_jaccard_e6
        |FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for dedup_minhash_recall: LSH candidate pairs (MINHASH_CTES,
+    * est ≥ 0.3) scored against brute-force exact shingle-Jaccard ≥ 3/5
+    * truth (the PPJOIN definition restated with t-prefixed CTE names).
+    * Counts and e6 ratios are all integral.
+    */
+  private lazy val MINHASH_RECALL_SQL: String =
+    s"""WITH $MINHASH_CTES,
+       |prop AS (SELECT id_a, id_b FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3),
+       |ttk AS (SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |tsh0 AS (SELECT doc_id, list_distinct(list_filter(
+       |          [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+       |           FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
+       |          x -> len(x) > 0)) AS s FROM ttk),
+       |tsh AS (SELECT doc_id, s, len(s) AS n FROM tsh0 WHERE len(s) >= 1),
+       |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |        CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+       |      FROM tsh a JOIN tsh b ON a.doc_id < b.doc_id),
+       |truth AS (SELECT id_a, id_b FROM tp WHERE inter * 5 >= uni * 3),
+       |hit AS (SELECT t.id_a, t.id_b
+       |        FROM truth t JOIN prop p ON t.id_a = p.id_a AND t.id_b = p.id_b)
+       |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM prop) AS BIGINT) AS n_proposed,
+       |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       |  CAST(((SELECT count(*) FROM hit) * 1000000)
+       |       // (SELECT count(*) FROM truth) AS BIGINT) AS recall_e6,
+       |  CAST(((SELECT count(*) FROM hit) * 1000000)
+       |       // (SELECT count(*) FROM prop) AS BIGINT) AS precision_e6""".stripMargin
 
   /** Oracle for dedup_minhash_verified — the full two-stage pipeline:
     * LSH candidates (MINHASH_CTES), exact word-set jaccard confirm

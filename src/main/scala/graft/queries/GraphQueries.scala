@@ -240,6 +240,39 @@ private[graft] object GraphQueries {
         |      WHERE p.n >= 2)
         |SELECT * FROM l ORDER BY lift_e6 DESC, item_a, item_b LIMIT 30""".stripMargin)),
 
+    Q("graph_bfs_hops",
+      // hop-bounded BFS over the SYMMETRIZED purchase graph from the
+      // lowest customer node: hop 1 = parts they bought, hop 2 = other
+      // customers of those parts, hop 3 = those customers' parts — the
+      // collaborative-expansion frontier. The oracle is a recursive CTE
+      // bounded by the same hop cap; min(hop) is the BFS distance.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        val seed = raw.agg(min(col("src")).as("id"))
+        Graph.bfsHops(sym, seed, maxHops = 3)
+          .orderBy("hop", "id")
+      },
+      Some(
+        """WITH RECURSIVE raw AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+          |seed AS (SELECT min(src) AS id FROM raw),
+          |reach(id, hop) AS (
+          |  SELECT id, 0 FROM seed
+          |  UNION
+          |  SELECT e.dst, r.hop + 1
+          |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.hop < 3
+          |)
+          |SELECT id, CAST(min(hop) AS BIGINT) AS hop
+          |FROM reach GROUP BY id ORDER BY hop, id""".stripMargin),
+      bench = true),
+
     Q("graph_triangles",
       // Triangle count over the co-purchase graph (pairs seen in ≥2
       // baskets), via degree-ordered orientation — the oracle counts the

@@ -130,6 +130,31 @@ private[graft] object TextQueries {
           |  CAST(st % 2048 AS BIGINT) AS pack_offset
           |FROM c ORDER BY doc_id""".stripMargin)),
 
+    Q("text_mixture_plan",
+      // temperature-scaled (α = 1/2) training-mixture plan per language —
+      // the XLM-R sampling recipe: target share ∝ sqrt(tokens), repeat
+      // factor = how many epochs of the source fill its share of a
+      // whole-corpus token budget. floor(sqrt) is IEEE-correctly-rounded
+      // in both engines; everything after it is integral e6 arithmetic.
+      (s, d) => Corpus.mixturePlan(tbl(s, d, "documents"),
+          col("text"), col("lang"))
+        .orderBy("source"),
+      Some(
+        """WITH b AS (
+          |  SELECT lang AS source, count(*) AS n_docs,
+          |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
+          |  FROM documents GROUP BY lang),
+          |w AS (SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+          |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+          |      FROM b),
+          |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+          |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)
+          |SELECT source, n_docs, tokens,
+          |  CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
+          |  CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
+          |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
       // both engines); distribution report for corpus quality monitoring

@@ -82,6 +82,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(square).as[Long].head() == 0L)
   }
 
+  test("bfsHops: min hop distance on a known graph, cap respected") {
+    // path 1→2→3→4→5 plus shortcut 1→4: node 4 is 1 hop (shortcut), not 3;
+    // node 5 is 2; with maxHops=2 node 5 is reached but nothing deeper.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsHops(edges, seeds, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops: unreachable nodes are absent; revisits never raise a hop") {
+    // cycle 1→2→2→1 with an off-component edge 10→11: BFS from 1 must
+    // never include 10/11, and looping back to 1 keeps hop 0
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L)).toDF("src", "dst")
+    val d = Graph.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("triangleCount: hub-skewed graph matches naive enumeration") {
     // hub 0 connected to 1..20, plus a sparse ring among the leaves —
     // triangles are exactly the (0, i, i+1) closures the ring creates.

@@ -7,6 +7,22 @@ import graft.SparkSpec
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixturePlan: sqrt temperature up-weights the small source, exact e6 values") {
+    // 90 "big" docs vs 10 "small", 4 tokens each: raw shares 90/10 but
+    // sqrt-temperature shares w=18 vs w=6 → 750000/250000 e6. The small
+    // source's 250000 > its raw 100000 — the up-weighting the recipe
+    // exists for — and every e6 value is exact integer arithmetic.
+    val docs = ((1 to 90).map(i => (i.toLong, "big", "a b c d")) ++
+      (91 to 100).map(i => (i.toLong, "small", "a b c d")))
+      .toDF("doc_id", "lang", "text")
+    val plan = Corpus.mixturePlan(docs, col("text"), col("lang"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(plan("big") == ((360L, 750000L, 833333L)))
+    assert(plan("small") == ((40L, 250000L, 2500000L)))
+  }
+
   test("splitAssign is deterministic and stable under corpus growth") {
     val small = spark.range(0, 100).toDF("id")
       .select(col("id"), Corpus.splitAssign(col("id")).as("s"))
