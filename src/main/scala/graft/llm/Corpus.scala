@@ -89,6 +89,50 @@ object Corpus {
         expr("(((w * 1000000L) DIV tot_w) * tot_tokens) DIV tokens").as("repeat_e6"))
   }
 
+  /** Realize a [[mixturePlan]]: deterministic per-document copy counts
+    * that hit each source's temperature-scaled target share in
+    * expectation, plus the realized per-source totals next to the
+    * targets so the sampling error is measurable.
+    *
+    * Every document gets floor(repeat_e6 / 1e6) whole copies; the
+    * fractional remainder becomes a Bernoulli trial decided by the
+    * document's salted md5-head32 mod 1e6 — the same engine-independent
+    * coin as [[splitAssign]], so the realized corpus is identical on any
+    * engine and stable under reruns (no RNG state, no shuffle-order
+    * dependence). Scale shape: the plan is a per-source handful of rows
+    * (broadcast); the apply is one narrow pass over the corpus plus one
+    * per-source aggregation.
+    *
+    * @return per source: (source, n_docs, realized_docs, realized_tokens,
+    *         target_share_e6, realized_share_e6)
+    */
+  def mixtureApply(docs: DataFrame, textCol: Column, groupCol: Column,
+      idCol: Column): DataFrame = {
+    val plan = mixturePlan(docs, textCol, groupCol)
+    val h = conv(substring(md5(
+      concat(idCol.cast("string"), lit("#mix")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val perDoc = docs
+      .select(groupCol.as("source"), idCol.as("doc_id"),
+        tokenCount(textCol).cast("long").as("toks"),
+        (h % 1000000L).as("__frac"))
+      .join(broadcast(plan.select("source", "share_e6", "repeat_e6")), "source")
+      .withColumn("n_copies",
+        expr("repeat_e6 DIV 1000000") +
+          when(col("__frac") < expr("repeat_e6 % 1000000"), lit(1L))
+            .otherwise(lit(0L)))
+    val real = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_copies")).as("realized_docs"),
+      sum(col("n_copies") * col("toks")).as("realized_tokens"),
+      max(col("share_e6")).as("target_share_e6"))
+    val tot = real.agg(sum(col("realized_tokens")).as("tot_real"))
+    real.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("realized_docs"),
+        col("realized_tokens"), col("target_share_e6"),
+        expr("(realized_tokens * 1000000L) DIV tot_real").as("realized_share_e6"))
+  }
+
   /** Capacity-based sequence packing: documents are laid out in a
     * deterministic order (orderCol) per stream (partitionCol, e.g.
     * language), concatenated conceptually, and cut into fixed token-budget

@@ -66,6 +66,40 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists (Cormack,
+    * Clarke & Büttcher, SIGIR'09) — the standard hybrid-search combiner:
+    * rrf(d) = Σ_lists 1/(c + rank_list(d)), here in exact e6 integers
+    * (1e6 DIV (c + rank)), so the fused ranking replays digit-for-digit
+    * cross-engine. Documents missing from a list contribute 0 from it —
+    * RRF's whole point is that rank, not score scale, carries the signal,
+    * which is what lets a BM25 list and a cosine list fuse at all.
+    *
+    * Scale shape: both inputs are already top-k-per-query (broadcast-
+    * thin); one full-outer equi-join on (query_id, id), one heap top-k.
+    *
+    * @param a,b ranked lists as (query_id, id, rnk) with rnk from 1
+    * @return (query_id, id, rrf_e6, rank_a, rank_b, rnk) — rank_a/b 0
+    *         when absent from that list; rnk by (rrf_e6 desc, id)
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0, s"c must be >= 0, got $c")
+    val la = a.select(col("query_id"), col("id"),
+      col("rnk").cast("long").as("__ra"))
+    val lb = b.select(col("query_id"), col("id"),
+      col("rnk").cast("long").as("__rb"))
+    val fused = la.join(lb, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(expr(s"1000000L DIV ($c + __ra)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($c + __rb)"), lit(0L))).as("rrf_e6"),
+        coalesce(col("__ra"), lit(0L)).as("rank_a"),
+        coalesce(col("__rb"), lit(0L)).as("rank_b"))
+    graft.plans.TopK.perGroup(fused, Seq("query_id"), col("rrf_e6"),
+        col("id"), k, rankName = "rnk")
+      .select(col("query_id"), col("id"), col("rrf_e6"),
+        col("rank_a"), col("rank_b"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast.
     */

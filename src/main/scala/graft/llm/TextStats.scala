@@ -197,6 +197,55 @@ object TextStats {
       .orderBy(col("score_e6").desc, col("doc_id"))
   }
 
+  /** Per-document "more like this" BM25: every document in `queryIds`
+    * becomes a bag-of-tokens query (its own distinct tokens), scored
+    * against the rest of the corpus with exactly [[bm25]]'s all-long
+    * Okapi arithmetic — the lexical half of hybrid retrieval, and the
+    * related-documents primitive search UIs build on.
+    *
+    * Scale shape: the query-token table is (few queries × distinct
+    * tokens) — broadcast twice (once to prune corpus postings BEFORE the
+    * tf shuffle, once to expand per-query scores); df/totals broadcast
+    * as in [[bm25]]; the per-query top-k runs on the heap-based
+    * TopKPerGroupExec, O(k) state per query. Nothing corpus-sized is
+    * shuffled beyond the one pruned tf aggregation.
+    *
+    * @param queryIds one-column frame of query document ids
+    * @return (query_id, doc_id, score_e6, rnk), rnk ∈ [1, k] per query
+    *         by (score_e6 desc, doc_id); self-matches excluded
+    */
+  def moreLikeThis(docs: DataFrame, queryIds: DataFrame, k: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val qt = toks
+      .join(broadcast(queryIds.toDF("query_id")),
+        col("doc_id") === col("query_id"), "left_semi")
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val tf = toks.join(broadcast(qt.select("tok").distinct()), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totN = docs.agg(count(lit(1)).as("__n"))
+    val totL = lens.agg(sum(col("len")).as("__l"))
+    val scored = tf.join(broadcast(df), "tok")
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totN)).crossJoin(broadcast(totL))
+      .select(col("query_id"), col("doc_id"),
+        expr("(((__n * 1000000) DIV df) * 22 * tf * __l) DIV " +
+          "(10 * tf * __l + 3 * __l + 9 * len * __n)").as("part_e6"))
+    val perPair = scored.groupBy("query_id", "doc_id")
+      .agg(sum(col("part_e6")).as("score_e6"))
+    graft.plans.TopK.perGroup(perPair, Seq("query_id"), col("score_e6"),
+        col("doc_id"), k, rankName = "rnk")
+      .select(col("query_id"), col("doc_id"), col("score_e6"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** Inverted index build: token → (true document frequency, posting list
     * of the first `cap` containing doc_ids, ascending). The capped list
     * is the retrieval-serving artifact ([[bm25]]'s candidate generator at

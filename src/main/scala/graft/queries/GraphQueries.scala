@@ -273,6 +273,46 @@ private[graft] object GraphQueries {
           |FROM reach GROUP BY id ORDER BY hop, id""".stripMargin),
       bench = true),
 
+    Q("graph_link_predict",
+      // link prediction over the co-purchase graph (pairs in ≥2 baskets):
+      // top-30 NON-adjacent part pairs by neighborhood Jaccard — "bought
+      // together with the same things but never together yet", the
+      // recommendation candidate list. Wedge enumeration with the hub
+      // cap, existing edges anti-joined away, exact e6 Jaccard.
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+        val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 25).select("item")
+        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val pairs = fi.as("a")
+          .join(fi.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+        Graph.linkPredict(
+          pairs.filter(col("n") >= 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")),
+          k = 30, maxDegree = 10000)
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |adj AS (SELECT a AS c, b AS nb FROM pe UNION ALL SELECT b, a FROM pe),
+        |dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+        |ca AS (SELECT c, nb FROM adj
+        |       WHERE c IN (SELECT c FROM dg WHERE deg <= 10000)),
+        |wd AS (SELECT x.nb AS item_a, y.nb AS item_b, count(*) AS cn
+        |       FROM ca x JOIN ca y ON x.c = y.c AND x.nb < y.nb GROUP BY 1, 2),
+        |op AS (SELECT * FROM wd WHERE NOT EXISTS (
+        |         SELECT 1 FROM pe WHERE pe.a = wd.item_a AND pe.b = wd.item_b))
+        |SELECT op.item_a, op.item_b, CAST(op.cn AS BIGINT) AS cn,
+        |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST((cn * 1000000) // (da.deg + db.deg - cn) AS BIGINT) AS jaccard_e6
+        |FROM op JOIN dg da ON da.c = op.item_a JOIN dg db ON db.c = op.item_b
+        |ORDER BY jaccard_e6 DESC, item_a, item_b LIMIT 30""".stripMargin),
+      bench = true),
+
     Q("graph_triangles",
       // Triangle count over the co-purchase graph (pairs seen in ≥2
       // baskets), via degree-ordered orientation — the oracle counts the

@@ -87,6 +87,26 @@ private[graft] object SimQueries {
           |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    Q("sim_hybrid_rrf",
+      // hybrid retrieval: dense (brute-force cosine top-10 over the
+      // embeddings) and sparse (per-query-doc more-like-this BM25 top-10
+      // over the aligned documents) lists fused by reciprocal-rank
+      // fusion, 1e6 DIV (60 + rank) — the standard two-tower + lexical
+      // combiner, exact-integer so the fused ranking replays in DuckDB
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val qv = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val dense = Similarity.bruteForceTopK(emb, qv, k = 10)
+          .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+        val sparse = TextStats.moreLikeThis(tbl(s, d, "documents"),
+            qv.select(col("vec_id").as("doc_id")), k = 10)
+          .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+        Similarity.rrfFuse(dense, sparse, k = 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some(HYBRID_RRF_SQL),
+      bench = true),
+
     Q("sim_exact_neardup_pairs",
       // threshold 0.3: the synthetic embeddings top out at cos ≈ 0.46, so a
       // "real" near-dup threshold matches a 0-row oracle — vacuously. 0.3
@@ -488,6 +508,58 @@ private[graft] object SimQueries {
     * CTEs), the same integer aHash bits, the same (phash, w, h) block and
     * cross-multiplied profile tolerance.
     */
+  /** Oracle for sim_hybrid_rrf: dense cosine top-10, sparse
+    * more-like-this BM25 top-10 (bm25's exact long arithmetic with
+    * per-query token bags), full-outer RRF fuse at c = 60, re-rank.
+    */
+  private lazy val HYBRID_RRF_SQL: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |sd AS (SELECT query_id, neighbor_id,
+      |        CAST(floor(list_inner_product(qv, cv) /
+      |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+      |      FROM c, q WHERE neighbor_id <> query_id),
+      |dl AS (SELECT query_id, id, rd FROM (
+      |        SELECT query_id, neighbor_id AS id,
+      |          row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rd
+      |        FROM sd) WHERE rd <= 10),
+      |tk AS (SELECT doc_id, tok FROM (
+      |        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents) WHERE tok <> ''),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk WHERE doc_id % 50 = 0),
+      |ln AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+      |       WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |ll AS (SELECT CAST(sum(len) AS BIGINT) AS l FROM ln),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |        CAST((((n * 1000000) // df) * 22 * tf * l) //
+      |             (10 * tf * l + 3 * l + 9 * len * n) AS BIGINT) AS part_e6
+      |      FROM tf JOIN dfq USING (tok) JOIN qt USING (tok)
+      |      JOIN ln ON ln.doc_id = tf.doc_id
+      |      CROSS JOIN nn CROSS JOIN ll
+      |      WHERE tf.doc_id <> qt.query_id),
+      |sp AS (SELECT query_id, doc_id AS id, CAST(sum(part_e6) AS BIGINT) AS score_e6
+      |       FROM sc GROUP BY 1, 2),
+      |sl AS (SELECT query_id, id, rs FROM (
+      |        SELECT query_id, id,
+      |          row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, id) AS rs
+      |        FROM sp) WHERE rs <= 10),
+      |f AS (SELECT COALESCE(dl.query_id, sl.query_id) AS query_id,
+      |        COALESCE(dl.id, sl.id) AS id,
+      |        COALESCE(1000000 // (60 + rd), 0) + COALESCE(1000000 // (60 + rs), 0) AS rrf_e6,
+      |        COALESCE(rd, 0) AS rank_a, COALESCE(rs, 0) AS rank_b
+      |      FROM dl FULL OUTER JOIN sl
+      |        ON dl.query_id = sl.query_id AND dl.id = sl.id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, id) AS rnk
+      |      FROM f)
+      |SELECT query_id, id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+      |  CAST(rank_a AS BIGINT) AS rank_a, CAST(rank_b AS BIGINT) AS rank_b,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   private lazy val MM_PHASH_SQL: String = {
     val dim = Multimodal.FakeDecoder.featureDim
     val sumSelects = (0 until dim).map(j =>

@@ -140,20 +140,46 @@ private[graft] object TextQueries {
           col("text"), col("lang"))
         .orderBy("source"),
       Some(
-        """WITH b AS (
-          |  SELECT lang AS source, count(*) AS n_docs,
-          |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
-          |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
-          |  FROM documents GROUP BY lang),
-          |w AS (SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
-          |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
-          |      FROM b),
-          |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
-          |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)
-          |SELECT source, n_docs, tokens,
-          |  CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
-          |  CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
-          |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+        s"""WITH $MIXTURE_CTES
+           |SELECT source, n_docs, tokens,
+           |  CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
+           |  CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
+           |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    Q("text_mixture_apply",
+      // the mixture plan REALIZED: md5-coin per-doc copy counts (whole
+      // copies + Bernoulli remainder, the splitAssign coin) and the
+      // realized per-source token shares landing next to the targets —
+      // the up/down-sampling step that actually builds the training mix,
+      // deterministic on any engine
+      (s, d) => Corpus.mixtureApply(tbl(s, d, "documents"),
+          col("text"), col("lang"), col("doc_id"))
+        .orderBy("source"),
+      Some(
+        s"""WITH $MIXTURE_CTES,
+           |p AS (SELECT source,
+           |    CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
+           |    CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
+           |  FROM w CROSS JOIN t),
+           |dd AS (SELECT lang AS source, doc_id,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS toks,
+           |    md5(CAST(doc_id AS VARCHAR) || '#mix') AS mh
+           |  FROM documents),
+           |pd AS (SELECT dd.source, dd.doc_id, dd.toks,
+           |    repeat_e6 // 1000000 +
+           |      CASE WHEN ($hexHead32Sql) % 1000000 < repeat_e6 % 1000000
+           |           THEN 1 ELSE 0 END AS n_copies
+           |  FROM dd JOIN p USING (source)),
+           |r AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(n_copies) AS BIGINT) AS realized_docs,
+           |    CAST(sum(n_copies * toks) AS BIGINT) AS realized_tokens
+           |  FROM pd GROUP BY source),
+           |tt AS (SELECT CAST(sum(realized_tokens) AS BIGINT) AS tot_real FROM r)
+           |SELECT r.source, r.n_docs, r.realized_docs, r.realized_tokens,
+           |  p.share_e6 AS target_share_e6,
+           |  CAST((realized_tokens * 1000000) // tot_real AS BIGINT) AS realized_share_e6
+           |FROM r JOIN p USING (source) CROSS JOIN tt ORDER BY source""".stripMargin)),
 
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
@@ -584,6 +610,23 @@ private[graft] object TextQueries {
     * TextStats.bm25 — numerator and denominator multiplied through by
     * 10·L, integer division last).
     */
+  /** Shared mixture-plan CTEs (per-source token counts → sqrt-temperature
+    * weights → corpus totals), ending in `w(source, n_docs, tokens, w)`
+    * and `t(tot_tokens, tot_w)` — used by both the plan and apply
+    * queries.
+    */
+  private lazy val MIXTURE_CTES: String =
+    """b AS (
+      |  SELECT lang AS source, count(*) AS n_docs,
+      |    sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+      |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+      |      FROM b),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+      |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)""".stripMargin
+
   private lazy val BM25_SQL: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
       |              FROM documents),

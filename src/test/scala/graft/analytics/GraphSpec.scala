@@ -102,6 +102,24 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("linkPredict: non-adjacent pair with shared neighbors, exact jaccard") {
+    // square 1-2-3-4 with diagonal 2-3: the only non-adjacent pair is
+    // (1,4), common neighbors {2,3}, deg(1)=deg(4)=2 → jaccard = 2/2 = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Graph.linkPredict(edges, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 1000000L)))
+  }
+
+  test("linkPredict: hub cap drops super-hub wedge centers") {
+    // star: center 0 connected to 1..5. All predictions go through the
+    // center; capping maxDegree below 5 removes them all.
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("a", "b")
+    assert(Graph.linkPredict(star, k = 10).count() == 10L) // C(5,2) capped at k
+    assert(Graph.linkPredict(star, k = 10, maxDegree = 4).count() == 0L)
+  }
+
   test("triangleCount: hub-skewed graph matches naive enumeration") {
     // hub 0 connected to 1..20, plus a sparse ring among the leaves —
     // triangles are exactly the (0, i, i+1) closures the ring creates.

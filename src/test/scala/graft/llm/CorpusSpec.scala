@@ -23,6 +23,29 @@ class CorpusSpec extends SparkSpec {
     assert(plan("small") == ((40L, 250000L, 2500000L)))
   }
 
+  test("mixtureApply: copy counts replay the md5 coin exactly") {
+    // same 90/10 corpus: big repeat_e6 = 833333 (Bernoulli 0.833333),
+    // small = 2500000 (2 whole copies + Bernoulli 0.5). Expected counts
+    // recomputed here with an independent JVM md5 — engine must match.
+    val docs = ((1 to 90).map(i => (i.toLong, "big", "a b c d")) ++
+      (91 to 100).map(i => (i.toLong, "small", "a b c d")))
+      .toDF("doc_id", "lang", "text")
+    def coin(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#mix".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expBig = (1 to 90).map(i => if (coin(i) < 833333L) 1L else 0L).sum
+    val expSmall = (91 to 100).map(i => 2L + (if (coin(i) < 500000L) 1L else 0L)).sum
+    val out = Corpus.mixtureApply(docs, col("text"), col("lang"), col("doc_id"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("realized_docs"),
+        r.getAs[Long]("realized_tokens")))).toMap
+    assert(out("big") == ((expBig, expBig * 4)))
+    assert(out("small") == ((expSmall, expSmall * 4)))
+  }
+
   test("splitAssign is deterministic and stable under corpus growth") {
     val small = spark.range(0, 100).toDF("id")
       .select(col("id"), Corpus.splitAssign(col("id")).as("s"))

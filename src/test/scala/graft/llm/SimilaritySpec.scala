@@ -352,4 +352,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("rrfFuse: exact e6 scores, both-list docs win, absent ranks are 0") {
+    // list A: 10 then 20; list B: 20 then 30. Doc 20 (both lists) must
+    // fuse first: 1e6 DIV 62 + 1e6 DIV 61 = 16129 + 16393 = 32522;
+    // 10 gets 16393 (rank_b = 0), 30 gets 16129 (rank_a = 0).
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "id", "rnk")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "id", "rnk")
+    val out = Similarity.rrfFuse(a, b, k = 10).orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rrf_e6"),
+        r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"),
+        r.getAs[Long]("rnk"))).toSeq
+    assert(out == Seq(
+      (20L, 32522L, 2L, 1L, 1L),
+      (10L, 16393L, 1L, 0L, 2L),
+      (30L, 16129L, 0L, 2L, 3L)))
+  }
 }

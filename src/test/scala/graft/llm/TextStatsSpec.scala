@@ -162,6 +162,38 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L)))
   }
 
+  test("moreLikeThis: ranks by shared tokens, excludes self and disjoint docs") {
+    import spark.implicits._
+    // query doc 1 shares "alpha" with 2 and nothing with 3; "beta" is
+    // unique to the query so it scores nobody. Exactly one result row.
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    val out = TextStats.moreLikeThis(docs, Seq(1L).toDF("doc_id"), k = 5)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("query_id") == 1L)
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("rnk") == 1L)
+    assert(r.getAs[Long]("score_e6") > 0L)
+  }
+
+  test("moreLikeThis: matches bm25's scoring when the query bag is the same") {
+    import spark.implicits._
+    // a single-token query doc makes the MLT bag equal a fixed bm25
+    // query, so per-candidate scores must agree exactly
+    val docs = Seq((1L, "zeta"), (2L, "zeta zeta other"), (3L, "zeta x"),
+      (4L, "y z")).toDF("doc_id", "text")
+    val mlt = TextStats.moreLikeThis(docs, Seq(1L).toDF("doc_id"), k = 10)
+      .select("doc_id", "score_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fix = TextStats.bm25(docs, Seq("zeta"), k = 10)
+      .select("doc_id", "score_e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bm25 includes the query doc itself; MLT excludes it
+    assert(mlt == (fix - 1L))
+  }
+
   test("lmSurprisal: single-token and empty docs are excluded") {
     import spark.implicits._
     val docs = Seq((1L, "only"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
