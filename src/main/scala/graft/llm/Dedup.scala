@@ -160,6 +160,62 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * EXISTING corpus without reprocessing the corpus pairwise — the daily
+    * production shape at 100 TB, where the corpus is an append-only
+    * artifact and only the day's shard is new. Each batch document gets
+    * `status` ∈ exact_dup | near_dup | new and `dup_of` = the minimum
+    * base doc id it duplicates (null when new).
+    *
+    * Two stages, both corpus-vs-batch joins (never corpus-vs-corpus):
+    * exact — whitespace-normalized md5 fingerprints, batch left-joins the
+    * base's min-id-per-fingerprint table (at scale that table is the
+    * published artifact; only ONE narrow scan of base); near — MinHash
+    * band keys of both sides equi-joined (batch bands × base bands — the
+    * candidate volume is bounded by the batch's band fan-out, not the
+    * corpus's), fused [[graft.expr.SigAgreement]] verify, min qualifying
+    * base id wins. In-batch duplicates are deliberately out of scope:
+    * batch-internal dedup is the existing batch operators' job
+    * ([[minhashNearDupPairs]] / [[exactDedupByKey]]), run on the shard
+    * before or after this classification.
+    */
+  def incrementalDedup(base: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, numBands: Int = 16, minJaccard: Double = 0.5,
+      shingleK: Int = 3, md5Base: Boolean = false): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    def fp(t: Column) = md5(regexp_replace(lower(trim(t)), "\\s+", " "))
+    val baseFp = base
+      .select(fp(col(textCol)).as("__fp"), col(idCol).as("__bid"))
+      .groupBy("__fp").agg(min(col("__bid")).as("exact_of"))
+    val exact = batch.select(col(idCol).as("id"), fp(col(textCol)).as("__fp"))
+      .join(baseFp, Seq("__fp"), "left")
+      .select(col("id"), col("exact_of"))
+    def sig(df: DataFrame, id: String, s: String) = df
+      .select(col(idCol).as(id),
+        graft.expr.MinHashSig(col(textCol), shingleK, numHashes, md5Base).as(s))
+      .filter(size(col(s)) > 0)
+    val eb = sig(base, "bid", "sigb").select(col("bid"), col("sigb"),
+      explode(lshBandsExact(col("sigb"), numBands, rowsPerBand)).as("bk"))
+    val en = sig(batch, "id", "sign").select(col("id"), col("sign"),
+      explode(lshBandsExact(col("sign"), numBands, rowsPerBand)).as("bk"))
+    val near = en.join(eb, Seq("bk"))
+      .select(col("id"), col("bid"),
+        (graft.expr.SigAgreement(col("sign"), col("sigb")).cast("double") /
+          numHashes).as("est"))
+      .groupBy("id", "bid").agg(first("est").as("est"))
+      .filter(col("est") >= minJaccard)
+      .groupBy("id").agg(min(col("bid")).as("near_of"))
+    batch.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("near_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
   /** 64-bit SimHash of the word set: per word take xxhash64 (a true 64-bit
     * hash — no overflow-prone affine remap of a 32-bit hash), sum ±1 per bit
     * position, sign → bit.

@@ -246,6 +246,43 @@ object TextStats {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Cluster labeling by class-based TF-IDF (the BERTopic c-TF-IDF idea,
+    * Grootendorst 2022, restated in exact integers): given a document →
+    * cluster assignment (typically from embedding k-means cells), the
+    * top-k tokens per cluster by tf_cluster · (nClusters·1e6 DIV
+    * clusterFreq) — frequent in the cluster, rare across clusters. The
+    * human-readable face of semantic clustering: "what is cell 3 about".
+    * Stopwords are dropped up front (they would top every cluster and
+    * label nothing).
+    *
+    * Scale shape: one token explode, one (cell, tok) aggregation, a
+    * broadcast cluster-frequency table, heap top-k per cell — no
+    * corpus-sized shuffle beyond the tf aggregation.
+    *
+    * @param cells (doc_id, cell) assignment frame
+    * @return (cell, tok, tf, cf, score_e6, rnk), rnk ∈ [1, k] per cell
+    *         by (score_e6 desc, tok)
+    */
+  def clusterKeywords(docs: DataFrame, cells: DataFrame, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0 && !col("tok").isin(enStopwords: _*))
+    val tfc = toks.join(cells.toDF("doc_id", "cell"), "doc_id")
+      .groupBy("cell", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tfc.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val nc = cells.toDF("doc_id", "cell")
+      .agg(countDistinct(col("cell")).as("__nc"))
+    val scored = tfc.join(broadcast(cf), "tok").crossJoin(broadcast(nc))
+      .select(col("cell"), col("tok"), col("tf"), col("cf"),
+        (col("tf") * expr("(__nc * 1000000L) DIV cf")).as("score_e6"))
+    graft.plans.TopK.perGroup(scored, Seq("cell"), col("score_e6"),
+        col("tok"), k, rankName = "rnk")
+      .select(col("cell"), col("tok"), col("tf"), col("cf"),
+        col("score_e6"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Inverted index build: token → (true document frequency, posting list
     * of the first `cap` containing doc_ids, ascending). The capped list
     * is the retrieval-serving artifact ([[bm25]]'s candidate generator at

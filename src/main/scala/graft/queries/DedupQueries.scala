@@ -171,6 +171,23 @@ private[graft] object DedupQueries {
       },
       Some(MINHASH_RECALL_SQL)),
 
+    Q("dedup_incremental",
+      // the daily-shard production shape: batch (doc_id % 5 = 0) classified
+      // against the base corpus (the rest) with NO base-vs-base work —
+      // exact min-id fingerprint lookup, then MinHash bands batch×base
+      // with fused-agreement verify at est ≥ 0.3. The oracle reuses the
+      // full-corpus signature CTEs and keeps only the cross-set pairs.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          minJaccard = 0.3, md5Base = true)
+          .orderBy("doc_id")
+      },
+      Some(INCREMENTAL_SQL),
+      bench = true),
+
     Q("dedup_simhash",
       // md5-bit signature variant: per-token bits from the md5 hex digest
       // instead of xxhash64, so the ±1-sum/sign aggregation is exactly
@@ -377,6 +394,34 @@ private[graft] object DedupQueries {
        |  CAST(floor(CAST(eq AS DOUBLE) / 64 * 1000000) AS BIGINT) AS est_jaccard_e6
        |FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for dedup_incremental: the full-corpus signature/agreement
+    * CTEs (signatures depend only on the document, so computing them
+    * corpus-wide matches the per-side Spark computation), restricted to
+    * cross-set (batch, base) pairs; exact stage is the normalized-md5
+    * min-id lookup.
+    */
+  private lazy val INCREMENTAL_SQL: String =
+    s"""WITH $MINHASH_CTES,
+       |np AS (SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS id,
+       |              CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS bid
+       |       FROM m
+       |       WHERE CAST(eq AS DOUBLE) / 64 >= 0.3
+       |         AND ((id_a % 5 = 0) <> (id_b % 5 = 0))),
+       |nr AS (SELECT id, min(bid) AS near_of FROM np GROUP BY id),
+       |fpt AS (SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |be AS (SELECT fp, min(doc_id) AS exact_of FROM fpt
+       |       WHERE doc_id % 5 <> 0 GROUP BY fp),
+       |bt AS (SELECT doc_id, exact_of FROM fpt LEFT JOIN be USING (fp)
+       |       WHERE doc_id % 5 = 0)
+       |SELECT bt.doc_id,
+       |  CASE WHEN exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN near_of IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       |  COALESCE(exact_of, near_of) AS dup_of
+       |FROM bt LEFT JOIN nr ON nr.id = bt.doc_id
+       |ORDER BY bt.doc_id""".stripMargin
 
   /** Oracle for dedup_minhash_recall: LSH candidate pairs (MINHASH_CTES,
     * est ≥ 0.3) scored against brute-force exact shingle-Jaccard ≥ 3/5

@@ -87,6 +87,21 @@ private[graft] object SimQueries {
           |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    Q("text_cluster_keywords",
+      // the human-readable face of the embedding clusters: assign every
+      // vector to its published k-means cell, then label each cell with
+      // its top-5 tokens by exact-integer c-TF-IDF (frequent in the
+      // cell, rare across cells, stopwords dropped) — semantic topic
+      // discovery composed from the trained-centroid artifact and the
+      // aligned documents table
+      (s, d) => {
+        val cells = Similarity.kMeansAssign(tbl(s, d, "embeddings"), km8(s, d))
+          .select(col("id"), col("cell"))
+        TextStats.clusterKeywords(tbl(s, d, "documents"), cells, k = 5)
+          .orderBy("cell", "rnk")
+      },
+      Some(CLUSTER_KEYWORDS_SQL)),
+
     Q("sim_hybrid_rrf",
       // hybrid retrieval: dense (brute-force cosine top-10 over the
       // embeddings) and sparse (per-query-doc more-like-this BM25 top-10
@@ -508,6 +523,36 @@ private[graft] object SimQueries {
     * CTEs), the same integer aHash bits, the same (phash, w, h) block and
     * cross-multiplied profile tolerance.
     */
+  /** Oracle for text_cluster_keywords: k-means training + assignment
+    * (the kmeansCtes twin of the Spark trainer), token explode minus
+    * stopwords, (cell, tok) tf, cross-cluster cf, exact c-TF-IDF
+    * score_e6 = tf · (nClusters·1e6 DIV cf), top-5 per cell.
+    */
+  private lazy val CLUSTER_KEYWORDS_SQL: String = {
+    val stop = TextStats.enStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${kmeansCtes(8, 2)},
+       |asg AS (SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id
+       |        ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+       |    FROM ve v, c2d c) WHERE rn = 1),
+       |tk AS (SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> '' AND tok NOT IN ($stop)),
+       |tfc AS (SELECT cell, tok, count(*) AS tf
+       |        FROM tk JOIN asg ON asg.id = tk.doc_id GROUP BY 1, 2),
+       |cfr AS (SELECT tok, count(*) AS cf FROM tfc GROUP BY tok),
+       |ncc AS (SELECT count(DISTINCT cell) AS nc FROM asg),
+       |sc AS (SELECT cell, tok, tf, cf,
+       |        tf * ((nc * 1000000) // cf) AS score_e6
+       |      FROM tfc JOIN cfr USING (tok) CROSS JOIN ncc),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cell
+       |        ORDER BY score_e6 DESC, tok) AS rnk FROM sc)
+       |SELECT cell, tok, CAST(tf AS BIGINT) AS tf, CAST(cf AS BIGINT) AS cf,
+       |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin
+  }
+
   /** Oracle for sim_hybrid_rrf: dense cosine top-10, sparse
     * more-like-this BM25 top-10 (bm25's exact long arithmetic with
     * per-query token bags), full-outer RRF fuse at c = 60, re-rank.

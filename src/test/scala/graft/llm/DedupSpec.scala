@@ -453,4 +453,24 @@ class DedupSpec extends SparkSpec {
     assert(ref.nonEmpty, "reference found no pairs — corpus too sparse to test")
     assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
   }
+
+  test("incrementalDedup classifies exact, near, and new against the base only") {
+    import spark.implicits._
+    val base = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different text about something else entirely"),
+      (6L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog"), // exact (min base id 2)
+      (10L, "the quick brown fox jumps over the sleepy dog"), // near of 2
+      (15L, "unrelated content sharing no phrases with anyone here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(base, batch, minJaccard = 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out(5L) == (("exact_dup", Some(2L))))
+    assert(out(10L) == (("near_dup", Some(2L))))
+    assert(out(15L) == (("new", None)))
+    assert(out.size == 3)
+  }
 }

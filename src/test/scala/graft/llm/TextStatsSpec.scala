@@ -194,6 +194,28 @@ class TextStatsSpec extends SparkSpec {
     assert(mlt == (fix - 1L))
   }
 
+  test("clusterKeywords: c-TF-IDF favors cluster-exclusive tokens, drops stopwords") {
+    import spark.implicits._
+    // cell 0 is about fruit, cell 1 about transit; "shared" appears in
+    // both cells (idf 1e6), exclusive tokens get idf 2e6. "the" is a
+    // stopword and must never label a cluster.
+    val docs = Seq(
+      (1L, "the apple banana shared"), (2L, "the apple shared"),
+      (3L, "the train car shared"), (4L, "the train shared"))
+      .toDF("doc_id", "text")
+    val cells = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("doc_id", "cell")
+    val out = TextStats.clusterKeywords(docs, cells, k = 2).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("rnk")) ->
+        ((r.getString(1), r.getAs[Long]("score_e6")))).toMap
+    // cell 0: apple tf=2 cf=1 → 2·2e6 = 4e6; banana (1·2e6) ties shared
+    // (2·1e6) at 2e6 and the tok-asc tie-break ranks banana first
+    assert(out((0, 1L)) == (("apple", 4000000L)))
+    assert(out((0, 2L)) == (("banana", 2000000L)))
+    // cell 1: train tf=2 cf=1 → 4e6; car (1·2e6) ties shared, car first
+    assert(out((1, 1L)) == (("train", 4000000L)))
+    assert(out((1, 2L)) == (("car", 2000000L)))
+  }
+
   test("lmSurprisal: single-token and empty docs are excluded") {
     import spark.implicits._
     val docs = Seq((1L, "only"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
