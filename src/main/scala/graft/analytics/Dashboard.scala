@@ -159,4 +159,34 @@ object Dashboard {
       .filter(col("rnk") <= k)
       .orderBy(col(group), col("rnk"))
   }
+
+  /** 3σ anomaly flags over a series of per-key counts, with ZERO floating
+    * point: |x − μ| > 3σ (population σ over the series) restated by
+    * multiplying through by n², which makes both sides integers —
+    *
+    *   dev2   = (n·x − S)²          (n² · squared deviation from μ)
+    *   bound9 = 9·(n·Q − S²)        (n² · 9σ², since σ² = (nQ − S²)/n²)
+    *
+    * with S = Σx, Q = Σx². The flag replays bit-for-bit in any engine —
+    * no sqrt, no epsilon. Overflow bound: needs n·max(x) < ~3·10⁹ for
+    * dev2 to fit a long (e.g. 10⁵ days of 10⁴-count days is 10⁹ — ample
+    * for daily monitoring; shard the series before the billions).
+    *
+    * Scale shape: one count aggregation on the key, a broadcast 1-row
+    * totals join — the same two-phase scalar pattern as [[shareByDim]].
+    *
+    * @param counts (key, x) series, e.g. per-day event counts
+    * @return (key, x, dev2, bound9, is_anomaly)
+    */
+  def anomalyFlags(counts: DataFrame): DataFrame = {
+    val c = counts.toDF("key", "x")
+      .select(col("key"), col("x").cast("long"))
+    val tot = c.agg(count(lit(1)).as("__n"), sum(col("x")).as("__s"),
+      sum(col("x") * col("x")).as("__q"))
+    c.crossJoin(broadcast(tot))
+      .select(col("key"), col("x"),
+        expr("(__n * x - __s) * (__n * x - __s)").as("dev2"),
+        expr("9 * (__n * __q - __s * __s)").as("bound9"))
+      .withColumn("is_anomaly", col("dev2") > col("bound9"))
+  }
 }

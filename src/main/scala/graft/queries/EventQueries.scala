@@ -34,6 +34,30 @@ private[graft] object EventQueries {
            |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       bench = true),
 
+    Q("ev_anomaly_days",
+      // 3σ spike/dip days in the daily event-count series with ZERO
+      // floating point: |x − μ| > 3σ multiplied through by n² so both
+      // sides are exact integers — the monitoring alarm an ingest
+      // pipeline hangs off this table, bit-replayable in any engine
+      (s, d) => Dashboard.anomalyFlags(
+          eventsTable(s, d).groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n_events")))
+        .select(date_format(col("key"), "yyyy-MM-dd").as("day"),
+          col("x").as("n_events"), col("dev2"), col("bound9"),
+          col("is_anomaly"))
+        .orderBy("day"),
+      Some(
+        s"""WITH $EV_SQL,
+           |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           |          FROM ev GROUP BY 1),
+           |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+           |        CAST(sum(x * x) AS BIGINT) AS q FROM daily)
+           |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS n_events,
+           |  CAST((n * x - s) * (n * x - s) AS BIGINT) AS dev2,
+           |  CAST(9 * (n * q - s * s) AS BIGINT) AS bound9,
+           |  (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
+           |FROM daily CROSS JOIN tot ORDER BY day""".stripMargin)),
+
     Q("ev_session_summary",
       (s, d) => Events.sessionSummary(eventsTable(s, d), gapMinutes = 30)
         .select(col("user_id"), col("session_seq"),

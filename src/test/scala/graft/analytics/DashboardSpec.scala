@@ -97,4 +97,20 @@ class DashboardSpec extends SparkSpec {
       ("a", "2024-01-04", 1L, 40L, 40L),
       ("b", "2024-02-01", 1L, 7L, 7L))) // b's calendar never bleeds into a's span
   }
+
+  test("anomalyFlags: only the spike crosses 3 sigma, arithmetic is exact") {
+    import spark.implicits._
+    // A single outlier's z² is capped at n−1 (others equal), so a lone
+    // spike needs n ≥ 11 days to ever exceed 3σ. 11 days of 10 plus one
+    // 120-spike: n=12, S=230, Q=15500 → bound9 = 9·(12·15500 − 230²) =
+    // 1197900; spike dev2 = (12·120 − 230)² = 1464100 > bound9;
+    // steady-day dev2 = (12·10 − 230)² = 12100 < bound9.
+    val days = (1 to 11).map(i => (f"2024-01-$i%02d", 10L)) :+ ("2024-01-12", 120L)
+    val out = Dashboard.anomalyFlags(days.toDF("key", "x")).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("dev2"),
+        r.getAs[Long]("bound9"), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(out("2024-01-12") == ((1464100L, 1197900L, true)))
+    assert(out("2024-01-01") == ((12100L, 1197900L, false)))
+    assert(out.values.count(_._3) == 1)
+  }
 }
