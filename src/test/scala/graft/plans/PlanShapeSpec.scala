@@ -191,4 +191,29 @@ class PlanShapeSpec extends SparkSpec {
       countOccurrences(p, "BroadcastNestedLoopJoin"),
       "a 1-row scalar join (τ or total) lost its broadcast hint")
   }
+
+  test("link prediction: wedge join is an equi-join, final top-k is a heap") {
+    val p = plan(Queries.queryMap("graph_link_predict")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "wedge enumeration degenerated to a cartesian product")
+    assert(p.contains("TakeOrderedAndProject"),
+      "link-predict top-k lost its heap plan")
+  }
+
+  test("hybrid RRF: query-token and df tables broadcast, no product join") {
+    val p = plan(Queries.queryMap("sim_hybrid_rrf")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "hybrid retrieval planned a cartesian product")
+    assert(countOccurrences(p, "NestedLoopJoin") ==
+      countOccurrences(p, "BroadcastNestedLoopJoin"),
+      "a scalar/corpus-totals join lost its broadcast hint")
+    assert(p.contains("TopKPerGroup"),
+      "per-query top-k lost the heap exec")
+  }
+
+  test("incremental dedup: batch-vs-base joins only, no cartesian anywhere") {
+    val p = plan(Queries.queryMap("dedup_incremental")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "incremental dedup planned a product join")
+  }
 }
