@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{Bloom, Dashboard}
 import graft.etl.{Parse, Transform}
 import graft.expr.Transliterate
-import graft.llm.{Bpe, Corpus, Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Bpe, Classifier, Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
 import graft.streaming.Events
 import graft.util.Num.{cents, e6}
@@ -180,6 +180,33 @@ private[graft] object TextQueries {
            |  p.share_e6 AS target_share_e6,
            |  CAST((realized_tokens * 1000000) // tot_real AS BIGINT) AS realized_share_e6
            |FROM r JOIN p USING (source) CROSS JOIN tt ORDER BY source""".stripMargin)),
+
+    Q("text_perceptron",
+      // in-engine quality-classifier training: 8 pocket-perceptron rounds
+      // (normalized integer updates, best-round-kept) over md5-hashed
+      // bag-of-words features, weak-supervision label y = ±1 on "≥ 2
+      // 'spark' tokens". Output: the per-round miss-count training curve
+      // + which round the pocket kept — at sf0.01 it converges to a
+      // stable fixed point (83% train accuracy vs a 53% majority
+      // baseline), the whole trajectory replayed by the oracle's eight
+      // unrolled rounds.
+      (s, d) => {
+        import s.implicits._
+        val docs = tbl(s, d, "documents")
+        val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim = 256)
+        val labels = docs.select(col("doc_id"),
+          when(size(filter(TextStats.words(col("text")),
+            t => t === "spark")) >= 2, 1L).otherwise(-1L).as("y"))
+        val res = Classifier.trainPerceptron(feats, labels, iters = 8)
+        val curveDf = res.curve.zipWithIndex
+          .map { case (m, r) => (r.toLong, m, r == res.pocketRound) }
+          .toDF("round", "n_miss", "is_pocket")
+        curveDf
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+          .orderBy("round")
+      },
+      Some(PERCEPTRON_SQL),
+      bench = true),
 
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
@@ -626,6 +653,68 @@ private[graft] object TextQueries {
       |      FROM b),
       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
       |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)""".stripMargin
+
+  /** Oracle for text_perceptron: eight unrolled pocket-perceptron rounds.
+    * Round r evaluates w_r into miss set m$r (prediction ≠ label), then
+    * w_{r+1} = w_r + sign(d)·(|d| // |m$r|) per feature — the sign-aware
+    * truncating division matching Spark's DIV on the positive operand.
+    * Weight merges drop exact zeros to mirror the trainer's compaction;
+    * the curve is the nine miss counts and the pocket is the first
+    * minimal round.
+    */
+  private lazy val PERCEPTRON_SQL: String = {
+    val iters = 8
+    // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and an 8-round unrolled chain re-expands (and re-opens
+    // the parquet) exponentially without it — fd exhaustion, not just cost
+    def round(i: Int): String = {
+      val (prev, cur) = (s"w$i", s"w${i + 1}")
+      s"""s$i AS MATERIALIZED (SELECT fx.doc_id, sum(fx.cnt * COALESCE($prev.w, 0)) AS s
+         |      FROM fx LEFT JOIN $prev USING (f) GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT dl.doc_id, dl.y FROM s$i JOIN dl USING (doc_id)
+         |      WHERE (CASE WHEN s$i.s > 0 THEN 1 ELSE -1 END) <> dl.y),
+         |d$i AS MATERIALIZED (SELECT f, CASE WHEN d >= 0 THEN 1 ELSE -1 END *
+         |        (abs(d) // (SELECT count(*) FROM m$i)) AS d
+         |      FROM (SELECT f, sum(y * cnt) AS d
+         |            FROM fx JOIN m$i USING (doc_id) GROUP BY f)),
+         |$cur AS MATERIALIZED (SELECT COALESCE($prev.f, d$i.f) AS f,
+         |        COALESCE($prev.w, 0) + COALESCE(d$i.d, 0) AS w
+         |      FROM $prev FULL OUTER JOIN d$i ON $prev.f = d$i.f
+         |      WHERE COALESCE($prev.w, 0) + COALESCE(d$i.d, 0) <> 0)""".stripMargin
+    }
+    val rounds = (0 until iters).map(round).mkString(",\n")
+    val lastEval =
+      s"""sE AS MATERIALIZED (SELECT fx.doc_id, sum(fx.cnt * COALESCE(w$iters.w, 0)) AS s
+         |      FROM fx LEFT JOIN w$iters USING (f) GROUP BY 1),
+         |m$iters AS MATERIALIZED (SELECT dl.doc_id, dl.y FROM sE JOIN dl USING (doc_id)
+         |      WHERE (CASE WHEN sE.s > 0 THEN 1 ELSE -1 END) <> dl.y)""".stripMargin
+    val curve = (0 to iters)
+      .map(r => s"SELECT $r AS round, (SELECT count(*) FROM m$r) AS n_miss")
+      .mkString("\n  UNION ALL ")
+    s"""WITH dl AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                 x -> x = 'spark')) >= 2
+       |         THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |tk AS (SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''),
+       |fh AS (SELECT doc_id, ($hexHead32Sql) % 256 AS f
+       |       FROM (SELECT doc_id, md5(tok || '#feat') AS mh FROM tk)),
+       |fx0 AS (SELECT doc_id, f, count(*) AS cnt FROM fh GROUP BY 1, 2),
+       |fx AS MATERIALIZED (SELECT doc_id, f, cnt FROM fx0
+       |       UNION ALL SELECT doc_id, -1, 1 FROM documents),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS w WHERE false),
+       |$rounds,
+       |$lastEval,
+       |curve AS ($curve),
+       |mn AS (SELECT min(n_miss) AS mm FROM curve),
+       |pk AS (SELECT min(round) AS pr FROM curve, mn WHERE n_miss = mm)
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_miss AS BIGINT) AS n_miss,
+       |  round = (SELECT pr FROM pk) AS is_pocket,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+       |FROM curve ORDER BY round""".stripMargin
+  }
 
   private lazy val BM25_SQL: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
