@@ -208,6 +208,34 @@ private[graft] object TextQueries {
       Some(PERCEPTRON_SQL),
       bench = true),
 
+    Q("text_perceptron_score",
+      // the trained classifier SERVED: pocket weights published once via
+      // the model store (train-once/serve-many, same artifact machinery
+      // as the ANN centroids/codebooks), corpus scored by one broadcast
+      // join + one aggregation, quality report per source. The oracle
+      // replays training and picks the pocket round's weights by scalar
+      // subquery.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim = 256)
+        val labels = docs.select(col("doc_id"),
+          when(size(filter(TextStats.words(col("text")),
+            t => t === "spark")) >= 2, 1L).otherwise(-1L).as("y"))
+        val key = "perceptron_d256_i8_v1_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+        val w = graft.llm.ModelStore.getOrTrain(s, key)(
+          Classifier.trainPerceptron(feats, labels, iters = 8).weights)
+        Classifier.score(feats, w)
+          .join(labels, "doc_id")
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("predict") === 1L, 1)).as("n_pred_pos"),
+            count(when(col("y") === 1L, 1)).as("n_label_pos"),
+            count(when(col("predict") === col("y"), 1)).as("n_correct"))
+          .orderBy("source")
+      },
+      Some(PERCEPTRON_SCORE_SQL)),
+
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
       // both engines); distribution report for corpus quality monitoring
@@ -662,7 +690,41 @@ private[graft] object TextQueries {
     * the curve is the nine miss counts and the pocket is the first
     * minimal round.
     */
-  private lazy val PERCEPTRON_SQL: String = {
+  private lazy val PERCEPTRON_SQL: String =
+    s"""WITH $PERCEPTRON_CTES
+       |SELECT CAST(round AS BIGINT) AS round, CAST(n_miss AS BIGINT) AS n_miss,
+       |  round = (SELECT pr FROM pk) AS is_pocket,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+       |FROM curve ORDER BY round""".stripMargin
+
+  /** Oracle for text_perceptron_score: the training CTEs, the pocket
+    * round's weights picked by a 9-branch union (the round index is a
+    * scalar subquery, so exactly one branch survives), then corpus-wide
+    * scoring aggregated per source.
+    */
+  private lazy val PERCEPTRON_SCORE_SQL: String = {
+    val branches = (0 to 8)
+      .map(r => s"SELECT f, w FROM w$r WHERE $r = (SELECT pr FROM pk)")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $PERCEPTRON_CTES,
+       |pw AS MATERIALIZED ($branches),
+       |ssc AS (SELECT fx.doc_id, sum(fx.cnt * COALESCE(pw.w, 0)) AS s
+       |        FROM fx LEFT JOIN pw USING (f) GROUP BY 1),
+       |j AS (SELECT dd.source, CASE WHEN ssc.s > 0 THEN 1 ELSE -1 END AS p, dl.y
+       |      FROM ssc JOIN dl USING (doc_id)
+       |      JOIN (SELECT doc_id, source FROM documents) dd USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE p = 1) AS BIGINT) AS n_pred_pos,
+       |  CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_label_pos,
+       |  CAST(count(*) FILTER (WHERE p = y) AS BIGINT) AS n_correct
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Shared perceptron-training CTE chain: features, labels, 8 unrolled
+    * rounds (w0..w8, miss sets m0..m8), the miss curve, and the pocket
+    * round pk(pr).
+    */
+  private lazy val PERCEPTRON_CTES: String = {
     val iters = 8
     // every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
     // reference, and an 8-round unrolled chain re-expands (and re-opens
@@ -691,7 +753,7 @@ private[graft] object TextQueries {
     val curve = (0 to iters)
       .map(r => s"SELECT $r AS round, (SELECT count(*) FROM m$r) AS n_miss")
       .mkString("\n  UNION ALL ")
-    s"""WITH dl AS MATERIALIZED (SELECT doc_id,
+    s"""dl AS MATERIALIZED (SELECT doc_id,
        |    CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
        |                 x -> x = 'spark')) >= 2
        |         THEN 1 ELSE -1 END AS y
@@ -707,13 +769,9 @@ private[graft] object TextQueries {
        |w0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS w WHERE false),
        |$rounds,
        |$lastEval,
-       |curve AS ($curve),
+       |curve AS MATERIALIZED ($curve),
        |mn AS (SELECT min(n_miss) AS mm FROM curve),
-       |pk AS (SELECT min(round) AS pr FROM curve, mn WHERE n_miss = mm)
-       |SELECT CAST(round AS BIGINT) AS round, CAST(n_miss AS BIGINT) AS n_miss,
-       |  round = (SELECT pr FROM pk) AS is_pocket,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
-       |FROM curve ORDER BY round""".stripMargin
+       |pk AS MATERIALIZED (SELECT min(round) AS pr FROM curve, mn WHERE n_miss = mm)""".stripMargin
   }
 
   private lazy val BM25_SQL: String =
