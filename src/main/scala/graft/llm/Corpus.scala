@@ -106,13 +106,19 @@ object Corpus {
     * @return per source: (source, n_docs, realized_docs, realized_tokens,
     *         target_share_e6, realized_share_e6)
     */
-  def mixtureApply(docs: DataFrame, textCol: Column, groupCol: Column,
+  /** Per-document realized copy counts under the [[mixturePlan]]:
+    * (source, doc_id, toks, share_e6, n_copies) — floor(repeat_e6/1e6)
+    * whole copies plus the md5-coin Bernoulli remainder. The building
+    * block [[mixtureApply]] aggregates and the training-mix layout
+    * explodes.
+    */
+  def mixtureCopies(docs: DataFrame, textCol: Column, groupCol: Column,
       idCol: Column): DataFrame = {
     val plan = mixturePlan(docs, textCol, groupCol)
     val h = conv(substring(md5(
       concat(idCol.cast("string"), lit("#mix")).cast("binary")), 1, 8),
       16, 10).cast("long")
-    val perDoc = docs
+    docs
       .select(groupCol.as("source"), idCol.as("doc_id"),
         tokenCount(textCol).cast("long").as("toks"),
         (h % 1000000L).as("__frac"))
@@ -121,6 +127,13 @@ object Corpus {
         expr("repeat_e6 DIV 1000000") +
           when(col("__frac") < expr("repeat_e6 % 1000000"), lit(1L))
             .otherwise(lit(0L)))
+      .select(col("source"), col("doc_id"), col("toks"), col("share_e6"),
+        col("n_copies"))
+  }
+
+  def mixtureApply(docs: DataFrame, textCol: Column, groupCol: Column,
+      idCol: Column): DataFrame = {
+    val perDoc = mixtureCopies(docs, textCol, groupCol, idCol)
     val real = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_copies")).as("realized_docs"),

@@ -156,21 +156,7 @@ private[graft] object TextQueries {
           col("text"), col("lang"), col("doc_id"))
         .orderBy("source"),
       Some(
-        s"""WITH $MIXTURE_CTES,
-           |p AS (SELECT source,
-           |    CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
-           |    CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
-           |  FROM w CROSS JOIN t),
-           |dd AS (SELECT lang AS source, doc_id,
-           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS toks,
-           |    md5(CAST(doc_id AS VARCHAR) || '#mix') AS mh
-           |  FROM documents),
-           |pd AS (SELECT dd.source, dd.doc_id, dd.toks,
-           |    repeat_e6 // 1000000 +
-           |      CASE WHEN ($hexHead32Sql) % 1000000 < repeat_e6 % 1000000
-           |           THEN 1 ELSE 0 END AS n_copies
-           |  FROM dd JOIN p USING (source)),
+        s"""WITH $MIXTURE_PD_CTES,
            |r AS (SELECT source, count(*) AS n_docs,
            |    CAST(sum(n_copies) AS BIGINT) AS realized_docs,
            |    CAST(sum(n_copies * toks) AS BIGINT) AS realized_tokens
@@ -180,6 +166,39 @@ private[graft] object TextQueries {
            |  p.share_e6 AS target_share_e6,
            |  CAST((realized_tokens * 1000000) // tot_real AS BIGINT) AS realized_share_e6
            |FROM r JOIN p USING (source) CROSS JOIN tt ORDER BY source""".stripMargin)),
+
+    Q("text_training_mix",
+      // the mixture REALIZED AS A LAYOUT: copy counts explode into
+      // (doc, epoch) rows — epoch-major, each epoch one pass over the
+      // up-sampled corpus — then GPT-style 2048-token packing per source
+      // assigns every row its pack and offset. mixture plan → coin →
+      // explode → pack, all exact and engine-replayable: the last step
+      // before a tokenizer ever sees the data.
+      (s, d) => {
+        val copies = Corpus.mixtureCopies(tbl(s, d, "documents"),
+          col("text"), col("lang"), col("doc_id"))
+        val expanded = copies.filter(col("n_copies") > 0)
+          .select(col("source"), col("doc_id"), col("toks"),
+            explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+        Corpus.packSequences(expanded, col("toks"), col("source"),
+            struct(col("epoch"), col("doc_id")), capacity = 2048)
+          .select(col("source"), col("doc_id"), col("epoch"),
+            col("toks").as("n_tokens"), col("pack_id"), col("pack_offset"))
+          .orderBy("source", "epoch", "doc_id")
+      },
+      Some(
+        s"""WITH $MIXTURE_PD_CTES,
+           |ex AS (SELECT source, doc_id, toks,
+           |    unnest(generate_series(1, n_copies)) AS epoch
+           |  FROM pd WHERE n_copies > 0),
+           |c AS (SELECT *, sum(toks) OVER (PARTITION BY source
+           |    ORDER BY epoch, doc_id ROWS UNBOUNDED PRECEDING) - toks AS st
+           |  FROM ex)
+           |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+           |  CAST(toks AS BIGINT) AS n_tokens,
+           |  CAST(floor(CAST(st AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+           |  CAST(st % 2048 AS BIGINT) AS pack_offset
+           |FROM c ORDER BY source, epoch, doc_id""".stripMargin)),
 
     Q("text_perceptron",
       // in-engine quality-classifier training: 8 pocket-perceptron rounds
@@ -681,6 +700,28 @@ private[graft] object TextQueries {
       |      FROM b),
       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
       |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)""".stripMargin
+
+  /** [[MIXTURE_CTES]] extended to per-document realized copy counts,
+    * ending in `p(source, share_e6, repeat_e6)` and
+    * `pd(source, doc_id, toks, n_copies)` — shared by the apply and
+    * training-mix queries.
+    */
+  private lazy val MIXTURE_PD_CTES: String =
+    s"""$MIXTURE_CTES,
+       |p AS (SELECT source,
+       |    CAST((w * 1000000) // tot_w AS BIGINT) AS share_e6,
+       |    CAST((((w * 1000000) // tot_w) * tot_tokens) // tokens AS BIGINT) AS repeat_e6
+       |  FROM w CROSS JOIN t),
+       |dd AS (SELECT lang AS source, doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS toks,
+       |    md5(CAST(doc_id AS VARCHAR) || '#mix') AS mh
+       |  FROM documents),
+       |pd AS (SELECT dd.source, dd.doc_id, dd.toks,
+       |    repeat_e6 // 1000000 +
+       |      CASE WHEN ($hexHead32Sql) % 1000000 < repeat_e6 % 1000000
+       |           THEN 1 ELSE 0 END AS n_copies
+       |  FROM dd JOIN p USING (source))""".stripMargin
 
   /** Oracle for text_perceptron: eight unrolled pocket-perceptron rounds.
     * Round r evaluates w_r into miss set m$r (prediction ≠ label), then
