@@ -238,6 +238,43 @@ object Graph {
     dist
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al., Phys. Rev. E 2007), made deterministic and oracle-replayable:
+    * every node starts as its own label; each round every node adopts
+    * the most frequent label among its neighbors PLUS itself (the self
+    * vote damps the bipartite oscillation the pure synchronous variant
+    * is known for), ties broken by the smaller label. A fixed round
+    * count — no convergence probe, so zero mid-loop actions.
+    *
+    * Scale shape per round: one equi-join of the edge list against the
+    * label table (shuffle on the neighbor key) and two aggregations on
+    * the node key. Same per-round cost envelope as [[pageRank]].
+    *
+    * @param edges canonical undirected (a, b) pairs
+    * @return (id, community) for every edge-touched node
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(false)
+    var lab = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(lab, sym("b") === lab("id"))
+        .select(sym("a").as("id"), col("lbl"))
+      lab = nbr.union(lab.select(col("id"), col("lbl"))) // the self vote
+        .groupBy("id", "lbl").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max_by(struct(col("lbl")),
+          struct(col("c"), (-col("lbl")).as("nl"))).getField("lbl").as("lbl"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Link prediction over an undirected graph: for every non-adjacent
     * node pair sharing at least one neighbor, the common-neighbor count
     * and Jaccard coefficient |N(a)∩N(b)| / |N(a)∪N(b)| — the classic

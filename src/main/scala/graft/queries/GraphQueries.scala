@@ -273,6 +273,51 @@ private[graft] object GraphQueries {
           |FROM reach GROUP BY id ORDER BY hop, id""".stripMargin),
       bench = true),
 
+    Q("graph_communities",
+      // label-propagation communities over the co-purchase graph, 4
+      // deterministic synchronous rounds (self-vote damping, min-label
+      // ties) — the oracle unrolls identical rounds with a per-node
+      // ranking window. Output: every node's community plus the
+      // community size it landed in.
+      (s, d) => {
+        val items = tbl(s, d, "lineitem")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
+          .distinct()
+        val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 25).select("item")
+        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val pairs = fi.as("a")
+          .join(fi.as("b"),
+            col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n"))
+        val lab = Graph.labelPropagation(
+          pairs.filter(col("n") >= 2)
+            .select(col("item_a").as("a"), col("item_b").as("b")),
+          rounds = 4)
+        val sizes = lab.groupBy("community").agg(count(lit(1)).as("community_size"))
+        lab.join(sizes, "community")
+          .select(col("id"), col("community"), col("community_size"))
+          .orderBy("id")
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |se AS MATERIALIZED (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM se),
+        |""".stripMargin + (1 to 4).map { i =>
+          s"""u$i AS (SELECT e.a AS id, l.lbl FROM se e JOIN l${i - 1} l ON l.id = e.b
+             |      UNION ALL SELECT id, lbl FROM l${i - 1}),
+             |c$i AS (SELECT id, lbl, count(*) AS c FROM u$i GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+             |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+             |      ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n") + """,
+        |sz AS (SELECT lbl AS community, count(*) AS community_size FROM l4 GROUP BY 1)
+        |SELECT l4.id, l4.lbl AS community, CAST(sz.community_size AS BIGINT) AS community_size
+        |FROM l4 JOIN sz ON sz.community = l4.lbl
+        |ORDER BY id""".stripMargin),
+      bench = true),
+
     Q("graph_link_predict",
       // link prediction over the co-purchase graph (pairs in ≥2 baskets):
       // top-30 NON-adjacent part pairs by neighborhood Jaccard — "bought

@@ -102,6 +102,18 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("labelPropagation: two triangles over a bridge settle into two communities") {
+    // triangles {1,2,3} and {10,11,12} joined by bridge 3-10: min-label
+    // ties collapse each triangle to its least id in round 1, and the
+    // self-vote + neighbor majority keep the bridge from merging them.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("linkPredict: non-adjacent pair with shared neighbors, exact jaccard") {
     // square 1-2-3-4 with diagonal 2-3: the only non-adjacent pair is
     // (1,4), common neighbors {2,3}, deg(1)=deg(4)=2 → jaccard = 2/2 = 1
