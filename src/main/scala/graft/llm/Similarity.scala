@@ -100,6 +100,58 @@ object Similarity {
         col("rank_a"), col("rank_b"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity pass a RAG retriever runs on its shortlist: greedily
+    * pick k items maximizing λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s), so
+    * each pick is relevant AND far from what's already selected. λ = 7/10
+    * cleared to integers: mmr_e7 = 7·rel_e6 − 3·maxsim_e6 (no division —
+    * the 1/10 scale is monotone, so ranking by the numerator is exact and
+    * sidesteps the Spark-DIV-vs-DuckDB-// disagreement on negatives).
+    * With S empty the penalty term is 0 (the conventional first pick =
+    * pure relevance). Ties break by id; every round replays in the
+    * oracle's unrolled CTEs.
+    *
+    * Scale shape: the pool is already top-n-per-query (broadcast-thin);
+    * each of the k rounds is a pool×selected join bounded by n·k rows
+    * per query. k and n are constants — the corpus never re-enters.
+    *
+    * @param pool (query_id, id, rel_e6, v) relevance-ranked shortlist
+    * @return (query_id, rk, id, rel_e6, mmr_e7), rk ∈ [1, k]
+    */
+  def mmrRerank(pool: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = pool.select(col("query_id"), col("id"),
+      col("rel_e6").cast("long"), col("v")).localCheckpoint(false)
+    var sel: DataFrame = null // (query_id, id, rk, rel_e6, mmr_e7)
+    for (r <- 1 to k) {
+      val cand = if (sel == null) p
+        else p.join(sel.select("query_id", "id"), Seq("query_id", "id"), "left_anti")
+      val pen = if (sel == null) null
+        else {
+          val sv = sel.select(col("query_id"), col("id").as("sid"))
+            .join(p.select(col("query_id"), col("id").as("sid"), col("v").as("sv")),
+              Seq("query_id", "sid"))
+          cand.join(sv, Seq("query_id"))
+            .select(col("query_id"), col("id"), cosineE6(col("v"), col("sv")).as("s"))
+            .groupBy("query_id", "id").agg(max(col("s")).as("mp"))
+        }
+      val scored0 = if (pen == null) cand.withColumn("mp", lit(0L))
+        else cand.join(pen, Seq("query_id", "id"), "left")
+          .withColumn("mp", coalesce(col("mp"), lit(0L)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr_e7").desc, col("id"))
+      val pick = scored0
+        .withColumn("mmr_e7", lit(7L) * col("rel_e6") - lit(3L) * col("mp"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("id"), lit(r.toLong).as("rk"),
+          col("rel_e6"), col("mmr_e7"))
+      sel = (if (sel == null) pick else sel.union(pick)).localCheckpoint(false)
+    }
+    sel.select(col("query_id"), col("rk"), col("id"), col("rel_e6"),
+      col("mmr_e7")).orderBy(col("query_id"), col("rk"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast.
     */

@@ -122,6 +122,25 @@ private[graft] object SimQueries {
       Some(HYBRID_RRF_SQL),
       bench = true),
 
+    Q("sim_mmr_rerank",
+      // diversified retrieval: the exact top-20 cosine shortlist per
+      // query reranked by greedy MMR (λ = 7/10, integer mmr_e7 =
+      // 7·rel − 3·max-sim-to-selected) into a top-5 that is relevant AND
+      // non-redundant — the RAG diversity pass, every greedy round
+      // oracle-unrolled
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val qv = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val pool = Similarity.bruteForceTopK(emb, qv, k = 20)
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("v")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id").as("id"),
+            col("sim_e6").as("rel_e6"), col("v"))
+        Similarity.mmrRerank(pool, k = 5)
+      },
+      Some(MMR_SQL),
+      bench = true),
+
     Q("sim_exact_neardup_pairs",
       // threshold 0.3: the synthetic embeddings top out at cos ≈ 0.46, so a
       // "real" near-dup threshold matches a 0-row oracle — vacuously. 0.3
@@ -551,6 +570,50 @@ private[graft] object SimQueries {
        |SELECT cell, tok, CAST(tf AS BIGINT) AS tf, CAST(cf AS BIGINT) AS cf,
        |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= 5 ORDER BY cell, rnk""".stripMargin
+  }
+
+  /** Oracle for sim_mmr_rerank: exact top-20 cosine pool, then 5
+    * unrolled greedy MMR rounds — round r penalizes each remaining
+    * candidate by its max cosine to the selected set and picks the
+    * (mmr_e7 desc, id) argmax per query. sel CTEs are MATERIALIZED
+    * (chained CTEs inline per reference otherwise).
+    */
+  private lazy val MMR_SQL: String = {
+    val rounds = (1 to 5).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""rem$r AS (SELECT p.* FROM pool p LEFT JOIN $prev l
+         |      ON l.query_id = p.query_id AND l.id = p.id WHERE l.id IS NULL),
+         |pen$r AS (SELECT c.query_id, c.id, max(${cosE6Sql("c.cv", "s.cv")}) AS mp
+         |      FROM rem$r c JOIN $prev l ON l.query_id = c.query_id
+         |      JOIN pool s ON s.query_id = l.query_id AND s.id = l.id
+         |      GROUP BY c.query_id, c.id),
+         |sc$r AS (SELECT c.query_id, c.id, c.rel_e6,
+         |        7 * c.rel_e6 - 3 * COALESCE(p.mp, 0) AS mmr_e7
+         |      FROM rem$r c LEFT JOIN pen$r p
+         |      ON p.query_id = c.query_id AND p.id = c.id),
+         |pk$r AS (SELECT query_id, id, rel_e6, mmr_e7 FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY mmr_e7 DESC, id) AS rn FROM sc$r) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT * FROM $prev
+         |      UNION ALL SELECT query_id, id, CAST($r AS BIGINT) AS rk,
+         |        rel_e6, mmr_e7 FROM pk$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |sd AS (SELECT query_id, neighbor_id, cv,
+       |        CAST(floor(list_inner_product(qv, cv) /
+       |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+       |      FROM c, q WHERE neighbor_id <> query_id),
+       |pool AS MATERIALIZED (SELECT query_id, neighbor_id AS id, sim_e6 AS rel_e6, cv FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim_e6 DESC, neighbor_id) AS rn FROM sd) WHERE rn <= 20),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS id,
+       |         CAST(NULL AS BIGINT) AS rk, CAST(NULL AS BIGINT) AS rel_e6,
+       |         CAST(NULL AS BIGINT) AS mmr_e7 WHERE false),
+       |$rounds
+       |SELECT query_id, rk, id, rel_e6, mmr_e7
+       |FROM sel5 ORDER BY query_id, rk""".stripMargin
   }
 
   /** Oracle for sim_hybrid_rrf: dense cosine top-10, sparse

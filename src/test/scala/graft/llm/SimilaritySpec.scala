@@ -353,6 +353,20 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("mmrRerank: redundant near-twin is skipped for the diverse candidate") {
+    // b duplicates a's vector: once a is picked, b's penalty 3·1e6 sinks
+    // it below the orthogonal c despite higher relevance. First pick is
+    // pure relevance (penalty 0).
+    val pool = Seq(
+      (1L, 10L, 1000L, Array(1.0f, 0.0f)), // a
+      (1L, 20L, 999L, Array(1.0f, 0.0f)), // b: near-twin of a
+      (1L, 30L, 100L, Array(0.0f, 1.0f))) // c: orthogonal
+      .toDF("query_id", "id", "rel_e6", "v")
+    val out = Similarity.mmrRerank(pool, k = 2).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("id"), r.getAs[Long]("mmr_e7")))
+    assert(out.toSeq == Seq((1L, 10L, 7000L), (2L, 30L, 700L)))
+  }
+
   test("rrfFuse: exact e6 scores, both-list docs win, absent ranks are 0") {
     // list A: 10 then 20; list B: 20 then 30. Doc 20 (both lists) must
     // fuse first: 1e6 DIV 62 + 1e6 DIV 61 = 16129 + 16393 = 32522;
