@@ -216,7 +216,6 @@ object TextStats {
     */
   def moreLikeThis(docs: DataFrame, queryIds: DataFrame, k: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -224,6 +223,22 @@ object TextStats {
       .join(broadcast(queryIds.toDF("query_id")),
         col("doc_id") === col("query_id"), "left_semi")
       .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    bm25PerQuery(docs, qt, k, textCol, idCol)
+  }
+
+  /** BM25 scoring of the corpus against per-query token bags — the core
+    * [[moreLikeThis]] and pseudo-relevance-feedback expansion both run:
+    * `queryBags` is a broadcast-thin (query_id, tok) frame; scoring uses
+    * exactly [[bm25]]'s all-long Okapi arithmetic; docs matching their
+    * own query_id are excluded; heap top-k per query.
+    */
+  def bm25PerQuery(docs: DataFrame, queryBags: DataFrame, k: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val qt = queryBags.toDF("query_id", "tok")
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val tf = toks.join(broadcast(qt.select("tok").distinct()), "tok")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -244,6 +259,45 @@ object TextStats {
         col("doc_id"), k, rankName = "rnk")
       .select(col("query_id"), col("doc_id"), col("score_e6"),
         col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Pseudo-relevance-feedback expanded retrieval (Rocchio 1971 / the
+    * RM-style feedback loop every lexical search stack ships): run the
+    * per-query bag, take the top `fb` documents as implicit relevance
+    * feedback, harvest the `m` highest-weight NEW tokens from them
+    * (weight = Σ tf·idf_e6 over the feedback docs — exact integers, ties
+    * to the smaller token), add those to the query bag, re-score. One
+    * extra retrieval round, all bags broadcast-thin.
+    *
+    * @return final top-k per expanded query: (query_id, doc_id,
+    *         score_e6, rnk)
+    */
+  def prfExpandedSearch(docs: DataFrame, queryBags: DataFrame, k: Int = 10,
+      fb: Int = 5, m: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fb >= 1, s"fb must be >= 1, got $fb")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val qt = queryBags.toDF("query_id", "tok")
+    val top = bm25PerQuery(docs, qt, fb, textCol, idCol)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tfAll = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfAll = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val totN = docs.agg(count(lit(1)).as("__n"))
+    val cand = top.join(tfAll, "doc_id")
+      .join(qt, Seq("query_id", "tok"), "left_anti") // only NEW tokens expand
+      .join(broadcast(dfAll), "tok")
+      .crossJoin(broadcast(totN))
+      .select(col("query_id"), col("tok"),
+        (col("tf") * expr("(__n * 1000000L) DIV df")).as("wt"))
+      .groupBy("query_id", "tok").agg(sum(col("wt")).as("w"))
+    val exp = graft.plans.TopK.perGroup(cand, Seq("query_id"), col("w"),
+        col("tok"), m, rankName = "__rk")
+      .select(col("query_id"), col("tok"))
+    bm25PerQuery(docs, qt.union(exp), k, textCol, idCol)
   }
 
   /** Cluster labeling by class-based TF-IDF (the BERTopic c-TF-IDF idea,

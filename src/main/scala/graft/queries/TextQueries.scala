@@ -255,6 +255,25 @@ private[graft] object TextQueries {
       },
       Some(PERCEPTRON_SCORE_SQL)),
 
+    Q("text_prf_search",
+      // pseudo-relevance feedback (Rocchio-style): per-query BM25 top-5
+      // as implicit feedback, the 3 highest Σtf·idf NEW tokens join the
+      // query bag, one re-scoring round — recall-lifting query expansion
+      // with every weight an exact integer and both rounds oracle-mirrored
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+            explode(TextStats.words(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val qt0 = toks
+          .filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select(col("doc_id").as("query_id"), col("tok")).distinct()
+        TextStats.prfExpandedSearch(docs, qt0, k = 10, fb = 5, m = 3)
+          .orderBy("query_id", "rnk")
+      },
+      Some(PRF_SQL),
+      bench = true),
+
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
       // both engines); distribution report for corpus quality monitoring
@@ -813,6 +832,60 @@ private[graft] object TextQueries {
        |curve AS MATERIALIZED ($curve),
        |mn AS (SELECT min(n_miss) AS mm FROM curve),
        |pk AS MATERIALIZED (SELECT min(round) AS pr FROM curve, mn WHERE n_miss = mm)""".stripMargin
+  }
+
+  /** Oracle for text_prf_search: two Okapi rounds around the feedback
+    * harvest — initial per-query-bag BM25 top-5, Σtf·idf expansion-term
+    * pick (NEW tokens only, ties to smaller token), expanded re-score.
+    * Heavily-referenced CTEs are MATERIALIZED.
+    */
+  private lazy val PRF_SQL: String = {
+    def okapiRound(suffix: String, bagCte: String, limit: Int): String =
+      s"""tf$suffix AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |      WHERE tok IN (SELECT DISTINCT tok FROM $bagCte)
+         |      GROUP BY doc_id, tok),
+         |df$suffix AS (SELECT tok, count(*) AS df FROM tf$suffix GROUP BY tok),
+         |sc$suffix AS (SELECT q.query_id, t.doc_id,
+         |        CAST((((nn.n * 1000000) // d.df) * 22 * t.tf * ll.l) //
+         |             (10 * t.tf * ll.l + 3 * ll.l + 9 * ln.len * nn.n) AS BIGINT) AS part_e6
+         |      FROM tf$suffix t JOIN df$suffix d USING (tok)
+         |      JOIN $bagCte q USING (tok)
+         |      JOIN ln ON ln.doc_id = t.doc_id
+         |      CROSS JOIN nn CROSS JOIN ll
+         |      WHERE t.doc_id <> q.query_id),
+         |sp$suffix AS (SELECT query_id, doc_id, CAST(sum(part_e6) AS BIGINT) AS score_e6
+         |      FROM sc$suffix GROUP BY 1, 2),
+         |rk$suffix AS MATERIALIZED (SELECT query_id, doc_id, score_e6, rn FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_e6 DESC, doc_id) AS rn FROM sp$suffix)
+         |      WHERE rn <= $limit)""".stripMargin
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) WHERE tok <> ''),
+       |qt0 AS MATERIALIZED (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+       |      WHERE doc_id % 50 = 0),
+       |ln AS MATERIALIZED (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |ll AS (SELECT CAST(sum(len) AS BIGINT) AS l FROM ln),
+       |${okapiRound("1", "qt0", 5)},
+       |tfa AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dfa AS (SELECT tok, count(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+       |cand AS (SELECT r.query_id, t.tok,
+       |        CAST(sum(t.tf * ((nn.n * 1000000) // d.df)) AS BIGINT) AS w
+       |      FROM rk1 r JOIN tfa t USING (doc_id)
+       |      JOIN dfa d ON d.tok = t.tok CROSS JOIN nn
+       |      WHERE NOT EXISTS (SELECT 1 FROM qt0 q
+       |        WHERE q.query_id = r.query_id AND q.tok = t.tok)
+       |      GROUP BY 1, 2),
+       |exp AS (SELECT query_id, tok FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY w DESC, tok) AS rn FROM cand) WHERE rn <= 3),
+       |qt AS MATERIALIZED (SELECT query_id, tok FROM qt0
+       |      UNION ALL SELECT query_id, tok FROM exp),
+       |${okapiRound("2", "qt", 10)}
+       |SELECT query_id, doc_id, score_e6, CAST(rn AS BIGINT) AS rnk
+       |FROM rk2 ORDER BY query_id, rnk""".stripMargin
   }
 
   private lazy val BM25_SQL: String =

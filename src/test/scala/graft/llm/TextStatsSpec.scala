@@ -216,6 +216,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out((1, 2L)) == (("car", 2000000L)))
   }
 
+  test("prfExpandedSearch: feedback expansion reaches docs the raw query cannot") {
+    import spark.implicits._
+    // query bag {alpha} only reaches doc 2; doc 2's top new token "beta"
+    // expands the bag, and the re-score now also retrieves doc 3, which
+    // shares no token with the ORIGINAL query.
+    val docs = Seq((1L, "alpha"), (2L, "alpha beta"), (3L, "beta gamma"),
+      (4L, "delta epsilon")).toDF("doc_id", "text")
+    val bag = Seq((1L, "alpha")).toDF("query_id", "tok")
+    val plain = TextStats.bm25PerQuery(docs, bag, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val prf = TextStats.prfExpandedSearch(docs, bag, k = 10, fb = 1, m = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(2L))
+    assert(prf.contains(3L) && prf.contains(2L) && !prf.contains(4L))
+  }
+
   test("lmSurprisal: single-token and empty docs are excluded") {
     import spark.implicits._
     val docs = Seq((1L, "only"), (2L, ""), (3L, "x y")).toDF("doc_id", "text")
