@@ -112,6 +112,27 @@ private[graft] object EventQueries {
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("ev_transitions",
+      // first-order Markov transition matrix of user behavior: per-user
+      // consecutive event pairs with exact e6 conditional probabilities
+      // — the next-step baseline product analytics reasons against
+      (s, d) => Events.transitionMatrix(eventsTable(s, d))
+        .orderBy("from_type", "to_type"),
+      Some(
+        s"""WITH $EV_SQL,
+           |nx AS (SELECT event_type, lead(event_type) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           |    FROM ev),
+           |p AS (SELECT event_type AS from_type, next_type AS to_type,
+           |      count(*) AS n FROM nx WHERE next_type IS NOT NULL
+           |    GROUP BY 1, 2),
+           |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           |      FROM p GROUP BY from_type)
+           |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           |  CAST((p.n * 1000000) // t.tot AS BIGINT) AS prob_e6
+           |FROM p JOIN t USING (from_type)
+           |ORDER BY from_type, to_type""".stripMargin)),
+
     Q("ev_funnel",
       // ordered view → click → purchase funnel: each stage's time is the
       // user's earliest qualifying event STRICTLY AFTER the previous

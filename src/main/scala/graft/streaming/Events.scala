@@ -18,6 +18,27 @@ object Events {
   def propsK(props: Column): Column =
     get_json_object(props, "$.k").cast("int")
 
+  /** First-order event-transition matrix: per user, consecutive event
+    * pairs (ordered by ts with event_id ties) counted into
+    * (from_type, to_type, n) with the exact e6 row-conditional
+    * probability — the Markov-chain view of user behavior product
+    * analytics builds next-step prediction and anomaly baselines on.
+    * One window shuffle on user_id, one pair aggregation; the per-from
+    * totals frame is event-type-cardinality-sized and broadcast.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) DIV tot").as("prob_e6"))
+  }
+
   /** Tumbling-window aggregation (batch form): per (hour, event_type)
     * counts and exact sums. One hash-agg shuffle. Money-ish outputs are
     * fixed-point (cents / e6) so the frame is bit-comparable across engines.

@@ -21,6 +21,17 @@ class EventsSpec extends SparkSpec {
     (4L, ts("2026-01-01 10:05:00"), 9L, "click", 10.0)
   ).toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("transitionMatrix: per-user consecutive pairs, exact conditional e6") {
+    // user 7: click→click→view; user 9: single event contributes nothing.
+    // from "click": 2 transitions (click→click, click→view) → 500000 each.
+    val out = Events.transitionMatrix(events)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", "click", 1L, 500000L),
+      ("click", "view", 1L, 500000L)))
+  }
+
   test("sessionSummary: 30-min gap splits sessions; exact cent sums") {
     val out = Events.sessionSummary(events, gapMinutes = 30)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
