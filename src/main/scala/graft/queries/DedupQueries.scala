@@ -229,6 +229,33 @@ private[graft] object DedupQueries {
       Some(CC_SQL),
       bench = true),
 
+    Q("dedup_split_leakage",
+      // the classic eval-contamination audit: near-dup clusters whose
+      // members straddle train/val/test — a val doc with a train near-twin
+      // inflates every metric. CC labels joined to the deterministic
+      // split, per-cluster split census, is_leaky = more than one split
+      // present. Singletons can't leak and are excluded.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        val cc = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        val sp = docs.select(col("doc_id").as("id"),
+          Corpus.splitAssign(col("doc_id")).as("split"))
+        cc.join(sp, "id")
+          .groupBy("component").agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("split") === "train", 1)).as("n_train"),
+            count(when(col("split") === "val", 1)).as("n_val"),
+            count(when(col("split") === "test", 1)).as("n_test"),
+            (countDistinct(col("split")) > 1).as("is_leaky"))
+          .filter(col("n_docs") > 1)
+          .orderBy("component")
+      },
+      Some(SPLIT_LEAKAGE_SQL)),
+
     Q("dedup_cc_keep",
       // cluster-level dedup, the actionable form of the CC labels: one
       // surviving doc (the min id) per transitive near-dup cluster, via a
@@ -516,6 +543,25 @@ private[graft] object DedupQueries {
        |SELECT d.doc_id AS id, COALESCE(l.component, d.doc_id) AS component
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY id""".stripMargin
+
+  /** Oracle for dedup_split_leakage: the CC closure joined to the salted
+    * split assignment, per-cluster split census over multi-doc clusters.
+    */
+  private lazy val SPLIT_LEAKAGE_SQL: String =
+    s"""$CC_CTES,
+       |asg AS (SELECT d.doc_id AS id,
+       |    COALESCE(l.component, d.doc_id) AS component,
+       |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+       |         WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+       |SELECT component, count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+       |  CAST(count(*) FILTER (WHERE split = 'val') AS BIGINT) AS n_val,
+       |  CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test,
+       |  count(DISTINCT split) > 1 AS is_leaky
+       |FROM asg GROUP BY component HAVING count(*) > 1
+       |ORDER BY component""".stripMargin
 
   /** Oracle for dedup_cc_keep: the docs whose id IS their component's
     * minimum label — exactly one survivor per transitive cluster.
