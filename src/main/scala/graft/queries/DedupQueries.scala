@@ -256,6 +256,32 @@ private[graft] object DedupQueries {
       },
       Some(SPLIT_LEAKAGE_SQL)),
 
+    Q("dedup_split_clustered",
+      // the leakage FIX: assign the split per CLUSTER (the component
+      // label goes through the same salted-md5 coin the per-doc splitter
+      // uses), so near-twins land in the same split by construction.
+      // The spec re-runs the leakage audit on this assignment and finds
+      // zero leaky clusters.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("component"),
+            Corpus.splitAssign(col("component")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$CC_CTES,
+           |asg AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+           |        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+           |SELECT doc_id, component,
+           |  CASE WHEN substr(md5(CAST(component AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+           |       WHEN substr(md5(CAST(component AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM asg ORDER BY doc_id""".stripMargin)),
+
     Q("dedup_cc_keep",
       // cluster-level dedup, the actionable form of the CC labels: one
       // surviving doc (the min id) per transitive near-dup cluster, via a

@@ -454,6 +454,26 @@ class DedupSpec extends SparkSpec {
     assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
   }
 
+  test("cluster-level split assignment can never leak a near-dup pair across splits") {
+    import spark.implicits._
+    // any edge set: docs in one component share the component label, and
+    // the split is a pure function of that label — zero leaky clusters
+    // by construction. Verified on a chain that per-doc splitting DOES
+    // split (ids chosen so doc-id coins disagree within the chain).
+    val ids = (1L to 40L)
+    val docs = ids.map(i => (i, s"doc $i")).toDF("id", "text")
+    val pairs = ids.sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("id_a", "id_b") // one 40-doc chain
+    val cc = Dedup.connectedComponents(docs.select(col("id")), pairs)
+    val clustered = cc.select(col("id"), col("component"),
+      Corpus.splitAssign(col("component")).as("split"))
+    assert(clustered.select("split").distinct().count() == 1L)
+    val perDoc = cc.select(col("id"), col("component"),
+      Corpus.splitAssign(col("id")).as("split"))
+    assert(perDoc.select("split").distinct().count() > 1L,
+      "fixture too small to show the per-doc splitter leaking")
+  }
+
   test("incrementalDedup classifies exact, near, and new against the base only") {
     import spark.implicits._
     val base = Seq(
