@@ -107,6 +107,42 @@ object Dashboard {
         .otherwise(lit(null).cast("long")).as("intercept_e6"))
   }
 
+  /** Pairwise Pearson correlation matrix over floored numeric columns —
+    * [[linearFit]]'s exact-integer-moments recipe generalized to every
+    * column pair in ONE combinable aggregation (all sums and cross sums
+    * ride a single map-side-partial pass; at 100 TB that is one scan and
+    * one 1-row reduce, not C(k,2) jobs). Rows with a null in ANY listed
+    * column are excluded so every pair shares one sample (the listwise
+    * convention, which is what makes a matrix consistent). The epilogue
+    * is the identical IEEE double sequence in both engines.
+    *
+    * @return one row per unordered pair: (col_a, col_b, n, corr_e6),
+    *         corr_e6 null when either variance is 0
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val filtered = df.filter(cols.map(_._2.isNotNull).reduce(_ && _))
+      .select(cols.map { case (n, c) => floor(c).cast("long").as(n) }: _*)
+    val names = cols.map(_._1)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.map(n => sum(col(n)).as(s"s_$n")) ++
+      (for { i <- names.indices; j <- i until names.length } yield
+        sum(col(names(i)) * col(names(j))).as(s"s_${names(i)}_${names(j)}"))
+    val m = filtered.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val rows = for { i <- names.indices; j <- (i + 1) until names.length } yield {
+      val (a, b) = (names(i), names(j))
+      val cov = nd * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val va = nd * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = nd * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(va > 0 && vb > 0, floor(cov / sqrt(va * vb) * 1e6).cast("long"))
+          .otherwise(lit(null).cast("long")).as("corr_e6"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
   /** Calendar densification + fill: turn a sparse per-(key, day) series
     * into a gapless daily one. Dashboards and window features (deltas,
     * moving averages) silently mis-compute over missing days — a

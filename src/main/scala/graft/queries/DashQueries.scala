@@ -804,6 +804,19 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
           |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
 
+    Q("dash_corr_matrix",
+      // pairwise Pearson matrix over 4 lineitem measures from ONE
+      // combinable moment aggregation (fraction-valued measures are
+      // cents-scaled before the exact-integer floor); the same pinned
+      // IEEE epilogue as dash_linreg, per pair
+      (s, d) => Dashboard.corrMatrix(tbl(s, d, "lineitem"), Seq(
+          "quantity" -> col("l_quantity"),
+          "price" -> col("l_extendedprice"),
+          "discount_c" -> (col("l_discount") * 100),
+          "tax_c" -> (col("l_tax") * 100)))
+        .orderBy("col_a", "col_b"),
+      Some(CORR_MATRIX_SQL)),
+
     Q("dash_linreg",
       // correlation + least-squares fit of line-item price on quantity
       // from exact integer moments (one combinable aggregation), with the
@@ -991,6 +1004,40 @@ private[graft] object DashQueries {
     * oracle SQL — the binary-double inexactness of 0.2·0.8^j is irrelevant
     * because both engines consume the same already-floored integers.
     */
+  /** Oracle for dash_corr_matrix: one moment CTE, six pair selects with
+    * the dash_linreg double-sequence, generated per pair so the two
+    * engines cannot drift.
+    */
+  private lazy val CORR_MATRIX_SQL: String = {
+    val names = Seq("quantity", "price", "discount_c", "tax_c")
+    val crosses = for { i <- names.indices; j <- i until names.length }
+      yield s"sum(${names(i)} * ${names(j)}) AS s_${names(i)}_${names(j)}"
+    def pair(a: String, b: String): String = {
+      val (cov, va, vb) = (
+        s"(CAST(n AS DOUBLE) * CAST(s_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))",
+        s"(CAST(n AS DOUBLE) * CAST(s_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))",
+        s"(CAST(n AS DOUBLE) * CAST(s_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))")
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN $va > 0 AND $vb > 0
+         |       THEN CAST(floor($cov / sqrt($va * $vb) * 1000000) AS BIGINT)
+         |       END AS corr_e6 FROM m""".stripMargin
+    }
+    val pairs = (for { i <- names.indices; j <- (i + 1) until names.length }
+      yield pair(names(i), names(j))).mkString("\n  UNION ALL ")
+    s"""WITH f AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS quantity,
+       |    CAST(floor(l_extendedprice) AS BIGINT) AS price,
+       |    CAST(floor(l_discount * 100) AS BIGINT) AS discount_c,
+       |    CAST(floor(l_tax * 100) AS BIGINT) AS tax_c
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+       |m AS (SELECT count(*) AS n,
+       |    ${names.map(n => s"sum($n) AS s_$n").mkString(", ")},
+       |    ${crosses.mkString(", ")}
+       |  FROM f)
+       |SELECT * FROM ($pairs) ORDER BY col_a, col_b""".stripMargin
+  }
+
   private lazy val EWMA_COEF_E12: Seq[Long] = {
     var c = 0.2 * 1e12
     (0 until 8).map { _ => val v = math.floor(c).toLong; c *= 0.8; v }
