@@ -98,6 +98,23 @@ class DashboardSpec extends SparkSpec {
       ("b", "2024-02-01", 1L, 7L, 7L))) // b's calendar never bleeds into a's span
   }
 
+  test("corrMatrix: perfect, inverse, and degenerate pairs; listwise sample") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1 with x), c constant (null corr);
+    // one row has a null c and must drop from EVERY pair's sample.
+    val df = Seq((1.0, 2.0, -1.0, Some(5.0)), (2.0, 4.0, -2.0, Some(5.0)),
+      (3.0, 6.0, -3.0, Some(5.0)), (4.0, 8.0, -4.0, None))
+      .toDF("x", "y", "z", "c")
+    val out = Dashboard.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y"),
+        "z" -> col("z"), "c" -> col("c"))).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), Option(r.get(3))))).toMap
+    assert(out(("x", "y")) == ((3L, Some(1000000L))))
+    assert(out(("x", "z")) == ((3L, Some(-1000000L))))
+    assert(out(("x", "c")) == ((3L, None))) // zero variance → null
+    assert(out.size == 6)
+  }
+
   test("anomalyFlags: only the spike crosses 3 sigma, arithmetic is exact") {
     import spark.implicits._
     // A single outlier's z² is capped at n−1 (others equal), so a lone
