@@ -274,6 +274,27 @@ private[graft] object TextQueries {
       Some(PRF_SQL),
       bench = true),
 
+    Q("text_curriculum",
+      // curriculum construction: per-doc bigram-LM mean surprisal as the
+      // difficulty signal, contiguous-rank quartile phases (easy → hard,
+      // the pareto-decile arithmetic — no single-partition ntile window),
+      // per-phase census with difficulty bounds
+      (s, d) => {
+        val diff = TextStats.lmSurprisal(tbl(s, d, "documents"))
+          .select(col("doc_id"), col("mean_bits_e6").as("diff_e6"))
+        graft.etl.Ids.contiguousIds(diff,
+            Seq(col("diff_e6"), col("doc_id")), "rank")
+          .crossJoin(broadcast(diff.agg(count(lit(1)).as("n_tot"))))
+          .select(expr("CAST(rank * 4 DIV n_tot AS INT)").as("phase"),
+            col("diff_e6"))
+          .groupBy("phase")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("diff_e6")).as("min_diff_e6"),
+            max(col("diff_e6")).as("max_diff_e6"))
+          .orderBy("phase")
+      },
+      Some(CURRICULUM_SQL)),
+
     Q("text_token_quantiles",
       // per-lang exact token-count percentiles (type-7 interpolation in
       // both engines); distribution report for corpus quality monitoring
@@ -1078,8 +1099,11 @@ private[graft] object TextQueries {
     * bigrams by positional index, same add-one model and the identical
     * integer ⌊log2⌋ via unpadded bin().
     */
-  private lazy val LM_SURPRISAL_SQL: String =
-    """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws0
+  /** Bigram-surprisal CTE chain ending in `sc(doc_id, k)` — shared by the
+    * per-doc surprisal report and the curriculum phases.
+    */
+  private lazy val LM_CTES: String =
+    """toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws0
       |              FROM documents),
       |tk AS (SELECT doc_id, list_filter(ws0, w -> w <> '') AS ws FROM toks),
       |tk2 AS (SELECT doc_id, ws FROM tk WHERE len(ws) >= 2),
@@ -1095,11 +1119,31 @@ private[graft] object TextQueries {
       |       FROM pairs p
       |       JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
       |       JOIN c1 ON p.w1 = c1.w1
-      |       CROSS JOIN v)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(k) AS BIGINT) AS surprisal_bits,
-      |  (CAST(sum(k) AS BIGINT) * 1000000) // count(*) AS mean_bits_e6
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |       CROSS JOIN v)""".stripMargin
+
+  private lazy val LM_SURPRISAL_SQL: String =
+    s"""WITH $LM_CTES
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(k) AS BIGINT) AS surprisal_bits,
+       |  (CAST(sum(k) AS BIGINT) * 1000000) // count(*) AS mean_bits_e6
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_curriculum: mean-surprisal difficulty, contiguous
+    * rank, phase = rank·4 div n — the same arithmetic decile convention
+    * as dash_pareto_deciles.
+    */
+  private lazy val CURRICULUM_SQL: String =
+    s"""WITH $LM_CTES,
+       |sd AS (SELECT doc_id, (CAST(sum(k) AS BIGINT) * 1000000) // count(*) AS diff_e6
+       |       FROM sc GROUP BY doc_id),
+       |r AS (SELECT diff_e6,
+       |        row_number() OVER (ORDER BY diff_e6, doc_id) - 1 AS rank,
+       |        count(*) OVER () AS n_tot
+       |      FROM sd)
+       |SELECT CAST(rank * 4 // n_tot AS INT) AS phase, count(*) AS n_docs,
+       |  CAST(min(diff_e6) AS BIGINT) AS min_diff_e6,
+       |  CAST(max(diff_e6) AS BIGINT) AS max_diff_e6
+       |FROM r GROUP BY 1 ORDER BY phase""".stripMargin
 
   private lazy val TFIDF_SQL: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
