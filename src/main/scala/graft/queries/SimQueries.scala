@@ -635,7 +635,12 @@ private[graft] object SimQueries {
       |tk AS (SELECT doc_id, tok FROM (
       |        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
       |        FROM documents) WHERE tok <> ''),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk WHERE doc_id % 50 = 0),
+      |-- query docs are the EMBEDDING-derived ids (the Spark side feeds
+      |-- qv.vec_id into the sparse leg): at sf0.1 embeddings has 2000 rows
+      |-- to documents' 5000, so doc_id % 50 alone would invent 60 queries
+      |-- the dense leg can never see
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+      |       WHERE doc_id % 50 = 0 AND doc_id IN (SELECT query_id FROM q)),
       |ln AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY doc_id),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
       |       WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
