@@ -294,9 +294,14 @@ object TextStats {
       .select(col("query_id"), col("tok"),
         (col("tf") * expr("(__n * 1000000L) DIV df")).as("wt"))
       .groupBy("query_id", "tok").agg(sum(col("wt")).as("w"))
+    // the expansion bag is (queries × m) rows but its LINEAGE contains the
+    // whole first retrieval — without truncation the final round's every
+    // stage (tf prune, df, scoring) re-runs round one from scratch.
+    // Checkpointing a few hundred rows buys back the recompute.
     val exp = graft.plans.TopK.perGroup(cand, Seq("query_id"), col("w"),
         col("tok"), m, rankName = "__rk")
       .select(col("query_id"), col("tok"))
+      .localCheckpoint(false)
     bm25PerQuery(docs, qt.union(exp), k, textCol, idCol)
   }
 
