@@ -238,6 +238,31 @@ object Graph {
     dist
   }
 
+  /** One round of GraphSAGE-style neighbor feature aggregation (Hamilton
+    * et al., NeurIPS'17 — the mean-aggregator layer, minus the learned
+    * projection): for every node, its degree plus the min / mean / max of
+    * its neighbors' degrees, the structural features classical graph ML
+    * feeds a downstream model. Exact e6 integer mean. One self-join of
+    * the degree table through the edge list, one aggregation — the
+    * message-passing shape; stacking calls gives deeper receptive
+    * fields.
+    *
+    * @param edges canonical undirected (a, b) pairs
+    * @return (id, deg, nbr_min_deg, nbr_mean_deg_e6, nbr_max_deg)
+    */
+  def neighborFeatures(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+    val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = adj.groupBy("a").agg(count(lit(1)).as("deg"))
+    adj.join(deg.select(col("a").as("b"), col("deg").as("nd")), "b")
+      .groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"), // = |neighbors|, equals own degree
+        min(col("nd")).as("nbr_min_deg"),
+        expr("sum(nd) * 1000000L DIV count(1)").as("nbr_mean_deg_e6"),
+        max(col("nd")).as("nbr_max_deg"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al., Phys. Rev. E 2007), made deterministic and oracle-replayable:
     * every node starts as its own label; each round every node adopts

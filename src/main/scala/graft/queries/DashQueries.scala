@@ -804,6 +804,29 @@ private[graft] object DashQueries {
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
           |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin)),
 
+    Q("dash_seasonality",
+      // day-of-week seasonal index of order volume: weekday count × 7 ×
+      // 1e6 DIV total (1e6 = a flat week), the multiplicative seasonal
+      // profile forecasting divides out first. weekday() 0=Monday lines
+      // up with DuckDB isodow()-1 (the etl_date_breadth convention).
+      (s, d) => {
+        val byWd = tbl(s, d, "orders")
+          .groupBy(expr("weekday(o_orderdate)").as("wd"))
+          .agg(count(lit(1)).as("n_orders"))
+        byWd.crossJoin(broadcast(byWd.agg(sum(col("n_orders")).as("tot"))))
+          .select(col("wd"), col("n_orders"),
+            expr("(n_orders * 7 * 1000000L) DIV tot").as("index_e6"))
+          .orderBy("wd")
+      },
+      Some(
+        """WITH w AS (SELECT CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+          |      count(*) AS n_orders
+          |    FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM w)
+          |SELECT wd, n_orders,
+          |  CAST((n_orders * 7 * 1000000) // tot AS BIGINT) AS index_e6
+          |FROM w CROSS JOIN t ORDER BY wd""".stripMargin)),
+
     Q("dash_corr_matrix",
       // pairwise Pearson matrix over 4 lineitem measures from ONE
       // combinable moment aggregation (fraction-valued measures are

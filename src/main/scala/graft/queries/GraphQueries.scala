@@ -356,6 +356,24 @@ private[graft] object GraphQueries {
         |ORDER BY jaccard_e6 DESC, item_a, item_b LIMIT 30""".stripMargin),
       bench = true),
 
+    Q("graph_neighbor_features",
+      // GraphSAGE-style mean-aggregator features over the published
+      // co-purchase edges: per part its degree and the min/mean/max of
+      // neighbor degrees — the structural feature vector graph ML trains
+      // on, top-50 hubs for a bounded output
+      (s, d) => Graph.neighborFeatures(coEdges(s, d))
+        .orderBy(col("deg").desc, col("id")).limit(50),
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |adj AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+        |dg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a)
+        |SELECT adj.a AS id, count(*) AS deg,
+        |  CAST(min(nd.deg) AS BIGINT) AS nbr_min_deg,
+        |  CAST((sum(nd.deg) * 1000000) // count(*) AS BIGINT) AS nbr_mean_deg_e6,
+        |  CAST(max(nd.deg) AS BIGINT) AS nbr_max_deg
+        |FROM adj JOIN dg nd ON nd.a = adj.b
+        |GROUP BY adj.a ORDER BY deg DESC, id LIMIT 50""".stripMargin)),
+
     Q("graph_triangles",
       // Triangle count over the co-purchase graph (pairs seen in ≥2
       // baskets), via degree-ordered orientation — the oracle counts the

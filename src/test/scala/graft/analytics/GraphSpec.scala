@@ -102,6 +102,18 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("neighborFeatures: star graph degrees, exact e6 means") {
+    // star 0—{1,2,3}: hub sees three degree-1 leaves; each leaf sees the
+    // degree-3 hub.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val out = Graph.neighborFeatures(star).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(0L) == ((3L, 1L, 1000000L, 1L)))
+    assert(out(1L) == ((1L, 3L, 3000000L, 3L)))
+    assert(out.size == 4)
+  }
+
   test("labelPropagation: two triangles over a bridge settle into two communities") {
     // triangles {1,2,3} and {10,11,12} joined by bridge 3-10: min-label
     // ties collapse each triangle to its least id in round 1, and the
