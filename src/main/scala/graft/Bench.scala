@@ -94,11 +94,20 @@ object Bench {
     val canaries = Seq(canaryStart, canaryMid, canaryEnd)
     val canaryRatio = canaries.max / math.max(canaries.min, 1e-9)
     val contaminated = canaryRatio > 3.0
-    // Two prints: the verbose per-pass detail FIRST (useful forensics, but
-    // it overflowed the driver's stdout-tail buffer in r5 → "parsed": null),
-    // then the short canonical record LAST so the official line always parses.
-    println(f"""{"metric":"bench_detail","pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated}""")
+    // Per-pass forensics go to a FILE, not stdout: the driver keeps only a
+    // ~2 KB stdout tail, which truncated the detail line in r5/r6 and left
+    // beyond-canary swings unattributable (VERDICT r6 §missing.1). Stdout
+    // carries only the short canonical record, which references the file.
+    val detailPath = {
+      val tag = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"r$r")
+        .getOrElse(System.currentTimeMillis() / 1000L + "")
+      val dir = new java.io.File("target"); dir.mkdirs()
+      new java.io.File(dir, s"bench_detail_$tag.json")
+    }
+    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}"""
+    val w = new java.io.PrintWriter(detailPath, "UTF-8")
+    try w.println(detail) finally w.close()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"detail":"${detailPath.getPath}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

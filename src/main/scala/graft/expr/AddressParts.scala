@@ -54,10 +54,15 @@ case class AddressParts(child: Expression)
 
   // real codegen: the transform chain evaluates this once per row — as a
   // CodegenFallback it would force boxed row-at-a-time eval inside the
-  // fused stage
+  // fused stage. The child slot is cast explicitly: when the child is
+  // NullType (e.g. an untyped NULL literal column) its codegen java type
+  // is Object, and janino has no implicit downcast — an uncast call fails
+  // to compile and the stage silently falls back to interpreted eval
+  // (CodegenCompileSpec pins this).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("addressParts", this, classOf[AddressParts].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute((org.apache.spark.unsafe.types.UTF8String) $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AddressParts =

@@ -68,7 +68,7 @@ case class CosineSimE6(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cosineSimE6", this, classOf[CosineSimE6].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long ${ev.value}Boxed = $ref.compute($a, $b);
+      java.lang.Long ${ev.value}Boxed = $ref.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a, (org.apache.spark.sql.catalyst.util.ArrayData) $b);
       if (${ev.value}Boxed == null) {
         ${ev.isNull} = true;
       } else {

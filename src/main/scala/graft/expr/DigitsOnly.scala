@@ -24,7 +24,7 @@ case class DigitsOnly(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DigitsOnly.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c => s"$cls.strip($c)")
+    defineCodeGen(ctx, ev, c => s"$cls.strip((org.apache.spark.unsafe.types.UTF8String) $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): DigitsOnly =

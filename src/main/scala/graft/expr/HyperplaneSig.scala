@@ -50,7 +50,7 @@ case class HyperplaneSig(child: Expression, bits: Int, seed: Int = 42)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute((org.apache.spark.sql.catalyst.util.ArrayData) $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =

@@ -53,7 +53,7 @@ case class LongDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("longDot", this, classOf[LongDot].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long ${ev.value}Boxed = $ref.compute($a, $b);
+      java.lang.Long ${ev.value}Boxed = $ref.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a, (org.apache.spark.sql.catalyst.util.ArrayData) $b);
       if (${ev.value}Boxed == null) {
         ${ev.isNull} = true;
       } else {

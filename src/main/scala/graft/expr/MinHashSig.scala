@@ -102,7 +102,7 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute((org.apache.spark.unsafe.types.UTF8String) $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

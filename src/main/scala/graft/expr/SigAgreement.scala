@@ -43,7 +43,7 @@ case class SigAgreement(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sigAgreement", this, classOf[SigAgreement].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a, (org.apache.spark.sql.catalyst.util.ArrayData) $b);")
   }
 
   override protected def withNewChildrenInternal(

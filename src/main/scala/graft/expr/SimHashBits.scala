@@ -90,7 +90,7 @@ case class SimHashBits(child: Expression, md5Base: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("simHashBits", this, classOf[SimHashBits].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object r = $ref.compute($c);
+      Object r = $ref.compute((org.apache.spark.unsafe.types.UTF8String) $c);
       if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = (Long) r; }
     """)
   }

@@ -78,7 +78,7 @@ case class SortedSetContainsAll(left: Expression, right: Expression)
     val res = ctx.freshName("sscaRes")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |java.lang.Boolean $res = $ref.compute($a, $b);
+         |java.lang.Boolean $res = $ref.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a, (org.apache.spark.sql.catalyst.util.ArrayData) $b);
          |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {

@@ -106,7 +106,7 @@ case class TextCounts(child: Expression, stopwords: Seq[String],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("textCounts", this, classOf[TextCounts].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute((org.apache.spark.unsafe.types.UTF8String) $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextCounts =

@@ -29,7 +29,7 @@ case class Transliterate(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = Transliterate.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, c => s"$cls.stripU8($c)")
+    defineCodeGen(ctx, ev, c => s"$cls.stripU8((org.apache.spark.unsafe.types.UTF8String) $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Transliterate =

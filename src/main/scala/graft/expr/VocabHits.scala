@@ -48,7 +48,7 @@ case class VocabHits(child: Expression, vocab: Seq[String])
   // no per-row boxed eval, and the surrounding stage stays fused
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("vocabHits", this, classOf[VocabHits].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute((org.apache.spark.unsafe.types.UTF8String) $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): VocabHits =

@@ -262,11 +262,9 @@ private[graft] object TextQueries {
       // with every weight an exact integer and both rounds oracle-mirrored
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-            explode(TextStats.words(col("text"))).as("tok"))
-          .filter(length(col("tok")) > 0)
-        val qt0 = toks
-          .filter(pmod(col("doc_id"), lit(50)) === 0)
+        // query bags tokenize ONLY the sampled query docs — the corpus
+        // explode happens once, inside prfExpandedSearch's shared frame
+        val qt0 = TextStats.tokens(docs.filter(pmod(col("doc_id"), lit(50)) === 0))
           .select(col("doc_id").as("query_id"), col("tok")).distinct()
         TextStats.prfExpandedSearch(docs, qt0, k = 10, fb = 5, m = 3)
           .orderBy("query_id", "rnk")
