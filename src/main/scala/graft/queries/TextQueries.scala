@@ -628,6 +628,49 @@ private[graft] object TextQueries {
           |ORDER BY tok""".stripMargin),
       bench = true),
 
+    Q("text_bm25_indexed",
+      // BM25 served from the PUBLISHED inverted-index artifact (train-
+      // once/serve-many via ModelStore, like the ANN codebooks): the
+      // query tokens' capped posting lists generate the candidate set, df
+      // is the index's exact value, tf is recounted only inside candidate
+      // docs. A term scores a doc only within its posting cap — the
+      // impact-ordered truncation the oracle mirrors with rn <= 50.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val key = "invidx_cap50_v1_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+        val idx = graft.llm.ModelStore.getOrTrain(s, key)(
+          TextStats.invertedIndex(docs, cap = 50))
+        TextStats.bm25ViaIndex(docs, idx, Seq("hash", "join", "spark"), k = 20)
+      },
+      Some(
+        """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |              FROM documents),
+          |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+          |tkd AS (SELECT DISTINCT doc_id, tok FROM tk),
+          |d AS (SELECT tok, count(*) AS df FROM tkd GROUP BY 1),
+          |cap AS (SELECT tok, doc_id FROM (
+          |    SELECT tok, doc_id, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+          |    FROM tkd) WHERE rn <= 50),
+          |cand AS (SELECT c.tok, c.doc_id, d.df FROM cap c JOIN d USING (tok)
+          |         WHERE c.tok IN ('hash', 'join', 'spark')),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+          |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+          |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |l AS (SELECT sum(len) AS l FROM lens),
+          |sc AS (SELECT c.doc_id,
+          |         (((n.n * 1000000) // c.df) * 22 * t.tf * l.l) //
+          |           (10 * t.tf * l.l + 3 * l.l + 9 * le.len * n.n) AS part
+          |       FROM cand c JOIN tf t ON t.doc_id = c.doc_id AND t.tok = c.tok
+          |       JOIN lens le ON le.doc_id = c.doc_id
+          |       CROSS JOIN n CROSS JOIN l),
+          |agg AS (SELECT doc_id, count(*) AS n_terms, sum(part) AS score_e6
+          |        FROM sc GROUP BY 1)
+          |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
+          |FROM (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rn FROM agg)
+          |WHERE rn <= 20 ORDER BY score_e6 DESC, doc_id""".stripMargin),
+      bench = true),
+
     Q("text_chunk_windows",
       // RAG-style overlapping chunking: 64-token windows advancing by 48
       // (16 shared tokens between neighbors), all-integer chunk-count
