@@ -682,20 +682,30 @@ private[graft] object DashQueries {
       // EXCEPT: the duplicate doc_ids the exact-dedup pass drops = all ids
       // minus the kept ones. Spark `except` == SQL EXCEPT (distinct
       // semantics), planned as a hash left-anti aggregation — one shuffle
-      // on the id, broadcastable when the kept side is small.
+      // on the id, broadcastable when the kept side is small. The corpus
+      // is salted with a shifted-id copy of every 10th doc so the EXCEPT
+      // provably returns rows — r6's run had zero exact duplicates at
+      // sf0.01 and the green row certified nothing (VERDICT r6 §wrong.2).
       (s, d) => {
         val docs = tbl(s, d, "documents")
+        val dup = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+        val all = docs.select("doc_id", "text").unionByName(dup)
         val kept = Dedup.exactDedupByKey(
-            docs.withColumn("fp", TextStats.fingerprint(col("text"))),
+            all.withColumn("fp", TextStats.fingerprint(col("text"))),
             col("fp"), "doc_id")
           .select("doc_id")
-        docs.select("doc_id").except(kept).orderBy("doc_id")
+        all.select("doc_id").except(kept).orderBy("doc_id")
       },
       Some(
-        """SELECT doc_id FROM documents
+        """WITH all_docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 10 = 0)
+          |SELECT doc_id FROM all_docs
           |EXCEPT
           |SELECT min(doc_id) AS doc_id FROM
-          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+          |  (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM all_docs)
           |GROUP BY fp
           |ORDER BY doc_id""".stripMargin)),
 

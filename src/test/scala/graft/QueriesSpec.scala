@@ -40,4 +40,16 @@ class QueriesSpec extends SparkSpec {
           "render them through array_join/to_json at the query boundary")
     }
   }
+
+  test("every registered query returns >= 1 row at sf0.01 (no vacuous greens)") {
+    // a 0-row result matched by a 0-row oracle is a green row that
+    // certifies nothing (r6: setop_except) — this guard makes vacuous
+    // registrations fail loudly instead of accumulating silently
+    assume(Files.exists(Paths.get("/root/testdata/sf0.01/lineitem.parquet")))
+    val empty = Queries.all.flatMap { q =>
+      val n = q.fn(spark, "/root/testdata/sf0.01").limit(1).count()
+      if (n == 0) Some(q.name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows at sf0.01: ${empty.mkString(", ")}")
+  }
 }
