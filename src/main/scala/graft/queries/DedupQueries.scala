@@ -343,10 +343,16 @@ private[graft] object DedupQueries {
     * island aggregation; consumers apply the >= 16 filter. Mirrors
     * Dedup.sharedSpanPairs step for step.
     */
-  private lazy val SPAN_CTES: String =
+  private lazy val SPAN_CTES: String = spanCtes()
+
+  /** [[SPAN_CTES]] parameterized over the source relation, so compositions
+    * can scrub a GATED subset (e.g. the quality-filtered corpus in
+    * text_curation_chain_v3) instead of raw `documents`.
+    */
+  private[queries] def spanCtes(src: String = "documents"): String =
     s"""w AS (SELECT doc_id AS id,
        |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
-       |  FROM documents
+       |  FROM $src
        |  WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 8
        |    AND length(trim(text)) > 0),
        |gr AS (SELECT id, i + 1 AS pos,
@@ -370,14 +376,16 @@ private[graft] object DedupQueries {
     * n_removed_tokens)` — the SQL twin of Dedup.removeSharedSpans, shared
     * by the dedup_remove_spans oracle and the curation-chain composition.
     */
-  private[queries] lazy val CLEAN_TEXT_CTES: String =
-    s"""$SPAN_CTES,
+  private[queries] lazy val CLEAN_TEXT_CTES: String = cleanTextCtes()
+
+  private[queries] def cleanTextCtes(src: String = "documents"): String =
+    s"""${spanCtes(src)},
        |${spanMergeCtes("b")},
        |tko AS (SELECT id, i + 1 AS p, wso[i + 1] AS tok
        |  FROM (SELECT doc_id AS id,
        |          regexp_split_to_array(trim(text), '\\s+') AS wso,
        |          unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
-       |        FROM documents WHERE length(trim(text)) > 0)),
+       |        FROM $src WHERE length(trim(text)) > 0)),
        |kept AS (SELECT t.id, t.p, t.tok FROM tko t
        |  WHERE NOT EXISTS (SELECT 1 FROM mg
        |                    WHERE mg.id = t.id AND t.p >= mg.s AND t.p < mg.e)),
@@ -386,7 +394,7 @@ private[graft] object DedupQueries {
        |tc AS (SELECT doc_id AS id,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-       |  FROM documents),
+       |  FROM $src),
        |cleaned AS (SELECT tc.id, COALESCE(clean_text, '') AS clean_text,
        |    CAST(n_tokens AS BIGINT) AS n_tokens,
        |    CAST(n_tokens - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens

@@ -255,6 +255,42 @@ private[graft] object TextQueries {
       },
       Some(PERCEPTRON_SCORE_SQL)),
 
+    Q("text_curation_chain_v3",
+      // the curation pipeline in production order: QUALITY GATE first
+      // (served pocket-perceptron weights, predict == +1 survives — the
+      // model-score filter every real pipeline applies before paying for
+      // dedup), then span SCRUB over the gated corpus, then md5 exact
+      // dedup of the cleaned text. The published classifier artifact is
+      // exercised INSIDE a composition, not just in its own query; the
+      // oracle replays training, picks the pocket weights, gates, and
+      // reruns the span chain against the gated relation.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim = 256)
+        val labels = docs.select(col("doc_id"),
+          when(size(filter(TextStats.words(col("text")),
+            t => t === "spark")) >= 2, 1L).otherwise(-1L).as("y"))
+        val key = "perceptron_d256_i8_v1_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+        val w = graft.llm.ModelStore.getOrTrain(s, key)(
+          Classifier.trainPerceptron(feats, labels, iters = 8).weights)
+        val gated = Classifier.score(feats, w)
+          .filter(col("predict") === 1L).select("doc_id")
+        val gdocs = docs.join(gated, "doc_id")
+        val cleaned = Dedup.removeSharedSpans(gdocs,
+            n = 8, minTokens = 16, maxDf = 20)
+          .filter(length(col("clean_text")) > 0)
+          .select(col("doc_id"), col("clean_text"),
+            (col("n_tokens") - col("n_removed_tokens")).as("n_clean_tokens"))
+        cleaned.groupBy(md5(col("clean_text")).as("__fp"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_copies"),
+            min(col("n_clean_tokens")).as("n_clean_tokens"))
+          .select(col("doc_id"), col("n_clean_tokens"), col("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some(CURATION_V3_SQL),
+      bench = true),
+
     Q("text_prf_search",
       // pseudo-relevance feedback (Rocchio-style): per-query BM25 top-5
       // as implicit feedback, the 3 highest Σtf·idf NEW tokens join the
@@ -840,6 +876,31 @@ private[graft] object TextQueries {
        |  CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_label_pos,
        |  CAST(count(*) FILTER (WHERE p = y) AS BIGINT) AS n_correct
        |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Oracle for text_curation_chain_v3: perceptron training CTEs → pocket
+    * weights → score-gate (s > 0 keeps) → gated relation `gdocs` → the
+    * span-scrub chain re-run AGAINST gdocs (shared spans are detected
+    * within the gated corpus only, matching the Spark composition) → md5
+    * exact dedup of the cleaned text.
+    */
+  private lazy val CURATION_V3_SQL: String = {
+    val branches = (0 to 8)
+      .map(r => s"SELECT f, w FROM w$r WHERE $r = (SELECT pr FROM pk)")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $PERCEPTRON_CTES,
+       |pw AS MATERIALIZED ($branches),
+       |ssc AS (SELECT fx.doc_id, sum(fx.cnt * COALESCE(pw.w, 0)) AS s
+       |        FROM fx LEFT JOIN pw USING (f) GROUP BY 1),
+       |gdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+       |        JOIN ssc ON ssc.doc_id = d.doc_id WHERE ssc.s > 0),
+       |${DedupQueries.cleanTextCtes("gdocs")},
+       |ex AS (SELECT min(id) AS doc_id, count(*) AS n_copies,
+       |         CAST(min(n_tokens - n_removed_tokens) AS BIGINT) AS n_clean_tokens
+       |       FROM cleaned WHERE length(clean_text) > 0
+       |       GROUP BY md5(clean_text))
+       |SELECT doc_id, n_clean_tokens, n_copies
+       |FROM ex ORDER BY doc_id""".stripMargin
   }
 
   /** Shared perceptron-training CTE chain: features, labels, 8 unrolled
