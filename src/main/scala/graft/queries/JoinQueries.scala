@@ -206,6 +206,31 @@ private[graft] object JoinQueries {
            |ORDER BY click_id, purchase_id""".stripMargin),
       bench = true),
 
+    Q("join_salted_skew",
+      // explicit-salt equi-join (§2.12 skew discipline): the probe's hot
+      // supplier keys are spread over 8 tasks by a deterministic salt from
+      // l_orderkey while the build side replicates ×8 — row-for-row equal
+      // to the plain join (the oracle IS the plain join), for the cases
+      // AQE's skew split can't reach (shuffled-hash path, downstream
+      // stateful ops). The aggregate pins the join's row multiset.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val supp = tbl(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.plans.Skew.saltedJoin(li, supp, Seq("l_suppkey"),
+            col("l_orderkey"), salts = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+          .orderBy("s_nationkey")
+      },
+      Some(
+        """SELECT s_nationkey, count(*) AS n_items,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     Q("join_correlated_subquery",
       // correlated scalar subqueries (orders priced above 2× their own
       // customer's average), written in SQL so Catalyst's decorrelation
