@@ -111,7 +111,10 @@ object Dashboard {
     * [[linearFit]]'s exact-integer-moments recipe generalized to every
     * column pair in ONE combinable aggregation (all sums and cross sums
     * ride a single map-side-partial pass; at 100 TB that is one scan and
-    * one 1-row reduce, not C(k,2) jobs). Rows with a null in ANY listed
+    * one 1-row reduce, not C(k,2) jobs — structurally: the moments row is
+    * collected to the driver and the pair rows are emitted as literals,
+    * so the single scan does not depend on exchange reuse deduping C(k,2)
+    * identical agg subtrees). Rows with a null in ANY listed
     * column are excluded so every pair shares one sample (the listwise
     * convention, which is what makes a matrix consistent). The epilogue
     * is the identical IEEE double sequence in both engines.
@@ -129,18 +132,29 @@ object Dashboard {
       (for { i <- names.indices; j <- i until names.length } yield
         sum(col(names(i)) * col(names(j))).as(s"s_${names(i)}_${names(j)}"))
     val m = filtered.agg(aggs.head, aggs.tail: _*)
-    val nd = col("n").cast("double")
-    def d(c: String) = col(c).cast("double")
-    val rows = for { i <- names.indices; j <- (i + 1) until names.length } yield {
-      val (a, b) = (names(i), names(j))
-      val cov = nd * d(s"s_${a}_$b") - d(s"s_$a") * d(s"s_$b")
-      val va = nd * d(s"s_${a}_$a") - d(s"s_$a") * d(s"s_$a")
-      val vb = nd * d(s"s_${b}_$b") - d(s"s_$b") * d(s"s_$b")
-      m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-        when(va > 0 && vb > 0, floor(cov / sqrt(va * vb) * 1e6).cast("long"))
-          .otherwise(lit(null).cast("long")).as("corr_e6"))
+    // collect the ONE moments row to the driver and emit the C(k,2) pair
+    // rows as literals: the single-scan property is then structural — the
+    // union-of-selects form only scanned once if exchange reuse happened
+    // to dedup the identical agg subtree across every branch
+    val row = m.collect()(0)
+    def l(c: String): Long = {
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
     }
-    rows.reduce(_ unionAll _)
+    val n = l("n")
+    val nd = n.toDouble
+    val pairs = for { i <- names.indices; j <- (i + 1) until names.length } yield {
+      val (a, b) = (names(i), names(j))
+      val cov = nd * l(s"s_${a}_$b") - l(s"s_$a").toDouble * l(s"s_$b")
+      val va = nd * l(s"s_${a}_$a") - l(s"s_$a").toDouble * l(s"s_$a")
+      val vb = nd * l(s"s_${b}_$b") - l(s"s_$b").toDouble * l(s"s_$b")
+      val corr = if (va > 0 && vb > 0)
+        Some(math.floor(cov / math.sqrt(va * vb) * 1e6).toLong) else None
+      (a, b, n, corr)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs.toSeq.toDF("col_a", "col_b", "n", "corr_e6")
   }
 
   /** Calendar densification + fill: turn a sparse per-(key, day) series
@@ -204,9 +218,11 @@ object Dashboard {
     *   bound9 = 9·(n·Q − S²)        (n² · 9σ², since σ² = (nQ − S²)/n²)
     *
     * with S = Σx, Q = Σx². The flag replays bit-for-bit in any engine —
-    * no sqrt, no epsilon. Overflow bound: needs n·max(x) < ~3·10⁹ for
-    * dev2 to fit a long (e.g. 10⁵ days of 10⁴-count days is 10⁹ — ample
-    * for daily monitoring; shard the series before the billions).
+    * no sqrt, no epsilon. Overflow bound: bound9 is the binding term —
+    * 9·(n·Q − S²) can reach ~9·(n·max(x))², so the series needs
+    * n·max(x) < ~10⁹ to fit a long (dev2 alone would allow ~3·10⁹; e.g.
+    * 10⁵ days of 10⁴-count days is 10⁹ — at the boundary for daily
+    * monitoring; shard the series before the billions).
     *
     * Scale shape: one count aggregation on the key, a broadcast 1-row
     * totals join — the same two-phase scalar pattern as [[shareByDim]].

@@ -315,7 +315,11 @@ object Graph {
     * anyway, and one celebrity node would otherwise go |V|² on its own).
     * Jaccard is exact e6 integer arithmetic from counts and degrees.
     *
-    * @param edges canonical undirected (a, b) pairs, a < b, deduplicated
+    * @param edges undirected (a, b) pairs — canonicalized and deduplicated
+    *              DEFENSIVELY inside (least/greatest + distinct, self-loops
+    *              dropped): a non-canonical or duplicated input would
+    *              otherwise slip already-connected pairs past the
+    *              existing-edge anti-join and surface them as predictions
     * @param k number of top-scoring predicted links to return
     * @param maxDegree wedge centers above this degree are skipped
     * @return (item_a, item_b, cn, deg_a, deg_b, jaccard_e6), top-k by
@@ -324,8 +328,12 @@ object Graph {
   def linkPredict(edges: DataFrame, k: Int, maxDegree: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDegree >= 1, s"maxDegree must be >= 1, got $maxDegree")
-    val e = edges.toDF("a", "b")
-      .select(col("a").cast("long"), col("b").cast("long"))
+    val raw = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val e = raw
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
     val adj = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .toDF("c", "n") // (center, neighbor), both directions
     val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))

@@ -79,6 +79,11 @@ object Corpus {
       .groupBy(groupCol.as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(textCol).cast("long")).as("tokens"))
+      // a source whose docs are ALL empty (tokens = 0, so w = 0) can never
+      // take a share of the token budget; dropping it here keeps repeat_e6
+      // total (its DIV tokens would be a null/divide-by-zero that
+      // mixtureCopies/mixtureApply would silently propagate)
+      .filter(col("tokens") > 0)
       .select(col("source"), col("n_docs"), col("tokens"),
         floor(sqrt(col("tokens").cast("double"))).cast("long").as("w"))
     val totals = base.agg(sum(col("tokens")).as("tot_tokens"),

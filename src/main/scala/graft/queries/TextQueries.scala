@@ -814,7 +814,7 @@ private[graft] object TextQueries {
       |  FROM documents GROUP BY lang),
       |w AS (SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
       |        CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
-      |      FROM b),
+      |      FROM b WHERE tokens > 0),
       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
       |        CAST(sum(w) AS BIGINT) AS tot_w FROM w)""".stripMargin
 
