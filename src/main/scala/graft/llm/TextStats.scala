@@ -258,28 +258,83 @@ object TextStats {
       textCol: String = "text", idCol: String = "doc_id",
       toksOpt: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = toksOpt.getOrElse(tokens(docs, textCol, idCol))
-    val qt = queryBags.toDF("query_id", "tok")
-    val lens = docLens(docs, textCol, idCol)
-    val tf = toks.join(broadcast(qt.select("tok").distinct()), "tok")
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val totN = docs.agg(count(lit(1)).as("__n"))
-    val totL = lens.agg(sum(col("len")).as("__l"))
-    val scored = tf.join(broadcast(df), "tok")
-      .join(broadcast(qt), "tok")
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(totN)).crossJoin(broadcast(totL))
-      .select(col("query_id"), col("doc_id"),
-        expr("(((__n * 1000000) DIV df) * 22 * tf * __l) DIV " +
-          "(10 * tf * __l + 3 * __l + 9 * len * __n)").as("part_e6"))
-    val perPair = scored.groupBy("query_id", "doc_id")
-      .agg(sum(col("part_e6")).as("score_e6"))
+    val perPair = bm25PairScores(docs, queryBags.toDF("query_id", "tok"),
+      textCol, idCol, toksOpt)
     graft.plans.TopK.perGroup(perPair, Seq("query_id"), col("score_e6"),
         col("doc_id"), k, rankName = "rnk")
       .select(col("query_id"), col("doc_id"), col("score_e6"),
         col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Per-doc token-length frame plus its 1-row (N docs, L total tokens)
+    * totals — ONE narrow pass and one combined aggregate, so callers
+    * broadcast a single totals row instead of separate N and L jobs.
+    */
+  private def lensAndTotals(docs: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val lens = docLens(docs, textCol, idCol)
+    val tots = lens.agg(count(lit(1)).as("__n"), sum(col("len")).as("__l"))
+    (lens, tots)
+  }
+
+  /** Per-(doc, tok) Okapi partial scores for the given token set: tf
+    * restricted to those tokens, df over the restriction, part_e6 per
+    * posting. `tots` is the 1-row (__n, __l) totals frame. The tf frame
+    * is lazily checkpointed — it feeds BOTH the df aggregation's
+    * broadcast job and the final scoring stage, and without the cut each
+    * broadcast job re-runs the corpus explode from scratch (each tiny
+    * serialized re-run was a measurable slice of text_prf_search's r6
+    * wall time).
+    */
+  private def okapiParts(toks: DataFrame, tokSet: DataFrame, lens: DataFrame,
+      tots: DataFrame): DataFrame = {
+    val tf = toks.join(broadcast(tokSet.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("tok"),
+        expr("(((__n * 1000000) DIV df) * 22 * tf * __l) DIV " +
+          "(10 * tf * __l + 3 * __l + 9 * len * __n)").as("part_e6"))
+  }
+
+  /** Exact per-(query, doc) BM25 scores for broadcast-thin query bags —
+    * [[bm25PerQuery]] before its top-k, reusable by incremental rescoring.
+    * part_e6 depends only on (doc, tok), so it is computed BEFORE the
+    * query expansion: the df/lens/totals joins and the Okapi arithmetic
+    * run once per posting, not once per (posting × matching query); the
+    * post-expansion stage is a bare broadcast-hash probe + 3-column
+    * projection feeding the pair aggregation.
+    */
+  /** Explicit fan-out repartition: a broadcast-probe stage inherits its
+    * INPUT's partitioning, and AQE happily coalesces a kilobyte-sized
+    * upstream exchange to one partition — which then serializes the
+    * (posting × matching query) expansion and its map-side partial
+    * aggregation onto one core (measured 2.8 s single-task stages in the
+    * r7 probe). Pinning the partition count keeps the expansion parallel;
+    * at real scale AQE would not have coalesced, and the extra exchange
+    * moves only the small per-posting frame.
+    */
+  private def fanout(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col(key))
+
+  private def bm25PairScores(docs: DataFrame, qt: DataFrame,
+      textCol: String, idCol: String,
+      toksOpt: Option[DataFrame] = None,
+      lensTotsOpt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val toks = toksOpt.getOrElse(tokens(docs, textCol, idCol))
+    val (lens, tots) = lensTotsOpt.getOrElse(lensAndTotals(docs, textCol, idCol))
+    // no .distinct() on the token set: the semi-join build side tolerates
+    // duplicates, and the dedup shuffle was a whole extra query-stage job
+    val part = fanout(okapiParts(toks, qt.select("tok"), lens, tots), "doc_id")
+    part.join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("part_e6"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("part_e6")).as("score_e6"))
   }
 
   /** Pseudo-relevance-feedback expanded retrieval (Rocchio 1971 / the
@@ -298,16 +353,23 @@ object TextStats {
       idCol: String = "doc_id"): DataFrame = {
     require(fb >= 1, s"fb must be >= 1, got $fb")
     require(m >= 1, s"m must be >= 1, got $m")
-    val qt = queryBags.toDF("query_id", "tok")
+    val qt = queryBags.toDF("query_id", "tok").localCheckpoint(false)
     // tokenize the corpus ONCE for all retrieval rounds: the exploded
     // frame is lazily localCheckpoint'd, so round one, the feedback
-    // harvest, and the re-scoring round all read the same materialized
+    // harvest, and the incremental rescore all read the same materialized
     // tokens instead of re-running the explode per round (the standard
     // cache-the-tokenized-corpus tradeoff of any multi-round retrieval)
     val toks = tokens(docs, textCol, idCol).localCheckpoint(false)
-    val top = bm25PerQuery(docs, qt, fb, textCol, idCol, Some(toks))
+    val (lens, tots) = lensAndTotals(docs, textCol, idCol)
+    // round one: exact pair scores, kept (lazily checkpointed) because
+    // BM25 is ADDITIVE over bag tokens — the final round never re-scores
+    // the original bag, it only adds the expansion tokens' contributions
+    val pair1 = bm25PairScores(docs, qt, textCol, idCol, Some(toks),
+        Some((lens, tots)))
+      .localCheckpoint(false)
+    val top = graft.plans.TopK.perGroup(pair1, Seq("query_id"),
+        col("score_e6"), col("doc_id"), fb)
       .select(col("query_id"), col("doc_id"))
-      .localCheckpoint(false) // (queries × fb) rows; truncates round one
     // tf restricted to FEEDBACK DOCS before any aggregation, df restricted
     // to the tokens of those docs before the broadcast: only tokens
     // appearing in feedback docs can become expansion candidates, so
@@ -316,27 +378,50 @@ object TextStats {
     val fbToks = toks.join(broadcast(top.select("doc_id").distinct()),
       Seq("doc_id"), "left_semi")
     val tfFb = fbToks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val candToks = tfFb.select("tok").distinct()
+    val candToks = tfFb.select("tok") // semi-join build: no dedup shuffle
     val dfCand = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
       .select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val totN = docs.agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // feeds the harvest AND the rescore parts
     val cand = top.join(tfFb, "doc_id")
-      .join(qt, Seq("query_id", "tok"), "left_anti") // only NEW tokens expand
+      // only NEW tokens expand; broadcast the thin bag so the anti-join
+      // is a hash probe, not a shuffle. N rides the shared totals row.
+      .join(broadcast(qt), Seq("query_id", "tok"), "left_anti")
       .join(broadcast(dfCand), "tok")
-      .crossJoin(broadcast(totN))
+      .crossJoin(broadcast(tots))
       .select(col("query_id"), col("tok"),
         (col("tf") * expr("(__n * 1000000L) DIV df")).as("wt"))
       .groupBy("query_id", "tok").agg(sum(col("wt")).as("w"))
     // the expansion bag is (queries × m) rows but its LINEAGE contains the
     // whole first retrieval — without truncation the final round's every
-    // stage (tf prune, df, scoring) re-runs round one from scratch.
-    // Checkpointing a few hundred rows buys back the recompute.
+    // stage would re-run round one from scratch. Checkpointing a few
+    // hundred rows buys back the recompute.
     val exp = graft.plans.TopK.perGroup(cand, Seq("query_id"), col("w"),
         col("tok"), m, rankName = "__rk")
       .select(col("query_id"), col("tok"))
       .localCheckpoint(false)
-    bm25PerQuery(docs, qt.union(exp), k, textCol, idCol, Some(toks))
+    // incremental rescore: score2(q, d) = score1(q, d) + Σ part_e6 over
+    // q's NEW tokens (exp ∩ qt = ∅ by the anti-join, so nothing double
+    // counts; docs matching only expansion tokens enter via the union).
+    // df for expansion tokens is corpus-wide df — dfCand already holds it
+    // for every feedback-doc token ⊇ every expansion token.
+    val tfExp = toks.join(broadcast(exp.select("tok")), Seq("tok"), "left_semi")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val partExp = tfExp.join(broadcast(dfCand), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("tok"),
+        expr("(((__n * 1000000) DIV df) * 22 * tf * __l) DIV " +
+          "(10 * tf * __l + 3 * __l + 9 * len * __n)").as("part_e6"))
+    val expContrib = fanout(partExp, "doc_id").join(broadcast(exp), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("part_e6").as("score_e6"))
+    val pair2 = fanout(pair1, "doc_id").unionByName(expContrib)
+      .groupBy("query_id", "doc_id").agg(sum(col("score_e6")).as("score_e6"))
+    graft.plans.TopK.perGroup(pair2, Seq("query_id"), col("score_e6"),
+        col("doc_id"), k, rankName = "rnk")
+      .select(col("query_id"), col("doc_id"), col("score_e6"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** Cluster labeling by class-based TF-IDF (the BERTopic c-TF-IDF idea,
