@@ -47,17 +47,27 @@ object Transform {
       d.withColumn(c, Transliterate(col(c)))
     }
 
-    // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first =
-    // min_by over the ordering column: partial aggregation combines
-    // duplicates map-side BEFORE the exchange, so the shuffle carries one
-    // row per (partition, link) — strictly less IO than a row_number window,
-    // which must shuffle every row and then sort each partition.
+    // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first
+    // in two hash-only phases: min(ord) per link (thin (link, ord) pairs,
+    // map-side combinable, HashAggregate) then a shuffled-hash semi-join
+    // back on (link, ord). The earlier min_by(struct(all columns)) form
+    // kept the full row in the aggregation buffer, which is not hash-
+    // aggregable — Spark planned a SortAggregate that sorted every full
+    // row by the string key in BOTH phases (the chain's hottest stages in
+    // the r7 probe; the semi-join form is ~1.4x faster at sf0.1 and never
+    // sorts). Null-safe key equality keeps NULL-link rows deduplicating
+    // like any other group. `dedupOrder` must totally order rows within a
+    // link group (callers pass a unique id) — "keep first" is only
+    // defined under a total order.
     val deduped = dedupOrder match {
       case Some(ord) =>
-        val cols = translit.columns
-        translit.groupBy(col("link").as("__k"))
-          .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("__r"))
-          .select("__r.*")
+        val w = translit.withColumn("__ord", ord)
+        val keep = w.groupBy(col("link").as("__l"))
+          .agg(min(col("__ord")).as("__o"))
+        w.join(keep.hint("shuffle_hash"),
+            col("link") <=> col("__l") && col("__ord") <=> col("__o"),
+            "left_semi")
+          .drop("__ord")
       case None => translit.dropDuplicates("link")
     }
 
