@@ -50,23 +50,30 @@ object Transform {
     // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first
     // in two hash-only phases: min(ord) per link (thin (link, ord) pairs,
     // map-side combinable, HashAggregate) then a shuffled-hash semi-join
-    // back on (link, ord). The earlier min_by(struct(all columns)) form
+    // back on the ord alone. The earlier min_by(struct(all columns)) form
     // kept the full row in the aggregation buffer, which is not hash-
     // aggregable — Spark planned a SortAggregate that sorted every full
     // row by the string key in BOTH phases (the chain's hottest stages in
     // the r7 probe; the semi-join form is ~1.4x faster at sf0.1 and never
-    // sorts). Null-safe key equality keeps NULL-link rows deduplicating
-    // like any other group. `dedupOrder` must totally order rows within a
-    // link group (callers pass a unique id) — "keep first" is only
-    // defined under a total order.
+    // sorts). Joining on ord ONLY (not (link, ord)) is what keeps the
+    // probe side shuffle-free: `dedupOrder` must be GLOBALLY unique
+    // (every caller passes the row id), so the min-ord set identifies
+    // surviving rows outright, and when ord aliases an upstream
+    // partitioning column (the id the distinct step already hashed on)
+    // alias-aware output partitioning lets the full-row probe reuse that
+    // exchange — only the thin (link, ord) build side shuffles at all.
+    // Plain === (not <=>) keeps the join keys bare attributes — a
+    // null-safe wrapper (coalesce/isnull) would defeat that partitioning
+    // reuse, and ord is non-null by contract anyway. NULL links group
+    // together like any other key under groupBy.
     val deduped = dedupOrder match {
       case Some(ord) =>
         val w = translit.withColumn("__ord", ord)
         val keep = w.groupBy(col("link").as("__l"))
           .agg(min(col("__ord")).as("__o"))
+          .select("__o")
         w.join(keep.hint("shuffle_hash"),
-            col("link") <=> col("__l") && col("__ord") <=> col("__o"),
-            "left_semi")
+            col("__ord") === col("__o"), "left_semi")
           .drop("__ord")
       case None => translit.dropDuplicates("link")
     }

@@ -442,4 +442,60 @@ object Corpus {
     graft.plans.TopK.perGroup(base, Seq("stratum"), col("pri"),
       col("doc_id"), k + 1, rankName = "rk")
   }
+
+  /** DSIR-shaped importance scoring for domain-matched data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every raw document by how much
+    * its hashed-n-gram profile looks like the TARGET domain rather than
+    * the raw pool, then keep the highest-scoring docs. The feature space
+    * is `buckets` md5-hashed unigram buckets (the repo's reproducible
+    * md5-bucket convention — Sketch.cmsMatrix uses the same head-32
+    * parse), and the per-bucket log-likelihood ratio is computed at
+    * WHOLE-BIT resolution with zero transcendentals, the
+    * [[graft.llm.TextStats.lmSurprisal]] trick:
+    *
+    *   lam(b) = ⌊log2((tgt_c+1)·(raw_tot+B))⌋ − ⌊log2((raw_c+1)·(tgt_tot+B))⌋
+    *   where ⌊log2 x⌋ = length(bin(x)) − 1 for x ≥ 1 (exact in Spark and
+    *   DuckDB alike), i.e. the add-one-smoothed log p_tgt(b) − log p_raw(b).
+    *
+    *   score(doc) = Σ_b tf_doc(b) · lam(b)   (the paper's Σ log-ratio)
+    *
+    * Plan shape: ONE corpus tokenize feeds both the bucket-count
+    * aggregation and the per-doc tf aggregation; the bucket table is at
+    * most `buckets` rows → broadcast, so the per-doc scoring join is
+    * map-side. Linear in corpus size, constant-size model state — at
+    * 100 TB the only caveat is the documented overflow bound
+    * (tgt_c+1)·(raw_tot+B) < 2^63; past ~10^18 token-pairs split the
+    * floor-log into ⌊log2 a⌋+⌊log2 b⌋ (±1 bit).
+    *
+    * @param isTarget boolean Column marking target-domain rows.
+    * @return (doc_id, n_toks, dsir_bits) one row per doc with ≥1 token.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column, buckets: Int = 1024,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", pmod(
+        conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+      .localCheckpoint(false) // one tokenize pass feeds counts AND tf
+    val cnt = toks.groupBy("b").agg(
+      count(lit(1)).as("raw_c"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"))
+    val tot = cnt.agg(sum("raw_c").as("raw_tot"), sum("tgt_c").as("tgt_tot"))
+    val lam = cnt.crossJoin(broadcast(tot)) // 1-row totals
+      .withColumn("lam", expr(
+        s"""(length(bin((tgt_c + 1) * (raw_tot + $buckets))) - 1)
+           | - (length(bin((raw_c + 1) * (tgt_tot + $buckets))) - 1)"""
+          .stripMargin.replace("\n", "")))
+      .select("b", "lam")
+    toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .join(broadcast(lam), Seq("b")) // ≤ buckets rows: map-side join
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        sum(col("tf") * col("lam")).as("dsir_bits"))
+  }
 }

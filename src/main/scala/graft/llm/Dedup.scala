@@ -592,6 +592,38 @@ object Dedup {
       labels.filter(col("id") === col("component")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
 
+  /** Cluster dedup with a KEEP-BEST policy: within each transitive
+    * near-dup cluster the survivor is the doc maximizing `qualityCol`
+    * (ties → min id), not the arbitrary min-id member —
+    * the production rule when near-dups differ (keep the longest /
+    * highest-scored variant, drop the truncated mirror copies).
+    * Singletons (docs absent from `labels`) survive as their own
+    * cluster.
+    *
+    * Shape: one map-side-combinable max_by per cluster — the survivor
+    * is picked by a single struct-ordered aggregation (quality DESC,
+    * id ASC via negated id), then a semi-join keeps the winners. No
+    * ranking window, no per-cluster sort; linear in docs + labels.
+    *
+    * @param qualityCol integer-valued quality (higher = better); must
+    *                   be exact (no floats) for cross-engine replay.
+    */
+  def keepClusterBest(docs: DataFrame, idCol: String, qualityCol: Column,
+      labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("id").as(idCol), col("component"))
+    val withComp = docs
+      .join(lbl, Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol)))
+    val winners = withComp
+      .groupBy("component")
+      .agg(max_by(col(idCol),
+        struct(qualityCol.cast("long").as("q"),
+          (-col(idCol)).as("nid"))).as(idCol))
+      .select(idCol)
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the high-diameter scale path. Plain min-label propagation

@@ -165,6 +165,27 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Radius (threshold) similarity search: ALL corpus vectors within
+    * cosine ≥ tauE6 of each query — the retrieval face top-k cannot
+    * express (dedup candidate harvesting, recall-first gathering, "every
+    * near-copy of this doc" audits want a similarity floor, not a count
+    * cap). Exact: the broadcast-thin query side streams past the corpus
+    * once; one codegen'd CosineSimE6 per (candidate, query), no shuffle
+    * at all — output size is data-dependent by design. At larger query
+    * batches route through the trained IVF cells first ([[ivfTrainedTopK]]'s
+    * routing) and radius-filter within probed cells.
+    */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, tauE6: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+      .filter(col("sim_e6") >= tauE6)
+      .select("query_id", "neighbor_id", "sim_e6")
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes, packed into a long. The
     * hyperplane components are derived from (bit, dim) via a hash → cheap,

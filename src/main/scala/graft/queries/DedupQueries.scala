@@ -299,6 +299,26 @@ private[graft] object DedupQueries {
       },
       Some(CC_KEEP_SQL)),
 
+    Q("dedup_cc_keep_best",
+      // KEEP-BEST cluster dedup — the survivor is the longest member
+      // (n_chars DESC, doc_id ASC), not the arbitrary min id: the
+      // production policy when near-dups genuinely differ (keep the
+      // full document, drop its truncated mirrors). One struct-ordered
+      // max_by per cluster, no ranking window.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        Dedup.keepClusterBest(docs.select("doc_id", "lang", "n_chars"),
+            "doc_id", col("n_chars"), labels)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(CC_KEEP_BEST_SQL)),
+
     Q("dedup_cc_labels_altstar",
       // Same component contract computed by the alternating large-star/
       // small-star algorithm — O(log² n) rounds regardless of diameter,
@@ -577,6 +597,22 @@ private[graft] object DedupQueries {
        |SELECT d.doc_id AS id, COALESCE(l.component, d.doc_id) AS component
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY id""".stripMargin
+
+  /** Oracle for dedup_cc_keep_best: per component the max-n_chars member
+    * (ties → min doc_id) survives; singletons are their own component.
+    */
+  private lazy val CC_KEEP_BEST_SQL: String =
+    s"""$CC_CTES,
+       |comp AS (SELECT d.doc_id, d.n_chars,
+       |    COALESCE(l.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+       |best AS (SELECT component, max(n_chars) AS bq FROM comp GROUP BY component),
+       |win AS (SELECT c.component, min(c.doc_id) AS doc_id
+       |  FROM comp c JOIN best b ON b.component = c.component AND c.n_chars = b.bq
+       |  GROUP BY c.component)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN win w ON w.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle for dedup_split_leakage: the CC closure joined to the salted
     * split assignment, per-cluster split census over multi-doc clusters.

@@ -69,6 +69,30 @@ private[graft] object SimQueries {
         normalize = false, trainSample = 100, quantized = true))
 
   val qs: Vector[Q] = Vector(
+    Q("sim_radius_search",
+      // threshold retrieval — every neighbor with cosine ≥ 0.2, the
+      // similarity-floor face top-k cannot express (near-copy audits and
+      // dedup candidate harvests want ALL matches, not the k best). Same
+      // broadcast-thin query side and codegen'd integer cosine as
+      // sim_cosine_topk; zero shuffles, output size data-dependent by
+      // design.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.radiusSearch(emb,
+            emb.filter(pmod(col("vec_id"), lit(50)) === 0), tauE6 = 200000L)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM c, q WHERE neighbor_id <> query_id)
+          |SELECT query_id, neighbor_id, sim_e6 FROM s WHERE sim_e6 >= 200000
+          |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     Q("sim_cosine_topk",
       (s, d) => {
         val emb = tbl(s, d, "embeddings")

@@ -380,6 +380,21 @@ private[graft] object TextQueries {
       Some(LM_SURPRISAL_SQL),
       bench = true),
 
+    Q("text_dsir_weights",
+      // DSIR importance weighting (Xie et al., NeurIPS 2023): score every
+      // doc by Σ tf(b)·(log p_target(b) − log p_raw(b)) over 1024
+      // md5-hashed unigram buckets, target = the English slice — the
+      // data-SELECTION op that ranks a raw crawl by similarity to a
+      // high-quality domain before training. Log-ratios at whole-bit
+      // resolution via the bin()-length trick (zero transcendentals), so
+      // even this "statistical" weight hash-matches the oracle. One
+      // tokenize pass, bucket model ≤ 1024 rows → broadcast scoring join.
+      (s, d) => Corpus.dsirScores(tbl(s, d, "documents"),
+          col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id"),
+      Some(DSIR_SQL),
+      bench = true),
+
     Q("text_cms_counts",
       // Count-Min frequency sketch over the corpus token stream, probed
       // with the English stopword vocabulary: d=4 md5-derived hash rows ×
@@ -1229,6 +1244,32 @@ private[graft] object TextQueries {
        |  CAST(sum(k) AS BIGINT) AS surprisal_bits,
        |  (CAST(sum(k) AS BIGINT) * 1000000) // count(*) AS mean_bits_e6
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_dsir_weights: md5-bucketed unigram features, add-one
+    * smoothed whole-bit log-ratio per bucket (bin()-length ⌊log2⌋, the
+    * LM_SURPRISAL convention), per-doc Σ tf·lam.
+    */
+  private lazy val DSIR_SQL: String =
+    s"""WITH toks AS (SELECT doc_id, lang = 'en' AS is_tgt,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      w -> w <> '')) AS tok
+       |  FROM documents),
+       |tb AS (SELECT doc_id, is_tgt, ($hexHead32Sql) % 1024 AS b
+       |  FROM (SELECT doc_id, is_tgt, md5(tok) AS mh FROM toks)),
+       |cnt AS (SELECT b, count(*) AS raw_c,
+       |    CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT CAST(sum(raw_c) AS BIGINT) AS raw_tot,
+       |    CAST(sum(tgt_c) AS BIGINT) AS tgt_tot FROM cnt),
+       |lam AS (SELECT b,
+       |    (length(bin((tgt_c + 1) * (raw_tot + 1024))) - 1)
+       |      - (length(bin((raw_c + 1) * (tgt_tot + 1024))) - 1) AS lam
+       |  FROM cnt, tot),
+       |tf AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY 1, 2)
+       |SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_toks,
+       |  CAST(sum(t.tf * l.lam) AS BIGINT) AS dsir_bits
+       |FROM tf t JOIN lam l ON l.b = t.b
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
   /** Oracle for text_curriculum: mean-surprisal difficulty, contiguous
     * rank, phase = rank·4 div n — the same arithmetic decile convention

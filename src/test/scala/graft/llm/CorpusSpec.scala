@@ -247,6 +247,55 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("dsirScores: target-like docs outscore off-domain docs") {
+    // target = lang 'en' docs built from {alpha beta gamma}; off-domain
+    // docs from {delta epsilon zeta}. DSIR must rank every target-
+    // vocabulary doc above every off-domain doc, including the UNLABELED
+    // doc written in target vocabulary (the selection use case: find
+    // target-like docs in the raw pool).
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "beta gamma alpha gamma"),
+      (3L, "xx", "delta epsilon zeta delta"),
+      (4L, "xx", "epsilon zeta delta zeta"),
+      (5L, "xx", "alpha beta gamma beta")) // target-like, unlabeled
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.dsirScores(docs, col("lang") === "en", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val tgtLike = Seq(1L, 2L, 5L).map(out)
+    val offDom = Seq(3L, 4L).map(out)
+    assert(tgtLike.min > offDom.max,
+      s"target-like docs must outscore off-domain: $out")
+  }
+
+  test("dsirScores: per-doc score is Σ tf·lam with whole-bit log-ratios") {
+    // one-bucket-per-token corpus small enough to replay by hand
+    val docs = Seq(
+      (1L, true, "a a b"),
+      (2L, false, "b c c c"))
+      .toDF("doc_id", "tgt", "text")
+    val byId = Corpus.dsirScores(docs, col("tgt"), buckets = 1024,
+        textCol = "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def h(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    // raw totals: 7 tokens, target totals: 3
+    def l2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val raw = Map(h("a") -> 2L, h("b") -> 2L, h("c") -> 3L)
+    val tgt = Map(h("a") -> 2L, h("b") -> 1L, h("c") -> 0L)
+    def lam(b: Long): Long =
+      l2((tgt(b) + 1) * (7 + 1024)) - l2((raw(b) + 1) * (3 + 1024))
+    val exp1 = 2 * lam(h("a")) + 1 * lam(h("b"))
+    val exp2 = 1 * lam(h("b")) + 3 * lam(h("c"))
+    assert(byId(1L) == exp1 && byId(2L) == exp2,
+      s"expected ($exp1, $exp2), got $byId")
+  }
+
   test("chunkDocuments plans no exchange and rejects bad parameters") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Corpus.chunkDocuments(docs, "text", "doc_id", 8, 3)

@@ -493,4 +493,20 @@ class DedupSpec extends SparkSpec {
     assert(out(15L) == (("new", None)))
     assert(out.size == 3)
   }
+
+  test("keepClusterBest: max-quality survivor, min-id ties, singletons kept") {
+    // cluster {1,2,3}: 3 has the best quality → survives (not min id 1);
+    // cluster {4,5}: tied quality → min id 4 survives; 6 is a singleton
+    // absent from labels → survives as its own cluster.
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 50L),
+      (4L, 20L), (5L, 20L),
+      (6L, 5L)).toDF("doc_id", "q")
+    val labels = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L)).toDF("id", "component")
+    val kept = Dedup.keepClusterBest(docs, "doc_id", col("q"), labels)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 6L))
+  }
 }

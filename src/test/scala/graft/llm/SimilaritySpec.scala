@@ -173,6 +173,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("radiusSearch: exactly the pairs at or above the cosine floor") {
+    // axis-aligned vectors with known cosines: (1,0)·(1,1)/norms = 0.7071,
+    // (1,0)·(0,1) = 0, (1,1)·(1,0.2) ≈ 0.832 — a 0.5 floor keeps exactly
+    // the two high pairs and drops the orthogonal one.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(1f, 1f)),
+      (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 0.2f))).toDF("vec_id", "embedding")
+    val out = Similarity.radiusSearch(vecs, vecs.filter(col("vec_id") === 0L),
+        tauE6 = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._2)
+    assert(out.map(t => (t._1, t._2)) == Seq((0L, 1L), (0L, 3L)))
+    assert(out.forall(_._3 >= 500000L))
+    // the floor is inclusive and self-pairs are excluded
+    assert(!out.exists(_._2 == 0L))
+  }
+
   test("LongDot matches the declarative zip_with/aggregate form and null rules") {
     import org.apache.spark.sql.functions._
     val df = Seq(
