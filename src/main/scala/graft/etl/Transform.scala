@@ -47,34 +47,29 @@ object Transform {
       d.withColumn(c, Transliterate(col(c)))
     }
 
-    // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first
-    // in two hash-only phases: min(ord) per link (thin (link, ord) pairs,
-    // map-side combinable, HashAggregate) then a shuffled-hash semi-join
-    // back on the ord alone. The earlier min_by(struct(all columns)) form
-    // kept the full row in the aggregation buffer, which is not hash-
-    // aggregable — Spark planned a SortAggregate that sorted every full
-    // row by the string key in BOTH phases (the chain's hottest stages in
-    // the r7 probe; the semi-join form is ~1.4x faster at sf0.1 and never
-    // sorts). Joining on ord ONLY (not (link, ord)) is what keeps the
-    // probe side shuffle-free: `dedupOrder` must be GLOBALLY unique
-    // (every caller passes the row id), so the min-ord set identifies
-    // surviving rows outright, and when ord aliases an upstream
-    // partitioning column (the id the distinct step already hashed on)
-    // alias-aware output partitioning lets the full-row probe reuse that
-    // exchange — only the thin (link, ord) build side shuffles at all.
-    // Plain === (not <=>) keeps the join keys bare attributes — a
-    // null-safe wrapper (coalesce/isnull) would defeat that partitioning
-    // reuse, and ord is non-null by contract anyway. NULL links group
-    // together like any other key under groupBy.
+    // dedup by ad URL (scripts/transform.py:62). Deterministic keep-first =
+    // min_by over the ordering column: partial aggregation combines
+    // duplicates map-side BEFORE the exchange, so the shuffle carries one
+    // row per (partition, link) — strictly less IO than a row_number window,
+    // which must shuffle every row and then sort each partition.
+    //
+    // Why NOT the thin-agg + semi-join rewrite (min(ord) per link, then a
+    // semi-join back on ord): measured 3x SLOWER on the full chain at
+    // sf0.1 (12 s vs 3.9 s, ProbeChain r7). Filters push freely through a
+    // semi-join's probe side, so Catalyst sinks the chain's downstream
+    // predicates BELOW the dedup and re-derives their expensive inputs
+    // (transliterate / address_parts / digits_only) inside every
+    // predicate, per pre-dedup row. min_by(struct) is not hash-aggregable
+    // (Spark plans a SortAggregate) but the aggregate is a filter-pushdown
+    // BARRIER: the costly string work runs exactly once per surviving
+    // row, which dominates the sort cost by far. Measure the whole chain,
+    // not the operator in isolation.
     val deduped = dedupOrder match {
       case Some(ord) =>
-        val w = translit.withColumn("__ord", ord)
-        val keep = w.groupBy(col("link").as("__l"))
-          .agg(min(col("__ord")).as("__o"))
-          .select("__o")
-        w.join(keep.hint("shuffle_hash"),
-            col("__ord") === col("__o"), "left_semi")
-          .drop("__ord")
+        val cols = translit.columns
+        translit.groupBy(col("link").as("__k"))
+          .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), ord).as("__r"))
+          .select("__r.*")
       case None => translit.dropDuplicates("link")
     }
 
