@@ -60,7 +60,17 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           failed += q.name
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed hygiene: queries are independent, but localCheckpoint
+      // leaves its RDD blocks cached after the query finishes; across
+      // 140+ timed runs those leaked blocks crowd the unified memory
+      // pool and tax LATER queries' execution memory (transform_chain
+      // measured 8.2 s late in a full bench vs 3.3 s standalone —
+      // r7 probe). Dropping them between queries keeps each
+      // measurement a cold, independent run.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
     // Canary: one fixed small query timed at start / between passes / end.
     // Identical work each time, so divergent canary timings expose a
