@@ -165,6 +165,29 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query, the k most-similar corpus vectors whose label DIFFERS from
+    * the query's — high-similarity/wrong-class examples are exactly the
+    * negatives that sharpen a metric-learning objective (easy random
+    * negatives carry no gradient). Same broadcast-thin query side and
+    * codegen'd integer cosine as [[bruteForceTopK]]; the label filter
+    * runs before the heap top-k, so the per-query state stays k rows. At
+    * corpus scale route the candidate generation through the trained IVF
+    * cells first and label-filter within probed cells.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("nlabel"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    topKSelect(scored, k)
+  }
+
   /** Radius (threshold) similarity search: ALL corpus vectors within
     * cosine ≥ tauE6 of each query — the retrieval face top-k cannot
     * express (dedup candidate harvesting, recall-first gathering, "every

@@ -319,6 +319,34 @@ private[graft] object DedupQueries {
       },
       Some(CC_KEEP_BEST_SQL)),
 
+    Q("dedup_cluster_sizes",
+      // the curator's ops report: near-dup cluster size distribution —
+      // how much of the corpus sits in 2-doc mirror pairs vs big
+      // boilerplate blobs decides which dedup policy to run. Two thin
+      // aggregations over the CC labels (component census → size
+      // histogram), linear at any corpus size.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.simhashNearDupPairsFromSigs(
+            Dedup.simhashMd5(docs, "text", "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(
+        s"""$CC_CTES,
+           |comp AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+           |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+           |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+           |SELECT cluster_size, count(*) AS n_clusters
+           |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
     Q("dedup_cc_labels_altstar",
       // Same component contract computed by the alternating large-star/
       // small-star algorithm — O(log² n) rounds regardless of diameter,

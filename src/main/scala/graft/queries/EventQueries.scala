@@ -58,6 +58,40 @@ private[graft] object EventQueries {
            |  (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
            |FROM daily CROSS JOIN tot ORDER BY day""".stripMargin)),
 
+    Q("ev_session_window",
+      // the NATIVE session_window operator, batch face: gap-merged
+      // windows per user — the same operator the streaming path runs
+      // with state, here planned as one aggregation. Window end = last
+      // event + gap; an event at exactly prev+gap MERGES (inclusive
+      // bound, spec-pinned), so the oracle's islands use strict >.
+      (s, d) => Events.sessionWindows(eventsTable(s, d), gap = "30 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some(
+        s"""WITH $EV_SQL,
+           |lagged AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+           |),
+           |flagged AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           |    THEN 1 ELSE 0 END AS is_new
+           |  FROM lagged
+           |),
+           |sess AS (
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           |  FROM flagged
+           |)
+           |SELECT user_id,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           |  count(*) AS n_events
+           |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin)),
+
     Q("ev_session_summary",
       (s, d) => Events.sessionSummary(eventsTable(s, d), gapMinutes = 30)
         .select(col("user_id"), col("session_seq"),

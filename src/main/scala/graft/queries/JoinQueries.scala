@@ -231,6 +231,46 @@ private[graft] object JoinQueries {
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    Q("join_theta_bands",
+      // pure THETA join (non-equi, no equality conjunct): price-band
+      // lookup via half-open [lo, hi) range predicates against a 5-row
+      // bands dim. The broadcast nested-loop join is the CORRECT plan
+      // here — a tiny broadcast side scanned per row beats any shuffle,
+      // and is the only strategy for a genuinely equality-free
+      // condition. Cents-integer bounds keep the boundary decisions
+      // exact in both engines.
+      (s, d) => {
+        import s.implicits._
+        val bands = Seq(
+          ("p0_under_10k", 0L, 1000000L),
+          ("p1_10k_25k", 1000000L, 2500000L),
+          ("p2_25k_50k", 2500000L, 5000000L),
+          ("p3_50k_75k", 5000000L, 7500000L),
+          ("p4_75k_up", 7500000L, Long.MaxValue))
+          .toDF("band", "lo_c", "hi_c")
+        val li = tbl(s, d, "lineitem")
+          .select((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"))
+        li.join(broadcast(bands),
+            col("price_c") >= col("lo_c") && col("price_c") < col("hi_c"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("band")
+      },
+      Some(
+        """WITH bands(band, lo_c, hi_c) AS (VALUES
+          |  ('p0_under_10k', 0, 1000000),
+          |  ('p1_10k_25k', 1000000, 2500000),
+          |  ('p2_25k_50k', 2500000, 5000000),
+          |  ('p3_50k_75k', 5000000, 7500000),
+          |  ('p4_75k_up', 7500000, 9223372036854775807)),
+          |li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+          |       FROM lineitem)
+          |SELECT band, count(*) AS n_items,
+          |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+          |FROM li JOIN bands ON price_c >= lo_c AND price_c < hi_c
+          |GROUP BY band ORDER BY band""".stripMargin)),
+
     Q("join_correlated_subquery",
       // correlated scalar subqueries (orders priced above 2× their own
       // customer's average), written in SQL so Catalyst's decorrelation

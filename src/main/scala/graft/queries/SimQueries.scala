@@ -93,6 +93,29 @@ private[graft] object SimQueries {
           |SELECT query_id, neighbor_id, sim_e6 FROM s WHERE sim_e6 >= 200000
           |ORDER BY query_id, neighbor_id""".stripMargin)),
 
+    Q("sim_hard_negatives",
+      // contrastive-training data mining: per query the 5 most-similar
+      // vectors of a DIFFERENT label — the high-similarity/wrong-class
+      // negatives a metric-learning objective needs (random negatives
+      // carry no gradient). Label filter before the heap top-k.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.hardNegatives(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel
+          |      FROM embeddings),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM c, q WHERE nlabel <> qlabel),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, rnk, neighbor_id, sim_e6 FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin)),
+
     Q("sim_cosine_topk",
       (s, d) => {
         val emb = tbl(s, d, "embeddings")

@@ -172,6 +172,23 @@ object Events {
         col("event_type"), col("n")),
       Seq("win_start"), col("n"), col("event_type"), k)
 
+  /** BATCH face of the native session_window operator — the same
+    * gap-merged windows [[streamingSessions]] maintains as state, planned
+    * as one aggregation over historical data (no watermark, no state
+    * store). Semantics (spec-pinned at the exact boundary): each event
+    * extends the session to ts + gap and an event at EXACTLY prev + gap
+    * still merges (inclusive bound) — a new session starts only when the
+    * gap is strictly exceeded, the same `diff > gap` islands predicate as
+    * [[sessionSummary]]; only the emitted end differs (last event + gap
+    * vs last event).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   /** Streaming session windows via the native session_window: state per
     * (user, open session), closed by the watermark.
     */

@@ -67,6 +67,26 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq(Some(87), None, None))
   }
 
+  test("sessionWindows (batch): exact-gap event MERGES; gap+1us opens a new session") {
+    // boundary semantics pinned empirically (they drive the oracle's
+    // islands predicate): an event at EXACTLY prev + gap still merges
+    // (inclusive bound), one microsecond past it does not.
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 10:15:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 10:45:00")), // = prev + gap → merges
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 11:15:00.000001"))) // past it → new
+      .toDF("event_id", "ts").withColumn("user_id", lit(7L))
+    val out = Events.sessionWindows(ts, gap = "30 minutes")
+      .orderBy("session_start")
+      .collect().map(r => (r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("2026-01-01 10:00:00.0", "2026-01-01 11:15:00.0", 3L),
+      ("2026-01-01 11:15:00.000001", "2026-01-01 11:45:00.000001", 1L)),
+      s"got ${out.toSeq}")
+  }
+
   test("streamingSessions: native session_window closes on the gap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
     events.write.mode("overwrite").parquet(s"$dir/in")
