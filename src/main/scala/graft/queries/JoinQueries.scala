@@ -231,6 +231,57 @@ private[graft] object JoinQueries {
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
 
+    Q("join_tpch_q5_shape",
+      // the TPC-H Q5 shape — the deepest join tree on the board: SIX
+      // tables, with the c_nationkey = s_nationkey residual (the
+      // predicate that makes Q5 a benchmark classic). Plan: the tiny
+      // region→nation spine and the region-filtered supplier dim are
+      // broadcast EXPLICITLY (they stay small at any scale); customer is
+      // fact-sized at scale, so its join is left to the planner — equi
+      // on custkey with the nationkey residual, a shuffle join at 100 TB
+      // and an auto-broadcast at test SF. Revenue in exact decimal→e4
+      // longs.
+      (s, d) => {
+        val lo = lit("1996-01-01").cast("timestamp")
+        val hi = lit("1997-01-01").cast("timestamp")
+        val rn = tbl(s, d, "region").filter(col("r_name") === "ASIA")
+          .select("r_regionkey")
+          .join(tbl(s, d, "nation"),
+            col("r_regionkey") === col("n_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = tbl(s, d, "supplier")
+          .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val cust = tbl(s, d, "customer").select("c_custkey", "c_nationkey")
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select("o_orderkey", "o_custkey")
+        val l = tbl(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .multiply(10000).cast("long").as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("n_name"))
+      },
+      Some(
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin),
+      bench = true),
+
     Q("join_theta_bands",
       // pure THETA join (non-equi, no equality conjunct): price-band
       // lookup via half-open [lo, hi) range predicates against a 5-row

@@ -26,6 +26,25 @@ private[graft] object TextQueries {
       Some(TEXT_STATS_SQL),
       bench = true),
 
+    Q("text_lang_confusion",
+      // in-engine model evaluation: the lang-ID classifier's confusion
+      // matrix against the corpus's ground-truth lang column — per
+      // (truth, guess) doc counts, the table precision/recall read off
+      // of. One narrow projection + one thin aggregation; the zh column
+      // (outside the classifier's vocab) lands on 'und' by design, which
+      // the matrix makes visible.
+      (s, d) => tbl(s, d, "documents")
+        .select(col("lang"), TextStats.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_guess"),
+      Some(
+        s"""WITH $TEXT_STATS_CTES
+           |SELECT d.lang, s.lang_guess, count(*) AS n_docs
+           |FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+           |GROUP BY d.lang, s.lang_guess
+           |ORDER BY d.lang, s.lang_guess""".stripMargin)),
+
     Q("text_exact_dedup",
       (s, d) => Dedup.exactDedupByKey(
           tbl(s, d, "documents")
