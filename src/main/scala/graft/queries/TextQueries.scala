@@ -783,6 +783,35 @@ private[graft] object TextQueries {
         |ORDER BY step""".stripMargin),
       bench = true),
 
+    Q("text_bpe_fertility",
+      // tokenizer-quality evaluation: corpus fertility (tokens per word)
+      // and compression (chars per token) of the trained BPE vocabulary,
+      // frequency-weighted over actual occurrences — the metric that
+      // decides whether a merge table is worth shipping. The unmerged
+      // baseline is chars-per-token = 1 by construction, so
+      // tokens_per_word_e6 < chars_per_word_e6 iff the merges compress.
+      // Exact e6 integer division in both engines.
+      (s, d) => {
+        val (_, words) = Bpe.learnMerges(
+          Bpe.wordFreqs(tbl(s, d, "documents"), minFreq = 5L), k = 3)
+        Bpe.segmented(words)
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("freq")).as("occurrences"),
+            expr("sum(freq * n_sym) * 1000000 DIV sum(freq)").as("tokens_per_word_e6"),
+            expr("sum(freq * length(w)) * 1000000 DIV sum(freq)").as("chars_per_word_e6"),
+            expr("sum(freq * length(w)) * 1000000 DIV sum(freq * n_sym)").as("chars_per_token_e6"))
+      },
+      Some(s"""${bpeCtes(3)},
+        |seg AS (SELECT w, CAST(len(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS BIGINT) AS n_sym,
+        |               freq
+        |        FROM w3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(freq) AS BIGINT) AS occurrences,
+        |  CAST(sum(freq * n_sym) * 1000000 // sum(freq) AS BIGINT) AS tokens_per_word_e6,
+        |  CAST(sum(freq * length(w)) * 1000000 // sum(freq) AS BIGINT) AS chars_per_word_e6,
+        |  CAST(sum(freq * length(w)) * 1000000 // sum(freq * n_sym) AS BIGINT) AS chars_per_token_e6
+        |FROM seg ORDER BY n_words""".stripMargin)),
+
     Q("text_bpe_segment",
       // the trained vocabulary applied: top-30 words by frequency with
       // their post-merge segmentations — the artifact a tokenizer ships
