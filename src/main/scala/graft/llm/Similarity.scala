@@ -444,7 +444,34 @@ object Similarity {
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       numCells: Int, trainIters: Int = 2, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None): DataFrame =
+    topKSelect(ivfProbedScored(corpus, queries, numCells, trainIters,
+      nProbe, idCol, vecCol, centroids), k)
+
+  /** IVF-routed RADIUS search — [[radiusSearch]]'s scale path: each query
+    * scores only its nProbe nearest trained cells' members, then keeps
+    * everything at or above the cosine floor. Approximate by routing
+    * (neighbors outside probed cells are missed — results are a SUBSET of
+    * the exact radius set, never wrong pairs); measure the miss rate with
+    * the recall harness before trusting a (numCells, nProbe) config.
+    */
+  def ivfRadiusSearch(corpus: DataFrame, queries: DataFrame, tauE6: Long,
+      numCells: Int, trainIters: Int = 2, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[DataFrame] = None): DataFrame =
+    ivfProbedScored(corpus, queries, numCells, trainIters, nProbe,
+        idCol, vecCol, centroids)
+      .filter(col("sim_e6") >= tauE6)
+      .select("query_id", "neighbor_id", "sim_e6")
+
+  /** Shared IVF candidate generation: corpus routed to its nearest
+    * trained cell, queries to their nProbe nearest, exact cosine on the
+    * co-celled pairs — (query_id, neighbor_id, sim_e6), unranked.
+    */
+  private def ivfProbedScored(corpus: DataFrame, queries: DataFrame,
+      numCells: Int, trainIters: Int, nProbe: Int,
+      idCol: String, vecCol: String,
+      centroids: Option[DataFrame]): DataFrame = {
     val cents = centroids.getOrElse(
       kMeansCentroidsE6(corpus, numCells, trainIters, idCol, vecCol))
     val cd = cents.select(col("cell"),
@@ -470,10 +497,9 @@ object Similarity {
       .filter(col("__cr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
-    val scored = cells.join(probes, Seq("cell"))
+    cells.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    topKSelect(scored, k)
   }
 
   // ---- Product quantization (PQ) ------------------------------------------

@@ -244,6 +244,42 @@ private[graft] object SimQueries {
       },
       Some(IVF_TRAINED_SQL)),
 
+    Q("sim_radius_ivf",
+      // sim_radius_search's SCALE path: the cosine floor evaluated only
+      // inside each query's 2 nearest trained cells (shared centroid
+      // artifact). Routing makes it approximate — a missed cell hides
+      // its members — but never wrong: results are a SUBSET of the
+      // exact radius set. sim_radius_recall measures exactly how much
+      // the routing misses.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfRadiusSearch(emb,
+            emb.filter(pmod(col("vec_id"), lit(50)) === 0), tauE6 = 200000L,
+            numCells = 8, trainIters = 2, nProbe = 2,
+            centroids = Some(km8(s, d)))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(RADIUS_IVF_SQL)),
+
+    Q("sim_radius_recall",
+      // the harness row that certifies (or vetoes) the routed radius
+      // config: pair recall of IVF-radius vs the exact radius truth —
+      // routed results are a subset, so recall is ivf/exact on counts
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val ne = Similarity.radiusSearch(emb, qs, tauE6 = 200000L)
+          .agg(count(lit(1)).as("exact_pairs"))
+        val ni = Similarity.ivfRadiusSearch(emb, qs, tauE6 = 200000L,
+            numCells = 8, trainIters = 2, nProbe = 2,
+            centroids = Some(km8(s, d)))
+          .agg(count(lit(1)).as("ivf_pairs"))
+        ne.crossJoin(broadcast(ni)) // 1-row × 1-row
+          .withColumn("recall_e6",
+            expr("ivf_pairs * 1000000 DIV exact_pairs"))
+      },
+      Some(RADIUS_RECALL_SQL)),
+
     Q("sim_ivfsq8_topk",
       // the faiss "IVF,SQ8" production composition: trained-cell routing
       // (shared centroid artifact with sim_ivf_trained_topk — train once,
@@ -1357,6 +1393,40 @@ private[graft] object SimQueries {
   /** Oracle for sim_ivf_trained_topk: k-means cells + the IVF probe/rerank
     * shape of the sampled-centroid oracle.
     */
+  /** Shared routed-candidate CTE tail for the IVF radius pair: identical
+    * cell assignment/probing to IVF_TRAINED_SQL, ending in
+    * `s(query_id, neighbor_id, sim_e6)` over probed candidates only.
+    */
+  private lazy val IVF_ROUTED_CTES: String =
+    s"""${kmeansCtes(8, 2)},
+       |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |asg AS (SELECT id, e, cell, row_number() OVER (PARTITION BY id ORDER BY ${cosE6Sql("av.e", "c.cd")} DESC, c.cell) AS rn
+       |        FROM av, c2d c),
+       |cells AS (SELECT id AS neighbor_id, e AS cv, cell FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS query_id, e AS qv, cell FROM asg WHERE rn <= 2 AND id % 50 = 0),
+       |s AS (SELECT query_id, neighbor_id, ${cosE6Sql("qv", "cv")} AS sim_e6
+       |      FROM cells JOIN probes USING (cell) WHERE neighbor_id <> query_id)""".stripMargin
+
+  private lazy val RADIUS_IVF_SQL: String =
+    s"""WITH $IVF_ROUTED_CTES
+       |SELECT query_id, neighbor_id, sim_e6 FROM s WHERE sim_e6 >= 200000
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  private lazy val RADIUS_RECALL_SQL: String =
+    s"""WITH $IVF_ROUTED_CTES,
+       |qx AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |cx AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |se AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id, ${cosE6Sql("qv", "cv")} AS sim_e6
+       |         FROM cx, qx WHERE neighbor_id <> query_id)
+       |       WHERE sim_e6 >= 200000),
+       |si AS (SELECT query_id, neighbor_id FROM s WHERE sim_e6 >= 200000)
+       |SELECT (SELECT count(*) FROM se) AS exact_pairs,
+       |  (SELECT count(*) FROM si) AS ivf_pairs,
+       |  CAST((SELECT count(*) FROM si) * 1000000 // (SELECT count(*) FROM se) AS BIGINT) AS recall_e6
+       |ORDER BY exact_pairs""".stripMargin
+
   private lazy val IVF_TRAINED_SQL: String =
     s"""WITH ${kmeansCtes(8, 2)},
        |av AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
