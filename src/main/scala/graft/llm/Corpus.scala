@@ -294,6 +294,39 @@ object Corpus {
           .as("contaminated"))
   }
 
+  /** Gram-level split-redundancy audit: for each doc, the fraction of its
+    * word-n-gram hashes NOT present in a reference corpus — how much of
+    * the val split a model could simply memorize from train shows up as
+    * LOW novelty here even when doc-level dedup is clean (shared
+    * boilerplate, quotes, recombined passages). Same one-pass NgramHashes
+    * gram pipeline as [[contaminationReport]], with the opposite scale
+    * shape: the reference side is CORPUS-SIZED (the train split), so the
+    * hit join is a shuffle semi-join on the gram hash — never a
+    * broadcast. Linear in total grams at any corpus size.
+    *
+    * @return (id, n_grams, n_hits, novel_ppm); gram-less docs report
+    *         novel_ppm = 0 (no grams, no evidence either way).
+    */
+  def noveltyReport(docs: DataFrame, refDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val docGrams = docs.select(col(idCol).as("id"),
+      graft.expr.NgramHashes(col(textCol), n).as("hs"))
+    val refGrams = refDocs
+      .select(explode(graft.expr.NgramHashes(col(textCol), n)).as("h"))
+      .distinct()
+    docGrams
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"),
+        explode_outer(col("hs")).as("h"))
+      .join(refGrams.select(col("h"), lit(1).as("__hit")), Seq("h"), "left")
+      .groupBy("id")
+      .agg(min(col("n_grams")).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .select(col("id"), col("n_grams"), col("n_hits"),
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("(n_grams - n_hits) * 1000000 DIV n_grams"))
+          .as("novel_ppm"))
+  }
+
   /** Fixed-window document chunking with overlap — the retrieval/RAG
     * preprocessing step: each document's whitespace tokens are cut into
     * windows of `width` tokens whose starts advance by `width - overlap`,

@@ -661,6 +661,26 @@ private[graft] object TextQueries {
       Some(DECONTAMINATE_SQL),
       bench = true),
 
+    Q("text_split_novelty",
+      // gram-level split-redundancy audit: per VAL doc, the share of its
+      // word-3-gram hashes absent from the TRAIN split — memorizable
+      // content doc-level dedup can't see (boilerplate, quotes,
+      // recombined passages) surfaces as low novelty. The train gram set
+      // is corpus-sized, so the hit join shuffles on the gram hash —
+      // deliberately NOT the broadcast shape of text_decontaminate.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .withColumn("split", Corpus.splitAssign(col("doc_id")))
+        Corpus.noveltyReport(
+            docs.filter(col("split") === "val"),
+            docs.filter(col("split") === "train"),
+            "text", "doc_id")
+          .select(col("id").as("doc_id"), col("n_grams"), col("n_hits"),
+            col("novel_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(SPLIT_NOVELTY_SQL)),
+
     Q("text_bm25",
       // Okapi BM25 top-20 retrieval for the query {hash, join, spark}:
       // postings pruned to query tokens BEFORE the tf shuffle, df + corpus
@@ -1127,6 +1147,42 @@ private[graft] object TextQueries {
        |  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE n_hits * 1000000 // n_grams END AS BIGINT)
        |    AS contam_ppm,
        |  (n_grams > 0 AND n_hits * 100 >= n_grams * 10) AS contaminated
+       |FROM rep ORDER BY doc_id""".stripMargin
+
+  /** Oracle for text_split_novelty: the DECONTAMINATE gram pipeline
+    * (identical 3-gram md5-head32 hashes, distinct BY HASH) with the
+    * salted-md5 split assignment deciding sides — val docs audited
+    * against the train gram set.
+    */
+  private lazy val SPLIT_NOVELTY_SQL: String =
+    s"""WITH w AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents),
+       |g AS (SELECT id, list_distinct(list_transform(
+       |    list_transform(
+       |      list_filter(
+       |        list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+       |          i -> array_to_string(ws[i + 1:i + 3], ' ')),
+       |        x -> x <> ''),
+       |      s -> md5(s)),
+       |    mh -> ($hexHead32Sql))) AS hs FROM w),
+       |asg AS (SELECT id,
+       |    CASE WHEN substr(md5(CAST(id AS VARCHAR) || '#graft'), 1, 8) < 'e6666666' THEN 'train'
+       |         WHEN substr(md5(CAST(id AS VARCHAR) || '#graft'), 1, 8) < 'f3333333' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM g),
+       |vg AS (SELECT g.id, hs FROM g JOIN asg USING (id) WHERE split = 'val'),
+       |tg AS (SELECT DISTINCT h FROM
+       |       (SELECT unnest(hs) AS h FROM g JOIN asg USING (id) WHERE split = 'train')),
+       |ve AS (SELECT id, unnest(hs) AS h FROM vg),
+       |hits AS (SELECT id, count(*) AS n_hits FROM ve JOIN tg USING (h) GROUP BY id),
+       |rep AS (SELECT v.id, len(hs) AS n_grams, COALESCE(h.n_hits, 0) AS n_hits
+       |        FROM vg v LEFT JOIN hits h ON h.id = v.id)
+       |SELECT id AS doc_id,
+       |  CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN n_grams = 0 THEN 0
+       |            ELSE (n_grams - n_hits) * 1000000 // n_grams END AS BIGINT) AS novel_ppm
        |FROM rep ORDER BY doc_id""".stripMargin
 
   /** Oracle for text_repetition: same word arrays, same bigram counts,
