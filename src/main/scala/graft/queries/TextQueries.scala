@@ -784,6 +784,39 @@ private[graft] object TextQueries {
           |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       bench = true),
 
+    Q("text_rag_chain",
+      // max-passage retrieval — the RAG composition end to end: overlap-
+      // chunk the corpus (64/16, the text_chunk_windows layout), BM25-
+      // score the CHUNKS against the query bag, reduce to each doc's best
+      // passage, rank docs by it. Passage-level scoring finds docs whose
+      // relevant span is diluted by length — exactly why RAG pipelines
+      // retrieve chunks, not documents. The chunk shortlist (heap top-50)
+      // provably contains the exact top-10 docs here: ≤ 2 chunks per doc
+      // (100-token max docs), so 50 chunks span ≥ 25 distinct docs.
+      (s, d) => {
+        val chunks = Corpus.chunkDocuments(
+            tbl(s, d, "documents"), "text", "doc_id", width = 64, overlap = 16)
+          .select((col("doc_id") * 4096L + col("chunk_id")).as("ck"),
+            col("chunk_text"))
+        val perChunk = TextStats.bm25(chunks, Seq("hash", "join", "spark"),
+            k = 50, textCol = "chunk_text", idCol = "ck")
+          .withColumnRenamed("doc_id", "ck")
+        val best = perChunk
+          .select(expr("ck DIV 4096").as("doc"),
+            expr("ck % 4096").as("chunk_id"), col("score_e6"))
+          .groupBy("doc")
+          .agg(max_by(struct(col("chunk_id"), col("score_e6")),
+            struct(col("score_e6"), (-col("chunk_id")).as("__nc"))).as("__b"))
+          .select(col("doc").as("doc_id"), col("__b.chunk_id").as("chunk_id"),
+            col("__b.score_e6").as("score_e6"), lit(1).as("__g"))
+        graft.plans.TopK.perGroup(best, Seq("__g"), col("score_e6"),
+            col("doc_id"), 10)
+          .select(col("doc_id"), col("chunk_id"), col("score_e6"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+      },
+      Some(RAG_CHAIN_SQL),
+      bench = true),
+
     Q("text_bpe_train",
       // BPE tokenizer training (Sennrich ACL'16): one corpus pass for
       // word freqs, then 3 merge rounds each touching only the
@@ -1093,6 +1126,47 @@ private[graft] object TextQueries {
        |SELECT query_id, doc_id, score_e6, CAST(rn AS BIGINT) AS rnk
        |FROM rk2 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Oracle for text_rag_chain: the chunk layout (text_chunk_windows
+    * arithmetic) fed through the BM25_SQL Okapi form keyed by
+    * (doc_id, chunk_id), best passage per doc, exact top-10 docs — the
+    * oracle computes the FULL ranking (no shortlist), certifying the
+    * heap-shortlist path exact.
+    */
+  private lazy val RAG_CHAIN_SQL: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |n0 AS (SELECT doc_id, toks,
+      |    1 + (GREATEST(len(toks) - 64, 0) + 47) // 48 AS nc FROM t),
+      |e AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n0),
+      |ch AS (SELECT doc_id, chunk_id,
+      |    array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+      |  FROM e),
+      |ctk AS (SELECT doc_id, chunk_id, tok FROM (
+      |    SELECT doc_id, chunk_id,
+      |      unnest(regexp_split_to_array(lower(trim(chunk_text)), '\s+')) AS tok
+      |    FROM ch) WHERE tok <> ''),
+      |lens AS (SELECT doc_id, chunk_id, count(*) AS len FROM ctk GROUP BY 1, 2),
+      |tf AS (SELECT doc_id, chunk_id, tok, count(*) AS tf FROM ctk
+      |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM ch),
+      |ll AS (SELECT sum(len) AS l FROM lens),
+      |sc AS (SELECT t.doc_id, t.chunk_id,
+      |         (((nn.n * 1000000) // d.df) * 22 * t.tf * ll.l) //
+      |           (10 * t.tf * ll.l + 3 * ll.l + 9 * le.len * nn.n) AS part
+      |       FROM tf t JOIN df d USING (tok)
+      |       JOIN lens le ON le.doc_id = t.doc_id AND le.chunk_id = t.chunk_id
+      |       CROSS JOIN nn CROSS JOIN ll),
+      |agg AS (SELECT doc_id, chunk_id, sum(part) AS score_e6 FROM sc GROUP BY 1, 2),
+      |best AS (SELECT doc_id, chunk_id, score_e6,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, chunk_id) AS pr
+      |         FROM agg),
+      |top AS (SELECT doc_id, chunk_id, score_e6 FROM best WHERE pr = 1)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(score_e6 AS BIGINT) AS score_e6
+      |FROM (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rn FROM top)
+      |WHERE rn <= 10 ORDER BY score_e6 DESC, doc_id""".stripMargin
 
   private lazy val BM25_SQL: String =
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
