@@ -58,6 +58,49 @@ private[graft] object EventQueries {
            |  (n * x - s) * (n * x - s) > 9 * (n * q - s * s) AS is_anomaly
            |FROM daily CROSS JOIN tot ORDER BY day""".stripMargin)),
 
+    Q("ev_anomaly_deseasonal",
+      // seasonally-adjusted anomaly detection: divide the day-of-week
+      // index (dash_seasonality's exact e6 profile) OUT of the daily
+      // series first, then run the 3σ integer test on the flattened
+      // values — a hot-but-normal Monday no longer masks a genuinely
+      // anomalous Sunday. Every step integer (two DIVs + the n²-scaled
+      // σ compare); weekday() 0=Monday = DuckDB isodow()−1.
+      (s, d) => {
+        val daily = eventsTable(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("wd", expr("weekday(day)"))
+        val byWd = daily.groupBy("wd").agg(sum(col("x")).as("wx"))
+        val idx = byWd
+          .crossJoin(broadcast(daily.agg(sum(col("x")).as("tot"))))
+          .select(col("wd"), expr("(wx * 7 * 1000000L) DIV tot").as("idx_e6"))
+        val adj = daily.join(broadcast(idx), Seq("wd"))
+          .select(col("day"), expr("(x * 1000000L) DIV idx_e6").as("adj"))
+        Dashboard.anomalyFlags(adj)
+          .select(date_format(col("key"), "yyyy-MM-dd").as("day"),
+            col("x").as("adj_events"), col("dev2"), col("bound9"),
+            col("is_anomaly"))
+          .orderBy("day")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           |          FROM ev GROUP BY 1),
+           |d2 AS (SELECT day, x, CAST(isodow(day) - 1 AS INT) AS wd FROM daily),
+           |bywd AS (SELECT wd, CAST(sum(x) AS BIGINT) AS wx FROM d2 GROUP BY 1),
+           |tt AS (SELECT CAST(sum(x) AS BIGINT) AS tot FROM daily),
+           |idx AS (SELECT wd, CAST((wx * 7 * 1000000) // tot AS BIGINT) AS idx_e6
+           |        FROM bywd CROSS JOIN tt),
+           |adj AS (SELECT day, CAST((x * 1000000) // idx_e6 AS BIGINT) AS adj
+           |        FROM d2 JOIN idx USING (wd)),
+           |tot2 AS (SELECT count(*) AS n, CAST(sum(adj) AS BIGINT) AS s,
+           |         CAST(sum(adj * adj) AS BIGINT) AS q FROM adj)
+           |SELECT strftime(day, '%Y-%m-%d') AS day, adj AS adj_events,
+           |  CAST((n * adj - s) * (n * adj - s) AS BIGINT) AS dev2,
+           |  CAST(9 * (n * q - s * s) AS BIGINT) AS bound9,
+           |  (n * adj - s) * (n * adj - s) > 9 * (n * q - s * s) AS is_anomaly
+           |FROM adj CROSS JOIN tot2 ORDER BY day""".stripMargin)),
+
     Q("ev_session_window",
       // the NATIVE session_window operator, batch face: gap-merged
       // windows per user — the same operator the streaming path runs

@@ -784,6 +784,32 @@ private[graft] object TextQueries {
           |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       bench = true),
 
+    Q("text_retrieval_rr",
+      // retrieval evaluation in-engine: BM25 ranks by summed term
+      // scores, so a document matching TWO rare terms can outrank one
+      // matching all three — this harness quantifies that: reciprocal
+      // rank of the first FULL-conjunction doc in the top-10 (n_terms =
+      // 3 ⇔ all query terms present, since the tf table keeps only
+      // query tokens) plus precision@10 of full matches. Exact e6
+      // rationals; rr_e6 = 0 when no full match is retrieved.
+      (s, d) => {
+        // the unpartitioned window runs over the 10-row heap OUTPUT —
+        // k rows regardless of corpus size, never the corpus itself
+        val topk = TextStats.bm25(tbl(s, d, "documents"),
+            Seq("hash", "join", "spark"), k = 10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_e6").desc, col("doc_id"))))
+        topk.agg(
+          coalesce(min(when(col("n_terms") === 3, col("rnk"))), lit(0L))
+            .as("first_full_rank"),
+          coalesce(expr("1000000 DIV min(CASE WHEN n_terms = 3 THEN rnk END)"),
+            lit(0L)).as("rr_e6"),
+          sum(when(col("n_terms") === 3, 1L).otherwise(0L)).as("hits_at_10"),
+          expr("sum(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) * 1000000 DIV 10")
+            .as("p_at_10_e6"))
+      },
+      Some(RETRIEVAL_RR_SQL)),
+
     Q("text_rag_chain",
       // max-passage retrieval — the RAG composition end to end: overlap-
       // chunk the corpus (64/16, the text_chunk_windows layout), BM25-
@@ -1126,6 +1152,37 @@ private[graft] object TextQueries {
        |SELECT query_id, doc_id, score_e6, CAST(rn AS BIGINT) AS rnk
        |FROM rk2 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Oracle for text_retrieval_rr: BM25_SQL's Okapi chain, full-match
+    * flag from n_terms = 3, the same coalesced reciprocal-rank and
+    * precision@10 arithmetic.
+    */
+  private lazy val RETRIEVAL_RR_SQL: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |              FROM documents),
+      |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      |lens AS (SELECT doc_id, count(*) AS len FROM tk GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+      |       WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |l AS (SELECT sum(len) AS l FROM lens),
+      |sc AS (SELECT t.doc_id,
+      |         (((n.n * 1000000) // d.df) * 22 * t.tf * l.l) //
+      |           (10 * t.tf * l.l + 3 * l.l + 9 * le.len * n.n) AS part
+      |       FROM tf t JOIN df d USING (tok)
+      |       JOIN lens le ON le.doc_id = t.doc_id
+      |       CROSS JOIN n CROSS JOIN l),
+      |agg AS (SELECT doc_id, count(*) AS n_terms, sum(part) AS score_e6
+      |        FROM sc GROUP BY 1),
+      |topk AS (SELECT * FROM
+      |         (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk FROM agg)
+      |         WHERE rnk <= 10)
+      |SELECT CAST(COALESCE(min(CASE WHEN n_terms = 3 THEN rnk END), 0) AS BIGINT) AS first_full_rank,
+      |  CAST(COALESCE(1000000 // min(CASE WHEN n_terms = 3 THEN rnk END), 0) AS BIGINT) AS rr_e6,
+      |  CAST(sum(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+      |  CAST(sum(CASE WHEN n_terms = 3 THEN 1 ELSE 0 END) * 1000000 // 10 AS BIGINT) AS p_at_10_e6
+      |FROM topk ORDER BY first_full_rank""".stripMargin
 
   /** Oracle for text_rag_chain: the chunk layout (text_chunk_windows
     * arithmetic) fed through the BM25_SQL Okapi form keyed by
