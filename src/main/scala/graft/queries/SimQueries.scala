@@ -69,6 +69,30 @@ private[graft] object SimQueries {
         normalize = false, trainSample = 100, quantized = true))
 
   val qs: Vector[Q] = Vector(
+    Q("sim_dim_stats",
+      // embedding observability: per-DIMENSION profile of the corpus in
+      // e6 fixed point — count, sum, min, max per coordinate. Dead
+      // dimensions (all ~0), scale drift between ingest batches, and
+      // clipped values all surface here before they silently poison
+      // similarity search. One posexplode + one thin aggregation,
+      // linear in corpus × dim.
+      (s, d) => tbl(s, d, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_e6"),
+          min(col("v")).as("min_e6"), max(col("v")).as("max_e6"))
+        .orderBy("dim"),
+      Some(
+        """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+          |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim
+          |  FROM embeddings),
+          |q AS (SELECT dim, CAST(floor(x * 1000000) AS BIGINT) AS v FROM e)
+          |SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_e6,
+          |  min(v) AS min_e6, max(v) AS max_e6
+          |FROM q GROUP BY dim ORDER BY dim""".stripMargin)),
+
     Q("sim_radius_search",
       // threshold retrieval — every neighbor with cosine ≥ 0.2, the
       // similarity-floor face top-k cannot express (near-copy audits and

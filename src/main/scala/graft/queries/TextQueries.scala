@@ -784,6 +784,53 @@ private[graft] object TextQueries {
           |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       bench = true),
 
+    Q("text_pmi_pairs",
+      // collocation extraction — the phrase-mining step a tokenizer/
+      // phrase-vocab pipeline runs: adjacent-bigram PMI at whole-bit
+      // resolution, PMI(a,b) = ⌊log2(c_ab·P)⌋ − ⌊log2(c_left·c_right)⌋
+      // via the bin()-length trick (zero transcendentals), min support
+      // 5, top-20 by (pmi, count). High-PMI pairs are phrases whose
+      // parts rarely appear apart — merge candidates for the vocab.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(split(lower(trim(col("text"))), "\\s+").as("ws0"))
+          .select(expr("filter(ws0, w -> w <> '')").as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val pairs = toks.select(explode(expr(
+            """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+              |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+        val tot = pairs.agg(count(lit(1)).as("p"))
+        c12.filter(col("c12") >= 5)
+          .join(c1, "w1").join(c2, "w2")
+          .crossJoin(broadcast(tot)) // 1-row total
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("CAST((length(bin(c12 * p)) - 1) - (length(bin(c1 * c2)) - 1) AS BIGINT)")
+              .as("pmi_bits"))
+          .orderBy(col("pmi_bits").desc, col("c12").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some(
+        """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws0
+          |              FROM documents),
+          |tk AS (SELECT list_filter(ws0, w -> w <> '') AS ws FROM toks),
+          |tk2 AS (SELECT ws FROM tk WHERE len(ws) >= 2),
+          |pairs AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+          |          FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tk2)),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+          |c2 AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+          |p AS (SELECT count(*) AS p FROM pairs),
+          |sel AS (SELECT w1, w2, c12,
+          |          (length(bin(c12 * p)) - 1) - (length(bin(c1 * c2)) - 1) AS pmi_bits
+          |        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN p
+          |        WHERE c12 >= 5)
+          |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(pmi_bits AS BIGINT) AS pmi_bits
+          |FROM sel ORDER BY pmi_bits DESC, c12 DESC, w1, w2 LIMIT 20""".stripMargin)),
+
     Q("text_retrieval_rr",
       // retrieval evaluation in-engine: BM25 ranks by summed term
       // scores, so a document matching TWO rare terms can outrank one
