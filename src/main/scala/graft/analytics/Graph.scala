@@ -397,4 +397,29 @@ object Graph {
         col("x") === col("e3.u") && col("y") === col("e3.v"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Bounded k-core peel of an undirected canonical (a < b) edge list:
+    * `rounds` synchronous rounds of "drop every node with degree < k and
+    * the edges touching it", then the surviving nodes with their induced
+    * degrees. A fixed horizon keeps the loop action-free (the plan is one
+    * dataflow, like pageRank's fixed iterations); full convergence is the
+    * same loop run until a count() probe stops changing. Each round is a
+    * degree aggregation plus two semi-joins on the edge key — no
+    * all-pairs stage, so the peel survives hub-heavy degree skew.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var edges = pairs.select(col("a"), col("b"))
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k).select("id")
+      edges = edges
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      r += 1
+    }
+    degrees(edges)
+  }
 }

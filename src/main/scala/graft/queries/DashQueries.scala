@@ -1025,7 +1025,102 @@ private[graft] object DashQueries {
           col("n_orders"), col("rev_cents"), col("rev_cents_ffill"))
         .orderBy("priority", "day"),
       Some(GAPFILL_SQL),
-      bench = true)
+      bench = true),
+
+    Q("dash_weighted_median",
+      // weighted median price/m2 per region, weight = listing area: the
+      // smallest value whose cumulative weight reaches half the region's
+      // total (2·cumw ≥ totw — pure integer, no interpolation). Cumulative
+      // weight runs in a per-region window ordered by (value, link) — link
+      // is the chain's dedup key, so cumw is deterministic under ties —
+      // and the per-region totals join back as a broadcast of ≤14 rows.
+      (s, d) => {
+        val f = transformChain(s, d)
+          .filter(col("price_per_m2").isNotNull && col("size_m2") > 0)
+          .select(col("region"), col("price_per_m2"),
+            col("size_m2").cast("long").as("w"), col("link"))
+        val win = Window.partitionBy("region")
+          .orderBy(col("price_per_m2"), col("link"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = f.withColumn("cumw", sum(col("w")).over(win))
+        val tot = f.groupBy("region").agg(sum(col("w")).as("totw"))
+        c.join(broadcast(tot), "region")
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("region")
+          .agg(min(col("price_per_m2")).cast("long").as("wmedian_ppm2"),
+            max(col("totw")).as("total_weight"))
+          .orderBy("region")
+      },
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, b AS (SELECT region, price_per_m2, CAST(size_m2 AS BIGINT) AS w, link
+          |        FROM final WHERE price_per_m2 IS NOT NULL AND size_m2 > 0),
+          |c AS (SELECT *, sum(w) OVER (PARTITION BY region ORDER BY price_per_m2, link
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw FROM b),
+          |wt AS (SELECT region, CAST(sum(w) AS BIGINT) AS totw FROM b GROUP BY 1)
+          |SELECT region, CAST(min(price_per_m2) AS BIGINT) AS wmedian_ppm2,
+          |  CAST(max(totw) AS BIGINT) AS total_weight
+          |FROM c JOIN wt USING (region) WHERE cumw * 2 >= totw
+          |GROUP BY region ORDER BY region""".stripMargin),
+      bench = true),
+
+    Q("dash_rfm_segments",
+      // RFM customer segmentation: per-customer recency / frequency /
+      // monetary from orders, each quartiled by exact ntile(4) semantics,
+      // segment code R·100+F·10+M, per-segment counts and revenue. The
+      // quartile rank comes from Ids.contiguousIds (range-partitioned
+      // two-pass offsets) — a global ntile() window would plan an
+      // Exchange SinglePartition, the canonical does-not-scale shape —
+      // and the exact SQL-ntile bucket (first n%k buckets one larger) is
+      // re-derived from the rank with pure integer arithmetic.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        val byCust = o.groupBy(col("o_custkey").as("custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            cents(col("o_totalprice")).as("mon_c"))
+        val ref = o.agg(max(col("o_orderdate").cast("date")).as("ref_day"))
+        val base = byCust.crossJoin(broadcast(ref))
+          .select(col("custkey"),
+            datediff(col("ref_day"), col("last_day")).cast("long").as("recency"),
+            col("freq"), col("mon_c"))
+        // exact SQL ntile(k) from a 1-based rank r over n rows
+        def ntileSql(r: String): String = {
+          val b = "(n DIV 4)"; val x = "(n % 4)"
+          s"""CASE WHEN $r <= ($b + 1) * $x
+             |  THEN ($r + $b) DIV ($b + 1)
+             |  ELSE $x + (($r - ($b + 1) * $x) + $b - 1) DIV $b END""".stripMargin
+        }
+        val rR = Ids.contiguousIds(base, Seq(col("recency"), col("custkey")), "r0")
+        val rF = Ids.contiguousIds(rR, Seq(col("freq").desc, col("custkey")), "f0")
+        val rM = Ids.contiguousIds(rF, Seq(col("mon_c").desc, col("custkey")), "m0")
+        rM.crossJoin(broadcast(rM.select(count(lit(1)).as("n"))))
+          .selectExpr("custkey", "mon_c",
+            ntileSql("(r0 + 1)") + " AS r_q",
+            ntileSql("(f0 + 1)") + " AS f_q",
+            ntileSql("(m0 + 1)") + " AS m_q")
+          .selectExpr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment", "mon_c")
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("sum_monetary_c"))
+          .orderBy("segment")
+      },
+      Some(
+        """WITH byc AS (
+          |  SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+          |    count(*) AS freq,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mon_c
+          |  FROM orders GROUP BY 1),
+          |ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+          |b AS (SELECT custkey, datediff('day', last_day, ref_day) AS recency, freq, mon_c
+          |      FROM byc CROSS JOIN ref),
+          |q AS (SELECT custkey, mon_c,
+          |    ntile(4) OVER (ORDER BY recency, custkey) AS r_q,
+          |    ntile(4) OVER (ORDER BY freq DESC, custkey) AS f_q,
+          |    ntile(4) OVER (ORDER BY mon_c DESC, custkey) AS m_q
+          |  FROM b)
+          |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+          |  count(*) AS n_customers, CAST(sum(mon_c) AS BIGINT) AS sum_monetary_c
+          |FROM q GROUP BY 1 ORDER BY segment""".stripMargin))
   )
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row

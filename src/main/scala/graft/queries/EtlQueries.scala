@@ -679,7 +679,93 @@ private[graft] object EtlQueries {
           |        o.bal_c AS old_bal_c, n.bal_c AS new_bal_c
           |      FROM o FULL OUTER JOIN n ON o.key = n.key)
           |SELECT key, status, old_seg, new_seg, old_bal_c, new_bal_c
-          |FROM j WHERE status <> 'unchanged' ORDER BY key""".stripMargin))
+          |FROM j WHERE status <> 'unchanged' ORDER BY key""".stripMargin)),
+
+    Q("etl_dq_expectations",
+      // data-quality expectation suite over the raw landing frame: six
+      // declarative rules (parseability, non-empty fields, key format,
+      // domain membership, key uniqueness) evaluated in ONE scan — every
+      // rule is a conditional count inside a single aggregation, then the
+      // 1-row result unpivots into a per-rule report with integer ppm
+      // violation rates against a 5% gate. At 100 TB this is the shape a
+      // DQ gate must have: no per-rule scans, no driver-side row checks.
+      (s, d) => {
+        val a = rawProperties(s, d).agg(
+          count(lit(1)).as("n"),
+          count(when(regexp_replace(col("price_czk"), "[^0-9]", "") === "", 1)).as("v_price"),
+          count(when(col("size_m2") === "", 1)).as("v_size"),
+          count(when(!col("link").startsWith("/nemovitosti/"), 1)).as("v_link"),
+          count(when(!col("purpose").isin(purposes: _*), 1)).as("v_purpose"),
+          count(when(col("design") === "", 1)).as("v_design"),
+          (count(lit(1)) - countDistinct(col("id"))).as("v_dupid"))
+        a.selectExpr("n",
+            """stack(6,
+              |  'design_nonempty', v_design,
+              |  'id_unique', v_dupid,
+              |  'link_prefix', v_link,
+              |  'price_has_digits', v_price,
+              |  'purpose_known', v_purpose,
+              |  'size_nonempty', v_size) AS (rule, n_violations)""".stripMargin)
+          .selectExpr("rule", "n AS n_checked", "n_violations",
+            "(n_violations * 1000000L) DIV n AS viol_ppm",
+            "(n_violations * 1000000L) DIV n <= 50000 AS pass")
+          .orderBy("rule")
+      },
+      Some(withRaw(
+        """, a AS (SELECT count(*) AS n,
+          |  count(*) FILTER (WHERE regexp_replace(price_czk, '[^0-9]', '', 'g') = '') AS v_price,
+          |  count(*) FILTER (WHERE size_m2 = '') AS v_size,
+          |  count(*) FILTER (WHERE link NOT LIKE '/nemovitosti/%') AS v_link,
+          |  count(*) FILTER (WHERE purpose NOT IN """.stripMargin +
+        sqlIn(purposes) +
+        """) AS v_purpose,
+          |  count(*) FILTER (WHERE design = '') AS v_design,
+          |  count(*) - count(DISTINCT id) AS v_dupid
+          |FROM raw),
+          |r AS (
+          |  SELECT n, 'design_nonempty' AS rule, v_design AS v FROM a
+          |  UNION ALL SELECT n, 'id_unique', v_dupid FROM a
+          |  UNION ALL SELECT n, 'link_prefix', v_link FROM a
+          |  UNION ALL SELECT n, 'price_has_digits', v_price FROM a
+          |  UNION ALL SELECT n, 'purpose_known', v_purpose FROM a
+          |  UNION ALL SELECT n, 'size_nonempty', v_size FROM a)
+          |SELECT rule, CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
+          |  CAST(v * 1000000 // n AS BIGINT) AS viol_ppm,
+          |  v * 1000000 // n <= 50000 AS pass
+          |FROM r ORDER BY rule""".stripMargin))),
+
+    Q("etl_compaction_plan",
+      // small-file compaction planner over a file listing (documents
+      // stand in: doc_id = file, n_chars = bytes): within each source
+      // partition, files in id order are banded into ~64 KiB target
+      // groups by cumulative size — band = bytes-before DIV target, so a
+      // group never starts past the target boundary. The cumulative sum
+      // windows per source partition (bounded file lists), never
+      // globally — the planner's metadata pass stays metadata-sized at
+      // any corpus scale.
+      (s, d) => {
+        val win = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum(col("n_chars")).over(win))
+          .withColumn("band", expr("(cum - n_chars) DIV 65536"))
+          .groupBy("source", "band")
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+            min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+          .orderBy("source", "band")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT source, doc_id, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM documents),
+          |b AS (SELECT source, (cum - n_chars) // 65536 AS band, doc_id, n_chars FROM c)
+          |SELECT source, CAST(band AS BIGINT) AS band, count(*) AS n_files,
+          |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+          |  min(doc_id) AS first_id, max(doc_id) AS last_id
+          |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the

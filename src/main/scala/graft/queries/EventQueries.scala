@@ -327,6 +327,66 @@ private[graft] object EventQueries {
            |  datediff('day', first_day, day) // 7 AS wk,
            |  count(DISTINCT e.user_id) AS users
            |FROM e JOIN f ON e.user_id = f.user_id
-           |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
+
+    Q("ev_top_paths",
+      // top-20 session journeys: sessionize by the 30-min gap (same
+      // island convention as ev_session_summary), truncate each session
+      // to its first 8 events, concatenate the event types in time
+      // order, count sessions per path. All windows are partitioned by
+      // user (then user+session) — per-key state, never a global sort —
+      // and the path string is bounded by the 8-event cap, so row width
+      // can't blow up on a pathological always-on user at corpus scale.
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val sess = eventsTable(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("is_new", when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+            1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))
+        val paths = sess
+          .withColumn("rn", row_number().over(bySess))
+          .filter(col("rn") <= 8)
+          .groupBy("user_id", "session_seq")
+          .agg(concat_ws(">", transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |lagged AS (
+           |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev
+           |),
+           |flagged AS (
+           |  SELECT *, CASE WHEN prev_ts IS NULL
+           |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+           |    THEN 1 ELSE 0 END AS is_new
+           |  FROM lagged
+           |),
+           |sess AS (
+           |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           |  FROM flagged
+           |),
+           |rn AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+           |    ORDER BY ts, event_id) AS rn
+           |  FROM sess
+           |),
+           |p AS (
+           |  SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM rn WHERE rn <= 8 GROUP BY 1, 2
+           |)
+           |SELECT path, count(*) AS n_sessions
+           |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+      bench = true)
   )
 }

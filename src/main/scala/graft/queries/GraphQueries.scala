@@ -386,6 +386,31 @@ private[graft] object GraphQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
         |FROM pe e1 JOIN pe e2 ON e2.a = e1.b
         |JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
-        |ORDER BY triangles""".stripMargin))
+        |ORDER BY triangles""".stripMargin)),
+
+    Q("graph_kcore",
+      // 3-round k-core peel (k = 3) of the co-purchase graph: the dense
+      // "stable market" subgraph after shaving low-degree fringe nodes —
+      // a fixed synchronous horizon (like graph_pagerank's 3 iterations)
+      // so Spark plans one action and the oracle unrolls the identical
+      // rounds as chained CTEs. Output: surviving nodes with their
+      // induced degrees.
+      (s, d) => Graph.kCorePeel(coEdges(s, d), k = 3, rounds = 3)
+        .orderBy("id"),
+      Some {
+        val peel = (1 to 3).map { r =>
+          s"""d$r AS (SELECT id, count(*) AS deg FROM (
+             |  SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+             |k$r AS (SELECT id FROM d$r WHERE deg >= 3),
+             |e$r AS (SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT id FROM k$r) AND b IN (SELECT id FROM k$r))""".stripMargin
+        }.mkString(",\n")
+        copurchaseCte + s""",
+          |e0 AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+          |$peel
+          |SELECT id, count(*) AS deg FROM (
+          |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+          |GROUP BY 1 ORDER BY id""".stripMargin
+      })
   )
 }

@@ -953,7 +953,32 @@ private[graft] object TextQueries {
         |  array_to_string(string_split(trim(sym, chr(31)), chr(31)||chr(31)), '|') AS seg,
         |  CAST(len(string_split(trim(sym, chr(31)), chr(31)||chr(31))) AS BIGINT) AS n_sym,
         |  freq
-        |FROM w3 ORDER BY freq DESC, w LIMIT 30""".stripMargin))
+        |FROM w3 ORDER BY freq DESC, w LIMIT 30""".stripMargin)),
+
+    Q("text_freq_spectrum",
+      // Zipf/Heaps corpus profile without floats: per-term corpus
+      // frequencies bucketed by power-of-two band, band = bit-length − 1
+      // (= floor(log2 f) via base-2 string length — exact integer, no
+      // log() boundary misrounds). Band 0 = hapax legomena; the band
+      // row counts are the rank-frequency curve a data-mixture designer
+      // reads vocabulary health off of. One explode + two thin
+      // aggregations, fully map-side-combinable.
+      (s, d) => tbl(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .select(col("f"), (length(conv(col("f"), 10, 2)) - 1).cast("long").as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("n_occurrences"))
+        .orderBy("band"),
+      Some(
+        """WITH toks AS (
+          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+          |  FROM documents),
+          |tf AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w)
+          |SELECT CAST(length(to_base(f, 2)) - 1 AS BIGINT) AS band,
+          |  count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS n_occurrences
+          |FROM tf GROUP BY 1 ORDER BY band""".stripMargin))
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
