@@ -1005,6 +1005,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Matryoshka / progressive-refinement ANN (Kusupati et al., NeurIPS'22
+    * nested-prefix representations): shortlist with the first
+    * `prefixDims` coordinates of the vector — a prefixDims/dims-cost dot
+    * product — then exact-rerank only the `shortlist` candidates with the
+    * full vector. Pair with [[recallAtK]] so the prefix's ranking
+    * fidelity is a measured quantity, like the PQ/SQ variants. Scale
+    * shape: the prefilter is [[bruteForceTopK]]'s broadcast-thin pass at
+    * a fraction of the arithmetic, and the rerank touches `shortlist`
+    * rows per query; at corpus scale route the prefilter through the
+    * trained IVF cells first — the two refinements compose.
+    */
+  def prefixTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, prefixDims: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).as("query_id"),
+      expr(s"slice($vecCol, 1, $prefixDims)").as("qt"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      expr(s"slice($vecCol, 1, $prefixDims)").as("ct"))
+    val pre = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pre_e6", cosineE6(col("qt"), col("ct")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_e6").desc, col("neighbor_id"))
+    val short = pre.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = short
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    topKSelect(rescored, k)
+  }
+
+  /** Dominant principal direction of the embedding corpus by `rounds`
+    * synchronous power-iteration steps (v ← Xᵀ(Xv), renormalized), in
+    * pure fixed-point integers so the trajectory replays digit-for-digit
+    * in any engine: elements quantize to e6, the per-row projection
+    * u = Σ_d x·v rescales by DIV 1e8, the per-dim update w = Σ_i x·u
+    * renormalizes by its max |w|. Everything is dataflow — explode to
+    * (id, dim, x) triples, one equi-join + one aggregation per half-step,
+    * a 64-row broadcast for v — no driver-side vector, no single
+    * partition anywhere; the unrolled fixed horizon keeps the loop
+    * action-free like pageRank's. Integer-range bound: n·max|x_e6|·
+    * max|u| must stay under 2^63 — with the DIV-1e8 projection rescale
+    * that holds to ~10^7 rows; beyond that, train on a bounded
+    * [[hashSample]] like the k-means/PQ artifacts do (the direction is a
+    * model, not a per-row statistic).
+    */
+  def powerIterationE6(vectors: DataFrame, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val x = vectors
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("id"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * 1e6).cast("long").as("x"))
+    var v = x.select("dim").distinct().withColumn("v", lit(1000000L))
+    var r = 0
+    while (r < rounds) {
+      val u = x.join(broadcast(v), Seq("dim"))
+        .groupBy("id").agg(sum(col("x") * col("v")).as("u12"))
+        .select(col("id"), expr("u12 DIV 100000000").as("u"))
+      val w = x.join(u, Seq("id"))
+        .groupBy("dim").agg(sum(col("x") * col("u")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("dim"), expr("w DIV greatest(m DIV 1000000, 1)").as("v"))
+      r += 1
+    }
+    v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id"),

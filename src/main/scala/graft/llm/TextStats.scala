@@ -727,17 +727,57 @@ object TextStats {
     * @return (doc_id, n_bigrams, surprisal_bits, mean_bits_e6) for every
     *         doc with ≥ 2 tokens
     */
-  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  /** Consecutive-token bigram occurrences (doc_id, w1, w2) under the
+    * corpus tokenization convention — shared by the surprisal and
+    * Kneser-Ney LMs.
+    */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("ws"))
       .select(col("doc_id"), expr("filter(ws, w -> w <> '')").as("ws"))
       .filter(size(col("ws")) >= 2)
-    val pairs = toks.select(col("doc_id"), explode(expr(
+    toks.select(col("doc_id"), explode(expr(
         """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
           |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney, ICASSP'95; Chen &
+    * Goodman 1998) in exact fixed point: absolute discount D = 3/4
+    * carried as quarters (max(4c−3, 0)), the continuation probability
+    * from left-context TYPE counts (how many distinct words precede w2,
+    * over total bigram types), the backoff weight λ from right-context
+    * type counts — every division an integer e6 DIV, so the smoothed
+    * probabilities replay digit-for-digit cross-engine. Returns the top
+    * `k` bigrams by raw count with their smoothed p(w2|w1). Scale shape:
+    * four aggregations of the pair stream (all map-side-combinable), a
+    * 1-row type-total broadcast, and joins keyed on the bigram/context —
+    * the model table itself is vocabulary-sized, not corpus-sized.
+    */
+  def knBigramTop(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1r = c12.groupBy("w1").agg(count(lit(1)).as("n1r"))
+    val n1l = c12.groupBy("w2").agg(count(lit(1)).as("n1l"))
+    val bDf = c12.agg(count(lit(1)).as("b"))
+    c12.join(c1, Seq("w1")).join(n1r, Seq("w1")).join(n1l, Seq("w2"))
+      .crossJoin(broadcast(bDf))
+      .withColumn("p1_e6", expr("greatest(4 * c12 - 3, 0) * 1000000 DIV (4 * c1)"))
+      .withColumn("lam_e6", expr("3 * n1r * 1000000 DIV (4 * c1)"))
+      .withColumn("pc_e6", expr("n1l * 1000000 DIV b"))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("p1_e6 + lam_e6 * pc_e6 DIV 1000000").as("pkn_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = bigramPairs(docs, idCol, textCol)
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vDf = pairs.agg(countDistinct(col("w2")).as("v"))

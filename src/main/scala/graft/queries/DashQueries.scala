@@ -1032,8 +1032,11 @@ private[graft] object DashQueries {
       // smallest value whose cumulative weight reaches half the region's
       // total (2·cumw ≥ totw — pure integer, no interpolation). Cumulative
       // weight runs in a per-region window ordered by (value, link) — link
-      // is the chain's dedup key, so cumw is deterministic under ties —
-      // and the per-region totals join back as a broadcast of ≤14 rows.
+      // is the chain's dedup key, so cumw is deterministic under ties.
+      // The per-region total is a SECOND window over the same region
+      // partitioning (full-frame, unordered) rather than a groupBy+join —
+      // the upstream transform chain is evaluated once and both windows
+      // ride the same exchange, instead of scanning the chain twice.
       (s, d) => {
         val f = transformChain(s, d)
           .filter(col("price_per_m2").isNotNull && col("size_m2") > 0)
@@ -1042,9 +1045,8 @@ private[graft] object DashQueries {
         val win = Window.partitionBy("region")
           .orderBy(col("price_per_m2"), col("link"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val c = f.withColumn("cumw", sum(col("w")).over(win))
-        val tot = f.groupBy("region").agg(sum(col("w")).as("totw"))
-        c.join(broadcast(tot), "region")
+        f.withColumn("cumw", sum(col("w")).over(win))
+          .withColumn("totw", sum(col("w")).over(Window.partitionBy("region")))
           .filter(col("cumw") * 2 >= col("totw"))
           .groupBy("region")
           .agg(min(col("price_per_m2")).cast("long").as("wmedian_ppm2"),

@@ -635,8 +635,77 @@ private[graft] object SimQueries {
           |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
           |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
 
-    // ---- Bloom-filter pruning, stratified sampling, robust quality gates,
-    //      edit-distance dedup, grouping-sets / union-by-name breadth ------
+    Q("sim_matryoshka_recall",
+      // Matryoshka/progressive ANN measured: shortlist with the 16-dim
+      // PREFIX of the 64-dim embedding (¼ the dot-product cost), exact
+      // rerank of the 20 shortlisted, recall@5 vs full brute force — the
+      // prefix's ranking fidelity as a number, like the PQ/SQ harnesses.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        Similarity.recallAtK(
+            Similarity.prefixTopKReranked(emb, queries, k = 5,
+              shortlist = 20, prefixDims = 16),
+            Similarity.bruteForceTopK(emb, queries, k = 5))
+          .orderBy("query_id")
+      },
+      Some(
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |pre AS (SELECT query_id, neighbor_id,
+          |    CAST(floor(list_inner_product(qv[1:16], cv[1:16]) /
+          |      (sqrt(list_inner_product(qv[1:16], qv[1:16])) * sqrt(list_inner_product(cv[1:16], cv[1:16]))) * 1000000) AS BIGINT) AS pre_e6
+          |  FROM c, q WHERE neighbor_id <> query_id),
+          |short AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY pre_e6 DESC, neighbor_id) AS r
+          |    FROM pre) WHERE r <= 20),
+          |resc AS (SELECT s.query_id, s.neighbor_id,
+          |    CAST(floor(list_inner_product(q.qv, c.cv) /
+          |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS sim_e6
+          |  FROM short s JOIN q ON q.query_id = s.query_id
+          |  JOIN c ON c.neighbor_id = s.neighbor_id),
+          |ann AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk
+          |    FROM resc) WHERE rnk <= 5),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk
+          |    FROM (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM c, q WHERE neighbor_id <> query_id)) WHERE rnk <= 5)
+          |SELECT e.query_id, count(*) AS n_exact, count(a.neighbor_id) AS n_hits,
+          |  CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_e6
+          |FROM ex e LEFT JOIN ann a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
+
+    Q("sim_power_iteration",
+      // the corpus's dominant principal direction by 3 fixed-point power
+      // iteration rounds — the in-engine spectral primitive behind PCA
+      // whitening / anisotropy diagnostics, all-dataflow (explode + join
+      // + agg per half-step, 64-row broadcasts), trajectory exactly
+      // replayed by the unrolled oracle.
+      (s, d) => Similarity.powerIterationE6(tbl(s, d, "embeddings"), rounds = 3),
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""u$r AS (SELECT id, CAST(sum(x * v) AS BIGINT) // 100000000 AS u
+             |  FROM x JOIN v${r - 1} USING (dim) GROUP BY id),
+             |w$r AS (SELECT dim, CAST(sum(x * u) AS BIGINT) AS w
+             |  FROM x JOIN u$r USING (id) GROUP BY dim),
+             |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+             |v$r AS (SELECT dim, w // greatest(m // 1000000, 1) AS v
+             |  FROM w$r CROSS JOIN m$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS (
+           |  SELECT vec_id AS id,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+           |  FROM embeddings),
+           |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM x),
+           |$rounds
+           |SELECT dim, CAST(v AS BIGINT) AS v_e6 FROM v3 ORDER BY dim""".stripMargin
+      })
   )
 
   private def MM_MIME_SQL: String =

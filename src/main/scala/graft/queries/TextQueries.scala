@@ -978,7 +978,31 @@ private[graft] object TextQueries {
           |tf AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY w)
           |SELECT CAST(length(to_base(f, 2)) - 1 AS BIGINT) AS band,
           |  count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS n_occurrences
-          |FROM tf GROUP BY 1 ORDER BY band""".stripMargin))
+          |FROM tf GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    Q("text_kn_bigram",
+      // interpolated Kneser-Ney bigram LM in exact fixed point: D = 3/4
+      // as quarters, continuation probability from left-context TYPE
+      // counts, λ from right-context type counts — the smoothing that
+      // makes "San Francisco" not inflate p(Francisco | <anything>).
+      // Top-30 bigrams by count with their smoothed p(w2|w1); every
+      // division integer, so the statistical model hash-matches.
+      (s, d) => TextStats.knBigramTop(tbl(s, d, "documents"), k = 30),
+      Some(
+        s"""WITH $LM_CTES,
+           |n1r AS (SELECT w1, count(*) AS n1r FROM c12 GROUP BY 1),
+           |n1l AS (SELECT w2, count(*) AS n1l FROM c12 GROUP BY 1),
+           |bt AS (SELECT count(*) AS b FROM c12)
+           |SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+           |  CAST((greatest(4 * c12.c12 - 3, 0) * 1000000) // (4 * c1.c1)
+           |    + ((3 * n1r.n1r * 1000000) // (4 * c1.c1))
+           |      * ((n1l.n1l * 1000000) // bt.b) // 1000000 AS BIGINT) AS pkn_e6
+           |FROM c12 JOIN c1 ON c12.w1 = c1.w1
+           |JOIN n1r ON n1r.w1 = c12.w1
+           |JOIN n1l ON n1l.w2 = c12.w2
+           |CROSS JOIN bt
+           |ORDER BY CAST(c12.c12 AS BIGINT) DESC, c12.w1, c12.w2
+           |LIMIT 30""".stripMargin))
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
