@@ -1078,6 +1078,42 @@ object Similarity {
     v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
   }
 
+  /** k-NN graph construction, NN-descent style (Dong, Moses & Li,
+    * WWW'11): seed candidate edges from hyperplane-LSH buckets, exact-
+    * score to an initial top-k graph, then ONE neighbor-of-neighbor
+    * refinement round — symmetrize, self-join the graph, rescore the
+    * union, keep top-k. The graph is the build artifact HNSW/NSG-class
+    * ANN indexes start from. Scale shape: bucketed seeding (never
+    * all-pairs), and after round 0 every node's fan-out is ≤ 2k, so the
+    * refinement join is ≤ 4k² candidates per node — corpus-linear; more
+    * rounds repeat the same bounded step.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"),
+      hyperplaneSignature(col(vecCol), bits).as("bucket"))
+    val cand0 = v.select(col("bucket"), col("id").as("query_id"))
+      .join(v.select(col("bucket"), col("id").as("neighbor_id")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+    val knn0 = topKSelect(score(cand0), k).select("query_id", "neighbor_id")
+    val sym = knn0.unionAll(knn0.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id")))
+    val non = sym.as("x")
+      .join(sym.withColumnsRenamed(Map("query_id" -> "mid", "neighbor_id" -> "nn")),
+        col("neighbor_id") === col("mid"))
+      .select(col("query_id"), col("nn").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cand1 = cand0.unionAll(sym).unionAll(non).distinct()
+    topKSelect(score(cand1), k)
+  }
+
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(ann.select(col("query_id"), col("neighbor_id"),

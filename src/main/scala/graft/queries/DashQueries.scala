@@ -1122,7 +1122,47 @@ private[graft] object DashQueries {
           |  FROM b)
           |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
           |  count(*) AS n_customers, CAST(sum(mon_c) AS BIGINT) AS sum_monetary_c
-          |FROM q GROUP BY 1 ORDER BY segment""".stripMargin))
+          |FROM q GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    Q("dash_cohort_ltv",
+      // cumulative lifetime value by acquisition cohort: cohort = month
+      // of a customer's FIRST order, age = whole months since, cell =
+      // orders + exact-cents revenue, then a per-cohort running sum —
+      // the LTV curve growth teams read payback off. Same key-aligned
+      // one-shuffle shape as ev_retention (first-order frame is a
+      // self-aggregation on the join key); the running sum windows per
+      // cohort, never globally.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_custkey").as("ck"),
+          col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+        val first = o.groupBy("ck").agg(min(col("day")).as("first_day"))
+        val cell = o.join(first, "ck")
+          .select(date_format(col("first_day"), "yyyy-MM").as("cohort"),
+            ((year(col("day")) - year(col("first_day"))) * 12 +
+              (month(col("day")) - month(col("first_day")))).cast("long").as("age_months"),
+            col("o_totalprice"))
+          .groupBy("cohort", "age_months")
+          .agg(count(lit(1)).as("n_orders"), cents(col("o_totalprice")).as("rev_c"))
+        val w = Window.partitionBy("cohort").orderBy("age_months")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell.withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+          .orderBy("cohort", "age_months")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS day,
+          |    o_totalprice FROM orders),
+          |f AS (SELECT ck, min(day) AS first_day FROM o GROUP BY 1),
+          |cell AS (
+          |  SELECT strftime(first_day, '%Y-%m') AS cohort,
+          |    CAST((year(day) - year(first_day)) * 12
+          |      + (month(day) - month(first_day)) AS BIGINT) AS age_months,
+          |    count(*) AS n_orders,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM o JOIN f USING (ck) GROUP BY 1, 2)
+          |SELECT cohort, age_months, n_orders, rev_c,
+          |  CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age_months
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+          |FROM cell ORDER BY cohort, age_months""".stripMargin))
   )
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row

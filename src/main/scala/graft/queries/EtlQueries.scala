@@ -765,7 +765,49 @@ private[graft] object EtlQueries {
           |SELECT source, CAST(band AS BIGINT) AS band, count(*) AS n_files,
           |  CAST(sum(n_chars) AS BIGINT) AS bytes,
           |  min(doc_id) AS first_id, max(doc_id) AS last_id
-          |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin))
+          |FROM b GROUP BY 1, 2 ORDER BY source, band""".stripMargin)),
+
+    Q("etl_zonemap_build",
+      // data-skipping zone maps MEASURED: per-block min/max of the probe
+      // column under two physical layouts — natural key order (512-key
+      // orderkey blocks) vs date-clustered (month blocks) — then the
+      // fraction of blocks a 1994 ship-date predicate could skip. On
+      // unclustered data the skip ratio is ~0; clustered it approaches
+      // the selectivity — the measured argument for the z-order /
+      // clustering pass (etl_zorder_layout) rather than an asserted one.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+        def zone(blockCol: Column, name: String): DataFrame =
+          li.withColumn("blk", blockCol)
+            .groupBy("blk").agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+            .agg(count(lit(1)).as("n_blocks"),
+              count(when(col("mx") < lit("1994-01-01").cast("date") ||
+                col("mn") > lit("1994-12-31").cast("date"), 1)).as("n_skipped"))
+            .select(lit(name).as("layout"), col("n_blocks"), col("n_skipped"),
+              expr("n_skipped * 1000000L DIV n_blocks").as("skip_ppm"))
+        zone(expr("l_orderkey DIV 512"), "natural")
+          .unionAll(zone(expr("(year(sd) * 12 + month(sd))"), "date_clustered"))
+          .orderBy("layout")
+      },
+      Some(
+        """WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+          |zn AS (SELECT l_orderkey // 512 AS blk, min(sd) AS mn, max(sd) AS mx
+          |       FROM li GROUP BY 1),
+          |zd AS (SELECT year(sd) * 12 + month(sd) AS blk, min(sd) AS mn, max(sd) AS mx
+          |       FROM li GROUP BY 1),
+          |r AS (
+          |  SELECT 'natural' AS layout, count(*) AS n_blocks,
+          |    count(*) FILTER (WHERE mx < DATE '1994-01-01' OR mn > DATE '1994-12-31') AS n_skipped
+          |  FROM zn
+          |  UNION ALL
+          |  SELECT 'date_clustered', count(*),
+          |    count(*) FILTER (WHERE mx < DATE '1994-01-01' OR mn > DATE '1994-12-31')
+          |  FROM zd)
+          |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
+          |  CAST(n_skipped AS BIGINT) AS n_skipped,
+          |  CAST(n_skipped * 1000000 // n_blocks AS BIGINT) AS skip_ppm
+          |FROM r ORDER BY layout""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the

@@ -387,6 +387,34 @@ private[graft] object EventQueries {
            |)
            |SELECT path, count(*) AS n_sessions
            |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
-      bench = true)
+      bench = true),
+
+    Q("ev_sliding_uniques",
+      // distinct users per sliding 1h/15m window from MERGEABLE HLL
+      // sketches: the register table is built per (window, 15-min cell,
+      // bucket) and rolled up by register max — the shape an incremental
+      // pipeline persists (sketch each cell once, merge per window)
+      // instead of re-counting distincts for every overlapping window.
+      // The md5-bucketed estimate replays exactly in the oracle,
+      // approximation error and all.
+      (s, d) => {
+        val cells = eventsTable(s, d)
+          .select(window(col("ts"), "1 hour", "15 minutes").as("win"),
+            expr("unix_seconds(ts) DIV 900").as("cell"), col("user_id"))
+          .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("cell"), col("user_id"))
+        graft.analytics.Sketch.hllRollup(cells,
+            col("win_start"), col("cell"), col("user_id"))
+          .select(col("key").as("win_start"), col("n_distinct_e6"))
+          .orderBy("win_start")
+      },
+      Some(graft.analytics.Sketch.hllRollupSql(
+        """(SELECT strftime(to_timestamp(
+          |      (CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 - k) * 900)
+          |      AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS win_start,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 AS cell,
+          |    user_id
+          |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)) ev2""".stripMargin,
+        "win_start", "win_start", "cell", "user_id")))
   )
 }

@@ -411,6 +411,64 @@ private[graft] object GraphQueries {
           |SELECT id, count(*) AS deg FROM (
           |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
           |GROUP BY 1 ORDER BY id""".stripMargin
-      })
+      }),
+
+    Q("graph_modularity",
+      // partition-quality metric for the label-propagation communities:
+      // per-community Newman modularity contribution Q_c = e_c/m −
+      // (deg_c/2m)², in exact fixed point — the fraction deg_c/2m
+      // quantizes to e6 FIRST and is then squared (bounded at e12), so
+      // no n²-sized intermediate can overflow. The number that says
+      // whether a community structure is real or noise, computed from
+      // the same 4-round labels graph_communities publishes.
+      (s, d) => {
+        val pe = coEdges(s, d)
+        val lab = Graph.labelPropagation(pe, rounds = 4)
+        val se = pe.select(col("a"), col("b"))
+          .unionAll(pe.select(col("b").as("a"), col("a").as("b")))
+        val mDf = pe.agg(count(lit(1)).as("m"))
+        val el = pe
+          .join(lab.withColumnsRenamed(Map("id" -> "a", "community" -> "ca")), Seq("a"))
+          .join(lab.withColumnsRenamed(Map("id" -> "b", "community" -> "cb")), Seq("b"))
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+        val dg = se.join(lab.withColumnRenamed("id", "a"), Seq("a"))
+          .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+        dg.join(el, Seq("community"), "left")
+          .na.fill(0L, Seq("e_in"))
+          .crossJoin(broadcast(mDf))
+          .selectExpr("community",
+            "CAST(e_in AS BIGINT) AS e_in",
+            "CAST(deg_sum AS BIGINT) AS deg_sum",
+            """e_in * 1000000000000L DIV m
+              | - ((deg_sum * 1000000L) DIV (2 * m))
+              |   * ((deg_sum * 1000000L) DIV (2 * m)) AS q_contrib_e12""".stripMargin)
+          .orderBy("community")
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |se AS MATERIALIZED (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM se),
+        |""".stripMargin + (1 to 4).map { i =>
+          s"""u$i AS (SELECT e.a AS id, l.lbl FROM se e JOIN l${i - 1} l ON l.id = e.b
+             |      UNION ALL SELECT id, lbl FROM l${i - 1}),
+             |c$i AS (SELECT id, lbl, count(*) AS c FROM u$i GROUP BY 1, 2),
+             |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+             |    SELECT id, lbl, row_number() OVER (PARTITION BY id
+             |      ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n") + """,
+        |mm AS (SELECT count(*) AS m FROM pe),
+        |el AS (SELECT la.lbl AS community, count(*) AS e_in
+        |       FROM pe JOIN l4 la ON la.id = pe.a JOIN l4 lb ON lb.id = pe.b
+        |       WHERE la.lbl = lb.lbl GROUP BY 1),
+        |dg AS (SELECT l4.lbl AS community, count(*) AS deg_sum
+        |       FROM se JOIN l4 ON l4.id = se.a GROUP BY 1)
+        |SELECT dg.community, CAST(COALESCE(el.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(dg.deg_sum AS BIGINT) AS deg_sum,
+        |  CAST(COALESCE(el.e_in, 0) * 1000000000000 // m
+        |    - ((dg.deg_sum * 1000000) // (2 * m))
+        |      * ((dg.deg_sum * 1000000) // (2 * m)) AS BIGINT) AS q_contrib_e12
+        |FROM dg LEFT JOIN el ON el.community = dg.community CROSS JOIN mm
+        |ORDER BY dg.community""".stripMargin))
   )
 }

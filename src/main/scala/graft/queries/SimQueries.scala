@@ -705,6 +705,47 @@ private[graft] object SimQueries {
            |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM x),
            |$rounds
            |SELECT dim, CAST(v AS BIGINT) AS v_e6 FROM v3 ORDER BY dim""".stripMargin
+      }),
+
+    Q("sim_knn_graph",
+      // NN-descent k-NN graph build: LSH-bucket seeding, exact top-5 per
+      // node, one neighbor-of-neighbor refinement round over the
+      // symmetrized graph — the artifact graph-ANN indexes start from,
+      // with the whole trajectory (buckets, both scoring passes, the
+      // refinement closure) replayed in the oracle.
+      (s, d) => Similarity.knnGraph(tbl(s, d, "embeddings"), k = 5, bits = 8),
+      Some {
+        val scoreSql = (cand: String, out: String) =>
+          s"""$out AS (SELECT c.query_id, c.neighbor_id,
+             |    ${COS_E6("qa.e", "qb.e")} AS sim_e6
+             |  FROM $cand c JOIN v qa ON qa.id = c.query_id
+             |  JOIN v qb ON qb.id = c.neighbor_id)""".stripMargin
+        s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |s AS (SELECT id, e,
+           |   ${hyperplaneSigSql(8, 64)} AS sig
+           |   FROM v),
+           |c0 AS (SELECT a.id AS query_id, b.id AS neighbor_id
+           |       FROM s a JOIN s b ON a.sig = b.sig AND a.id <> b.id),
+           |${scoreSql("c0", "sc0")},
+           |k0 AS (SELECT query_id, neighbor_id FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY sim_e6 DESC, neighbor_id) AS r
+           |        FROM sc0) WHERE r <= 5),
+           |sym AS (SELECT query_id, neighbor_id FROM k0
+           |        UNION ALL SELECT neighbor_id, query_id FROM k0),
+           |non AS (SELECT x.query_id, y.neighbor_id
+           |        FROM sym x JOIN sym y ON x.neighbor_id = y.query_id
+           |        WHERE x.query_id <> y.neighbor_id),
+           |c1 AS (SELECT DISTINCT query_id, neighbor_id FROM (
+           |        SELECT query_id, neighbor_id FROM c0
+           |        UNION ALL SELECT query_id, neighbor_id FROM sym
+           |        UNION ALL SELECT query_id, neighbor_id FROM non)),
+           |${scoreSql("c1", "sc1")}
+           |SELECT query_id, CAST(r AS BIGINT) AS rnk, neighbor_id, sim_e6 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sim_e6 DESC, neighbor_id) AS r
+           |  FROM sc1) WHERE r <= 5
+           |ORDER BY query_id, rnk""".stripMargin
       })
   )
 
