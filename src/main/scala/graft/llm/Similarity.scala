@@ -1078,6 +1078,34 @@ object Similarity {
     v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
   }
 
+  /** Binary (1-bit) sign quantization top-k: each 64-dim vector collapses
+    * to two 32-bit sign words (dim order = bit order, MSB-first fold), a
+    * query ranks candidates by ascending Hamming distance over the xor'd
+    * words — 64 bits per vector, the cheapest first-pass filter in the
+    * quantization family (1 bit/dim vs SQ8's 8 and PQ's sub-codes), and
+    * the standard shortlist stage before an exact or SQ8 rerank at
+    * extreme scale. Two popcounts per pair, fully codegen-friendly.
+    */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def word(lo: Int): Column = expr(
+      s"aggregate(slice($vecCol, $lo, 32), 0L, (acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1L ELSE 0L END)")
+    def words(df: DataFrame, id: String, p: String): DataFrame =
+      df.select(col(idCol).as(id), word(1).as(p + "0"), word(33).as(p + "1"))
+    val q = words(queries, "query_id", "q")
+    val c = words(corpus, "neighbor_id", "c")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr("bit_count(q0 ^ c0) + bit_count(q1 ^ c1)").cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), col("hamming"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** k-NN graph construction, NN-descent style (Dong, Moses & Li,
     * WWW'11): seed candidate edges from hyperplane-LSH buckets, exact-
     * score to an initial top-k graph, then ONE neighbor-of-neighbor

@@ -1162,8 +1162,61 @@ private[graft] object DashQueries {
           |SELECT cohort, age_months, n_orders, rev_c,
           |  CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age_months
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
-          |FROM cell ORDER BY cohort, age_months""".stripMargin))
-  )
+          |FROM cell ORDER BY cohort, age_months""".stripMargin)),
+
+    Q("agg_tpch_q1_shape",
+      // the TPC-H Q1 pricing-summary shape: shipdate-filtered lineitem,
+      // grouped by (returnflag, linestatus), the four price aggregates in
+      // EXACT decimal arithmetic (disc price = ep·(1−d) at scale 4, charge
+      // re-quantized to scale 4 before ·(1+tax) so the decimal widths stay
+      // inside both engines' 38-digit cap), averages as integer e6
+      // divisions. One scan, map-side-combinable — the canonical "is your
+      // aggregate pipeline right" benchmark query.
+      (s, d) => {
+        val d2 = (c: Column) => c.cast("decimal(18,2)")
+        val one = lit(1).cast("decimal(18,2)")
+        tbl(s, d, "lineitem")
+          .filter(col("l_shipdate").cast("date") <= lit("1998-09-02").cast("date"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            (sum(d2(col("l_quantity"))) * 100).cast("long").as("sum_qty_c"),
+            (sum(d2(col("l_extendedprice"))) * 100).cast("long").as("sum_base_c"),
+            sum(d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+              .multiply(10000).cast("long").as("sum_disc_e4"),
+            sum((d2(col("l_extendedprice")) * (one - d2(col("l_discount"))))
+                .cast("decimal(18,4)") * (one + d2(col("l_tax"))))
+              .multiply(1000000).cast("long").as("sum_charge_e6"),
+            (sum(d2(col("l_discount"))) * 100).cast("long").as("sum_disc_c"),
+            count(lit(1)).as("n"))
+          .selectExpr("l_returnflag", "l_linestatus",
+            "sum_qty_c", "sum_base_c", "sum_disc_e4", "sum_charge_e6", "n",
+            "sum_qty_c * 10000L DIV n AS avg_qty_e6",
+            "sum_base_c * 10000L DIV n AS avg_price_e6",
+            "sum_disc_c * 10000L DIV n AS avg_disc_e6")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_c,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_e4,
+          |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
+          |      (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge_e6,
+          |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_disc_c,
+          |    count(*) AS n
+          |  FROM lineitem
+          |  WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+          |  GROUP BY 1, 2)
+          |SELECT l_returnflag, l_linestatus,
+          |  sum_qty_c, sum_base_c, sum_disc_e4, sum_charge_e6, n,
+          |  sum_qty_c * 10000 // n AS avg_qty_e6,
+          |  sum_base_c * 10000 // n AS avg_price_e6,
+          |  sum_disc_c * 10000 // n AS avg_disc_e6
+          |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row
     * trailing window (integer sums and integer-division average — the

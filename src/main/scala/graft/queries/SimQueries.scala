@@ -746,7 +746,37 @@ private[graft] object SimQueries {
            |    ORDER BY sim_e6 DESC, neighbor_id) AS r
            |  FROM sc1) WHERE r <= 5
            |ORDER BY query_id, rnk""".stripMargin
-      })
+      }),
+
+    Q("sim_binary_hamming_topk",
+      // 1-bit binary quantization: sign bits packed into two 32-bit
+      // words, candidates ranked by ascending Hamming distance — 64 bits
+      // per vector, the cheapest shortlist stage in the quantization
+      // family (vs SQ8's 8 bits/dim and PQ's sub-codes), two popcounts
+      // per pair in whole-stage codegen.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.binarySignTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+      },
+      Some(
+        """WITH v AS (SELECT vec_id AS id,
+          |    list_reduce(list_transform(CAST(embedding AS DOUBLE[])[1:32],
+          |      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          |      (a, b) -> a * 2 + b) AS w0,
+          |    list_reduce(list_transform(CAST(embedding AS DOUBLE[])[33:64],
+          |      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          |      (a, b) -> a * 2 + b) AS w1
+          |  FROM embeddings),
+          |q AS (SELECT id AS query_id, w0 AS q0, w1 AS q1 FROM v WHERE id % 50 = 0),
+          |c AS (SELECT id AS neighbor_id, w0 AS c0, w1 AS c1 FROM v),
+          |s AS (SELECT query_id, neighbor_id,
+          |    CAST(bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS BIGINT) AS hamming
+          |  FROM c, q WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
+          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, hamming
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin))
   )
 
   private def MM_MIME_SQL: String =
