@@ -383,7 +383,39 @@ private[graft] object DedupQueries {
           |FROM b x JOIN p y ON x.lang = y.lang AND x.lb = y.lb
           |  AND x.doc_id <> y.doc_id AND abs(x.len - y.len) <= 64
           |GROUP BY 1, 2 HAVING min(levenshtein(x.text, y.text)) <= 64
-          |ORDER BY id_a, id_b""".stripMargin))
+          |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("dedup_lsh_curve",
+      // the configured MinHash-LSH propose stage's S-curve as a table:
+      // P(candidate | jaccard s) = 1 − (1 − s⁴)¹⁶ for the engine's
+      // 64-perm / 16-band / 4-row config, evaluated at s = 0.1 … 0.9 in
+      // pure fixed point (squarings with e6 DIV) — the operating curve a
+      // dedup policy is tuned against, published as data so threshold
+      // choices are auditable rather than folklore. Pairs with the
+      // MEASURED recall harness (dedup_minhash_recall): theory here,
+      // practice there.
+      (s, d) => s.range(1, 10)
+        .select((col("id") * 100000L).as("s_e6"))
+        .withColumn("s2", expr("s_e6 * s_e6 DIV 1000000"))
+        .withColumn("s4", expr("s2 * s2 DIV 1000000"))
+        .withColumn("q", expr("1000000 - s4"))
+        .withColumn("q2", expr("q * q DIV 1000000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000000"))
+        .withColumn("q8", expr("q4 * q4 DIV 1000000"))
+        .withColumn("q16", expr("q8 * q8 DIV 1000000"))
+        .select(col("s_e6"), expr("1000000L - q16").as("detect_ppm"))
+        .orderBy("s_e6"),
+      Some(
+        """WITH s AS (SELECT CAST(unnest(range(1, 10)) * 100000 AS BIGINT) AS s_e6),
+          |a AS (SELECT s_e6, s_e6 * s_e6 // 1000000 AS s2 FROM s),
+          |b AS (SELECT s_e6, s2 * s2 // 1000000 AS s4 FROM a),
+          |c AS (SELECT s_e6, 1000000 - s4 AS q FROM b),
+          |d AS (SELECT s_e6, q, q * q // 1000000 AS q2 FROM c),
+          |e AS (SELECT s_e6, q2 * q2 // 1000000 AS q4 FROM d),
+          |f AS (SELECT s_e6, q4 * q4 // 1000000 AS q8 FROM e),
+          |g AS (SELECT s_e6, q8 * q8 // 1000000 AS q16 FROM f)
+          |SELECT s_e6, CAST(1000000 - q16 AS BIGINT) AS detect_ppm
+          |FROM g ORDER BY s_e6""".stripMargin))
   )
 
   /** Shared-span CTE chain (n=8, minTokens=16, maxDf=20) ending in

@@ -469,6 +469,27 @@ private[graft] object GraphQueries {
         |    - ((dg.deg_sum * 1000000) // (2 * m))
         |      * ((dg.deg_sum * 1000000) // (2 * m)) AS BIGINT) AS q_contrib_e12
         |FROM dg LEFT JOIN el ON el.community = dg.community CROSS JOIN mm
-        |ORDER BY dg.community""".stripMargin))
+        |ORDER BY dg.community""".stripMargin)),
+
+    Q("graph_degree_spectrum",
+      // degree distribution of the co-purchase graph in power-of-two
+      // bands (band = bit-length − 1, the text_freq_spectrum convention)
+      // — the scale-free-or-not diagnostic read before choosing hub caps
+      // and skew strategies for the graph ops.
+      (s, d) => {
+        val pe = coEdges(s, d)
+        pe.select(col("a").as("id")).unionAll(pe.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+          .select((length(conv(col("deg"), 10, 2)) - 1).cast("long").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("band")
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |dg AS (SELECT id, count(*) AS deg FROM (
+        |  SELECT a AS id FROM pe UNION ALL SELECT b FROM pe) GROUP BY 1)
+        |SELECT CAST(length(to_base(deg, 2)) - 1 AS BIGINT) AS band,
+        |  count(*) AS n_nodes
+        |FROM dg GROUP BY 1 ORDER BY band""".stripMargin))
   )
 }

@@ -776,7 +776,35 @@ private[graft] object SimQueries {
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           |    ORDER BY hamming, neighbor_id) AS rnk FROM s)
           |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, hamming
-          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin))
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    Q("sim_ivf_balance",
+      // index observability: per-cell population of the trained k-means
+      // coarse quantizer plus its load factor (cell size over the
+      // balanced share, e6) — the number that says whether nProbe recall
+      // will be uniform or hostage to one overfull cell. Reads the same
+      // published centroid artifact the IVF family serves from; the
+      // oracle replays the full training trajectory.
+      (s, d) => {
+        val cells = Similarity.kMeansAssign(tbl(s, d, "embeddings"), km8(s, d))
+          .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+        cells.crossJoin(broadcast(
+            cells.agg(sum(col("n_vectors")).as("tot"), count(lit(1)).as("k"))))
+          .selectExpr("cell", "CAST(n_vectors AS BIGINT) AS n_vectors",
+            "n_vectors * k * 1000000L DIV tot AS load_e6")
+          .orderBy("cell")
+      },
+      Some(
+        s"""WITH ${kmeansCtes(8, 2)},
+           |fin AS (SELECT id, cell FROM (
+           |    SELECT v.id, c.cell,
+           |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
+           |    FROM ve v, c2d c) WHERE rn = 1),
+           |cc AS (SELECT cell, count(*) AS n_vectors FROM fin GROUP BY 1),
+           |tt AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot, count(*) AS k FROM cc)
+           |SELECT cell, CAST(n_vectors AS BIGINT) AS n_vectors,
+           |  CAST(n_vectors * k * 1000000 // tot AS BIGINT) AS load_e6
+           |FROM cc CROSS JOIN tt ORDER BY cell""".stripMargin))
   )
 
   private def MM_MIME_SQL: String =
