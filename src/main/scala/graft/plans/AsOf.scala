@@ -70,4 +70,25 @@ object AsOf {
       leftCols.map(col) ++
         rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
+
+  /** [[asofJoin]] with a staleness bound (pandas merge_asof `tolerance`):
+    * a matched right row older than `toleranceSeconds` before the left
+    * timestamp is treated as NO match — every carried column nulls out,
+    * including the match time. Composed on top of asofJoin by carrying
+    * the right row's own time and gating the payload on the measured
+    * lag, so the tolerance costs one projection, not a different plan.
+    * `time` must be a timestamp column on both sides.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightVals: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(!rightVals.contains(time), "time is carried implicitly")
+    val j = asofJoin(left, right, key, time, rightVals :+ time)
+    val stale = col(s"asof_$time").isNull ||
+      unix_micros(col(time)) - unix_micros(col(s"asof_$time")) >
+        toleranceSeconds * 1000000L
+    (rightVals :+ time).foldLeft(j) { (df, v) =>
+      df.withColumn(s"asof_$v", when(stale, lit(null)).otherwise(col(s"asof_$v")))
+    }
+  }
 }

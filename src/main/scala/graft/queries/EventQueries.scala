@@ -415,6 +415,40 @@ private[graft] object EventQueries {
           |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 900 AS cell,
           |    user_id
           |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)) ev2""".stripMargin,
-        "win_start", "win_start", "cell", "user_id")))
+        "win_start", "win_start", "cell", "user_id"))),
+
+    Q("ev_stickiness",
+      // DAU/MAU engagement ratio per month: mean daily actives over
+      // monthly actives, every step exact (sum of daily distincts DIV
+      // days, then an e6 ratio against the month's distinct count) —
+      // the one-number product-health metric. Two distinct aggregations
+      // keyed by calendar, one tiny join.
+      (s, d) => {
+        val ev = eventsTable(s, d).select(
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        val dau = ev.groupBy("month", "day")
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+        val mau = ev.groupBy("month")
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, "month")
+          .selectExpr("month", "n_days", "sum_dau", "mau",
+            "sum_dau * 1000000L DIV (n_days * mau) AS stickiness_e6")
+          .orderBy("month")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |e AS (SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day,
+           |        user_id FROM ev),
+           |dau AS (SELECT month, day, count(DISTINCT user_id) AS dau
+           |        FROM e GROUP BY 1, 2),
+           |md AS (SELECT month, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS sum_dau
+           |       FROM dau GROUP BY 1),
+           |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM e GROUP BY 1)
+           |SELECT month, n_days, sum_dau, mau,
+           |  CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT) AS stickiness_e6
+           |FROM md JOIN mau USING (month) ORDER BY month""".stripMargin))
   )
 }

@@ -179,6 +179,49 @@ private[graft] object JoinQueries {
            |ORDER BY event_id""".stripMargin),
       bench = true),
 
+    Q("join_asof_tolerance",
+      // as-of join with a staleness bound (pandas merge_asof tolerance):
+      // the latest view at-or-before each click counts only within 10
+      // minutes — older context is stale and nulls out. One projection on
+      // top of the as-of carry-forward, not a different plan; the oracle
+      // gates DuckDB's native ASOF match on the same measured lag.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("__r"))
+          .select(col("user_id"), col("ts"),
+            col("__r.event_id").as("view_id"), col("__r.value").as("view_value"))
+        graft.plans.AsOf.asofJoinTolerance(clicks, views, "user_id", "ts",
+            Seq("view_id", "view_value"), toleranceSeconds = 600L)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("asof_view_id"),
+            (col("asof_view_value").cast("decimal(18,2)") * 100).cast("long")
+              .as("view_value_c"))
+          .orderBy("event_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |views AS (
+           |  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           |    FROM ev WHERE event_type = 'view') WHERE rn = 1
+           |),
+           |j AS (SELECT c.event_id, c.user_id, c.ts, v.ts AS vts, v.view_id, v.view_value
+           |      FROM clicks c ASOF LEFT JOIN views v
+           |        ON c.user_id = v.user_id AND c.ts >= v.ts)
+           |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |  CASE WHEN vts IS NULL OR epoch_us(ts) - epoch_us(vts) > 600000000
+           |       THEN NULL ELSE view_id END AS asof_view_id,
+           |  CASE WHEN vts IS NULL OR epoch_us(ts) - epoch_us(vts) > 600000000
+           |       THEN NULL
+           |       ELSE CAST(CAST(view_value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS view_value_c
+           |FROM j ORDER BY event_id""".stripMargin)),
+
     Q("join_range_events",
       // band join (§2.12): click-purchase pairs of the same user within
       // 5 minutes — interval-bucketed equi-join, never a nested loop.

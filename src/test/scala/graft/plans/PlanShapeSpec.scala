@@ -216,4 +216,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "incremental dedup planned a product join")
   }
+
+  test("tpch q1 shape: one scan, one exchange, hash aggregation") {
+    val p = plan(Queries.queryMap("agg_tpch_q1_shape")(spark, sf))
+    assert(countOccurrences(p, "Exchange ") <= 2,
+      s"q1 grew extra shuffles:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"), "q1 lost hash aggregation")
+    assert(countOccurrences(p, "FileScan") == 1,
+      "q1 must be a single lineitem scan")
+  }
+
+  test("weighted median: both windows ride ONE exchange on region") {
+    val p = plan(Queries.queryMap("dash_weighted_median")(spark, sf))
+    // the per-region cumulative and total windows must reuse the same
+    // hashpartitioning(region) exchange — a groupBy+join form would add
+    // a second region exchange plus a join
+    assert(!p.contains("Join"), "weighted median regressed to a join form")
+  }
+
+  test("knn graph: bucketed seeding, no cartesian anywhere") {
+    val p = plan(Queries.queryMap("sim_knn_graph")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "knn graph planned an all-pairs product")
+  }
+
+  test("power iteration: explode-join-agg dataflow, v joins broadcast") {
+    val p = plan(Queries.queryMap("sim_power_iteration")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "power iteration planned a product")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 64-row v vector lost its broadcast join")
+  }
 }
