@@ -1216,7 +1216,62 @@ private[graft] object DashQueries {
           |  sum_base_c * 10000 // n AS avg_price_e6,
           |  sum_disc_c * 10000 // n AS avg_disc_e6
           |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      bench = true))
+      bench = true),
+
+    Q("dash_winsorized_mean",
+      // robust mean by winsorization: per order-priority, clamp revenue
+      // cents to the exact [p05, p95] band — bounds by pure integer rank
+      // arithmetic (smallest value whose cumulative count covers the
+      // quantile, 20·cum ≥ n and 20·cum ≥ 19·n), values outside snap to
+      // the bound — then compare the robust mean against the raw one.
+      // The de-outliering a revenue dashboard needs before a single whale
+      // order bends every trend line; windows per priority key only.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_orderpriority").as("pri"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+          col("o_orderkey"))
+        val w = Window.partitionBy("pri").orderBy(col("c"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = o.withColumn("cum", count(lit(1)).over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+        val bounds = cum.groupBy("pri").agg(
+          min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_c"),
+          min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_c"))
+        o.join(broadcast(bounds), "pri")
+          .select(col("pri"),
+            greatest(least(col("c"), col("p95_c")), col("p05_c")).as("wc"),
+            col("c"), col("p05_c"), col("p95_c"))
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n"),
+            max(col("p05_c")).as("p05_c"), max(col("p95_c")).as("p95_c"),
+            sum(col("c")).as("raw_sum_c"), sum(col("wc")).as("wins_sum_c"))
+          .selectExpr("pri", "n", "p05_c", "p95_c",
+            "raw_sum_c * 10000L DIV n AS raw_mean_e6",
+            "wins_sum_c * 10000L DIV n AS wins_mean_e6")
+          .orderBy("pri")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderpriority AS pri,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+          |    o_orderkey
+          |  FROM orders),
+          |cum AS (SELECT *,
+          |    count(*) OVER (PARTITION BY pri ORDER BY c, o_orderkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    count(*) OVER (PARTITION BY pri) AS n
+          |  FROM o),
+          |b AS (SELECT pri,
+          |    min(CASE WHEN cum * 20 >= n THEN c END) AS p05_c,
+          |    min(CASE WHEN cum * 20 >= n * 19 THEN c END) AS p95_c
+          |  FROM cum GROUP BY 1),
+          |wv AS (SELECT o.pri, o.c, greatest(least(o.c, b.p95_c), b.p05_c) AS wc,
+          |    b.p05_c, b.p95_c
+          |  FROM o JOIN b USING (pri))
+          |SELECT pri, count(*) AS n,
+          |  CAST(max(p05_c) AS BIGINT) AS p05_c, CAST(max(p95_c) AS BIGINT) AS p95_c,
+          |  CAST(CAST(sum(c) AS BIGINT) * 10000 // count(*) AS BIGINT) AS raw_mean_e6,
+          |  CAST(CAST(sum(wc) AS BIGINT) * 10000 // count(*) AS BIGINT) AS wins_mean_e6
+          |FROM wv GROUP BY pri ORDER BY pri""".stripMargin)))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row
     * trailing window (integer sums and integer-division average — the

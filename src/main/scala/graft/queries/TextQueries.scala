@@ -1002,7 +1002,79 @@ private[graft] object TextQueries {
            |JOIN n1l ON n1l.w2 = c12.w2
            |CROSS JOIN bt
            |ORDER BY CAST(c12.c12 AS BIGINT) DESC, c12.w1, c12.w2
-           |LIMIT 30""".stripMargin))
+           |LIMIT 30""".stripMargin)),
+
+    Q("text_pipeline_funnel",
+      // the data-diet funnel: doc and token counts after EACH curation
+      // stage — input → quality gate (served perceptron) → span scrub →
+      // exact dedup — the per-stage census a pipeline owner watches to
+      // see where the corpus actually shrinks. Same stage frames as
+      // text_curation_chain_v3, aggregated per stage instead of
+      // materialized; the oracle replays the full trajectory and
+      // aggregates the same four relations.
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val withTok = docs.select(col("doc_id"),
+          Corpus.tokenCount(col("text")).as("n_toks"))
+        val feats = Classifier.hashedFeatures(docs, "text", "doc_id", dim = 256)
+        val labels = docs.select(col("doc_id"),
+          when(size(filter(TextStats.words(col("text")),
+            t => t === "spark")) >= 2, 1L).otherwise(-1L).as("y"))
+        val key = "perceptron_d256_i8_v1_" + d.replaceAll("[^A-Za-z0-9]+", "_")
+        val w = graft.llm.ModelStore.getOrTrain(s, key)(
+          Classifier.trainPerceptron(feats, labels, iters = 8).weights)
+        val gated = Classifier.score(feats, w)
+          .filter(col("predict") === 1L).select("doc_id")
+        val gdocs = docs.join(gated, "doc_id").select("doc_id", "text")
+        val cleaned = graft.llm.Dedup.removeSharedSpans(gdocs,
+            n = 8, minTokens = 16, maxDf = 20)
+          .filter(length(col("clean_text")) > 0)
+          .select(col("doc_id"), col("clean_text"),
+            (col("n_tokens") - col("n_removed_tokens")).as("ct"))
+        val deduped = cleaned.groupBy(md5(col("clean_text")).as("__fp"))
+          .agg(min(col("ct")).as("ct"))
+        def stage(name: String, df: DataFrame, tok: Column): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"),
+              sum(tok).cast("long").as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage("0_input", withTok, col("n_toks"))
+          .unionAll(stage("1_quality_gated",
+            withTok.join(gated, "doc_id"), col("n_toks")))
+          .unionAll(stage("2_span_scrubbed", cleaned, col("ct")))
+          .unionAll(stage("3_exact_deduped", deduped, col("ct")))
+          .orderBy("stage")
+      },
+      Some {
+        val branches = (0 to 8)
+          .map(r => s"SELECT f, w FROM w$r WHERE $r = (SELECT pr FROM pk)")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $PERCEPTRON_CTES,
+           |pw AS MATERIALIZED ($branches),
+           |ssc AS (SELECT fx.doc_id, sum(fx.cnt * COALESCE(pw.w, 0)) AS s
+           |        FROM fx LEFT JOIN pw USING (f) GROUP BY 1),
+           |gdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           |        JOIN ssc ON ssc.doc_id = d.doc_id WHERE ssc.s > 0),
+           |${DedupQueries.cleanTextCtes("gdocs")},
+           |tcf AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+           |  FROM documents),
+           |r AS (
+           |  SELECT '0_input' AS stage, count(*) AS n_docs,
+           |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM tcf
+           |  UNION ALL
+           |  SELECT '1_quality_gated', count(*), CAST(sum(tcf.nt) AS BIGINT)
+           |  FROM gdocs JOIN tcf USING (doc_id)
+           |  UNION ALL
+           |  SELECT '2_span_scrubbed', count(*),
+           |    CAST(sum(n_tokens - n_removed_tokens) AS BIGINT)
+           |  FROM cleaned WHERE length(clean_text) > 0
+           |  UNION ALL
+           |  SELECT '3_exact_deduped', count(*), CAST(sum(ct) AS BIGINT) FROM (
+           |    SELECT min(n_tokens - n_removed_tokens) AS ct FROM cleaned
+           |    WHERE length(clean_text) > 0 GROUP BY md5(clean_text)))
+           |SELECT stage, n_docs, n_tokens FROM r ORDER BY stage""".stripMargin
+      })
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
