@@ -705,7 +705,8 @@ private[graft] object SimQueries {
            |v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM x),
            |$rounds
            |SELECT dim, CAST(v AS BIGINT) AS v_e6 FROM v3 ORDER BY dim""".stripMargin
-      }),
+      },
+      bench = true),
 
     Q("sim_knn_graph",
       // NN-descent k-NN graph build: LSH-bucket seeding, exact top-5 per
@@ -746,7 +747,8 @@ private[graft] object SimQueries {
            |    ORDER BY sim_e6 DESC, neighbor_id) AS r
            |  FROM sc1) WHERE r <= 5
            |ORDER BY query_id, rnk""".stripMargin
-      }),
+      },
+      bench = true),
 
     Q("sim_binary_hamming_topk",
       // 1-bit binary quantization: sign bits packed into two 32-bit

@@ -1074,7 +1074,8 @@ private[graft] object TextQueries {
            |    SELECT min(n_tokens - n_removed_tokens) AS ct FROM cleaned
            |    WHERE length(clean_text) > 0 GROUP BY md5(clean_text)))
            |SELECT stage, n_docs, n_tokens FROM r ORDER BY stage""".stripMargin
-      })
+      },
+      bench = true)
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
