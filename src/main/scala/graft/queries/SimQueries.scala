@@ -715,40 +715,45 @@ private[graft] object SimQueries {
       // with the whole trajectory (buckets, both scoring passes, the
       // refinement closure) replayed in the oracle.
       (s, d) => Similarity.knnGraph(tbl(s, d, "embeddings"), k = 5, bits = 8),
-      Some {
-        val scoreSql = (cand: String, out: String) =>
-          s"""$out AS (SELECT c.query_id, c.neighbor_id,
-             |    ${COS_E6("qa.e", "qb.e")} AS sim_e6
-             |  FROM $cand c JOIN v qa ON qa.id = c.query_id
-             |  JOIN v qb ON qb.id = c.neighbor_id)""".stripMargin
-        s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-           |s AS (SELECT id, e,
-           |   ${hyperplaneSigSql(8, 64)} AS sig
-           |   FROM v),
-           |c0 AS (SELECT a.id AS query_id, b.id AS neighbor_id
-           |       FROM s a JOIN s b ON a.sig = b.sig AND a.id <> b.id),
-           |${scoreSql("c0", "sc0")},
-           |k0 AS (SELECT query_id, neighbor_id FROM (
-           |        SELECT *, row_number() OVER (PARTITION BY query_id
-           |          ORDER BY sim_e6 DESC, neighbor_id) AS r
-           |        FROM sc0) WHERE r <= 5),
-           |sym AS (SELECT query_id, neighbor_id FROM k0
-           |        UNION ALL SELECT neighbor_id, query_id FROM k0),
-           |non AS (SELECT x.query_id, y.neighbor_id
-           |        FROM sym x JOIN sym y ON x.neighbor_id = y.query_id
-           |        WHERE x.query_id <> y.neighbor_id),
-           |c1 AS (SELECT DISTINCT query_id, neighbor_id FROM (
-           |        SELECT query_id, neighbor_id FROM c0
-           |        UNION ALL SELECT query_id, neighbor_id FROM sym
-           |        UNION ALL SELECT query_id, neighbor_id FROM non)),
-           |${scoreSql("c1", "sc1")}
+      Some(
+        s"""WITH $KNN_GRAPH_CTES
            |SELECT query_id, CAST(r AS BIGINT) AS rnk, neighbor_id, sim_e6 FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |    ORDER BY sim_e6 DESC, neighbor_id) AS r
            |  FROM sc1) WHERE r <= 5
-           |ORDER BY query_id, rnk""".stripMargin
-      },
+           |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
+
+    Q("sim_knn_graph_recall",
+      // the NN-descent graph's fidelity as a number: per-node recall@5
+      // of the refined graph against brute-force truth over every node —
+      // the same measured-quantity discipline as the PQ/SQ/matryoshka
+      // harnesses, closing the loop on the seeding + one-round-refine
+      // config (isolated LSH islands show up here as low-recall nodes,
+      // not as silent gaps).
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.recallAtK(
+            Similarity.knnGraph(emb, k = 5, bits = 8),
+            Similarity.bruteForceTopK(emb, emb, k = 5))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $KNN_GRAPH_CTES,
+           |ann AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim_e6 DESC, neighbor_id) AS r
+           |    FROM sc1) WHERE r <= 5),
+           |exact AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT a.id AS query_id, b.id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${COS_E6("a.e", "b.e")} DESC, b.id) AS r
+           |    FROM v a JOIN v b ON a.id <> b.id) WHERE r <= 5)
+           |SELECT e.query_id, count(*) AS n_exact, count(a.neighbor_id) AS n_hits,
+           |  CAST(count(a.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_e6
+           |FROM exact e LEFT JOIN ann a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
     Q("sim_binary_hamming_topk",
       // 1-bit binary quantization: sign bits packed into two 32-bit
@@ -1646,6 +1651,39 @@ private[graft] object SimQueries {
          |      d -> e[d] * (CAST($signs AS DOUBLE[]))[d]), (x, y) -> x + y) > 0
          |    THEN ${1L << b} ELSE 0 END)""".stripMargin
     }.mkString("\n   + ")
+  }
+
+  /** Shared CTE chain of the NN-descent kNN-graph oracle, ending at the
+    * refined candidate scores `sc1` — reused by the graph query and its
+    * recall harness so the two replays can never drift.
+    */
+  private lazy val KNN_GRAPH_CTES: String = {
+    val scoreSql = (cand: String, out: String) =>
+      s"""$out AS (SELECT c.query_id, c.neighbor_id,
+         |    ${COS_E6("qa.e", "qb.e")} AS sim_e6
+         |  FROM $cand c JOIN v qa ON qa.id = c.query_id
+         |  JOIN v qb ON qb.id = c.neighbor_id)""".stripMargin
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s AS (SELECT id, e,
+       |   ${hyperplaneSigSql(8, 64)} AS sig
+       |   FROM v),
+       |c0 AS (SELECT a.id AS query_id, b.id AS neighbor_id
+       |       FROM s a JOIN s b ON a.sig = b.sig AND a.id <> b.id),
+       |${scoreSql("c0", "sc0")},
+       |k0 AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim_e6 DESC, neighbor_id) AS r
+       |        FROM sc0) WHERE r <= 5),
+       |sym AS (SELECT query_id, neighbor_id FROM k0
+       |        UNION ALL SELECT neighbor_id, query_id FROM k0),
+       |non AS (SELECT x.query_id, y.neighbor_id
+       |        FROM sym x JOIN sym y ON x.neighbor_id = y.query_id
+       |        WHERE x.query_id <> y.neighbor_id),
+       |c1 AS (SELECT DISTINCT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id FROM c0
+       |        UNION ALL SELECT query_id, neighbor_id FROM sym
+       |        UNION ALL SELECT query_id, neighbor_id FROM non)),
+       |${scoreSql("c1", "sc1")}""".stripMargin
   }
 
   private def COS_E6(a: String, b: String): String =
