@@ -807,7 +807,59 @@ private[graft] object EtlQueries {
           |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
           |  CAST(n_skipped AS BIGINT) AS n_skipped,
           |  CAST(n_skipped * 1000000 // n_blocks AS BIGINT) AS skip_ppm
-          |FROM r ORDER BY layout""".stripMargin))
+          |FROM r ORDER BY layout""".stripMargin)),
+
+    Q("etl_merge_into",
+      // Delta-style MERGE INTO semantics as one full-outer join: matched
+      // source rows UPDATE, matched tombstones DELETE, unmatched source
+      // rows INSERT, untouched target rows pass through — the statement a
+      // lakehouse upsert runs, here producing the post-merge table state
+      // (etl_snapshot_diff reports the delta; this materializes the
+      // result). Synthetic source from customer: every 20th key updates,
+      // every 100th+7 deletes, every 90th+3 inserts a new key.
+      (s, d) => {
+        val tgt = tbl(s, d, "customer").select(col("c_custkey").as("key"),
+          col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_c"))
+        val src = tgt.filter(col("key") % 20 === 0)
+          .select(col("key"), concat(col("seg"), lit("*")).as("seg"),
+            (col("bal_c") + 500L).as("bal_c"), lit(false).as("tombstone"))
+          .unionByName(tgt.filter(col("key") % 100 === 7)
+            .select(col("key"), col("seg"), col("bal_c"), lit(true).as("tombstone")))
+          .unionByName(tgt.filter(col("key") % 90 === 3)
+            .select((col("key") + 5000000L).as("key"), lit("FRESH").as("seg"),
+              lit(0L).as("bal_c"), lit(false).as("tombstone")))
+        tgt.as("t").join(src.as("s"), col("t.key") === col("s.key"), "full_outer")
+          .filter(!coalesce(col("s.tombstone"), lit(false)))
+          .select(
+            coalesce(col("s.key"), col("t.key")).as("key"),
+            coalesce(col("s.seg"), col("t.seg")).as("seg"),
+            coalesce(col("s.bal_c"), col("t.bal_c")).as("bal_c"),
+            when(col("t.key").isNull, "inserted")
+              .when(col("s.key").isNull, "unchanged")
+              .otherwise("updated").as("action"))
+          .orderBy("key")
+      },
+      Some(
+        """WITH tgt AS (SELECT c_custkey AS key, c_mktsegment AS seg,
+          |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+          |  FROM customer),
+          |src AS (
+          |  SELECT key, seg || '*' AS seg, bal_c + 500 AS bal_c, false AS tombstone
+          |  FROM tgt WHERE key % 20 = 0
+          |  UNION ALL
+          |  SELECT key, seg, bal_c, true FROM tgt WHERE key % 100 = 7
+          |  UNION ALL
+          |  SELECT key + 5000000, 'FRESH', 0, false FROM tgt WHERE key % 90 = 3)
+          |SELECT COALESCE(s.key, t.key) AS key,
+          |  COALESCE(s.seg, t.seg) AS seg,
+          |  COALESCE(s.bal_c, t.bal_c) AS bal_c,
+          |  CASE WHEN t.key IS NULL THEN 'inserted'
+          |       WHEN s.key IS NULL THEN 'unchanged'
+          |       ELSE 'updated' END AS action
+          |FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+          |WHERE NOT COALESCE(s.tombstone, false)
+          |ORDER BY key""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the
