@@ -1075,7 +1075,62 @@ private[graft] object TextQueries {
            |    WHERE length(clean_text) > 0 GROUP BY md5(clean_text)))
            |SELECT stage, n_docs, n_tokens FROM r ORDER BY stage""".stripMargin
       },
-      bench = true)
+      bench = true),
+
+    Q("text_batch_padding",
+      // dynamic-batching efficiency MEASURED: per lang, batch docs 8 at a
+      // time under two orders — length-sorted vs arrival (doc_id) — and
+      // report the padding waste (Σ batch_max·8 − Σ len over each batch,
+      // as ppm of the padded total). Length-sorting is the standard
+      // trick for transformer batch efficiency; this is its measured
+      // justification, per-key windows only.
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"),
+          Corpus.tokenCount(col("text")).as("len"))
+        def plan(name: String, order: Seq[Column]): DataFrame = {
+          val w = Window.partitionBy("lang").orderBy(order: _*)
+          docs.withColumn("rk", row_number().over(w))
+            .withColumn("batch", expr("(rk - 1) DIV 8"))
+            .groupBy("lang", "batch")
+            .agg(count(lit(1)).as("nd"), max(col("len")).as("mx"),
+              sum(col("len")).as("sm"))
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("mx") * col("nd") - col("sm")).as("pad_tokens"),
+              sum(col("mx") * col("nd")).as("padded_tokens"))
+            .select(lit(name).as("strategy"), col("lang"), col("n_batches"),
+              col("pad_tokens"), col("padded_tokens"),
+              expr("pad_tokens * 1000000L DIV padded_tokens").as("waste_ppm"))
+        }
+        plan("arrival_order", Seq(col("doc_id")))
+          .unionAll(plan("length_sorted", Seq(col("len"), col("doc_id"))))
+          .orderBy("strategy", "lang")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id, lang,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS len
+          |  FROM documents),
+          |ar AS (SELECT lang, (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 8 AS batch,
+          |         len FROM d),
+          |ls AS (SELECT lang, (row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) - 1) // 8 AS batch,
+          |         len FROM d),
+          |ab AS (SELECT lang, batch, count(*) AS nd, max(len) AS mx, sum(len) AS sm
+          |       FROM ar GROUP BY 1, 2),
+          |lb AS (SELECT lang, batch, count(*) AS nd, max(len) AS mx, sum(len) AS sm
+          |       FROM ls GROUP BY 1, 2),
+          |r AS (
+          |  SELECT 'arrival_order' AS strategy, lang, count(*) AS n_batches,
+          |    CAST(sum(mx * nd - sm) AS BIGINT) AS pad_tokens,
+          |    CAST(sum(mx * nd) AS BIGINT) AS padded_tokens
+          |  FROM ab GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'length_sorted', lang, count(*),
+          |    CAST(sum(mx * nd - sm) AS BIGINT), CAST(sum(mx * nd) AS BIGINT)
+          |  FROM lb GROUP BY 2)
+          |SELECT strategy, lang, n_batches, pad_tokens, padded_tokens,
+          |  CAST(pad_tokens * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
+          |FROM r ORDER BY strategy, lang""".stripMargin))
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
