@@ -242,6 +242,40 @@ private[graft] object EventQueries {
            |ORDER BY stage_idx""".stripMargin),
       bench = true),
 
+    Q("ev_funnel_windowed",
+      // the TIME-BOUNDED funnel: each stage must land within 30 minutes
+      // of the previous stage's event — "clicked within 30 min of the
+      // view, purchased within 30 min of the click". Same chained
+      // conditional-min shape as ev_funnel, with the staleness bound in
+      // the stage predicate; conversion drops vs the unbounded funnel
+      // quantify how much intent decays with delay.
+      (s, d) => Events.funnelReport(eventsTable(s, d),
+        Seq("view", "click", "purchase"), windowSeconds = Some(1800L)),
+      Some(
+        s"""WITH $EV_SQL,
+           |s1 AS (SELECT user_id AS u,
+           |         min(ts) FILTER (WHERE event_type = 'view') AS t1
+           |       FROM ev GROUP BY 1),
+           |s2 AS (SELECT s1.u, s1.t1,
+           |         min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t1
+           |           AND epoch_us(e.ts) - epoch_us(s1.t1) <= 1800000000) AS t2
+           |       FROM s1 JOIN ev e ON e.user_id = s1.u GROUP BY s1.u, s1.t1),
+           |s3 AS (SELECT s2.u, s2.t1, s2.t2,
+           |         min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           |           AND epoch_us(e.ts) - epoch_us(s2.t2) <= 1800000000) AS t3
+           |       FROM s2 JOIN ev e ON e.user_id = s2.u GROUP BY s2.u, s2.t1, s2.t2),
+           |c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3)
+           |SELECT * FROM (
+           |  SELECT 1 AS stage_idx, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+           |    CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+           |  UNION ALL
+           |  SELECT 2, 'click', CAST(n2 AS BIGINT),
+           |    CAST(CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END AS BIGINT) FROM c
+           |  UNION ALL
+           |  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           |    CAST(CASE WHEN n2 = 0 THEN 0 ELSE n3 * 1000000 // n2 END AS BIGINT) FROM c)
+           |ORDER BY stage_idx""".stripMargin)),
+
     Q("ev_attribution",
       // last-touch ad attribution: each click joined to same-user views in
       // the 30 minutes before it (the BATCH face of the stream-stream

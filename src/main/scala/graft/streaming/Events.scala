@@ -100,10 +100,21 @@ object Events {
     * parts-per-million conversion from the PREVIOUS stage (10⁶ for the
     * first).
     */
-  def funnelReport(events: DataFrame, stages: Seq[String]): DataFrame = {
+  /** @param windowSeconds when set, each stage must ALSO happen within
+    *        this many seconds of the previous stage's event (the
+    *        time-bounded funnel — "clicked within 30 min of the view");
+    *        None keeps the unbounded ordered-funnel semantics.
+    */
+  def funnelReport(events: DataFrame, stages: Seq[String],
+      windowSeconds: Option[Long] = None): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
     val evs = events.select(col("user_id").as("user"),
       col("ts").as("__ts"), col("event_type").as("__type"))
+    def within(prev: Column, ts: Column): Column = windowSeconds match {
+      case Some(w) =>
+        ts > prev && unix_micros(ts) - unix_micros(prev) <= w * 1000000L
+      case None => ts > prev
+    }
     var perUser = evs.groupBy("user")
       .agg(min(when(col("__type") === stages.head, col("__ts"))).as("t1"))
     stages.tail.zipWithIndex.foreach { case (stage, i) =>
@@ -112,7 +123,8 @@ object Events {
         .groupBy("user")
         .agg(prevCols.head,
           (prevCols.tail :+
-            min(when(col("__type") === stage && col("__ts") > col(s"t${i + 1}"),
+            min(when(col("__type") === stage &&
+              within(col(s"t${i + 1}"), col("__ts")),
               col("__ts"))).as(s"t${i + 2}")): _*)
     }
     val counts = perUser.agg(
