@@ -490,6 +490,42 @@ private[graft] object GraphQueries {
         |  SELECT a AS id FROM pe UNION ALL SELECT b FROM pe) GROUP BY 1)
         |SELECT CAST(length(to_base(deg, 2)) - 1 AS BIGINT) AS band,
         |  count(*) AS n_nodes
-        |FROM dg GROUP BY 1 ORDER BY band""".stripMargin))
+        |FROM dg GROUP BY 1 ORDER BY band""".stripMargin)),
+
+    Q("graph_assortativity",
+      // degree assortativity (Newman 2002): the Pearson correlation of
+      // endpoint degrees over the symmetrized edge list — positive means
+      // hubs prefer hubs, negative means hub-and-spoke. Exact integer
+      // moments (n·Σxy − Sx², n·Σx² − Sx²), the final e6 ratio computed
+      // by pre-scaling the denominator (num DIV (den DIV 1e6)) so no
+      // intermediate leaves 64 bits; by edge symmetry Sx = Sy and
+      // Σx² = Σy², so one moment pass covers both axes.
+      (s, d) => {
+        val pe = coEdges(s, d)
+        val se = pe.select(col("a"), col("b"))
+          .unionAll(pe.select(col("b").as("a"), col("a").as("b")))
+        val deg = se.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+        se.join(deg.withColumnsRenamed(Map("id" -> "a", "deg" -> "da")), Seq("a"))
+          .join(deg.withColumnsRenamed(Map("id" -> "b", "deg" -> "db")), Seq("b"))
+          .agg(count(lit(1)).as("n"), sum(col("da")).as("sx"),
+            sum(col("da") * col("db")).as("sxy"),
+            sum(col("da") * col("da")).as("sxx"))
+          .selectExpr("n", "sx", "sxy", "sxx",
+            """(n * sxy - sx * sx)
+              | DIV greatest((n * sxx - sx * sx) DIV 1000000L, 1) AS assortativity_e6""".stripMargin)
+          .orderBy("n")
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |se AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+        |dg AS (SELECT a AS id, count(*) AS deg FROM se GROUP BY 1),
+        |m AS (SELECT count(*) AS n, CAST(sum(x.deg) AS BIGINT) AS sx,
+        |    CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+        |    CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx
+        |  FROM se JOIN dg x ON x.id = se.a JOIN dg y ON y.id = se.b)
+        |SELECT n, sx, sxy, sxx,
+        |  CAST((n * sxy - sx * sx)
+        |    // greatest((n * sxx - sx * sx) // 1000000, 1) AS BIGINT) AS assortativity_e6
+        |FROM m ORDER BY n""".stripMargin))
   )
 }
