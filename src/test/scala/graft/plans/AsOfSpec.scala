@@ -32,6 +32,24 @@ class AsOfSpec extends SparkSpec {
       (1L, Some(10L)), (2L, Some(11L)), (3L, None), (4L, None)))
   }
 
+  test("asofJoinTolerance nulls matches staler than the bound, keeps fresh ones") {
+    val left = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00")),   // 30 min after r10 → within 1h → kept
+      (2L, 7L, ts("2026-01-01 12:00:00")),   // 60+ min after r12? r12 at 11:00 → exactly 1h → kept (inclusive)
+      (3L, 7L, ts("2026-01-01 13:30:00"))    // 2.5h after r12 → stale → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 09:30:00"), 1.0),
+      (12L, 7L, ts("2026-01-01 11:00:00"), 3.0)
+    ).toDF("view_id", "user_id", "ts", "v")
+    val out = AsOf.asofJoinTolerance(left, right, "user_id", "ts",
+        Seq("view_id", "v"), toleranceSeconds = 3600L)
+      .orderBy("event_id")
+      .select("event_id", "asof_view_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq((1L, Some(10L)), (2L, Some(12L)), (3L, None)))
+  }
+
   test("asofJoin: duplicate (key, time) right rows pick deterministically; NULL right time never matches") {
     val left = Seq((1L, 7L, ts("2026-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(

@@ -309,4 +309,25 @@ class EventsSpec extends SparkSpec {
       (2, "click", 3L, 1000000L), // all three clicked after their view
       (3, "purchase", 1L, 333333L))) // only user 1 purchased after the click
   }
+
+  test("funnelReport windowed: slow conversions fall outside the stage bound") {
+    val fe = Seq(
+      // user 1: click 5 min after view (within 10-min bound), purchase
+      // 5 min after click → fully converts
+      (10L, ts("2026-01-01 09:00:00"), 1L, "view", 0.0),
+      (11L, ts("2026-01-01 09:05:00"), 1L, "click", 0.0),
+      (12L, ts("2026-01-01 09:10:00"), 1L, "purchase", 0.0),
+      // user 2: click 30 min after the view — outside the 10-min bound,
+      // so the windowed funnel stops at view (unbounded would convert)
+      (20L, ts("2026-01-01 08:00:00"), 2L, "view", 0.0),
+      (21L, ts("2026-01-01 08:30:00"), 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val windowed = Events.funnelReport(fe, Seq("view", "click", "purchase"),
+        windowSeconds = Some(600L))
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(windowed == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+    val unbounded = Events.funnelReport(fe, Seq("view", "click", "purchase"))
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(unbounded("click") == 2L, "unbounded funnel must still convert user 2")
+  }
 }
