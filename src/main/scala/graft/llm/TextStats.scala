@@ -701,32 +701,6 @@ object TextStats {
         (col("abs_dev") > col("mad") * cutoff).as("is_outlier"))
   }
 
-  /** Bigram language-model surprisal scoring — the CCNet/Gopher-class
-    * "LM perplexity" quality filter, made engine-exact: instead of
-    * Σ −ln p (whose last-ulp transcendentals never replay across
-    * engines), each bigram contributes its INTEGER log2 surprisal
-    * ⌊log2(1/p)⌋, computed with pure integer arithmetic:
-    *
-    *   p = (c12 + 1) / (c1 + V)       add-one smoothed bigram model
-    *   ⌊log2(den/num)⌋ = length(bin(den DIV num)) − 1
-    *
-    * (for q = den DIV num ≥ 1: 2^(bitlen(q)−1) ≤ q ≤ den/num < q+1 ≤
-    * 2^bitlen(q), so the bit length IS the floored log — and bin() is
-    * unpadded in both Spark and DuckDB). The summed bits rank documents
-    * the way summed −log2 p would at whole-bit resolution, which is what
-    * a quality CUT consumes; no transcendental is ever evaluated.
-    *
-    * The model is trained on the corpus itself (self-perplexity, the
-    * bootstrap configuration CCNet uses before a curated LM exists).
-    *
-    * Scale shape: one narrow tokenize pass; bigram counts are map-side
-    * combinable; the stream⋈model joins are token-keyed equi-joins (the
-    * LM tables shuffle once, V rides a broadcast 1-row frame). Nothing
-    * is ever densified per document.
-    *
-    * @return (doc_id, n_bigrams, surprisal_bits, mean_bits_e6) for every
-    *         doc with ≥ 2 tokens
-    */
   /** Consecutive-token bigram occurrences (doc_id, w1, w2) under the
     * corpus tokenization convention — shared by the surprisal and
     * Kneser-Ney LMs.
@@ -775,6 +749,32 @@ object TextStats {
       .limit(k)
   }
 
+  /** Bigram language-model surprisal scoring — the CCNet/Gopher-class
+    * "LM perplexity" quality filter, made engine-exact: instead of
+    * Σ −ln p (whose last-ulp transcendentals never replay across
+    * engines), each bigram contributes its INTEGER log2 surprisal
+    * ⌊log2(1/p)⌋, computed with pure integer arithmetic:
+    *
+    *   p = (c12 + 1) / (c1 + V)       add-one smoothed bigram model
+    *   ⌊log2(den/num)⌋ = length(bin(den DIV num)) − 1
+    *
+    * (for q = den DIV num ≥ 1: 2^(bitlen(q)−1) ≤ q ≤ den/num < q+1 ≤
+    * 2^bitlen(q), so the bit length IS the floored log — and bin() is
+    * unpadded in both Spark and DuckDB). The summed bits rank documents
+    * the way summed −log2 p would at whole-bit resolution, which is what
+    * a quality CUT consumes; no transcendental is ever evaluated.
+    *
+    * The model is trained on the corpus itself (self-perplexity, the
+    * bootstrap configuration CCNet uses before a curated LM exists).
+    *
+    * Scale shape: one narrow tokenize pass; bigram counts are map-side
+    * combinable; the stream⋈model joins are token-keyed equi-joins (the
+    * LM tables shuffle once, V rides a broadcast 1-row frame). Nothing
+    * is ever densified per document.
+    *
+    * @return (doc_id, n_bigrams, surprisal_bits, mean_bits_e6) for every
+    *         doc with ≥ 2 tokens
+    */
   def lmSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val pairs = bigramPairs(docs, idCol, textCol)

@@ -1096,7 +1096,7 @@ private[graft] object DashQueries {
         val rR = Ids.contiguousIds(base, Seq(col("recency"), col("custkey")), "r0")
         val rF = Ids.contiguousIds(rR, Seq(col("freq").desc, col("custkey")), "f0")
         val rM = Ids.contiguousIds(rF, Seq(col("mon_c").desc, col("custkey")), "m0")
-        rM.crossJoin(broadcast(rM.select(count(lit(1)).as("n"))))
+        rM.crossJoin(broadcast(byCust.agg(count(lit(1)).as("n"))))
           .selectExpr("custkey", "mon_c",
             ntileSql("(r0 + 1)") + " AS r_q",
             ntileSql("(f0 + 1)") + " AS f_q",

@@ -816,7 +816,10 @@ private[graft] object EtlQueries {
       // lakehouse upsert runs, here producing the post-merge table state
       // (etl_snapshot_diff reports the delta; this materializes the
       // result). Synthetic source from customer: every 20th key updates,
-      // every 100th+7 deletes, every 90th+3 inserts a new key.
+      // every 100th+7 deletes, every 90th+3 inserts a new key — inserted
+      // keys are NEGATED (customer keys are strictly positive), so the
+      // insert key space is disjoint from the target at ANY scale factor,
+      // not just while keys stay under an additive offset.
       (s, d) => {
         val tgt = tbl(s, d, "customer").select(col("c_custkey").as("key"),
           col("c_mktsegment").as("seg"),
@@ -827,7 +830,7 @@ private[graft] object EtlQueries {
           .unionByName(tgt.filter(col("key") % 100 === 7)
             .select(col("key"), col("seg"), col("bal_c"), lit(true).as("tombstone")))
           .unionByName(tgt.filter(col("key") % 90 === 3)
-            .select((col("key") + 5000000L).as("key"), lit("FRESH").as("seg"),
+            .select((-col("key")).as("key"), lit("FRESH").as("seg"),
               lit(0L).as("bal_c"), lit(false).as("tombstone")))
         tgt.as("t").join(src.as("s"), col("t.key") === col("s.key"), "full_outer")
           .filter(!coalesce(col("s.tombstone"), lit(false)))
@@ -850,7 +853,7 @@ private[graft] object EtlQueries {
           |  UNION ALL
           |  SELECT key, seg, bal_c, true FROM tgt WHERE key % 100 = 7
           |  UNION ALL
-          |  SELECT key + 5000000, 'FRESH', 0, false FROM tgt WHERE key % 90 = 3)
+          |  SELECT -key, 'FRESH', 0, false FROM tgt WHERE key % 90 = 3)
           |SELECT COALESCE(s.key, t.key) AS key,
           |  COALESCE(s.seg, t.seg) AS seg,
           |  COALESCE(s.bal_c, t.bal_c) AS bal_c,

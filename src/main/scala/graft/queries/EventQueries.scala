@@ -372,15 +372,7 @@ private[graft] object EventQueries {
       // and the path string is bounded by the 8-event cap, so row width
       // can't blow up on a pathological always-on user at corpus scale.
       (s, d) => {
-        val byUser = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
-        val sess = eventsTable(s, d)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-          .withColumn("is_new", when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
-            1L).otherwise(0L))
-          .withColumn("session_seq", sum(col("is_new")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sess = Events.sessionize(eventsTable(s, d), gapMinutes = 30)
         val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
           .orderBy(col("ts"), col("event_id"))
         val paths = sess

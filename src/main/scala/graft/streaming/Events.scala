@@ -99,8 +99,8 @@ object Events {
     * Returns (stage_idx, stage, n_users, conv_ppm) where conv_ppm is the
     * parts-per-million conversion from the PREVIOUS stage (10⁶ for the
     * first).
-    */
-  /** @param windowSeconds when set, each stage must ALSO happen within
+    *
+    * @param windowSeconds when set, each stage must ALSO happen within
     *        this many seconds of the previous stage's event (the
     *        time-bounded funnel — "clicked within 30 min of the view");
     *        None keeps the unbounded ordered-funnel semantics.
