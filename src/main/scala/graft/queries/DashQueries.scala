@@ -1218,6 +1218,35 @@ private[graft] object DashQueries {
           |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin),
       bench = true),
 
+    Q("agg_tpch_q6_shape",
+      // the TPC-H Q6 forecasting-revenue-change shape: one scan, three
+      // pushable predicates (ship year, discount band, quantity cap), one
+      // 1-row reduce of Σ ep·disc in exact decimal — the canonical
+      // "did your filters reach the parquet scan" probe; PlanShapeSpec's
+      // pushdown pins cover the same mechanics.
+      (s, d) => tbl(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1994-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1995-01-01").cast("date") &&
+          col("l_discount").cast("decimal(18,2)") >= lit(0.05).cast("decimal(18,2)") &&
+          col("l_discount").cast("decimal(18,2)") <= lit(0.07).cast("decimal(18,2)") &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+            .multiply(10000).cast("long").as("revenue_e4"))
+        .orderBy("n_rows"),
+      Some(
+        """SELECT count(*) AS n_rows,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem
+          |WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+          |  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+          |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2))
+          |    AND CAST(0.07 AS DECIMAL(18,2))
+          |  AND l_quantity < 24
+          |ORDER BY n_rows""".stripMargin)),
+
     Q("dash_winsorized_mean",
       // robust mean by winsorization: per order-priority, clamp revenue
       // cents to the exact [p05, p95] band — bounds by pure integer rank

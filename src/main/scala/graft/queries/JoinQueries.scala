@@ -179,6 +179,53 @@ private[graft] object JoinQueries {
            |ORDER BY event_id""".stripMargin),
       bench = true),
 
+    Q("join_tpch_q10_shape",
+      // the TPC-H Q10 returned-item reporting shape: customers ranked by
+      // revenue lost to returns in one quarter — returnflag-filtered
+      // lineitem joined up through date-filtered orders to customer and
+      // nation (both dimension joins broadcast), exact-decimal revenue,
+      // top-20 by (revenue, custkey) heap. The classic "who do I call
+      // about returns" star query.
+      (s, d) => {
+        val l = tbl(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date") &&
+            col("o_orderdate").cast("date") < lit("1995-04-01").cast("date"))
+          .select("o_orderkey", "o_custkey")
+        val c = tbl(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val n = tbl(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val g = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .multiply(10000).cast("long").as("revenue_e4"))
+        graft.plans.TopK.perGroup(g.withColumn("__g", lit(1)), Seq("__g"),
+            col("revenue_e4"), col("c_custkey"), 20)
+          .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      },
+      Some(
+        """WITH g AS (
+          |  SELECT c_custkey, c_name, n_name,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE l_returnflag = 'R'
+          |    AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+          |    AND CAST(o_orderdate AS DATE) < DATE '1995-04-01'
+          |  GROUP BY 1, 2, 3)
+          |SELECT c_custkey, c_name, n_name, revenue_e4
+          |FROM (SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, c_custkey) AS rn FROM g)
+          |WHERE rn <= 20 ORDER BY revenue_e4 DESC, c_custkey""".stripMargin)),
+
     Q("join_asof_tolerance",
       // as-of join with a staleness bound (pandas merge_asof tolerance):
       // the latest view at-or-before each click counts only within 10
