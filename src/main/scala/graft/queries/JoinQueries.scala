@@ -226,6 +226,80 @@ private[graft] object JoinQueries {
           |FROM (SELECT *, row_number() OVER (ORDER BY revenue_e4 DESC, c_custkey) AS rn FROM g)
           |WHERE rn <= 20 ORDER BY revenue_e4 DESC, c_custkey""".stripMargin)),
 
+    Q("join_tpch_q3_shape",
+      // the TPC-H Q3 shipping-priority shape: unshipped-revenue top-10 —
+      // segment-filtered customers (broadcast), date-bounded orders,
+      // ship-date-filtered lineitem, exact-decimal revenue per order, and
+      // the global top-10 via orderBy+limit which Spark plans as
+      // TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
+      // heads — never a global sort; the scale-correct top-k).
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = tbl(s, d, "lineitem")
+          .filter(col("l_shipdate").cast("date") > lit("1997-01-01").cast("date"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_day"),
+            col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .multiply(10000).cast("long").as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey,
+          |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_day, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+          |  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("join_tpch_q18_shape",
+      // the TPC-H Q18 large-volume-customer shape: orders whose total line
+      // quantity clears a floor. The classic formulation re-joins lineitem
+      // against an IN-subquery of itself; here the grouped quantity table
+      // is computed ONCE and reused as both the filter and the measure —
+      // one lineitem scan, one shuffle, then two broadcast dimension hops.
+      (s, d) => {
+        val big = tbl(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+          .filter(col("qty") > lit(250).cast("decimal(18,2)"))
+          .select(col("l_orderkey"), col("qty").multiply(100).cast("long").as("qty_c"))
+        big.join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").cast("string").as("o_day"),
+            col("o_totalprice").cast("decimal(18,2)").multiply(100)
+              .cast("long").as("price_c"), col("qty_c"))
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+      },
+      Some(
+        """WITH big AS (
+          |  SELECT l_orderkey,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+          |  FROM lineitem GROUP BY 1
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(250 AS DECIMAL(18,2)))
+          |SELECT c_name, c_custkey, o_orderkey,
+          |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_day,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c, qty_c
+          |FROM big JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |ORDER BY price_c DESC, o_orderkey""".stripMargin)),
+
     Q("join_asof_tolerance",
       // as-of join with a staleness bound (pandas merge_asof tolerance):
       // the latest view at-or-before each click counts only within 10
