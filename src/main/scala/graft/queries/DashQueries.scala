@@ -1247,6 +1247,52 @@ private[graft] object DashQueries {
           |  AND l_quantity < 24
           |ORDER BY n_rows""".stripMargin)),
 
+    Q("agg_tpch_q14_shape",
+      // the TPC-H Q14 promo-revenue shape: what share of one quarter's
+      // revenue came from promo parts — date-windowed lineitem, broadcast
+      // part join, conditional decimal aggregation, and the share as an
+      // exact integer: both engines truncate the decimal sums to whole
+      // currency units (BIGINT) before the e6 integer division, keeping
+      // the ratio overflow-safe to sf100 (units ~1e10 × 1e6 << 2^63)
+      // without ever comparing floating point.
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        tbl(s, d, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+          .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),
+            sum(rev).as("total"))
+          .select(
+            col("promo").multiply(10000).cast("long").as("promo_rev_e4"),
+            col("total").multiply(10000).cast("long").as("total_rev_e4"),
+            // floor-then-cast on BOTH engines: DuckDB ROUNDS decimal→BIGINT
+            // casts while Spark truncates — floor makes the unit value
+            // identical before the exact integer division
+            expr("CAST(floor(promo) AS BIGINT) * 1000000 DIV CAST(floor(total) AS BIGINT)")
+              .as("promo_share_e6"))
+          .orderBy("total_rev_e4")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT
+          |    sum(CASE WHEN p_type LIKE 'PROMO%'
+          |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo,
+          |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01')
+          |SELECT CAST(promo * 10000 AS BIGINT) AS promo_rev_e4,
+          |  CAST(total * 10000 AS BIGINT) AS total_rev_e4,
+          |  CAST(floor(promo) AS BIGINT) * 1000000 // CAST(floor(total) AS BIGINT) AS promo_share_e6
+          |FROM a ORDER BY total_rev_e4""".stripMargin)),
+
     Q("dash_winsorized_mean",
       // robust mean by winsorization: per order-priority, clamp revenue
       // cents to the exact [p05, p95] band — bounds by pure integer rank
