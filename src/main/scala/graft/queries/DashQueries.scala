@@ -1245,7 +1245,8 @@ private[graft] object DashQueries {
           |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2))
           |    AND CAST(0.07 AS DECIMAL(18,2))
           |  AND l_quantity < 24
-          |ORDER BY n_rows""".stripMargin)),
+          |ORDER BY n_rows""".stripMargin),
+      bench = true),
 
     Q("agg_tpch_q14_shape",
       // the TPC-H Q14 promo-revenue shape: what share of one quarter's

@@ -265,7 +265,8 @@ private[graft] object JoinQueries {
           |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
           |  AND CAST(l_shipdate AS DATE) > DATE '1997-01-01'
           |GROUP BY 1, 2, 3
-          |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin)),
+          |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
 
     Q("join_tpch_q18_shape",
       // the TPC-H Q18 large-volume-customer shape: orders whose total line
