@@ -72,4 +72,87 @@ object Ids {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Grouped running (prefix) sum at scale — the shape behind "cumulative
+    * weight per region over 100 TB of listings".
+    *
+    * The naive form, `sum(w) OVER (PARTITION BY group ORDER BY key)`, caps
+    * parallelism at the number of distinct groups (14 regions → 14 tasks,
+    * one task sorts an entire region at any scale). The scale shape is the
+    * same two-pass offset scheme as [[contiguousIds]], generalized from
+    * counts to weights:
+    *
+    *   1. range-repartition by (group, sortKeys) + sort within partitions,
+    *      then localCheckpoint so the (possibly expensive) upstream plan is
+    *      evaluated exactly once;
+    *   2. per-(partition, group) weight sums — O(partitions × groups) rows
+    *      to the driver, nothing data-sized;
+    *   3. prefix-sum per group across partitions into start offsets (and
+    *      per-group totals for free), then one `mapPartitionsWithIndex`
+    *      emits the inclusive running sum + group total.
+    *
+    * Deterministic whenever (group, sortKeys) is a total order — boundary
+    * cuts of the range partitioner then cannot change any prefix.
+    * `weightCol` must be integral (LongType after any cast by the caller).
+    */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], weightCol: String, cumCol: String = "cumw",
+      totCol: String = "totw", numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val keys = groupCols.map(col) ++ sortCols
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, keys: _*)
+      case None => df.repartitionByRange(keys: _*)
+    }
+    val sorted = ranged.sortWithinPartitions(keys: _*).localCheckpoint()
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+
+    // pass 1: per-(partition, group) weight sums (tiny driver map)
+    val perPart = sorted
+      .groupBy((spark_partition_id().as("__pid") +: groupCols.map(col)): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+      .collect()
+      .map { r =>
+        val g = (1 to groupCols.size).map(r.get).toList
+        ((r.getInt(0), g), r.getLong(1 + groupCols.size))
+      }.toMap
+    val nPart = sorted.rdd.getNumPartitions
+    val offsets = scala.collection.mutable.Map.empty[(Int, List[Any]), Long]
+    val totals = scala.collection.mutable.Map.empty[List[Any], Long]
+    for (g <- perPart.keysIterator.map(_._2).toSet[List[Any]]) {
+      var acc = 0L
+      var p = 0
+      while (p < nPart) {
+        perPart.get((p, g)).foreach { w => offsets((p, g)) = acc; acc += w }
+        p += 1
+      }
+      totals(g) = acc
+    }
+
+    // pass 2: inclusive local running sum + broadcast offset/total
+    val bcOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bcTot = spark.sparkContext.broadcast(totals.toMap)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField(cumCol, LongType, nullable = false),
+      StructField(totCol, LongType, nullable = false)))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value
+      val tot = bcTot.value
+      var curG: List[Any] = null
+      var run = 0L
+      it.map { r =>
+        val g = gIdx.map(r.get).toList
+        if (g != curG) { curG = g; run = off.getOrElse((pid, g), 0L) }
+        run += (r.get(wIdx) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case x => throw new IllegalArgumentException(
+            s"$weightCol must be integral, got ${x.getClass}")
+        })
+        Row.fromSeq(r.toSeq ++ Seq(run, tot(g)))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

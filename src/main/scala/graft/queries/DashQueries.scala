@@ -272,8 +272,9 @@ private[graft] object DashQueries {
       // the deterministic form is collect_set → array_sort → array_join —
       // map-side-combinable and bounded by the distinct-value count, never
       // by group row count. Oracle is DuckDB's native ordered string_agg.
+      // customer is fact-sized — join strategy left to the planner.
       (s, d) => tbl(s, d, "orders")
-        .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
           array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
@@ -1030,23 +1031,22 @@ private[graft] object DashQueries {
     Q("dash_weighted_median",
       // weighted median price/m2 per region, weight = listing area: the
       // smallest value whose cumulative weight reaches half the region's
-      // total (2·cumw ≥ totw — pure integer, no interpolation). Cumulative
-      // weight runs in a per-region window ordered by (value, link) — link
-      // is the chain's dedup key, so cumw is deterministic under ties.
-      // The per-region total is a SECOND window over the same region
-      // partitioning (full-frame, unordered) rather than a groupBy+join —
-      // the upstream transform chain is evaluated once and both windows
-      // ride the same exchange, instead of scanning the chain twice.
+      // total (2·cumw ≥ totw — pure integer, no interpolation). The
+      // cumulative weight does NOT run in a per-region window — region is
+      // a 14-value key, so `sum(w) OVER (PARTITION BY region ORDER BY …)`
+      // caps parallelism at 14 and one task sorts an entire region at any
+      // scale. Instead it rides Ids.groupedRunningSum's two-pass offset
+      // scheme (range-partition by (region, value, link), per-partition
+      // per-region offsets — the same discipline as dash_rfm_segments'
+      // exact ntile). link is the chain's dedup key, so (region, value,
+      // link) is a total order and cumw is deterministic under ties.
       (s, d) => {
         val f = transformChain(s, d)
           .filter(col("price_per_m2").isNotNull && col("size_m2") > 0)
           .select(col("region"), col("price_per_m2"),
             col("size_m2").cast("long").as("w"), col("link"))
-        val win = Window.partitionBy("region")
-          .orderBy(col("price_per_m2"), col("link"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        f.withColumn("cumw", sum(col("w")).over(win))
-          .withColumn("totw", sum(col("w")).over(Window.partitionBy("region")))
+        Ids.groupedRunningSum(f, Seq("region"),
+            Seq(col("price_per_m2"), col("link")), "w", "cumw", "totw")
           .filter(col("cumw") * 2 >= col("totw"))
           .groupBy("region")
           .agg(min(col("price_per_m2")).cast("long").as("wmedian_ppm2"),
@@ -1250,8 +1250,9 @@ private[graft] object DashQueries {
 
     Q("agg_tpch_q14_shape",
       // the TPC-H Q14 promo-revenue shape: what share of one quarter's
-      // revenue came from promo parts — date-windowed lineitem, broadcast
-      // part join, conditional decimal aggregation, and the share as an
+      // revenue came from promo parts — date-windowed lineitem, a part
+      // join whose strategy is left to the planner (part grows with SF),
+      // conditional decimal aggregation, and the share as an
       // exact integer: both engines truncate the decimal sums to whole
       // currency units (BIGINT) before the e6 integer division, keeping
       // the ratio overflow-safe to sf100 (units ~1e10 × 1e6 << 2^63)
@@ -1262,7 +1263,7 @@ private[graft] object DashQueries {
         tbl(s, d, "lineitem")
           .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
             col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
-          .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, d, "part"), col("l_partkey") === col("p_partkey"))
           .agg(
             sum(when(col("p_type").startsWith("PROMO"), rev)
               .otherwise(lit(0).cast("decimal(18,2)"))).as("promo"),

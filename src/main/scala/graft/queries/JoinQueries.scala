@@ -21,8 +21,11 @@ private[graft] object JoinQueries {
 
   val qs: Vector[Q] = Vector(
     Q("join_orders_customer",
+      // customer is fact-sized at scale (grows with SF), so the join
+      // strategy is left to the planner: AQE auto-broadcasts at test SF
+      // and degrades gracefully to a shuffle hash join at 100 TB.
       (s, d) => tbl(s, d, "orders")
-        .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), cents(col("o_totalprice")).as("sum_price_c"))
         .orderBy("c_mktsegment"),
@@ -34,8 +37,10 @@ private[graft] object JoinQueries {
       bench = true),
 
     Q("join_revenue_by_brand",
+      // part scales linearly with SF — no forced broadcast; the planner
+      // picks broadcast at test SF, shuffle join at scale.
       (s, d) => tbl(s, d, "lineitem")
-        .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -51,10 +56,11 @@ private[graft] object JoinQueries {
 
     Q("join_multiway_revenue",
       // the TPC-H Q3 shape: selective filters pushed to all three scans
-      // BEFORE any join, the small filtered dimension broadcast, the two
-      // fact-sized sides hash-joined on their keys, then top-10 via the
-      // heap exec — the canonical multiway star-join plan AQE and join
-      // reordering exist for
+      // BEFORE any join, the fact-sized sides hash-joined on their keys,
+      // then top-10 via the heap exec — the canonical multiway star-join
+      // plan AQE and join reordering exist for. customer is fact-sized
+      // (grows with SF) so even its segment-filtered slice is left to the
+      // planner rather than force-broadcast.
       (s, d) => {
         val cutoff = lit("1998-06-01").cast("timestamp")
         val c = tbl(s, d, "customer")
@@ -64,7 +70,7 @@ private[graft] object JoinQueries {
         val l = tbl(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
           .select("l_orderkey", "l_extendedprice", "l_discount")
         val grouped = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
@@ -182,8 +188,9 @@ private[graft] object JoinQueries {
     Q("join_tpch_q10_shape",
       // the TPC-H Q10 returned-item reporting shape: customers ranked by
       // revenue lost to returns in one quarter — returnflag-filtered
-      // lineitem joined up through date-filtered orders to customer and
-      // nation (both dimension joins broadcast), exact-decimal revenue,
+      // lineitem joined up through date-filtered orders to customer
+      // (fact-sized — join strategy left to the planner) and nation
+      // (bounded 25-row dim, broadcast), exact-decimal revenue,
       // top-20 by (revenue, custkey) heap. The classic "who do I call
       // about returns" star query.
       (s, d) => {
@@ -198,7 +205,7 @@ private[graft] object JoinQueries {
         val n = tbl(s, d, "nation")
           .select(col("n_nationkey"), col("n_name"))
         val g = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "n_name")
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -228,7 +235,8 @@ private[graft] object JoinQueries {
 
     Q("join_tpch_q3_shape",
       // the TPC-H Q3 shipping-priority shape: unshipped-revenue top-10 —
-      // segment-filtered customers (broadcast), date-bounded orders,
+      // segment-filtered customers (fact-sized at scale — no forced
+      // broadcast; planner decides), date-bounded orders,
       // ship-date-filtered lineitem, exact-decimal revenue per order, and
       // the global top-10 via orderBy+limit which Spark plans as
       // TakeOrderedAndProject (per-partition heaps + driver merge of 10-row
@@ -243,7 +251,7 @@ private[graft] object JoinQueries {
           .filter(col("l_shipdate").cast("date") > lit("1997-01-01").cast("date"))
           .select("l_orderkey", "l_extendedprice", "l_discount")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"),
             col("o_orderdate").cast("date").cast("string").as("o_day"),
             col("o_orderpriority"))
@@ -273,7 +281,8 @@ private[graft] object JoinQueries {
       // quantity clears a floor. The classic formulation re-joins lineitem
       // against an IN-subquery of itself; here the grouped quantity table
       // is computed ONCE and reused as both the filter and the measure —
-      // one lineitem scan, one shuffle, then two broadcast dimension hops.
+      // one lineitem scan, one shuffle, then the orders/customer hops
+      // (both fact-sized: join strategy left to the planner).
       (s, d) => {
         val big = tbl(s, d, "lineitem")
           .groupBy("l_orderkey")
@@ -281,7 +290,7 @@ private[graft] object JoinQueries {
           .filter(col("qty") > lit(250).cast("decimal(18,2)"))
           .select(col("l_orderkey"), col("qty").multiply(100).cast("long").as("qty_c"))
         big.join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("date").cast("string").as("o_day"),
             col("o_totalprice").cast("decimal(18,2)").multiply(100)
