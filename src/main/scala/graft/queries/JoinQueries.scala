@@ -527,6 +527,159 @@ private[graft] object JoinQueries {
           |           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    Q("join_tpch_q21_shape",
+      // the TPC-H Q21 waiting-orders shape — the hardest decorrelation
+      // face: EXISTS + NOT EXISTS correlated self-joins on the fact table
+      // itself. Suppliers (in two nations) whose line was flagged late
+      // (l_returnflag = 'R' stands in for receiptdate > commitdate — the
+      // test tables carry no receipt/commit dates) on a finalized order,
+      // where the order is multi-supplier (EXISTS a line from another
+      // supplier) and this supplier is the ONLY late one (NOT EXISTS a
+      // late line from another supplier). Written in SQL so Catalyst
+      // decorrelates: at scale both subqueries MUST become one LeftSemi
+      // and one LeftAnti join on l_orderkey — never a re-scan per row.
+      // PlanShapeSpec pins exactly that.
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("q21_lineitem")
+        tbl(s, d, "orders").createOrReplaceTempView("q21_orders")
+        tbl(s, d, "supplier").createOrReplaceTempView("q21_supplier")
+        tbl(s, d, "nation").createOrReplaceTempView("q21_nation")
+        s.sql(
+          """SELECT s_name, count(*) AS numwait
+            |FROM q21_supplier JOIN q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+            |JOIN q21_orders ON o_orderkey = l1.l_orderkey
+            |JOIN q21_nation ON s_nationkey = n_nationkey
+            |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            |  AND n_name IN ('NATION_7', 'NATION_13')
+            |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+            |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+            |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            |      AND l3.l_returnflag = 'R')
+            |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      },
+      Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND n_name IN ('NATION_7', 'NATION_13')
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      bench = true),
+
+    Q("join_tpch_q13_shape",
+      // the TPC-H Q13 customer-distribution shape — the outer-aggregation
+      // face: LEFT OUTER join customer→orders with the order predicate in
+      // the ON clause (expressed here by pre-filtering the right side —
+      // identical semantics, and the filter pushes to the orders scan), so
+      // customers with zero qualifying orders still land in the c_count=0
+      // bucket; then a second aggregation over the per-customer counts.
+      // Two shuffles total (custkey, then the tiny c_count distribution).
+      (s, d) => {
+        val co = tbl(s, d, "customer").select("c_custkey")
+          .join(tbl(s, d, "orders")
+              .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+              .select("o_orderkey", "o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+        co.groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c_custkey, count(o_orderkey) AS c_count
+          |  FROM customer LEFT OUTER JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          |  GROUP BY c_custkey) co
+          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      bench = true),
+
+    Q("join_tpch_q16_shape",
+      // the TPC-H Q16 supplier-count shape — anti-join + count-distinct:
+      // the part-supplier relation (distinct (l_partkey, l_suppkey) from
+      // lineitem — the test tables carry no partsupp) anti-joined against
+      // excluded suppliers (negative balance stands in for the complaints
+      // predicate), joined to brand/type/size-filtered parts, then
+      // count(DISTINCT ps_suppkey) per (brand, type, size). supplier is
+      // fact-sized, so the anti-join strategy is left to the planner.
+      (s, d) => {
+        val ps = tbl(s, d, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+        val excluded = tbl(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val p = tbl(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            !col("p_type").startsWith("MEDIUM") &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        ps.join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("ps_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some(
+        """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+          |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+          |FROM ps JOIN part ON p_partkey = ps_partkey
+          |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND NOT EXISTS (SELECT 1 FROM supplier
+          |    WHERE s_suppkey = ps_suppkey AND s_acctbal < 0)
+          |GROUP BY p_brand, p_type, p_size
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    Q("join_tpch_q22_shape",
+      // the TPC-H Q22 global-sales-opportunity shape: customers with
+      // above-average positive balance and no recent orders (nationkey
+      // stands in for the phone country code; "no orders at all" is empty
+      // on the generated data, so recency bounds the NOT EXISTS), grouped
+      // by country. The above-average threshold is exact integer
+      // cross-multiplication (bal·n_pos > sum_pos) so neither engine ever
+      // divides; the NOT EXISTS decorrelates to a LeftAnti on custkey and
+      // the 1-row positive-balance aggregate broadcasts.
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("q22_customer")
+        tbl(s, d, "orders").createOrReplaceTempView("q22_orders")
+        s.sql(
+          """WITH pool AS (
+            |  SELECT c_nationkey, c_custkey,
+            |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+            |  FROM q22_customer),
+            |pos AS (SELECT count(*) AS n_pos, CAST(sum(bal_c) AS BIGINT) AS sum_pos
+            |        FROM pool WHERE bal_c > 0)
+            |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+            |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            |FROM pool, pos
+            |WHERE bal_c * n_pos > sum_pos
+            |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+            |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+            |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      },
+      Some(
+        """WITH pool AS (
+          |  SELECT c_nationkey, c_custkey,
+          |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+          |  FROM customer),
+          |pos AS (SELECT count(*) AS n_pos, CAST(sum(bal_c) AS BIGINT) AS sum_pos
+          |        FROM pool WHERE bal_c > 0)
+          |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+          |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+          |FROM pool, pos
+          |WHERE bal_c * n_pos > sum_pos
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
     Q("join_scd2_pointintime",
       // point-in-time (temporal) dimension join: each order joins the
       // customer-dimension VERSION valid at its order date — v1 before

@@ -273,6 +273,39 @@ class PlanShapeSpec extends SparkSpec {
       "q1 must be a single lineitem scan")
   }
 
+  test("tpch q21 shape: EXISTS/NOT EXISTS decorrelate to semi+anti joins") {
+    val p = plan(Queries.queryMap("join_tpch_q21_shape")(spark, sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "correlated self-subqueries did not decorrelate to semi/anti joins")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "q21 degenerated to a per-row re-scan/product")
+  }
+
+  test("tpch q13 shape: ON-clause predicate pushed to scan, outer join kept") {
+    val p = plan(Queries.queryMap("join_tpch_q13_shape")(spark, sf))
+    assert(p.contains("LeftOuter"), "q13 lost its outer join (zero-order customers)")
+    assert(p.contains("Not(In(o_orderpriority"),
+      "ON-clause order predicate not pushed to the orders scan")
+  }
+
+  test("tpch q16 shape: excluded suppliers anti-join, part filters pushed") {
+    val p = plan(Queries.queryMap("join_tpch_q16_shape")(spark, sf))
+    assert(p.contains("LeftAnti"), "q16 lost its supplier anti-join")
+    // (the PushedFilters list is truncated in toString, so pin the first
+    // pushed part predicate — the rest ride the same scan)
+    assert(p.contains("Not(EqualTo(p_brand"),
+      "part predicates not pushed to the scan")
+  }
+
+  test("tpch q22 shape: NOT EXISTS decorrelates, only the 1-row threshold crosses") {
+    val p = plan(Queries.queryMap("join_tpch_q22_shape")(spark, sf))
+    assert(p.contains("LeftAnti"), "q22 lost its recent-orders anti-join")
+    assert(!p.contains("Cartesian"), "q22 planned a cartesian product")
+    // the only nested-loop is the 1-row positive-balance aggregate broadcast
+    assert(countOccurrences(p, "BroadcastNestedLoopJoin") <= 1,
+      "q22 grew a second nested-loop beyond the 1-row threshold broadcast")
+  }
+
   test("knn graph: bucketed seeding, no cartesian anywhere") {
     val p = plan(Queries.queryMap("sim_knn_graph")(spark, sf))
     assert(!p.contains("CartesianProduct"),
