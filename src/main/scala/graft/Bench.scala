@@ -98,6 +98,46 @@ object Bench {
     val shown = results.sortBy(-_._2).take(45)
     val qs = jmap(shown)
     val total = results.map(_._2).sum
+    // Cross-engine baseline: time every headliner's DuckDB oracle over the
+    // SAME parquet tables (tools/oracle_bench.py, two passes, min — the
+    // same noise rejection as the Spark side). Strictly best-effort: a
+    // machine without python3/duckdb, or a hung oracle, must never fail or
+    // stall the bench, so the subprocess is bounded and any error maps to
+    // "no baseline". SQL travels base64-encoded TSV to avoid escaping.
+    val oracleTimes: Map[String, Double] =
+      try {
+        val tsv = java.io.File.createTempFile("graft_oracle_sql", ".tsv")
+        val pw = new java.io.PrintWriter(tsv, "UTF-8")
+        try Queries.benchSet.foreach { q =>
+          q.oracle.foreach { sql =>
+            pw.println(q.name + "\t" +
+              java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8")))
+          }
+        } finally pw.close()
+        val out = java.io.File.createTempFile("graft_oracle_times", ".tsv")
+        val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
+          sfDir, tsv.getPath, out.getPath)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); Map.empty }
+        else if (proc.exitValue() != 0) Map.empty
+        else scala.io.Source.fromFile(out, "UTF-8").getLines()
+          .flatMap { l =>
+            l.split("\t", 2) match {
+              case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // spark-vs-oracle over the queries BOTH engines timed, so the ratio is
+    // apples-to-apples even when some oracles fail to run
+    val common = results.filter { case (n, _) => oracleTimes.contains(n) }
+    val oracleTotal = common.map { case (n, _) => oracleTimes(n) }.sum
+    val sparkCommon = common.map(_._2).sum
+    val sparkVsOracle =
+      if (oracleTotal > 0) sparkCommon / oracleTotal else -1.0
     // Contamination self-report: the three canaries do IDENTICAL work, so
     // their max/min ratio directly measures machine-load drift across the
     // run (VERDICT r4 §wrong.1's class). >3x flags the artifact as suspect.
@@ -114,10 +154,14 @@ object Bench {
       val dir = new java.io.File("target"); dir.mkdirs()
       new java.io.File(dir, s"bench_detail_$tag.json")
     }
-    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}"""
+    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))}}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"detail":"${detailPath.getPath}"}""")
+    // oracle_* are the cross-engine baseline: total DuckDB seconds over the
+    // oracle_n headliners both engines timed, spark seconds over that same
+    // subset, and their ratio (<1 = Spark faster). Full per-query oracle
+    // times live on the detail file's "oracle_sec" map.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"detail":"${detailPath.getPath}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
