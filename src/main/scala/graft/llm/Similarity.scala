@@ -808,6 +808,34 @@ object Similarity {
     * shared space the residual family (coarse centroids, residuals,
     * queries) lives in. Zero-norm vectors are excluded.
     */
+  /** Deterministic CLUSTERED synthetic corpus derived from an id column —
+    * a mixture of `numClusters` md5-seeded integer-grid centers plus
+    * bounded integer per-vector noise. The isotropic test corpus leaves
+    * every ANN config near-equidistant (PQ recall ~0.24, radius
+    * pair-recall 0.44 — honestly measured, but non-discriminating); this
+    * clustered twin is the fixture on which recall harnesses actually
+    * separate good configs from bad, the way real embedding corpora do.
+    *
+    * Every component is a small integer ((center%2001-1000)*4 +
+    * (noise%201-100) ∈ [-4100, 4100]), exactly representable in float AND
+    * double, so the DuckDB oracle regenerates the corpus bit-for-bit from
+    * the same md5 draws — no RNG, no seed state, no parquet fixture.
+    */
+  def clusteredEmbeddings(df: DataFrame, numClusters: Int = 50,
+      dims: Int = 64, idCol: String = "vec_id"): DataFrame = {
+    import graft.analytics.Sketch.hashPoint32
+    df.select(col(idCol),
+        (hashPoint32(concat(col(idCol).cast("string"), lit("#cl")))
+          % numClusters).as("__cluster"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          ((hashPoint32(concat(lit("c"), col("__cluster").cast("string"),
+              lit("#d"), i.cast("string"))) % 2001 - 1000) * 4 +
+            (hashPoint32(concat(lit("v"), col(idCol).cast("string"),
+              lit("#d"), i.cast("string"))) % 201 - 100))
+            .cast("float")).as("embedding"))
+  }
+
   def normalizedView(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = df
     .filter(l2Norm(col(vecCol)) > 0.0)
@@ -1085,11 +1113,19 @@ object Similarity {
     * quantization family (1 bit/dim vs SQ8's 8 and PQ's sub-codes), and
     * the standard shortlist stage before an exact or SQ8 rerank at
     * extreme scale. Two popcounts per pair, fully codegen-friendly.
+    *
+    * CONTRACT: input vectors must be exactly 64-dim (the two 32-bit sign
+    * words are the dimension count) — enforced per row: a shorter or
+    * longer vector raises an error instead of silently folding or
+    * dropping dimensions into wrong Hamming rankings.
     */
   def binarySignTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def word(lo: Int): Column = expr(
-      s"aggregate(slice($vecCol, $lo, 32), 0L, (acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1L ELSE 0L END)")
+      s"""CASE WHEN size($vecCol) = 64
+         |  THEN aggregate(slice($vecCol, $lo, 32), 0L, (acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1L ELSE 0L END)
+         |  ELSE raise_error(concat('binarySignTopK requires 64-dim vectors, got ',
+         |    CAST(size($vecCol) AS STRING))) END""".stripMargin)
     def words(df: DataFrame, id: String, p: String): DataFrame =
       df.select(col(idCol).as(id), word(1).as(p + "0"), word(33).as(p + "1"))
     val q = words(queries, "query_id", "q")
@@ -1112,9 +1148,10 @@ object Similarity {
     * refinement round — symmetrize, self-join the graph, rescore the
     * union, keep top-k. The graph is the build artifact HNSW/NSG-class
     * ANN indexes start from. Scale shape: bucketed seeding (never
-    * all-pairs), and after round 0 every node's fan-out is ≤ 2k, so the
-    * refinement join is ≤ 4k² candidates per node — corpus-linear; more
-    * rounds repeat the same bounded step.
+    * all-pairs); after round 0 every node's fan-out is ≤ 2k, so the
+    * refinement contributes ≤ 4k² FRESH candidates per node — and round-0
+    * scores are reused, never recomputed, so each candidate pair (bucket
+    * pairs included) is exact-scored exactly once even under bucket skew.
     */
   def knnGraph(vectors: DataFrame, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -1130,7 +1167,13 @@ object Similarity {
       .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    val knn0 = topKSelect(score(cand0), k).select("query_id", "neighbor_id")
+    // round-0 bucket-pair scores materialize ONCE (localCheckpoint) and
+    // feed both the initial graph and the final top-k; the refinement
+    // round exact-scores only pairs NOT already scored (anti-join), so a
+    // hot LSH bucket's quadratic pair set is never scored twice
+    val s0 = score(cand0)
+      .select("query_id", "neighbor_id", "sim_e6").localCheckpoint()
+    val knn0 = topKSelect(s0, k).select("query_id", "neighbor_id")
     val sym = knn0.unionAll(knn0.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id")))
     val non = sym.as("x")
@@ -1138,8 +1181,11 @@ object Similarity {
         col("neighbor_id") === col("mid"))
       .select(col("query_id"), col("nn").as("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    val cand1 = cand0.unionAll(sym).unionAll(non).distinct()
-    topKSelect(score(cand1), k)
+    val fresh = sym.unionAll(non).distinct()
+      .join(s0.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    topKSelect(s0.unionAll(
+      score(fresh).select("query_id", "neighbor_id", "sim_e6")), k)
   }
 
   def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame =

@@ -510,9 +510,17 @@ private[graft] object GraphQueries {
           .agg(count(lit(1)).as("n"), sum(col("da")).as("sx"),
             sum(col("da") * col("db")).as("sxy"),
             sum(col("da") * col("da")).as("sxx"))
+          // ×1e6 BEFORE the divide, in 38-digit decimal (Spark) / HUGEINT
+          // (DuckDB) so small-variance graphs keep full e6 precision —
+          // pre-truncating the denominator to 1e6 units lost up to ~100%
+          // relative accuracy whenever the variance term was below ~1e7.
+          // Both engines truncate integer division toward zero, and the
+          // denominator (a variance) is ≥ 0, so greatest(·, 1) only
+          // guards the zero-variance graph.
           .selectExpr("n", "sx", "sxy", "sxx",
-            """(n * sxy - sx * sx)
-              | DIV greatest((n * sxx - sx * sx) DIV 1000000L, 1) AS assortativity_e6""".stripMargin)
+            """CAST(CAST(n * sxy - sx * sx AS DECIMAL(38,0)) * 1000000
+              | DIV greatest(CAST(n * sxx - sx * sx AS DECIMAL(38,0)),
+              |   CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS assortativity_e6""".stripMargin)
           .orderBy("n")
       },
       Some(copurchaseCte + """,
@@ -524,8 +532,8 @@ private[graft] object GraphQueries {
         |    CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx
         |  FROM se JOIN dg x ON x.id = se.a JOIN dg y ON y.id = se.b)
         |SELECT n, sx, sxy, sxx,
-        |  CAST((n * sxy - sx * sx)
-        |    // greatest((n * sxx - sx * sx) // 1000000, 1) AS BIGINT) AS assortativity_e6
+        |  CAST(CAST(n * sxy - sx * sx AS HUGEINT) * 1000000
+        |    // greatest(CAST(n * sxx - sx * sx AS HUGEINT), 1) AS BIGINT) AS assortativity_e6
         |FROM m ORDER BY n""".stripMargin))
   )
 }
