@@ -363,6 +363,123 @@ object Sketch {
        |FROM a ORDER BY $keyName""".stripMargin
   }
 
+  /** Grouping-sets distinct-count dashboard from ONE fine register table:
+    * HLL registers materialized per (k1, k2, bucket), then merged by
+    * register max to the (k1,k2) / (k1) / (k2) / grand-total granularities
+    * — the full GROUPING SETS face answered without ever re-scanning the
+    * raw data (associativity, as [[hllRollup]] pins). Each row also
+    * carries its share of the grand-total estimate as an exact e6 ratio
+    * (cross-multiplied in DECIMAL(38,0) — no overflow, no double divide).
+    * Rolled-up key positions read 'ALL' (never NULL — cross-engine sort
+    * order of NULLs differs, 'ALL' sorts identically everywhere).
+    *
+    * The register table is localCheckpoint'd: the raw data is scanned
+    * once; all four merges read the (tiny, m-bounded per group) sketch.
+    */
+  def hllGroupingSets(df: DataFrame, key1: Column, key2: Column,
+      value: Column, params: HllParams = HllParams()): DataFrame = {
+    val p = params
+    val mh = md5(value.cast("string").cast("binary"))
+    val tail = substring(mh, p.bucketHexChars + 1, p.tailHexChars)
+    val stripped = regexp_replace(tail, "^0+", "")
+    val firstNz = substring(stripped, 1, 1)
+    val extra = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(stripped) === 0, p.rhoCap)
+      .otherwise((lit(p.tailHexChars) - length(stripped)) * 4 + extra + 1)
+    val fine = df.filter(value.isNotNull)
+      .select(key1.cast("string").as("k1"), key2.cast("string").as("k2"),
+        substring(mh, 1, p.bucketHexChars).as("bucket"), rho.as("rho"))
+      .groupBy("k1", "k2", "bucket").agg(max(col("rho")).as("rmax"))
+      .localCheckpoint()
+    def est(keys: Seq[String]): DataFrame = {
+      val merged = fine.groupBy((keys :+ "bucket").map(col): _*)
+        .agg(max(col("rmax")).as("rmax"))
+      merged.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("nb"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${p.rhoCap} - rmax)")).as("si"))
+        .select(keys.map(col) :+
+          floor(lit(p.numerator) /
+              (shiftleft(lit(p.m.toLong) - col("nb"), p.rhoCap) + col("si"))
+                .cast("double") * 1e6)
+            .cast("long").as("n_distinct_e6"): _*)
+    }
+    val all = est(Seq("k1", "k2")).withColumn("gset", lit("k1,k2"))
+      .unionByName(est(Seq("k1"))
+        .withColumn("k2", lit("ALL")).withColumn("gset", lit("k1")))
+      .unionByName(est(Seq("k2"))
+        .withColumn("k1", lit("ALL")).withColumn("gset", lit("k2")))
+      .unionByName(est(Seq.empty)
+        .withColumn("k1", lit("ALL")).withColumn("k2", lit("ALL"))
+        .withColumn("gset", lit("total")))
+    all.crossJoin(broadcast(
+        est(Seq.empty).select(col("n_distinct_e6").as("__tot"))))
+      .select(col("gset"), col("k1"), col("k2"), col("n_distinct_e6"),
+        expr("""CAST(CAST(n_distinct_e6 AS DECIMAL(38,0)) * 1000000
+                | DIV CAST(__tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("share_e6"))
+      .orderBy("gset", "k1", "k2")
+  }
+
+  /** The DuckDB oracle for [[hllGroupingSets]] — the same register chain
+    * with every merge/estimate spelled out, generated next to the Spark
+    * form so the two can never drift.
+    */
+  def hllGroupingSetsSql(table: String, k1Expr: String, k2Expr: String,
+      valueExpr: String, params: HllParams = HllParams()): String = {
+    val p = params
+    val b = p.bucketHexChars
+    val t = p.tailHexChars
+    val estFrom = (src: String, keys: Seq[String]) => {
+      val kSel = if (keys.isEmpty) "" else keys.mkString("", ", ", ",")
+      val kGrp = if (keys.isEmpty) "" else " GROUP BY " + keys.mkString(", ")
+      s"""(SELECT $kSel count(*) AS nb,
+         |   CAST(sum(CAST(1 AS BIGINT) << (${p.rhoCap} - rmax)) AS BIGINT) AS si
+         | FROM $src$kGrp)""".stripMargin
+    }
+    val e =
+      s"""CAST(floor(${p.numerator} /
+         |  CAST((CAST(${p.m} - nb AS BIGINT) << ${p.rhoCap}) + si AS DOUBLE) * 1000000)
+         |  AS BIGINT)""".stripMargin
+    s"""WITH v AS (SELECT DISTINCT CAST($k1Expr AS VARCHAR) AS k1,
+       |             CAST($k2Expr AS VARCHAR) AS k2,
+       |             md5(CAST($valueExpr AS VARCHAR)) AS mh
+       |           FROM $table WHERE $valueExpr IS NOT NULL),
+       |r AS (SELECT k1, k2, substring(mh, 1, $b) AS bucket,
+       |        regexp_replace(substring(mh, ${b + 1}, $t), '^0+', '') AS st
+       |      FROM v),
+       |q AS (SELECT k1, k2, bucket,
+       |        CASE WHEN length(st) = 0 THEN ${p.rhoCap}
+       |             ELSE 4 * ($t - length(st)) +
+       |                  CASE WHEN substring(st, 1, 1) = '1' THEN 3
+       |                       WHEN substring(st, 1, 1) IN ('2', '3') THEN 2
+       |                       WHEN substring(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                       ELSE 0 END + 1 END AS rho
+       |      FROM r),
+       |f AS (SELECT k1, k2, bucket, max(rho) AS rmax FROM q GROUP BY 1, 2, 3),
+       |m1 AS (SELECT k1, bucket, max(rmax) AS rmax FROM f GROUP BY 1, 2),
+       |m2 AS (SELECT k2, bucket, max(rmax) AS rmax FROM f GROUP BY 1, 2),
+       |mt AS (SELECT bucket, max(rmax) AS rmax FROM f GROUP BY 1),
+       |a12 AS ${estFrom("(SELECT k1, k2, bucket, rmax FROM f)", Seq("k1", "k2"))},
+       |a1 AS ${estFrom("m1", Seq("k1"))},
+       |a2 AS ${estFrom("m2", Seq("k2"))},
+       |at AS ${estFrom("mt", Seq.empty)},
+       |u AS (
+       |  SELECT 'k1,k2' AS gset, k1, k2, $e AS n_distinct_e6 FROM a12
+       |  UNION ALL
+       |  SELECT 'k1', k1, 'ALL', $e FROM a1
+       |  UNION ALL
+       |  SELECT 'k2', 'ALL', k2, $e FROM a2
+       |  UNION ALL
+       |  SELECT 'total', 'ALL', 'ALL', $e FROM at)
+       |SELECT gset, k1, k2, n_distinct_e6,
+       |  CAST(CAST(n_distinct_e6 AS HUGEINT) * 1000000
+       |    // (SELECT CAST($e AS HUGEINT) FROM at) AS BIGINT) AS share_e6
+       |FROM u ORDER BY gset, k1, k2""".stripMargin
+  }
+
   /** Row-r bucket of an item in a width-`w` Count-Min row: md5-derived, so
     * any engine reproduces it (md5 of "r#item").
     */

@@ -623,6 +623,25 @@ private[graft] object DashQueries {
         "strftime(o_orderdate, '%Y-%m-%d')", "o_custkey")),
       bench = true),
 
+    Q("agg_hll_grouping_sets",
+      // the GROUPING SETS distinct-count dashboard served from ONE
+      // persisted register table: distinct customers per (priority,
+      // month) / priority / month / grand total, every granularity a
+      // register-max merge of the same fine sketch (never a re-scan of
+      // orders), each with its exact-e6 share of the grand total. The
+      // rollup face agg_hll_rollup proves one axis; this is the full
+      // lattice with share-of-total — the serving shape of an
+      // incrementally-maintained distinct-count dashboard at 100 TB.
+      (s, d) => graft.analytics.Sketch.hllGroupingSets(
+        tbl(s, d, "orders"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        col("o_custkey")),
+      Some(graft.analytics.Sketch.hllGroupingSetsSql(
+        "orders", "o_orderpriority", "strftime(o_orderdate, '%Y-%m')",
+        "o_custkey")),
+      bench = true),
+
     Q("agg_kmv_distinct",
       // KMV/bottom-k distinct sketch: approximate like HLL, but built on
       // md5-derived hash points and the heap-based TopKPerGroupExec — so
@@ -1065,6 +1084,50 @@ private[graft] object DashQueries {
           |FROM c JOIN wt USING (region) WHERE cumw * 2 >= totw
           |GROUP BY region ORDER BY region""".stripMargin),
       bench = true),
+
+    Q("dash_weighted_percentiles",
+      // exact weighted p25/p50/p75/p99 price/m2 per region from ONE pass
+      // of the same two-pass machinery as dash_weighted_median: each
+      // percentile is the smallest value whose cumulative weight clears
+      // its integer threshold (k·cumw ≥ p·totw — no interpolation, no
+      // division), read off the shared cumw/totw columns by conditional
+      // MIN aggregation. Four quantiles cost exactly one extra aggregate
+      // over the median's plan — the payoff of materializing ranks once.
+      (s, d) => {
+        val f = transformChain(s, d)
+          .filter(col("price_per_m2").isNotNull && col("size_m2") > 0)
+          .select(col("region"), col("price_per_m2"),
+            col("size_m2").cast("long").as("w"), col("link"))
+        Ids.groupedRunningSum(f, Seq("region"),
+            Seq(col("price_per_m2"), col("link")), "w", "cumw", "totw")
+          .groupBy("region")
+          .agg(
+            min(when(col("cumw") * 4 >= col("totw"), col("price_per_m2")))
+              .cast("long").as("p25"),
+            min(when(col("cumw") * 2 >= col("totw"), col("price_per_m2")))
+              .cast("long").as("p50"),
+            min(when(col("cumw") * 4 >= col("totw") * 3, col("price_per_m2")))
+              .cast("long").as("p75"),
+            min(when(col("cumw") * 100 >= col("totw") * 99, col("price_per_m2")))
+              .cast("long").as("p99"),
+            max(col("totw")).as("total_weight"))
+          .orderBy("region")
+      },
+      Some(chainSql(DUMP_DATE, FILE_NAME) +
+        """
+          |, pb AS (SELECT region, price_per_m2, CAST(size_m2 AS BIGINT) AS w, link
+          |         FROM final WHERE price_per_m2 IS NOT NULL AND size_m2 > 0),
+          |pc AS (SELECT *,
+          |    sum(w) OVER (PARTITION BY region ORDER BY price_per_m2, link
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+          |    sum(w) OVER (PARTITION BY region) AS totw FROM pb)
+          |SELECT region,
+          |  CAST(min(CASE WHEN cumw * 4 >= totw THEN price_per_m2 END) AS BIGINT) AS p25,
+          |  CAST(min(CASE WHEN cumw * 2 >= totw THEN price_per_m2 END) AS BIGINT) AS p50,
+          |  CAST(min(CASE WHEN cumw * 4 >= totw * 3 THEN price_per_m2 END) AS BIGINT) AS p75,
+          |  CAST(min(CASE WHEN cumw * 100 >= totw * 99 THEN price_per_m2 END) AS BIGINT) AS p99,
+          |  CAST(max(totw) AS BIGINT) AS total_weight
+          |FROM pc GROUP BY region ORDER BY region""".stripMargin)),
 
     Q("dash_rfm_segments",
       // RFM customer segmentation: per-customer recency / frequency /
