@@ -121,9 +121,12 @@ object Bench {
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { proc.destroyForcibly(); Map.empty }
-        else if (proc.exitValue() != 0) Map.empty
-        else scala.io.Source.fromFile(out, "UTF-8").getLines()
+        if (!done) proc.destroyForcibly()
+        // the script streams results line-by-line, so even a timeout or a
+        // mid-run failure leaves every completed measurement on disk —
+        // partial cross-engine coverage beats none (oracle_n records how
+        // many both engines timed)
+        scala.io.Source.fromFile(out, "UTF-8").getLines()
           .flatMap { l =>
             l.split("\t", 2) match {
               case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption

@@ -680,6 +680,156 @@ private[graft] object JoinQueries {
           |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01')
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    Q("join_tpch_q4_shape",
+      // the TPC-H Q4 order-priority-checking shape: orders in one quarter
+      // having at least one flagged line (l_returnflag = 'R' stands in
+      // for receiptdate > commitdate), counted by priority. The EXISTS is
+      // written as an explicit LeftSemi join — the decorrelated plan Q21's
+      // SQL form proves Catalyst produces; here the DataFrame face states
+      // it directly. Date filter pushes to the orders scan; the semi join
+      // probes only flagged lineitem rows.
+      (s, d) => tbl(s, d, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-04-01").cast("date"))
+        .join(tbl(s, d, "lineitem").filter(col("l_returnflag") === "R")
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("join_tpch_q7_shape",
+      // the TPC-H Q7 volume-shipping shape: bilateral trade between two
+      // nations by ship year — supplier and customer each resolve their
+      // nation (bounded 25-row dims, broadcast), the DISJUNCTIVE nation
+      // pair predicate ((A,B) OR (B,A)) is a residual on the joined row,
+      // and revenue aggregates per (supp_nation, cust_nation, year).
+      // The OR across two different dimension columns is the predicate
+      // shape no single-scan pushdown can absorb — it must survive as a
+      // post-join filter without degrading the join into a product.
+      (s, d) => {
+        val n1 = tbl(s, d, "nation")
+          .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        val n2 = tbl(s, d, "nation")
+          .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        tbl(s, d, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date"))
+          .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+          .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_9") ||
+            (col("supp_nation") === "NATION_9" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .multiply(10000).cast("long").as("revenue_e4"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "yr")
+      },
+      Some(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  year(l_shipdate) AS yr,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4,
+          |  count(*) AS n
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+          |    OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      bench = true),
+
+    Q("join_tpch_q15_shape",
+      // the TPC-H Q15 top-supplier shape: the quarter's per-supplier
+      // revenue view is compared against ITS OWN maximum — an
+      // uncorrelated scalar subquery over the same aggregate, the
+      // view-reuse face. Ties all surface (WHERE =, not LIMIT 1).
+      // Exact-decimal totals make the max comparison engine-stable.
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("q15_lineitem")
+        tbl(s, d, "supplier").createOrReplaceTempView("q15_supplier")
+        s.sql(
+          """WITH rev AS (
+            |  SELECT l_suppkey AS supplier_no,
+            |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS total_e4
+            |  FROM q15_lineitem
+            |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+            |  GROUP BY 1)
+            |SELECT s_suppkey, s_name, total_e4
+            |FROM q15_supplier JOIN rev ON s_suppkey = supplier_no
+            |WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+            |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS total_e4
+          |  FROM lineitem
+          |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          |  GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_e4
+          |FROM supplier JOIN rev ON s_suppkey = supplier_no
+          |WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("join_tpch_q17_shape",
+      // the TPC-H Q17 small-quantity-order shape: revenue from lines of
+      // one brand whose quantity is under 30% of that part's average —
+      // the correlated per-group average rewritten as one aggregate +
+      // one join (never a re-scan per row), with the threshold as exact
+      // integer cross-multiplication: qty·cnt·10 < 3·sumq on both sides
+      // of the ×100 fixed point, so neither engine divides or rounds.
+      (s, d) => {
+        val agg = tbl(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .multiply(100).cast("long").as("sumq_c"))
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").filter(col("p_brand") === "Brand#3")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(agg, col("pk") === col("l_partkey"))
+          .filter(col("l_quantity").cast("decimal(18,2)").multiply(100)
+            .cast("long") * col("cnt") * 10 < col("sumq_c") * 3)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)").multiply(100)
+              .cast("long")).as("sum_price_c"))
+          .orderBy("n_lines")
+      },
+      Some(
+        """WITH agg AS (
+          |  SELECT l_partkey AS pk, count(*) AS cnt,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sumq_c
+          |  FROM lineitem GROUP BY 1)
+          |SELECT count(*) AS n_lines,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN agg ON pk = l_partkey
+          |WHERE p_brand = 'Brand#3'
+          |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt * 10 < sumq_c * 3
+          |ORDER BY n_lines""".stripMargin)),
+
     Q("join_scd2_pointintime",
       // point-in-time (temporal) dimension join: each order joins the
       // customer-dimension VERSION valid at its order date — v1 before

@@ -126,7 +126,13 @@ class RegistryPlanLintSpec extends SparkSpec {
         case _ => ()
       }
       val phys = df.queryExecution.executedPlan.toString
-      val explained = bounded(opt) // a global reduce/limit explains one
+      // a global reduce/limit explains a single-partition exchange — also
+      // look inside scalar subqueries (their global max/avg plans its own
+      // SinglePartition exchange, e.g. the TPC-H Q15 threshold)
+      val explained = opt.collectWithSubqueries {
+        case a: Aggregate if a.groupingExpressions.isEmpty => ()
+        case _: GlobalLimit => ()
+      }.nonEmpty
       if (phys.contains("Exchange SinglePartition") && !explained)
         bad += s"$name: Exchange SinglePartition without a global reduce/limit"
     }

@@ -28,23 +28,43 @@ def main(sf_dir, in_tsv, out_tsv):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    rows = []
-    for line in open(in_tsv):
-        name, b64 = line.rstrip("\n").split("\t", 1)
-        sql = base64.b64decode(b64).decode("utf-8")
-        try:
-            best = None
-            for _ in range(2):
+    # Results stream to the output file as each query completes, so a
+    # caller that hits its subprocess timeout still gets every finished
+    # measurement (partial coverage beats none). The second
+    # noise-rejection pass is skipped for slow oracles — a >5 s query
+    # doesn't need sub-5% noise rejection, and skipping halves the
+    # worst-case wall time. A per-query watchdog interrupts any single
+    # oracle after PER_QUERY_CAP seconds (some oracles are deliberately
+    # the O(n²) brute-force DEFINITION of the operator; at bench scale
+    # they can dominate the whole budget) — an interrupted query is
+    # recorded at the cap as a ">= cap" lower bound.
+    import threading
+    PER_QUERY_CAP = float(os.environ.get("ORACLE_BENCH_CAP_SEC", "120"))
+    with open(out_tsv, "w", buffering=1) as f:
+        for line in open(in_tsv):
+            name, b64 = line.rstrip("\n").split("\t", 1)
+            sql = base64.b64decode(b64).decode("utf-8")
+            timer = threading.Timer(PER_QUERY_CAP, con.interrupt)
+            timer.start()
+            try:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            rows.append(f"{name}\t{best:.3f}")
-        except Exception as e:
-            print(f"[oracle_bench] {name} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-    with open(out_tsv, "w") as f:
-        f.write("\n".join(rows) + ("\n" if rows else ""))
+                best = time.perf_counter() - t0
+                if best < 5.0:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                f.write(f"{name}\t{best:.3f}\n")
+            except Exception as e:
+                if "Interrupt" in type(e).__name__:
+                    print(f"[oracle_bench] {name} hit the {PER_QUERY_CAP:.0f}s"
+                          " cap — recorded as the lower bound", file=sys.stderr)
+                    f.write(f"{name}\t{PER_QUERY_CAP:.3f}\n")
+                else:
+                    print(f"[oracle_bench] {name} failed: {type(e).__name__}: "
+                          f"{str(e)[:200]}", file=sys.stderr)
+            finally:
+                timer.cancel()
 
 
 if __name__ == "__main__":
