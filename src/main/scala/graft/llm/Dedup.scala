@@ -872,6 +872,50 @@ object Dedup {
       .select(col("id"), col("s"), col("e"))
   }
 
+  /** Content-defined chunking (CDC) — the storage-level sibling of span
+    * dedup, the cut rule of LBFS/FastCDC-class chunkers: a document's
+    * token stream is cut wherever a positional n-gram hash ≡ 0
+    * (mod divisor), so boundaries follow CONTENT — an insertion early in
+    * a document shifts at most its own chunk instead of re-aligning every
+    * fixed-size block downstream. Expected chunk length = divisor grams.
+    *
+    * Chunk fingerprint = the order-sensitive modular fold
+    * acc → (31·acc + h) mod 1e9+7 over the chunk's gram hashes in
+    * position order (modular so ANSI long arithmetic can't overflow;
+    * DuckDB replays it via list_reduce over a 0-prepended list, which
+    * makes its first step equal Spark's aggregate-with-init-0 step).
+    *
+    * Scale shape: one NgramHashSeq pass, one per-DOCUMENT window
+    * (partition key = doc id — data-sized, full parallelism, unlike a
+    * global or low-cardinality window), one aggregation. Docs shorter
+    * than n tokens are skipped (same contract as [[sharedSpanPairs]]).
+    *
+    * @return one row per chunk: (id, chunk_idx, fp, n_grams)
+    */
+  def cdcChunks(docs: DataFrame, n: Int = 8, divisor: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val grams = docs
+      .filter(Corpus.tokenCount(col(textCol)) >= n)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(graft.expr.NgramHashSeq(col(textCol), n)))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grams
+      .withColumn("__b",
+        when(col("pos") === 0 || col("h") % divisor === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx", sum(col("__b")).over(w) - 1)
+      .groupBy("id", "chunk_idx")
+      .agg(count(lit(1)).as("n_grams"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, h))),
+               |  x -> x.h), 0L,
+               |  (a, x) -> ((a * 31) % 1000000007 + x) % 1000000007)""".stripMargin)
+          .as("fp"))
+      .select(col("id"), col("chunk_idx"), col("fp"), col("n_grams"))
+  }
+
   /** Per-document duplication coverage from the shared-span report: how
     * many of each document's tokens sit inside at least one cross-document
     * verbatim span (both sides of every pair count), as an exact e6

@@ -94,6 +94,46 @@ private[graft] object DedupQueries {
            |SELECT id AS doc_id, clean_text, n_tokens, n_removed_tokens
            |FROM cleaned ORDER BY doc_id""".stripMargin)),
 
+    Q("dedup_cdc_chunks",
+      // content-defined chunking census, the storage-level dedup face:
+      // token streams cut where a positional 8-gram hash ≡ 0 (mod 16) —
+      // the LBFS/FastCDC cut rule, boundaries follow content so an early
+      // insertion shifts one chunk, not every downstream block — then the
+      // top-20 most-duplicated chunk fingerprints across the corpus.
+      // Fingerprint = order-sensitive modular fold of the chunk's gram
+      // hashes; the oracle replays grams, cuts, fold, and ranking.
+      (s, d) => Dedup.cdcChunks(tbl(s, d, "documents"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("id")).as("n_docs"),
+          max(col("n_grams")).as("n_grams"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy(col("n_occurrences").desc, col("fp"))
+        .limit(20),
+      Some(
+        s"""WITH $CDC_CTES
+           |SELECT f AS fp, count(*) AS n_occurrences,
+           |  count(DISTINCT id) AS n_docs, CAST(max(n_grams) AS BIGINT) AS n_grams
+           |FROM cfp GROUP BY f HAVING count(*) >= 2
+           |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin)),
+
+    Q("dedup_cdc_ratio",
+      // the corpus-level CDC dial: what share of content-defined chunks
+      // are redundant copies — the number a chunk-store dedup layer would
+      // reclaim. One aggregation over the chunk table.
+      (s, d) => Dedup.cdcChunks(tbl(s, d, "documents"))
+        .agg(count(lit(1)).as("total_chunks"),
+          countDistinct(col("fp")).as("distinct_chunks"))
+        .select(col("total_chunks"), col("distinct_chunks"),
+          expr("(total_chunks - distinct_chunks) * 1000000 DIV total_chunks")
+            .as("dup_ratio_e6"))
+        .orderBy("total_chunks"),
+      Some(
+        s"""WITH $CDC_CTES
+           |SELECT count(*) AS total_chunks, count(DISTINCT f) AS distinct_chunks,
+           |  (count(*) - count(DISTINCT f)) * 1000000 // count(*) AS dup_ratio_e6
+           |FROM cfp ORDER BY total_chunks""".stripMargin)),
+
     // ---- LLM ops: dedup -------------------------------------------------------
 
     Q("dedup_jaccard_pairs",
@@ -451,6 +491,30 @@ private[graft] object DedupQueries {
        |sp AS (SELECT id_a, id_b, min(pa) AS start_a, min(pb) AS start_b,
        |         count(*) + 7 AS n_tokens
        |       FROM isl GROUP BY id_a, id_b, diag, grp)""".stripMargin
+
+  /** CDC chunk chain ending in `cfp(id, ci, n_grams, f)` — the SQL twin
+    * of Dedup.cdcChunks(n=8, divisor=16): positional 8-gram hashes, cut
+    * where hash ≡ 0 (mod 16) or at position 0, chunk index by running
+    * boundary count, fingerprint by the 0-prepended list_reduce modular
+    * fold (first step equals Spark's aggregate-with-init-0 step).
+    */
+  private[queries] lazy val CDC_CTES: String =
+    s"""cw AS (SELECT doc_id AS id,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0
+       |    AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 8),
+       |cgr AS (SELECT id, i AS pos, md5(array_to_string(ws[i + 1: i + 8], ' ')) AS mh
+       |  FROM (SELECT id, ws, unnest(range(0, greatest(len(ws) - 8, 0) + 1)) AS i FROM cw)),
+       |cg0 AS (SELECT id, pos, ($hexHead32Sql) AS h FROM cgr),
+       |cmk AS (SELECT id, pos, h,
+       |    CASE WHEN pos = 0 OR h % 16 = 0 THEN 1 ELSE 0 END AS b FROM cg0),
+       |cch AS (SELECT id, pos, h, sum(b) OVER (PARTITION BY id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS ci FROM cmk),
+       |cfp AS (SELECT id, ci, count(*) AS n_grams,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |      (a, x) -> ((a * 31) % 1000000007 + x) % 1000000007) AS f
+       |  FROM cch GROUP BY 1, 2)""".stripMargin
 
   /** Span-scrub chain ending in `cleaned(id, clean_text, n_tokens,
     * n_removed_tokens)` — the SQL twin of Dedup.removeSharedSpans, shared

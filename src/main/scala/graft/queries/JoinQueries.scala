@@ -830,6 +830,201 @@ private[graft] object JoinQueries {
           |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt * 10 < sumq_c * 3
           |ORDER BY n_lines""".stripMargin)),
 
+    Q("join_tpch_q2_shape",
+      // the TPC-H Q2 minimum-cost-supplier shape: for each part in a size
+      // class, the European supplier(s) offering its minimum cost — the
+      // correlated MIN subquery face (cost proxy: min line price per
+      // (part, supplier); the test tables carry no partsupp). Written in
+      // SQL so Catalyst decorrelates the per-part MIN into one aggregate
+      // + one join; ties all surface. The region spine broadcasts
+      // (region→nation bounded), supplier/part joins left to the planner.
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("q2_lineitem")
+        tbl(s, d, "supplier").createOrReplaceTempView("q2_supplier")
+        tbl(s, d, "nation").createOrReplaceTempView("q2_nation")
+        tbl(s, d, "region").createOrReplaceTempView("q2_region")
+        tbl(s, d, "part").createOrReplaceTempView("q2_part")
+        s.sql(
+          """WITH ps AS (
+            |  SELECT l_partkey AS pk, l_suppkey AS sk,
+            |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cost_c
+            |  FROM q2_lineitem GROUP BY 1, 2),
+            |eu AS (SELECT s_suppkey, s_name FROM q2_supplier
+            |       JOIN q2_nation ON s_nationkey = n_nationkey
+            |       JOIN q2_region ON n_regionkey = r_regionkey
+            |       WHERE r_name = 'EUROPE'),
+            |cand AS (SELECT p_partkey, p_type, ps.cost_c, eu.s_suppkey, eu.s_name
+            |         FROM q2_part JOIN ps ON p_partkey = pk
+            |         JOIN eu ON sk = s_suppkey
+            |         WHERE p_size = 15)
+            |SELECT p_partkey, p_type, s_suppkey, s_name, cost_c
+            |FROM cand c
+            |WHERE cost_c = (SELECT min(cost_c) FROM cand c2
+            |                WHERE c2.p_partkey = c.p_partkey)
+            |ORDER BY p_partkey, s_suppkey""".stripMargin)
+      },
+      Some(
+        """WITH ps AS (
+          |  SELECT l_partkey AS pk, l_suppkey AS sk,
+          |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cost_c
+          |  FROM lineitem GROUP BY 1, 2),
+          |eu AS (SELECT s_suppkey, s_name FROM supplier
+          |       JOIN nation ON s_nationkey = n_nationkey
+          |       JOIN region ON n_regionkey = r_regionkey
+          |       WHERE r_name = 'EUROPE'),
+          |cand AS (SELECT p_partkey, p_type, ps.cost_c, eu.s_suppkey, eu.s_name
+          |         FROM part JOIN ps ON p_partkey = pk
+          |         JOIN eu ON sk = s_suppkey
+          |         WHERE p_size = 15)
+          |SELECT p_partkey, p_type, s_suppkey, s_name, cost_c
+          |FROM cand c
+          |WHERE cost_c = (SELECT min(cost_c) FROM cand c2
+          |                WHERE c2.p_partkey = c.p_partkey)
+          |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
+    Q("join_tpch_q8_shape",
+      // the TPC-H Q8 national-market-share shape: of everything European
+      // customers spent on one part type, what e6 share came from one
+      // nation's suppliers, by order year — the conditional-numerator /
+      // unconditional-denominator ratio aggregate over a 7-table star.
+      // Share is exact: e4-integer sums (the 2dp×2dp product is
+      // integral at x10000, so the BIGINT cast cannot round-vs-truncate
+      // across engines) cross-multiplied in
+      // DECIMAL(38,0) (HUGEINT in the oracle), never a double divide.
+      (s, d) => {
+        val n1 = tbl(s, d, "nation")
+          .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nat"))
+        val custEu = tbl(s, d, "customer")
+          .join(broadcast(tbl(s, d, "nation")
+            .join(tbl(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE").select(col("n_nationkey").as("nk2"))),
+            col("c_nationkey") === col("nk2"))
+          .select("c_custkey")
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").filter(col("p_type") === "ECONOMY")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(custEu, col("o_custkey") === col("c_custkey"))
+          .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            col("supp_nat"),
+            (rev * 10000).cast("long").as("rev_e4"))
+          .groupBy("yr")
+          .agg(
+            sum(when(col("supp_nat") === "NATION_5", col("rev_e4"))
+              .otherwise(0L)).as("nat_e4"),
+            sum(col("rev_e4")).as("total_e4"))
+          .selectExpr("yr",
+            """CAST(CAST(nat_e4 AS DECIMAL(38,0)) * 1000000
+              | DIV CAST(total_e4 AS DECIMAL(38,0)) AS BIGINT) AS share_e6""".stripMargin,
+            "total_e4")
+          .orderBy("yr")
+      },
+      Some(
+        """SELECT yr,
+          |  CAST(CAST(nat_e4 AS HUGEINT) * 1000000 // CAST(total_e4 AS HUGEINT) AS BIGINT) AS share_e6,
+          |  total_e4
+          |FROM (
+          |  SELECT year(o_orderdate) AS yr,
+          |    CAST(sum(CASE WHEN n1.n_name = 'NATION_5' THEN
+          |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+          |      ELSE 0 END) AS BIGINT) AS nat_e4,
+          |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT) AS total_e4
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  JOIN region ON n2.n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+          |  GROUP BY yr)
+          |ORDER BY yr""".stripMargin),
+      bench = true),
+
+    Q("join_tpch_q11_shape",
+      // the TPC-H Q11 important-stock shape: parts whose total line value
+      // exceeds 1.5× the average part's share of the global total — the
+      // HAVING-vs-global-scalar face, with a SCALE-INVARIANT threshold
+      // (val·np·2 > tot·3) instead of Q11's fixed fraction, so the row
+      // set stays meaningful at any SF. Both scalar subqueries reduce the
+      // same per-part view; comparisons cross-multiply in DECIMAL(38,0) /
+      // HUGEINT — no division anywhere.
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("q11_lineitem")
+        s.sql(
+          """WITH pv AS (
+            |  SELECT l_partkey,
+            |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS val_c
+            |  FROM q11_lineitem GROUP BY 1)
+            |SELECT l_partkey, val_c FROM pv
+            |WHERE CAST(val_c AS DECIMAL(38,0)) * (SELECT count(*) FROM pv) * 2
+            |    > (SELECT CAST(sum(CAST(val_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) FROM pv) * 3
+            |ORDER BY val_c DESC, l_partkey""".stripMargin)
+      },
+      Some(
+        """WITH pv AS (
+          |  SELECT l_partkey,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS val_c
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_partkey, val_c FROM pv
+          |WHERE CAST(val_c AS HUGEINT) * (SELECT count(*) FROM pv) * 2
+          |    > (SELECT CAST(sum(val_c) AS HUGEINT) FROM pv) * 3
+          |ORDER BY val_c DESC, l_partkey""".stripMargin)),
+
+    Q("join_tpch_q20_shape",
+      // the TPC-H Q20 excess-stock shape — nested semi-joins: suppliers
+      // (in two nations) who shipped more than 15% of some red part's
+      // total quantity (share stands in for availqty > ½ demand; no
+      // partsupp table). Inner layer: part-family filter semi-joins the
+      // (part, supplier) quantity table against its per-part totals;
+      // outer layer: the supplier list semi-joins the distinct excess
+      // suppliers. Exact integer cross-multiplication for the share.
+      (s, d) => {
+        val psq = tbl(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+            .multiply(100).cast("long").as("q_c"))
+        val ptot = psq.groupBy("pk")
+          .agg(sum(col("q_c")).as("tot_c"))
+        val redParts = tbl(s, d, "part")
+          .filter(col("p_name").like("%red%")).select("p_partkey")
+        val excess = psq
+          .join(ptot, Seq("pk"))
+          .join(redParts, col("pk") === col("p_partkey"))
+          .filter(col("q_c") * 20 > col("tot_c") * 3)
+          .select(col("sk")).distinct()
+        tbl(s, d, "supplier")
+          .join(broadcast(tbl(s, d, "nation")
+            .filter(col("n_name").isin("NATION_2", "NATION_11"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("sk"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy("s_suppkey")
+      },
+      Some(
+        """WITH psq AS (
+          |  SELECT l_partkey AS pk, l_suppkey AS sk,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS q_c
+          |  FROM lineitem GROUP BY 1, 2),
+          |ptot AS (SELECT pk, CAST(sum(q_c) AS BIGINT) AS tot_c FROM psq GROUP BY 1),
+          |excess AS (
+          |  SELECT DISTINCT sk FROM psq
+          |  JOIN ptot USING (pk)
+          |  JOIN part ON pk = p_partkey
+          |  WHERE p_name LIKE '%red%' AND q_c * 20 > tot_c * 3)
+          |SELECT s_suppkey, s_name, n_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_2', 'NATION_11')
+          |  AND EXISTS (SELECT 1 FROM excess WHERE sk = s_suppkey)
+          |ORDER BY s_suppkey""".stripMargin)),
+
     Q("join_scd2_pointintime",
       // point-in-time (temporal) dimension join: each order joins the
       // customer-dimension VERSION valid at its order date — v1 before
