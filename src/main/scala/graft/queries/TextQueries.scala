@@ -980,6 +980,50 @@ private[graft] object TextQueries {
           |  count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS n_occurrences
           |FROM tf GROUP BY 1 ORDER BY band""".stripMargin)),
 
+    Q("text_distinct_ngrams",
+      // n-gram diversity (distinct-n) per source — the repetitiveness /
+      // mode-collapse dial corpus curators read before mixing: for n =
+      // 1, 2, 3, the share of positional n-grams that are DISTINCT
+      // (distinct-1 = type-token ratio). Grams ride the one-pass
+      // NgramHashSeq expression (md5-head32 per gram — collisions are
+      // deterministic and replayed by the oracle, so the approximate
+      // number is exactly checkable); one explode + one thin aggregation
+      // per n, all map-side-combinable.
+      (s, d) => Seq(1, 2, 3).map { n =>
+        tbl(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("source"),
+            explode(graft.expr.NgramHashSeq(col("text"), n)).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("h")).as("distinct_grams"))
+          .withColumn("n", lit(n).cast("long"))
+      }.reduce(_.unionByName(_))
+        .select(col("source"), col("n"), col("total_grams"), col("distinct_grams"),
+          expr("distinct_grams * 1000000 DIV total_grams").as("distinct_ratio_e6"))
+        .orderBy("source", "n"),
+      Some {
+        def gramsCte(n: Int): String =
+          s"""SELECT source, CAST($n AS BIGINT) AS n, count(*) AS total_grams,
+             |  count(DISTINCT h) AS distinct_grams
+             |FROM (
+             |  SELECT source, ($hexHead32Sql) AS h FROM (
+             |    SELECT source, md5(array_to_string(ws[i + 1: i + $n], ' ')) AS mh
+             |    FROM (SELECT source,
+             |            regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+             |            unnest(range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - $n, 0) + 1)) AS i
+             |          FROM documents WHERE length(trim(text)) > 0)))
+             |GROUP BY source""".stripMargin
+        s"""SELECT source, n, total_grams, distinct_grams,
+           |  distinct_grams * 1000000 // total_grams AS distinct_ratio_e6
+           |FROM (${gramsCte(1)}
+           |UNION ALL
+           |${gramsCte(2)}
+           |UNION ALL
+           |${gramsCte(3)})
+           |ORDER BY source, n""".stripMargin
+      }),
+
     Q("text_kn_bigram",
       // interpolated Kneser-Ney bigram LM in exact fixed point: D = 3/4
       // as quarters, continuation probability from left-context TYPE
