@@ -126,17 +126,24 @@ object Bench {
         // mid-run failure leaves every completed measurement on disk —
         // partial cross-engine coverage beats none (oracle_n records how
         // many both engines timed)
-        scala.io.Source.fromFile(out, "UTF-8").getLines()
-          .flatMap { l =>
-            l.split("\t", 2) match {
-              case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
-              case _ => None
-            }
-          }.toMap
+        val src = scala.io.Source.fromFile(out, "UTF-8")
+        val parsed =
+          try src.getLines()
+            .flatMap { l =>
+              l.split("\t", 2) match {
+                case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+                case _ => None
+              }
+            }.toMap
+          finally src.close()
+        tsv.delete(); out.delete()
+        parsed
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    // spark-vs-oracle over the queries BOTH engines timed, so the ratio is
-    // apples-to-apples even when some oracles fail to run
-    val common = results.filter { case (n, _) => oracleTimes.contains(n) }
+    // spark-vs-oracle over the queries BOTH engines timed SUCCESSFULLY —
+    // a Spark-side failure records a meaningless fast-failure time, which
+    // must not flatter the ratio
+    val common = results.filter { case (n, _) =>
+      oracleTimes.contains(n) && !failed.contains(n) }
     val oracleTotal = common.map { case (n, _) => oracleTimes(n) }.sum
     val sparkCommon = common.map(_._2).sum
     val sparkVsOracle =

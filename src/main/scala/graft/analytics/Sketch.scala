@@ -389,8 +389,13 @@ object Sketch {
       .otherwise(0)
     val rho = when(length(stripped) === 0, p.rhoCap)
       .otherwise((lit(p.tailHexChars) - length(stripped)) * 4 + extra + 1)
+    // NULL key values coalesce to a sentinel: Spark sorts NULLS FIRST,
+    // DuckDB NULLS LAST, so a NULL left in the output would diverge the
+    // ordered rows across engines (the 'ALL' sentinel covers only
+    // rolled-up positions, not null data values)
     val fine = df.filter(value.isNotNull)
-      .select(key1.cast("string").as("k1"), key2.cast("string").as("k2"),
+      .select(coalesce(key1.cast("string"), lit("NULL")).as("k1"),
+        coalesce(key2.cast("string"), lit("NULL")).as("k2"),
         substring(mh, 1, p.bucketHexChars).as("bucket"), rho.as("rho"))
       .groupBy("k1", "k2", "bucket").agg(max(col("rho")).as("rmax"))
       .localCheckpoint()
@@ -406,16 +411,19 @@ object Sketch {
                 .cast("double") * 1e6)
             .cast("long").as("n_distinct_e6"): _*)
     }
+    // the grand total is built ONCE and reused for both the union's
+    // 'total' row and the share denominator (identical subtrees, so the
+    // exchange-reuse rule runs the aggregation a single time)
+    val tot = est(Seq.empty)
     val all = est(Seq("k1", "k2")).withColumn("gset", lit("k1,k2"))
       .unionByName(est(Seq("k1"))
         .withColumn("k2", lit("ALL")).withColumn("gset", lit("k1")))
       .unionByName(est(Seq("k2"))
         .withColumn("k1", lit("ALL")).withColumn("gset", lit("k2")))
-      .unionByName(est(Seq.empty)
+      .unionByName(tot
         .withColumn("k1", lit("ALL")).withColumn("k2", lit("ALL"))
         .withColumn("gset", lit("total")))
-    all.crossJoin(broadcast(
-        est(Seq.empty).select(col("n_distinct_e6").as("__tot"))))
+    all.crossJoin(broadcast(tot.select(col("n_distinct_e6").as("__tot"))))
       .select(col("gset"), col("k1"), col("k2"), col("n_distinct_e6"),
         expr("""CAST(CAST(n_distinct_e6 AS DECIMAL(38,0)) * 1000000
                 | DIV CAST(__tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
@@ -443,8 +451,8 @@ object Sketch {
       s"""CAST(floor(${p.numerator} /
          |  CAST((CAST(${p.m} - nb AS BIGINT) << ${p.rhoCap}) + si AS DOUBLE) * 1000000)
          |  AS BIGINT)""".stripMargin
-    s"""WITH v AS (SELECT DISTINCT CAST($k1Expr AS VARCHAR) AS k1,
-       |             CAST($k2Expr AS VARCHAR) AS k2,
+    s"""WITH v AS (SELECT DISTINCT COALESCE(CAST($k1Expr AS VARCHAR), 'NULL') AS k1,
+       |             COALESCE(CAST($k2Expr AS VARCHAR), 'NULL') AS k2,
        |             md5(CAST($valueExpr AS VARCHAR)) AS mh
        |           FROM $table WHERE $valueExpr IS NOT NULL),
        |r AS (SELECT k1, k2, substring(mh, 1, $b) AS bucket,

@@ -150,6 +150,50 @@ private[graft] object DashQueries {
           |                      ORDER BY rev, day) AS INT) AS quartile
           |FROM daily ORDER BY day""".stripMargin)),
 
+    Q("join_ivm_delta",
+      // incremental JOIN maintenance, proven: with yesterday's
+      // materialization J = O_old ⋈ L_old on disk, today's view is
+      // maintained by THREE delta-sized joins — ΔO⋈L_old, O_old⋈ΔL,
+      // ΔO⋈ΔL — never a rescan-join of the full bases (the join sibling
+      // of agg_incremental_merge's re-aggregation). The oracle computes
+      // the DIRECT full join of the updated bases, so the hash match IS
+      // the correctness proof of the delta algebra. At 100 TB only the
+      // three delta joins run (each bounded by a day's arrivals on at
+      // least one side); here all four terms execute to make the algebra
+      // itself the thing under test.
+      (s, d) => {
+        val cut = lit("1998-01-01").cast("date")
+        val o = tbl(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate").cast("date").as("od"))
+        val l = tbl(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("price_c"))
+        // the split must be EXHAUSTIVE — a NULL date fails both < and >=,
+        // and a row in neither half silently vanishes from the maintained
+        // view while the oracle's direct join keeps it; nulls go "old"
+        val oOld = o.filter(col("od").isNull || col("od") < cut)
+        val oNew = o.filter(col("od") >= cut)
+        val lOld = l.filter(col("sd").isNull || col("sd") < cut)
+        val lNew = l.filter(col("sd") >= cut)
+        def j(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_orderpriority"), col("price_c"))
+        j(oOld, lOld) // yesterday's materialization (served, not rebuilt)
+          .unionAll(j(oNew, lOld))
+          .unionAll(j(oOld, lNew))
+          .unionAll(j(oNew, lNew))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_c
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("agg_incremental_merge",
       // incremental aggregate maintenance, proven: the base period's
       // partial aggregates merged with a late-arriving delta batch by

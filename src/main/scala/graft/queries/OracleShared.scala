@@ -53,9 +53,15 @@ private[graft] object OracleShared {
     * a base-16 BIGINT — the SQL mirror of MinHashSig.md5Head32 /
     * Sketch.hashPoint32.
     */
-  private[queries] def hexHead32Sql: String = (0 until 8).map { c =>
+  private[queries] def hexHead32Sql: String = hx("mh")
+
+  /** [[hexHead32Sql]] generalized to ANY md5-digest SQL expression — the
+    * one definition of the head-32 expansion, so a convention change can
+    * never leave a per-file copy stale.
+    */
+  private[queries] def hx(mh: String): String = (0 until 8).map { c =>
     val mult = 1L << (4 * (7 - c))
-    s"(strpos('0123456789abcdef', substr(mh, ${c + 1}, 1)) - 1) * $mult"
+    s"(strpos('0123456789abcdef', substr($mh, ${c + 1}, 1)) - 1) * $mult"
   }.mkString(" + ")
 
   /** UNION ALL of the k per-row Bloom positions of column `fp` from table

@@ -1472,12 +1472,6 @@ private[graft] object SimQueries {
   /** Oracle for sim_ivfpq_recall: routed IVF-PQ top-5 vs the exact
     * cosine top-5.
     */
-  /** hexHead32Sql generalized to any md5-digest SQL expression. */
-  private def hx(mh: String): String = (0 until 8).map { c =>
-    val mult = 1L << (4 * (7 - c))
-    s"(strpos('0123456789abcdef', substr($mh, ${c + 1}, 1)) - 1) * $mult"
-  }.mkString("(", " + ", ")")
-
   /** CTE chain ending in `cemb(vec_id, embedding DOUBLE[])` — the SQL
     * mirror of [[graft.llm.Similarity.clusteredEmbeddings]]: 50 md5-seeded
     * integer-grid centers + bounded integer noise, every component a small
@@ -1485,14 +1479,14 @@ private[graft] object SimQueries {
     */
   private lazy val CLUSTERED_CTES: String =
     s"""ccl AS (SELECT vec_id,
-       |    ${hx("md5(CAST(vec_id AS VARCHAR) || '#cl')")} % 50 AS cluster
+       |    (${hx("md5(CAST(vec_id AS VARCHAR) || '#cl')")}) % 50 AS cluster
        |  FROM embeddings),
        |cdim AS (SELECT vec_id, i,
        |    md5('c' || CAST(cluster AS VARCHAR) || '#d' || CAST(i AS VARCHAR)) AS mhc,
        |    md5('v' || CAST(vec_id AS VARCHAR) || '#d' || CAST(i AS VARCHAR)) AS mhv
        |  FROM ccl, range(0, 64) t(i)),
        |cval AS (SELECT vec_id, i,
-       |    CAST((${hx("mhc")} % 2001 - 1000) * 4 + (${hx("mhv")} % 201 - 100) AS DOUBLE) AS x
+       |    CAST(((${hx("mhc")}) % 2001 - 1000) * 4 + ((${hx("mhv")}) % 201 - 100) AS DOUBLE) AS x
        |  FROM cdim),
        |cemb AS (SELECT vec_id, list(x ORDER BY i) AS embedding FROM cval GROUP BY vec_id)""".stripMargin
 

@@ -17,31 +17,10 @@ class PlanShapeSpec extends SparkSpec {
   private def countOccurrences(s: String, token: String): Int =
     s.sliding(token.length).count(_ == token)
 
-  /** Subtrees under an explicit broadcast/join hint that scan a table that
-    * grows with the scale factor. Broadcasting such a table is the 100 TB
-    * anti-pattern: the hint forces a multi-GB build side at scale where an
-    * un-hinted plan auto-broadcasts at test SF and degrades gracefully to
-    * a shuffle join. Returns the offending subtree strings (empty = clean).
-    */
-  private def factHintedSubtrees(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val factPaths = Seq("/customer.parquet", "/part.parquet", "/orders.parquet",
-      "/lineitem.parquet", "/events.parquet", "/documents.parquet",
-      "/embeddings.parquet")
-    df.queryExecution.analyzed.collect { case h: ResolvedHint => h.child }
-      .filter { child =>
-        val s = child.toString
-        // an Aggregate/Limit/Sample in the hinted subtree bounds its size
-        // independently of SF; a raw (or merely filtered) fact scan does not
-        val bounded = child.collectFirst {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-          case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
-          case sm: org.apache.spark.sql.catalyst.plans.logical.Sample => sm
-        }.isDefined
-        !bounded && factPaths.exists(s.contains)
-      }
-      .map(_.toString)
-  }
+  // hint audit shares PlanScale's STRICT bounded semantics (a KEYED
+  // aggregate over a fact table is NOT bounded) with the registry lint
+  private def factHintedSubtrees(df: DataFrame): Seq[String] =
+    PlanScale.factHintedSubtrees(df)
 
   test("transform chain: at most 4 exchanges (distinct, dedup, sort + AQE reuse)") {
     val p = plan(Queries.transformChain(spark, sf))

@@ -44,27 +44,22 @@ class RegistryPlanLintSpec extends SparkSpec {
   /** Documented fact-broadcast exceptions. */
   private val factHintWhitelist: Set[String] = Set.empty
 
-  private val factPaths = Seq("/customer.parquet", "/part.parquet",
-    "/orders.parquet", "/lineitem.parquet", "/events.parquet",
-    "/documents.parquet", "/embeddings.parquet")
+  private val factPaths = PlanScale.factPaths
 
-  /** Is this subtree's row count bounded independent of the scale factor? */
-  private def bounded(p: LogicalPlan): Boolean = p.collectFirst {
-    case a: Aggregate if a.groupingExpressions.isEmpty => ()
-    case _: GlobalLimit => ()
-    case _: Sample => ()
-    case _: LocalRelation => ()
-    case _: OneRowRelation => ()
-    case _: Range => ()
-    case t: plans.TopKPerGroupNode => () // the custom heap: ≤ k per group
-  }.isDefined
+  // ONE shared definition of bounded/fact-unbounded (PlanScale) keeps
+  // this lint and PlanShapeSpec's pins from drifting apart in semantics.
+  private def bounded(p: LogicalPlan): Boolean = PlanScale.bounded(p)
+  private def factUnbounded(p: LogicalPlan): Boolean = PlanScale.factUnbounded(p)
 
-  /** Unbounded fact data: the subtree scans a table that grows with the
-    * scale factor and nothing above the scan bounds its row count. Small
-    * derived artifacts (codebooks, centroid tables, LUTs) read from
-    * non-fact parquet paths are bounded by construction. */
-  private def factUnbounded(p: LogicalPlan): Boolean =
-    factPaths.exists(p.toString.contains) && !bounded(p)
+  /** Boundedness for the GLOBAL-WINDOW check only: a top-k-per-group heap
+    * output also qualifies — its k × #groups row count is unbounded in
+    * general (so it does NOT qualify as a broadcast/product build side),
+    * but the registered global windows over it run on single-group heaps
+    * (k rows), and a window is merely low-parallelism, not O(n²), if that
+    * assumption ever breaks.
+    */
+  private def windowBounded(p: LogicalPlan): Boolean =
+    bounded(p) || p.collectFirst { case t: plans.TopKPerGroupNode => () }.isDefined
 
   /** Does the join carry at least one equi-predicate across its sides?
     * (Then it plans as a hash/merge join, never a product.) */
@@ -92,9 +87,10 @@ class RegistryPlanLintSpec extends SparkSpec {
     // fact × bounded-build (1-row aggregates, codebooks, query batches) is
     // the intended streaming-probe shape
     if (!productWhitelist.contains(name)) {
+      // semi/anti joins get no exemption: a NON-equi semi join between two
+      // unbounded fact sides plans as a nested-loop product all the same
       opt.foreach {
         case j: Join if !isEqui(j) &&
-            j.joinType != LeftSemi && j.joinType != LeftAnti &&
             factUnbounded(j.left) && factUnbounded(j.right) =>
           bad += s"$name: unbounded product join (${j.joinType}, " +
             s"cond=${j.condition.map(_.sql).getOrElse("none")})"
@@ -119,7 +115,7 @@ class RegistryPlanLintSpec extends SparkSpec {
         // a global window over a bounded frame (top-k heap output, a
         // limited sample) is k rows regardless of SF — fine; over anything
         // else it is the one-task-sorts-everything shape
-        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        case w: Window if w.partitionSpec.isEmpty && !windowBounded(w.child) =>
           bad += s"$name: global window (no PARTITION BY) over unbounded input"
         case r: Repartition if r.numPartitions == 1 =>
           bad += s"$name: repartition(1)"

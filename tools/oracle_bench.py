@@ -40,31 +40,58 @@ def main(sf_dir, in_tsv, out_tsv):
     # recorded at the cap as a ">= cap" lower bound.
     import threading
     PER_QUERY_CAP = float(os.environ.get("ORACLE_BENCH_CAP_SEC", "120"))
+
+    def is_interrupt(e):
+        return "Interrupt" in type(e).__name__
+
+    def timed(sql):
+        # one watchdogged execution; raises on interrupt/error
+        timer = threading.Timer(PER_QUERY_CAP, con.interrupt)
+        timer.start()
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0
+        finally:
+            timer.cancel()
+
+    def timed_retry_stale(sql):
+        # A timer from a query that finished at ~cap can fire in the
+        # microseconds before its cancel() and leave the connection's
+        # interrupt flag set, aborting the NEXT execute instantly. An
+        # interrupt that arrives well before this query's own cap is that
+        # stale flag, not a real timeout — clear it with one retry.
+        t0 = time.perf_counter()
+        try:
+            return timed(sql)
+        except Exception as e:
+            if is_interrupt(e) and time.perf_counter() - t0 < PER_QUERY_CAP - 1:
+                return timed(sql)
+            raise
+
     with open(out_tsv, "w", buffering=1) as f:
         for line in open(in_tsv):
             name, b64 = line.rstrip("\n").split("\t", 1)
             sql = base64.b64decode(b64).decode("utf-8")
-            timer = threading.Timer(PER_QUERY_CAP, con.interrupt)
-            timer.start()
             try:
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = time.perf_counter() - t0
+                best = timed_retry_stale(sql)
                 if best < 5.0:
-                    t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
-                    best = min(best, time.perf_counter() - t0)
+                    try:
+                        best = min(best, timed_retry_stale(sql))
+                    except Exception as e2:
+                        # keep the valid pass-1 measurement if the
+                        # noise-rejection pass gets interrupted
+                        if not is_interrupt(e2):
+                            raise
                 f.write(f"{name}\t{best:.3f}\n")
             except Exception as e:
-                if "Interrupt" in type(e).__name__:
+                if is_interrupt(e):
                     print(f"[oracle_bench] {name} hit the {PER_QUERY_CAP:.0f}s"
                           " cap — recorded as the lower bound", file=sys.stderr)
                     f.write(f"{name}\t{PER_QUERY_CAP:.3f}\n")
                 else:
                     print(f"[oracle_bench] {name} failed: {type(e).__name__}: "
                           f"{str(e)[:200]}", file=sys.stderr)
-            finally:
-                timer.cancel()
 
 
 if __name__ == "__main__":
