@@ -648,6 +648,66 @@ private[graft] object DashQueries {
       Some(graft.analytics.Sketch.hllDistinctSql(
         "lineitem", "l_returnflag", "l_returnflag", "l_partkey"))),
 
+    Q("dash_abtest_ztest",
+      // the experimentation face: a two-proportion z-test with ZERO
+      // floating point — customers split 50/50 by md5 parity (the
+      // deterministic assignment an experiment platform uses), conversion
+      // = placed at least one URGENT order, and z² as one exact rational:
+      //   z² = (ca·nb − cb·na)²·(na+nb) / (na·nb·(ca+cb)·(na+nb−ca−cb))
+      // cross-multiplied in DECIMAL(38,0)/HUGEINT (exact through ~sf10;
+      // the e6 value saturates 38 digits around sf100 — by then the split
+      // is significant or it isn't). significant = z²_e6 ≥ 3_841_459
+      // (χ²₁ at α=0.05). The md5 draw makes the whole experiment —
+      // assignment included — replayable by the oracle.
+      (s, d) => {
+        val conv = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            pmod(graft.analytics.Sketch.hashPoint32(
+              concat(col("ck").cast("string"), lit("#ab"))), lit(2L)))
+        conv.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("ca"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("cb"))
+          .selectExpr("na", "ca", "nb", "cb",
+            """CAST(CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
+              |     CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
+              |     CAST(na + nb AS DECIMAL(38,0)) * 1000000
+              | DIV (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) *
+              |      CAST(ca + cb AS DECIMAL(38,0)) *
+              |      CAST(na + nb - ca - cb AS DECIMAL(38,0))) AS BIGINT)
+              | AS z2_e6""".stripMargin)
+          .withColumn("significant", (col("z2_e6") >= 3841459L).cast("boolean"))
+          .orderBy("na")
+      },
+      Some {
+        val h = graft.queries.OracleShared.hx("md5(CAST(ck AS VARCHAR) || '#ab')")
+        s"""WITH zc AS (
+           |  SELECT o_custkey AS ck,
+           |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS converted
+           |  FROM orders GROUP BY 1),
+           |zv AS (SELECT ck, converted, ($h) % 2 AS variant FROM zc),
+           |za AS (SELECT
+           |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |  CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS ca,
+           |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           |  CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS cb
+           |  FROM zv)
+           |SELECT na, ca, nb, cb,
+           |  CAST(CAST(ca * nb - cb * na AS HUGEINT) * CAST(ca * nb - cb * na AS HUGEINT)
+           |       * CAST(na + nb AS HUGEINT) * 1000000
+           |    // (CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb))
+           |    AS BIGINT) AS z2_e6,
+           |  CAST(CAST(ca * nb - cb * na AS HUGEINT) * CAST(ca * nb - cb * na AS HUGEINT)
+           |       * CAST(na + nb AS HUGEINT) * 1000000
+           |    // (CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb))
+           |    >= 3841459 AS BOOLEAN) AS significant
+           |FROM za ORDER BY na""".stripMargin
+      }),
+
     Q("agg_hll_error_vs_exact",
       // the HLL accuracy harness — estimate beside the exact distinct
       // count per group with the relative error as an exact e6 integer,

@@ -363,6 +363,36 @@ private[graft] object EventQueries {
            |FROM e JOIN f ON e.user_id = f.user_id
            |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
 
+    Q("ev_markov_transitions",
+      // first-order Markov transition matrix of the event stream: per-user
+      // time-ordered (src → dst) pairs via one lead() window partitioned
+      // by user (data-sized key, full parallelism), counted, then the
+      // per-source transition probability as an exact e6 ratio. The
+      // probability window runs over the AGGREGATED matrix — bounded by
+      // #event_types², never the stream. The path-mining sibling of
+      // ev_top_paths at the edge (not journey) granularity.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val c = eventsTable(s, d)
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        c.withColumn("p_e6",
+            expr("n * 1000000 DIV sum(n) OVER (PARTITION BY src)"))
+          .orderBy("src", "dst")
+      },
+      Some(
+        """WITH me AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_id, event_type
+          |            FROM events),
+          |mtr AS (SELECT event_type AS src,
+          |          lead(event_type) OVER (PARTITION BY user_id ORDER BY mts, event_id) AS dst
+          |        FROM me),
+          |mc AS (SELECT src, dst, count(*) AS n FROM mtr WHERE dst IS NOT NULL GROUP BY 1, 2)
+          |SELECT src, dst, n,
+          |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_e6
+          |FROM mc ORDER BY src, dst""".stripMargin)),
+
     Q("ev_top_paths",
       // top-20 session journeys: sessionize by the 30-min gap (same
       // island convention as ev_session_summary), truncate each session
