@@ -1025,6 +1025,113 @@ private[graft] object JoinQueries {
           |  AND EXISTS (SELECT 1 FROM excess WHERE sk = s_suppkey)
           |ORDER BY s_suppkey""".stripMargin)),
 
+    Q("join_tpch_q12_shape",
+      // the TPC-H Q12 shipping-priority-count shape: the conditional
+      // twin-counter aggregate over a fact-fact join (l_returnflag stands
+      // in for l_shipmode — the test tables carry none), one ship-year
+      // window pushed to the lineitem scan, urgent/non-urgent CASE
+      // counters per category. The join strategy is the planner's.
+      (s, d) => tbl(s, d, "orders")
+        .join(tbl(s, d, "lineitem")
+            .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+              col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select("l_orderkey", "l_returnflag"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("join_tpch_q9_shape",
+      // the TPC-H Q9 product-profit shape: profit by (supplier nation,
+      // order year) over the part-name-filtered five-table star. Cost
+      // stands in as 60% of retailprice×quantity (no ps_supplycost in
+      // the test tables); profit lives in e5 fixed point so BOTH the
+      // revenue term (4-decimal product ×1e5) and the 60% cost term
+      // ((retail·qty ×1e4) ×6) are integral before any BIGINT cast —
+      // the round-vs-truncate divergence cannot occur.
+      (s, d) => {
+        val revE5 = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)").multiply(100000).cast("long")
+        val costE5 = (col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(28,4)").multiply(10000).cast("long") * 6
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part").filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tbl(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(revE5 - costE5).as("profit_e5"), count(lit(1)).as("n"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(
+        """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          |  CAST(sum(
+          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 100000 AS BIGINT)
+          |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+          |      CAST(l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT) * 6
+          |  ) AS BIGINT) AS profit_e5, count(*) AS n
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%red%'
+          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+      bench = true),
+
+    Q("join_tpch_q19_shape",
+      // the TPC-H Q19 disjunctive-bracket shape: revenue from three OR'd
+      // conjunctive brackets spanning BOTH join sides (brand+size on
+      // part, quantity on lineitem — containers/shipmodes don't exist in
+      // the test tables), so no single bracket can push whole to either
+      // scan and the disjunction survives as a residual on the joined
+      // row without degrading the equi-join.
+      (s, d) => {
+        val q = col("l_quantity")
+        val bracket1 = col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 5) && q.between(1, 11)
+        val bracket2 = col("p_brand") === "Brand#13" &&
+          col("p_size").between(1, 10) && q.between(10, 20)
+        val bracket3 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 15) && q.between(20, 30)
+        tbl(s, d, "lineitem")
+          .join(tbl(s, d, "part"), col("l_partkey") === col("p_partkey"))
+          .filter(bracket1 || bracket2 || bracket3)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(28,4)").multiply(10000).cast("long").as("revenue_e4"))
+          .orderBy("n_lines")
+      },
+      Some(
+        """SELECT count(*) AS n_lines,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue_e4
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+          |ORDER BY n_lines""".stripMargin)),
+
     Q("join_scd2_pointintime",
       // point-in-time (temporal) dimension join: each order joins the
       // customer-dimension VERSION valid at its order date — v1 before
