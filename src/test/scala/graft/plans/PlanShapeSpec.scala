@@ -252,6 +252,20 @@ class PlanShapeSpec extends SparkSpec {
       "q1 must be a single lineitem scan")
   }
 
+  test("tpch q19 shape: per-side OR bounds derived and pushed to both scans") {
+    // Catalyst factors the disjunctive brackets into per-side implied
+    // predicates: the quantity-range OR reaches the lineitem scan and the
+    // brand/size OR reaches the part scan, while the full cross-side
+    // bracket stays a post-join residual — the Q19 plan feature
+    val p = plan(Queries.queryMap("join_tpch_q19_shape")(spark, sf))
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "derived quantity OR-bound not pushed to the lineitem scan")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "derived brand/size OR-bound not pushed to the part scan")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "q19 degenerated to a product join")
+  }
+
   test("tpch q21 shape: EXISTS/NOT EXISTS decorrelate to semi+anti joins") {
     val p = plan(Queries.queryMap("join_tpch_q21_shape")(spark, sf))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
