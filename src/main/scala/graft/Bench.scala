@@ -82,13 +82,38 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val canaryStart = canary()
-    val pass1 = Queries.benchSet.map(q => q.name -> timeOne(q))
-    val canaryMid = canary()
-    val pass2 = Queries.benchSet.reverse.map(q => q.name -> timeOne(q))
-    val canaryEnd = canary()
-    val p2 = pass2.toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
+    // One full measurement attempt = canary + pass + canary + reverse pass
+    // + canary. If the canary ratio exposes a loaded machine (> 1.2), the
+    // whole attempt re-runs ONCE and the better-canary attempt becomes the
+    // official record — the r8 official number was the worst of five
+    // materially-identical runs (canary 1.26 vs 1.04 on the clean ones)
+    // purely on machine-load timing, and a single retry makes the
+    // driver's record stop being a coin-flip on that. Both attempts stay
+    // in the detail file for forensics.
+    case class Attempt(canaries: Seq[Double], pass1: Seq[(String, Double)],
+        pass2: Seq[(String, Double)]) {
+      val ratio: Double = canaries.max / math.max(canaries.min, 1e-9)
+      val results: Seq[(String, Double)] = {
+        val p2 = pass2.toMap
+        pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
+      }
+    }
+    def runAttempt(): Attempt = {
+      val c0 = canary()
+      val pass1 = Queries.benchSet.map(q => q.name -> timeOne(q))
+      val c1 = canary()
+      val pass2 = Queries.benchSet.reverse.map(q => q.name -> timeOne(q))
+      val c2 = canary()
+      Attempt(Seq(c0, c1, c2), pass1, pass2)
+    }
+    val attempt1 = runAttempt()
+    val attempts =
+      if (attempt1.ratio > 1.2) Seq(attempt1, runAttempt()) else Seq(attempt1)
+    val best = attempts.minBy(_.ratio)
+    val Seq(canaryStart, canaryMid, canaryEnd) = best.canaries
+    val pass1 = best.pass1
+    val pass2 = best.pass2
+    val results = best.results
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     // The final line must stay well under the driver's stdout-tail buffer
@@ -104,7 +129,7 @@ object Bench {
     // machine without python3/duckdb, or a hung oracle, must never fail or
     // stall the bench, so the subprocess is bounded and any error maps to
     // "no baseline". SQL travels base64-encoded TSV to avoid escaping.
-    val oracleTimes: Map[String, Double] =
+    val (oracleTimes: Map[String, Double], oracleCapped: Set[String]) =
       try {
         val tsv = java.io.File.createTempFile("graft_oracle_sql", ".tsv")
         val pw = new java.io.PrintWriter(tsv, "UTF-8")
@@ -126,19 +151,28 @@ object Bench {
         // mid-run failure leaves every completed measurement on disk —
         // partial cross-engine coverage beats none (oracle_n records how
         // many both engines timed)
+        // "name\tseconds" per line; a third "capped" column marks queries
+        // that hit oracle_bench.py's per-query watchdog — those times are
+        // ">= cap" LOWER BOUNDS, not measurements, and must stay
+        // distinguishable in the published ratio
         val src = scala.io.Source.fromFile(out, "UTF-8")
         val parsed =
           try src.getLines()
             .flatMap { l =>
-              l.split("\t", 2) match {
-                case Array(n, t) => scala.util.Try(n -> t.toDouble).toOption
+              l.split("\t", 3) match {
+                case Array(n, t) =>
+                  scala.util.Try((n, t.toDouble, false)).toOption
+                case Array(n, t, flag) =>
+                  scala.util.Try((n, t.toDouble, flag == "capped")).toOption
                 case _ => None
               }
-            }.toMap
+            }.toSeq
           finally src.close()
         tsv.delete(); out.delete()
-        parsed
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        (parsed.map { case (n, t, _) => n -> t }.toMap,
+          parsed.collect { case (n, _, true) => n }.toSet)
+      } catch { case scala.util.control.NonFatal(_) =>
+        (Map.empty[String, Double], Set.empty[String]) }
     // spark-vs-oracle over the queries BOTH engines timed SUCCESSFULLY —
     // a Spark-side failure records a meaningless fast-failure time, which
     // must not flatter the ratio
@@ -146,8 +180,19 @@ object Bench {
       oracleTimes.contains(n) && !failed.contains(n) }
     val oracleTotal = common.map { case (n, _) => oracleTimes(n) }.sum
     val sparkCommon = common.map(_._2).sum
+    // spark_vs_oracle INCLUDES capped lower-bound entries, so it is itself
+    // only an upper bound on the true ratio; the _measured variant drops
+    // the capped oracles entirely, so it cannot improve by capping more —
+    // both are published (ADVICE r8 #4 / VERDICT r8 next #7)
     val sparkVsOracle =
       if (oracleTotal > 0) sparkCommon / oracleTotal else -1.0
+    val measured = common.filterNot { case (n, _) => oracleCapped(n) }
+    val oracleMeasuredTotal = measured.map { case (n, _) => oracleTimes(n) }.sum
+    val sparkMeasured = measured.map(_._2).sum
+    val sparkVsOracleMeasured =
+      if (oracleMeasuredTotal > 0) sparkMeasured / oracleMeasuredTotal else -1.0
+    val cappedShown = oracleCapped.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Contamination self-report: the three canaries do IDENTICAL work, so
     // their max/min ratio directly measures machine-load drift across the
     // run (VERDICT r4 §wrong.1's class). >3x flags the artifact as suspect.
@@ -164,14 +209,19 @@ object Bench {
       val dir = new java.io.File("target"); dir.mkdirs()
       new java.io.File(dir, s"bench_detail_$tag.json")
     }
-    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))}}"""
+    // every attempt's passes + canaries are retained (attempt 1 first);
+    // the official record above uses the best-canary attempt
+    val attemptsJson = attempts.zipWithIndex.map { case (a, i) =>
+      f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"pass1":${jmap(a.pass1)},"pass2":${jmap(a.pass2)}}"""
+    }.mkString(",")
+    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     // oracle_* are the cross-engine baseline: total DuckDB seconds over the
     // oracle_n headliners both engines timed, spark seconds over that same
     // subset, and their ratio (<1 = Spark faster). Full per-query oracle
     // times live on the detail file's "oracle_sec" map.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"detail":"${detailPath.getPath}"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"attempts":${attempts.size},"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"oracle_capped":$cappedShown,"spark_vs_oracle_measured":$sparkVsOracleMeasured%.2f,"detail":"${detailPath.getPath}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Global contiguous id assignment — the operation behind "number every
   * row of a 100 TB table in key order".
@@ -107,6 +107,15 @@ object Ids {
     val sorted = ranged.sortWithinPartitions(keys: _*).localCheckpoint()
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     val wIdx = sorted.schema.fieldIndex(weightCol)
+    // validate the weight column ONCE, up front: a non-integral type (or
+    // a NULL weight at runtime) would silently desynchronize pass 1's
+    // sum() (which skips nulls) from pass 2's running sum — fail with the
+    // diagnostic instead of a mid-job ClassCastException/NPE
+    sorted.schema(wIdx).dataType match {
+      case LongType | IntegerType => ()
+      case t => throw new IllegalArgumentException(
+        s"$weightCol must be an integral column (INT/BIGINT), got $t")
+    }
 
     // pass 1: per-(partition, group) weight sums (tiny driver map)
     val perPart = sorted
@@ -144,11 +153,13 @@ object Ids {
       it.map { r =>
         val g = gIdx.map(r.get).toList
         if (g != curG) { curG = g; run = off.getOrElse((pid, g), 0L) }
+        if (r.isNullAt(wIdx)) throw new IllegalArgumentException(
+          s"$weightCol must not be NULL (filter or coalesce upstream); " +
+            s"pass 1's per-partition sums skip NULLs, so a NULL here would " +
+            s"silently corrupt every later offset in group $g")
         run += (r.get(wIdx) match {
           case l: java.lang.Long => l.longValue
           case i: java.lang.Integer => i.longValue
-          case x => throw new IllegalArgumentException(
-            s"$weightCol must be integral, got ${x.getClass}")
         })
         Row.fromSeq(r.toSeq ++ Seq(run, tot(g)))
       }

@@ -88,7 +88,10 @@ def main(sf_dir, in_tsv, out_tsv):
                 if is_interrupt(e):
                     print(f"[oracle_bench] {name} hit the {PER_QUERY_CAP:.0f}s"
                           " cap — recorded as the lower bound", file=sys.stderr)
-                    f.write(f"{name}\t{PER_QUERY_CAP:.3f}\n")
+                    # the third column MARKS the cap: downstream readers
+                    # must be able to separate measured baselines from
+                    # ">= cap" lower-bound placeholders in the ratio
+                    f.write(f"{name}\t{PER_QUERY_CAP:.3f}\tcapped\n")
                 else:
                     print(f"[oracle_bench] {name} failed: {type(e).__name__}: "
                           f"{str(e)[:200]}", file=sys.stderr)
