@@ -8,13 +8,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus distributed decode / feature-extraction over
   * batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic fake (see
-  * [[FakeDecoder]]); everything Spark-side — the asset schema, binary
-  * handling, partition sizing, the mapPartitions batch shape, and the
-  * feature-vector output contract — is real and tested. Swapping
-  * [[FakeDecoder.decode]] for a JNI/ffmpeg/javacv call changes nothing
-  * in the plan.
+  * Two decode kernels share one contract (bytes in → dims + feature
+  * vector out):
+  *   - [[ImageCodec]] — a REAL image codec on the stock JDK
+  *     (`javax.imageio`, PNG/JPEG/GIF/BMP): pixel decode, channel-mean
+  *     features, Graphics2D resample + PNG re-encode. No external
+  *     dependency.
+  *   - [[ByteProfiler]] — a deterministic byte-profile extractor for
+  *     payloads with no in-container codec (audio/video mimes, or bytes
+  *     that do not parse as an image): slot-wise byte sums, integral and
+  *     oracle-replayable. Swapping it for a JNI/ffmpeg/javacv call
+  *     changes nothing in the plan.
+  * [[decodeFeatures]] dispatches per row: payloads that genuinely decode
+  * as images take the real path; everything else takes the profiler.
   */
 object Multimodal {
 
@@ -53,15 +59,17 @@ object Multimodal {
       n_frames: Int,
       features: Array[Double])
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * A production build replaces the body with e.g. ImageIO/ffmpeg; the
-    * signature (bytes in, dims + feature vector out) is the real contract.
+  /** Byte-profile decode kernel: a deterministic feature extractor over
+    * the RAW bytes, used for payloads no in-container codec can parse
+    * (audio/video mimes — ffmpeg/javacv would slot in here — and
+    * non-image bytes). Not a stub: slot-wise byte statistics are a real
+    * (if crude) content fingerprint, every output is integral, and the
+    * cross-engine oracles replay it bit-for-bit; [[perceptualHash]] and
+    * the near-dup blocking run unchanged on either kernel's features.
     */
-  object FakeDecoder {
+  object ByteProfiler {
     val featureDim = 8
     def decode(payload: Array[Byte], mime: String): (Int, Int, Int, Array[Double]) = {
-      // ??? <- real codec goes here; deterministic fake below keeps the
-      // pipeline testable without media libraries in the container.
       val n = payload.length
       val width = 16 + (n % 64)
       val height = 16 + ((n / 64) % 64)
@@ -84,6 +92,105 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the stock JDK — `javax.imageio` decodes PNG /
+    * JPEG / GIF / BMP with zero external dependencies. Features are exact
+    * channel statistics: slots 0-3 = whole-image mean R, G, B, luma
+    * (each a rational sum/(255·n_px)); slots 4-7 = the same over the
+    * top-left quadrant (spatial signal: a gradient and its mirror differ
+    * here while their global means agree). For generated solid-color
+    * fixtures every slot collapses to channel/255 exactly, which is what
+    * lets a SQL oracle predict REAL decode output in closed form from
+    * the generative parameters (see SimQueries' mm_real_* family).
+    */
+  object ImageCodec {
+    val featureDim = 8
+
+    /** Deterministic PNG encoder for fixtures: a solid-color w×h image.
+      * PNG is lossless, so decode(encodePng(w, h, r, g, b)) recovers
+      * exactly (w, h, r/255, g/255, b/255, …).
+      */
+    def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Try the real decode; None when the bytes are not a parseable image
+      * (ImageIO sniffs magic bytes — arbitrary text can never match).
+      */
+    def tryDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val qw = math.max(1, w / 2)
+          val qh = math.max(1, h / 2)
+          // integer channel sums first, one division at the end — same
+          // no-accumulated-rounding discipline as ByteProfiler
+          val sums = new Array[Long](8) // r,g,b,luma3x globals; quadrant
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sums(0) += r; sums(1) += g; sums(2) += b; sums(3) += r + g + b
+              if (x < qw && y < qh) {
+                sums(4) += r; sums(5) += g; sums(6) += b; sums(7) += r + g + b
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val nq = qw.toLong * qh
+          val f = Array(
+            sums(0).toDouble / 255.0 / n, sums(1).toDouble / 255.0 / n,
+            sums(2).toDouble / 255.0 / n, sums(3).toDouble / 765.0 / n,
+            sums(4).toDouble / 255.0 / nq, sums(5).toDouble / 255.0 / nq,
+            sums(6).toDouble / 255.0 / nq, sums(7).toDouble / 765.0 / nq)
+          Some((w, h, 1, f))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real resample: Graphics2D bilinear scale + lossless PNG re-encode.
+      * Solid-color inputs stay bit-exact through interpolation (every
+      * sample is the same pixel), so resized fixtures remain
+      * closed-form-predictable.
+      */
+    def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = dst.createGraphics()
+          gfx.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          gfx.drawImage(src, 0, 0, w, h, null)
+          gfx.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Distributed decode: mapPartitions over the assets frame, one decoder
     * instance per partition (the codec-init cost is amortized across the
     * partition's batch — the Scala analogue of a Pandas-UDF `mapInPandas`
@@ -95,12 +202,42 @@ object Multimodal {
     import spark.implicits._
     assets.select("asset_id", "mime", "payload", "n_bytes").as[(Long, String, Array[Byte], Long)]
       .mapPartitions { it =>
-        // per-partition decoder init would happen here (once per batch)
+        // per-partition decoder init would happen here (once per batch);
+        // dispatch per row: a payload that parses as a real image takes
+        // the ImageIO path, anything else the byte profiler
         it.map { case (id, mime, payload, nBytes) =>
-          val (w, h, f, feats) = FakeDecoder.decode(payload, mime)
+          val (w, h, f, feats) = ImageCodec.tryDecode(payload)
+            .getOrElse(ByteProfiler.decode(payload, mime))
           AssetFeatures(id, mime, nBytes, w, h, f, feats)
         }
       }
+  }
+
+  /** Deterministic REAL-image fixture: one solid-color PNG per id, the
+    * color/dims closed-form functions of the id — so a SQL oracle can
+    * predict the OUTPUT of a genuine ImageIO decode without parsing a
+    * byte (PNG is lossless; solid color survives any resample). The
+    * encode runs distributed in the same mapPartitions batch shape as the
+    * decode kernels.
+    */
+  def synthesizePngAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 4 + (id % 11).toInt
+          val r = ((id * 37) % 256).toInt
+          val g = ((id * 59) % 256).toInt
+          val b = ((id * 83) % 256).toInt
+          (id, ImageCodec.encodePng(w, h, r, g, b))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image/png").as("mime"), col("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", md5(col("payload")))
   }
 
   /** Metadata-only scan: everything computable without decoding — stays in
@@ -123,10 +260,11 @@ object Multimodal {
 
   /** Distributed resize: same mapPartitions batch shape as
     * [[decodeFeatures]] (codec init amortized per partition, no shuffle).
-    * The resize kernel is the declared deterministic stub — it re-encodes
-    * the payload truncated/padded proportionally to the target area so
-    * output sizes behave like a real resampler's; a production build swaps
-    * the body for ImageIO/swscale.
+    * Real images take the REAL path — Graphics2D bilinear resample +
+    * lossless PNG re-encode via [[ImageCodec.resizePng]]; non-image
+    * payloads take the declared deterministic stand-in (payload truncated
+    * proportionally to the target area so output sizes behave like a
+    * resampler's — swscale/ffmpeg would slot in for audio/video).
     */
   def resizeAssets(assets: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedAsset] = {
     val spark = assets.sparkSession
@@ -134,14 +272,24 @@ object Multimodal {
     assets.select("asset_id", "mime", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, mime, payload) =>
-          val (w0, h0, _, _) = FakeDecoder.decode(payload, mime)
-          val scale = math.min(1.0, math.min(maxW.toDouble / w0, maxH.toDouble / h0))
-          val w = math.max(1, (w0 * scale).toInt)
-          val h = math.max(1, (h0 * scale).toInt)
-          // stub re-encode: proportional byte count, deterministic content
-          val outLen = math.max(1, (payload.length * scale * scale).toInt)
-          val out = java.util.Arrays.copyOf(payload, outLen)
-          ResizedAsset(id, mime, out, w, h)
+          ImageCodec.tryDecode(payload) match {
+            case Some((w0, h0, _, _)) =>
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+              val w = math.max(1, (w0 * scale).toInt)
+              val h = math.max(1, (h0 * scale).toInt)
+              val out = ImageCodec.resizePng(payload, w, h).getOrElse(payload)
+              ResizedAsset(id, mime, out, w, h)
+            case None =>
+              val (w0, h0, _, _) = ByteProfiler.decode(payload, mime)
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / w0, maxH.toDouble / h0))
+              val w = math.max(1, (w0 * scale).toInt)
+              val h = math.max(1, (h0 * scale).toInt)
+              val outLen = math.max(1, (payload.length * scale * scale).toInt)
+              val out = java.util.Arrays.copyOf(payload, outLen)
+              ResizedAsset(id, mime, out, w, h)
+          }
         }
       }
   }
@@ -156,7 +304,7 @@ object Multimodal {
     * touch float comparisons. Appends (s0..s7, phash) to the frame.
     */
   def perceptualHash(featRows: DataFrame): DataFrame = {
-    val dim = FakeDecoder.featureDim
+    val dim = ByteProfiler.featureDim
     val n = greatest(col("n_bytes"), lit(1L))
     val sums = (0 until dim).map(j =>
       round(element_at(col("features"), j + 1) * 255.0 * n).cast("long").as(s"s$j"))
@@ -182,7 +330,7 @@ object Multimodal {
     */
   def phashNearDupPairs(featRows: DataFrame, tolPct: Int = 1): DataFrame = {
     require(tolPct >= 0 && tolPct <= 100, s"tolPct in [0,100], got $tolPct")
-    val dim = FakeDecoder.featureDim
+    val dim = ByteProfiler.featureDim
     val h = perceptualHash(featRows)
     def side(tag: String) = h.select(
       Seq(col("asset_id").as(s"id_$tag"), col("phash"),
@@ -220,7 +368,8 @@ object Multimodal {
     assets.select("asset_id", "mime", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, mime, payload) =>
-          val (_, _, nFrames, feats) = FakeDecoder.decode(payload, mime)
+          val (_, _, nFrames, feats) = ImageCodec.tryDecode(payload)
+            .getOrElse(ByteProfiler.decode(payload, mime))
           (0 until nFrames by stride).iterator.map { f =>
             // stub per-frame features: rotate the asset features by the
             // frame index so frames are distinct but deterministic

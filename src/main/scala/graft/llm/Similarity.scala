@@ -285,8 +285,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, centStep: Int,
       nProbe: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", maxCells: Int = 64): DataFrame = {
+    // a real IVF has a FIXED cell budget: the 1-in-centStep slice is only
+    // the deterministic stand-in for trained centroids, and the maxCells
+    // cap (no-op at every test SF, ≤ 40 cells) is what keeps the centroid
+    // table bounded — and the assignment cost O(N·cells), not O(N²/step)
+    // — at 100 TB; vec_id order makes the cap deterministic
     val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
+      .orderBy(col(idCol)).limit(maxCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
 
     // Corpus-side cell assignment: broadcast-join the centroids, then a

@@ -33,6 +33,23 @@ private[graft] object SimQueries {
   private def modelKey(d: String, name: String): String =
     name + "_" + d.replaceAll("[^A-Za-z0-9]+", "_")
 
+  /** Fixed-SIZE query workload for the ANN/retrieval family: the 1-in-50
+    * deterministic sample CAPPED at 64 queries. The cap is what makes the
+    * query side structurally bounded (a GlobalLimit) instead of a fixed
+    * FRACTION of the corpus — a 1/50 slice of 100 TB is 2 TB and neither
+    * broadcasts nor keeps the brute-force baselines O(N·Q) with constant
+    * Q; a query workload is fixed-size by nature. At every test SF the
+    * sample is 10–40 vectors, so the cap is a provable no-op there and
+    * every oracle hash is unchanged; base-table oracle CTEs mirror it as
+    * ORDER BY vec_id LIMIT 64 (vec_id is unique → deterministic), while
+    * derived-CTE `% 50` filters need no mirror at oracle SFs.
+    */
+  private val QBATCH_CAP = 64
+  private def qb(emb: DataFrame, every: Int = 50,
+      idCol: String = "vec_id"): DataFrame =
+    emb.filter(pmod(col(idCol), lit(every)) === 0)
+      .orderBy(idCol).limit(QBATCH_CAP)
+
   private def pqCb(s: SparkSession, d: String): DataFrame =
     graft.llm.ModelStore.getOrTrain(s, modelKey(d, "pq_s8_k32_i2_v1"))(
       Similarity.pqCodebooksE6(tbl(s, d, "embeddings"),
@@ -129,12 +146,12 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.radiusSearch(emb,
-            emb.filter(pmod(col("vec_id"), lit(50)) === 0), tauE6 = 200000L)
+            qb(emb), tauE6 = 200000L)
           .orderBy("query_id", "neighbor_id")
       },
       Some(
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
           |s AS (SELECT query_id, neighbor_id,
           |        CAST(floor(list_inner_product(qv, cv) /
@@ -151,11 +168,11 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.hardNegatives(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+          qb(emb), k = 5)
       },
       Some(
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
-          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS nlabel
           |      FROM embeddings),
           |s AS (SELECT query_id, neighbor_id,
@@ -169,11 +186,11 @@ private[graft] object SimQueries {
     Q("sim_cosine_topk",
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+        Similarity.bruteForceTopK(emb, qb(emb), k = 5)
       },
       Some(
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
           |s AS (SELECT query_id, neighbor_id,
           |        CAST(floor(list_inner_product(qv, cv) /
@@ -207,7 +224,7 @@ private[graft] object SimQueries {
       // combiner, exact-integer so the fused ranking replays in DuckDB
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val qv = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val qv = qb(emb)
         val dense = Similarity.bruteForceTopK(emb, qv, k = 10)
           .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
         val sparse = TextStats.moreLikeThis(tbl(s, d, "documents"),
@@ -227,7 +244,7 @@ private[graft] object SimQueries {
       // oracle-unrolled
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val qv = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val qv = qb(emb)
         val pool = Similarity.bruteForceTopK(emb, qv, k = 20)
           .join(emb.select(col("vec_id").as("neighbor_id"),
             col("embedding").as("v")), "neighbor_id")
@@ -264,7 +281,7 @@ private[graft] object SimQueries {
       // and rerank. Fully oracle-checked, multi-probe included.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+        Similarity.lshTopK(emb, qb(emb), k = 5)
       },
       Some(LSH_TOPK_SQL),
       bench = true),
@@ -288,7 +305,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfTopKTrained(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          qb(emb),
           k = 5, numCells = 8, trainIters = 2, nProbe = 2,
           centroids = Some(km8(s, d)))
       },
@@ -304,7 +321,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfRadiusSearch(emb,
-            emb.filter(pmod(col("vec_id"), lit(50)) === 0), tauE6 = 200000L,
+            qb(emb), tauE6 = 200000L,
             numCells = 8, trainIters = 2, nProbe = 2,
             centroids = Some(km8(s, d)))
           .orderBy("query_id", "neighbor_id")
@@ -318,7 +335,7 @@ private[graft] object SimQueries {
       // routed results are a subset, so recall is ivf/exact on counts
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val qs = qb(emb)
         val ne = Similarity.radiusSearch(emb, qs, tauE6 = 200000L)
           .agg(count(lit(1)).as("exact_pairs"))
         val ni = Similarity.ivfRadiusSearch(emb, qs, tauE6 = 200000L,
@@ -340,7 +357,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfSq8TopK(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          qb(emb),
           k = 5, numCells = 8, trainIters = 2, nProbe = 2,
           centroids = Some(km8(s, d)))
       },
@@ -353,7 +370,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.sq8TopK(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+          qb(emb), k = 5)
       },
       Some(SQ8_TOPK_SQL),
       bench = true),
@@ -363,7 +380,7 @@ private[graft] object SimQueries {
       // justifies (or vetoes) the 4× compression for a given corpus
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.sq8TopK(emb, queries, k = 5),
             Similarity.bruteForceTopK(emb, queries, k = 5))
@@ -385,7 +402,7 @@ private[graft] object SimQueries {
       // — trained once per suite, served here.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        Similarity.pqTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+        Similarity.pqTopK(emb, qb(emb),
           k = 5, numSub = 8, kSub = 32, trainIters = 2,
           codebooks = Some(pqCb(s, d)))
       },
@@ -404,7 +421,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfPqTopK(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          qb(emb),
           k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
           trainIters = 2, trainSample = 100,
           centroids = Some(ivfpqCents(s, d)), codebooks = Some(ivfpqCb(s, d)))
@@ -422,7 +439,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.ivfPqResidualTopK(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          qb(emb),
           k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
           trainIters = 2, trainSample = 100,
           centroids = Some(ivfpqrCents(s, d)),
@@ -437,7 +454,7 @@ private[graft] object SimQueries {
       // absence on this isotropic corpus) is a number, not a guess
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.ivfPqResidualTopK(emb, queries,
               k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
@@ -456,7 +473,7 @@ private[graft] object SimQueries {
       // oracle
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.ivfPqTopK(emb, queries,
               k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
@@ -474,7 +491,7 @@ private[graft] object SimQueries {
       // integer-exact e6 ratios, both pipelines replayed in the oracle
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.pqTopK(emb, queries, k = 5, numSub = 8, kSub = 32,
               trainIters = 2, codebooks = Some(pqCb(s, d))),
@@ -493,7 +510,7 @@ private[graft] object SimQueries {
       // which is the point: config quality is MEASURED, not assumed
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.pqTopKReranked(emb, queries, k = 5, shortlist = 25,
               numSub = 8, kSub = 32, trainIters = 2,
@@ -514,7 +531,7 @@ private[graft] object SimQueries {
       // codebook is adequate once the corpus has cluster structure.
       (s, d) => {
         val emb = cemb(s, d)
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.pqTopK(emb, queries, k = 5, numSub = 8, kSub = 32,
               trainIters = 2, codebooks = Some(clPqCb(s, d))),
@@ -533,7 +550,7 @@ private[graft] object SimQueries {
       // probe dial stays at 2 and the quantizer is the binding constraint.
       (s, d) => {
         val emb = cemb(s, d)
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.ivfPqTopK(emb, queries,
               k = 5, numCells = 8, nProbe = 2, numSub = 8, kSub = 32,
@@ -554,7 +571,7 @@ private[graft] object SimQueries {
       // the corpus's near-equidistance, as claimed.
       (s, d) => {
         val emb = cemb(s, d)
-        val qs = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val qs = qb(emb)
         val ne = Similarity.radiusSearch(emb, qs, tauE6 = 200000L)
           .agg(count(lit(1)).as("exact_pairs"))
         val ni = Similarity.ivfRadiusSearch(emb, qs, tauE6 = 200000L,
@@ -573,12 +590,13 @@ private[graft] object SimQueries {
       // variant is sim_ivf_trained_topk.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+        Similarity.ivfTopK(emb, qb(emb),
           k = 5, centStep = 100, nProbe = 2)
       },
       Some(
         """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
-          |           FROM embeddings WHERE vec_id % 100 = 0),
+          |           FROM embeddings WHERE vec_id % 100 = 0
+          |           ORDER BY vec_id LIMIT 64),
           |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           |vc AS (
           |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
@@ -674,7 +692,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val feats = Multimodal.decodeFeatures(
           Multimodal.synthesizeAssets(tbl(s, d, "documents"), "doc_id", "text")).toDF()
-        val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+        val sumCols = (0 until Multimodal.ByteProfiler.featureDim).map(j =>
           round(element_at(col("features"), j + 1).cast("double") * 255.0 *
             greatest(col("n_bytes"), lit(1L))).cast("long").as(s"f${j}_sum"))
         feats.select(Seq(col("asset_id"), col("mime"), col("n_bytes"),
@@ -727,6 +745,73 @@ private[graft] object SimQueries {
           |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
           |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    Q("mm_real_decode",
+      // REAL codec, REAL oracle: one solid-color PNG per document
+      // (dims/color closed-form functions of doc_id), encoded with
+      // javax.imageio, decoded back through the production decodeFeatures
+      // path — actual PNG parsing, actual pixel loops. The oracle never
+      // sees a byte: PNG is lossless and a solid color's channel means
+      // ARE the channel values, so DuckDB predicts the decode output
+      // from the generative parameters alone. The quadrant slot equaling
+      // the global slot is the structural witness that the pixel loop
+      // (not a metadata shortcut) produced the features.
+      (s, d) => {
+        val feats = Multimodal.decodeFeatures(
+          Multimodal.synthesizePngAssets(tbl(s, d, "documents"), "doc_id")).toDF()
+        feats.select(col("asset_id"), col("width"), col("height"),
+            round(element_at(col("features"), 1) * 255.0).cast("long").as("r"),
+            round(element_at(col("features"), 2) * 255.0).cast("long").as("g"),
+            round(element_at(col("features"), 3) * 255.0).cast("long").as("b"),
+            round(element_at(col("features"), 4) * 765.0).cast("long").as("rgb_sum"),
+            round(element_at(col("features"), 5) * 255.0).cast("long").as("quad_r"))
+          .orderBy("asset_id")
+      },
+      Some(
+        """SELECT doc_id AS asset_id,
+          |  CAST(4 + doc_id % 13 AS INT) AS width,
+          |  CAST(4 + doc_id % 11 AS INT) AS height,
+          |  CAST((doc_id * 37) % 256 AS BIGINT) AS r,
+          |  CAST((doc_id * 59) % 256 AS BIGINT) AS g,
+          |  CAST((doc_id * 83) % 256 AS BIGINT) AS b,
+          |  CAST((doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256
+          |    AS BIGINT) AS rgb_sum,
+          |  CAST((doc_id * 37) % 256 AS BIGINT) AS quad_r
+          |FROM documents ORDER BY asset_id""".stripMargin),
+      bench = true),
+
+    Q("mm_real_resize",
+      // REAL resample verified end to end: the PNG fixtures resized to
+      // fit 8×8 through Graphics2D bilinear + PNG re-encode, then the
+      // OUTPUT payload re-decoded through the real codec — dims follow
+      // the scale-to-fit formula (replayed in IEEE doubles by the
+      // oracle: /, least, trunc are all correctly rounded in both
+      // engines), and the solid color survives interpolation exactly
+      // (every bilinear sample is the same pixel).
+      (s, d) => {
+        val resized = Multimodal.resizeAssets(
+          Multimodal.synthesizePngAssets(tbl(s, d, "documents"), "doc_id"),
+          maxW = 8, maxH = 8).toDF()
+        val redecoded = Multimodal.decodeFeatures(
+          resized.select(col("asset_id"), col("mime"), col("payload"),
+            octet_length(col("payload")).cast("long").as("n_bytes"))).toDF()
+        redecoded.select(col("asset_id"), col("width"), col("height"),
+            round(element_at(col("features"), 1) * 255.0).cast("long").as("r"),
+            round(element_at(col("features"), 2) * 255.0).cast("long").as("g"),
+            round(element_at(col("features"), 3) * 255.0).cast("long").as("b"))
+          .orderBy("asset_id")
+      },
+      Some(
+        """WITH mp AS (SELECT doc_id, 4 + doc_id % 13 AS w0, 4 + doc_id % 11 AS h0,
+          |    (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+          |    (doc_id * 83) % 256 AS b
+          |  FROM documents),
+          |ms AS (SELECT *, least(1.0, least(8.0 / w0, 8.0 / h0)) AS sc FROM mp)
+          |SELECT doc_id AS asset_id,
+          |  CAST(greatest(1, CAST(trunc(w0 * sc) AS INT)) AS INT) AS width,
+          |  CAST(greatest(1, CAST(trunc(h0 * sc) AS INT)) AS INT) AS height,
+          |  CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g, CAST(b AS BIGINT) AS b
+          |FROM ms ORDER BY asset_id""".stripMargin)),
+
     Q("sim_matryoshka_recall",
       // Matryoshka/progressive ANN measured: shortlist with the 16-dim
       // PREFIX of the 64-dim embedding (¼ the dot-product cost), exact
@@ -734,7 +819,7 @@ private[graft] object SimQueries {
       // prefix's ranking fidelity as a number, like the PQ/SQ harnesses.
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
-        val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        val queries = qb(emb)
         Similarity.recallAtK(
             Similarity.prefixTopKReranked(emb, queries, k = 5,
               shortlist = 20, prefixDims = 16),
@@ -743,7 +828,7 @@ private[graft] object SimQueries {
       },
       Some(
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
           |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
           |pre AS (SELECT query_id, neighbor_id,
           |    CAST(floor(list_inner_product(qv[1:16], cv[1:16]) /
@@ -856,7 +941,7 @@ private[graft] object SimQueries {
       (s, d) => {
         val emb = tbl(s, d, "embeddings")
         Similarity.binarySignTopK(emb,
-          emb.filter(pmod(col("vec_id"), lit(50)) === 0), k = 5)
+          qb(emb), k = 5)
       },
       Some(
         """WITH v AS (SELECT vec_id AS id,
@@ -973,7 +1058,7 @@ private[graft] object SimQueries {
          |        rel_e6, mmr_e7 FROM pk$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        |sd AS (SELECT query_id, neighbor_id, cv,
        |        CAST(floor(list_inner_product(qv, cv) /
@@ -996,7 +1081,7 @@ private[graft] object SimQueries {
     */
   private lazy val HYBRID_RRF_SQL: String =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |           FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
       |sd AS (SELECT query_id, neighbor_id,
       |        CAST(floor(list_inner_product(qv, cv) /
@@ -1048,7 +1133,7 @@ private[graft] object SimQueries {
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   private lazy val MM_PHASH_SQL: String = {
-    val dim = Multimodal.FakeDecoder.featureDim
+    val dim = Multimodal.ByteProfiler.featureDim
     val sumSelects = (0 until dim).map(j =>
       s"CAST(COALESCE(sum(byte) FILTER (WHERE i % $dim = $j), 0) AS BIGINT) AS f$j").mkString(",\n        ")
     val sumCols = (0 until dim).map(j => s"COALESCE(s.f$j, 0) AS s$j").mkString(", ")
@@ -1079,9 +1164,9 @@ private[graft] object SimQueries {
   }
 
   private lazy val MM_DECODE_SQL: String = {
-    val sumSelects = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+    val sumSelects = (0 until Multimodal.ByteProfiler.featureDim).map(j =>
       s"CAST(COALESCE(sum(byte) FILTER (WHERE i % 8 = $j), 0) AS BIGINT) AS f${j}_sum").mkString(",\n        ")
-    val sumCols = (0 until Multimodal.FakeDecoder.featureDim).map(j =>
+    val sumCols = (0 until Multimodal.ByteProfiler.featureDim).map(j =>
       s"CAST(COALESCE(s.f${j}_sum, 0) AS BIGINT) AS f${j}_sum").mkString(",\n      ")
     s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
        |by AS (SELECT doc_id, i,
@@ -1514,7 +1599,7 @@ private[graft] object SimQueries {
     */
   private lazy val EXACT_TOP5_CTES: String =
     s"""qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |       FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
        |cv AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
        |bs AS (SELECT query_id, neighbor_id,
        |        CAST(floor(list_inner_product(qe, ce) /
@@ -1735,7 +1820,7 @@ private[graft] object SimQueries {
   private lazy val RADIUS_RECALL_SQL: String =
     s"""WITH $IVF_ROUTED_CTES,
        |qx AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |       FROM embeddings WHERE vec_id % 50 = 0),
+       |       FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
        |cx AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
        |se AS (SELECT query_id, neighbor_id FROM (
        |         SELECT query_id, neighbor_id, ${cosE6Sql("qv", "cv")} AS sim_e6

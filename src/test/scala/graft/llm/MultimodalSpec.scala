@@ -4,13 +4,76 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The multimodal plumbing — schema, binary columns, batch shapes — is
-  * real; the decode kernel is the declared deterministic stub, so tests
-  * pin the CONTRACTS (schemas, determinism, fan-out arithmetic), not
-  * codec output.
+/** The multimodal plumbing — schema, binary columns, batch shapes — plus
+  * the two decode kernels: the REAL javax.imageio codec (pixel-level
+  * assertions on generated PNGs, including non-solid images the oracled
+  * queries can't express) and the deterministic byte profiler used for
+  * payloads no in-container codec parses.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  test("ImageCodec: decode recovers dims and exact channel means of a real PNG") {
+    val png = Multimodal.ImageCodec.encodePng(6, 4, 200, 100, 50)
+    // a real PNG signature, not a profiler fallback
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val Some((w, h, nf, f)) = Multimodal.ImageCodec.tryDecode(png)
+    assert(w == 6 && h == 4 && nf == 1)
+    assert(math.round(f(0) * 255) == 200 && math.round(f(1) * 255) == 100 &&
+      math.round(f(2) * 255) == 50 && math.round(f(3) * 765) == 350)
+  }
+
+  test("ImageCodec: quadrant slots see spatial structure a global mean hides") {
+    // left half black, right half white: global mean 127.5ish, top-left
+    // quadrant pure black — the two slot groups MUST differ
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, _, f)) = Multimodal.ImageCodec.tryDecode(bos.toByteArray)
+    assert(w == 8 && h == 8)
+    assert(math.round(f(0) * 255 * 2) == 255, "global mean should be exactly half")
+    assert(f(4) == 0.0, "top-left quadrant is pure black")
+  }
+
+  test("ImageCodec: real resample halves a gradient and stays a decodable PNG") {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some(out) = Multimodal.ImageCodec.resizePng(bos.toByteArray, 8, 8)
+    val Some((w, h, _, f)) = Multimodal.ImageCodec.tryDecode(out)
+    assert(w == 8 && h == 8)
+    // bilinear of a linear gradient preserves the mean within rounding
+    assert(math.abs(f(0) * 255 - 120.0) < 16, s"red mean drifted: ${f(0) * 255}")
+  }
+
+  test("ImageCodec: non-image bytes fall back to the byte profiler") {
+    assert(Multimodal.ImageCodec.tryDecode("not an image".getBytes).isEmpty)
+    val row = Multimodal.decodeFeatures(Multimodal.synthesizeAssets(
+        Seq((1L, "not an image")).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().head
+    val (bw, bh, _, bf) =
+      Multimodal.ByteProfiler.decode("not an image".getBytes, "image/jpeg")
+    assert(row.width == bw && row.height == bh)
+    assert(row.features.toSeq == bf.toSeq)
+  }
+
+  test("decodeFeatures takes the REAL path for genuine PNG payloads") {
+    val ids = Seq(5L, 9L).toDF("doc_id")
+    val rows = Multimodal.decodeFeatures(
+        Multimodal.synthesizePngAssets(ids, "doc_id"))
+      .collect().sortBy(_.asset_id)
+    // closed-form fixture params: w = 4 + id%13, r = (id*37)%256
+    assert(rows(0).width == 9 && rows(0).height == 9)
+    assert(math.round(rows(0).features(0) * 255) == (5 * 37) % 256)
+    assert(rows(1).width == 13 && rows(1).height == 13)
+    assert(math.round(rows(1).features(2) * 255) == (9 * 83) % 256)
+  }
 
   private def assets = Multimodal.synthesizeAssets(
     Seq((1L, "tiny"), (2L, "a longer payload body for the fake decoder"),
@@ -35,7 +98,7 @@ class MultimodalSpec extends SparkSpec {
     val f1 = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
     val f2 = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
     assert(f1.length == 4)
-    f1.foreach(f => assert(f.features.length == Multimodal.FakeDecoder.featureDim))
+    f1.foreach(f => assert(f.features.length == Multimodal.ByteProfiler.featureDim))
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
