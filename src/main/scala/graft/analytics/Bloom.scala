@@ -59,6 +59,11 @@ object Bloom {
     df.filter(item.isNotNull)
       .select(explode(positions(item, m, k)).as("pos"))
       .distinct()
+      // positions are in [0, m), so ≤ m distinct rows exist by pigeonhole
+      // — the limit is provably a no-op that makes the bound STRUCTURAL
+      // (a GlobalLimit), so plan-scale audits see the filter's build side
+      // as the m-bounded artifact it is, however large the input
+      .limit(m)
 
   /** Packed form: one row, `set` = the sorted position array (≤ m ints).
     * sort_array(collect_set) gives [[SortedSetContainsAll]] its sorted

@@ -158,21 +158,29 @@ object Corpus {
     * (GPT-style packing with document straddling). Emits
     * (pack_id, pack_offset) per document.
     *
-    * One shuffle (the window partition); running sum is O(n) per
-    * partition. A stream whose docs all share one partitionCol value
-    * serializes into one task — pick a partitionCol with enough
-    * cardinality at scale, or pre-shard ids.
+    * The running sum does NOT run in a per-stream window — partitionCol
+    * is typically a LOW-cardinality key (language, source), so
+    * `sum(tokens) OVER (PARTITION BY stream ORDER BY …)` would serialize
+    * each stream into one task that sorts the stream's whole corpus at
+    * any scale. It rides [[graft.etl.Ids.groupedRunningSum]]'s two-pass
+    * offset scheme instead (range-partition by (stream, order), tiny
+    * per-(partition, stream) offset map on the driver) — parallelism
+    * stays partition-bound however few streams there are. Deterministic
+    * whenever (partitionCol, orderCol) is a total order.
     */
   def packSequences(docs: DataFrame, tokensCol: Column, partitionCol: Column,
       orderCol: Column, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumEnd = sum(tokensCol).over(w)
-    val start = cumEnd - tokensCol
-    docs
+    val prepped = docs
+      .withColumn("__pack_g", partitionCol)
+      .withColumn("__pack_w", tokensCol.cast("long"))
+    val ranked = graft.etl.Ids.groupedRunningSum(prepped, Seq("__pack_g"),
+      Seq(orderCol), "__pack_w", "__pack_cum", "__pack_tot")
+    val start = col("__pack_cum") - col("__pack_w")
+    ranked
       .withColumn("pack_id", floor(start / capacity))
       .withColumn("pack_offset", (start % capacity).cast("long"))
+      .drop("__pack_g", "__pack_w", "__pack_cum", "__pack_tot")
   }
 
   /** Per-group exact token-count quantiles (linear interpolation — the

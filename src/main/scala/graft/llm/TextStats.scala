@@ -132,10 +132,14 @@ object TextStats {
     * (rarer token → larger idf, higher tf → higher score) while staying
     * bit-deterministic in any engine with integer division.
     *
-    * Scale shape: one (doc, token) aggregation (map-side combinable), a
-    * vocabulary-sized df table broadcast back onto it, and the corpus
-    * count as a broadcast 1-row total — no driver-side collect, no
-    * corpus-sized shuffle beyond the tf aggregation itself.
+    * Scale shape: one (doc, token) aggregation (map-side combinable), the
+    * df table joined back onto it BY TOKEN with the strategy left to the
+    * planner — the df table is VOCABULARY-sized, which grows (sublinearly
+    * but unboundedly) with the corpus, so a forced broadcast would OOM at
+    * 100 TB; AQE broadcasts it at small SF and shuffle-joins on `tok` at
+    * scale (tf is already keyed by (doc, tok), so the df join reuses that
+    * shuffle's co-location) — and the corpus count as a broadcast 1-row
+    * total. No driver-side collect.
     */
   def tfIdf(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -146,7 +150,7 @@ object TextStats {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val total = docs.select(count(lit(1)).as("__n"))
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         (col("tf") * expr("(__n * CAST(1000000 AS BIGINT)) div df")).as("score_e6"))

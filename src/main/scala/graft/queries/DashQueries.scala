@@ -658,7 +658,12 @@ private[graft] object DashQueries {
       // the e6 value saturates 38 digits around sf100 — by then the split
       // is significant or it isn't). significant = z²_e6 ≥ 3_841_459
       // (χ²₁ at α=0.05). The md5 draw makes the whole experiment —
-      // assignment included — replayable by the oracle.
+      // assignment included — replayable by the oracle. The denominator
+      // is 0 exactly when NO customer converts, EVERY customer converts,
+      // or a variant is empty — all cases where the numerator is 0 too —
+      // so greatest(denom, 1) pins z² to an exact 0 (not significant) on
+      // degenerate data instead of a NULL-vs-error cross-engine divergence
+      // (Spark DIV yields NULL, DuckDB // raises).
       (s, d) => {
         val conv = tbl(s, d, "orders")
           .groupBy(col("o_custkey").as("ck"))
@@ -676,9 +681,10 @@ private[graft] object DashQueries {
             """CAST(CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
               |     CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
               |     CAST(na + nb AS DECIMAL(38,0)) * 1000000
-              | DIV (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) *
+              | DIV greatest(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) *
               |      CAST(ca + cb AS DECIMAL(38,0)) *
-              |      CAST(na + nb - ca - cb AS DECIMAL(38,0))) AS BIGINT)
+              |      CAST(na + nb - ca - cb AS DECIMAL(38,0)),
+              |      CAST(1 AS DECIMAL(38,0))) AS BIGINT)
               | AS z2_e6""".stripMargin)
           .withColumn("significant", (col("z2_e6") >= 3841459L).cast("boolean"))
           .orderBy("na")
@@ -699,11 +705,11 @@ private[graft] object DashQueries {
            |SELECT na, ca, nb, cb,
            |  CAST(CAST(ca * nb - cb * na AS HUGEINT) * CAST(ca * nb - cb * na AS HUGEINT)
            |       * CAST(na + nb AS HUGEINT) * 1000000
-           |    // (CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb))
+           |    // greatest(CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb), 1)
            |    AS BIGINT) AS z2_e6,
            |  CAST(CAST(ca * nb - cb * na AS HUGEINT) * CAST(ca * nb - cb * na AS HUGEINT)
            |       * CAST(na + nb AS HUGEINT) * 1000000
-           |    // (CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb))
+           |    // greatest(CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb), 1)
            |    >= 3841459 AS BOOLEAN) AS significant
            |FROM za ORDER BY na""".stripMargin
       }),
@@ -1503,19 +1509,24 @@ private[graft] object DashQueries {
       // quantile, 20·cum ≥ n and 20·cum ≥ 19·n), values outside snap to
       // the bound — then compare the robust mean against the raw one.
       // The de-outliering a revenue dashboard needs before a single whale
-      // order bends every trend line; windows per priority key only.
+      // order bends every trend line. The cumulative rank does NOT run in
+      // a per-priority window — pri is a 5-value key, so a window caps
+      // parallelism at 5 and one task sorts 1/5 of ALL orders at any
+      // scale; it rides Ids.groupedRunningSum's two-pass offsets (weight
+      // = 1 makes cumw the running COUNT), exactly as dash_weighted_median
+      // does. (pri, c, o_orderkey) is a total order → deterministic cum.
+      // The checkpointed ranked frame feeds BOTH the bounds aggregate and
+      // the winsorize stage, so orders is scanned once.
       (s, d) => {
         val o = tbl(s, d, "orders").select(col("o_orderpriority").as("pri"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
-          col("o_orderkey"))
-        val w = Window.partitionBy("pri").orderBy(col("c"), col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = o.withColumn("cum", count(lit(1)).over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
-        val bounds = cum.groupBy("pri").agg(
+          col("o_orderkey"), lit(1L).as("one"))
+        val ranked = Ids.groupedRunningSum(o, Seq("pri"),
+          Seq(col("c"), col("o_orderkey")), "one", "cum", "n")
+        val bounds = ranked.groupBy("pri").agg(
           min(when(col("cum") * 20 >= col("n"), col("c"))).as("p05_c"),
           min(when(col("cum") * 20 >= col("n") * 19, col("c"))).as("p95_c"))
-        o.join(broadcast(bounds), "pri")
+        ranked.join(broadcast(bounds), "pri")
           .select(col("pri"),
             greatest(least(col("c"), col("p95_c")), col("p05_c")).as("wc"),
             col("c"), col("p05_c"), col("p95_c"))
@@ -1549,7 +1560,43 @@ private[graft] object DashQueries {
           |  CAST(max(p05_c) AS BIGINT) AS p05_c, CAST(max(p95_c) AS BIGINT) AS p95_c,
           |  CAST(CAST(sum(c) AS BIGINT) * 10000 // count(*) AS BIGINT) AS raw_mean_e6,
           |  CAST(CAST(sum(wc) AS BIGINT) * 10000 // count(*) AS BIGINT) AS wins_mean_e6
-          |FROM wv GROUP BY pri ORDER BY pri""".stripMargin)))
+          |FROM wv GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    Q("dash_equalized_deciles",
+      // histogram-equalized deciles per priority: EXACT equal-count
+      // buckets (decile = (rank-1)·10 DIV n), reporting each bucket's
+      // population and [lo, hi] value bounds — the equalized-binning face
+      // (choropleth scales, score calibration) that quantile() can only
+      // approximate. Same discipline as dash_winsorized_mean: the
+      // per-priority rank does NOT run in a window (pri is a 5-value key
+      // — one task would sort 1/5 of all orders at any scale); it rides
+      // Ids.groupedRunningSum's weight-1 two-pass offsets, and
+      // (pri, c, o_orderkey) is a total order → deterministic ranks.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_orderpriority").as("pri"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"),
+          col("o_orderkey"), lit(1L).as("one"))
+        Ids.groupedRunningSum(o, Seq("pri"),
+            Seq(col("c"), col("o_orderkey")), "one", "rk", "n")
+          .withColumn("decile", expr("(rk - 1) * 10 DIV n"))
+          .groupBy("pri", "decile")
+          .agg(count(lit(1)).as("nd"),
+            min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+          .orderBy("pri", "decile")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderpriority AS pri,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+          |    o_orderkey
+          |  FROM orders),
+          |r AS (SELECT pri, c,
+          |    row_number() OVER (PARTITION BY pri ORDER BY c, o_orderkey) AS rk,
+          |    count(*) OVER (PARTITION BY pri) AS n
+          |  FROM o)
+          |SELECT pri, CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+          |  count(*) AS nd,
+          |  CAST(min(c) AS BIGINT) AS lo_c, CAST(max(c) AS BIGINT) AS hi_c
+          |FROM r GROUP BY pri, decile ORDER BY pri, decile""".stripMargin)))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row
     * trailing window (integer sums and integer-division average — the

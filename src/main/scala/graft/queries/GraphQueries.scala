@@ -116,7 +116,7 @@ private[graft] object GraphQueries {
         .distinct()
       val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 25).select("item")
-      val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+      val fi = items.join(freq, Seq("item"), "left_semi")
       fi.as("a")
         .join(fi.as("b"),
           col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
@@ -170,16 +170,18 @@ private[graft] object GraphQueries {
       // Market-basket pair mining, a-priori pruned (Agrawal & Srikant,
       // VLDB'94): items below min-support cannot appear in a frequent
       // pair, so the per-basket quadratic join runs on the PRUNED item
-      // set only — and the frequent-item dim is small by construction,
-      // hence broadcast. The self-join shuffles the pruned items by
-      // basket once; both sides share the exchange.
+      // set only. The frequent set is item-cardinality-bounded — fact-
+      // sized at scale — so its join strategy is left to the planner:
+      // auto-broadcast at test SF, shuffle semi-join at 100 TB. The
+      // self-join shuffles the pruned items by basket once; both sides
+      // share the exchange.
       (s, d) => {
         val items = tbl(s, d, "lineitem")
           .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
           .distinct()
         val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 25).select("item")
-        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val fi = items.join(freq, Seq("item"), "left_semi")
         fi.as("a")
           .join(fi.as("b"),
             col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
@@ -238,7 +240,7 @@ private[graft] object GraphQueries {
         val nB = items.select(countDistinct(col("ord")).as("nb"))
         val freq = items.groupBy("item").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 25)
-        val fi = items.join(broadcast(freq), Seq("item"), "left_semi")
+        val fi = items.join(freq, Seq("item"), "left_semi")
         val pairs = fi.as("a")
           .join(fi.as("b"),
             col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
@@ -246,8 +248,8 @@ private[graft] object GraphQueries {
           .agg(count(lit(1)).as("n"))
           .filter(col("n") >= 2)
         pairs
-          .join(broadcast(freq.select(col("item").as("item_a"), col("df").as("ca"))), Seq("item_a"))
-          .join(broadcast(freq.select(col("item").as("item_b"), col("df").as("cb"))), Seq("item_b"))
+          .join(freq.select(col("item").as("item_a"), col("df").as("ca")), Seq("item_a"))
+          .join(freq.select(col("item").as("item_b"), col("df").as("cb")), Seq("item_b"))
           .crossJoin(broadcast(nB))
           .select(col("item_a"), col("item_b"), col("n"),
             expr("(n * nb * 1000000L) DIV (ca * cb)").as("lift_e6"),

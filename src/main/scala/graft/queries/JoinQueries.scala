@@ -408,13 +408,13 @@ private[graft] object JoinQueries {
     Q("join_tpch_q5_shape",
       // the TPC-H Q5 shape — the deepest join tree on the board: SIX
       // tables, with the c_nationkey = s_nationkey residual (the
-      // predicate that makes Q5 a benchmark classic). Plan: the tiny
-      // region→nation spine and the region-filtered supplier dim are
-      // broadcast EXPLICITLY (they stay small at any scale); customer is
-      // fact-sized at scale, so its join is left to the planner — equi
-      // on custkey with the nationkey residual, a shuffle join at 100 TB
-      // and an auto-broadcast at test SF. Revenue in exact decimal→e4
-      // longs.
+      // predicate that makes Q5 a benchmark classic). Plan: only the
+      // geography-bounded region→nation spine broadcasts EXPLICITLY;
+      // supplier is FACT-sized (grows linearly with SF — ~1 B rows at
+      // the 100 TB design point, 1/5 of it after the ASIA filter), so
+      // its join, like customer's, is left to the planner — equi keys
+      // with the nationkey residual, shuffle joins at 100 TB and
+      // auto-broadcasts at test SF. Revenue in exact decimal→e4 longs.
       (s, d) => {
         val lo = lit("1996-01-01").cast("timestamp")
         val hi = lit("1997-01-01").cast("timestamp")
@@ -433,7 +433,7 @@ private[graft] object JoinQueries {
         val l = tbl(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .join(cust, col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
@@ -1137,10 +1137,12 @@ private[graft] object JoinQueries {
       // customer-dimension VERSION valid at its order date — v1 before
       // 1996-07-01, v2 (open-ended) after. The equi-key carries the join;
       // the validity range is a residual predicate on the joined row, so
-      // there is no interval explosion and no extra shuffle: versions per
-      // key are few and bounded, which is what keeps SCD2 lookups cheap
-      // at fact-table scale. Complements join_asof (event-to-event) with
-      // the dimension-history flavor.
+      // there is no interval explosion: versions per KEY are few and
+      // bounded, which keeps SCD2 lookups cheap at fact-table scale. The
+      // dim itself is 2× the full customer table — fact-sized — so the
+      // join strategy is left to the planner (shuffle equi-join at
+      // 100 TB, auto-broadcast at test SF). Complements join_asof
+      // (event-to-event) with the dimension-history flavor.
       (s, d) => {
         val c = tbl(s, d, "customer")
         val dim = c.select(col("c_custkey").as("dkey"),
@@ -1155,7 +1157,7 @@ private[graft] object JoinQueries {
           .select(col("o_custkey").as("fkey"),
             col("o_orderdate").cast("date").as("day"),
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_c"))
-          .join(broadcast(dim), col("fkey") === col("dkey") &&
+          .join(dim, col("fkey") === col("dkey") &&
             col("day") >= col("vf") && (col("vt").isNull || col("day") < col("vt")))
           .groupBy("seg")
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_c"))
@@ -1183,9 +1185,11 @@ private[graft] object JoinQueries {
       // the fact scan is pruned by the codegen'd SortedSetContainsAll
       // binary search BEFORE any exchange — the explicit, engine-portable
       // form of Spark's runtime row-level filtering. False positives are
-      // swallowed by the exact broadcast join that follows, so the oracle
-      // is the PLAIN join SQL: the bloom may only ever change the plan,
-      // never the answer.
+      // swallowed by the exact join that follows, so the oracle is the
+      // PLAIN join SQL: the bloom may only ever change the plan, never
+      // the answer. The Bloom BITS are bounded (BLOOM_JOIN_M); the
+      // supplier dim itself is fact-sized, so the exact join's strategy
+      // is left to the planner.
       (s, d) => {
         val dim = tbl(s, d, "supplier")
           .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
@@ -1197,7 +1201,7 @@ private[graft] object JoinQueries {
         val pruned = Bloom.prune(
           tbl(s, d, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount"),
           col("l_suppkey"), packed, BLOOM_JOIN_M, BLOOM_K)
-        pruned.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        pruned.join(dim, col("l_suppkey") === col("s_suppkey"))
           .groupBy("n_name")
           .agg(count(lit(1)).as("n"),
             sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -1214,6 +1218,73 @@ private[graft] object JoinQueries {
           |JOIN region ON n_regionkey = r_regionkey
           |WHERE r_name = 'EUROPE'
           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true),
+
+    Q("join_skew_stress_salted",
+      // skew-STRESS measurement, salted arm: a deliberately zipf-extreme
+      // key (~90% of lineitem lands on key 1) joined against supplier
+      // through Skew.saltedJoin — the hot key spreads over 16 tasks while
+      // the build side replicates ×16 (16k rows at sf0.1: noise). The
+      // merge hint pins the SHUFFLE join both arms would get at 100 TB,
+      // so the sf0.1 timing measures the skew discipline, not an
+      // auto-broadcast that hides it. Row-for-row equal to the plain
+      // join — the oracle IS the plain join — and the AQE twin below
+      // runs the identical plan unsalted; the bench rows side by side
+      // are the measured justification (or veto) for explicit salting.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+          .select(when(col("l_orderkey") % 10 < 9, lit(1L))
+              .otherwise(col("l_suppkey")).as("k"),
+            col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val supp = tbl(s, d, "supplier")
+          .select(col("s_suppkey").as("k"), col("s_nationkey")).hint("merge")
+        graft.plans.Skew.saltedJoin(li, supp, Seq("k"),
+            col("l_orderkey"), salts = 16)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+          .orderBy("s_nationkey")
+      },
+      Some(SKEW_STRESS_SQL),
+      bench = true),
+
+    Q("join_skew_stress_aqe",
+      // skew-stress twin, AQE-only arm: the identical zipf-extreme join
+      // with NO salting — the merge hint pins the same shuffle path and
+      // AQE's skew-join split (spark.sql.adaptive.skewJoin) is left to
+      // re-split the hot partition at runtime. Identical output by
+      // construction; the bench delta against the salted arm is the
+      // engine-measured answer to "does explicit salting still pay when
+      // AQE can re-split this join?" (saltedJoin's remit is the shapes
+      // AQE can NOT reach — exact per-key distinct counts, downstream
+      // stateful ops — but the claim deserves a number on the shape AQE
+      // CAN reach).
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+          .select(when(col("l_orderkey") % 10 < 9, lit(1L))
+              .otherwise(col("l_suppkey")).as("k"),
+            col("l_quantity").cast("long").as("qty"))
+        val supp = tbl(s, d, "supplier")
+          .select(col("s_suppkey").as("k"), col("s_nationkey")).hint("merge")
+        li.join(supp, "k")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+          .orderBy("s_nationkey")
+      },
+      Some(SKEW_STRESS_SQL),
       bench = true)
   )
+
+  /** Shared oracle for both skew-stress arms: the PLAIN join of the
+    * skewed key against supplier — salting and AQE splits may only ever
+    * change the plan, never the answer.
+    */
+  private lazy val SKEW_STRESS_SQL: String =
+    """WITH sk AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1
+      |                        ELSE l_suppkey END AS k,
+      |              CAST(l_quantity AS BIGINT) AS qty
+      |            FROM lineitem)
+      |SELECT s_nationkey, count(*) AS n_items,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty
+      |FROM sk JOIN supplier ON k = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 }

@@ -1,49 +1,239 @@
 package graft
 
+import java.util.IdentityHashMap
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
 
 /** Shared scale-classification helpers for the plan-shape tests — ONE
   * definition of "bounded independent of the scale factor", used by both
   * the targeted pins (PlanShapeSpec) and the registry-wide lint
   * (RegistryPlanLintSpec), so the two can never drift apart in semantics.
+  *
+  * Boundedness is decided by a small abstract interpretation over the
+  * logical plan: a node is bounded-ROWS if its output row count is fixed
+  * by the model/query configuration however large the data (a 1-row
+  * aggregate, a limit, an aggregate grouped only by bounded-CARDINALITY
+  * keys); an attribute is bounded-cardinality if its distinct-value count
+  * is so fixed (an enumerated label, `pmod(x, k)`, a key equality-joined
+  * against a bounded-rows side, a key filtered by a literal IN-list).
   */
 object PlanScale {
 
-  /** Parquet tables that grow with the scale factor. */
+  /** Parquet tables that grow with the scale factor. Supplier IS here:
+    * it grows 10×/SF step in the driver's tables (10 → 100 → 1000 rows
+    * across sf0.001/0.01/0.1 — ~1 B rows at the 100 TB design point),
+    * unlike nation/region whose cardinality is fixed by geography.
+    */
   val factPaths: Seq[String] = Seq("/customer.parquet", "/part.parquet",
-    "/orders.parquet", "/lineitem.parquet", "/events.parquet",
-    "/documents.parquet", "/embeddings.parquet")
+    "/supplier.parquet", "/orders.parquet", "/lineitem.parquet",
+    "/events.parquet", "/documents.parquet", "/embeddings.parquet")
+
+  /** Every file path scanned anywhere in the subtree, resolved
+    * STRUCTURALLY from the scan relations. `LogicalPlan.toString` is NOT
+    * usable for this: a V1 parquet `LogicalRelation` prints as
+    * `Relation[cols] parquet` with no path (verified live — the r8 lint
+    * matched paths against toString and could never fire). V1 scans carry
+    * the path in `HadoopFsRelation.location.rootPaths`; DSv2 file scans
+    * in `FileTable.fileIndex.rootPaths`.
+    */
+  def scanPaths(p: LogicalPlan): Seq[String] = p.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case ft: FileTable => ft.fileIndex.rootPaths.map(_.toString)
+      case _ => Seq.empty[String]
+    }
+  }.flatten
+
+  /** Columns whose distinct-value count is fixed by the data model, not
+    * the scale factor: geography (14 CZ regions / 25 nations / 5
+    * regions), enumerated priorities/flags/segments, language codes,
+    * listing purposes. A Window partitioned ONLY by these over fact-sized
+    * input caps parallelism at the key cardinality — one task sorts 1/k
+    * of ALL data at any scale (the shape dash_weighted_median was
+    * rewritten to avoid in r7, then reappeared twice in r8).
+    */
+  val lowCardCols: Set[String] = Set(
+    "region", "purpose", "lang", "language", "pri", "priority",
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "l_shipinstruct", "l_shipmode", "c_mktsegment", "segment", "seg",
+    "n_nationkey", "n_name", "r_regionkey", "r_name", "c_nationkey",
+    "s_nationkey", "n_regionkey", "nation", "event_type", "source",
+    "split", "p_mfgr", "p_brand", "p_container")
+
+  /** Grouping keys whose distinct-value count is fixed by the MODEL
+    * configuration, not the data volume: vector dimension index (64),
+    * PQ subspace (numSub), k-means / IVF cell and centroid ids (k),
+    * LSH band index (nBands). An aggregate keyed only by these is
+    * bounded however large the corpus. Deliberately absent: "bucket"
+    * (LSH hash buckets scale with the corpus), any document/vector id.
+    */
+  val boundedKeyCols: Set[String] = Set("dim", "sub", "cell", "cent_id", "band")
+
+  // ---- memoized analysis ---------------------------------------------------
+  // bounded()/boundedAttrs() are mutually recursive (a join key is bounded
+  // when the other side is bounded-rows); identity-memoization keeps the
+  // walk linear in plan nodes instead of exponential on nested joins.
+
+  private final class Memo {
+    val rows = new IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    val attrs = new IdentityHashMap[LogicalPlan, AttributeSet]()
+  }
+
+  /** Value-cardinality of an expression, given the child's bounded attrs. */
+  private def exprBounded(e: Expression, ba: AttributeSet): Boolean = e match {
+    case _: Literal => true
+    case a: Attribute => ba.contains(a) ||
+      boundedKeyCols.contains(a.name.toLowerCase) ||
+      lowCardCols.contains(a.name.toLowerCase)
+    case al: Alias => exprBounded(al.child, ba)
+    case c: Cast => exprBounded(c.child, ba)
+    case p: Pmod => p.right.foldable
+    case r: Remainder => r.right.foldable
+    // a CASE whose every output value is a literal has ≤ #branches values
+    case cw: CaseWhen =>
+      cw.branches.forall(_._2.foldable) && cw.elseValue.forall(_.foldable)
+    case _ => false
+  }
+
+  /** Output attributes with model/query-bounded distinct-value counts. */
+  private def boundedAttrsM(p: LogicalPlan, m: Memo): AttributeSet = {
+    val hit = m.attrs.get(p)
+    if (hit != null) return hit
+    m.attrs.put(p, AttributeSet.empty) // cycle guard (plans are DAG-safe)
+    val out: AttributeSet = p match {
+      case f: Filter =>
+        val fromPred = f.condition.collect {
+          case In(a: Attribute, vs) if vs.forall(_.foldable) => a
+          case InSet(a: Attribute, _) => a
+          case EqualTo(a: Attribute, v) if v.foldable => a
+          case EqualTo(v, a: Attribute) if v.foldable => a
+        }
+        boundedAttrsM(f.child, m) ++ AttributeSet(fromPred)
+      case j: Join =>
+        val fromChildren =
+          boundedAttrsM(j.left, m) ++ boundedAttrsM(j.right, m)
+        val keyB = j.condition.toSeq.flatMap(_.collect {
+          case EqualTo(x: Attribute, y: Attribute) =>
+            val ext = Seq.newBuilder[Attribute]
+            // a key equality-joined against a bounded-ROWS side takes at
+            // most that side's row count of distinct values
+            if (boundedM(j.right, m) && j.left.outputSet.contains(x)) ext += x
+            if (boundedM(j.right, m) && j.left.outputSet.contains(y)) ext += y
+            if (boundedM(j.left, m) && j.right.outputSet.contains(x)) ext += x
+            if (boundedM(j.left, m) && j.right.outputSet.contains(y)) ext += y
+            // and equality propagates boundedness across the pair
+            if (fromChildren.contains(x)) ext += y
+            if (fromChildren.contains(y)) ext += x
+            ext.result()
+        }.flatten)
+        fromChildren ++ AttributeSet(keyB)
+      case a: Aggregate =>
+        val cb = boundedAttrsM(a.child, m)
+        AttributeSet(a.aggregateExpressions.collect {
+          case al: Alias if exprBounded(al.child, cb) => al.toAttribute
+          case at: Attribute if exprBounded(at, cb) => at
+        })
+      case pr: Project =>
+        val cb = boundedAttrsM(pr.child, m)
+        AttributeSet(pr.projectList.collect {
+          case al: Alias if exprBounded(al.child, cb) => al.toAttribute
+          case at: Attribute if exprBounded(at, cb) => at
+        })
+      case _ =>
+        p.children.foldLeft(AttributeSet.empty)(
+          (s, c) => s ++ boundedAttrsM(c, m))
+    }
+    m.attrs.put(p, out)
+    out
+  }
 
   /** Is this subtree's row count bounded independent of the scale factor?
-    * STRICT: only a no-grouping Aggregate (1 row), a Limit, a Sample, or
-    * a local/range relation qualifies — a KEYED aggregate's cardinality
-    * grows with its key's cardinality and is NOT bounded (neither is a
-    * top-k-per-group, whose row count is k × #groups).
+    * STRICT on keyed aggregates: a keyed aggregate's cardinality grows
+    * with its key's cardinality, so it is NOT bounded (neither is a
+    * top-k-per-group, whose row count is k × #groups) — UNLESS every
+    * grouping key has bounded cardinality under the attribute analysis
+    * (a per-dimension reduce over embeddings is ≤ 64 rows at any corpus
+    * size; a df table over tokens filtered to a literal IN-list is ≤ the
+    * list's length).
     */
-  def bounded(p: LogicalPlan): Boolean = p.collectFirst {
-    case a: Aggregate if a.groupingExpressions.isEmpty => ()
-    case _: GlobalLimit => ()
-    case _: Sample => ()
-    case _: LocalRelation => ()
-    case _: OneRowRelation => ()
-    case _: Range => ()
-  }.isDefined
+  private def boundedM(p: LogicalPlan, m: Memo): Boolean = {
+    val hit = m.rows.get(p)
+    if (hit != null) return hit.booleanValue()
+    m.rows.put(p, java.lang.Boolean.FALSE) // cycle guard
+    val out = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+      case a: Aggregate if a.groupingExpressions.forall(
+        e => exprBounded(e, boundedAttrsM(a.child, m))) => ()
+      case d: Distinct if d.output.forall(
+        e => exprBounded(e, boundedAttrsM(d.child, m))) => ()
+      case d: Deduplicate if d.keys.forall(
+        e => exprBounded(e, boundedAttrsM(d.child, m))) => ()
+      case _: GlobalLimit => ()
+      case _: Sample => ()
+      case _: LocalRelation => ()
+      case _: OneRowRelation => ()
+      case _: Range => ()
+      // a per-group heap whose group keys are all bounded-cardinality is
+      // ≤ k × #groups rows (e.g. a per-language stratum sample)
+      case t: plans.TopKPerGroupNode if t.groupExprs.forall(
+        e => exprBounded(e, boundedAttrsM(t.child, m))) => ()
+    }.isDefined
+    m.rows.put(p, java.lang.Boolean.valueOf(out))
+    out
+  }
+
+  def bounded(p: LogicalPlan): Boolean = boundedM(p, new Memo)
 
   /** Unbounded fact data: the subtree scans a table that grows with the
     * scale factor and nothing above the scan bounds its row count. Small
     * derived artifacts (codebooks, centroid tables, LUTs) read from
-    * non-fact parquet paths are bounded by construction.
+    * non-fact parquet paths are bounded by construction. Caveat: a
+    * localCheckpoint()ed subtree becomes a LogicalRDD and loses its scan
+    * paths — checkpointed fact data is invisible here (the checkpoint
+    * sites are individually documented at their registration sites).
     */
   def factUnbounded(p: LogicalPlan): Boolean =
-    factPaths.exists(p.toString.contains) && !bounded(p)
+    scanPaths(p).exists(sp => factPaths.exists(sp.contains)) && !bounded(p)
 
-  /** Subtrees under an explicit broadcast/join hint whose data is
-    * unbounded fact data — the hint that auto-broadcasts fine at test SF
-    * but forces a multi-GB build side at 100 TB. Empty = clean.
+  /** Subtrees under an explicit BROADCAST hint whose data is unbounded
+    * fact data — the hint that auto-broadcasts fine at test SF but forces
+    * a multi-GB build side at 100 TB. Empty = clean. Only the broadcast
+    * strategy is flagged: a merge/shuffle_hash hint over fact data is the
+    * OPPOSITE discipline (it pins the scale-correct shuffle path at test
+    * SF, e.g. the skew-stress rows), and must not fire here.
     */
   def factHintedSubtrees(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {
-      case h: ResolvedHint if factUnbounded(h.child) => h.child.toString
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+          factUnbounded(h.child) =>
+        s"${h.hints} over scans ${scanPaths(h.child).mkString(",")}"
     }
+
+  private def exprCols(e: Expression): Seq[String] =
+    e.references.toSeq.map(_.name.toLowerCase)
+
+  /** Windows whose partition keys are ALL drawn from the low-cardinality
+    * set while the window's input is unbounded fact data. Empty = clean.
+    * (A window keyed by at least one scale-growing column — user_id,
+    * doc id, orderkey — partitions fine and is not flagged. A window
+    * whose child already passed a WindowGroupLimit partial pushdown sorts
+    * only the ≤ k×groups surviving rows and is fine too.)
+    */
+  def lowCardFactWindows(p: LogicalPlan): Seq[String] = p.collect {
+    case w: Window if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(exprCols).forall(lowCardCols.contains) &&
+        w.child.collectFirst { case _: WindowGroupLimit => () }.isEmpty &&
+        factUnbounded(w.child) =>
+      s"window partitioned only by low-cardinality " +
+        s"[${w.partitionSpec.flatMap(exprCols).distinct.mkString(",")}] " +
+        s"over fact scans ${scanPaths(w.child).mkString(",")}"
+  }
 }

@@ -141,6 +141,18 @@ class PlanShapeSpec extends SparkSpec {
       "weighted median regressed to a groupBy+join total-weight form")
   }
 
+  test("winsorized mean / batch padding / pack sequences: two-pass ranks, no window") {
+    // all three ran low-cardinality-partitioned windows (pri / lang) over
+    // fact tables in r8 — one task sorting 1/k of the data at any scale;
+    // they must stay on Ids.groupedRunningSum's offset scheme
+    for (q <- Seq("dash_winsorized_mean", "text_batch_padding",
+        "text_pack_sequences")) {
+      val p = plan(Queries.queryMap(q)(spark, sf))
+      assert(!p.contains("Window"),
+        s"$q regressed to a window-based rank/cumsum")
+    }
+  }
+
   test("funnel keeps every join/agg on user_id (no product, no global window)") {
     val p = plan(Queries.queryMap("ev_funnel")(spark, sf))
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),

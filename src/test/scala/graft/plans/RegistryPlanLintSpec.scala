@@ -42,9 +42,21 @@ class RegistryPlanLintSpec extends SparkSpec {
     "dash_range_frame")
 
   /** Documented fact-broadcast exceptions. */
-  private val factHintWhitelist: Set[String] = Set.empty
+  private val factHintWhitelist: Set[String] = Set(
+    // recall HARNESS: ground truth is by definition the exact top-k for
+    // EVERY node, so the truth side is the whole corpus fanned out
+    // against itself (same class as sim_exact_neardup_pairs' product
+    // whitelist entry) — a measurement-only query, never a serving path;
+    // the measured path under test (knnGraph) carries no fact hint
+    "sim_knn_graph_recall")
 
-  private val factPaths = PlanScale.factPaths
+  /** Documented low-cardinality-window exceptions (input bounded by the
+    * calendar or a prior reduce, not the scale factor). */
+  private val lowCardWindowWhitelist: Set[String] = Set(
+    // per-source cumulative banding over the FILE LISTING — metadata-
+    // sized by contract (one row per file, not per record; EtlQueries
+    // registration comment documents the bound)
+    "etl_compaction_plan")
 
   // ONE shared definition of bounded/fact-unbounded (PlanScale) keeps
   // this lint and PlanShapeSpec's pins from drifting apart in semantics.
@@ -98,16 +110,29 @@ class RegistryPlanLintSpec extends SparkSpec {
       }
     }
 
-    // 2. fact-sized broadcast hints (analyzed — hints are erased later)
+    // 2. fact-sized BROADCAST hints (analyzed — hints are erased later).
+    // Scan paths are resolved STRUCTURALLY (HadoopFsRelation.location /
+    // FileTable.fileIndex): LogicalPlan.toString never prints V1 parquet
+    // paths, which made the r8 version of this check a no-op. Only the
+    // broadcast strategy fires: merge/shuffle_hash hints over fact data
+    // PIN the scale-correct shuffle path at test SF (the skew-stress
+    // rows) and are the opposite of this violation.
     if (!factHintWhitelist.contains(name)) {
       analyzed.foreach {
-        case h: ResolvedHint if !bounded(h.child) &&
-            factPaths.exists(h.child.toString.contains) =>
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+            factUnbounded(h.child) =>
           bad += s"$name: broadcast hint over unbounded fact scan " +
-            s"(${factPaths.filter(h.child.toString.contains).mkString(",")})"
+            s"(${PlanScale.scanPaths(h.child).mkString(",")})"
         case _ => ()
       }
     }
+
+    // 4. windows partitioned ONLY by low-cardinality columns over
+    // fact-sized input — parallelism capped at the key cardinality, one
+    // task sorts 1/k of all data at any scale (the r7 weighted-median
+    // shape, reintroduced twice in r8 before this check existed)
+    if (!lowCardWindowWhitelist.contains(name))
+      PlanScale.lowCardFactWindows(opt).foreach(v => bad += s"$name: $v")
 
     // 3. parallelism-1 shapes
     if (!singlePartitionWhitelist.contains(name)) {
