@@ -364,34 +364,39 @@ private[graft] object EventQueries {
            |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
 
     Q("ev_markov_transitions",
-      // first-order Markov transition matrix of the event stream: per-user
-      // time-ordered (src → dst) pairs via one lead() window partitioned
-      // by user (data-sized key, full parallelism), counted, then the
-      // per-source transition probability as an exact e6 ratio. The
-      // probability window runs over the AGGREGATED matrix — bounded by
-      // #event_types², never the stream. The path-mining sibling of
-      // ev_top_paths at the edge (not journey) granularity.
+      // SECOND-order Markov transitions — P(next | two-step history):
+      // where ev_transitions (above) is the first-order next-step
+      // baseline, this conditions on the ordered PAIR of preceding
+      // events, the order-selection question a sequence modeler asks
+      // before fitting (if these probabilities match the first-order
+      // rows, the stream is memoryless at depth one). Per-user history
+      // via two lead()s in ONE window pass (user_id is a data-sized key,
+      // full parallelism); the probability window runs over the
+      // AGGREGATED matrix — bounded by #event_types³, never the stream.
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val c = eventsTable(s, d)
-          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .withColumn("src2", lead(col("event_type"), 1).over(w))
+          .withColumn("dst", lead(col("event_type"), 2).over(w))
           .filter(col("dst").isNotNull)
-          .groupBy(col("event_type").as("src"), col("dst"))
+          .groupBy(col("event_type").as("src1"), col("src2"), col("dst"))
           .agg(count(lit(1)).as("n"))
         c.withColumn("p_e6",
-            expr("n * 1000000 DIV sum(n) OVER (PARTITION BY src)"))
-          .orderBy("src", "dst")
+            expr("n * 1000000 DIV sum(n) OVER (PARTITION BY src1, src2)"))
+          .orderBy("src1", "src2", "dst")
       },
       Some(
         """WITH me AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_id, event_type
           |            FROM events),
-          |mtr AS (SELECT event_type AS src,
-          |          lead(event_type) OVER (PARTITION BY user_id ORDER BY mts, event_id) AS dst
+          |mtr AS (SELECT event_type AS src1,
+          |          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY mts, event_id) AS src2,
+          |          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY mts, event_id) AS dst
           |        FROM me),
-          |mc AS (SELECT src, dst, count(*) AS n FROM mtr WHERE dst IS NOT NULL GROUP BY 1, 2)
-          |SELECT src, dst, n,
-          |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_e6
-          |FROM mc ORDER BY src, dst""".stripMargin)),
+          |mc AS (SELECT src1, src2, dst, count(*) AS n FROM mtr
+          |       WHERE dst IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT src1, src2, dst, n,
+          |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY src1, src2) AS BIGINT) AS p_e6
+          |FROM mc ORDER BY src1, src2, dst""".stripMargin)),
 
     Q("ev_top_paths",
       // top-20 session journeys: sessionize by the 30-min gap (same
