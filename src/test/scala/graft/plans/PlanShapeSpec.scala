@@ -41,6 +41,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("skew-stress arms: shuffle join pinned, no broadcast — the 100 TB plan") {
+    // the merge hint exists exactly so the sf-small bench measures the
+    // shuffle-join skew behavior both arms would have at scale; an
+    // auto-broadcast here would silently turn the measurement into noise
+    for (q <- Seq("join_skew_stress_salted", "join_skew_stress_aqe")) {
+      val df = Queries.queryMap(q)(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"$q lost its pinned shuffle join — the skew measurement is void:\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin"), s"$q is not a sort-merge join")
+      assert(factHintedSubtrees(df).isEmpty,
+        s"$q must pin via merge, never broadcast")
+    }
+    // and the salted arm really salts: the join keys include the salt col
+    val salted = plan(Queries.queryMap("join_skew_stress_salted")(spark, sf))
+    assert(salted.contains("__salt"), "salted arm joins without the salt key")
+  }
+
   test("top-k window rides WindowGroupLimit partial pushdown") {
     val p = plan(Queries.queryMap("dash_topk_per_group")(spark, sf))
     assert(p.contains("WindowGroupLimit"), "top-k lost the partial group limit")
