@@ -124,6 +124,12 @@ object Ids {
       .collect()
       .map { r =>
         val g = (1 to groupCols.size).map(r.get).toList
+        // sum() over an all-NULL run returns NULL: surface the same
+        // diagnostic pass 2 gives for a lone NULL weight, instead of a
+        // context-free NPE from getLong
+        if (r.isNullAt(1 + groupCols.size)) throw new IllegalArgumentException(
+          s"$weightCol must not be NULL (filter or coalesce upstream); " +
+            s"group $g has an all-NULL weight run in partition ${r.getInt(0)}")
         ((r.getInt(0), g), r.getLong(1 + groupCols.size))
       }.toMap
     val nPart = sorted.rdd.getNumPartitions

@@ -105,6 +105,26 @@ object Multimodal {
   object ImageCodec {
     val featureDim = 8
 
+    // ImageIO defaults to a DISK-backed cache stream: every read creates
+    // and deletes a temp file — pure filesystem overhead per row for
+    // in-memory byte payloads, and temp-dir churn under 32-way partitions.
+    // Decode from memory. (Runs once per executor JVM at first codec use.)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Cheap magic-byte sniff: only payloads that START like a supported
+      * image format are handed to ImageIO — reader discovery costs a
+      * stream spin per row, and the text-derived payloads that dominate
+      * the corpora can never match a signature.
+      */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 0x50.toByte &&
+          p(2) == 0x4e.toByte && p(3) == 0x47.toByte) || // PNG
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||  // JPEG
+        (p(0) == 0x47.toByte && p(1) == 0x49.toByte &&
+          p(2) == 0x46.toByte) ||                        // GIF
+        (p(0) == 0x42.toByte && p(1) == 0x4d.toByte))    // BMP
+
     /** Deterministic PNG encoder for fixtures: a solid-color w×h image.
       * PNG is lossless, so decode(encodePng(w, h, r, g, b)) recovers
       * exactly (w, h, r/255, g/255, b/255, …).
@@ -128,7 +148,8 @@ object Multimodal {
       * (ImageIO sniffs magic bytes — arbitrary text can never match).
       */
     def tryDecode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
-      try {
+      if (!looksLikeImage(payload)) None
+      else try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload))
         if (img == null) None
@@ -278,8 +299,13 @@ object Multimodal {
                 math.min(maxW.toDouble / w0, maxH.toDouble / h0))
               val w = math.max(1, (w0 * scale).toInt)
               val h = math.max(1, (h0 * scale).toInt)
-              val out = ImageCodec.resizePng(payload, w, h).getOrElse(payload)
-              ResizedAsset(id, mime, out, w, h)
+              ImageCodec.resizePng(payload, w, h) match {
+                case Some(out) => ResizedAsset(id, mime, out, w, h)
+                // re-encode failed: keep the ORIGINAL payload with its
+                // real dims — recorded dims must never contradict the
+                // bytes they describe
+                case None => ResizedAsset(id, mime, payload, w0, h0)
+              }
             case None =>
               val (w0, h0, _, _) = ByteProfiler.decode(payload, mime)
               val scale = math.min(1.0,

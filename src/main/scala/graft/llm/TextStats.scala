@@ -137,8 +137,10 @@ object TextStats {
     * planner — the df table is VOCABULARY-sized, which grows (sublinearly
     * but unboundedly) with the corpus, so a forced broadcast would OOM at
     * 100 TB; AQE broadcasts it at small SF and shuffle-joins on `tok` at
-    * scale (tf is already keyed by (doc, tok), so the df join reuses that
-    * shuffle's co-location) — and the corpus count as a broadcast 1-row
+    * scale. That shuffle-join path re-exchanges tf by `tok` — its (doc,
+    * tok) hash partitioning does NOT satisfy a tok-only distribution, so
+    * budget ONE corpus-sized exchange for the aggregation plus one for
+    * the join at full scale. The corpus count rides a broadcast 1-row
     * total. No driver-side collect.
     */
   def tfIdf(docs: DataFrame, textCol: String = "text",

@@ -1660,7 +1660,9 @@ private[graft] object SimQueries {
       |  FROM embeddings
       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
       |c AS (SELECT vec_id AS neighbor_id, codes AS cc FROM nv),
-      |q AS (SELECT vec_id AS query_id, codes AS qc FROM nv WHERE vec_id % 50 = 0),
+      |qsel AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0
+      |         ORDER BY vec_id LIMIT 64),
+      |q AS (SELECT vec_id AS query_id, codes AS qc FROM nv JOIN qsel USING (vec_id)),
       |s AS (SELECT query_id, neighbor_id,
       |        CAST(list_inner_product(CAST(qc AS DOUBLE[]), CAST(cc AS DOUBLE[])) AS BIGINT) AS score_i8
       |      FROM c, q WHERE neighbor_id <> query_id),
@@ -1681,8 +1683,9 @@ private[graft] object SimQueries {
         |es AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
         |         CAST(floor(list_inner_product(q2.v, c2.v) /
         |           (sqrt(list_inner_product(q2.v, q2.v)) * sqrt(list_inner_product(c2.v, c2.v))) * 1000000) AS BIGINT) AS sim_e6
-        |       FROM dv c2, dv q2
-        |       WHERE q2.vec_id % 50 = 0 AND c2.vec_id <> q2.vec_id),
+        |       FROM dv c2, (SELECT d2.vec_id, d2.v FROM dv d2
+        |                    JOIN qsel USING (vec_id)) q2
+        |       WHERE c2.vec_id <> q2.vec_id),
         |er AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |         ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM es),
         |ex AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= 5),

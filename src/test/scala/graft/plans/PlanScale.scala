@@ -4,7 +4,7 @@ import java.util.IdentityHashMap
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
@@ -90,6 +90,16 @@ object PlanScale {
   /** Value-cardinality of an expression, given the child's bounded attrs. */
   private def exprBounded(e: Expression, ba: AttributeSet): Boolean = e match {
     case _: Literal => true
+    // calendar-bounded: day-granularity values (and their weekday/month/
+    // hour/year extractions) grow with the CALENDAR, not the data volume —
+    // a per-day aggregate is the canonical scale-safe dashboard reduce
+    // (the r8 verdict's "whitelist calendar-bounded inputs" category, as
+    // an analysis rule instead of per-query exemptions). Timestamps are
+    // NOT here: microsecond granularity is effectively row-unique.
+    case d if d.dataType == org.apache.spark.sql.types.DateType => true
+    case _: WeekDay | _: DayOfWeek | _: WeekOfYear | _: Month | _: Quarter |
+        _: Year | _: Hour | _: Minute | _: Second | _: DayOfMonth |
+        _: DayOfYear => true
     case a: Attribute => ba.contains(a) ||
       boundedKeyCols.contains(a.name.toLowerCase) ||
       lowCardCols.contains(a.name.toLowerCase)
@@ -120,18 +130,34 @@ object PlanScale {
       case j: Join =>
         val fromChildren =
           boundedAttrsM(j.left, m) ++ boundedAttrsM(j.right, m)
+        // Key-boundedness transfers across an equality only for rows that
+        // actually MATCHED. An outer/anti join retains non-matching rows
+        // whose key keeps its full (scale-growing) value domain, so each
+        // side may only GAIN boundedness when the join type restricts that
+        // side's output to matched rows.
+        val leftMatched = j.joinType match {
+          case Inner | Cross | LeftSemi | RightOuter => true
+          case _ => false
+        }
+        val rightMatched = j.joinType match {
+          case Inner | Cross | LeftOuter => true
+          case _ => false
+        }
         val keyB = j.condition.toSeq.flatMap(_.collect {
           case EqualTo(x: Attribute, y: Attribute) =>
             val ext = Seq.newBuilder[Attribute]
+            def gain(a: Attribute): Unit =
+              if (j.left.outputSet.contains(a)) { if (leftMatched) ext += a }
+              else if (rightMatched) ext += a
             // a key equality-joined against a bounded-ROWS side takes at
-            // most that side's row count of distinct values
-            if (boundedM(j.right, m) && j.left.outputSet.contains(x)) ext += x
-            if (boundedM(j.right, m) && j.left.outputSet.contains(y)) ext += y
-            if (boundedM(j.left, m) && j.right.outputSet.contains(x)) ext += x
-            if (boundedM(j.left, m) && j.right.outputSet.contains(y)) ext += y
+            // most that side's row count of distinct values (matched rows)
+            if (boundedM(j.right, m) && j.left.outputSet.contains(x)) gain(x)
+            if (boundedM(j.right, m) && j.left.outputSet.contains(y)) gain(y)
+            if (boundedM(j.left, m) && j.right.outputSet.contains(x)) gain(x)
+            if (boundedM(j.left, m) && j.right.outputSet.contains(y)) gain(y)
             // and equality propagates boundedness across the pair
-            if (fromChildren.contains(x)) ext += y
-            if (fromChildren.contains(y)) ext += x
+            if (fromChildren.contains(x)) gain(y)
+            if (fromChildren.contains(y)) gain(x)
             ext.result()
         }.flatten)
         fromChildren ++ AttributeSet(keyB)
@@ -168,24 +194,48 @@ object PlanScale {
     val hit = m.rows.get(p)
     if (hit != null) return hit.booleanValue()
     m.rows.put(p, java.lang.Boolean.FALSE) // cycle guard
-    val out = p.collectFirst {
-      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+    // Structural top-down recursion, NOT a subtree scan: a bounding node
+    // must bound the ROOT's row count. `collectFirst` here would let a
+    // limit buried in one branch of a join bless the whole subtree —
+    // broadcast(lineitem ⋈ supplier.limit(100)) must stay UNbounded.
+    val out: Boolean = p match {
+      // nodes that bound their own output, whatever the input size
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
       case a: Aggregate if a.groupingExpressions.forall(
-        e => exprBounded(e, boundedAttrsM(a.child, m))) => ()
+        e => exprBounded(e, boundedAttrsM(a.child, m))) => true
       case d: Distinct if d.output.forall(
-        e => exprBounded(e, boundedAttrsM(d.child, m))) => ()
+        e => exprBounded(e, boundedAttrsM(d.child, m))) => true
       case d: Deduplicate if d.keys.forall(
-        e => exprBounded(e, boundedAttrsM(d.child, m))) => ()
-      case _: GlobalLimit => ()
-      case _: Sample => ()
-      case _: LocalRelation => ()
-      case _: OneRowRelation => ()
-      case _: Range => ()
+        e => exprBounded(e, boundedAttrsM(d.child, m))) => true
+      case _: GlobalLimit => true
+      // fraction-samples technically scale with input; every sampler in
+      // the repo pairs with a cap/limit, and treating Sample as a bound
+      // keeps the lint's focus on the join/broadcast/window shapes
+      case _: Sample => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
       // a per-group heap whose group keys are all bounded-cardinality is
       // ≤ k × #groups rows (e.g. a per-language stratum sample)
       case t: plans.TopKPerGroupNode if t.groupExprs.forall(
-        e => exprBounded(e, boundedAttrsM(t.child, m))) => ()
-    }.isDefined
+        e => exprBounded(e, boundedAttrsM(t.child, m))) => true
+      // scans: bounded unless the table grows with the scale factor
+      case lr: LogicalRelation =>
+        !scanPaths(lr).exists(sp => factPaths.exists(sp.contains))
+      case r: DataSourceV2Relation =>
+        !scanPaths(r).exists(sp => factPaths.exists(sp.contains))
+      // semi/anti joins emit ≤ |left| rows; every other join type can
+      // emit up to |L|·|R|, so BOTH inputs must be bounded — a bounding
+      // node in one branch says nothing about the other
+      case j: Join => j.joinType match {
+        case LeftSemi | LeftAnti => boundedM(j.left, m)
+        case _ => boundedM(j.left, m) && boundedM(j.right, m)
+      }
+      // any other leaf (LogicalRDD from a localCheckpoint, external RDDs)
+      // has no visible bound — stay conservative
+      case leaf if leaf.children.isEmpty => false
+      // every other node (Project/Filter/Sort/Window/Expand/Generate/
+      // Union/...) multiplies rows by at most a plan constant
+      case other => other.children.forall(c => boundedM(c, m))
+    }
     m.rows.put(p, java.lang.Boolean.valueOf(out))
     out
   }

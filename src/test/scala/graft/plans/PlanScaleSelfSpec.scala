@@ -73,6 +73,42 @@ class PlanScaleSelfSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey"))).isEmpty)
   }
 
+  test("a bound in ONE join branch does not bless the other (no collectFirst hole)") {
+    // broadcast(lineitem ⋈ supplier.limit(100)): the limit bounds only the
+    // supplier branch; the hint's build side is still lineitem-sized
+    val bad = PlanScale.factHintedSubtrees(
+      t("orders").join(
+        broadcast(t("lineitem").join(t("supplier").limit(100),
+          col("l_suppkey") === col("s_suppkey"))),
+        col("o_orderkey") === col("l_orderkey")))
+    assert(bad.nonEmpty,
+      "broadcast over fact-join-limited-dim not flagged — a bounding node " +
+        "in one branch must not mark the whole join bounded")
+    // the same shape with BOTH branches bounded stays silent
+    assert(PlanScale.factHintedSubtrees(
+      t("orders").join(
+        broadcast(t("customer").limit(50).join(t("supplier").limit(100),
+          col("c_nationkey") === col("s_nationkey"))),
+        col("o_custkey") === col("c_custkey"))).isEmpty,
+      "join of two limited sides wrongly flagged")
+  }
+
+  test("outer/anti joins do not bound the retained side's key") {
+    // anti-join: the output keys are exactly the NON-matching ones — a
+    // bounded right side says nothing about their cardinality
+    val anti = t("orders").join(t("customer").limit(10),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(PlanScale.factUnbounded(anti.queryExecution.analyzed),
+      "aggregate keyed by an anti-join key wrongly classified bounded")
+    // the inner twin IS bounded: matched keys take ≤ 10 distinct values
+    val inner = t("orders").join(t("customer").limit(10),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(!PlanScale.factUnbounded(inner.queryExecution.analyzed),
+      "aggregate keyed by an inner-join-against-limit key should be bounded")
+  }
+
   test("factUnbounded FIRES on both sides of a non-equi fact-fact join") {
     val j = t("orders").as("a").join(t("orders").as("b"),
       col("a.o_totalprice") < col("b.o_totalprice"))

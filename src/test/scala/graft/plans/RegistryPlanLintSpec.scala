@@ -48,7 +48,14 @@ class RegistryPlanLintSpec extends SparkSpec {
     // against itself (same class as sim_exact_neardup_pairs' product
     // whitelist entry) — a measurement-only query, never a serving path;
     // the measured path under test (knnGraph) carries no fact hint
-    "sim_knn_graph_recall")
+    "sim_knn_graph_recall",
+    // the hinted subtree is the per-query token-bag table: distinct tokens
+    // of the ≤ 64 qb()-capped query documents, selected by a semi-join on
+    // doc_id — doc_id is UNIQUE in documents, so the bag is ≤ 64 docs of
+    // row-local tokens at any SF. Key uniqueness is invisible to the plan
+    // analysis (a semi-join against a bounded side bounds nothing for a
+    // non-unique key), hence a documented exemption rather than a rule
+    "sim_hybrid_rrf")
 
   /** Documented low-cardinality-window exceptions (input bounded by the
     * calendar or a prior reduce, not the scale factor). */

@@ -2,78 +2,103 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
+import scala.util.matching.Regex
 
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source-level scale-discipline lint: every driver-side materialization
   * in main source (`collect`/`head`/`first`/`toLocalIterator`) and every
-  * explicit parallelism-1 coalesce/repartition must be on the documented
-  * whitelist below — each entry is a site whose result is provably
-  * bounded independent of the scale factor (an O(partitions × groups)
-  * offset map, a 1-row aggregate probe, a single-file sink contract).
-  * A new `.collect()` anywhere else fails this spec, with the burden of
-  * proof on the author to document the bound here. (Previous rounds
-  * verified this property by hand; a reviewed-by-grep invariant is not
-  * an invariant.)
+  * explicit parallelism-1 coalesce/repartition must match a documented
+  * whitelist SITE below — each entry pins the file AND a line fragment of
+  * the one call whose result is provably bounded independent of the scale
+  * factor (an O(partitions × groups) offset map, a 1-row aggregate probe,
+  * a single-file sink contract). A new `.collect()` anywhere else — or in
+  * a whitelisted file but on a different line shape — fails this spec,
+  * with the burden of proof on the author to document the bound here.
+  * (Previous rounds verified this property by hand; a reviewed-by-grep
+  * invariant is not an invariant. Sites are matched by content, not by a
+  * per-file count, so removing one documented site can never smuggle in
+  * an undocumented replacement.)
   */
 class SourceDisciplineSpec extends AnyFunSuite {
 
   private val root = Paths.get("src/main/scala/graft")
 
-  /** file-basename → max allowed occurrences across ALL patterns, with
-    * the documented bound for each site.
+  /** (file-basename, line fragment that must appear in the hit line,
+    * documented bound).
     */
-  private val whitelist: Map[String, Int] = Map(
+  private val whitelist: Seq[(String, String, String)] = Seq(
     // Ids.groupedRunningSum / contiguousIds two-pass offsets: the
     // collected frame is one row per (partition, group) — O(partitions ×
     // groups), both factors configuration-bounded at any SF
-    "Ids.scala" -> 2,
+    ("Ids.scala", ".collect().map(r => r.getInt(0) -> r.getLong(1)).toMap",
+      "contiguousIds per-partition count map: O(partitions)"),
+    ("Ids.scala", ".collect()",
+      "groupedRunningSum pass-1 offsets: O(partitions x groups)"),
     // Dashboard scalar probe: collect()(0) of a no-grouping (1-row)
     // aggregate
-    "Dashboard.scala" -> 1,
+    ("Dashboard.scala", ".collect()(0)", "1-row aggregate probe"),
     // Dedup alternating-star convergence probe: head() of a 1-row
     // aggregate, one per fixed round
-    "Dedup.scala" -> 1,
+    ("Dedup.scala", ".head()", "1-row convergence probe per fixed round"),
     // Verify dumps each query result as ONE parquet file for the
     // driver's DuckDB compare — test harness, not an operator; results
     // are already query outputs (bounded by the queries' own contracts)
-    "Verify.scala" -> 1,
+    ("Verify.scala", ".coalesce(1)", "harness single-file dump contract"),
     // Pipeline CSV sink: the reference's contract is a single output
     // object per dump (SURVEY §2.2); coalesce(1) only under the explicit
     // singleFile flag
-    "Pipeline.scala" -> 1)
+    ("Pipeline.scala", "if (singleFile) df.coalesce(1)",
+      "reference single-object sink contract, flag-gated"))
 
-  private val patterns = Seq(
+  // NOTE `repartition(1[,)]`/`coalesce(1[,)]`: the multi-arg forms
+  // repartition(1, col) / coalesce(1, ...) are parallelism-1 all the same
+  private val patterns: Seq[Regex] = Seq(
     "\\.collect\\(\\)", "\\.collectAsList\\(", "\\.toLocalIterator",
     "\\.head\\(\\)", "\\.first\\(\\)",
-    "repartition\\(1\\)", "coalesce\\(1\\)").map(_.r)
+    "repartition\\(1[,)]", "coalesce\\(1[,)]").map(_.r)
 
   test("driver-side materializations appear only at documented bounded sites") {
-    val hits = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val lines = Files.readAllLines(p).asScala
-        lines.zipWithIndex.collect {
-          case (l, i) if !l.trim.startsWith("//") && !l.trim.startsWith("*") &&
-              patterns.exists(_.findFirstIn(l).isDefined) =>
-            (p.getFileName.toString, s"${p.getFileName}:${i + 1}: ${l.trim.take(80)}")
-        }
-      }.toSeq
+    val hits: Seq[(String, String, String)] =
+      Using.resource(Files.walk(root)) { stream =>
+        stream.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala"))
+          .flatMap { p =>
+            val lines = Files.readAllLines(p).asScala
+            lines.zipWithIndex.collect {
+              case (l, i) if !l.trim.startsWith("//") && !l.trim.startsWith("*") &&
+                  patterns.exists(_.findFirstIn(l).isDefined) =>
+                (p.getFileName.toString, l,
+                  s"${p.getFileName}:${i + 1}: ${l.trim.take(90)}")
+            }
+          }.toSeq
+      }
 
-    val byFile = hits.groupBy(_._1)
-    val violations = byFile.flatMap { case (f, sites) =>
-      val allowed = whitelist.getOrElse(f, 0)
-      if (sites.size > allowed)
-        Some(s"$f: ${sites.size} materialization site(s), $allowed whitelisted:\n" +
-          sites.map("    " + _._2).mkString("\n"))
-      else None
+    // every hit must match a documented site for its file; a hit matching
+    // several fragments resolves to the MOST SPECIFIC (longest) one, so a
+    // short fragment can never absorb a second, undocumented call
+    val matchedBy = hits.map { case (f, line, loc) =>
+      val ms = whitelist.filter { case (wf, frag, _) => wf == f && line.contains(frag) }
+      loc -> (if (ms.isEmpty) None else Some(ms.maxBy(_._2.length)))
     }
-    assert(violations.isEmpty,
-      "undocumented driver-side materialization(s):\n" + violations.mkString("\n"))
+    val undocumented = matchedBy.collect { case (loc, None) => loc }
+    assert(undocumented.isEmpty,
+      "undocumented driver-side materialization(s) — prove the bound and " +
+        "whitelist the site:\n" + undocumented.map("  " + _).mkString("\n"))
+
+    // and each documented site may appear at most once (a duplicated call
+    // is a new site needing its own proof)
+    val siteCounts = matchedBy.flatMap(_._2.map(w => (w._1, w._2)))
+      .groupBy(identity).view.mapValues(_.size)
+    val dup = siteCounts.collect { case (site, n) if n > 1 => s"$site x$n" }
+    assert(dup.isEmpty, s"whitelisted site matched multiple lines: $dup")
 
     // the whitelist may not silently rot: every entry must still match
-    // at least one real site (a stale entry would mask a future add)
-    val stale = whitelist.keys.filterNot(byFile.contains)
-    assert(stale.isEmpty, s"stale whitelist entries (no sites remain): $stale")
+    // exactly one real site (a stale entry would mask a future add)
+    val stale = whitelist.filterNot { case (wf, frag, _) =>
+      hits.exists { case (f, line, _) => f == wf && line.contains(frag) } }
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no matching site remains): ${stale.map(w => s"${w._1}:${w._2}")}")
   }
 }
