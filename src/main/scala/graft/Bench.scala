@@ -51,14 +51,21 @@ object Bench {
     // DIFFERENT queries in each pass, so min-per-query rejects it — same-order
     // passes let one load window contaminate the same queries twice
     // (VERDICT r4 §wrong.1: positions 2-12 inflated 2.2-2.9x in both passes).
-    def timeOne(q: Queries.Q, failed: scala.collection.mutable.Set[String]): Double = {
+    // returns (seconds, succeeded): a failing run's duration is kept for
+    // forensics but must never be mistaken for a measurement
+    def timeOne(q: Queries.Q,
+        failed: scala.collection.mutable.Set[String]): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-          failed += q.name
-      }
+      val ok =
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            failed += q.name
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Untimed hygiene: queries are independent, but localCheckpoint
       // leaves its RDD blocks cached after the query finishes; across
@@ -69,7 +76,7 @@ object Bench {
       // measurement a cold, independent run.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      dt
+      (dt, ok)
     }
     // Canary: one fixed small query timed at start / between passes / end.
     // Identical work each time, so divergent canary timings expose a
@@ -89,13 +96,26 @@ object Bench {
     // purely on machine-load timing, and a single retry makes the
     // driver's record stop being a coin-flip on that. Both attempts stay
     // in the detail file for forensics.
-    case class Attempt(canaries: Seq[Double], pass1: Seq[(String, Double)],
-        pass2: Seq[(String, Double)], failed: Set[String]) {
+    case class Attempt(canaries: Seq[Double],
+        pass1: Seq[(String, (Double, Boolean))],
+        pass2: Seq[(String, (Double, Boolean))], failed: Set[String]) {
       val ratio: Double = canaries.max / math.max(canaries.min, 1e-9)
+      // min over SUCCESSFUL passes only: a fast failure is not a
+      // measurement and must not undercut the clean pass's time; a query
+      // with no clean pass is in `failed` and excluded from the ratio
       val results: Seq[(String, Double)] = {
         val p2 = pass2.toMap
-        pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
+        pass1.map { case (n, (t1, ok1)) =>
+          val (t2, ok2) = p2(n)
+          n -> ((ok1, ok2) match {
+            case (true, false) => t1
+            case (false, true) => t2
+            case _ => math.min(t1, t2)
+          })
+        }
       }
+      def passTimes(p: Seq[(String, (Double, Boolean))]): Seq[(String, Double)] =
+        p.map { case (n, (t, _)) => n -> t }
     }
     def runAttempt(): Attempt = {
       // failures are PER attempt: a load-induced failure in a discarded
@@ -118,8 +138,8 @@ object Bench {
     val best = attempts.minBy(a => (a.failed.size, a.ratio))
     val failed = best.failed
     val Seq(canaryStart, canaryMid, canaryEnd) = best.canaries
-    val pass1 = best.pass1
-    val pass2 = best.pass2
+    val pass1 = best.passTimes(best.pass1)
+    val pass2 = best.passTimes(best.pass2)
     val results = best.results
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -219,7 +239,8 @@ object Bench {
     // every attempt's passes + canaries are retained (attempt 1 first);
     // the official record above uses the best-canary attempt
     val attemptsJson = attempts.zipWithIndex.map { case (a, i) =>
-      f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"pass1":${jmap(a.pass1)},"pass2":${jmap(a.pass2)}}"""
+      val af = a.failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"failed":$af,"pass1":${jmap(a.passTimes(a.pass1))},"pass2":${jmap(a.passTimes(a.pass2))}}"""
     }.mkString(",")
     val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")

@@ -87,6 +87,21 @@ object PlanScale {
     val attrs = new IdentityHashMap[LogicalPlan, AttributeSet]()
   }
 
+  /** Do all of the expression's column inputs carry calendar (date/
+    * timestamp) or already-bounded values? Guards the calendar rules
+    * below against LAUNDERING: `date_add('1970-01-01', id)` is DateType
+    * but takes one distinct value per id — date-TYPE alone proves
+    * nothing; date-typed PROVENANCE (every input a real time value)
+    * does.
+    */
+  private def calendarRefs(e: Expression, ba: AttributeSet): Boolean =
+    e.references.forall { r =>
+      ba.contains(r) ||
+        r.dataType == org.apache.spark.sql.types.DateType ||
+        r.dataType == org.apache.spark.sql.types.TimestampType ||
+        r.dataType == org.apache.spark.sql.types.TimestampNTZType
+    }
+
   /** Value-cardinality of an expression, given the child's bounded attrs. */
   private def exprBounded(e: Expression, ba: AttributeSet): Boolean = e match {
     case _: Literal => true
@@ -95,11 +110,16 @@ object PlanScale {
     // a per-day aggregate is the canonical scale-safe dashboard reduce
     // (the r8 verdict's "whitelist calendar-bounded inputs" category, as
     // an analysis rule instead of per-query exemptions). Timestamps are
-    // NOT here: microsecond granularity is effectively row-unique.
-    case d if d.dataType == org.apache.spark.sql.types.DateType => true
-    case _: WeekDay | _: DayOfWeek | _: WeekOfYear | _: Month | _: Quarter |
-        _: Year | _: Hour | _: Minute | _: Second | _: DayOfMonth |
-        _: DayOfYear => true
+    // NOT blessed as values (microsecond granularity is effectively
+    // row-unique), but they are legitimate calendar INPUTS. Attributes
+    // are deliberately excluded here: a DateType column is bounded only
+    // via `ba` provenance (its defining alias passed these rules), so a
+    // laundered date cannot re-enter by type at a later plan node.
+    case d if d.dataType == org.apache.spark.sql.types.DateType &&
+      !d.isInstanceOf[Attribute] && calendarRefs(d, ba) => true
+    case x @ (_: WeekDay | _: DayOfWeek | _: WeekOfYear | _: Month |
+        _: Quarter | _: Year | _: Hour | _: Minute | _: Second |
+        _: DayOfMonth | _: DayOfYear) if calendarRefs(x, ba) => true
     case a: Attribute => ba.contains(a) ||
       boundedKeyCols.contains(a.name.toLowerCase) ||
       lowCardCols.contains(a.name.toLowerCase)
@@ -217,11 +237,17 @@ object PlanScale {
       // ≤ k × #groups rows (e.g. a per-language stratum sample)
       case t: plans.TopKPerGroupNode if t.groupExprs.forall(
         e => exprBounded(e, boundedAttrsM(t.child, m))) => true
-      // scans: bounded unless the table grows with the scale factor
+      // scans: bounded only when the path RESOLVES and is not a
+      // scale-growing table. A relation with no resolvable path (JDBC,
+      // in-memory) must stay conservative — defaulting it to bounded
+      // would let boundedAttrsM's join rule launder boundedness from a
+      // scan the blacklist cannot even see.
       case lr: LogicalRelation =>
-        !scanPaths(lr).exists(sp => factPaths.exists(sp.contains))
+        val sp = scanPaths(lr)
+        sp.nonEmpty && !sp.exists(p => factPaths.exists(p.contains))
       case r: DataSourceV2Relation =>
-        !scanPaths(r).exists(sp => factPaths.exists(sp.contains))
+        val sp = scanPaths(r)
+        sp.nonEmpty && !sp.exists(p => factPaths.exists(p.contains))
       // semi/anti joins emit ≤ |left| rows; every other join type can
       // emit up to |L|·|R|, so BOTH inputs must be bounded — a bounding
       // node in one branch says nothing about the other
@@ -232,8 +258,14 @@ object PlanScale {
       // any other leaf (LogicalRDD from a localCheckpoint, external RDDs)
       // has no visible bound — stay conservative
       case leaf if leaf.children.isEmpty => false
-      // every other node (Project/Filter/Sort/Window/Expand/Generate/
-      // Union/...) multiplies rows by at most a plan constant
+      // every other node (Project/Filter/Sort/Window/Expand/Union/...)
+      // multiplies rows by at most a plan constant. Known caveat:
+      // Generate (explode) multiplies by ARRAY LENGTH, which is
+      // row-local data — explode(collect_list(fact)) over a 1-row
+      // aggregate would re-expand to fact size and still read bounded
+      // here; no registered plan builds a fact-sized array (that shape
+      // is itself an OOM at scale), so the conservative complication is
+      // not bought
       case other => other.children.forall(c => boundedM(c, m))
     }
     m.rows.put(p, java.lang.Boolean.valueOf(out))

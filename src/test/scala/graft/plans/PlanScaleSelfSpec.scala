@@ -109,6 +109,23 @@ class PlanScaleSelfSpec extends SparkSpec {
       "aggregate keyed by an inner-join-against-limit key should be bounded")
   }
 
+  test("a date manufactured from a scale-growing key is not calendar-bounded") {
+    // date-TYPE alone proves nothing: date_add(epoch, key) has one
+    // distinct value per key — only date-typed PROVENANCE (real time
+    // inputs) earns the calendar bound
+    val laundered = t("orders")
+      .withColumn("d",
+        expr("date_add(DATE'1970-01-01', CAST(o_orderkey % 100000 AS INT))"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    assert(PlanScale.factUnbounded(laundered.queryExecution.analyzed),
+      "id-manufactured date key wrongly classified calendar-bounded")
+    // while a genuine per-day reduce IS bounded
+    val daily = t("orders").groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(!PlanScale.factUnbounded(daily.queryExecution.analyzed),
+      "per-day aggregate over a real timestamp wrongly classified unbounded")
+  }
+
   test("factUnbounded FIRES on both sides of a non-equi fact-fact join") {
     val j = t("orders").as("a").join(t("orders").as("b"),
       col("a.o_totalprice") < col("b.o_totalprice"))

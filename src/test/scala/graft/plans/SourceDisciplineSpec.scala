@@ -94,10 +94,12 @@ class SourceDisciplineSpec extends AnyFunSuite {
     val dup = siteCounts.collect { case (site, n) if n > 1 => s"$site x$n" }
     assert(dup.isEmpty, s"whitelisted site matched multiple lines: $dup")
 
-    // the whitelist may not silently rot: every entry must still match
-    // exactly one real site (a stale entry would mask a future add)
-    val stale = whitelist.filterNot { case (wf, frag, _) =>
-      hits.exists { case (f, line, _) => f == wf && line.contains(frag) } }
+    // the whitelist may not silently rot: every entry must be the
+    // RESOLVED match of some real site (containment alone would let a
+    // short fragment stay "fresh" off a line owned by a longer one,
+    // re-opening the swap hole for its own site)
+    val resolved = matchedBy.flatMap(_._2).toSet
+    val stale = whitelist.filterNot(resolved.contains)
     assert(stale.isEmpty,
       s"stale whitelist entries (no matching site remains): ${stale.map(w => s"${w._1}:${w._2}")}")
   }
