@@ -1562,6 +1562,42 @@ private[graft] object DashQueries {
           |  CAST(CAST(sum(wc) AS BIGINT) * 10000 // count(*) AS BIGINT) AS wins_mean_e6
           |FROM wv GROUP BY pri ORDER BY pri""".stripMargin)),
 
+    Q("dash_multiband_counts",
+      // TPC-DS Q88 plan shape: eight banded counts served from ONE scan
+      // as conditional aggregates — the naive form is eight self-joined
+      // subqueries (one scan each); the scale form is a single pass with
+      // sum(CASE WHEN band THEN 1) per band, which whole-stage codegen
+      // fuses into one loop over the scan. Bands are fixed 75k-cent-wide
+      // o_totalprice ranges under a shared non-cancelled-priority filter.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .withColumn("c", (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        val bands = (0 until 8).map { i =>
+          val lo = i * 7500000L
+          val hi = (i + 1) * 7500000L
+          val cond = if (i == 7) col("c") >= lo else col("c") >= lo && col("c") < hi
+          sum(when(cond, 1L).otherwise(0L)).as(s"b$i")
+        }
+        o.agg(bands.head, bands.tail: _*)
+          .withColumn("grp", lit("all"))
+          .select(col("grp") +: (0 until 8).map(i => col(s"b$i")): _*)
+          .orderBy("grp")
+      },
+      Some {
+        val bands = (0 until 8).map { i =>
+          val lo = i * 7500000L
+          val hi = (i + 1) * 7500000L
+          val cond = if (i == 7) s"c >= $lo" else s"c >= $lo AND c < $hi"
+          s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS b$i"
+        }.mkString(",\n  ")
+        s"""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED')
+           |SELECT 'all' AS grp,
+           |  $bands
+           |FROM o ORDER BY grp""".stripMargin
+      }),
+
     Q("dash_equalized_deciles",
       // histogram-equalized deciles per priority: EXACT equal-count
       // buckets (decile = (rank-1)·10 DIV n), reporting each bucket's

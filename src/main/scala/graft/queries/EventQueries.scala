@@ -334,6 +334,59 @@ private[graft] object EventQueries {
            |ORDER BY imp_id, COALESCE(click_id, -1)""".stripMargin),
       bench = true),
 
+    Q("ev_attribution_decay",
+      // time-decay MULTI-touch attribution — the fractional-credit model
+      // beside ev_attribution's last-touch winner-take-all: every view or
+      // click in the 7 days before a same-user purchase earns weight
+      // 2^-days_gap, expressed as the integer shift 1000000 >> gap (zero
+      // transcendentals — the decay constants are exact in both engines),
+      // normalized per conversion to ppm credit, rolled up per channel.
+      // Scale shape: the touch↔conversion join is key-aligned on user_id
+      // (one shuffle), the residual time-band predicate evaluates inside
+      // the joined partitions, and the per-conversion weight sum joins
+      // back on the same conv_id key.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            unix_micros(col("ts")).as("conv_us"))
+        val touch = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+            unix_micros(col("ts")).as("touch_us"))
+        val pairs = conv.join(touch,
+            col("t_user") === col("user_id") &&
+              col("touch_us") <= col("conv_us") &&
+              col("conv_us") < col("touch_us") + lit(7L * 86400000000L))
+          // gap_days ∈ [0, 6] by the band predicate, so the shifted weight
+          // is always ≥ 1000000 >> 6 = 15625 > 0 — wsum can never be zero
+          .withColumn("w",
+            expr("shiftright(1000000L, cast((conv_us - touch_us) div 86400000000 as int))"))
+        val wsum = pairs.groupBy("conv_id").agg(sum(col("w")).as("wsum"))
+        pairs.join(wsum, "conv_id")
+          .withColumn("credit_ppm", expr("w * 1000000L div wsum"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_ppm")).as("credit_ppm_total"))
+          .orderBy("channel")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |cv AS (SELECT event_id AS conv_id, user_id, epoch_us(ts) AS conv_us
+           |       FROM ev WHERE event_type = 'purchase'),
+           |tc AS (SELECT user_id, event_type AS channel, epoch_us(ts) AS touch_us
+           |       FROM ev WHERE event_type IN ('view', 'click')),
+           |pr AS (SELECT conv_id, channel,
+           |         CAST(1000000 AS BIGINT) >> CAST((conv_us - touch_us) // 86400000000 AS INTEGER) AS w
+           |       FROM cv JOIN tc USING (user_id)
+           |       WHERE touch_us <= conv_us
+           |         AND conv_us < touch_us + 7 * 86400000000),
+           |ws AS (SELECT conv_id, sum(w) AS wsum FROM pr GROUP BY 1)
+           |SELECT channel, count(*) AS n_touches,
+           |  CAST(sum(w * 1000000 // wsum) AS BIGINT) AS credit_ppm_total
+           |FROM pr JOIN ws USING (conv_id)
+           |GROUP BY 1 ORDER BY channel""".stripMargin),
+      bench = true),
+
     Q("ev_retention",
       // weekly cohort retention: cohort = ISO week of a user's FIRST
       // event, wk = whole weeks since that first day, cell = distinct

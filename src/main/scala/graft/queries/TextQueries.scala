@@ -799,6 +799,38 @@ private[graft] object TextQueries {
           |WHERE rn <= 20 ORDER BY score_e6 DESC, doc_id""".stripMargin),
       bench = true),
 
+    Q("text_phrase_search",
+      // positional phrase search — the retrieval face a bag-of-words index
+      // (text_inverted_index / BM25) cannot serve: the EXACT adjacent
+      // bigram "hash join", matched by equi-joining the two terms'
+      // positional postings on (doc_id, pos + 1). The scale shape: the
+      // posting relation is filtered to the phrase's terms BEFORE any
+      // shuffle (predicate on tok), so the join moves two terms' postings
+      // — O(df) rows — never the corpus; both sides hash-partition on
+      // doc_id, the natural positional-index layout.
+      (s, d) => {
+        val toks = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        val a = toks.filter(col("tok") === "hash").select(col("doc_id"), col("pos"))
+        val b = toks.filter(col("tok") === "join")
+          .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"))
+        a.join(b, col("doc_b") === col("doc_id") && col("pos_b") === col("pos") + 1)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+          |           FROM documents),
+          |p AS (SELECT doc_id, unnest(arr) AS tok,
+          |        generate_subscripts(arr, 1) - 1 AS pos FROM t),
+          |a AS (SELECT doc_id, pos FROM p WHERE tok = 'hash'),
+          |b AS (SELECT doc_id, pos FROM p WHERE tok = 'join')
+          |SELECT a.doc_id, count(*) AS n_occurrences
+          |FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
+      bench = true),
+
     Q("text_chunk_windows",
       // RAG-style overlapping chunking: 64-token windows advancing by 48
       // (16 shared tokens between neighbors), all-integer chunk-count
