@@ -73,6 +73,85 @@ object Ids {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EXCLUSIVE global prefix-minimum at scale — the primitive behind a
+    * distributed 2-D skyline ("did any earlier row in sort order carry a
+    * smaller value?"). The naive form, `min(v) OVER (ORDER BY key ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` with no partition
+    * clause, plans an Exchange SinglePartition — one task scans the
+    * world. The scale shape is the same two-pass offset scheme as
+    * [[contiguousIds]] with min in place of sum:
+    *
+    *   1. range-repartition by the sort key + sort within partitions;
+    *   2. per-partition minima — O(partitions) rows to the driver;
+    *   3. exclusive prefix-min across partitions, then one
+    *      `mapPartitionsWithIndex` threads the running minimum, emitting
+    *      each row's prefix BEFORE folding the row's own value in.
+    *
+    * Rows with no preceding row emit Long.MaxValue (the fold's neutral
+    * element): callers compare with `<`, for which it reads as "no bound
+    * yet". Deterministic whenever sortCols is a total order. `valueCol`
+    * must be integral and non-null.
+    */
+  def runningMinExclusive(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String = "prevmin",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, sortCols: _*)
+      case None => df.repartitionByRange(sortCols: _*)
+    }
+    val sorted = ranged.sortWithinPartitions(sortCols: _*).localCheckpoint()
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    sorted.schema(vIdx).dataType match {
+      case LongType | IntegerType => ()
+      case t => throw new IllegalArgumentException(
+        s"$valueCol must be an integral column (INT/BIGINT), got $t")
+    }
+
+    // pass 1: per-partition minima (O(partitions) driver rows) →
+    // exclusive prefix-min per partition. min() over an all-NULL
+    // partition returns NULL — surface the contract violation here
+    // rather than as a pass-2 NPE mid-job.
+    val mins = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min(col(valueCol).cast("long")).as("m"))
+      .collect().map { r =>
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          s"$valueCol must not be NULL (filter or coalesce upstream); " +
+            s"partition ${r.getInt(0)} has an all-NULL run")
+        (r.getInt(0), r.getLong(1))
+      }.toMap
+    val nPart = sorted.rdd.getNumPartitions
+    val prefix = new Array[Long](nPart)
+    var acc = Long.MaxValue
+    var p = 0
+    while (p < nPart) {
+      prefix(p) = acc
+      acc = math.min(acc, mins.getOrElse(p, Long.MaxValue))
+      p += 1
+    }
+
+    // pass 2: thread the exclusive running min through each partition
+    val bcPrefix = spark.sparkContext.broadcast(prefix)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bcPrefix.value(pid)
+      it.map { r =>
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"$valueCol must not be NULL (filter or coalesce upstream)")
+        val v = r.get(vIdx) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run = math.min(run, v)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Grouped running (prefix) sum at scale — the shape behind "cumulative
     * weight per region over 100 TB of listings".
     *

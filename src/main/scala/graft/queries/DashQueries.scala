@@ -1562,6 +1562,115 @@ private[graft] object DashQueries {
           |  CAST(CAST(sum(wc) AS BIGINT) * 10000 // count(*) AS BIGINT) AS wins_mean_e6
           |FROM wv GROUP BY pri ORDER BY pri""".stripMargin)),
 
+    Q("dash_skyline",
+      // 2-D skyline (pareto frontier) over orders: a (price ↑, first-seen
+      // date ↓) point survives iff no point has ≥ price AND ≤ date with
+      // one strict. The naive skyline is an O(n²) dominance self-join;
+      // the scale shape here collapses dominance-by-all-higher-prices to
+      // "date < EXCLUSIVE prefix-min of date in price-descending order":
+      // one high-cardinality groupBy(price) pre-aggregation (same-price
+      // dominance = min date per price), then Ids.runningMinExclusive's
+      // two-pass offset scheme — no pairwise join, no single-task global
+      // window. price_c is unique after the groupBy, so the prefix is a
+      // total order and the result is deterministic at any partitioning.
+      (s, d) => {
+        val g = tbl(s, d, "orders")
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("price_c"),
+            col("o_orderdate"))
+          .groupBy("price_c").agg(min(col("o_orderdate").cast("date")).as("day"))
+          .withColumn("day_l", expr("unix_date(day)").cast("long"))
+        Ids.runningMinExclusive(g, Seq(col("price_c").desc), "day_l")
+          .filter(col("day_l") < col("prevmin"))
+          .select(col("price_c"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .orderBy(col("price_c").desc)
+      },
+      Some(
+        """WITH g AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+          |    min(o_orderdate) AS day
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT price_c, day,
+          |    min(day) OVER (ORDER BY price_c DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmin
+          |  FROM g)
+          |SELECT price_c, strftime(day, '%Y-%m-%d') AS day
+          |FROM r WHERE prevmin IS NULL OR day < prevmin
+          |ORDER BY price_c DESC""".stripMargin),
+      bench = true),
+
+    Q("dash_benford",
+      // Benford first-digit conformance over order totals — the DQ screen
+      // for fabricated or mis-scaled monetary data: per leading digit d,
+      // observed count vs expectation n·p(d), with the χ² term
+      // (1e6·obs − n·p_ppm)² over n·p_ppm carried in 38-digit decimal
+      // (Spark) / HUGEINT (DuckDB) so the e6-scaled square stays exact at
+      // any n. Benford p(d) = log10(1+1/d) enters as nine shared floored
+      // e6 literals — no transcendental crosses an engine boundary. One
+      // scan, one 9-group aggregate, one scalar-total cross join.
+      (s, d) => {
+        val ppm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+          66946L, 57991L, 51152L, 45757L)
+        val o = tbl(s, d, "orders").select(
+          substring(((col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        val obs = o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = o.agg(count(lit(1)).as("n"))
+        obs.crossJoin(tot)
+          .withColumn("p_ppm", element_at(array(ppm.map(lit): _*), col("digit")))
+          .selectExpr("digit", "n_obs", "p_ppm",
+            """CAST(CAST(1000000L * n_obs - n * p_ppm AS DECIMAL(38,0))
+              |  * CAST(1000000L * n_obs - n * p_ppm AS DECIMAL(38,0))
+              |  DIV CAST(n * p_ppm AS DECIMAL(38,0)) AS BIGINT) AS chi_term_e6""".stripMargin)
+          .orderBy("digit")
+      },
+      Some(
+        """WITH o AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          |  FROM orders),
+          |obs AS (SELECT digit, count(*) AS n_obs FROM o GROUP BY 1),
+          |tot AS (SELECT count(*) AS n FROM o)
+          |SELECT digit, n_obs,
+          |  CAST(([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757])[digit] AS BIGINT) AS p_ppm,
+          |  CAST(CAST(1000000 * n_obs - n * ([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757])[digit] AS HUGEINT)
+          |    * CAST(1000000 * n_obs - n * ([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757])[digit] AS HUGEINT)
+          |    // CAST(n * ([301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757])[digit] AS HUGEINT) AS BIGINT) AS chi_term_e6
+          |FROM obs CROSS JOIN tot ORDER BY digit""".stripMargin)),
+
+    Q("dash_rolling_median",
+      // trailing-7-day rolling LOWER median of per-priority daily revenue
+      // — the robust rolling centerline dash_moving_avg's mean cannot
+      // give (one spike day drags a mean for a week; the median shrugs).
+      // Exact and engine-portable: the frame's values are collected per
+      // row (≤ 7 elements), sorted, and indexed at (n+1) DIV 2 — no
+      // percentile_approx, no interpolation ambiguity. The window input
+      // is the per-(priority, day) aggregate — calendar-bounded rows, so
+      // the 5-way partition is NOT fact-sized (the raw-orders shuffle
+      // happened in the groupBy before it).
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("rev_c"))
+        val w = Window.partitionBy("pri").orderBy("day").rowsBetween(-6, 0)
+        daily.withColumn("arr", sort_array(collect_list(col("rev_c")).over(w)))
+          .withColumn("med_c", expr("element_at(arr, cast((size(arr) + 1) div 2 as int))"))
+          .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("rev_c"), col("med_c"))
+          .orderBy("pri", "day")
+      },
+      Some(
+        """WITH daily AS (SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT pri, day, rev_c,
+          |    list_sort(list(rev_c) OVER (PARTITION BY pri ORDER BY day
+          |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+          |  FROM daily)
+          |SELECT pri, strftime(day, '%Y-%m-%d') AS day, rev_c,
+          |  arr[(len(arr) + 1) // 2] AS med_c
+          |FROM r ORDER BY pri, day""".stripMargin),
+      bench = true),
+
     Q("dash_multiband_counts",
       // TPC-DS Q88 plan shape: eight banded counts served from ONE scan
       // as conditional aggregates — the naive form is eight self-joined

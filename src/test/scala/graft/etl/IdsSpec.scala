@@ -42,4 +42,42 @@ class IdsSpec extends SparkSpec {
     val got = Ids.contiguousIds(empty, Seq(col("key")))
     assert(got.columns.toSeq == Seq("key", "id") && got.count() == 0)
   }
+
+  test("runningMinExclusive matches the single-partition exclusive-min window") {
+    val df = spark.range(0, 1000).select(
+        (col("id") * 2654435761L % 1000003L).as("key"),
+        (col("id") * 48271L % 99991L).as("v"))
+      .repartition(7)
+    val got = Ids.runningMinExclusive(df, Seq(col("key").desc), "v",
+      numPartitions = Some(8))
+
+    val expected = df.withColumn("prevmin",
+      coalesce(
+        min(col("v")).over(Window.orderBy(col("key").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(Long.MaxValue)))
+    assert(got.select("key", "v", "prevmin")
+      .except(expected.select("key", "v", "prevmin")).isEmpty)
+
+    // first row in sort order carries the neutral element
+    assert(got.orderBy(col("key").desc).select("prevmin")
+      .as[Long].head() == Long.MaxValue)
+    assert(got.rdd.getNumPartitions > 1)
+  }
+
+  test("runningMinExclusive rejects NULL and non-integral value columns") {
+    // all-NULL value run: rejected in pass 1, on the driver, with the
+    // diagnostic (a partial-NULL run dies in pass 2 with the same message,
+    // wrapped in the task failure)
+    val nulls = Seq[(Long, Option[Long])]((1L, None), (2L, None)).toDF("key", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Ids.runningMinExclusive(nulls, Seq(col("key")), "v").count()
+    }
+    assert(ex.getMessage.contains("must not be NULL"))
+    val dbl = Seq((1L, 1.5)).toDF("key", "v")
+    val ex2 = intercept[IllegalArgumentException] {
+      Ids.runningMinExclusive(dbl, Seq(col("key")), "v")
+    }
+    assert(ex2.getMessage.contains("integral"))
+  }
 }

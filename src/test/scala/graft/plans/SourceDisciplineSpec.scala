@@ -36,6 +36,9 @@ class SourceDisciplineSpec extends AnyFunSuite {
       "contiguousIds per-partition count map: O(partitions)"),
     ("Ids.scala", ".collect()",
       "groupedRunningSum pass-1 offsets: O(partitions x groups)"),
+    // Ids.runningMinExclusive pass 1: one row per partition
+    ("Ids.scala", ".collect().map { r =>",
+      "runningMinExclusive per-partition minima: O(partitions)"),
     // Dashboard scalar probe: collect()(0) of a no-grouping (1-row)
     // aggregate
     ("Dashboard.scala", ".collect()(0)", "1-row aggregate probe"),
