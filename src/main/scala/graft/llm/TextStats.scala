@@ -226,6 +226,93 @@ object TextStats {
       .orderBy(col("score_e6").desc, col("doc_id"))
   }
 
+  /** MaxScore-pruned disjunctive top-k retrieval (Turtle & Flood, IPM
+    * 1995) — the dynamic-pruning face of [[bm25]]: identical results to
+    * brute-force scoring, without evaluating every matching document.
+    * Additive impact model: impact(d,t) = tf(d,t) · idf_e6(t) with
+    * idf_e6 = (N·1e6) DIV df — all-long, oracle-replayable.
+    *
+    * The pruning: terms split into the single highest-upper-bound
+    * ESSENTIAL term and the rest. Every doc containing the essential term
+    * is scored exactly (phase 1); θ = the k-th best phase-1 score. A doc
+    * WITHOUT the essential term can reach at most Σ UB(non-essential
+    * terms it matches), so only candidates with bound ≥ θ are scored
+    * (phase 2) — the ≥ keeps score-ties, making the union provably a
+    * superset of the true top-k. At scale the skipped docs are the bulk
+    * of the low-idf terms' postings — exactly the lists that dominate
+    * disjunctive query cost.
+    *
+    * Scale shape: postings pruned to query terms BEFORE the tf shuffle;
+    * tf localCheckpointed once (four consumers — df, phase-1 semi-join,
+    * phase-2 anti-join, scoring — must not re-explode the corpus);
+    * df/N/UB/θ are term-bounded or 1-row broadcasts; top-k via the heap
+    * exec. Nothing corpus-sized moves after the one tf aggregation.
+    */
+  def maxScoreTopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    maxScoreInternal(docs, terms, k, textCol, idCol)._1
+
+  /** [[maxScoreTopK]] plus the phase frames, for the pruning-effectiveness
+    * spec: (result, phase-1 docs, phase-2 kept candidates).
+    */
+  private[graft] def maxScoreInternal(docs: DataFrame, terms: Seq[String],
+      k: Int, textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(terms.nonEmpty, "maxScoreTopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = tokens(docs, textCol, idCol)
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val totN = docs.agg(count(lit(1)).as("__n"))
+    val imp = tf.join(broadcast(dfc), "tok").crossJoin(broadcast(totN))
+      .select(col("doc_id"), col("tok"),
+        expr("tf * ((__n * 1000000) DIV df)").as("impact"))
+      .localCheckpoint()
+
+    // per-term upper bounds (|terms| rows); the essential term is the max
+    val ub = imp.groupBy("tok").agg(max(col("impact")).as("ub"))
+    val essTok = ub.orderBy(col("ub").desc, col("tok")).limit(1)
+      .select(col("tok").as("ess_tok"))
+
+    // phase 1: exact scores for every doc matching the essential term
+    val p1docs = imp.join(broadcast(essTok),
+        col("tok") === col("ess_tok"), "left_semi")
+      .select("doc_id").distinct()
+    val p1scores = imp.join(p1docs, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("impact")).as("score_e6"))
+
+    // θ = k-th best phase-1 score (Long.MinValue while under-filled: an
+    // under-filled heap admits every candidate, by definition of top-k)
+    val theta = graft.plans.TopK.perGroup(
+        p1scores.withColumn("__g", lit(1)), Seq("__g"),
+        col("score_e6"), col("doc_id"), k)
+      .agg(count(lit(1)).as("__kc"), min(col("score_e6")).as("__kmin"))
+      .select(when(col("__kc") < k, lit(Long.MinValue))
+        .otherwise(col("__kmin")).as("__theta"))
+
+    // phase 2: docs WITHOUT the essential term; bound = Σ UB over their
+    // matched terms; only bound ≥ θ survive (ties kept → exactness)
+    val p2 = imp.join(broadcast(essTok), col("tok") === col("ess_tok"), "left_anti")
+      .join(p1docs, Seq("doc_id"), "left_anti")
+      .join(broadcast(ub), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("impact")).as("score_e6"),
+        sum(col("ub")).as("__bound"))
+    val p2kept = p2.crossJoin(broadcast(theta))
+      .filter(col("__bound") >= col("__theta"))
+      .select("doc_id", "n_terms", "score_e6")
+
+    val result = graft.plans.TopK.perGroup(
+        p1scores.unionByName(p2kept).withColumn("__g", lit(1)), Seq("__g"),
+        col("score_e6"), col("doc_id"), k)
+      .select(col("doc_id"), col("n_terms"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    (result, p1docs, p2kept)
+  }
+
   /** Per-document "more like this" BM25: every document in `queryIds`
     * becomes a bag-of-tokens query (its own distinct tokens), scored
     * against the rest of the corpus with exactly [[bm25]]'s all-long

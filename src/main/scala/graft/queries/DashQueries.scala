@@ -714,6 +714,84 @@ private[graft] object DashQueries {
            |FROM za ORDER BY na""".stripMargin
       }),
 
+    Q("dash_cuped_adjust",
+      // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
+      // variance-reduction face of the experimentation family: each
+      // customer's post-period metric (1995 spend, whole dollars) is
+      // adjusted by θ·(1994 pre-period spend − its grand mean), with
+      // θ = cov(pre, post)/var(pre) computed ONCE globally as an exact
+      // e6 rational in DECIMAL(38,0)/HUGEINT (the only wide products;
+      // exact through ~sf10, same saturation caveat as the z-test), then
+      // the per-segment adjustment applied at fixed DIV truncation points
+      // so both engines replay it digit-for-digit. Scale shape: one
+      // groupBy(custkey) pre-aggregation, a key-aligned customer join for
+      // the segment, one 1-row moment aggregate broadcast back, one
+      // 5-group rollup — nothing wider than the custkey shuffle.
+      (s, d) => {
+        val per = tbl(s, d, "orders")
+          .withColumn("yr", year(col("o_orderdate")))
+          .filter(col("yr").isin(1994, 1995))
+          .groupBy(col("o_custkey"))
+          .agg(
+            sum(when(col("yr") === 1994,
+              floor(col("o_totalprice")).cast("long")).otherwise(0L)).as("x"),
+            sum(when(col("yr") === 1995,
+              floor(col("o_totalprice")).cast("long")).otherwise(0L)).as("y"))
+        val mom = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .selectExpr("n", "sx",
+            """CAST((CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+              |  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))) * 1000000
+              | DIV greatest(CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+              |  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)),
+              |  CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS theta_e6""".stripMargin)
+        per.join(tbl(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sxg"),
+            sum(col("y")).as("syg"))
+          .crossJoin(broadcast(mom))
+          .selectExpr("segment", "n_g", "theta_e6",
+            "CAST(CAST(syg AS DECIMAL(38,0)) * 1000000 DIV n_g AS BIGINT) AS raw_mean_e6",
+            """CAST(CAST(syg AS DECIMAL(38,0)) * 1000000 DIV n_g
+              | - CAST(theta_e6 AS DECIMAL(38,0))
+              |   * (CAST(sxg AS DECIMAL(38,0)) * 1000000 DIV n_g
+              |      - CAST(sx AS DECIMAL(38,0)) * 1000000 DIV n) DIV 1000000
+              | AS BIGINT) AS adj_mean_e6""".stripMargin)
+          .orderBy("segment")
+      },
+      Some(
+        """WITH per AS (SELECT o_custkey,
+          |    CAST(sum(CASE WHEN year(o_orderdate) = 1994
+          |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+          |    CAST(sum(CASE WHEN year(o_orderdate) = 1995
+          |      THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+          |  FROM orders WHERE year(o_orderdate) IN (1994, 1995) GROUP BY 1),
+          |mom AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx,
+          |    CAST(sum(x * y) AS BIGINT) AS sxy
+          |  FROM per),
+          |th AS (SELECT n, sx,
+          |    CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+          |      // greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
+          |      AS BIGINT) AS theta_e6
+          |  FROM mom),
+          |g AS (SELECT c_mktsegment AS segment, count(*) AS n_g,
+          |    CAST(sum(x) AS BIGINT) AS sxg, CAST(sum(y) AS BIGINT) AS syg
+          |  FROM per JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+          |SELECT segment, n_g, theta_e6,
+          |  CAST(CAST(syg AS HUGEINT) * 1000000 // n_g AS BIGINT) AS raw_mean_e6,
+          |  CAST(CAST(syg AS HUGEINT) * 1000000 // n_g
+          |    - CAST(theta_e6 AS HUGEINT)
+          |      * (CAST(sxg AS HUGEINT) * 1000000 // n_g
+          |         - CAST(sx AS HUGEINT) * 1000000 // n) // 1000000
+          |    AS BIGINT) AS adj_mean_e6
+          |FROM g CROSS JOIN th ORDER BY segment""".stripMargin)),
+
     Q("agg_hll_error_vs_exact",
       // the HLL accuracy harness — estimate beside the exact distinct
       // count per group with the relative error as an exact e6 integer,

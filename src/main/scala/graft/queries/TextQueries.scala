@@ -799,6 +799,33 @@ private[graft] object TextQueries {
           |WHERE rn <= 20 ORDER BY score_e6 DESC, doc_id""".stripMargin),
       bench = true),
 
+    Q("text_maxscore_topk",
+      // MaxScore dynamic pruning (Turtle & Flood 1995) for the disjunctive
+      // query {hash, join, a}: docs without the highest-upper-bound term
+      // are scored only if their per-term upper-bound sum reaches the
+      // phase-1 top-k floor θ — the skipped tail is the bulk of the
+      // low-idf term's postings at scale. The oracle is BRUTE-FORCE
+      // scoring of every matching doc: hash-equality IS the proof that
+      // pruning loses nothing (MaxScoreSpec additionally pins that the
+      // pruned phases really do skip documents on a discriminating
+      // fixture).
+      (s, d) => TextStats.maxScoreTopK(tbl(s, d, "documents"),
+        Seq("hash", "join", "a"), k = 10),
+      Some(
+        """WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |            FROM documents),
+          |t AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+          |      WHERE tok IN ('hash', 'join', 'a') GROUP BY 1, 2),
+          |d AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |sc AS (SELECT doc_id, count(*) AS n_terms,
+          |         sum(tf * ((n.n * 1000000) // d.df)) AS score_e6
+          |       FROM t JOIN d USING (tok) CROSS JOIN n GROUP BY doc_id)
+          |SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(score_e6 AS BIGINT) AS score_e6
+          |FROM (SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rn FROM sc)
+          |WHERE rn <= 10 ORDER BY score_e6 DESC, doc_id""".stripMargin),
+      bench = true),
+
     Q("text_phrase_search",
       // positional phrase search — the retrieval face a bag-of-words index
       // (text_inverted_index / BM25) cannot serve: the EXACT adjacent
