@@ -238,6 +238,38 @@ object Graph {
     dist
   }
 
+  /** Hop-bounded multi-source BFS — [[bfsHops]] launched from k landmark
+    * seeds simultaneously, frontier keyed (lm, id) so every round is
+    * still ONE join + ONE min-aggregate regardless of k. This is the
+    * landmark scheme (Potamias et al., CIKM'09) that makes centrality
+    * tractable at scale: exact closeness needs all-pairs BFS (n sources
+    * × maxHops rounds), landmarks bound the state at k·|V| and estimate
+    * any node's centrality from its k landmark distances.
+    *
+    * @param seeds two-column (lm, id) frame; a landmark's own seed row is
+    *              (lm, lm) at hop 0
+    * @return (lm, id, hop) with hop = min #edges from lm to id, ≤ maxHops
+    */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    var dist = seeds.toDF("lm", "id")
+      .select(col("lm").cast("long"), col("id").cast("long")).distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(false)
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("hop") === (h - 1).toLong)
+        .join(e, col("id") === e("src"))
+        .select(col("lm"), e("dst").as("id"), lit(h.toLong).as("hop"))
+      dist = dist.union(next)
+        .groupBy("lm", "id").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** One round of GraphSAGE-style neighbor feature aggregation (Hamilton
     * et al., NeurIPS'17 — the mean-aggregator layer, minus the learned
     * projection): for every node, its degree plus the min / mean / max of

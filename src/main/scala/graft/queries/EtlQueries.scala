@@ -468,6 +468,63 @@ private[graft] object EtlQueries {
           |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
           |ORDER BY o_orderkey""".stripMargin)),
 
+    Q("etl_late_arriving_dim",
+      // late-arriving dimension handling — the warehouse pattern a
+      // drop-unmatched load cannot express: fact rows whose dim key has
+      // not arrived yet keep loading under an INFERRED member
+      // ('__INFERRED__'), and when the late dim batch lands a repair pass
+      // re-keys ONLY the inferred slice. The late/early split is a
+      // deterministic md5 bucket (first hex digit '0' ≈ 1/16 of
+      // customers), so the whole scenario — inference included — replays
+      // in the oracle. Scale shape: both joins are key-aligned on
+      // custkey; the repair join's probe side is the inferred slice
+      // (~1/16 of facts), never a reload of the fact table.
+      (s, d) => {
+        val cust = tbl(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment"),
+          substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1).as("hh"))
+        val early = cust.filter(col("hh") =!= "0")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val late = cust.filter(col("hh") === "0")
+          .select(col("c_custkey").as("l_ck"), col("c_mktsegment").as("l_seg"))
+        val o = tbl(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+        val firstPass = o.join(early, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("o_custkey"), col("o_totalprice"),
+            coalesce(col("c_mktsegment"), lit("__INFERRED__")).as("segment"))
+        val onTime = firstPass.filter(col("segment") =!= "__INFERRED__")
+          .withColumn("status", lit("on_time"))
+        val repaired = firstPass.filter(col("segment") === "__INFERRED__")
+          .drop("segment")
+          .join(late, col("o_custkey") === col("l_ck"), "left")
+          .select(col("o_custkey"), col("o_totalprice"),
+            coalesce(col("l_seg"), lit("__INFERRED__")).as("segment"))
+          .withColumn("status", lit("repaired"))
+        onTime.unionByName(repaired)
+          .groupBy("segment", "status")
+          .agg(count(lit(1)).as("n_orders"), cents(col("o_totalprice")).as("rev_c"))
+          .orderBy("segment", "status")
+      },
+      Some(
+        """WITH cust AS (SELECT c_custkey, c_mktsegment,
+          |    substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS hh FROM customer),
+          |e AS (SELECT c_custkey, c_mktsegment FROM cust WHERE hh <> '0'),
+          |l AS (SELECT c_custkey AS l_ck, c_mktsegment AS l_seg FROM cust WHERE hh = '0'),
+          |o AS (SELECT o_custkey, o_totalprice FROM orders),
+          |fp AS (SELECT o_custkey, o_totalprice,
+          |    COALESCE(c_mktsegment, '__INFERRED__') AS segment
+          |  FROM o LEFT JOIN e ON o_custkey = c_custkey),
+          |ot AS (SELECT o_custkey, o_totalprice, segment, 'on_time' AS status
+          |  FROM fp WHERE segment <> '__INFERRED__'),
+          |rp AS (SELECT i.o_custkey, i.o_totalprice,
+          |    COALESCE(l_seg, '__INFERRED__') AS segment, 'repaired' AS status
+          |  FROM (SELECT o_custkey, o_totalprice FROM fp
+          |        WHERE segment = '__INFERRED__') i
+          |  LEFT JOIN l ON i.o_custkey = l_ck),
+          |u AS (SELECT * FROM ot UNION ALL SELECT * FROM rp)
+          |SELECT segment, status, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |FROM u GROUP BY 1, 2 ORDER BY segment, status""".stripMargin)),
+
     Q("etl_scd2_merge",
       // Type-2 dimension merge (the versioned form of the reference's
       // daily JDBC overwrite): dim = customers as current rows plus a

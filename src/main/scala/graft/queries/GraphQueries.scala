@@ -303,6 +303,50 @@ private[graft] object GraphQueries {
           |FROM reach GROUP BY id ORDER BY hop, id""".stripMargin),
       bench = true),
 
+    Q("graph_closeness_landmarks",
+      // landmark closeness centrality (Potamias CIKM'09) over the same
+      // symmetrized purchase graph as graph_bfs_hops: hop-bounded BFS from
+      // the 4 lowest node ids AT ONCE (frontier keyed (lm, id) — one join
+      // + one min-aggregate per round regardless of k), then per NODE the
+      // landmark count reached, hop sum, and the closeness estimate
+      // k_reached·1e6 DIV Σhops. The scale contract: exact closeness is
+      // all-pairs (n BFS sources); landmarks cap state at k·|V| — the k
+      // is the dial, the per-round plan shape never changes.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = sym.select(col("src")).distinct().orderBy("src").limit(4)
+          .select(col("src").as("lm"), col("src").as("id"))
+        Graph.multiSourceBfs(sym, seeds, maxHops = 4)
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_reached"), sum(col("hop")).as("sum_hops"))
+          .selectExpr("id", "n_reached", "sum_hops",
+            "n_reached * 1000000L DIV greatest(sum_hops, 1L) AS closeness_e6")
+          .orderBy("id")
+      },
+      Some(
+        """WITH RECURSIVE raw AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+          |lms AS (SELECT src AS lm FROM (
+          |  SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)),
+          |reach(lm, id, hop) AS (
+          |  SELECT lm, lm, 0 FROM lms
+          |  UNION
+          |  SELECT r.lm, e.dst, r.hop + 1
+          |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.hop < 4
+          |),
+          |dm AS (SELECT lm, id, min(hop) AS hop FROM reach GROUP BY 1, 2)
+          |SELECT id, count(*) AS n_reached, CAST(sum(hop) AS BIGINT) AS sum_hops,
+          |  CAST(count(*) * 1000000 // greatest(sum(hop), 1) AS BIGINT) AS closeness_e6
+          |FROM dm GROUP BY id ORDER BY id""".stripMargin),
+      bench = true),
+
     Q("graph_communities",
       // label-propagation communities over the co-purchase graph, 4
       // deterministic synchronous rounds (self-vote damping, min-label
