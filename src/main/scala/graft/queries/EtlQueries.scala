@@ -578,6 +578,42 @@ private[graft] object EtlQueries {
       Some(ZORDER_SQL),
       bench = true),
 
+    Q("etl_hilbert_layout",
+      // Hilbert-curve clustering audit beside etl_zorder_layout: same
+      // bucketed (price, custkey) plane, but the 1-D key is the Hilbert
+      // d-index — edge-adjacent at every step, so UNALIGNED file-sized
+      // key ranges (which real range-partitioned writes produce) project
+      // to tighter rectangles than Morton's seam-crossing ranges
+      // (HilbertSpec measures the win on the exact metric; the bijection
+      // + unit-step property is proven exhaustively there too). The d
+      // expression is the level-unrolled recurrence as portable
+      // CASE/&-arithmetic — one fragment generator feeds both engines.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(
+          least(floor(col("o_totalprice") / 2048).cast("long"), lit(255L)).as("xb"),
+          col("o_custkey").bitwiseAND(lit(255L)).as("yb"))
+        graft.etl.Hilbert.addDvalue(o, col("xb"), col("yb"), bits = 8, out = "hd")
+          .groupBy(expr("hd DIV 256").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+            min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+          .orderBy("bucket")
+      },
+      Some {
+        val ctes = graft.etl.Hilbert.dvalueCtes("base", 8, "xb", "yb")
+        val dc = graft.etl.Hilbert.dCol(8)
+        s"""WITH base AS (SELECT
+           |    least(CAST(floor(o_totalprice / 2048) AS BIGINT), 255) AS xb,
+           |    o_custkey & 255 AS yb
+           |  FROM orders),
+           |$ctes
+           |SELECT $dc // 256 AS bucket, count(*) AS n,
+           |  CAST(min(xb) AS BIGINT) AS x_min, CAST(max(xb) AS BIGINT) AS x_max,
+           |  CAST(min(yb) AS BIGINT) AS y_min, CAST(max(yb) AS BIGINT) AS y_max
+           |FROM hl8 GROUP BY 1 ORDER BY bucket""".stripMargin
+      },
+      bench = true),
+
     Q("etl_quarantine",
       // dead-letter routing: the reference's sanity filters as VERDICTS
       // instead of silent drops — every row carries the names of the rules

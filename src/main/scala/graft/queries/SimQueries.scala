@@ -616,6 +616,91 @@ private[graft] object SimQueries {
           |ORDER BY query_id, rnk""".stripMargin),
       bench = true),
 
+    Q("sim_filtered_recall",
+      // FILTERED ANN — the vector-database face plain top-k cannot serve:
+      // "nearest neighbors WHERE label = 3". Ground truth is exact cosine
+      // top-5 over the PRE-filtered corpus (predicate pushed below the
+      // scan); the measured candidate is IVF POST-filtering — search the
+      // unfiltered index top-k', then filter — the production shortcut
+      // whose recall starves when k' ≪ k/selectivity (10 labels ≈ 10%
+      // pass rate: k'=20 leaves ~2 surviving candidates for 5 slots).
+      // Both k'=20 and k'=60 are measured per query; the recall_e6 pair
+      // IS the sizing rule (k' must scale with 1/selectivity) — the same
+      // measure-don't-guess discipline as the PQ/IVF recall rows.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val q = qb(emb)
+        val truth = Similarity.bruteForceTopK(
+            emb.filter(col("label") === 3), q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTruth = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+        val lab = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+        def post(kp: Int): DataFrame = {
+          val cand = Similarity.ivfTopK(emb, q, k = kp, centStep = 100, nProbe = 2)
+            .join(lab, "neighbor_id")
+            .filter(col("label") === 3)
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("sim_e6").desc, col("neighbor_id"))
+          cand.withColumn("__r", row_number().over(w)).filter(col("__r") <= 5)
+            .select(col("query_id"), col("neighbor_id"), lit(kp.toLong).as("kprime"))
+        }
+        val hits = post(20).unionByName(post(60))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id", "kprime").agg(count(lit(1)).as("n_hit"))
+        nTruth.select(col("query_id"), col("n_truth"),
+            explode(array(lit(20L), lit(60L))).as("kprime"))
+          .join(hits, Seq("query_id", "kprime"), "left")
+          .select(col("query_id"), col("kprime"), col("n_truth"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_e6", expr("n_hit * 1000000L DIV n_truth"))
+          .orderBy("query_id", "kprime")
+      },
+      Some(
+        """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+          |           FROM embeddings WHERE vec_id % 100 = 0
+          |           ORDER BY vec_id LIMIT 64),
+          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+          |vc AS (
+          |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT v.id, v.e, c.cent_id,
+          |          CAST(floor(list_inner_product(v.e, c.cv) /
+          |            (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM v, c)
+          |),
+          |cells AS (SELECT id AS neighbor_id, e AS cv, cent_id FROM vc WHERE rn = 1),
+          |probes AS (SELECT id AS query_id, e AS qv, cent_id FROM vc WHERE rn <= 2 AND id % 50 = 0),
+          |s AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM cells JOIN probes USING (cent_id) WHERE neighbor_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rnk FROM s),
+          |tr0 AS (SELECT q.id AS query_id, v2.id AS neighbor_id,
+          |          CAST(floor(list_inner_product(q.e, v2.e) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(v2.e, v2.e))) * 1000000) AS BIGINT) AS sim_e6
+          |        FROM (SELECT * FROM v WHERE id % 50 = 0) q
+          |        JOIN (SELECT * FROM v WHERE label = 3) v2 ON v2.id <> q.id),
+          |truth AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS trk
+          |    FROM tr0) WHERE trk <= 5),
+          |nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+          |post AS (SELECT query_id, neighbor_id, kp FROM (
+          |    SELECT r.query_id, r.neighbor_id, kp.kp,
+          |      row_number() OVER (PARTITION BY r.query_id, kp.kp
+          |        ORDER BY r.sim_e6 DESC, r.neighbor_id) AS rr
+          |    FROM r JOIN v lv ON lv.id = r.neighbor_id AND lv.label = 3
+          |    CROSS JOIN (SELECT unnest([20, 60]) AS kp) kp
+          |    WHERE r.rnk <= kp.kp) WHERE rr <= 5),
+          |hits AS (SELECT p.query_id, p.kp, count(*) AS n_hit
+          |  FROM post p JOIN truth t ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+          |  GROUP BY 1, 2),
+          |keys AS (SELECT query_id, n_truth, unnest([20, 60]) AS kp FROM nt)
+          |SELECT k.query_id, CAST(k.kp AS BIGINT) AS kprime, k.n_truth,
+          |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  CAST(COALESCE(h.n_hit, 0) * 1000000 // k.n_truth AS BIGINT) AS recall_e6
+          |FROM keys k LEFT JOIN hits h ON h.query_id = k.query_id AND h.kp = k.kp
+          |ORDER BY k.query_id, kprime""".stripMargin),
+      bench = true),
+
     Q("dedup_semantic",
       // SemDeDup (Abbas et al. 2023): embedding-space dedup — route every
       // vector to its trained k-means cell (the SAME published centroid
