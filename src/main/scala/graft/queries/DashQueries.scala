@@ -792,6 +792,88 @@ private[graft] object DashQueries {
           |    AS BIGINT) AS adj_mean_e6
           |FROM g CROSS JOIN th ORDER BY segment""".stripMargin)),
 
+    Q("agg_ams_f2",
+      // AMS / tug-of-war second frequency moment (Alon–Matias–Szegedy,
+      // STOC'96) with the same measured-accuracy discipline as the
+      // HLL/CMS rows: nine ±1 md5-parity sign projections of the customer
+      // key, all summed in ONE pass over orders (estimator = Z²,
+      // E[Z²] = Σc² = F2), the median of the nine reported beside the
+      // EXACT F2 and the e6 relative error. F2 is the self-join size —
+      // the skew statistic a join planner wants WITHOUT a groupBy; the
+      // sketch needs one scan and 9 counters where the exact side needs
+      // the full key shuffle.
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_custkey").as("ck"))
+        val signs = (0 until 9).map { i =>
+          sum(when(pmod(graft.analytics.Sketch.hashPoint32(
+              concat(lit(s"$i#"), col("ck").cast("string"))), lit(2L)) === 0, 1L)
+            .otherwise(-1L)).as(s"z$i")
+        }
+        val est = o.agg(signs.head, signs.tail: _*)
+          .selectExpr("array_sort(array(" +
+            (0 until 9).map(i => s"z$i * z$i").mkString(", ") +
+            "))[4] AS f2_est")
+        val exact = o.groupBy("ck").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(expr("c * c")).as("f2_exact"))
+        est.crossJoin(exact)
+          .selectExpr("n_keys", "f2_exact", "f2_est",
+            """CAST(CAST(abs(f2_est - f2_exact) AS DECIMAL(38,0)) * 1000000
+              | DIV CAST(f2_exact AS DECIMAL(38,0)) AS BIGINT) AS rel_err_e6""".stripMargin)
+          .orderBy("n_keys")
+      },
+      Some {
+        val zs = (0 until 9).map { i =>
+          val h = graft.queries.OracleShared.hx(s"md5('$i#' || CAST(ck AS VARCHAR))")
+          s"CAST(sum(CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z$i"
+        }.mkString(",\n|      ")
+        val sq = (0 until 9).map(i => s"z$i * z$i").mkString(", ")
+        s"""WITH o AS (SELECT o_custkey AS ck FROM orders),
+           |z AS (SELECT $zs
+           |  FROM o),
+           |e AS (SELECT CAST(list_sort([$sq])[5] AS BIGINT) AS f2_est FROM z),
+           |x AS (SELECT count(*) AS n_keys, CAST(sum(c * c) AS BIGINT) AS f2_exact
+           |  FROM (SELECT ck, count(*) AS c FROM o GROUP BY 1))
+           |SELECT n_keys, f2_exact, f2_est,
+           |  CAST(CAST(abs(f2_est - f2_exact) AS HUGEINT) * 1000000 // f2_exact AS BIGINT) AS rel_err_e6
+           |FROM e CROSS JOIN x ORDER BY n_keys""".stripMargin
+      }),
+
+    Q("dash_gini",
+      // Gini concentration of customer lifetime revenue — the inequality
+      // dial (how concentrated is the book of business) beside the Pareto
+      // deciles: G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx), ranks assigned by
+      // Ids.contiguousIds' two-pass range-partition scheme over the
+      // (x, custkey) total order — the global-sort rank WITHOUT the
+      // single-task window — and the final ratio cross-multiplied exactly
+      // in DECIMAL(38,0)/HUGEINT e6 (the rank·x sum accumulates in
+      // 38-digit decimal, so no BIGINT overflow at any SF).
+      (s, d) => {
+        val per = tbl(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(cents(col("o_totalprice")).as("x"))
+        val ranked = Ids.contiguousIds(per,
+          Seq(col("x"), col("o_custkey")), idCol = "r0")
+        ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(expr("CAST(r0 + 1 AS DECIMAL(38,0)) * x")).as("srx"))
+          .selectExpr("n", "sx",
+            """CAST((2 * CAST(srx AS DECIMAL(38,0))
+              |  - CAST(n + 1 AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) * 1000000
+              | DIV greatest(CAST(n AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)),
+              |   CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS gini_e6""".stripMargin)
+          .orderBy("n")
+      },
+      Some(
+        """WITH per AS (SELECT o_custkey,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+          |  FROM orders GROUP BY 1),
+          |rk AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r FROM per),
+          |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |    sum(CAST(r AS HUGEINT) * x) AS srx
+          |  FROM rk)
+          |SELECT n, sx,
+          |  CAST((2 * srx - CAST(n + 1 AS HUGEINT) * sx) * 1000000
+          |    // greatest(CAST(n AS HUGEINT) * sx, 1) AS BIGINT) AS gini_e6
+          |FROM m ORDER BY n""".stripMargin)),
+
     Q("agg_hll_error_vs_exact",
       // the HLL accuracy harness — estimate beside the exact distinct
       // count per group with the relative error as an exact e6 integer,
@@ -1183,6 +1265,43 @@ private[graft] object DashQueries {
           .orderBy("priority", "day")
       },
       Some(EWMA_SQL)),
+
+    Q("dash_holt_forecast",
+      // Holt double exponential smoothing (level + trend, α=0.3, β=0.1)
+      // as a PRECOMPUTED 8-term integer dot product: with fixed smoothing
+      // constants the (l, b) recursion is LINEAR in the observations, so
+      // the one-step-ahead forecast over a truncated 8-day history is a
+      // fixed weight vector — run symbolically ONCE in Scala, floored to
+      // e12, embedded as identical literals in both engines (zero
+      // cross-engine pow()). The trend term is what dash_ewma's
+      // level-only smoothing cannot track. Emitted beside the realized
+      // next-day actual and |error| — the forecast-accuracy face, on the
+      // same bounded per-priority windows over the calendar-bounded
+      // gap-filled series.
+      (s, d) => {
+        val dense = Dashboard.gapFillDaily(tbl(s, d, "orders"),
+          col("o_orderpriority"), to_date(col("o_orderdate")),
+          Seq("n_orders" -> count(lit(1))), Seq.empty)
+        val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+        val base = dense.select(col("key").as("priority"), col("day"),
+          col("n_orders"))
+        val lagged = (1 to 7).foldLeft(base) { (df, j) =>
+            df.withColumn(s"__l$j", lag(col("n_orders"), j).over(w))
+          }
+          .withColumn("__next", lead(col("n_orders"), 1).over(w))
+        val dot = HOLT_COEF_E12.zipWithIndex.map { case (c, i) =>
+          val j = 7 - i // coefficient index i = oldest obs ↔ lag 7-i
+          if (j == 0) s"${c}L * n_orders" else s"${c}L * __l$j"
+        }.mkString(" + ")
+        lagged.filter(col("__l7").isNotNull && col("__next").isNotNull)
+          .select(col("priority"), col("day").cast("string").as("day"),
+            col("n_orders"),
+            expr(dot).as("fc_next_e12"),
+            col("__next").as("next_actual"),
+            expr(s"abs(($dot) - __next * 1000000000000L)").as("abs_err_e12"))
+          .orderBy("priority", "day")
+      },
+      Some(HOLT_SQL)),
 
     Q("agg_array_ops",
       // array-function family breadth (§2.12): per-language source sets via
@@ -1749,6 +1868,160 @@ private[graft] object DashQueries {
           |FROM r ORDER BY pri, day""".stripMargin),
       bench = true),
 
+    Q("dash_cusum_changepoint",
+      // CUSUM change-point detection on the per-priority daily order
+      // series — the monitoring alarm for LEVEL SHIFTS that the 3σ
+      // spike detector (ev_anomaly_days) cannot see: the n-scaled
+      // zero-mean cumulative S'_t = n·Σ_{i≤t}x_i − t·Σx is an exact
+      // integer (no mean division), its extremum over t is the single
+      // most likely change point, flagged per priority. Windows run over
+      // the calendar-bounded daily aggregate; the per-priority totals
+      // join back broadcast-thin.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.groupBy("pri")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val w = Window.partitionBy("pri").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily.join(tot, "pri")
+          .withColumn("t", count(lit(1)).over(w))
+          .withColumn("cx", sum(col("x")).over(w))
+          .withColumn("s_t", expr("n * cx - t * sx"))
+        val peak = cum.groupBy("pri").agg(max(abs(col("s_t"))).as("peak"))
+        cum.join(peak, "pri")
+          .withColumn("is_changepoint", abs(col("s_t")) === col("peak"))
+          .select(col("pri"), col("day").cast("string").as("day"), col("x"),
+            col("s_t"), col("is_changepoint"))
+          .orderBy("pri", "day")
+      },
+      Some(
+        """WITH daily AS (SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+          |    count(*) AS x
+          |  FROM orders GROUP BY 1, 2),
+          |tot AS (SELECT pri, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM daily GROUP BY 1),
+          |cum AS (SELECT d.pri, d.day, d.x, t.n, t.sx,
+          |    row_number() OVER (PARTITION BY d.pri ORDER BY d.day) AS t,
+          |    CAST(sum(d.x) OVER (PARTITION BY d.pri ORDER BY d.day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx
+          |  FROM daily d JOIN tot t ON t.pri = d.pri),
+          |s AS (SELECT pri, day, x, n * cx - t * sx AS s_t FROM cum),
+          |p AS (SELECT pri, max(abs(s_t)) AS peak FROM s GROUP BY 1)
+          |SELECT s.pri, CAST(s.day AS VARCHAR) AS day, s.x, CAST(s.s_t AS BIGINT) AS s_t,
+          |  abs(s.s_t) = p.peak AS is_changepoint
+          |FROM s JOIN p ON p.pri = s.pri
+          |ORDER BY s.pri, s.day""".stripMargin)),
+
+    Q("dash_ks_drift",
+      // two-sample Kolmogorov–Smirnov drift test between the order-value
+      // distributions of the open ('O') and fulfilled ('F') books — the
+      // distribution-shift alarm a training-data pipeline runs between
+      // yesterday's corpus and today's (CUSUM sees level shifts in a
+      // SERIES; KS sees shape changes in a DISTRIBUTION). Exact integer
+      // throughout: per-value counts, then BOTH cumulative count curves
+      // via Ids.groupedRunningSum's two-pass range-partition offsets (a
+      // bare `sum() OVER (ORDER BY v)` would plan the single-partition
+      // exchange), and D = max|F_O − F_F| as the cross-multiplied
+      // |cuma·nb − cumb·na| in DECIMAL(38,0)/HUGEINT, reported e6 with
+      // the argmax value (smallest on ties) — a TakeOrdered top-1, never
+      // a global sort.
+      (s, d) => {
+        val per = tbl(s, d, "orders")
+          .filter(col("o_orderstatus").isin("O", "F"))
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v"), col("o_orderstatus").as("st"))
+          .groupBy("v")
+          .agg(sum(when(col("st") === "O", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("st") === "F", 1L).otherwise(0L)).as("cb"))
+        val c1 = Ids.groupedRunningSum(per, Seq.empty, Seq(col("v")),
+          "ca", cumCol = "cuma", totCol = "na")
+        val c2 = Ids.groupedRunningSum(c1, Seq.empty, Seq(col("v")),
+          "cb", cumCol = "cumb", totCol = "nb")
+        c2.withColumn("dn",
+            abs(col("cuma").cast("decimal(38,0)") * col("nb")
+              - col("cumb").cast("decimal(38,0)") * col("na")))
+          .orderBy(col("dn").desc, col("v").asc).limit(1)
+          .selectExpr("na", "nb",
+            """CAST(dn * 1000000 DIV (CAST(na AS DECIMAL(38,0)) * nb)
+              | AS BIGINT) AS ks_e6""".stripMargin,
+            "v AS at_value_c")
+      },
+      Some(
+        """WITH ko AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+          |    o_orderstatus AS st
+          |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+          |per AS (SELECT v,
+          |    CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |    CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |  FROM ko GROUP BY 1),
+          |cum AS (SELECT v,
+          |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+          |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+          |  FROM per),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM per),
+          |dd AS (SELECT v, na, nb,
+          |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dn
+          |  FROM cum CROSS JOIN t)
+          |SELECT na, nb,
+          |  CAST(dn * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_e6,
+          |  v AS at_value_c
+          |FROM dd ORDER BY dn DESC, v LIMIT 1""".stripMargin)),
+
+    Q("dash_chisq_independence",
+      // chi-square independence test on the priority × status contingency
+      // table — the categorical drift companion to dash_ks_drift's
+      // continuous test (is order status independent of priority, or did
+      // the mix shift?). All shapes are grouped-bounded (≤ |pri|·|st|
+      // cells after the first aggregate), so every join downstream of the
+      // one fact scan is over handfuls of rows. Exact fixed-point both
+      // engines: E_e6 = rowTot·colTot·1e6 DIV N in DECIMAL(38,0)/HUGEINT,
+      // per-cell term (O·1e6 − E_e6)² DIV E_e6 (identical truncation on
+      // both sides), summed to chi2_e6; significant vs the χ²₀.₀₅ df=8
+      // critical value 15.507 embedded as the e6 literal for this 5×3
+      // table (dof is reported from the data).
+      (s, d) => {
+        val cell = tbl(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("oc"))
+        val rt = cell.groupBy("pri").agg(sum("oc").as("rt"))
+        val ct = cell.groupBy("st").agg(sum("oc").as("ct"))
+        val tot = cell.agg(sum("oc").as("n"),
+          countDistinct("pri").as("npri"), countDistinct("st").as("nst"))
+        cell.join(rt, "pri").join(ct, "st").crossJoin(tot)
+          .withColumn("e_e6",
+            expr("CAST(rt AS DECIMAL(38,0)) * ct * 1000000 DIV n"))
+          .withColumn("term_e6", expr(
+            """(CAST(oc AS DECIMAL(38,0)) * 1000000 - e_e6)
+              | * (CAST(oc AS DECIMAL(38,0)) * 1000000 - e_e6)
+              | DIV greatest(e_e6, CAST(1 AS DECIMAL(38,0)))""".stripMargin))
+          .agg(max("n").as("n"),
+            max(expr("(npri - 1) * (nst - 1)")).as("dof"),
+            sum("term_e6").as("chi2_raw"))
+          .selectExpr("n", "dof", "CAST(chi2_raw AS BIGINT) AS chi2_e6")
+          .withColumn("significant", (col("chi2_e6") >= 15507000L).cast("boolean"))
+          .orderBy("n")
+      },
+      Some(
+        """WITH xo AS (SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders),
+          |cell AS (SELECT pri, st, count(*) AS oc FROM xo GROUP BY 1, 2),
+          |rt AS (SELECT pri, sum(oc) AS rt FROM cell GROUP BY 1),
+          |ct AS (SELECT st, sum(oc) AS ct FROM cell GROUP BY 1),
+          |t AS (SELECT CAST(sum(oc) AS BIGINT) AS n,
+          |    count(DISTINCT pri) AS npri, count(DISTINCT st) AS nst FROM cell),
+          |e AS (SELECT c.oc, CAST(r.rt AS HUGEINT) * k.ct * 1000000 // t.n AS e_e6,
+          |    t.n, t.npri, t.nst
+          |  FROM cell c JOIN rt r USING (pri) JOIN ct k USING (st) CROSS JOIN t),
+          |sm AS (SELECT max(n) AS n, max((npri - 1) * (nst - 1)) AS dof,
+          |    CAST(sum((CAST(oc AS HUGEINT) * 1000000 - e_e6)
+          |      * (CAST(oc AS HUGEINT) * 1000000 - e_e6)
+          |      // greatest(e_e6, 1)) AS BIGINT) AS chi2_e6
+          |  FROM e)
+          |SELECT n, dof, chi2_e6, chi2_e6 >= 15507000 AS significant
+          |FROM sm ORDER BY n""".stripMargin)),
+
     Q("dash_multiband_counts",
       // TPC-DS Q88 plan shape: eight banded counts served from ONE scan
       // as conditional aggregates — the naive form is eight self-joined
@@ -1867,6 +2140,60 @@ private[graft] object DashQueries {
   private lazy val EWMA_COEF_E12: Seq[Long] = {
     var c = 0.2 * 1e12
     (0 until 8).map { _ => val v = math.floor(c).toLong; c *= 0.8; v }
+  }
+
+  /** Holt one-step-ahead forecast weights over a truncated 8-obs history:
+    * l₁ = x₁, b₁ = x₂ − x₁, then l_t = αx_t + (1−α)(l+b),
+    * b_t = β(l_t − l) + (1−β)b for t = 2..8; forecast = l₈ + b₈. The
+    * recursion is linear, so it is run symbolically over weight vectors
+    * and the final (level+trend) weights floored to e12 — index 0 is the
+    * OLDEST observation (lag 7).
+    */
+  private lazy val HOLT_COEF_E12: Seq[Long] = {
+    val (alpha, beta, h) = (0.3, 0.1, 8)
+    var wl = Array.tabulate(h)(i => if (i == 0) 1.0 else 0.0)
+    var wb = Array.tabulate(h)(i =>
+      if (i == 0) -1.0 else if (i == 1) 1.0 else 0.0)
+    for (t <- 1 until h) {
+      val nl = Array.tabulate(h) { i =>
+        (if (i == t) alpha else 0.0) + (1 - alpha) * (wl(i) + wb(i))
+      }
+      val nb = Array.tabulate(h) { i =>
+        beta * (nl(i) - wl(i)) + (1 - beta) * wb(i)
+      }
+      wl = nl; wb = nb
+    }
+    (0 until h).map(i => math.floor((wl(i) + wb(i)) * 1e12).toLong)
+  }
+
+  /** Oracle for dash_holt_forecast: same gap-fill and window chain as
+    * [[EWMA_SQL]], the Holt e12 weights embedded as the identical
+    * literals, plus the lead(1) realized actual and absolute error.
+    */
+  private lazy val HOLT_SQL: String = {
+    val lags = (1 to 7).map(j => s"lag(n_orders, $j) OVER w AS l$j").mkString(",\n|        ")
+    val dot = HOLT_COEF_E12.zipWithIndex.map { case (c, i) =>
+      val j = 7 - i
+      if (j == 0) s"$c * n_orders" else s"$c * l$j"
+    }.mkString(" + ")
+    s"""WITH daily AS (SELECT o_orderpriority AS priority,
+       |    CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       |cal AS (SELECT priority,
+       |          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |        FROM b),
+       |dense AS (SELECT c.priority, c.day, COALESCE(d.n_orders, 0) AS n_orders
+       |          FROM cal c LEFT JOIN daily d ON d.priority = c.priority AND d.day = c.day),
+       |l AS (SELECT priority, day, n_orders,
+       |        $lags,
+       |        lead(n_orders, 1) OVER w AS nx
+       |      FROM dense WINDOW w AS (PARTITION BY priority ORDER BY day))
+       |SELECT priority, CAST(day AS VARCHAR) AS day, n_orders,
+       |  CAST($dot AS BIGINT) AS fc_next_e12,
+       |  CAST(nx AS BIGINT) AS next_actual,
+       |  CAST(abs(($dot) - nx * 1000000000000) AS BIGINT) AS abs_err_e12
+       |FROM l WHERE l7 IS NOT NULL AND nx IS NOT NULL ORDER BY priority, day""".stripMargin
   }
 
   /** Oracle for dash_ewma: same gap-fill, same 7 lags, same embedded

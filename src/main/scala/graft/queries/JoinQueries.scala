@@ -638,6 +638,64 @@ private[graft] object JoinQueries {
           |GROUP BY p_brand, p_type, p_size
           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
+    Q("join_tpcds_q51_shape",
+      // TPC-DS Q51 plan shape — the one TPC-H's 22 queries never exercise:
+      // two per-key daily CUMULATIVE series (window sums partitioned by
+      // the HIGH-cardinality customer key, aliased clerk — per-task state
+      // is one key's days, so the shape scales where a low-card partition
+      // would not),
+      // FULL OUTER joined on (clerk, day) because either channel can be
+      // silent on a day, then a running MAX over each side of the merged
+      // calendar and the crossover filter (the day one channel's lifetime
+      // total overtakes the other's). Channels are the F/O order-status
+      // slices standing in for Q51's web/store. Deterministic top-100 by
+      // the unique (clerk, day).
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("clerk"),
+            col("o_orderdate").cast("date").as("day"),
+            col("o_orderstatus").as("st"))
+          .agg(cents(col("o_totalprice")).as("rev_c"))
+        val w = Window.partitionBy("clerk").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        def cum(status: String, outCol: String): DataFrame =
+          daily.filter(col("st") === status)
+            .withColumn(outCol, sum(col("rev_c")).over(w))
+            .select(col("clerk"), col("day"), col(outCol))
+        val joined = cum("F", "cum_f")
+          .join(cum("O", "cum_o"), Seq("clerk", "day"), "full_outer")
+        joined
+          .withColumn("max_f", coalesce(max(col("cum_f")).over(w), lit(0L)))
+          .withColumn("max_o", coalesce(max(col("cum_o")).over(w), lit(0L)))
+          .filter(col("max_o") > col("max_f"))
+          .select(col("clerk"), col("day").cast("string").as("day"),
+            col("max_f"), col("max_o"))
+          .orderBy("clerk", "day").limit(100)
+      },
+      Some(
+        """WITH daily AS (SELECT o_custkey AS clerk, CAST(o_orderdate AS DATE) AS day,
+          |    o_orderstatus AS st,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1, 2, 3),
+          |fa AS (SELECT clerk, day, CAST(sum(rev_c) OVER (PARTITION BY clerk ORDER BY day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_f
+          |       FROM daily WHERE st = 'F'),
+          |ob AS (SELECT clerk, day, CAST(sum(rev_c) OVER (PARTITION BY clerk ORDER BY day
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_o
+          |       FROM daily WHERE st = 'O'),
+          |j AS (SELECT COALESCE(fa.clerk, ob.clerk) AS clerk,
+          |        COALESCE(fa.day, ob.day) AS day, cum_f, cum_o
+          |      FROM fa FULL JOIN ob ON ob.clerk = fa.clerk AND ob.day = fa.day),
+          |r AS (SELECT clerk, day,
+          |        COALESCE(max(cum_f) OVER (PARTITION BY clerk ORDER BY day
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS max_f,
+          |        COALESCE(max(cum_o) OVER (PARTITION BY clerk ORDER BY day
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS max_o
+          |      FROM j)
+          |SELECT clerk, CAST(day AS VARCHAR) AS day, max_f, max_o
+          |FROM r WHERE max_o > max_f ORDER BY clerk, day LIMIT 100""".stripMargin),
+      bench = true),
+
     Q("join_tpch_q22_shape",
       // the TPC-H Q22 global-sales-opportunity shape: customers with
       // above-average positive balance and no recent orders (nationkey
