@@ -178,6 +178,52 @@ private[graft] object EtlQueries {
           |FROM orders ORDER BY o_orderkey""".stripMargin),
       bench = true),
 
+    Q("etl_clamped_balance",
+      // running balance with a floor — the ledger recurrence
+      // b_t = max(0, b_{t-1} + delta_t) that NO window frame can express
+      // (the clamp makes it non-linear, unlike a plain cumulative sum):
+      // open/pending orders add exposure in cents, fulfilled orders repay
+      // it, and the floor writes negative excursions off at zero. The
+      // scale shape: per-customer fold via sort_array(collect_list) +
+      // aggregate() — per-key history is DOMAIN-bounded (orders per
+      // customer is a fixed distribution at every TPC-H SF, ~10 rows),
+      // so the array never grows with data volume; the only shuffle is
+      // the one groupBy. The unclamped net sum sits beside the folded
+      // balance, so rows where the clamp actually fired are visible
+      // (final_balance_c > net_sum_c).
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(col("o_custkey").as("ck"),
+          struct(col("o_orderdate").cast("date").as("d"),
+            col("o_orderkey").as("k"),
+            (when(col("o_orderstatus") === "F", -1L).otherwise(1L)
+              * (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .as("delta")).as("s"))
+        o.groupBy("ck")
+          .agg(sort_array(collect_list(col("s"))).as("xs"),
+            sum(col("s").getField("delta")).as("net_sum_c"))
+          .select(col("ck"), size(col("xs")).cast("long").as("n_orders"),
+            expr("""aggregate(transform(xs, x -> x.delta), CAST(0 AS BIGINT),
+                   |  (acc, x) -> greatest(acc + x, CAST(0 AS BIGINT)))""".stripMargin)
+              .as("final_balance_c"),
+            col("net_sum_c"))
+          .orderBy("ck")
+      },
+      Some(
+        """WITH lo AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+          |    o_orderkey AS k,
+          |    (CASE WHEN o_orderstatus = 'F' THEN -1 ELSE 1 END)
+          |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta
+          |  FROM orders),
+          |lg AS (SELECT ck, count(*) AS n_orders,
+          |    list(delta ORDER BY d, k) AS xs,
+          |    CAST(sum(delta) AS BIGINT) AS net_sum_c
+          |  FROM lo GROUP BY 1)
+          |SELECT ck, n_orders,
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+          |    (a, b) -> greatest(a + b, 0)) AS BIGINT) AS final_balance_c,
+          |  net_sum_c
+          |FROM lg ORDER BY ck""".stripMargin)),
+
     Q("etl_cdc_apply",
       // change-data-capture apply: a keyed I/U/D change feed (synthesized
       // deterministically from orders, ordered by per-key seq) collapses

@@ -696,6 +696,62 @@ private[graft] object JoinQueries {
           |FROM r WHERE max_o > max_f ORDER BY clerk, day LIMIT 100""".stripMargin),
       bench = true),
 
+    Q("join_spatial_grid",
+      // spatial radius self-join via grid bucketing — the classic
+      // cell-partitioned spatial join: deterministic fixed-point
+      // coordinates (md5 head-32 of the customer key, mod 10 000), cell
+      // side = radius, the LEFT side exploded to its 3×3 neighbor cells
+      // and equi-joined on the cell key, then the exact squared-distance
+      // filter. Each unordered pair survives exactly once (b's cell is
+      // hit once by a's expansion; a_id < b_id keeps one orientation).
+      // The scale story: candidate pairs are O(n · local density), an
+      // EQUI-join on cell keys the planner can shuffle-partition — vs the
+      // oracle's O(n²) all-pairs scan, the brute-force DEFINITION this
+      // query is hash-checked against (same pattern as ppjoin vs
+      // brute-force Jaccard). At 100 TB the cell key partitions the
+      // world; skewed cells are ordinary AQE skew-join territory.
+      (s, d) => {
+        val pts = tbl(s, d, "customer").select(col("c_custkey").as("id"))
+          .withColumn("x", pmod(graft.analytics.Sketch.hashPoint32(
+            concat(lit("gx#"), col("id").cast("string"))), lit(10000L)))
+          .withColumn("y", pmod(graft.analytics.Sketch.hashPoint32(
+            concat(lit("gy#"), col("id").cast("string"))), lit(10000L)))
+          .withColumn("cx", expr("x DIV 150"))
+          .withColumn("cy", expr("y DIV 150"))
+        val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+        val a = pts.select(col("id").as("a_id"), col("x").as("ax"),
+            col("y").as("ay"), col("cx"), col("cy"))
+          .withColumn("o", explode(offs))
+          .select(col("a_id"), col("ax"), col("ay"),
+            (col("cx") + col("o.dx")).as("jx"),
+            (col("cy") + col("o.dy")).as("jy"))
+        val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
+          col("y").as("byy"), col("cx").as("jx"), col("cy").as("jy"))
+        a.join(b, Seq("jx", "jy"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("dist2",
+            (col("ax") - col("bx")) * (col("ax") - col("bx"))
+              + (col("ay") - col("byy")) * (col("ay") - col("byy")))
+          .filter(col("dist2") <= 22500L)
+          .select("a_id", "b_id", "dist2")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val gx = graft.queries.OracleShared.hx("md5('gx#' || CAST(c_custkey AS VARCHAR))")
+        val gy = graft.queries.OracleShared.hx("md5('gy#' || CAST(c_custkey AS VARCHAR))")
+        s"""WITH pts AS (SELECT c_custkey AS id,
+           |    ($gx) % 10000 AS x,
+           |    ($gy) % 10000 AS y
+           |  FROM customer)
+           |SELECT a.id AS a_id, b.id AS b_id,
+           |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+           |FROM pts a JOIN pts b ON b.id > a.id
+           |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      bench = true),
+
     Q("join_tpch_q22_shape",
       // the TPC-H Q22 global-sales-opportunity shape: customers with
       // above-average positive balance and no recent orders (nationkey
