@@ -439,6 +439,39 @@ object Graph {
     * degree aggregation plus two semi-joins on the edge key — no
     * all-pairs stage, so the peel survives hub-heavy degree skew.
     */
+  /** Root + depth for every node of a parent-pointer forest in
+    * O(log depth) self-joins — pointer/path doubling (Wyllie 1979's list
+    * ranking): each round replaces a node's known ancestor with that
+    * ancestor's known ancestor and adds the distances, so the horizon
+    * doubles per round and `rounds` = ⌈log₂ maxDepth⌉ suffices (5 rounds
+    * cover depth 32). This is the shape that resolves a 100 TB
+    * hierarchy: a per-hop walk (BFS, or SQL's recursive CTE) needs
+    * `depth` sequential joins, doubling needs log₂ of that, and every
+    * round is ONE equi-join on the ancestor key. Rows whose subchain is
+    * shorter are already converged (a root's self-loop contributes
+    * distance 0), so extra rounds are idempotent.
+    *
+    * @param nodes two-column (id, parent) frame; roots point at
+    *              themselves (parent == id)
+    * @return (id, root, depth) — depth 0 for roots
+    */
+  def resolveRoots(nodes: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var st = nodes.select(col("id").cast("long"),
+        col("parent").cast("long").as("anc"))
+      .withColumn("d", when(col("anc") === col("id"), 0L).otherwise(1L))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val b = st.select(col("id").as("b_id"), col("anc").as("b_anc"),
+        col("d").as("b_d"))
+      st = st.join(b, col("anc") === col("b_id"))
+        .select(col("id"), col("b_anc").as("anc"),
+          (col("d") + col("b_d")).as("d"))
+        .localCheckpoint(false) // lazy: terminal action materializes it
+    }
+    st.select(col("id"), col("anc").as("root"), col("d").as("depth"))
+  }
+
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))

@@ -838,6 +838,73 @@ private[graft] object DashQueries {
            |FROM e CROSS JOIN x ORDER BY n_keys""".stripMargin
       }),
 
+    Q("agg_ams_join_card",
+      // AMS inner-product JOIN-CARDINALITY estimate (Alon–Gibbons–Matias–
+      // Szegedy, PODS'99) — the statistic a cost-based planner consults
+      // BEFORE running a join: |A ⋈_k B| = Σ_k c_A(k)·c_B(k), estimated
+      // by the product Z_A·Z_B of the two relations' tug-of-war sketches
+      // under the SAME sign function (E[Z_A·Z_B] is exactly the join
+      // size). Where agg_ams_f2's Z² is one relation's self-join size,
+      // this is the cross-relation form: both sides sketched in ONE scan
+      // (A = URGENT orders' custkeys, B = LOW orders'), 9 independent
+      // sign projections, median of the 9 products beside the exact join
+      // size and the e6 error. At 100 TB the sketch is 18 counters; the
+      // exact side is the very key shuffle the planner is trying to
+      // avoid.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_custkey").as("ck"), col("o_orderpriority").as("pri"))
+        val aggs = (0 until 9).flatMap { i =>
+          val sgn = when(pmod(graft.analytics.Sketch.hashPoint32(
+              concat(lit(s"$i#"), col("ck").cast("string"))), lit(2L)) === 0, 1L)
+            .otherwise(-1L)
+          Seq(
+            sum(when(col("pri") === "1-URGENT", sgn).otherwise(0L)).as(s"zu$i"),
+            sum(when(col("pri") === "5-LOW", sgn).otherwise(0L)).as(s"zl$i"))
+        }
+        val est = o.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("array_sort(array(" +
+            (0 until 9).map(i => s"zu$i * zl$i").mkString(", ") +
+            "))[4] AS j_est")
+        val exact = o.filter(col("pri") === "1-URGENT")
+          .groupBy("ck").agg(count(lit(1)).as("ca"))
+          .join(o.filter(col("pri") === "5-LOW")
+            .groupBy("ck").agg(count(lit(1)).as("cb")), "ck")
+          .agg(count(lit(1)).as("n_common"),
+            sum(expr("ca * cb")).as("j_exact"))
+        est.crossJoin(exact)
+          .selectExpr("n_common", "j_exact", "j_est",
+            """CAST(CAST(abs(j_est - j_exact) AS DECIMAL(38,0)) * 1000000
+              | DIV greatest(CAST(j_exact AS DECIMAL(38,0)),
+              |   CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS rel_err_e6""".stripMargin)
+          .orderBy("n_common")
+      },
+      Some {
+        val zs = (0 until 9).flatMap { i =>
+          val h = graft.queries.OracleShared.hx(s"md5('$i#' || CAST(ck AS VARCHAR))")
+          Seq(
+            s"""CAST(sum(CASE WHEN pri = '1-URGENT'
+               | THEN (CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)
+               | AS BIGINT) AS zu$i""".stripMargin,
+            s"""CAST(sum(CASE WHEN pri = '5-LOW'
+               | THEN (CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END) ELSE 0 END)
+               | AS BIGINT) AS zl$i""".stripMargin)
+        }.mkString(",\n|      ")
+        val pr = (0 until 9).map(i => s"zu$i * zl$i").mkString(", ")
+        s"""WITH o AS (SELECT o_custkey AS ck, o_orderpriority AS pri FROM orders),
+           |z AS (SELECT $zs
+           |  FROM o),
+           |e AS (SELECT CAST(list_sort([$pr])[5] AS BIGINT) AS j_est FROM z),
+           |x AS (SELECT count(*) AS n_common, CAST(sum(ca * cb) AS BIGINT) AS j_exact
+           |  FROM (SELECT ck, count(*) AS ca FROM o WHERE pri = '1-URGENT' GROUP BY 1) a
+           |  JOIN (SELECT ck, count(*) AS cb FROM o WHERE pri = '5-LOW' GROUP BY 1) b
+           |  USING (ck))
+           |SELECT n_common, j_exact, j_est,
+           |  CAST(CAST(abs(j_est - j_exact) AS HUGEINT) * 1000000
+           |    // greatest(j_exact, 1) AS BIGINT) AS rel_err_e6
+           |FROM e CROSS JOIN x ORDER BY n_common""".stripMargin
+      }),
+
     Q("dash_gini",
       // Gini concentration of customer lifetime revenue — the inequality
       // dial (how concentrated is the book of business) beside the Pareto

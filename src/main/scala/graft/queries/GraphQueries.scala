@@ -270,6 +270,68 @@ private[graft] object GraphQueries {
         |      WHERE p.n >= 2)
         |SELECT * FROM l ORDER BY lift_e6 DESC, item_a, item_b LIMIT 30""".stripMargin)),
 
+    Q("graph_hier_resolve",
+      // root + depth for every node of a parent-pointer hierarchy via
+      // Graph.resolveRoots' pointer doubling — the org-chart / category-
+      // tree resolve at scale. The forest is arithmetic (parent =
+      // custkey DIV 10, roots 1..9, depth ≤ ⌈log₁₀ n⌉) so the oracle can
+      // walk it with a recursive CTE; the Spark side deliberately treats
+      // the parent pointer as OPAQUE — 5 doubling rounds (one equi-join
+      // each) cover depth 32, where the CTE's per-hop walk needs `depth`
+      // sequential joins. The contrast with graph_bfs_hops: BFS expands a
+      // frontier from ONE seed set per-hop; doubling resolves EVERY
+      // node's full chain in log rounds.
+      (s, d) => {
+        val nodes = tbl(s, d, "customer").select(col("c_custkey").as("id"),
+          when(col("c_custkey") >= 10, expr("c_custkey DIV 10"))
+            .otherwise(col("c_custkey")).as("parent"))
+        Graph.resolveRoots(nodes, rounds = 5).orderBy("id")
+      },
+      Some(
+        """WITH RECURSIVE hw AS (
+          |  SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT id, cur // 10, depth + 1 FROM hw WHERE cur >= 10
+          |)
+          |SELECT id, cur AS root, depth FROM hw WHERE cur < 10 ORDER BY id""".stripMargin),
+      bench = true),
+
+    Q("graph_hier_rollup",
+      // subtree aggregation up the same hierarchy: every customer's order
+      // revenue contributes to ALL its ancestors (the org-rollup /
+      // category-total face). Ancestors enumerate in closed form here
+      // (ck DIV 10^j for j = 0..12 while 10^j ≤ ck), so the plan is one
+      // bounded explode (≤ 13 rows per key, the depth of the key domain —
+      // never data-sized) + one groupBy — no iteration at all; an
+      // arbitrary parent-pointer table would compose resolveRoots'
+      // doubled closure instead. n_members counts order-holding
+      // descendants, self included.
+      (s, d) => {
+        val powers = (0 to 12).map(j => lit(BigInt(10).pow(j).toLong))
+        tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(graft.util.Num.cents(col("o_totalprice")).as("rev_c"))
+          .withColumn("p", explode(array(powers: _*)))
+          .filter(col("p") <= col("ck"))
+          .select(expr("ck DIV p").as("node"), col("rev_c"))
+          .groupBy("node")
+          .agg(sum(col("rev_c")).as("subtree_rev_c"),
+            count(lit(1)).as("n_members"))
+          .orderBy("node")
+      },
+      Some(
+        """WITH hr AS (SELECT o_custkey AS ck,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1),
+          |hp AS (SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000,
+          |    10000000, 100000000, 1000000000, 10000000000, 100000000000,
+          |    1000000000000]) AS p),
+          |ha AS (SELECT ck // p AS node, rev_c FROM hr CROSS JOIN hp WHERE p <= ck)
+          |SELECT node, CAST(sum(rev_c) AS BIGINT) AS subtree_rev_c,
+          |  count(*) AS n_members
+          |FROM ha GROUP BY 1 ORDER BY node""".stripMargin)),
+
     Q("graph_bfs_hops",
       // hop-bounded BFS over the SYMMETRIZED purchase graph from the
       // lowest customer node: hop 1 = parts they bought, hop 2 = other

@@ -102,6 +102,26 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("resolveRoots: chain deeper than 2^(rounds-1) still converges; extra rounds idempotent") {
+    // chain 0←1←2←…←20 (parent = i−1, root 0): depth 20 needs ⌈log₂20⌉=5
+    // doubling rounds — 4 would leave the tail at horizon 16. A second
+    // forest {100} (self-root) rides along to pin the depth-0 case.
+    val nodes = ((1 to 20).map(i => (i.toLong, (i - 1).toLong))
+      :+ (0L, 0L) :+ (100L, 100L)).toDF("id", "parent")
+    def asMap(rounds: Int) = Graph.resolveRoots(nodes, rounds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val r5 = asMap(5)
+    assert(r5(20L) == ((0L, 20L)))
+    assert(r5(1L) == ((0L, 1L)))
+    assert(r5(0L) == ((0L, 0L)))
+    assert(r5(100L) == ((100L, 0L)))
+    assert(r5.size == 22)
+    // 4 rounds = horizon 16: node 20 must NOT yet have resolved to the root
+    assert(asMap(4)(20L) != ((0L, 20L)))
+    // idempotence: a 6th round changes nothing once converged
+    assert(asMap(6) == r5)
+  }
+
   test("neighborFeatures: star graph degrees, exact e6 means") {
     // star 0—{1,2,3}: hub sees three degree-1 leaves; each leaf sees the
     // degree-3 hub.
