@@ -227,15 +227,40 @@ object Graph {
     var dist = seeds.toDF("id").select(col("id").cast("long")).distinct()
       .withColumn("hop", lit(0L))
       .localCheckpoint(false)
+    var frontier = dist
     for (h <- 1 to maxHops) {
-      val next = dist.filter(col("hop") === (h - 1).toLong)
-        .join(e, col("id") === e("src"))
-        .select(e("dst").as("id"), lit(h.toLong).as("hop"))
-      dist = dist.union(next)
-        .groupBy("id").agg(min(col("hop")).as("hop"))
+      val next = bfsStep(frontier, dist, e, h, lmKeyed = false)
         .localCheckpoint(false)
+      dist = dist.union(next)
+      frontier = next
     }
     dist
+  }
+
+  /** One frontier-incremental BFS round. In unweighted BFS a node's hop
+    * is final at first discovery, so a round only needs to: expand the
+    * in-round frontier one hop, dedup WITHIN the round, anti-join away
+    * anything already settled, and stamp the hop. The caller unions the
+    * result without re-aggregation — per-round shuffle is O(frontier)
+    * (plus one agg-free exchange of settled keys for the anti-join),
+    * never a min-re-aggregate of the whole accumulated distance table.
+    * Visible (not inlined in the loop) so PlanShapeSpec can pin this
+    * exact round shape — the loop's checkpoints hide it from the final
+    * plan.
+    */
+  private[graft] def bfsStep(frontier: DataFrame, settled: DataFrame,
+      e: DataFrame, h: Int, lmKeyed: Boolean): DataFrame = {
+    val keys = if (lmKeyed) Seq("lm", "id") else Seq("id")
+    val expand =
+      if (lmKeyed)
+        frontier.join(e, col("id") === e("src"))
+          .select(col("lm"), e("dst").as("id"))
+      else
+        frontier.join(e, col("id") === e("src"))
+          .select(e("dst").as("id"))
+    expand.distinct()
+      .join(settled, keys, "left_anti")
+      .withColumn("hop", lit(h.toLong))
   }
 
   /** Hop-bounded multi-source BFS — [[bfsHops]] launched from k landmark
@@ -259,13 +284,15 @@ object Graph {
       .select(col("lm").cast("long"), col("id").cast("long")).distinct()
       .withColumn("hop", lit(0L))
       .localCheckpoint(false)
+    var frontier = dist
     for (h <- 1 to maxHops) {
-      val next = dist.filter(col("hop") === (h - 1).toLong)
-        .join(e, col("id") === e("src"))
-        .select(col("lm"), e("dst").as("id"), lit(h.toLong).as("hop"))
-      dist = dist.union(next)
-        .groupBy("lm", "id").agg(min(col("hop")).as("hop"))
+      // Frontier-incremental via [[bfsStep]]: a (lm, id) pair is settled
+      // at first discovery — the full k·|V| table is never re-shuffled
+      // through an aggregate, only per-hop slices are checkpointed.
+      val next = bfsStep(frontier, dist, e, h, lmKeyed = true)
         .localCheckpoint(false)
+      dist = dist.union(next)
+      frontier = next
     }
     dist
   }

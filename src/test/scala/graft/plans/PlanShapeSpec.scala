@@ -239,6 +239,31 @@ class PlanShapeSpec extends SparkSpec {
       "rank top-20 lost its TakeOrderedAndProject heap")
   }
 
+  test("BFS round: frontier-incremental — anti-join vs settled, no full-table min re-agg") {
+    // A hop is final at first discovery: each round must expand only the
+    // frontier and anti-join the settled set. A min(hop) aggregate in the
+    // round plan means the whole accumulated k·|V| distance table is being
+    // re-shuffled + re-aggregated every round — the O(k·|V|)-per-round
+    // shape this pin exists to keep out. The loop's localCheckpoints hide
+    // round lineage from the final query plan, so the pin targets the
+    // exposed per-round builder Graph.bfsStep.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    for (lmKeyed <- Seq(false, true)) {
+      val frontier =
+        if (lmKeyed) Seq((1L, 1L)).toDF("lm", "id").withColumn("hop", lit(0L))
+        else Seq(Tuple1(1L)).toDF("id").withColumn("hop", lit(0L))
+      val settled = frontier
+      val p = plan(graft.analytics.Graph.bfsStep(
+        frontier, settled, e.select(col("src"), col("dst")), 1, lmKeyed))
+      assert(!p.contains("min(hop"),
+        s"bfsStep(lmKeyed=$lmKeyed) re-aggregates the full distance table")
+      assert(p.contains("LeftAnti"),
+        s"bfsStep(lmKeyed=$lmKeyed) lost the settled-set anti-join")
+    }
+  }
+
   test("priority sample: top-(k+1) plans as TakeOrderedAndProject heap") {
     val p = plan(Queries.queryMap("text_priority_sample")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
