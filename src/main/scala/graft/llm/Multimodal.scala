@@ -57,7 +57,14 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      features: Array[Double])
+      features: Array[Double],
+      // which kernel produced `features`: "image" (ImageCodec — per-PIXEL
+      // channel means) or "bytes" (ByteProfiler — per-BYTE slot means).
+      // The two normalize by different denominators, so any consumer that
+      // re-derives integral sums from the features (perceptualHash) is
+      // only exact on one kernel's rows — this column makes that
+      // dispatch auditable instead of implicit.
+      decoder: String)
 
   /** Byte-profile decode kernel: a deterministic feature extractor over
     * the RAW bytes, used for payloads no in-container codec can parse
@@ -116,14 +123,29 @@ object Multimodal {
       * stream spin per row, and the text-derived payloads that dominate
       * the corpora can never match a signature.
       */
-    private def looksLikeImage(p: Array[Byte]): Boolean =
+    private def looksLikeImage(p: Array[Byte]): Boolean = {
+      // GIF/BMP signatures are printable ASCII, so plausible TEXT prefixes
+      // ("GIF is...", "BMW...") would otherwise reach ImageIO and bet
+      // correctness on it rejecting garbage; check past the 2-3 magic
+      // bytes — the GIF version field must be 87a/89a, and the BMP header
+      // size field (LE u32 at offset 2) must equal the payload length
+      // (every writer in scope, incl. ImageIO's, records it).
+      def gifVersioned: Boolean =
+        p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+          p(2) == 'F'.toByte && p(3) == '8'.toByte &&
+          (p(4) == '7'.toByte || p(4) == '9'.toByte) && p(5) == 'a'.toByte
+      def bmpSized: Boolean =
+        p.length >= 14 && p(0) == 'B'.toByte && p(1) == 'M'.toByte && {
+          val declared = (p(2) & 0xffL) | ((p(3) & 0xffL) << 8) |
+            ((p(4) & 0xffL) << 16) | ((p(5) & 0xffL) << 24)
+          declared == p.length
+        }
       p.length >= 4 && (
         (p(0) == 0x89.toByte && p(1) == 0x50.toByte &&
           p(2) == 0x4e.toByte && p(3) == 0x47.toByte) || // PNG
         (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||  // JPEG
-        (p(0) == 0x47.toByte && p(1) == 0x49.toByte &&
-          p(2) == 0x46.toByte) ||                        // GIF
-        (p(0) == 0x42.toByte && p(1) == 0x4d.toByte))    // BMP
+        gifVersioned || bmpSized)
+    }
 
     /** Deterministic PNG encoder for fixtures: a solid-color w×h image.
       * PNG is lossless, so decode(encodePng(w, h, r, g, b)) recovers
@@ -227,9 +249,13 @@ object Multimodal {
         // dispatch per row: a payload that parses as a real image takes
         // the ImageIO path, anything else the byte profiler
         it.map { case (id, mime, payload, nBytes) =>
-          val (w, h, f, feats) = ImageCodec.tryDecode(payload)
-            .getOrElse(ByteProfiler.decode(payload, mime))
-          AssetFeatures(id, mime, nBytes, w, h, f, feats)
+          ImageCodec.tryDecode(payload) match {
+            case Some((w, h, f, feats)) =>
+              AssetFeatures(id, mime, nBytes, w, h, f, feats, "image")
+            case None =>
+              val (w, h, f, feats) = ByteProfiler.decode(payload, mime)
+              AssetFeatures(id, mime, nBytes, w, h, f, feats, "bytes")
+          }
         }
       }
   }
@@ -331,10 +357,23 @@ object Multimodal {
     */
   def perceptualHash(featRows: DataFrame): DataFrame = {
     val dim = ByteProfiler.featureDim
+    // Input contract: features must be ByteProfiler-path (slot sums are
+    // exact integers under the ×255×n_bytes recovery below). ImageCodec
+    // features normalize per PIXEL, so the recovery is not integral for
+    // them and the MM_PHASH oracle doesn't model that path. When the
+    // frame carries the decoder column, the contract is ENFORCED at run
+    // time (assert_true inside a filter so Catalyst can't prune it);
+    // legacy frames without the column keep working on the caller's word.
+    val guarded =
+      if (featRows.columns.contains("decoder"))
+        featRows.filter(assert_true(col("decoder") === lit("bytes"),
+          lit("perceptualHash requires ByteProfiler-path features " +
+            "(integral slot sums); got an image-decoded row")).isNull)
+      else featRows
     val n = greatest(col("n_bytes"), lit(1L))
     val sums = (0 until dim).map(j =>
       round(element_at(col("features"), j + 1) * 255.0 * n).cast("long").as(s"s$j"))
-    val withSums = featRows.select(Seq(col("asset_id"), col("mime"),
+    val withSums = guarded.select(Seq(col("asset_id"), col("mime"),
       col("n_bytes"), col("width"), col("height")) ++ sums: _*)
     val total = (0 until dim).map(j => col(s"s$j")).reduce(_ + _)
     val bits = (0 until dim).map(j =>

@@ -326,6 +326,67 @@ object Similarity {
     topKSelect(scored, k)
   }
 
+  /** Metadata-FILTERED IVF ANN candidates — label-aware routing, the fix
+    * for the post-filter recall starvation `sim_filtered_recall` measures
+    * (rank the unfiltered index top-k′, filter, and with 10% selectivity
+    * k′=20 leaves ~2 survivors for 5 slots): here the predicate prunes
+    * the index's posting lists BEFORE scoring, so every scored candidate
+    * already satisfies it and the whole budget goes to qualifying rows.
+    *
+    * The index structure is SHARED with [[ivfTopK]] — same global
+    * mod-centStep centroids, same maxCells cap — so one index build
+    * serves any metadata predicate (the vector-DB "metadata-partitioned
+    * posting lists" layout). Because a vector's cell depends only on its
+    * embedding, filtering entries before assignment computes exactly the
+    * partitioned posting lists a stored index would serve, minus the
+    * assignment work for non-qualifying rows.
+    *
+    * Returns UNRANKED scored candidates (query_id, neighbor_id, sim_e6);
+    * the per-query candidate count IS the scored budget — publish it next
+    * to recall so arms compare at equal budget. [[ivfFilteredTopK]] ranks.
+    */
+  def ivfFilteredCandidates(corpus: DataFrame, queries: DataFrame,
+      pred: Column, centStep: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCells: Int = 64): DataFrame = {
+    // centroids come from the UNFILTERED corpus: the shared index artifact
+    val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
+      .orderBy(col(idCol)).limit(maxCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+
+    val cells = corpus.filter(pred)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosineE6(col("cv"), col("cent_v")))
+      .groupBy("neighbor_id")
+      .agg(max_by(struct(col("cv"), col("cent_id")),
+        struct(col("cent_sim"), (-col("cent_id")).as("__nci"))).as("__r"))
+      .select(col("neighbor_id"), col("__r.cv").as("cv"),
+        col("__r.cent_id").as("cent_id"))
+
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosineE6(col("qv"), col("cent_v")))
+      .drop("cent_v")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+
+    cells.join(probes, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim_e6"))
+  }
+
+  /** Ranked top-k over [[ivfFilteredCandidates]]. */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame, pred: Column,
+      k: Int, centStep: Int, nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxCells: Int = 64): DataFrame =
+    topKSelect(ivfFilteredCandidates(corpus, queries, pred, centStep,
+      nProbe, idCol, vecCol, maxCells), k)
+
   /** Fixed-point cosine for the trained-centroid path: CosineSimE6
     * dispatches per-side element types at analysis, so the mixed
     * float-vector × double-centroid pair runs the same primitive loop as

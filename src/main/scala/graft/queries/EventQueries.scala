@@ -416,7 +416,11 @@ private[graft] object EventQueries {
            |FROM e JOIN f ON e.user_id = f.user_id
            |GROUP BY 1, 2 ORDER BY cohort_week, wk""".stripMargin)),
 
-    Q("ev_markov_transitions",
+    Q("ev_markov_transitions2",
+      // (renamed from ev_markov_transitions in r11: the r8->r9 change from
+      // first- to second-order transitions changed the workload under an
+      // unchanged name, breaking cross-round bench/correctness history —
+      // the "2" records the order and the discontinuity.)
       // SECOND-order Markov transitions — P(next | two-step history):
       // where ev_transitions (above) is the first-order next-step
       // baseline, this conditions on the ordered PAIR of preceding

@@ -701,6 +701,94 @@ private[graft] object SimQueries {
           |ORDER BY k.query_id, kprime""".stripMargin),
       bench = true),
 
+    Q("sim_filtered_prefilter",
+      // LABEL-AWARE ANN routing — the fix for the starvation
+      // sim_filtered_recall measured (post-filter k′=20 at 10% selectivity
+      // leaves ~2 survivors for 5 slots): the label predicate prunes the
+      // IVF posting lists BEFORE scoring (Similarity.ivfFilteredCandidates,
+      // same global centroid artifact as ivfTopK), so every scored
+      // candidate is already label-3 and the whole budget goes to
+      // qualifying rows. n_scored is published per query precisely so the
+      // equal-budget comparison is part of the oracled output: at 10
+      // labels it sits near the post-filter arm's k′=20 budget while
+      // recall_e6 recovers to near-exact (FilteredAnnSpec pins the win).
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val q = qb(emb)
+        val truth = Similarity.bruteForceTopK(
+            emb.filter(col("label") === 3), q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTruth = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+        val cand = Similarity.ivfFilteredCandidates(emb, q,
+          col("label") === 3, centStep = 100, nProbe = 2)
+        val nScored = cand.groupBy("query_id").agg(count(lit(1)).as("n_scored"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim_e6").desc, col("neighbor_id"))
+        val top5 = cand.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = top5.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+        nTruth.join(nScored, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+            col("n_truth"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall_e6", expr("n_hit * 1000000L DIV n_truth"))
+          .orderBy("query_id")
+      },
+      Some(
+        """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+          |           FROM embeddings WHERE vec_id % 100 = 0
+          |           ORDER BY vec_id LIMIT 64),
+          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+          |pfq AS (SELECT id, e FROM v WHERE id % 50 = 0 ORDER BY id LIMIT 64),
+          |pffa AS (
+          |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT f.id, f.e, c.cent_id,
+          |          CAST(floor(list_inner_product(f.e, c.cv) /
+          |            (sqrt(list_inner_product(f.e, f.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM (SELECT * FROM v WHERE label = 3) f, c)
+          |),
+          |pfcells AS (SELECT id AS neighbor_id, e AS cv, cent_id FROM pffa WHERE rn = 1),
+          |pfqa AS (
+          |  SELECT id, e, cent_id, row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT q.id, q.e, c.cent_id,
+          |          CAST(floor(list_inner_product(q.e, c.cv) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM pfq q, c)
+          |),
+          |pfprobes AS (SELECT id AS query_id, e AS qv, cent_id FROM pfqa WHERE rn <= 2),
+          |pfcand AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM pfcells JOIN pfprobes USING (cent_id) WHERE neighbor_id <> query_id),
+          |pfns AS (SELECT query_id, count(*) AS n_scored FROM pfcand GROUP BY 1),
+          |pftop5 AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rr
+          |    FROM pfcand) WHERE rr <= 5),
+          |pftr0 AS (SELECT q.id AS query_id, v2.id AS neighbor_id,
+          |          CAST(floor(list_inner_product(q.e, v2.e) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(v2.e, v2.e))) * 1000000) AS BIGINT) AS sim_e6
+          |        FROM pfq q JOIN (SELECT * FROM v WHERE label = 3) v2 ON v2.id <> q.id),
+          |pftruth AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS trk
+          |    FROM pftr0) WHERE trk <= 5),
+          |pfnt AS (SELECT query_id, count(*) AS n_truth FROM pftruth GROUP BY 1),
+          |pfhits AS (SELECT p.query_id, count(*) AS n_hit
+          |  FROM pftop5 p JOIN pftruth t ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+          |  GROUP BY 1)
+          |SELECT nt.query_id,
+          |  CAST(COALESCE(ns.n_scored, 0) AS BIGINT) AS n_scored,
+          |  nt.n_truth,
+          |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+          |  CAST(COALESCE(h.n_hit, 0) * 1000000 // nt.n_truth AS BIGINT) AS recall_e6
+          |FROM pfnt nt LEFT JOIN pfns ns ON ns.query_id = nt.query_id
+          |LEFT JOIN pfhits h ON h.query_id = nt.query_id
+          |ORDER BY nt.query_id""".stripMargin),
+      bench = true),
+
     Q("dedup_semantic",
       // SemDeDup (Abbas et al. 2023): embedding-space dedup — route every
       // vector to its trained k-means cell (the SAME published centroid

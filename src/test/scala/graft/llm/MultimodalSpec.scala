@@ -135,4 +135,53 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("text payloads with GIF/BM prefixes never reach ImageIO (tight sniff)") {
+    // GIF/BMP signatures are printable ASCII: plausible English prefixes
+    // must stay on the byte-profile path — the version/size-field checks
+    // reject them before any reader discovery
+    for (text <- Seq("GIF is a format, not a promise",
+        "GIF87 looked different", "BM25 ranking beats raw TF",
+        "BMW sold more cars this quarter"))
+      assert(Multimodal.ImageCodec.tryDecode(text.getBytes("UTF-8")).isEmpty,
+        s"'$text' sniffed as an image")
+    // and the decoder column records the byte-profile dispatch
+    val rows = Multimodal.decodeFeatures(Multimodal.synthesizeAssets(
+        Seq((1L, "GIF89a almost, but prose"), (2L, "BM header lookalike"))
+          .toDF("doc_id", "text"), "doc_id", "text"))
+      .collect()
+    assert(rows.forall(_.decoder == "bytes"))
+  }
+
+  test("ImageIO-written GIF and BMP still pass the tightened sniff") {
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, 0x336699)
+    for (fmt <- Seq("gif", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val Some((w, h, _, _)) = Multimodal.ImageCodec.tryDecode(bos.toByteArray)
+      assert(w == 5 && h == 3, s"real $fmt payload rejected by the sniff")
+    }
+  }
+
+  test("perceptualHash REJECTS image-decoded rows at run time (decoder guard)") {
+    val df = Seq((1L, "doc")).toDF("doc_id", "text")
+    val pngAssets = Multimodal.synthesizePngAssets(df, "doc_id")
+    val imageFeats = Multimodal.decodeFeatures(pngAssets.select(
+      col("asset_id"), col("mime"), col("payload"),
+      octet_length(col("payload")).cast("long").as("n_bytes"))).toDF()
+    assert(imageFeats.collect().forall(_.getAs[String]("decoder") == "image"))
+    val ex = intercept[Exception] {
+      Multimodal.perceptualHash(imageFeats).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("ByteProfiler-path")),
+      s"wrong failure: ${messages(ex)}")
+    // byte-profile rows sail through the same guard
+    val byteFeats = Multimodal.decodeFeatures(Multimodal.synthesizeAssets(
+      df, "doc_id", "text")).toDF()
+    assert(Multimodal.perceptualHash(byteFeats).collect().nonEmpty)
+  }
 }

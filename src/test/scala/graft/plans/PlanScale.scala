@@ -228,10 +228,12 @@ object PlanScale {
       case d: Deduplicate if d.keys.forall(
         e => exprBounded(e, boundedAttrsM(d.child, m))) => true
       case _: GlobalLimit => true
-      // fraction-samples technically scale with input; every sampler in
-      // the repo pairs with a cap/limit, and treating Sample as a bound
-      // keeps the lint's focus on the join/broadcast/window shapes
-      case _: Sample => true
+      // a fraction-sample's output SCALES with its input — it bounds
+      // nothing by itself. A sampler under a GlobalLimit never reaches
+      // this case (the limit answers first), so any Sample seen here is
+      // uncapped and must inherit its child's verdict: sample-of-bounded
+      // is bounded, sample-of-fact is a fact.
+      case s: Sample => boundedM(s.child, m)
       case _: LocalRelation | _: OneRowRelation | _: Range => true
       // a per-group heap whose group keys are all bounded-cardinality is
       // ≤ k × #groups rows (e.g. a per-language stratum sample)

@@ -138,6 +138,23 @@ class PlanScaleSelfSpec extends SparkSpec {
       "non-equi fact-fact product join not classified fact-unbounded")
   }
 
+  test("an uncapped fraction sample does not bound a fact scan") {
+    // Sample output scales with input: sample-of-fact must stay a fact
+    // (the pre-r11 lint blessed EVERY Sample node as bounded-rows, so an
+    // uncapped broadcast(fact.sample(0.1)) passed the registry lint)
+    assert(!PlanScale.bounded(
+      t("orders").sample(0.1).queryExecution.analyzed),
+      "fraction sample of a fact scan wrongly classified bounded")
+    val hinted = PlanScale.factHintedSubtrees(
+      t("lineitem").join(broadcast(t("orders").sample(0.1)),
+        col("l_orderkey") === col("o_orderkey")))
+    assert(hinted.nonEmpty, "broadcast(fact.sample) not flagged")
+    // while a sample of a bounded input is itself bounded
+    assert(PlanScale.bounded(
+      t("orders").limit(100).sample(0.5).queryExecution.analyzed),
+      "sample of a limited input wrongly classified unbounded")
+  }
+
   test("lint FIRES on a low-cardinality window over fact input, not on a keyed one") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")

@@ -178,6 +178,47 @@ class EventsSpec extends SparkSpec {
     assert(!sessions.exists(_._2 >= 3L), s"late events wrongly merged into open session: $sessions")
   }
 
+  test("streamingSessionizeCustom: an event OLDER than the watermark is dropped, not merged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws3").toString
+    val schema = events.schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      val q = Events.streamingSessionizeCustom(stream, gapMinutes = 30)
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: user 7 at 12:00; user 9 at 15:00 pushes the post-batch
+    // watermark to 14:00 (1h horizon)
+    Seq((1L, ts("2026-01-01 12:00:00"), 7L, "a", 1.0),
+        (2L, ts("2026-01-01 15:00:00"), 9L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    // batch 2: user 7 at 12:30 — BELOW the 14:00 watermark → must be
+    // dropped before the state function ever sees it (neither merged into
+    // the 12:00 session nor emitted as its own); user 9 at 20:00 advances
+    // the watermark far enough to time out and flush every open session
+    Seq((3L, ts("2026-01-01 12:30:00"), 7L, "a", 99.0),
+        (4L, ts("2026-01-01 20:00:00"), 9L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    // batch 3: one more far-future event so the 20:00 session also closes
+    Seq((5L, ts("2026-01-02 09:00:00"), 9L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val u7 = spark.read.parquet(s"$dir/out")
+      .filter(col("user_id") === 7)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3), r.getLong(4)))
+    assert(u7.toSet == Set(("2026-01-01 12:00:00.0", 1L, 100L)),
+      s"late event leaked into user 7's sessions: ${u7.toSeq}")
+  }
+
   test("streamingHourly watermark drops events later than the horizon") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
     val schema = events.schema
