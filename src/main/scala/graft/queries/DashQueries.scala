@@ -2125,6 +2125,48 @@ private[graft] object DashQueries {
            |FROM o ORDER BY grp""".stripMargin
       }),
 
+    Q("dash_multiband_q88_full",
+      // the FULL TPC-DS Q88 self-scan form (dash_multiband_counts above
+      // is the value-banded reduction): eight TIME-slot counts — slot =
+      // (year parity × quarter), Q88's eight half-hour windows — under
+      // Q88's shared DISJUNCTIVE demographic filter (here: urgent+open
+      // OR high/medium priority). The benchmark's reference text is
+      // eight separate self-scans cross-joined into one row; the scale
+      // form is ONE scan with eight conditional aggregates that
+      // whole-stage codegen fuses into a single loop — PlanShapeSpec
+      // pins exactly one scan in the plan, which is the entire point of
+      // the rewrite (8× less I/O at any SF).
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .filter((col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderstatus") === "O") ||
+            col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"))
+          .withColumn("slot",
+            (year(col("o_orderdate").cast("date")).cast("long") % 2) * 4 +
+              quarter(col("o_orderdate").cast("date")).cast("long") - 1)
+        val bands = (0 until 8).map(i =>
+          sum(when(col("slot") === i, 1L).otherwise(0L)).as(s"s$i"))
+        o.agg(bands.head, bands.tail: _*)
+          .withColumn("grp", lit("all"))
+          .select(col("grp") +: (0 until 8).map(i => col(s"s$i")): _*)
+          .orderBy("grp")
+      },
+      Some {
+        val bands = (0 until 8).map(i =>
+          s"CAST(sum(CASE WHEN slot = $i THEN 1 ELSE 0 END) AS BIGINT) AS s$i")
+          .mkString(",\n  ")
+        s"""WITH o AS (SELECT
+           |    (CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) % 2) * 4
+           |      + CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) - 1 AS slot
+           |  FROM orders
+           |  WHERE (o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+           |     OR o_orderpriority IN ('2-HIGH', '3-MEDIUM'))
+           |SELECT 'all' AS grp,
+           |  $bands
+           |FROM o ORDER BY grp""".stripMargin
+      },
+      bench = true),
+
     Q("dash_equalized_deciles",
       // histogram-equalized deciles per priority: EXACT equal-count
       // buckets (decile = (rank-1)·10 DIV n), reporting each bucket's

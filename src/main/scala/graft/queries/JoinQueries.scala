@@ -638,6 +638,123 @@ private[graft] object JoinQueries {
           |GROUP BY p_brand, p_type, p_size
           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
+    Q("join_tpcds_q67_shape",
+      // TPC-DS Q67 plan shape — rank() over a ROLLUP lattice on a star,
+      // the windowed-rollup combination neither the TPC-H sweep nor Q51
+      // exercises: lineitem ⋈ orders ⋈ part aggregated over
+      // ROLLUP(brand, type, year, month) (Expand + one hash aggregate —
+      // the lattice costs ONE shuffle, not one scan per level), rolled
+      // keys emitted as 'ALL' (never NULL: engines disagree on NULL sort
+      // order), then a per-brand top-100 by revenue ACROSS lattice
+      // levels. The rank window's input is the rollup REDUCE — bounded
+      // by brand×type×calendar, not the scale factor — so the low-card
+      // partition key is safe where the same window over raw fact rows
+      // would not be. row_number with a full tiebreak chain keeps every
+      // rank hash-deterministic.
+      // stated in SQL: Dataset.rollup's Expand re-emits nullable twins of
+      // the grouping attributes, and ANY later unqualified reference to
+      // them (col(), selectExpr, even a window partition key) trips the
+      // ambiguous-self-join detector; the SQL form resolves cleanly and
+      // plans identically (Expand + one hash aggregate)
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("q67_li")
+        tbl(s, d, "orders").createOrReplaceTempView("q67_ord")
+        tbl(s, d, "part").createOrReplaceTempView("q67_part")
+        s.sql(
+          """WITH star AS (SELECT p_brand, p_type,
+            |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+            |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+            |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+            |  FROM q67_li
+            |  JOIN q67_ord ON l_orderkey = o_orderkey
+            |  JOIN q67_part ON l_partkey = p_partkey),
+            |rolled AS (SELECT
+            |    COALESCE(p_brand, 'ALL') AS brand_r,
+            |    COALESCE(p_type, 'ALL') AS type_r,
+            |    COALESCE(CAST(yr AS STRING), 'ALL') AS yr_r,
+            |    COALESCE(CAST(mo AS STRING), 'ALL') AS mo_r,
+            |    CAST(sum(rev_c) AS BIGINT) AS sumsales_c
+            |  FROM star GROUP BY ROLLUP (p_brand, p_type, yr, mo)),
+            |ranked AS (SELECT *, row_number() OVER (PARTITION BY brand_r
+            |    ORDER BY sumsales_c DESC, type_r, yr_r, mo_r) AS rk
+            |  FROM rolled)
+            |SELECT brand_r, type_r, yr_r, mo_r, sumsales_c,
+            |  CAST(rk AS BIGINT) AS rk
+            |FROM ranked WHERE rk <= 100 ORDER BY brand_r, rk""".stripMargin)
+      },
+      Some(
+        """WITH star AS (SELECT p_brand, p_type,
+          |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+          |    CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN part ON l_partkey = p_partkey),
+          |rolled AS (SELECT
+          |    COALESCE(p_brand, 'ALL') AS brand_r,
+          |    COALESCE(p_type, 'ALL') AS type_r,
+          |    COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr_r,
+          |    COALESCE(CAST(mo AS VARCHAR), 'ALL') AS mo_r,
+          |    CAST(sum(rev_c) AS BIGINT) AS sumsales_c
+          |  FROM star GROUP BY ROLLUP (p_brand, p_type, yr, mo)),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY brand_r
+          |    ORDER BY sumsales_c DESC, type_r, yr_r, mo_r) AS rk
+          |  FROM rolled)
+          |SELECT brand_r, type_r, yr_r, mo_r, sumsales_c, CAST(rk AS BIGINT) AS rk
+          |FROM rk WHERE rk <= 100 ORDER BY brand_r, rk""".stripMargin),
+      bench = true),
+
+    Q("join_tpcds_q35_shape",
+      // TPC-DS Q35 plan shape — the EXISTS DISJUNCTION: customers with
+      // open orders AND (a big-ticket order OR a bulk line item), grouped
+      // by demographics. The first EXISTS decorrelates to a LeftSemi; the
+      // OR of two EXISTS cannot (a semi-join can't express "either") —
+      // Catalyst plans each disjunct as an ExistenceJoin producing a
+      // boolean exists-flag column that the filter ORs, the one join type
+      // the rest of the registry never produces (plan-pinned). Stated in
+      // SQL because the DataFrame API has no ExistenceJoin surface —
+      // which is the point: the optimizer picks it from the declarative
+      // EXISTS form. All three subqueries stay equi-correlated on
+      // custkey, so every join shuffles on a data-sized key.
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("q35_cust")
+        tbl(s, d, "orders").createOrReplaceTempView("q35_ord")
+        tbl(s, d, "lineitem").createOrReplaceTempView("q35_li")
+        s.sql(
+          """SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+            |  min(bal_c) AS min_bal_c, max(bal_c) AS max_bal_c,
+            |  sum(bal_c) AS sum_bal_c
+            |FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+            |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+            |      FROM q35_cust) c
+            |WHERE EXISTS (SELECT 1 FROM q35_ord o
+            |        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+            |  AND (EXISTS (SELECT 1 FROM q35_ord o2
+            |         WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 250000)
+            |    OR EXISTS (SELECT 1 FROM q35_li l JOIN q35_ord o3
+            |           ON l.l_orderkey = o3.o_orderkey
+            |         WHERE o3.o_custkey = c.c_custkey AND l.l_quantity >= 49))
+            |GROUP BY c_nationkey, c_mktsegment
+            |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+      },
+      Some(
+        """SELECT c_nationkey, c_mktsegment, count(*) AS cnt,
+          |  min(bal_c) AS min_bal_c, max(bal_c) AS max_bal_c,
+          |  CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
+          |FROM (SELECT c_custkey, c_nationkey, c_mktsegment,
+          |        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+          |      FROM customer) c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          |  AND (EXISTS (SELECT 1 FROM orders o2
+          |         WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 250000)
+          |    OR EXISTS (SELECT 1 FROM lineitem l JOIN orders o3
+          |           ON l.l_orderkey = o3.o_orderkey
+          |         WHERE o3.o_custkey = c.c_custkey AND l.l_quantity >= 49))
+          |GROUP BY c_nationkey, c_mktsegment
+          |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+      bench = true),
+
     Q("join_tpcds_q51_shape",
       // TPC-DS Q51 plan shape — the one TPC-H's 22 queries never exercise:
       // two per-key daily CUMULATIVE series (window sums partitioned by
@@ -716,25 +833,8 @@ private[graft] object JoinQueries {
             concat(lit("gx#"), col("id").cast("string"))), lit(10000L)))
           .withColumn("y", pmod(graft.analytics.Sketch.hashPoint32(
             concat(lit("gy#"), col("id").cast("string"))), lit(10000L)))
-          .withColumn("cx", expr("x DIV 150"))
-          .withColumn("cy", expr("y DIV 150"))
-        val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
-          struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-        val a = pts.select(col("id").as("a_id"), col("x").as("ax"),
-            col("y").as("ay"), col("cx"), col("cy"))
-          .withColumn("o", explode(offs))
-          .select(col("a_id"), col("ax"), col("ay"),
-            (col("cx") + col("o.dx")).as("jx"),
-            (col("cy") + col("o.dy")).as("jy"))
-        val b = pts.select(col("id").as("b_id"), col("x").as("bx"),
-          col("y").as("byy"), col("cx").as("jx"), col("cy").as("jy"))
-        a.join(b, Seq("jx", "jy"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("dist2",
-            (col("ax") - col("bx")) * (col("ax") - col("bx"))
-              + (col("ay") - col("byy")) * (col("ay") - col("byy")))
-          .filter(col("dist2") <= 22500L)
-          .select("a_id", "b_id", "dist2")
+          .select("id", "x", "y")
+        graft.analytics.Spatial.gridRadiusJoin(pts, radius = 150L)
           .orderBy("a_id", "b_id")
       },
       Some {
@@ -747,6 +847,50 @@ private[graft] object JoinQueries {
            |SELECT a.id AS a_id, b.id AS b_id,
            |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
            |FROM pts a JOIN pts b ON b.id > a.id
+           |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      bench = true),
+
+    Q("join_spatial_grid_clustered",
+      // the SKEWED twin of join_spatial_grid: every 20th point lands in
+      // the single 150×150 hot cell (a dense city / clustered corpus),
+      // the rest stay uniform — so one cell key carries ~5% of all points
+      // while the median cell holds ~0-3, the zipf-shaped reality the
+      // uniform row cannot exercise. The cell join is MERGE-PINNED (the
+      // join_skew_stress convention: auto-broadcast of the small side at
+      // test SF would erase the shuffle whose skew is being measured);
+      // AqeSkewSpec drives this exact operator shape with shrunk
+      // thresholds and pins AQE splitting the hot cell (skew=true), so
+      // "skewed cells are ordinary AQE skew-join territory" is a measured
+      // property. Same brute-force O(n²) oracle definition.
+      (s, d) => {
+        val hx = graft.analytics.Sketch.hashPoint32(
+          concat(lit("gcx#"), col("id").cast("string")))
+        val hy = graft.analytics.Sketch.hashPoint32(
+          concat(lit("gcy#"), col("id").cast("string")))
+        val pts = tbl(s, d, "customer").select(col("c_custkey").as("id"))
+          .withColumn("x", when(pmod(col("id"), lit(20)) === 0,
+            pmod(hx, lit(150L))).otherwise(pmod(hx, lit(10000L))))
+          .withColumn("y", when(pmod(col("id"), lit(20)) === 0,
+            pmod(hy, lit(150L))).otherwise(pmod(hy, lit(10000L))))
+          .select("id", "x", "y")
+        graft.analytics.Spatial.gridRadiusJoin(pts, radius = 150L,
+            pinMerge = true)
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val gx = graft.queries.OracleShared.hx("md5('gcx#' || CAST(c_custkey AS VARCHAR))")
+        val gy = graft.queries.OracleShared.hx("md5('gcy#' || CAST(c_custkey AS VARCHAR))")
+        s"""WITH cgp AS (SELECT c_custkey AS id,
+           |    CASE WHEN c_custkey % 20 = 0 THEN ($gx) % 150
+           |         ELSE ($gx) % 10000 END AS x,
+           |    CASE WHEN c_custkey % 20 = 0 THEN ($gy) % 150
+           |         ELSE ($gy) % 10000 END AS y
+           |  FROM customer)
+           |SELECT a.id AS a_id, b.id AS b_id,
+           |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+           |FROM cgp a JOIN cgp b ON b.id > a.id
            |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
            |ORDER BY a_id, b_id""".stripMargin
       },

@@ -63,4 +63,65 @@ class AqeSkewSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("AQE splits the hot cell of the clustered spatial grid join") {
+    // join_spatial_grid_clustered's claim, measured on the shared
+    // operator: half the points pile into the single 150×150 cell (0,0),
+    // the rest spread over ~4.4k cells, so one cell key carries ~1000×
+    // the median cell's rows. With thresholds shrunk to test scale, AQE
+    // must split that hot shuffle partition (skew=true) — and the merge
+    // pin must have kept the join a shuffle join for there to be
+    // anything to split.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // enough partitions that the cold cells thin out per partition and
+      // the hot cell's partition stands >2x above the median
+      conf.set("spark.sql.shuffle.partitions", "64")
+
+      val n = 6000L
+      val pts = spark.range(0, n).select(col("id"),
+        when(col("id") % 2 === 0, pmod(col("id") * 7919L, lit(150L)))
+          .otherwise(pmod(col("id") * 104729L, lit(10000L))).as("x"),
+        when(col("id") % 2 === 0, pmod(col("id") * 7907L, lit(150L)))
+          .otherwise(pmod(col("id") * 15485863L, lit(10000L))).as("y"))
+      // collect a post-join needle, not the ~4.5M-pair haystack — and
+      // execute THE INSPECTED FRAME: count() builds its own
+      // QueryExecution, leaving this one's adaptive plan un-finalized
+      // (the first draft of this test asserted on a never-executed plan)
+      val joined = graft.analytics.Spatial.gridRadiusJoin(pts, 150L,
+          pinMerge = true)
+        .filter(col("dist2") === 0L)
+      val dup = joined.collect()
+      assert(dup.forall(_.getAs[Long]("dist2") == 0L))
+
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"merge pin lost — nothing to skew-split:\n${finalPlan.take(1500)}")
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire on the hot cell:\n${finalPlan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

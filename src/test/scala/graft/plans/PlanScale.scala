@@ -66,7 +66,11 @@ object PlanScale {
     "l_shipinstruct", "l_shipmode", "c_mktsegment", "segment", "seg",
     "n_nationkey", "n_name", "r_regionkey", "r_name", "c_nationkey",
     "s_nationkey", "n_regionkey", "nation", "event_type", "source",
-    "split", "p_mfgr", "p_brand", "p_container")
+    "split", "p_mfgr", "p_brand", "p_container",
+    // p_type's domain is fixed by the TPC-H spec (6×5×5 = 150 phrases),
+    // independent of SF — needed so Q67-style rollups over (brand, type,
+    // calendar) classify as bounded reduces
+    "p_type")
 
   /** Grouping keys whose distinct-value count is fixed by the MODEL
     * configuration, not the data volume: vector dimension index (64),

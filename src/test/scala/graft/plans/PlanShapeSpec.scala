@@ -45,7 +45,8 @@ class PlanShapeSpec extends SparkSpec {
     // the merge hint exists exactly so the sf-small bench measures the
     // shuffle-join skew behavior both arms would have at scale; an
     // auto-broadcast here would silently turn the measurement into noise
-    for (q <- Seq("join_skew_stress_salted", "join_skew_stress_aqe")) {
+    for (q <- Seq("join_skew_stress_salted", "join_skew_stress_aqe",
+        "join_spatial_grid_clustered")) {
       val df = Queries.queryMap(q)(spark, sf)
       val p = plan(df)
       assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
@@ -237,6 +238,34 @@ class PlanShapeSpec extends SparkSpec {
     // top-20 by rank must be the heap, not a global sort of all nodes
     assert(p.contains("TakeOrderedAndProject"),
       "rank top-20 lost its TakeOrderedAndProject heap")
+  }
+
+  test("tpcds q67 shape: rollup lattice is ONE Expand+aggregate, no per-level scan") {
+    val p = plan(Queries.queryMap("join_tpcds_q67_shape")(spark, sf))
+    assert(p.contains("Expand"),
+      "rollup lost its Expand encoding — lattice now costs a scan per level?")
+    // 3 scans (lineitem, orders, part) — the 5 lattice levels must NOT
+    // multiply them
+    assert(countOccurrences(p, "Scan parquet") == 3,
+      s"expected exactly 3 scans:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpcds q35 shape: EXISTS disjunction plans as ExistenceJoin, conjunct as semi") {
+    val p = plan(Queries.queryMap("join_tpcds_q35_shape")(spark, sf))
+    assert(p.contains("ExistenceJoin"),
+      s"OR of EXISTS did not decorrelate to ExistenceJoin:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"),
+      "the conjunctive EXISTS should still be a plain semi-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpcds q88 full form: ONE orders scan serves all 8 banded counts") {
+    val p = plan(Queries.queryMap("dash_multiband_q88_full")(spark, sf))
+    assert(countOccurrences(p, "Scan parquet") == 1,
+      s"the 8-band rewrite regressed to per-band self-scans:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a global 8-counter reduce needs no hash exchange")
   }
 
   test("BFS round: frontier-incremental — anti-join vs settled, no full-table min re-agg") {
