@@ -242,6 +242,67 @@ private[graft] object EventQueries {
            |ORDER BY stage_idx""".stripMargin),
       bench = true),
 
+    Q("ev_attribution_linear",
+      // VALUE-credit attribution — the model the existing family lacks:
+      // ev_attribution is last-touch view→click pairing (no money),
+      // ev_attribution_decay weights by 2^-days; this row credits each
+      // purchase's exact CENTS across its 7-day click/view touches under
+      // the two book-balancing models at once — LAST-touch (final touch
+      // gets full value) and LINEAR (v_c DIV n per touch, integer
+      // remainder pinned to the last touch, so credited cents sum EXACTLY
+      // to purchase cents — the invariant a finance-grade report needs
+      // and floats can't give). Shape: one per-user equi-join with a
+      // range predicate (the funnel discipline — candidates bounded by
+      // per-user activity), then windows keyed by purchase id, a
+      // data-sized key.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            col("ts").as("p_ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("v_c"))
+        val touch = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("event_id").as("t_id"), col("user_id"),
+            col("ts").as("t_ts"), col("event_type").as("t_type"))
+        val cand = purch.join(touch, Seq("user_id"))
+          .filter(col("t_ts") <= col("p_ts") &&
+            col("t_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+        val w = Window.partitionBy("p_id")
+        val wr = Window.partitionBy("p_id")
+          .orderBy(col("t_ts").desc, col("t_id").desc)
+        cand.withColumn("rn", row_number().over(wr))
+          .withColumn("n_t", count(lit(1)).over(w))
+          .withColumn("lin_c", expr("v_c DIV n_t") +
+            when(col("rn") === 1,
+              col("v_c") - expr("(v_c DIV n_t) * n_t")).otherwise(0L))
+          .groupBy(col("t_type"))
+          .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("lt_n"),
+            sum(when(col("rn") === 1, col("v_c")).otherwise(0L)).as("lt_value_c"),
+            sum(col("lin_c")).as("lin_value_c"))
+          .orderBy("t_type")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |atp AS (SELECT event_id AS p_id, user_id, ts AS p_ts,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c
+           |  FROM ev WHERE event_type = 'purchase'),
+           |att AS (SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+           |  FROM ev WHERE event_type IN ('click', 'view')),
+           |atc AS (SELECT p.p_id, p.v_c, t.t_id, t.t_ts, t.t_type
+           |  FROM atp p JOIN att t ON t.user_id = p.user_id
+           |    AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - INTERVAL 7 DAY),
+           |ash AS (SELECT *,
+           |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY p_id) AS n_t
+           |  FROM atc)
+           |SELECT t_type,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lt_n,
+           |  CAST(sum(CASE WHEN rn = 1 THEN v_c ELSE 0 END) AS BIGINT) AS lt_value_c,
+           |  CAST(sum(v_c // n_t + CASE WHEN rn = 1
+           |    THEN v_c - (v_c // n_t) * n_t ELSE 0 END) AS BIGINT) AS lin_value_c
+           |FROM ash GROUP BY t_type ORDER BY t_type""".stripMargin),
+      bench = true),
+
     Q("ev_funnel_windowed",
       // the TIME-BOUNDED funnel: each stage must land within 30 minutes
       // of the previous stage's event — "clicked within 30 min of the
