@@ -146,24 +146,31 @@ object Bench {
       attemptBuf += runAttempt()
     }
     val attempts = attemptBuf.toSeq
-    // official record: canary profile from the cleanest attempt; per-query
-    // times are BEST-OF-ATTEMPTS — the min over every successful timed run
-    // in any attempt. Machine load only ever inflates a run, so the min
-    // across 2×attempts independent runs is the least-contaminated
-    // measurement available even when no single attempt was fully clean.
+    // Official record = the CLEANEST attempt's min-of-2, NOT a min across
+    // attempts: the DuckDB oracle baseline is min-of-2 from one run, so
+    // min-of-2×attempts Spark times would flatter spark_vs_oracle (and
+    // vs_prev against min-of-2 history) for pure sampling reasons
+    // whenever retries fire. The canary gate carries the
+    // anti-contamination burden; attempts only decide WHICH min-of-2 is
+    // published. The sole cross-attempt borrowing: a query the cleanest
+    // attempt failed takes its time from an attempt that ran it clean
+    // (marked in the detail file), and counts as failed only if NO
+    // attempt ran it clean.
     val best = cleanest
-    // a query counts as failed only if NO attempt ran it clean — a
-    // load-induced failure in one attempt must not exclude a query another
-    // attempt measured successfully
     def cleanRuns(n: String): Seq[Double] = attempts.flatMap(a =>
       (a.pass1 ++ a.pass2).collect { case (`n`, (t, true)) => t })
     val failed = Queries.benchSet.map(_.name).filter(cleanRuns(_).isEmpty).toSet
     val Seq(canaryStart, canaryMid, canaryEnd) = best.canaries
     val pass1 = best.passTimes(best.pass1)
     val pass2 = best.passTimes(best.pass2)
+    val borrowed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results: Seq[(String, Double)] = best.results.map { case (n, tBest) =>
-      val runs = cleanRuns(n)
-      n -> (if (runs.nonEmpty) runs.min else tBest)
+      if (!best.failed.contains(n)) n -> tBest
+      else {
+        val runs = cleanRuns(n)
+        if (runs.nonEmpty) { borrowed += n; n -> runs.min }
+        else n -> tBest
+      }
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -293,8 +300,17 @@ object Bench {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val prevOpt = cands.iterator.flatMap { case (_, f) =>
           try {
-            val q = mapper.readTree(f).path("parsed").path("queries")
-            if (!q.isObject) None
+            val parsed = mapper.readTree(f).path("parsed")
+            // never compare a run against its own round's committed
+            // record (re-bench after the driver writes BENCH_rN.json):
+            // the detail tag identifies the round when SPARK_GRAFT_ROUND
+            // is set
+            val candTag = parsed.path("detail").asText("")
+            val q = parsed.path("queries")
+            val ownTag = sys.env.get("SPARK_GRAFT_ROUND")
+              .map(r => "bench_detail_r" + r.replaceAll("[^0-9]", "") + ".json")
+            if (ownTag.exists(t => candTag.endsWith(t))) None
+            else if (!q.isObject) None
             else {
               val m = scala.collection.mutable.Map.empty[String, Double]
               q.propertyStream().forEach(e => m(e.getKey) = e.getValue.asDouble())
@@ -321,8 +337,11 @@ object Bench {
     // beyond-canary swings unattributable (VERDICT r6 §missing.1). Stdout
     // carries only the short canonical record, which references the file.
     val detailPath = {
-      val tag = sys.env.get("SPARK_GRAFT_ROUND").map(r => s"r$r")
-        .getOrElse(System.currentTimeMillis() / 1000L + "")
+      // digits-only normalization: "11" and "r11" both tag r11, keeping
+      // the tag comparable with vs_prev's own-round guard
+      val tag = sys.env.get("SPARK_GRAFT_ROUND")
+        .map(r => "r" + r.replaceAll("[^0-9]", ""))
+        .getOrElse((System.currentTimeMillis() / 1000L).toString)
       val dir = new java.io.File("target"); dir.mkdirs()
       new java.io.File(dir, s"bench_detail_$tag.json")
     }
@@ -332,7 +351,13 @@ object Bench {
       val af = a.failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"failed":$af,"pass1":${jmap(a.passTimes(a.pass1))},"pass2":${jmap(a.passTimes(a.pass2))}}"""
     }.mkString(",")
-    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
+    // "borrowed": queries whose official time came from a NON-best attempt
+    // (the best attempt failed them) — the only numbers in `results` not
+    // reproducible from this file's pass1/pass2 maps; their source runs
+    // are in the attemptN blocks
+    val borrowedShown = borrowed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"borrowed":$borrowedShown,"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     // oracle_* are the cross-engine baseline: total DuckDB seconds over the

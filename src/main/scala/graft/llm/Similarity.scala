@@ -285,46 +285,12 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, centStep: Int,
       nProbe: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding", maxCells: Int = 64): DataFrame = {
-    // a real IVF has a FIXED cell budget: the 1-in-centStep slice is only
-    // the deterministic stand-in for trained centroids, and the maxCells
-    // cap (no-op at every test SF, ≤ 40 cells) is what keeps the centroid
-    // table bounded — and the assignment cost O(N·cells), not O(N²/step)
-    // — at 100 TB; vec_id order makes the cap deterministic
-    val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
-      .orderBy(col(idCol)).limit(maxCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-
-    // Corpus-side cell assignment: broadcast-join the centroids, then a
-    // map-side-combinable max_by argmax — the exchange carries ONE row per
-    // corpus vector, not the |corpus|×C scored frame a ranking window
-    // would shuffle. Tiebreak (highest sim, then LOWEST cent_id) mirrors
-    // the oracle's ORDER BY cent_sim DESC, cent_id.
-    val cells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_sim", cosineE6(col("cv"), col("cent_v")))
-      .groupBy("neighbor_id")
-      .agg(max_by(struct(col("cv"), col("cent_id")),
-        struct(col("cent_sim"), (-col("cent_id")).as("__nci"))).as("__r"))
-      .select(col("neighbor_id"), col("__r.cv").as("cv"), col("__r.cent_id").as("cent_id"))
-
-    // Query side probes nProbe cells — queries are the small side, so a
-    // ranking window over |queries|×C rows is fine.
-    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_sim", cosineE6(col("qv"), col("cent_v")))
-      .drop("cent_v")
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cent_sim").desc, col("cent_id"))
-    val probes = qScored.withColumn("__cr", row_number().over(cw))
-      .filter(col("__cr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
-
-    val scored = cells.join(probes, Seq("cent_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
-    topKSelect(scored, k)
-  }
+      vecCol: String = "embedding", maxCells: Int = 64): DataFrame =
+    // the unfiltered index IS the filtered index with a vacuous predicate
+    // (Catalyst folds the `true` filter away) — one implementation, one
+    // tie-break/cap convention, shared with the metadata-filtered face
+    topKSelect(ivfFilteredCandidates(corpus, queries, lit(true), centStep,
+      nProbe, idCol, vecCol, maxCells), k)
 
   /** Metadata-FILTERED IVF ANN candidates — label-aware routing, the fix
     * for the post-filter recall starvation `sim_filtered_recall` measures
@@ -343,17 +309,29 @@ object Similarity {
     *
     * Returns UNRANKED scored candidates (query_id, neighbor_id, sim_e6);
     * the per-query candidate count IS the scored budget — publish it next
-    * to recall so arms compare at equal budget. [[ivfFilteredTopK]] ranks.
+    * to recall so arms compare at equal budget. [[ivfTopK]] is this with
+    * a vacuous predicate + top-k ranking — ONE implementation carries the
+    * cap/tie-break convention for both faces.
     */
   def ivfFilteredCandidates(corpus: DataFrame, queries: DataFrame,
       pred: Column, centStep: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxCells: Int = 64): DataFrame = {
-    // centroids come from the UNFILTERED corpus: the shared index artifact
+    // a real IVF has a FIXED cell budget: the 1-in-centStep slice is only
+    // the deterministic stand-in for trained centroids, and the maxCells
+    // cap (no-op at every test SF, ≤ 40 cells) is what keeps the centroid
+    // table bounded — and the assignment cost O(N·cells), not O(N²/step)
+    // — at 100 TB; vec_id order makes the cap deterministic. Centroids
+    // come from the UNFILTERED corpus: the shared index artifact.
     val cents = corpus.filter(pmod(col(idCol), lit(centStep)) === 0)
       .orderBy(col(idCol)).limit(maxCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
 
+    // Corpus-side cell assignment: broadcast-join the centroids, then a
+    // map-side-combinable max_by argmax — the exchange carries ONE row per
+    // corpus vector, not the |corpus|×C scored frame a ranking window
+    // would shuffle. Tiebreak (highest sim, then LOWEST cent_id) mirrors
+    // the oracle's ORDER BY cent_sim DESC, cent_id.
     val cells = corpus.filter(pred)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))
@@ -364,6 +342,8 @@ object Similarity {
       .select(col("neighbor_id"), col("__r.cv").as("cv"),
         col("__r.cent_id").as("cent_id"))
 
+    // Query side probes nProbe cells — queries are the small side, so a
+    // ranking window over |queries|×C rows is fine.
     val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("cent_sim", cosineE6(col("qv"), col("cent_v")))
@@ -379,13 +359,6 @@ object Similarity {
       .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("sim_e6"))
   }
-
-  /** Ranked top-k over [[ivfFilteredCandidates]]. */
-  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame, pred: Column,
-      k: Int, centStep: Int, nProbe: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding", maxCells: Int = 64): DataFrame =
-    topKSelect(ivfFilteredCandidates(corpus, queries, pred, centStep,
-      nProbe, idCol, vecCol, maxCells), k)
 
   /** Fixed-point cosine for the trained-centroid path: CosineSimE6
     * dispatches per-side element types at analysis, so the mixed

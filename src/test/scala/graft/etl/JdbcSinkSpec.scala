@@ -61,12 +61,14 @@ class JdbcSinkSpec extends SparkSpec {
   }
 
   test("loadToSink(jdbc): mode=append accumulates across batches; values round-trip") {
-    // Suite test order is deterministic (file order), so the table exists
-    // with 3 rows from the create test; append 2 more.
-    Pipeline.loadToSink(rows("/d", "/e"), Some(url), "properties_data",
+    // self-contained: both batches land here, in a table the create test
+    // never touches, so this test survives -z filtering and reordering
+    Pipeline.loadToSink(rows("/a", "/b", "/c"), Some(url), "properties_acc",
+      parquetFallback = "")
+    Pipeline.loadToSink(rows("/d", "/e"), Some(url), "properties_acc",
       parquetFallback = "")
 
-    val back = spark.read.jdbc(url, "properties_data",
+    val back = spark.read.jdbc(url, "properties_acc",
       new java.util.Properties())
     assert(back.count() == 5L)
 

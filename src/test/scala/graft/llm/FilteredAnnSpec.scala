@@ -24,11 +24,11 @@ class FilteredAnnSpec extends SparkSpec {
       val vs = rows.map(r => r.getLong(r.fieldIndex(col)).toDouble)
       vs.sum / vs.length
     }
+    assert(pre.nonEmpty && post.nonEmpty)
     val preRecall = meanBy(pre, "recall_e6")
-    val postK20 = post.filter(_.getLong(post.head.fieldIndex("kprime")) == 20L)
+    val postK20 = post.filter(r => r.getLong(r.fieldIndex("kprime")) == 20L)
+    assert(postK20.nonEmpty)
     val postRecall = meanBy(postK20, "recall_e6")
-
-    assert(pre.nonEmpty && postK20.nonEmpty)
     assert(preRecall > postRecall,
       s"prefilter mean recall $preRecall must beat post-filter k'=20 $postRecall")
 
