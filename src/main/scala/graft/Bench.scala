@@ -53,8 +53,7 @@ object Bench {
     // (VERDICT r4 §wrong.1: positions 2-12 inflated 2.2-2.9x in both passes).
     // returns (seconds, succeeded): a failing run's duration is kept for
     // forensics but must never be mistaken for a measurement
-    def timeOne(q: Queries.Q,
-        failed: scala.collection.mutable.Set[String]): (Double, Boolean) = {
+    def timeOne(q: Queries.Q): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -63,7 +62,6 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            failed += q.name
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -98,8 +96,16 @@ object Bench {
     // in the detail file for forensics.
     case class Attempt(canaries: Seq[Double],
         pass1: Seq[(String, (Double, Boolean))],
-        pass2: Seq[(String, (Double, Boolean))], failed: Set[String]) {
+        pass2: Seq[(String, (Double, Boolean))]) {
       val ratio: Double = canaries.max / math.max(canaries.min, 1e-9)
+      // failed-in-this-attempt = NO clean pass here: a query clean in one
+      // pass has a valid min-of-available measurement in `results`, and
+      // must NOT be routed through the cross-attempt borrow path (that
+      // would republish the min-across-attempts sampling bias for it)
+      val failed: Set[String] = {
+        val p2 = pass2.toMap
+        pass1.collect { case (n, (_, ok1)) if !ok1 && !p2(n)._2 => n }.toSet
+      }
       // min over SUCCESSFUL passes only: a fast failure is not a
       // measurement and must not undercut the clean pass's time; a query
       // with no clean pass is in `failed` and excluded from the ratio
@@ -118,16 +124,16 @@ object Bench {
         p.map { case (n, (t, _)) => n -> t }
     }
     def runAttempt(): Attempt = {
-      // failures are PER attempt: a load-induced failure in a discarded
-      // attempt must not exclude the query from the official record or
-      // flip the exit code when the kept attempt ran it clean
-      val failed = scala.collection.mutable.Set.empty[String]
+      // failures are PER attempt (computed inside Attempt): a
+      // load-induced failure in a discarded attempt must not exclude the
+      // query from the official record or flip the exit code when the
+      // kept attempt ran it clean
       val c0 = canary()
-      val pass1 = Queries.benchSet.map(q => q.name -> timeOne(q, failed))
+      val pass1 = Queries.benchSet.map(q => q.name -> timeOne(q))
       val c1 = canary()
-      val pass2 = Queries.benchSet.reverse.map(q => q.name -> timeOne(q, failed))
+      val pass2 = Queries.benchSet.reverse.map(q => q.name -> timeOne(q))
       val c2 = canary()
-      Attempt(Seq(c0, c1, c2), pass1, pass2, failed.toSet)
+      Attempt(Seq(c0, c1, c2), pass1, pass2)
     }
     // The official record is GATED on a clean canary (<= 1.2): re-attempt
     // with growing backoff until one attempt is clean or the attempt budget
@@ -285,6 +291,14 @@ object Bench {
     // BENCH_r*.json (driver shape: {parsed: {queries: {name: sec}}}), over
     // the queries common to both records. A regression is a red field in
     // the record, not archaeology. Best-effort: any parse problem → null.
+    // Own-round protection comes from the filename filter below: with
+    // SPARK_GRAFT_ROUND set (the round workflow), BENCH files of the
+    // current and later rounds are excluded. With it UNSET the newest
+    // record wins — correct while the driver benches BEFORE writing its
+    // round record; an ad-hoc re-bench after the round record lands must
+    // set SPARK_GRAFT_ROUND or read vs_prev.file before trusting the
+    // ratio (the baseline filename is always published for exactly this
+    // reason).
     val vsPrev: String =
       try {
         val here = new java.io.File(".").getAbsoluteFile.getParentFile
@@ -305,12 +319,8 @@ object Bench {
             // record (re-bench after the driver writes BENCH_rN.json):
             // the detail tag identifies the round when SPARK_GRAFT_ROUND
             // is set
-            val candTag = parsed.path("detail").asText("")
             val q = parsed.path("queries")
-            val ownTag = sys.env.get("SPARK_GRAFT_ROUND")
-              .map(r => "bench_detail_r" + r.replaceAll("[^0-9]", "") + ".json")
-            if (ownTag.exists(t => candTag.endsWith(t))) None
-            else if (!q.isObject) None
+            if (!q.isObject) None
             else {
               val m = scala.collection.mutable.Map.empty[String, Double]
               q.propertyStream().forEach(e => m(e.getKey) = e.getValue.asDouble())
