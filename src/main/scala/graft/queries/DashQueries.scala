@@ -2201,7 +2201,48 @@ private[graft] object DashQueries {
           |SELECT pri, CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
           |  count(*) AS nd,
           |  CAST(min(c) AS BIGINT) AS lo_c, CAST(max(c) AS BIGINT) AS hi_c
-          |FROM r GROUP BY pri, decile ORDER BY pri, decile""".stripMargin)))
+          |FROM r GROUP BY pri, decile ORDER BY pri, decile""".stripMargin)),
+
+    Q("dash_concurrent_orders",
+      // sweep-line interval concurrency: how many orders are OPEN on each
+      // change day, with each order open [o_orderdate, +1+(key%28) days).
+      // The classic pair-free interval-overlap plan: an interval becomes
+      // two deltas (+1 at start, −1 past end), deltas aggregate by day
+      // (the only data-sized shuffle — map-side combinable), and the open
+      // count is the running sum over change days. The naive forms this
+      // replaces both die at scale: the O(n²)/IEJoin self-overlap-join
+      // materializes every concurrent pair, and sum() OVER (ORDER BY day)
+      // with no partition is an Exchange SinglePartition. Here the prefix
+      // rides Ids.groupedRunningSum's two-pass offset scheme (day is
+      // unique after the groupBy → a total order → deterministic at any
+      // partition-boundary placement). Output is the compressed staircase:
+      // one row per change day, n_open constant until the next row.
+      (s, d) => {
+        val iv = tbl(s, d, "orders").select(
+          to_date(col("o_orderdate")).as("sd"),
+          expr("date_add(to_date(o_orderdate), CAST(1 + o_orderkey % 28 AS INT))").as("ed"))
+        val deltas = iv.select(col("sd").as("day"), lit(1L).as("w"))
+          .union(iv.select(col("ed").as("day"), lit(-1L).as("w")))
+          .groupBy("day").agg(sum(col("w")).as("delta"))
+          .withColumn("g", lit(0))
+        Ids.groupedRunningSum(deltas, Seq("g"), Seq(col("day")),
+            "delta", "n_open", "tot")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("delta"), col("n_open"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH iv AS (SELECT CAST(o_orderdate AS DATE) AS sd,
+          |    CAST(o_orderdate AS DATE) + CAST(1 + o_orderkey % 28 AS INTEGER) AS ed
+          |  FROM orders),
+          |dl AS (SELECT day, CAST(sum(w) AS BIGINT) AS delta FROM (
+          |    SELECT sd AS day, 1 AS w FROM iv
+          |    UNION ALL SELECT ed AS day, -1 AS w FROM iv)
+          |  GROUP BY day)
+          |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+          |  CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+          |FROM dl ORDER BY day""".stripMargin),
+      bench = true))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row
     * trailing window (integer sums and integer-division average — the

@@ -628,6 +628,70 @@ private[graft] object EventQueries {
            |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM e GROUP BY 1)
            |SELECT month, n_days, sum_dau, mau,
            |  CAST(sum_dau * 1000000 // (n_days * mau) AS BIGINT) AS stickiness_e6
-           |FROM md JOIN mau USING (month) ORDER BY month""".stripMargin))
+           |FROM md JOIN mau USING (month) ORDER BY month""".stripMargin)),
+
+    Q("ev_autocorr",
+      // lag-k autocorrelation (k = 1..7) of the daily event-count series
+      // — the seasonality detector behind "is this weekly-periodic?"
+      // (dash_seasonality fits a known period; the ACF FINDS it). Exact
+      // integer form: with S = Σx, n = #days, deviations enter as
+      // n·x − S so numerator Σ(n·x_t − S)(n·x_{t−k} − S) and denominator
+      // n(nQ − S²) are BIGINT-exact; only the final ratio is e6-scaled,
+      // in DECIMAL(38,0) DIV / HUGEINT // (n·x ≲ 10⁶·count would need
+      // ~10²² headroom ×1e6 — past BIGINT, inside 38 digits). The lag
+      // pairing is a calendar-date EQUI-join (day+k = day), not a global
+      // window: the naive lag() OVER (ORDER BY day) with no partition is
+      // an Exchange SinglePartition; the join form shuffles on the date
+      // key and survives any series length. Missing calendar days pair
+      // with nothing and drop out (n_pairs says how many survived); mean
+      // and variance stay global over all observed days.
+      (s, d) => {
+        val daily = eventsTable(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sv"),
+          sum(col("x") * col("x")).as("q"))
+        val dev = daily.crossJoin(broadcast(tot))
+          .select(col("day"),
+            (col("n") * col("x") - col("sv")).as("dev"))
+        val ks = dev.sparkSession.range(1, 8)
+          .select(col("id").cast("int").as("k"))
+        val a = dev.crossJoin(broadcast(ks))
+          .select(col("k"), expr("date_add(day, k)").as("jday"),
+            col("dev").as("dev_a"))
+        val b = dev.select(col("day").as("jday"), col("dev").as("dev_b"))
+        a.join(b, "jday")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dev_a") * col("dev_b")).as("num"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
+            """CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+              |  DIV greatest(CAST(n * (n * q - sv * sv) AS DECIMAL(38,0)),
+              |               CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS acf_e6""".stripMargin)
+          .orderBy("k")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           |          FROM ev GROUP BY 1),
+           |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sv,
+           |        CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+           |dev AS (SELECT day, n * x - sv AS dev FROM daily CROSS JOIN tot),
+           |ks AS (SELECT unnest(range(1, 8)) AS k),
+           |prs AS (SELECT a.k, a.dev AS dev_a, b.dev AS dev_b
+           |        FROM (SELECT k, day + CAST(k AS INTEGER) AS jday, dev
+           |              FROM dev CROSS JOIN ks) a
+           |        JOIN dev b ON b.day = a.jday),
+           |agg AS (SELECT k, count(*) AS n_pairs,
+           |        CAST(sum(dev_a * dev_b) AS BIGINT) AS num
+           |        FROM prs GROUP BY k)
+           |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
+           |  CAST(CAST(num AS HUGEINT) * 1000000
+           |    // greatest(CAST(n * (n * q - sv * sv) AS HUGEINT),
+           |                 CAST(1 AS HUGEINT)) AS BIGINT) AS acf_e6
+           |FROM agg CROSS JOIN tot ORDER BY k""".stripMargin),
+      bench = true)
   )
 }

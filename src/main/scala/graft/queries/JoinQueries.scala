@@ -896,6 +896,106 @@ private[graft] object JoinQueries {
       },
       bench = true),
 
+    Q("join_dbscan_grid",
+      // density clustering (DBSCAN) as a composition of two operators the
+      // engine already scales: the grid-bucketed radius join for the
+      // ε-neighborhood pairs and min-label connected components for the
+      // cluster closure. Fixture: three dense 201×201 blobs on the
+      // diagonal (every 20th customer, blob = (id DIV 20) % 3) over a
+      // sparse uniform field — density so the blob interior is core
+      // (≥ 5 others within ε = 60), the field is noise, and blob fringes
+      // are border. Semantics made deterministic where textbook DBSCAN is
+      // scan-order-dependent: a core's cluster is the min core id of its
+      // core-connected component; a border point (non-core with ≥ 1 core
+      // neighbor) joins the MIN cluster among its core neighbors; noise
+      // is cluster −1. Scale shape: ε-pairs are an equi-join on cell keys
+      // (O(n · local density), never all-pairs), degree is one count,
+      // the closure iterates only over core-core edges — vs the oracle's
+      // O(n²) pair scan + recursive transitive closure, the brute-force
+      // DEFINITION this is hash-checked against.
+      (s, d) => {
+        val hxC = graft.analytics.Sketch.hashPoint32(
+          concat(lit("dbx#"), col("id").cast("string")))
+        val hyC = graft.analytics.Sketch.hashPoint32(
+          concat(lit("dby#"), col("id").cast("string")))
+        val blobC = lit(2000L) + expr("(id DIV 20) % 3") * 3000L
+        val pts = tbl(s, d, "customer").select(col("c_custkey").as("id"))
+          .withColumn("x", when(pmod(col("id"), lit(20)) === 0,
+              blobC + pmod(hxC, lit(201L)) - 100L)
+            .otherwise(pmod(hxC, lit(10000L))))
+          .withColumn("y", when(pmod(col("id"), lit(20)) === 0,
+              blobC + pmod(hyC, lit(201L)) - 100L)
+            .otherwise(pmod(hyC, lit(10000L))))
+          .select("id", "x", "y")
+        val pairs = graft.analytics.Spatial.gridRadiusJoin(pts, radius = 60L)
+        val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+          .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+        val core = sym.groupBy("id").agg(count(lit(1)).as("nbrs"))
+          .filter(col("nbrs") >= 5).select("id")
+        val ce = pairs
+          .join(core.select(col("id").as("a_id")), "a_id")
+          .join(core.select(col("id").as("b_id")), "b_id")
+          .select("a_id", "b_id")
+        val cc = Dedup.connectedComponents(core, ce)
+          .select(col("id"), col("component").as("ccluster"))
+        val border = sym
+          .join(core, Seq("id"), "left_anti")
+          .join(cc.select(col("id").as("nb"), col("ccluster")), "nb")
+          .groupBy("id").agg(min(col("ccluster")).as("bcluster"))
+        pts.select("id")
+          .join(cc, Seq("id"), "left")
+          .join(border, Seq("id"), "left")
+          .select(col("id"),
+            when(col("ccluster").isNotNull, lit("core"))
+              .when(col("bcluster").isNotNull, lit("border"))
+              .otherwise(lit("noise")).as("role"),
+            coalesce(col("ccluster"), col("bcluster"), lit(-1L)).as("cluster"))
+          .orderBy("id")
+      },
+      Some {
+        val dx = graft.queries.OracleShared.hx("md5('dbx#' || CAST(c_custkey AS VARCHAR))")
+        val dy = graft.queries.OracleShared.hx("md5('dby#' || CAST(c_custkey AS VARCHAR))")
+        s"""WITH RECURSIVE dbp AS (SELECT c_custkey AS id,
+           |    CASE WHEN c_custkey % 20 = 0
+           |      THEN 2000 + ((c_custkey // 20) % 3) * 3000 + ($dx) % 201 - 100
+           |      ELSE ($dx) % 10000 END AS x,
+           |    CASE WHEN c_custkey % 20 = 0
+           |      THEN 2000 + ((c_custkey // 20) % 3) * 3000 + ($dy) % 201 - 100
+           |      ELSE ($dy) % 10000 END AS y
+           |  FROM customer),
+           |dprs AS (SELECT a.id AS a, b.id AS b
+           |  FROM dbp a JOIN dbp b ON b.id > a.id
+           |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600),
+           |dsym AS (SELECT a AS id, b AS nb FROM dprs
+           |         UNION ALL SELECT b, a FROM dprs),
+           |dcore AS (SELECT id FROM (SELECT id, count(*) AS nbrs
+           |          FROM dsym GROUP BY id) WHERE nbrs >= 5),
+           |dce AS (SELECT p.a, p.b FROM dprs p
+           |        JOIN dcore c1 ON c1.id = p.a JOIN dcore c2 ON c2.id = p.b),
+           |dedges AS (SELECT a, b FROM dce UNION SELECT b, a FROM dce),
+           |dreach(a, b) AS (
+           |  SELECT a, b FROM dedges
+           |  UNION
+           |  SELECT r.a, e.b FROM dreach r JOIN dedges e ON r.b = e.a),
+           |dlbl AS (SELECT a AS id, least(a, min(b)) AS component
+           |         FROM dreach GROUP BY a),
+           |dcc AS (SELECT c.id, COALESCE(l.component, c.id) AS ccluster
+           |        FROM dcore c LEFT JOIN dlbl l ON l.id = c.id),
+           |dbord AS (SELECT s.id, min(z.ccluster) AS bcluster
+           |  FROM dsym s JOIN dcc z ON z.id = s.nb
+           |  WHERE s.id NOT IN (SELECT id FROM dcore)
+           |  GROUP BY s.id)
+           |SELECT p.id,
+           |  CASE WHEN z.ccluster IS NOT NULL THEN 'core'
+           |       WHEN b.bcluster IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS role,
+           |  CAST(COALESCE(z.ccluster, b.bcluster, -1) AS BIGINT) AS cluster
+           |FROM dbp p LEFT JOIN dcc z ON z.id = p.id
+           |  LEFT JOIN dbord b ON b.id = p.id
+           |ORDER BY p.id""".stripMargin
+      },
+      bench = true),
+
     Q("join_tpch_q22_shape",
       // the TPC-H Q22 global-sales-opportunity shape: customers with
       // above-average positive balance and no recent orders (nationkey
