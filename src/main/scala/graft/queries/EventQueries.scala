@@ -646,9 +646,13 @@ private[graft] object EventQueries {
       // with nothing and drop out (n_pairs says how many survived); mean
       // and variance stay global over all observed days.
       (s, d) => {
+        // one row per day, materialized once (lazy localCheckpoint):
+        // tot, the a-side, and the b-side all branch off this frame, and
+        // without the checkpoint each branch re-runs the events scan+agg.
         val daily = eventsTable(s, d)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
+          .localCheckpoint(false)
         val tot = daily.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sv"),
           sum(col("x") * col("x")).as("q"))

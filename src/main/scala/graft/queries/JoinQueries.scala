@@ -900,38 +900,51 @@ private[graft] object JoinQueries {
       // density clustering (DBSCAN) as a composition of two operators the
       // engine already scales: the grid-bucketed radius join for the
       // ε-neighborhood pairs and min-label connected components for the
-      // cluster closure. Fixture: three dense 201×201 blobs on the
-      // diagonal (every 20th customer, blob = (id DIV 20) % 3) over a
-      // sparse uniform field — density so the blob interior is core
-      // (≥ 5 others within ε = 60), the field is noise, and blob fringes
-      // are border. Semantics made deterministic where textbook DBSCAN is
+      // cluster closure. The fixture is DENSITY-INVARIANT in SF: with
+      // r = ⌈√n⌉ the uniform field spans (100r)² — ≈ 1 ε-neighbor per
+      // field point at EVERY SF — and each of the three diagonal blobs
+      // (every 20th customer, blob = (id DIV 20) % 3) spans (2r+1)²,
+      // ≈ 46 ε-neighbors at ε = 60, so blob interiors are core
+      // (minPts = 5), the field is noise, fringes are border, and the
+      // phase structure / CC round count / per-grid-cell load all stay
+      // fixed as n grows. (A fixed extent would percolate the field
+      // into one SF-spanning core component past ~150k points and the
+      // min-label closure would not converge; below ~1k points no blob
+      // reaches minPts and everything is deterministically noise.)
+      // Semantics made deterministic where textbook DBSCAN is
       // scan-order-dependent: a core's cluster is the min core id of its
       // core-connected component; a border point (non-core with ≥ 1 core
       // neighbor) joins the MIN cluster among its core neighbors; noise
       // is cluster −1. Scale shape: ε-pairs are an equi-join on cell keys
-      // (O(n · local density), never all-pairs), degree is one count,
-      // the closure iterates only over core-core edges — vs the oracle's
-      // O(n²) pair scan + recursive transitive closure, the brute-force
-      // DEFINITION this is hash-checked against.
+      // (O(n · local density), never all-pairs) materialized ONCE (lazy
+      // localCheckpoint — pairs feed degree, core edges, AND border
+      // resolution; without it the dominant join re-executes per branch),
+      // degree is one count, the closure iterates only over core-core
+      // edges — vs the oracle's O(n²) pair scan + recursive transitive
+      // closure, the brute-force DEFINITION this is hash-checked against.
       (s, d) => {
         val hxC = graft.analytics.Sketch.hashPoint32(
           concat(lit("dbx#"), col("id").cast("string")))
         val hyC = graft.analytics.Sketch.hashPoint32(
           concat(lit("dby#"), col("id").cast("string")))
-        val blobC = lit(2000L) + expr("(id DIV 20) % 3") * 3000L
+        val rr = tbl(s, d, "customer")
+          .agg(ceil(sqrt(count(lit(1)))).cast("long").as("r"))
+        val blobC = (lit(20L) + expr("(id DIV 20) % 3") * 30L) * col("r")
+        def coord(h: Column): Column =
+          when(pmod(col("id"), lit(20)) === 0,
+              blobC + pmod(h, lit(2L) * col("r") + lit(1L)) - col("r"))
+            .otherwise(pmod(h, lit(100L) * col("r")))
         val pts = tbl(s, d, "customer").select(col("c_custkey").as("id"))
-          .withColumn("x", when(pmod(col("id"), lit(20)) === 0,
-              blobC + pmod(hxC, lit(201L)) - 100L)
-            .otherwise(pmod(hxC, lit(10000L))))
-          .withColumn("y", when(pmod(col("id"), lit(20)) === 0,
-              blobC + pmod(hyC, lit(201L)) - 100L)
-            .otherwise(pmod(hyC, lit(10000L))))
+          .crossJoin(broadcast(rr))
+          .withColumn("x", coord(hxC))
+          .withColumn("y", coord(hyC))
           .select("id", "x", "y")
         val pairs = graft.analytics.Spatial.gridRadiusJoin(pts, radius = 60L)
+          .localCheckpoint(false)
         val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
           .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
         val core = sym.groupBy("id").agg(count(lit(1)).as("nbrs"))
-          .filter(col("nbrs") >= 5).select("id")
+          .filter(col("nbrs") >= 5).select("id").localCheckpoint(false)
         val ce = pairs
           .join(core.select(col("id").as("a_id")), "a_id")
           .join(core.select(col("id").as("b_id")), "b_id")
@@ -955,14 +968,16 @@ private[graft] object JoinQueries {
       Some {
         val dx = graft.queries.OracleShared.hx("md5('dbx#' || CAST(c_custkey AS VARCHAR))")
         val dy = graft.queries.OracleShared.hx("md5('dby#' || CAST(c_custkey AS VARCHAR))")
-        s"""WITH RECURSIVE dbp AS (SELECT c_custkey AS id,
+        s"""WITH RECURSIVE drr AS (
+           |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS r FROM customer),
+           |dbp AS (SELECT c_custkey AS id,
            |    CASE WHEN c_custkey % 20 = 0
-           |      THEN 2000 + ((c_custkey // 20) % 3) * 3000 + ($dx) % 201 - 100
-           |      ELSE ($dx) % 10000 END AS x,
+           |      THEN (20 + ((c_custkey // 20) % 3) * 30) * r + ($dx) % (2*r+1) - r
+           |      ELSE ($dx) % (100*r) END AS x,
            |    CASE WHEN c_custkey % 20 = 0
-           |      THEN 2000 + ((c_custkey // 20) % 3) * 3000 + ($dy) % 201 - 100
-           |      ELSE ($dy) % 10000 END AS y
-           |  FROM customer),
+           |      THEN (20 + ((c_custkey // 20) % 3) * 30) * r + ($dy) % (2*r+1) - r
+           |      ELSE ($dy) % (100*r) END AS y
+           |  FROM customer CROSS JOIN drr),
            |dprs AS (SELECT a.id AS a, b.id AS b
            |  FROM dbp a JOIN dbp b ON b.id > a.id
            |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 3600),
