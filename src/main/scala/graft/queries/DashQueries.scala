@@ -2242,6 +2242,92 @@ private[graft] object DashQueries {
           |SELECT strftime(day, '%Y-%m-%d') AS day, delta,
           |  CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
           |FROM dl ORDER BY day""".stripMargin),
+      bench = true),
+
+    Q("dash_bootstrap_ci",
+      // Poisson-bootstrap 95% CI for the mean order value per priority —
+      // the error bar every dashboard mean should carry, computed the
+      // only way that scales: instead of materializing B resamples
+      // (B data-sized shuffles), each row draws its multiplicity in
+      // replicate b from Poisson(1) — a deterministic inverse-CDF lookup
+      // on a per-(row, b) hash uniform, thresholds = floor(1e6·CDF),
+      // exact integers in both engines. One scan × B=200 in-mapper
+      // expansion; partial aggregation collapses (pri, b) groups before
+      // the shuffle, so shuffle volume is O(partitions · groups · B),
+      // independent of row count. Replicate means are exact micro-dollar
+      // integers (DECIMAL(38,0) DIV / HUGEINT //); the CI is the
+      // nearest-rank 2.5%/97.5% of the 200 replicate means per group:
+      // the 5th-smallest mean = max over the heap-TopK bottom-5, the
+      // 195th = min over the top-6 — O(k) heap state, no window, no
+      // per-group sort, and the selected VALUE is tie-insensitive, so it
+      // equals the oracle's row_number rank-5/-195 readings exactly.
+      (s, d) => {
+        val c = (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")
+        val base = tbl(s, d, "orders").select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pri"), c.as("c"))
+        val reps = base.sparkSession.range(0, 200)
+          .select(col("id").cast("int").as("b"))
+        val u = pmod(graft.analytics.Sketch.hashPoint32(
+          concat(lit("bs#"), col("b").cast("string"),
+            lit("#"), col("k").cast("string"))), lit(1000000L))
+        val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
+          .when(u < 919698L, 2L).when(u < 981011L, 3L)
+          .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
+        val repMeans = base.crossJoin(broadcast(reps))
+          .select(col("pri"), col("b"), col("c"), w.as("w"))
+          .groupBy("pri", "b")
+          .agg(expr("""CAST(CAST(sum(w * c) AS DECIMAL(38,0)) * 10000
+                      |  DIV greatest(CAST(sum(w) AS DECIMAL(38,0)),
+                      |               CAST(1 AS DECIMAL(38,0)))
+                      |AS BIGINT)""".stripMargin).as("m_e6"))
+        val lo = graft.plans.TopK
+          .perGroup(repMeans, Seq("pri"), -col("m_e6"), col("b"), 5)
+          .groupBy("pri").agg(max(col("m_e6")).as("lo_e6"))
+        val hi = graft.plans.TopK
+          .perGroup(repMeans, Seq("pri"), col("m_e6"), col("b"), 6)
+          .groupBy("pri").agg(min(col("m_e6")).as("hi_e6"))
+        val ci = lo.join(hi, "pri")
+        val pt = base.groupBy("pri").agg(count(lit(1)).as("n_orders"),
+          expr("CAST(CAST(sum(c) AS DECIMAL(38,0)) * 10000 DIV count(1) AS BIGINT)")
+            .as("mean_e6"))
+        pt.join(ci, "pri")
+          .select("pri", "n_orders", "mean_e6", "lo_e6", "hi_e6")
+          .orderBy("pri")
+      },
+      Some {
+        val hu = OracleShared.hx(
+          "md5('bs#' || CAST(b AS VARCHAR) || '#' || CAST(k AS VARCHAR))")
+        s"""WITH bbase AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           |  FROM orders),
+           |breps AS (SELECT unnest(range(0, 200)) AS b),
+           |bw AS (SELECT pri, b, c,
+           |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+           |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+           |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+           |         ELSE 6 END AS w
+           |  FROM (SELECT pri, b, c, ($hu) % 1000000 AS u
+           |        FROM bbase CROSS JOIN breps)),
+           |bm AS (SELECT pri, b,
+           |    CAST(CAST(sum(w * c) AS HUGEINT) * 10000
+           |      // greatest(CAST(sum(w) AS HUGEINT),
+           |                  CAST(1 AS HUGEINT)) AS BIGINT) AS m_e6
+           |  FROM bw GROUP BY pri, b),
+           |brk AS (SELECT pri, m_e6,
+           |    row_number() OVER (PARTITION BY pri ORDER BY m_e6, b) AS rk
+           |  FROM bm),
+           |bci AS (SELECT pri,
+           |    min(CASE WHEN rk = 5 THEN m_e6 END) AS lo_e6,
+           |    min(CASE WHEN rk = 195 THEN m_e6 END) AS hi_e6
+           |  FROM brk GROUP BY pri),
+           |bpt AS (SELECT pri, count(*) AS n_orders,
+           |    CAST(CAST(sum(c) AS HUGEINT) * 10000 // count(*) AS BIGINT)
+           |      AS mean_e6
+           |  FROM bbase GROUP BY pri)
+           |SELECT p.pri, p.n_orders, p.mean_e6, q.lo_e6, q.hi_e6
+           |FROM bpt p JOIN bci q USING (pri) ORDER BY p.pri""".stripMargin
+      },
       bench = true))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row

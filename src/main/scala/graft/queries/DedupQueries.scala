@@ -144,6 +144,59 @@ private[graft] object DedupQueries {
       Some(JACCARD_SQL),
       bench = true),
 
+    Q("dedup_containment_bottomk",
+      // ASYMMETRIC containment search: "is doc A mostly inside doc B?" —
+      // the quote/subset detector Jaccard dedup systematically misses
+      // (a paragraph quoted inside a 100× longer page has Jaccard ≈ 0 but
+      // containment ≈ 1; LSH Ensemble / Mash screen solve exactly this).
+      // Two stages, both equi-joins: (1) probe — each doc's bottom-16
+      // shingle-hash sketch (heap TopK per group, O(k) state, not a sort)
+      // joins the full corpus hash list on the hash value; ĉ(A→B) =
+      // hits/|sketch A| ≥ ½ proposes candidates at O(k·df) join cost,
+      // constant sketch bytes per doc no matter how long A is. (2)
+      // confirm — exact hash-set containment |H(A)∩H(B)|/|H(A)|,
+      // computed only for proposed pairs (candidate-bounded, the
+      // minhash_verified discipline), kept at cont ≥ ½. The estimator's
+      // hits column is part of the output, so the oracle mirrors BOTH
+      // stages hash-exactly (same md5-head-32 points, same rank-16 cut)
+      // rather than stating an independent definition. Shingle
+      // construction is Dedup.shingles (k=3 words, list_distinct,
+      // short-doc whole-text fallback); containment is over the hashed
+      // shingle SET (collisions conflate — identically in both engines).
+      (s, d) => {
+        val sh = tbl(s, d, "documents")
+          .select(col("doc_id").as("id"),
+            explode(Dedup.shingles(col("text"), 3)).as("g"))
+          .select(col("id"),
+            graft.analytics.Sketch.hashPoint32(col("g")).as("h"))
+          .distinct()
+          .localCheckpoint(false)
+        val na = sh.groupBy("id").agg(count(lit(1)).as("na"))
+        val bk = graft.plans.TopK
+          .perGroup(sh, Seq("id"), -col("h"), col("h"), 16)
+          .select(col("id").as("id_a"), col("h"))
+        val ka = bk.groupBy("id_a").agg(count(lit(1)).as("ka"))
+        val probe = bk.join(sh.select(col("id").as("id_b"), col("h")), "h")
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("hits"))
+        val cand = probe.join(ka, "id_a")
+          .filter(col("hits") * 2 >= col("ka"))
+        val inter = cand.select("id_a", "id_b")
+          .join(sh.select(col("id").as("id_a"), col("h")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        cand.join(inter, Seq("id_a", "id_b"))
+          .join(na.select(col("id").as("id_a"), col("na")), "id_a")
+          .filter(col("inter") * 2 >= col("na"))
+          .select(col("id_a"), col("id_b"), col("ka"), col("hits"),
+            expr("hits * 1000000 DIV ka").as("est_e6"),
+            col("na"), col("inter"),
+            expr("inter * 1000000 DIV na").as("cont_e6"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(CONTAIN_SQL),
+      bench = true),
+
     Q("dedup_ppjoin_pairs",
       // EXACT Jaccard ≥ 3/5 over 3-word shingles via prefix filtering
       // (SSJoin/PPJoin): rarity-ordered prefixes bound the candidate join,
@@ -791,6 +844,48 @@ private[graft] object DedupQueries {
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, inter, uni, (inter * 1000000) // uni AS jacc_e6
       |FROM p WHERE inter * 5 >= uni * 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for dedup_containment_bottomk — mirrors both pipeline stages
+    * hash-exactly (the estimator's hits/ka are output columns, so the
+    * oracle must replay the rank-16 sketch cut, not just the exact
+    * containment definition). Shingles mirror Dedup.shingles; hash points
+    * are the md5-head-32 convention; row_number over distinct h per id is
+    * deterministic (no ties within a partition).
+    */
+  private lazy val CONTAIN_SQL: String = {
+    val hg = OracleShared.hx("md5(g)")
+    s"""WITH cwtk AS (SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |cwsh AS (SELECT doc_id, list_distinct(list_filter(
+       |      [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+       |       FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
+       |      x -> len(x) > 0)) AS s FROM cwtk),
+       |chs AS (SELECT DISTINCT doc_id AS id, $hg AS h
+       |        FROM (SELECT doc_id, unnest(s) AS g FROM cwsh)),
+       |cna AS (SELECT id, count(*) AS na FROM chs GROUP BY id),
+       |cbk AS (SELECT id AS id_a, h FROM (
+       |        SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h) AS rk
+       |        FROM chs) WHERE rk <= 16),
+       |cka AS (SELECT id_a, count(*) AS ka FROM cbk GROUP BY id_a),
+       |cpr AS (SELECT b.id_a, t.id AS id_b, count(*) AS hits
+       |        FROM cbk b JOIN chs t ON t.h = b.h AND t.id <> b.id_a
+       |        GROUP BY b.id_a, t.id),
+       |ccd AS (SELECT p.id_a, p.id_b, p.hits, k.ka
+       |        FROM cpr p JOIN cka k USING (id_a) WHERE p.hits * 2 >= k.ka),
+       |cit AS (SELECT c.id_a, c.id_b, count(*) AS inter
+       |        FROM ccd c
+       |        JOIN chs x ON x.id = c.id_a
+       |        JOIN chs y ON y.id = c.id_b AND y.h = x.h
+       |        GROUP BY c.id_a, c.id_b)
+       |SELECT c.id_a, c.id_b, c.ka, c.hits,
+       |  c.hits * 1000000 // c.ka AS est_e6,
+       |  n.na, i.inter, i.inter * 1000000 // n.na AS cont_e6
+       |FROM ccd c JOIN cit i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  JOIN cna n ON n.id = c.id_a
+       |WHERE i.inter * 2 >= n.na
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
 
   private lazy val JACCARD_SQL: String =
     """WITH b AS (

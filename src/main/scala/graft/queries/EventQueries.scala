@@ -696,6 +696,90 @@ private[graft] object EventQueries {
            |    // greatest(CAST(n * (n * q - sv * sv) AS HUGEINT),
            |                 CAST(1 AS HUGEINT)) AS BIGINT) AS acf_e6
            |FROM agg CROSS JOIN tot ORDER BY k""".stripMargin),
+      bench = true),
+
+    Q("ev_crosscorr",
+      // lead/lag cross-correlation (k = −7..7) between the 'view' and
+      // 'purchase' daily count series — does one signal LEAD the other,
+      // and by how many days? ev_autocorr correlates a series with a
+      // shifted copy of itself; this correlates two CONDITIONAL
+      // aggregates of the same single events scan (a = views that day,
+      // b = purchases that day), so adding a series costs a when(), not
+      // another pass. Same exact-integer scheme: deviations enter ×n
+      // (n·a − Sa), so the lag-k numerator Σ devA(t)·devB(t+k) is
+      // BIGINT-exact; the symmetric normalizer √(Qa·Qb) is the one
+      // place a root is unavoidable, taken as floor(sqrt(double)) —
+      // correctly-rounded IEEE ops on identical integer inputs are
+      // bit-equal across engines — and the final ratio is e6-scaled in
+      // DECIMAL(38,0) DIV / HUGEINT //. Lag pairing is the date
+      // equi-join (a-day + k = b-day), never a global window; negative
+      // k asks whether purchases lead views instead. The daily frame
+      // materializes once (lazy localCheckpoint) and feeds the totals,
+      // both join sides, and the normalizer.
+      (s, d) => {
+        val daily = eventsTable(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("a"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("b"))
+          .localCheckpoint(false)
+        val tot = daily.agg(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        val dev = daily.crossJoin(broadcast(tot))
+          .select(col("day"),
+            (col("n") * col("a") - col("sa")).as("dev_a"),
+            (col("n") * col("b") - col("sb")).as("dev_b"))
+        val qq = dev.agg(sum(col("dev_a") * col("dev_a")).as("qa"),
+          sum(col("dev_b") * col("dev_b")).as("qb"))
+        val ks = daily.sparkSession.range(-7, 8)
+          .select(col("id").cast("int").as("k"))
+        val lhs = dev.crossJoin(broadcast(ks))
+          .select(col("k"), expr("date_add(day, k)").as("jday"), col("dev_a"))
+        val rhs = dev.select(col("day").as("jday"), col("dev_b"))
+        lhs.join(rhs, "jday")
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("dev_a") * col("dev_b")).as("num"))
+          .crossJoin(broadcast(qq))
+          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
+            """CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+              |  DIV greatest(CAST(floor(sqrt(CAST(qa AS DOUBLE)
+              |                               * CAST(qb AS DOUBLE)))
+              |               AS DECIMAL(38,0)),
+              |               CAST(1 AS DECIMAL(38,0))) AS BIGINT)
+              |AS ncc_e6""".stripMargin)
+          .orderBy("k")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |daily AS (SELECT CAST(ts AS DATE) AS day,
+           |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS b
+           |  FROM ev GROUP BY 1),
+           |tot AS (SELECT count(*) AS n, CAST(sum(a) AS BIGINT) AS sa,
+           |        CAST(sum(b) AS BIGINT) AS sb FROM daily),
+           |dev AS (SELECT day, n * a - sa AS dev_a, n * b - sb AS dev_b
+           |        FROM daily CROSS JOIN tot),
+           |qq AS (SELECT CAST(sum(dev_a * dev_a) AS BIGINT) AS qa,
+           |       CAST(sum(dev_b * dev_b) AS BIGINT) AS qb FROM dev),
+           |ks AS (SELECT unnest(range(-7, 8)) AS k),
+           |prs AS (SELECT l.k, l.dev_a, r.dev_b
+           |        FROM (SELECT k, day + CAST(k AS INTEGER) AS jday, dev_a
+           |              FROM dev CROSS JOIN ks) l
+           |        JOIN dev r ON r.day = l.jday),
+           |agg AS (SELECT k, count(*) AS n_pairs,
+           |        CAST(sum(dev_a * dev_b) AS BIGINT) AS num
+           |        FROM prs GROUP BY k)
+           |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
+           |  CAST(CAST(num AS HUGEINT) * 1000000
+           |    // greatest(CAST(floor(sqrt(CAST(qa AS DOUBLE)
+           |                                * CAST(qb AS DOUBLE)))
+           |               AS HUGEINT),
+           |               CAST(1 AS HUGEINT)) AS BIGINT) AS ncc_e6
+           |FROM agg CROSS JOIN qq ORDER BY k""".stripMargin),
       bench = true)
   )
 }
