@@ -175,18 +175,19 @@ private[graft] object DedupQueries {
         val bk = graft.plans.TopK
           .perGroup(sh, Seq("id"), -col("h"), col("h"), 16)
           .select(col("id").as("id_a"), col("h"))
-        val ka = bk.groupBy("id_a").agg(count(lit(1)).as("ka"))
         val probe = bk.join(sh.select(col("id").as("id_b"), col("h")), "h")
           .filter(col("id_a") =!= col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("hits"))
-        val cand = probe.join(ka, "id_a")
+        // |sketch A| is min(na, 16) by construction — derived from na,
+        // not re-counted from bk
+        val cand = probe.join(na.select(col("id").as("id_a"), col("na")), "id_a")
+          .withColumn("ka", least(col("na"), lit(16L)))
           .filter(col("hits") * 2 >= col("ka"))
         val inter = cand.select("id_a", "id_b")
           .join(sh.select(col("id").as("id_a"), col("h")), "id_a")
           .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
         cand.join(inter, Seq("id_a", "id_b"))
-          .join(na.select(col("id").as("id_a"), col("na")), "id_a")
           .filter(col("inter") * 2 >= col("na"))
           .select(col("id_a"), col("id_b"), col("ka"), col("hits"),
             expr("hits * 1000000 DIV ka").as("est_e6"),
@@ -689,13 +690,7 @@ private[graft] object DedupQueries {
   private lazy val MINHASH_RECALL_SQL: String =
     s"""WITH $MINHASH_CTES,
        |prop AS (SELECT id_a, id_b FROM m WHERE CAST(eq AS DOUBLE) / 64 >= 0.3),
-       |ttk AS (SELECT doc_id,
-       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-       |  FROM documents),
-       |tsh0 AS (SELECT doc_id, list_distinct(list_filter(
-       |          [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
-       |           FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
-       |          x -> len(x) > 0)) AS s FROM ttk),
+       |${OracleShared.shingleCtes("t")},
        |tsh AS (SELECT doc_id, s, len(s) AS n FROM tsh0 WHERE len(s) >= 1),
        |tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
@@ -830,13 +825,7 @@ private[graft] object DedupQueries {
     * their whole-text shingle, empties dropped).
     */
   private lazy val PPJOIN_SQL: String =
-    """WITH tk AS (SELECT doc_id,
-      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-      |  FROM documents),
-      |sh0 AS (SELECT doc_id, list_distinct(list_filter(
-      |          [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
-      |           FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
-      |          x -> len(x) > 0)) AS s FROM tk),
+    s"""WITH ${OracleShared.shingleCtes("")},
       |sh AS (SELECT doc_id, s, len(s) AS n FROM sh0 WHERE len(s) >= 1),
       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
@@ -854,25 +843,20 @@ private[graft] object DedupQueries {
     */
   private lazy val CONTAIN_SQL: String = {
     val hg = OracleShared.hx("md5(g)")
-    s"""WITH cwtk AS (SELECT doc_id,
-       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-       |  FROM documents),
-       |cwsh AS (SELECT doc_id, list_distinct(list_filter(
-       |      [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
-       |       FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
-       |      x -> len(x) > 0)) AS s FROM cwtk),
+    s"""WITH ${OracleShared.shingleCtes("c")},
        |chs AS (SELECT DISTINCT doc_id AS id, $hg AS h
-       |        FROM (SELECT doc_id, unnest(s) AS g FROM cwsh)),
+       |        FROM (SELECT doc_id, unnest(s) AS g FROM csh0)),
        |cna AS (SELECT id, count(*) AS na FROM chs GROUP BY id),
        |cbk AS (SELECT id AS id_a, h FROM (
        |        SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h) AS rk
        |        FROM chs) WHERE rk <= 16),
-       |cka AS (SELECT id_a, count(*) AS ka FROM cbk GROUP BY id_a),
        |cpr AS (SELECT b.id_a, t.id AS id_b, count(*) AS hits
        |        FROM cbk b JOIN chs t ON t.h = b.h AND t.id <> b.id_a
        |        GROUP BY b.id_a, t.id),
-       |ccd AS (SELECT p.id_a, p.id_b, p.hits, k.ka
-       |        FROM cpr p JOIN cka k USING (id_a) WHERE p.hits * 2 >= k.ka),
+       |ccd AS (SELECT p.id_a, p.id_b, p.hits, n.na,
+       |          least(n.na, 16) AS ka
+       |        FROM cpr p JOIN cna n ON n.id = p.id_a
+       |        WHERE p.hits * 2 >= least(n.na, 16)),
        |cit AS (SELECT c.id_a, c.id_b, count(*) AS inter
        |        FROM ccd c
        |        JOIN chs x ON x.id = c.id_a
@@ -880,10 +864,9 @@ private[graft] object DedupQueries {
        |        GROUP BY c.id_a, c.id_b)
        |SELECT c.id_a, c.id_b, c.ka, c.hits,
        |  c.hits * 1000000 // c.ka AS est_e6,
-       |  n.na, i.inter, i.inter * 1000000 // n.na AS cont_e6
+       |  c.na, i.inter, i.inter * 1000000 // c.na AS cont_e6
        |FROM ccd c JOIN cit i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |  JOIN cna n ON n.id = c.id_a
-       |WHERE i.inter * 2 >= n.na
+       |WHERE i.inter * 2 >= c.na
        |ORDER BY c.id_a, c.id_b""".stripMargin
   }
 

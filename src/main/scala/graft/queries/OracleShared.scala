@@ -55,6 +55,23 @@ private[graft] object OracleShared {
     */
   private[queries] def hexHead32Sql: String = hx("mh")
 
+  /** The document shingle-construction CTE pair mirroring Dedup.shingles
+    * (whitespace-collapsed lowercased text, k=3 word windows from every
+    * position, list_distinct, short docs yield their whole-text shingle,
+    * empties dropped) — the ONE SQL copy, prefix-parameterized so every
+    * oracle that needs doc shingles shares it and a convention change can
+    * never leave a per-file copy stale. Emits `<p>tk(doc_id, ws)` and
+    * `<p>sh0(doc_id, s)`.
+    */
+  private[queries] def shingleCtes(p: String): String =
+    s"""${p}tk AS (SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |${p}sh0 AS (SELECT doc_id, list_distinct(list_filter(
+       |          [array_to_string(ws[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+       |           FOR i IN generate_series(1, greatest(len(ws) - 3, 0) + 1)],
+       |          x -> len(x) > 0)) AS s FROM ${p}tk)""".stripMargin
+
   /** [[hexHead32Sql]] generalized to ANY md5-digest SQL expression — the
     * one definition of the head-32 expansion, so a convention change can
     * never leave a per-file copy stale.
