@@ -2250,9 +2250,13 @@ private[graft] object DashQueries {
       // only way that scales: instead of materializing B resamples
       // (B data-sized shuffles), each row draws its multiplicity in
       // replicate b from Poisson(1) — a deterministic inverse-CDF lookup
-      // on a per-(row, b) hash uniform, thresholds = floor(1e6·CDF),
-      // exact integers in both engines. One scan × B=200 in-mapper
-      // expansion; partial aggregation collapses (pri, b) groups before
+      // on a per-(row, b) hash uniform, thresholds = floor(2¹⁶·CDF),
+      // exact integers in both engines. Hashing is amortized 8×: one md5
+      // per (row, replicate-GROUP) yields eight independent 16-bit
+      // uniforms (4-hex-char slices), so B=200 replicates cost 25 md5s
+      // per row, not 200 — md5 is the portable-hash bottleneck, slicing
+      // is cheap codegen. One scan × B in-mapper expansion; partial
+      // aggregation collapses (pri, b) groups before
       // the shuffle, so shuffle volume is O(partitions · groups · B),
       // independent of row count. Replicate means are exact micro-dollar
       // integers (DECIMAL(38,0) DIV / HUGEINT //); the CI is the
@@ -2266,21 +2270,36 @@ private[graft] object DashQueries {
           .cast("long")
         val base = tbl(s, d, "orders").select(col("o_orderkey").as("k"),
           col("o_orderpriority").as("pri"), c.as("c"))
-        val reps = base.sparkSession.range(0, 200)
-          .select(col("id").cast("int").as("b"))
-        val u = pmod(graft.analytics.Sketch.hashPoint32(
-          concat(lit("bs#"), col("b").cast("string"),
-            lit("#"), col("k").cast("string"))), lit(1000000L))
-        val w = when(u < 367879L, 0L).when(u < 735758L, 1L)
-          .when(u < 919698L, 2L).when(u < 981011L, 3L)
-          .when(u < 996340L, 4L).when(u < 999405L, 5L).otherwise(6L)
-        val repMeans = base.crossJoin(broadcast(reps))
-          .select(col("pri"), col("b"), col("c"), w.as("w"))
+        // generator-based expansion (explode of a literal sequence) stays
+        // inside whole-stage codegen — a broadcast nested-loop join here
+        // would leave the hot 30M-row path; the replicate frame is 1000
+        // rows and checkpoints so both percentile branches read it once.
+        // The ×200 expansion multiplies whatever parallelism the scan
+        // produced, so re-spread the (tiny) pre-expansion frame across
+        // the cluster first: a compact source file otherwise pins the
+        // whole expansion to its handful of input splits. The explicit
+        // partition count matters — byte-based AQE coalescing sees a
+        // few-MB frame and would merge it back to one task, blind to the
+        // ×200 row amplification downstream.
+        val hashed = base
+          .repartition(s.sparkContext.defaultParallelism, col("k"))
+          .withColumn("g", explode(expr("sequence(0, 24)")))
+          .withColumn("ms", md5(concat(lit("bs"), col("g").cast("string"),
+            lit("#"), col("k").cast("string")).cast("binary")))
+        val u = expr("CAST(conv(substring(ms, i * 4 + 1, 4), 16, 10) AS BIGINT)")
+        val w = when(u < 24113L, 0L).when(u < 48226L, 1L)
+          .when(u < 60281L, 2L).when(u < 64299L, 3L)
+          .when(u < 65304L, 4L).when(u < 65497L, 5L).otherwise(6L)
+        val repMeans = hashed
+          .withColumn("i", explode(expr("sequence(0, 7)")))
+          .select(col("pri"), (col("g") * 8 + col("i")).as("b"),
+            col("c"), w.as("w"))
           .groupBy("pri", "b")
           .agg(expr("""CAST(CAST(sum(w * c) AS DECIMAL(38,0)) * 10000
                       |  DIV greatest(CAST(sum(w) AS DECIMAL(38,0)),
                       |               CAST(1 AS DECIMAL(38,0)))
                       |AS BIGINT)""".stripMargin).as("m_e6"))
+          .localCheckpoint(false)
         val lo = graft.plans.TopK
           .perGroup(repMeans, Seq("pri"), -col("m_e6"), col("b"), 5)
           .groupBy("pri").agg(max(col("m_e6")).as("lo_e6"))
@@ -2296,19 +2315,27 @@ private[graft] object DashQueries {
           .orderBy("pri")
       },
       Some {
-        val hu = OracleShared.hx(
-          "md5('bs#' || CAST(b AS VARCHAR) || '#' || CAST(k AS VARCHAR))")
+        // the 4-hex-char (16-bit) slice at replicate offset i, the inline
+        // analogue of OracleShared.hx for an expression-positioned substr
+        val hu = (0 until 4).map { cpos =>
+          val mult = 1L << (4 * (3 - cpos))
+          s"(strpos('0123456789abcdef', substr(ms, i * 4 + ${cpos + 1}, 1)) - 1) * $mult"
+        }.mkString(" + ")
         s"""WITH bbase AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
            |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
            |  FROM orders),
-           |breps AS (SELECT unnest(range(0, 200)) AS b),
-           |bw AS (SELECT pri, b, c,
-           |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-           |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-           |         WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+           |bgs AS (SELECT unnest(range(0, 25)) AS g),
+           |bis AS (SELECT unnest(range(0, 8)) AS i),
+           |bms AS (SELECT pri, c, g,
+           |    md5('bs' || CAST(g AS VARCHAR) || '#' || CAST(k AS VARCHAR)) AS ms
+           |  FROM bbase CROSS JOIN bgs),
+           |bw AS (SELECT pri, g * 8 + i AS b, c,
+           |    CASE WHEN u < 24113 THEN 0 WHEN u < 48226 THEN 1
+           |         WHEN u < 60281 THEN 2 WHEN u < 64299 THEN 3
+           |         WHEN u < 65304 THEN 4 WHEN u < 65497 THEN 5
            |         ELSE 6 END AS w
-           |  FROM (SELECT pri, b, c, ($hu) % 1000000 AS u
-           |        FROM bbase CROSS JOIN breps)),
+           |  FROM (SELECT pri, g, i, c, ($hu) AS u
+           |        FROM bms CROSS JOIN bis)),
            |bm AS (SELECT pri, b,
            |    CAST(CAST(sum(w * c) AS HUGEINT) * 10000
            |      // greatest(CAST(sum(w) AS HUGEINT),
