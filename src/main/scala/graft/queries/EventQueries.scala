@@ -780,6 +780,124 @@ private[graft] object EventQueries {
            |               AS HUGEINT),
            |               CAST(1 AS HUGEINT)) AS BIGINT) AS ncc_e6
            |FROM agg CROSS JOIN qq ORDER BY k""".stripMargin),
+      bench = true),
+
+    Q("ev_gap_regularity",
+      // bot/automation detector over inter-event timing: real users
+      // arrive bursty (squared coefficient of variation of their gaps
+      // cv² ≈ 1 for a Poisson process, higher with sessions); schedulers
+      // and scripts tick regularly (cv² → 0). Emits the 20 most-regular
+      // users with ≥ 5 gaps. Exact integers end-to-end: gaps in ms
+      // (µs DIV 1000 — ms keeps n·(n·Σg²−S²)·10⁶ inside 38 digits at
+      // any plausible per-user history), Σg² summed in DECIMAL(38,0) /
+      // HUGEINT (a month-long gap squared exceeds BIGINT), and
+      // cv²_e6 = n(nΣg² − S²)·10⁶ DIV S². Scale shape: the lag window
+      // partitions by user_id (data-parallel by key, never global), one
+      // aggregation per user, and the final top-20 is TakeOrdered —
+      // O(k) heap per partition, no global sort materialization.
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = eventsTable(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("pts", lag(col("ts"), 1).over(byUser))
+          .filter(col("pts").isNotNull)
+          .select(col("user_id"),
+            expr("(unix_micros(ts) - unix_micros(pts)) DIV 1000").as("g"))
+        gaps.groupBy("user_id").agg(
+            count(lit(1)).as("n_gaps"),
+            sum(col("g")).as("sg"),
+            sum(expr("CAST(g AS DECIMAL(20,0)) * g")).as("q"))
+          .filter(col("n_gaps") >= 5)
+          .selectExpr("user_id", "n_gaps",
+            "CAST(sg DIV n_gaps AS BIGINT) AS mean_gap_ms",
+            """CAST(CAST(n_gaps AS DECIMAL(38,0)) *
+              |    (CAST(n_gaps AS DECIMAL(38,0)) * q
+              |     - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000
+              |  DIV greatest(CAST(sg AS DECIMAL(38,0)) * sg,
+              |               CAST(1 AS DECIMAL(38,0)))
+              |AS BIGINT) AS cv2_e6""".stripMargin)
+          .orderBy(col("cv2_e6"), col("user_id"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |gg AS (SELECT user_id,
+           |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+           |       (PARTITION BY user_id ORDER BY ts, event_id))) // 1000 AS g
+           |  FROM ev),
+           |gs AS (SELECT user_id, count(*) AS n_gaps,
+           |       CAST(sum(g) AS BIGINT) AS sg,
+           |       sum(CAST(g AS HUGEINT) * g) AS q
+           |  FROM gg WHERE g IS NOT NULL GROUP BY user_id)
+           |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms,
+           |  CAST(CAST(n_gaps AS HUGEINT) *
+           |      (CAST(n_gaps AS HUGEINT) * q
+           |       - CAST(sg AS HUGEINT) * sg) * 1000000
+           |    // greatest(CAST(sg AS HUGEINT) * sg,
+           |                CAST(1 AS HUGEINT)) AS BIGINT) AS cv2_e6
+           |FROM gs WHERE n_gaps >= 5
+           |ORDER BY cv2_e6, user_id LIMIT 20""".stripMargin),
+      bench = true),
+
+    Q("ev_survival_hazard",
+      // censoring-aware churn life table (the counting half of
+      // Kaplan-Meier): per lifetime-day t — days from a user's first to
+      // last event — how many users were still at risk, how many
+      // churned at exactly t (last event ≥ 14 days before the corpus
+      // horizon), and how many are right-censored (still active at the
+      // horizon; their lifetimes bound but don't count as deaths —
+      // ev_retention has no censoring notion). The discrete hazard
+      // d_t/n_risk(t) is exact (e6 integer division); the survival
+      // curve itself is a running PRODUCT of rationals and is left out
+      // deliberately — no exact cross-engine fixed-point form. n_risk
+      // is a suffix count computed as N − prefix + self via the
+      // distributed two-pass running sum (day-unique total order), so
+      // there is no global window anywhere.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val ur = ev.groupBy("user_id").agg(
+          min(to_date(col("ts"))).as("first_d"),
+          max(to_date(col("ts"))).as("last_d"))
+        val mx = ev.agg(max(to_date(col("ts"))).as("mx"))
+        val lt = ur.crossJoin(broadcast(mx))
+          .select(
+            datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+            when(col("last_d") <= date_sub(col("mx"), 14), 1L)
+              .otherwise(0L).as("churn"))
+        val byT = lt.groupBy("t").agg(count(lit(1)).as("n_end"),
+            sum(col("churn")).as("n_event"))
+          .withColumn("g", lit(0))
+        graft.etl.Ids.groupedRunningSum(byT, Seq("g"), Seq(col("t")),
+            "n_end", "cum_end", "n_total")
+          .select(col("t"),
+            (col("n_total") - col("cum_end") + col("n_end")).as("n_risk"),
+            col("n_event"),
+            (col("n_end") - col("n_event")).as("n_censored"),
+            expr("""CAST(n_event * 1000000
+                   |  DIV (n_total - cum_end + n_end) AS BIGINT)"""
+              .stripMargin).as("hazard_e6"))
+          .orderBy("t")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |su AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+           |       max(CAST(ts AS DATE)) AS last_d FROM ev GROUP BY user_id),
+           |smx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM ev),
+           |slt AS (SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+           |        CASE WHEN last_d <= mx - 14 THEN 1 ELSE 0 END AS churn
+           |  FROM su CROSS JOIN smx),
+           |sbt AS (SELECT t, count(*) AS n_end,
+           |        CAST(sum(churn) AS BIGINT) AS n_event FROM slt GROUP BY t),
+           |stot AS (SELECT CAST(sum(n_end) AS BIGINT) AS n_total FROM sbt),
+           |srun AS (SELECT t, n_end, n_event,
+           |         CAST(sum(n_end) OVER (ORDER BY t) AS BIGINT) AS cum_end
+           |  FROM sbt)
+           |SELECT t, n_total - cum_end + n_end AS n_risk, n_event,
+           |  n_end - n_event AS n_censored,
+           |  CAST(n_event * 1000000 // (n_total - cum_end + n_end) AS BIGINT)
+           |    AS hazard_e6
+           |FROM srun CROSS JOIN stot ORDER BY t""".stripMargin),
       bench = true)
   )
 }
