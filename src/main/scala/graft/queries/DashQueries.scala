@@ -2287,9 +2287,9 @@ private[graft] object DashQueries {
           .withColumn("ms", md5(concat(lit("bs"), col("g").cast("string"),
             lit("#"), col("k").cast("string")).cast("binary")))
         val u = expr("CAST(conv(substring(ms, i * 4 + 1, 4), 16, 10) AS BIGINT)")
-        val w = when(u < 24113L, 0L).when(u < 48226L, 1L)
-          .when(u < 60281L, 2L).when(u < 64299L, 3L)
-          .when(u < 65304L, 4L).when(u < 65497L, 5L).otherwise(6L)
+        val w = when(u < 24109L, 0L).when(u < 48218L, 1L)
+          .when(u < 60273L, 2L).when(u < 64291L, 3L)
+          .when(u < 65296L, 4L).when(u < 65497L, 5L).otherwise(6L)
         val repMeans = hashed
           .withColumn("i", explode(expr("sequence(0, 7)")))
           .select(col("pri"), (col("g") * 8 + col("i")).as("b"),
@@ -2315,12 +2315,8 @@ private[graft] object DashQueries {
           .orderBy("pri")
       },
       Some {
-        // the 4-hex-char (16-bit) slice at replicate offset i, the inline
-        // analogue of OracleShared.hx for an expression-positioned substr
-        val hu = (0 until 4).map { cpos =>
-          val mult = 1L << (4 * (3 - cpos))
-          s"(strpos('0123456789abcdef', substr(ms, i * 4 + ${cpos + 1}, 1)) - 1) * $mult"
-        }.mkString(" + ")
+        // the 4-hex-char (16-bit) slice at replicate offset i
+        val hu = OracleShared.hxSlice("ms", "i * 4 + 1", 4)
         s"""WITH bbase AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
            |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
            |  FROM orders),
@@ -2330,9 +2326,9 @@ private[graft] object DashQueries {
            |    md5('bs' || CAST(g AS VARCHAR) || '#' || CAST(k AS VARCHAR)) AS ms
            |  FROM bbase CROSS JOIN bgs),
            |bw AS (SELECT pri, g * 8 + i AS b, c,
-           |    CASE WHEN u < 24113 THEN 0 WHEN u < 48226 THEN 1
-           |         WHEN u < 60281 THEN 2 WHEN u < 64299 THEN 3
-           |         WHEN u < 65304 THEN 4 WHEN u < 65497 THEN 5
+           |    CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+           |         WHEN u < 60273 THEN 2 WHEN u < 64291 THEN 3
+           |         WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
            |         ELSE 6 END AS w
            |  FROM (SELECT pri, g, i, c, ($hu) AS u
            |        FROM bms CROSS JOIN bis)),

@@ -787,11 +787,15 @@ private[graft] object EventQueries {
       // arrive bursty (squared coefficient of variation of their gaps
       // cv² ≈ 1 for a Poisson process, higher with sessions); schedulers
       // and scripts tick regularly (cv² → 0). Emits the 20 most-regular
-      // users with ≥ 5 gaps. Exact integers end-to-end: gaps in ms
-      // (µs DIV 1000 — ms keeps n·(n·Σg²−S²)·10⁶ inside 38 digits at
-      // any plausible per-user history), Σg² summed in DECIMAL(38,0) /
-      // HUGEINT (a month-long gap squared exceeds BIGINT), and
-      // cv²_e6 = n(nΣg² − S²)·10⁶ DIV S². Scale shape: the lag window
+      // users with ≥ 5 gaps. Exact integers end-to-end: the mean gap
+      // reports in ms; the variance inputs quantize to whole SECONDS
+      // first (µs DIV 10⁶ via the ms column) so the widest product,
+      // (n·Σg² − S²)·10⁶ ≤ n²·g_max²·10⁶, stays inside 38 digits even
+      // for a 10⁷-event user over a year — the re-quantize-before-
+      // multiply rule; second granularity is ample for cadence
+      // detection. Σg² sums in DECIMAL(38,0) / HUGEINT (a month-long
+      // gap squared already exceeds BIGINT), and
+      // cv²_e6 = (nΣg² − S²)·10⁶ DIV S². Scale shape: the lag window
       // partitions by user_id (data-parallel by key, never global), one
       // aggregation per user, and the final top-20 is TakeOrdered —
       // O(k) heap per partition, no global sort materialization.
@@ -807,14 +811,15 @@ private[graft] object EventQueries {
         gaps.groupBy("user_id").agg(
             count(lit(1)).as("n_gaps"),
             sum(col("g")).as("sg"),
-            sum(expr("CAST(g AS DECIMAL(20,0)) * g")).as("q"))
+            sum(expr("g DIV 1000")).as("sgs"),
+            sum(expr("CAST(g DIV 1000 AS DECIMAL(19,0)) * (g DIV 1000)"))
+              .as("q"))
           .filter(col("n_gaps") >= 5)
           .selectExpr("user_id", "n_gaps",
             "CAST(sg DIV n_gaps AS BIGINT) AS mean_gap_ms",
-            """CAST(CAST(n_gaps AS DECIMAL(38,0)) *
-              |    (CAST(n_gaps AS DECIMAL(38,0)) * q
-              |     - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000
-              |  DIV greatest(CAST(sg AS DECIMAL(38,0)) * sg,
+            """CAST((CAST(n_gaps AS DECIMAL(38,0)) * q
+              |     - CAST(sgs AS DECIMAL(38,0)) * sgs) * 1000000
+              |  DIV greatest(CAST(sgs AS DECIMAL(38,0)) * sgs,
               |               CAST(1 AS DECIMAL(38,0)))
               |AS BIGINT) AS cv2_e6""".stripMargin)
           .orderBy(col("cv2_e6"), col("user_id"))
@@ -828,13 +833,13 @@ private[graft] object EventQueries {
            |  FROM ev),
            |gs AS (SELECT user_id, count(*) AS n_gaps,
            |       CAST(sum(g) AS BIGINT) AS sg,
-           |       sum(CAST(g AS HUGEINT) * g) AS q
+           |       CAST(sum(g // 1000) AS BIGINT) AS sgs,
+           |       sum(CAST(g // 1000 AS HUGEINT) * (g // 1000)) AS q
            |  FROM gg WHERE g IS NOT NULL GROUP BY user_id)
            |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms,
-           |  CAST(CAST(n_gaps AS HUGEINT) *
-           |      (CAST(n_gaps AS HUGEINT) * q
-           |       - CAST(sg AS HUGEINT) * sg) * 1000000
-           |    // greatest(CAST(sg AS HUGEINT) * sg,
+           |  CAST((CAST(n_gaps AS HUGEINT) * q
+           |       - CAST(sgs AS HUGEINT) * sgs) * 1000000
+           |    // greatest(CAST(sgs AS HUGEINT) * sgs,
            |                CAST(1 AS HUGEINT)) AS BIGINT) AS cv2_e6
            |FROM gs WHERE n_gaps >= 5
            |ORDER BY cv2_e6, user_id LIMIT 20""".stripMargin),

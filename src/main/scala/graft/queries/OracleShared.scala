@@ -76,10 +76,19 @@ private[graft] object OracleShared {
     * one definition of the head-32 expansion, so a convention change can
     * never leave a per-file copy stale.
     */
-  private[queries] def hx(mh: String): String = (0 until 8).map { c =>
-    val mult = 1L << (4 * (7 - c))
-    s"(strpos('0123456789abcdef', substr($mh, ${c + 1}, 1)) - 1) * $mult"
-  }.mkString(" + ")
+  private[queries] def hx(mh: String): String = hxSlice(mh, "1", 8)
+
+  /** [[hx]] generalized to an arbitrary start position (any SQL integer
+    * expression) and slice width in hex chars — the ONE definition of the
+    * hex-nibble decode (hx itself is the position-1, width-8 instance),
+    * for oracles that read several independent uniforms out of a single
+    * md5 digest.
+    */
+  private[queries] def hxSlice(mh: String, posSql: String, chars: Int): String =
+    (0 until chars).map { c =>
+      val mult = 1L << (4 * (chars - 1 - c))
+      s"(strpos('0123456789abcdef', substr($mh, ($posSql) + $c, 1)) - 1) * $mult"
+    }.mkString(" + ")
 
   /** UNION ALL of the k per-row Bloom positions of column `fp` from table
     * `src` — the SQL mirror of Bloom.positions (md5("r#" || fp) head-32
