@@ -788,13 +788,14 @@ private[graft] object EventQueries {
       // cv² ≈ 1 for a Poisson process, higher with sessions); schedulers
       // and scripts tick regularly (cv² → 0). Emits the 20 most-regular
       // users with ≥ 5 gaps. Exact integers end-to-end: the mean gap
-      // reports in ms; the variance inputs quantize to whole SECONDS
-      // first (µs DIV 10⁶ via the ms column) so the widest product,
-      // (n·Σg² − S²)·10⁶ ≤ n²·g_max²·10⁶, stays inside 38 digits even
-      // for a 10⁷-event user over a year — the re-quantize-before-
-      // multiply rule; second granularity is ample for cadence
-      // detection. Σg² sums in DECIMAL(38,0) / HUGEINT (a month-long
-      // gap squared already exceeds BIGINT), and
+      // reports in ms; the variance inputs quantize to DECIseconds
+      // (g DIV 100) first — the re-quantize-before-multiply rule — so
+      // the widest product, (n·Σg² − S²)·10⁶ ≤ n²·g_max²·10⁶ ≈ 10³⁷,
+      // stays inside 38 digits even for a 10⁷-event user over a year,
+      // while cadences down to 100 ms still register jitter (finer ones
+      // collapse to cv² 0 — the honest floor of this quantum). After
+      // quantization Σg² ≤ g_max·Σg ≈ 10¹⁷ fits plain BIGINT, so only
+      // the final cross-product needs DECIMAL(38,0) / HUGEINT;
       // cv²_e6 = (nΣg² − S²)·10⁶ DIV S². Scale shape: the lag window
       // partitions by user_id (data-parallel by key, never global), one
       // aggregation per user, and the final top-20 is TakeOrdered —
@@ -811,9 +812,8 @@ private[graft] object EventQueries {
         gaps.groupBy("user_id").agg(
             count(lit(1)).as("n_gaps"),
             sum(col("g")).as("sg"),
-            sum(expr("g DIV 1000")).as("sgs"),
-            sum(expr("CAST(g DIV 1000 AS DECIMAL(19,0)) * (g DIV 1000)"))
-              .as("q"))
+            sum(expr("g DIV 100")).as("sgs"),
+            sum(expr("(g DIV 100) * (g DIV 100)")).as("q"))
           .filter(col("n_gaps") >= 5)
           .selectExpr("user_id", "n_gaps",
             "CAST(sg DIV n_gaps AS BIGINT) AS mean_gap_ms",
@@ -833,8 +833,8 @@ private[graft] object EventQueries {
            |  FROM ev),
            |gs AS (SELECT user_id, count(*) AS n_gaps,
            |       CAST(sum(g) AS BIGINT) AS sg,
-           |       CAST(sum(g // 1000) AS BIGINT) AS sgs,
-           |       sum(CAST(g // 1000 AS HUGEINT) * (g // 1000)) AS q
+           |       CAST(sum(g // 100) AS BIGINT) AS sgs,
+           |       CAST(sum((g // 100) * (g // 100)) AS BIGINT) AS q
            |  FROM gg WHERE g IS NOT NULL GROUP BY user_id)
            |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms,
            |  CAST((CAST(n_gaps AS HUGEINT) * q
