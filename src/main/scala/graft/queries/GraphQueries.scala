@@ -642,6 +642,87 @@ private[graft] object GraphQueries {
         |SELECT n, sx, sxy, sxx,
         |  CAST(CAST(n * sxy - sx * sx AS HUGEINT) * 1000000
         |    // greatest(CAST(n * sxx - sx * sx AS HUGEINT), 1) AS BIGINT) AS assortativity_e6
-        |FROM m ORDER BY n""".stripMargin))
+        |FROM m ORDER BY n""".stripMargin)),
+
+    Q("graph_mst_boruvka",
+      // minimum spanning tree the distributed way (Borůvka: per-component
+      // min-outgoing-edge hash aggregations + log-round star CC merges —
+      // no sequential union-find anywhere), hash-checked against a
+      // sequential Prim's algorithm replayed in the oracle's recursive
+      // CTE: one frontier edge per recursion step, the visited set
+      // carried as a list. Two INDEPENDENT constructions agreeing on the
+      // exact edge set is the point — the (w, a, b) lexicographic total
+      // order makes the MST unique (perturbation argument), so ANY
+      // correct algorithm must return these rows. Fixture: every 5th
+      // customer, a chain (id, id+5) guaranteeing connectivity, plus one
+      // hash-derived skip edge per node (id + 5·(2 + h%16)) and md5
+      // weights. Not benched: the oracle's Prim is deliberately O(n·|E|)
+      // sequential; the Spark side's rounds are all equi-join/agg shapes
+      // proven on the other graph queries.
+      (s, d) => {
+        val nodes = tbl(s, d, "customer")
+          .filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey").as("id"))
+        val mx = nodes.agg(max(col("id")).as("mx"))
+        val nm = nodes.crossJoin(broadcast(mx))
+        val chain = nm.filter(col("id") + 5 <= col("mx"))
+          .select(col("id").as("a"), (col("id") + 5).as("b"))
+        val hop = pmod(graft.analytics.Sketch.hashPoint32(
+          concat(lit("e#"), col("id").cast("string"))), lit(16L))
+        val extra = nm
+          .select(col("id").as("a"),
+            (col("id") + lit(5L) * (lit(2L) + hop)).as("b"), col("mx"))
+          .filter(col("b") <= col("mx"))
+          .select("a", "b")
+        val w = pmod(graft.analytics.Sketch.hashPoint32(
+          concat(lit("w#"), col("a").cast("string"),
+            lit("#"), col("b").cast("string"))), lit(1000000L))
+        val wedges = chain.union(extra).distinct()
+          .select(col("a"), col("b"), w.as("w"))
+        Graph.boruvkaMst(nodes, wedges).orderBy("a", "b")
+      },
+      Some(MST_SQL))
   )
+
+  /** Oracle for graph_mst_boruvka: sequential Prim from the minimum node,
+    * one edge per recursive-CTE step, visited set carried as a list —
+    * an independent DEFINITION-level construction (never a replay of the
+    * Borůvka rounds), valid because the lexicographic (w, a, b) total
+    * order makes the spanning tree unique.
+    */
+  private lazy val MST_SQL: String = {
+    val he = OracleShared.hx("md5('e#' || CAST(id AS VARCHAR))")
+    val hw = OracleShared.hx(
+      "md5('w#' || CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR))")
+    s"""WITH RECURSIVE
+       |mn AS (SELECT c_custkey AS id FROM customer WHERE c_custkey % 5 = 0),
+       |mmx AS (SELECT max(id) AS mx FROM mn),
+       |me0 AS (
+       |  SELECT id AS a, id + 5 AS b FROM mn CROSS JOIN mmx
+       |  WHERE id + 5 <= mx
+       |  UNION
+       |  SELECT id AS a, id + 5 * (2 + ($he) % 16) AS b
+       |  FROM mn CROSS JOIN mmx
+       |  WHERE id + 5 * (2 + ($he) % 16) <= mx),
+       |me AS (SELECT a, b, ($hw) % 1000000 AS w FROM me0),
+       |msym AS (SELECT a, b, w FROM me UNION ALL SELECT b, a, w FROM me),
+       |mroot AS (SELECT min(id) AS r FROM mn),
+       |prim AS (
+       |  SELECT [r] AS vs, CAST([] AS BIGINT[]) AS ea,
+       |         CAST([] AS BIGINT[]) AS eb, 0 AS step
+       |  FROM mroot
+       |  UNION ALL
+       |  SELECT list_append(p.vs, pk.b), list_append(p.ea, pk.a),
+       |         list_append(p.eb, pk.b), p.step + 1
+       |  FROM prim p, LATERAL (
+       |    SELECT e.a, e.b FROM msym e
+       |    WHERE list_contains(p.vs, e.a) AND NOT list_contains(p.vs, e.b)
+       |    ORDER BY e.w, least(e.a, e.b), greatest(e.a, e.b) LIMIT 1
+       |  ) pk),
+       |mlast AS (SELECT ea, eb FROM prim ORDER BY step DESC LIMIT 1),
+       |mtree AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+       |          FROM (SELECT unnest(ea) AS a, unnest(eb) AS b FROM mlast))
+       |SELECT t.a, t.b, e.w FROM mtree t JOIN me e ON e.a = t.a AND e.b = t.b
+       |ORDER BY t.a, t.b""".stripMargin
+  }
 }
