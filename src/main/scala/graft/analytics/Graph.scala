@@ -503,18 +503,20 @@ object Graph {
     * that is actually distributed-friendly: every round each component
     * picks its minimum outgoing edge under the (w, a, b) TOTAL order (one
     * hash aggregation — no sorting, no sequential union-find), the picked
-    * edges merge components (alternating-star connected components,
-    * O(log n) rounds), and the component count at least halves, so
-    * ⌈log₂ n⌉ rounds always suffice — the loop is a FIXED schedule, no
-    * convergence probe, and an already-finished round finds no crossing
-    * edge and is a cheap no-op. The lexicographic tie-break makes the
-    * forest unique even with duplicate weights (the classic perturbation
-    * argument), which is what lets a sequential Prim replay — a genuinely
-    * independent construction — serve as the oracle.
+    * edges merge components (alternating-star connected components over
+    * the CONTRACTED component graph), and the component count at least
+    * halves, so the loop finishes — and early-exits — within
+    * ⌈log₂ n⌉ + 1 rounds; `maxRounds` is only the runaway backstop. The
+    * lexicographic tie-break makes the forest unique even with duplicate
+    * weights (the classic perturbation argument), which is what lets a
+    * sequential Prim replay — a genuinely independent construction —
+    * serve as the oracle.
     *
     * `wedges` columns (a, b, w); parallel edges keep the minimum weight;
-    * orientation is canonicalized to a < b. Returns the forest edge set
-    * (a, b, w).
+    * orientation is canonicalized to a < b; edges with an endpoint
+    * missing from `nodes` are DROPPED (the component join is inner) —
+    * callers whose oracle treats every edge endpoint as a vertex must
+    * guarantee endpoints ⊆ nodes. Returns the forest edge set (a, b, w).
     */
   def boruvkaMst(nodes: DataFrame, wedges: DataFrame,
       maxRounds: Int = 40): DataFrame = {
@@ -525,58 +527,57 @@ object Graph {
         greatest(col("a"), col("b")).as("b"), col("w"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
       .localCheckpoint()
-    val n = math.max(1L, ids.count())
-    val rounds = math.min(maxRounds,
-      64 - java.lang.Long.numberOfLeadingZeros(n) + 1).toInt
-    var mst = edges.filter(lit(false)).localCheckpoint(false)
+    var mst = edges.filter(lit(false)).select("a", "b", "w")
+      .localCheckpoint(false)
     var comp = ids.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var done = false
     var r = 0
-    while (!done && r < rounds) {
+    while (!done && r < maxRounds) {
       val ce = edges
         .join(comp.select(col("id").as("a"), col("component").as("ca")), "a")
         .join(comp.select(col("id").as("b"), col("component").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint(false) // feeds the pick AND the contraction map
-      // each component's minimum crossing edge under (w, a, b); two
-      // components picking the same edge collapse in the distinct
-      val half = ce.select(col("ca").as("c"), col("w"), col("a"), col("b"))
-        .union(ce.select(col("cb").as("c"), col("w"), col("a"), col("b")))
+        .localCheckpoint(false) // read twice by the union below
+      // each component's minimum crossing edge under (w, a, b); the edge's
+      // endpoint components ride in the struct so the contraction below
+      // never has to re-join comp; two components picking the same edge
+      // produce identical rows and collapse in the distinct
+      val half = ce.select(col("ca").as("c"), col("w"), col("a"), col("b"),
+          col("ca"), col("cb"))
+        .union(ce.select(col("cb").as("c"), col("w"), col("a"), col("b"),
+          col("ca"), col("cb")))
       val pick = half.groupBy("c")
-        .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+        .agg(min(struct(col("w"), col("a"), col("b"),
+          col("ca"), col("cb"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+          col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct()
         .localCheckpoint(false)
       // the per-round probe doubles as the materializing action for this
       // round's checkpoint chain AND as the early exit: an empty pick
-      // means the forest is complete, and running the remaining no-op
-      // rounds anyway is not just waste — empty frames never cache, so
-      // every further round would re-derive the whole comp lineage
-      // (measured: three trailing no-op rounds cost 10× the real work)
+      // means the forest is complete, and running further no-op rounds
+      // is not just waste — empty frames never cache, so every further
+      // round would re-derive the whole comp lineage (measured: three
+      // trailing no-op rounds cost 10× the real work)
       if (pick.count() == 0L) {
         done = true
       } else {
-        mst = mst.union(pick).localCheckpoint(false)
+        mst = mst.union(pick.select("a", "b", "w")).localCheckpoint(false)
         // CONTRACT, never re-derive: connected components run over the
         // component graph of this round's picks — a frame that at least
         // halves every round — and node labels update through the
         // contraction map. Re-running CC over the whole accumulated
         // forest each round would re-shuffle O(n) per round for work the
         // prior rounds already settled (the multiSourceBfs lesson).
-        val cEdges = pick
-          .join(comp.select(col("id").as("a"), col("component").as("pa")),
-            "a")
-          .join(comp.select(col("id").as("b"), col("component").as("pb")),
-            "b")
-          .select(col("pa").as("a"), col("pb").as("b"))
+        val cEdges = pick.select(col("ca").as("a"), col("cb").as("b"))
         val cNodes = cEdges.select(col("a").as("id"))
           .union(cEdges.select(col("b").as("id"))).distinct()
         val cmap = graft.llm.Dedup.connectedComponentsAltStar(cNodes, cEdges)
           .withColumnRenamed("component", "__nc")
           .withColumnRenamed("id", "component")
-        // eager: comp is read five times next round (both ce sides, both
-        // cEdges sides, the update join) — materialize once, now
+        // eager: comp is read three times next round (both ce sides and
+        // the update join) — materialize once, now
         comp = comp.join(cmap, Seq("component"), "left")
           .select(col("id"),
             coalesce(col("__nc"), col("component")).as("component"))

@@ -656,9 +656,13 @@ private[graft] object GraphQueries {
       // correct algorithm must return these rows. Fixture: every 5th
       // customer, a chain (id, id+5) guaranteeing connectivity, plus one
       // hash-derived skip edge per node (id + 5·(2 + h%16)) and md5
-      // weights. Not benched: the oracle's Prim is deliberately O(n·|E|)
-      // sequential; the Spark side's rounds are all equi-join/agg shapes
-      // proven on the other graph queries.
+      // weights — every endpoint is a multiple of 5 ≤ max, i.e. a node,
+      // satisfying boruvkaMst's endpoints ⊆ nodes contract (it drops
+      // dangling edges; Prim would visit them). Not benched: the
+      // oracle's Prim is deliberately sequential and O(n²·|E|) from the
+      // growing list_contains scans — fine at the gate's 300 nodes,
+      // hours at 3000; the Spark side's rounds are all equi-join/agg
+      // shapes proven on the other graph queries.
       (s, d) => {
         val nodes = tbl(s, d, "customer")
           .filter(pmod(col("c_custkey"), lit(5)) === 0)

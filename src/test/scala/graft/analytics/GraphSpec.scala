@@ -175,4 +175,35 @@ class GraphSpec extends SparkSpec {
     val expected = ring.size.toLong // each ring edge closes with the hub
     assert(Graph.triangleCount(edges).as[Long].head() == expected)
   }
+
+  test("boruvkaMst: hand-computed tree, duplicate-weight tie-break, forest") {
+    // Component {1,2,3,4}: a 4-cycle where BOTH (1,2) and (3,4) weigh 5 —
+    // the (w, a, b) total order must drop (3,4) (the lexicographically
+    // larger of the two tied heaviest edges) and keep everything else.
+    // Component {10,11}: a single edge — a DISCONNECTED second tree, so
+    // the result is a forest (4 edges total, never a bridge between the
+    // components). Node 99 is isolated and must simply not appear.
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 5L), (4L, 1L, 2L),
+      (10L, 11L, 7L)).toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(nodes, edges)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 4L, 2L),
+      (10L, 11L, 7L)).sorted,
+      s"unexpected forest: $got")
+  }
+
+  test("boruvkaMst: parallel edges keep min weight; dangling edges drop") {
+    // (1,2) appears three times — the min weight must survive; (2, 50)
+    // references a node absent from `nodes` and is dropped per the
+    // documented endpoints-subset contract.
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 9L), (2L, 1L, 3L), (1L, 2L, 7L),
+      (2L, 3L, 4L), (2L, 50L, 1L)).toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(nodes, edges)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 4L)), s"unexpected: $got")
+  }
 }
