@@ -31,10 +31,17 @@ object Spatial {
     */
   def gridRadiusJoin(pts: DataFrame, radius: Long,
       pinMerge: Boolean = false): DataFrame = {
+    // Cell key is FLOOR division, not DIV: DIV truncates toward zero, so
+    // with signed coordinates the two cells adjacent to the origin would
+    // fuse into one 2·radius−1-wide cell — still correct (every cell
+    // ≥ radius wide keeps the 3×3 expansion exhaustive) but it breaks the
+    // uniform-cell density/skew properties the fixtures and AqeSkewSpec
+    // reason about. (x − pmod(x, r)) DIV r is exact integer floor-div
+    // with no branch: pmod ∈ [0, r) makes the numerator a multiple of r.
     val p = pts.select(col("id").cast("long"),
         col("x").cast("long"), col("y").cast("long"))
-      .withColumn("cx", expr(s"x DIV $radius"))
-      .withColumn("cy", expr(s"y DIV $radius"))
+      .withColumn("cx", expr(s"(x - pmod(x, $radius)) DIV $radius"))
+      .withColumn("cy", expr(s"(y - pmod(y, $radius)) DIV $radius"))
     val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val a = p.select(col("id").as("a_id"), col("x").as("ax"),

@@ -128,8 +128,15 @@ object Multimodal {
       // ("GIF is...", "BMW...") would otherwise reach ImageIO and bet
       // correctness on it rejecting garbage; check past the 2-3 magic
       // bytes — the GIF version field must be 87a/89a, and the BMP header
-      // size field (LE u32 at offset 2) must equal the payload length
-      // (every writer in scope, incl. ImageIO's, records it).
+      // size field (LE u32 at offset 2) must equal the payload length OR
+      // be zero: ImageIO and in-repo writers record the exact length,
+      // but writers outside that scope commonly zero bfSize (the field is
+      // informational per the BMP spec), and a zeroed u32 can never occur
+      // in a printable-text prefix, so accepting it keeps external
+      // corpora decodable without re-opening the text-collision hole. A
+      // BMP whose writer MISrecords a nonzero bfSize (≠ length, ≠ 0) is
+      // still routed to the ByteProfiler kernel — callers feeding such
+      // corpora should normalize the header upstream.
       def gifVersioned: Boolean =
         p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
           p(2) == 'F'.toByte && p(3) == '8'.toByte &&
@@ -138,7 +145,7 @@ object Multimodal {
         p.length >= 14 && p(0) == 'B'.toByte && p(1) == 'M'.toByte && {
           val declared = (p(2) & 0xffL) | ((p(3) & 0xffL) << 8) |
             ((p(4) & 0xffL) << 16) | ((p(5) & 0xffL) << 24)
-          declared == p.length
+          declared == p.length || declared == 0L
         }
       p.length >= 4 && (
         (p(0) == 0x89.toByte && p(1) == 0x50.toByte &&

@@ -634,11 +634,14 @@ private[graft] object EventQueries {
       // lag-k autocorrelation (k = 1..7) of the daily event-count series
       // — the seasonality detector behind "is this weekly-periodic?"
       // (dash_seasonality fits a known period; the ACF FINDS it). Exact
-      // integer form: with S = Σx, n = #days, deviations enter as
-      // n·x − S so numerator Σ(n·x_t − S)(n·x_{t−k} − S) and denominator
-      // n(nQ − S²) are BIGINT-exact; only the final ratio is e6-scaled,
-      // in DECIMAL(38,0) DIV / HUGEINT // (n·x ≲ 10⁶·count would need
-      // ~10²² headroom ×1e6 — past BIGINT, inside 38 digits). The lag
+      // integer form: with S = Σx, n = #days, each deviation n·x − S is
+      // BIGINT-exact (needs x ≈ 4·10¹⁵/day to overflow), but their
+      // PRODUCTS are not: dev² ≈ (n·x)² grows with days²·daily-count²,
+      // and a 64-bit Σdev² saturates near 2·10⁴ events/day over the
+      // ~2500-day calendar. So every product/sum of deviations runs in
+      // DECIMAL(38,0) (Spark: dev cast to DECIMAL(18,0), product 37
+      // digits, sum 38) / HUGEINT (DuckDB), and only the final e6 ratio
+      // casts back to BIGINT — headroom to ~10¹² events/day. The lag
       // pairing is a calendar-date EQUI-join (day+k = day), not a global
       // window: the naive lag() OVER (ORDER BY day) with no partition is
       // an Exchange SinglePartition; the join form shuffles on the date
@@ -653,12 +656,16 @@ private[graft] object EventQueries {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
           .localCheckpoint(false)
+        // q = Σx² widens BEFORE the square (x·x alone overflows BIGINT at
+        // x ≈ 3·10⁹/day); n and S stay plain longs.
         val tot = daily.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sv"),
-          sum(col("x") * col("x")).as("q"))
+          sum(col("x").cast("decimal(18,0)") * col("x")).as("q"))
+        // dev is computed in BIGINT (exact, see header) then widened to
+        // DECIMAL(18,0) so the downstream product/sum stays in decimal.
         val dev = daily.crossJoin(broadcast(tot))
           .select(col("day"),
-            (col("n") * col("x") - col("sv")).as("dev"))
+            (col("n") * col("x") - col("sv")).cast("decimal(18,0)").as("dev"))
         val ks = dev.sparkSession.range(1, 8)
           .select(col("id").cast("int").as("k"))
         val a = dev.crossJoin(broadcast(ks))
@@ -670,9 +677,15 @@ private[graft] object EventQueries {
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("dev_a") * col("dev_b")).as("num"))
           .crossJoin(broadcast(tot))
+          // num is already DECIMAL(38,0) (sum of DECIMAL(37,0) products);
+          // the denominator n(nQ − S²) widens each factor BEFORE the
+          // multiply — computed in BIGINT it saturates at the same
+          // ~2·10⁴ events/day the numerator did.
           .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
-            """CAST(CAST(num AS DECIMAL(38,0)) * 1000000
-              |  DIV greatest(CAST(n * (n * q - sv * sv) AS DECIMAL(38,0)),
+            """CAST(num * 1000000
+              |  DIV greatest(CAST(n AS DECIMAL(38,0))
+              |                 * (CAST(n AS DECIMAL(38,0)) * q
+              |                    - CAST(sv AS DECIMAL(38,0)) * sv),
               |               CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS acf_e6""".stripMargin)
           .orderBy("k")
       },
@@ -681,7 +694,7 @@ private[graft] object EventQueries {
            |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
            |          FROM ev GROUP BY 1),
            |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sv,
-           |        CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+           |        sum(CAST(x AS HUGEINT) * x) AS q FROM daily),
            |dev AS (SELECT day, n * x - sv AS dev FROM daily CROSS JOIN tot),
            |ks AS (SELECT unnest(range(1, 8)) AS k),
            |prs AS (SELECT a.k, a.dev AS dev_a, b.dev AS dev_b
@@ -689,11 +702,14 @@ private[graft] object EventQueries {
            |              FROM dev CROSS JOIN ks) a
            |        JOIN dev b ON b.day = a.jday),
            |agg AS (SELECT k, count(*) AS n_pairs,
-           |        CAST(sum(dev_a * dev_b) AS BIGINT) AS num
+           |        CAST(sum(CAST(dev_a AS HUGEINT) * dev_b)
+           |             AS DECIMAL(38,0)) AS num
            |        FROM prs GROUP BY k)
            |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
            |  CAST(CAST(num AS HUGEINT) * 1000000
-           |    // greatest(CAST(n * (n * q - sv * sv) AS HUGEINT),
+           |    // greatest(CAST(n AS HUGEINT)
+           |                 * (CAST(n AS HUGEINT) * q
+           |                    - CAST(sv AS HUGEINT) * sv),
            |                 CAST(1 AS HUGEINT)) AS BIGINT) AS acf_e6
            |FROM agg CROSS JOIN tot ORDER BY k""".stripMargin),
       bench = true),
@@ -705,9 +721,12 @@ private[graft] object EventQueries {
       // shifted copy of itself; this correlates two CONDITIONAL
       // aggregates of the same single events scan (a = views that day,
       // b = purchases that day), so adding a series costs a when(), not
-      // another pass. Same exact-integer scheme: deviations enter ×n
-      // (n·a − Sa), so the lag-k numerator Σ devA(t)·devB(t+k) is
-      // BIGINT-exact; the symmetric normalizer √(Qa·Qb) is the one
+      // another pass. Same exact-integer scheme as ev_autocorr:
+      // deviations enter ×n (n·a − Sa) in BIGINT, then widen to
+      // DECIMAL(18,0) so the lag-k numerator Σ devA(t)·devB(t+k) and the
+      // Qa/Qb sums run in DECIMAL(38,0)/HUGEINT — a 64-bit Σdev² would
+      // saturate near 2·10⁴ events/day over the ~2500-day calendar.
+      // The symmetric normalizer √(Qa·Qb) is the one
       // place a root is unavoidable, taken as floor(sqrt(double)) —
       // correctly-rounded IEEE ops on identical integer inputs are
       // bit-equal across engines — and the final ratio is e6-scaled in
@@ -728,8 +747,10 @@ private[graft] object EventQueries {
           sum(col("a")).as("sa"), sum(col("b")).as("sb"))
         val dev = daily.crossJoin(broadcast(tot))
           .select(col("day"),
-            (col("n") * col("a") - col("sa")).as("dev_a"),
-            (col("n") * col("b") - col("sb")).as("dev_b"))
+            (col("n") * col("a") - col("sa")).cast("decimal(18,0)")
+              .as("dev_a"),
+            (col("n") * col("b") - col("sb")).cast("decimal(18,0)")
+              .as("dev_b"))
         val qq = dev.agg(sum(col("dev_a") * col("dev_a")).as("qa"),
           sum(col("dev_b") * col("dev_b")).as("qb"))
         val ks = daily.sparkSession.range(-7, 8)
@@ -742,8 +763,11 @@ private[graft] object EventQueries {
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("dev_a") * col("dev_b")).as("num"))
           .crossJoin(broadcast(qq))
+          // num/qa/qb arrive as DECIMAL(38,0); decimal→double is
+          // correctly rounded on both engines, so the floor(sqrt(·))
+          // normalizer stays bit-equal.
           .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
-            """CAST(CAST(num AS DECIMAL(38,0)) * 1000000
+            """CAST(num * 1000000
               |  DIV greatest(CAST(floor(sqrt(CAST(qa AS DOUBLE)
               |                               * CAST(qb AS DOUBLE)))
               |               AS DECIMAL(38,0)),
@@ -763,15 +787,16 @@ private[graft] object EventQueries {
            |        CAST(sum(b) AS BIGINT) AS sb FROM daily),
            |dev AS (SELECT day, n * a - sa AS dev_a, n * b - sb AS dev_b
            |        FROM daily CROSS JOIN tot),
-           |qq AS (SELECT CAST(sum(dev_a * dev_a) AS BIGINT) AS qa,
-           |       CAST(sum(dev_b * dev_b) AS BIGINT) AS qb FROM dev),
+           |qq AS (SELECT sum(CAST(dev_a AS HUGEINT) * dev_a) AS qa,
+           |       sum(CAST(dev_b AS HUGEINT) * dev_b) AS qb FROM dev),
            |ks AS (SELECT unnest(range(-7, 8)) AS k),
            |prs AS (SELECT l.k, l.dev_a, r.dev_b
            |        FROM (SELECT k, day + CAST(k AS INTEGER) AS jday, dev_a
            |              FROM dev CROSS JOIN ks) l
            |        JOIN dev r ON r.day = l.jday),
            |agg AS (SELECT k, count(*) AS n_pairs,
-           |        CAST(sum(dev_a * dev_b) AS BIGINT) AS num
+           |        CAST(sum(CAST(dev_a AS HUGEINT) * dev_b)
+           |             AS DECIMAL(38,0)) AS num
            |        FROM prs GROUP BY k)
            |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
            |  CAST(CAST(num AS HUGEINT) * 1000000
