@@ -588,6 +588,109 @@ object Graph {
     mst
   }
 
+  /** Single-source (well, seed-set) shortest paths by Δ-stepping — the
+    * bucketed relaxation scheme of Meyer & Sanders (J. Algorithms 2003)
+    * that made SSSP practical for distributed engines: tentative
+    * distances live in width-Δ buckets processed in increasing order;
+    * within the current bucket only LIGHT edges (w ≤ Δ) relax, repeated
+    * until the bucket stops changing (a light chain can re-enter its own
+    * bucket); then the bucket's now-final nodes relax their HEAVY edges
+    * (w > Δ) exactly once — a heavy relaxation from dist ≥ bound lands at
+    * ≥ bound + Δ, i.e. always in a LATER bucket, which is the invariant
+    * that lets the bucket settle. Plain frontier Bellman-Ford re-relaxes
+    * a node once per improvement; Δ-stepping relaxes each node's heavy
+    * edges once, ever, and its light edges only while its own bucket is
+    * open — the work bound that matters when an edge relaxation is a
+    * distributed shuffle.
+    *
+    * Scale shape per round: ONE equi-join of the (checkpointed, pre-split
+    * light/heavy) edge list against the frontier (shuffle on src) + ONE
+    * min-aggregation on dst (map-side combinable) + one anti-join merge
+    * into the distance table — the [[pageRank]] envelope; never a global
+    * sort, never a priority queue. Rounds are bounded by
+    * (#nonempty buckets) + (light-chain hops per bucket), independent of
+    * |V|: the phase loop JUMPS to the next nonempty bucket via a 1-row
+    * min-aggregate probe rather than sweeping empty bucket indices, so a
+    * sparse distance range costs nothing. Loop-carried frames are
+    * eagerly checkpointed (they are read 2-3× per round) and every round
+    * early-exits on an empty improvement delta — the empty-frame lineage
+    * lesson from [[boruvkaMst]].
+    *
+    * Contract: edge weights must be ≥ 0 longs (Δ-stepping's bucket-order
+    * argument needs nonnegativity, like Dijkstra); `edges` is DIRECTED
+    * (src, dst, w) — symmetrize upstream for undirected graphs; parallel
+    * edges are fine (min wins through the relaxation). Nodes unreachable
+    * from the seed set are absent from the output.
+    *
+    * @param edges   (src, dst, w) directed weighted edge list
+    * @param sources one-column frame of seed node ids (distance 0)
+    * @param delta   bucket width; also the light/heavy edge split point
+    * @return (id, dist) — minimum path weight per reached node
+    */
+  def deltaStepSssp(edges: DataFrame, sources: DataFrame, delta: Long,
+      maxRounds: Int = 200): DataFrame = {
+    require(delta >= 1L, s"delta must be >= 1, got $delta")
+    val e = edges.toDF("src", "dst", "w").select(col("src").cast("long"),
+      col("dst").cast("long"), col("w").cast("long"))
+    // split once, checkpoint eagerly: both halves are re-read every round
+    val light = e.filter(col("w") <= delta).localCheckpoint()
+    val heavy = e.filter(col("w") > delta).localCheckpoint()
+    var dist = sources.toDF("id").select(col("id").cast("long")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    // merge an improvement delta into the distance table: replaced rows
+    // leave via the anti-join, improved/new rows enter via the union
+    def merge(improved: DataFrame): DataFrame =
+      dist.join(improved.select("id"), Seq("id"), "left_anti")
+        .union(improved)
+        .localCheckpoint() // eager: read 2-3 times in the following round
+    // one relaxation round: frontier × edgeHalf → per-dst min candidate,
+    // kept only where it beats (or first sets) the current distance
+    def relax(frontier: DataFrame, half: DataFrame): DataFrame = {
+      val cand = frontier.join(half, frontier("id") === half("src"))
+        .select(half("dst").as("id"), (frontier("dist") + half("w")).as("nd"))
+        .groupBy("id").agg(min(col("nd")).as("nd"))
+      cand.join(dist.withColumnRenamed("dist", "od"), Seq("id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint() // eager: the count probe + merge + next frontier
+    }
+    var rounds = 0
+    var boundOpt: Option[Long] = Some(0L) // current bucket = [bound, bound+Δ)
+    while (boundOpt.isDefined && rounds < maxRounds) {
+      val bound = boundOpt.get
+      val inBucket = col("dist") >= bound && col("dist") < bound + delta
+      // light phase: relax light edges from the open bucket until no
+      // improvement re-enters it (improvements landing in later buckets
+      // are merged but not re-relaxed here — their bucket will open)
+      var frontier = dist.filter(inBucket)
+      var open = true
+      while (open && rounds < maxRounds) {
+        rounds += 1
+        val improved = relax(frontier, light)
+        if (improved.count() == 0L) open = false
+        else {
+          dist = merge(improved)
+          frontier = improved.filter(inBucket)
+        }
+      }
+      // heavy phase: every node that settled in this bucket relaxes its
+      // heavy edges exactly once, from its FINAL distance
+      rounds += 1
+      val himp = relax(dist.filter(inBucket), heavy)
+      if (himp.count() > 0L) dist = merge(himp)
+      // jump to the next nonempty bucket (1-row aggregate probe): later
+      // improvements can never land below bound+Δ, so buckets are visited
+      // in strictly increasing order and each exactly once
+      val nxt = dist.filter(col("dist") >= bound + delta)
+        .agg(min(col("dist")).as("m")).head()
+      boundOpt =
+        if (nxt.isNullAt(0)) None
+        else { val m = nxt.getLong(0); Some(m - m % delta) }
+    }
+    dist.select(col("id"), col("dist"))
+  }
+
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))

@@ -360,6 +360,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim_e6"))
   }
 
+  /** Label-PARTITIONED IVF ANN candidates — the high-cardinality-filter
+    * companion to [[ivfFilteredCandidates]]. Prefilter routing prunes a
+    * GLOBAL index's posting lists per query — right for a handful of
+    * labels, but every probe still reads a cell mixing all labels and
+    * drops the non-matching entries it paid to store. Here the index
+    * itself is keyed by label: each label value owns its own centroids
+    * (drawn from the label's OWN mod-centStep rows, plus the label's
+    * min-id row so a sparse label is never cell-less, capped to the
+    * maxCellsPerLabel lowest centroid ids via the heap top-k operator —
+    * never a low-cardinality ranking window over the corpus), every
+    * corpus row is assigned within its label's cells only, and a query
+    * routes straight to the cells of the label it filters on — zero
+    * non-matching rows are ever read. This is the vector-DB
+    * "partition-per-tenant" layout; its cost is that cell geometry is
+    * per-label (fine when labels are many and balanced, wasteful for one
+    * giant label — that's prefilter territory).
+    *
+    * The plan declares the FULL all-label artifact (build once, serve any
+    * label); Catalyst pushes the query's label equality through the
+    * assignment aggregate's group key, so the executed plan only ever
+    * assigns the queried label's rows — declare the artifact, let the
+    * optimizer prune to the partition.
+    *
+    * Returns UNRANKED scored candidates (query_id, neighbor_id, sim_e6),
+    * the [[ivfFilteredCandidates]] contract: per-query candidate count =
+    * the scored budget, published next to recall by the harness.
+    */
+  def ivfLabelPartitionedCandidates(corpus: DataFrame, queries: DataFrame,
+      labelCol: String, queryLabel: Long, centStep: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCellsPerLabel: Int = 64): DataFrame = {
+    val base = corpus.select(col(labelCol).cast("long").as("lbl"),
+      col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    val modHits = base.filter(pmod(col("cent_id"), lit(centStep)) === 0)
+    val fallback = base.groupBy("lbl").agg(min(col("cent_id")).as("cent_id"))
+      .join(base, Seq("lbl", "cent_id"))
+    // the all-label centroid table (the artifact): one per-label heap cap.
+    // It is L × maxCells rows — BOUNDED PER LABEL but not globally (L is
+    // data-dependent), so it is deliberately NEVER broadcast: that hint
+    // would OOM exactly in the high-label-cardinality regime this
+    // operator exists for (the registry plan lint rejects it).
+    def capped(src: DataFrame): DataFrame =
+      graft.plans.TopK.perGroup(src.dropDuplicates("lbl", "cent_id"),
+        Seq("lbl"), -col("cent_id"), col("cent_id"), maxCellsPerLabel)
+        .drop("rnk")
+    val cents = capped(modHits.unionByName(fallback))
+    // per-label assignment: a corpus row joins ONLY its own label's
+    // centroids — a plain EQUI-join on lbl (shuffle by label: the
+    // partition-per-label layout itself; a hot label is ordinary AQE
+    // skew territory), then the same map-side-combinable argmax +
+    // (sim DESC, cent_id ASC) tie-break as the global index
+    val cells = corpus
+      .select(col(labelCol).cast("long").as("lbl"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cents, Seq("lbl"))
+      .withColumn("cent_sim", cosineE6(col("cv"), col("cent_v")))
+      .groupBy("lbl", "neighbor_id")
+      .agg(max_by(struct(col("cv"), col("cent_id")),
+        struct(col("cent_sim"), (-col("cent_id")).as("__nci"))).as("__r"))
+      .select(col("lbl"), col("neighbor_id"), col("__r.cv").as("cv"),
+        col("__r.cent_id").as("cent_id"))
+    // routing: probe the nProbe nearest cells OF THE QUERIED LABEL. The
+    // label filter sits BELOW the per-label cap (they commute — the cap
+    // is per label), so this side is structurally ≤ maxCellsPerLabel
+    // rows at any SF and the broadcast is provably safe.
+    val tc = capped(modHits.unionByName(fallback)
+        .filter(col("lbl") === queryLabel))
+      .drop("lbl")
+    val qScored = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(tc))
+      .withColumn("cent_sim", cosineE6(col("qv"), col("cent_v")))
+      .drop("cent_v")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = qScored.withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    cells.filter(col("lbl") === queryLabel).drop("lbl")
+      .join(probes, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_e6", cosineE6(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim_e6"))
+  }
+
   /** Fixed-point cosine for the trained-centroid path: CosineSimE6
     * dispatches per-side element types at analysis, so the mixed
     * float-vector × double-centroid pair runs the same primitive loop as

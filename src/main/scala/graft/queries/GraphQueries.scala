@@ -685,7 +685,51 @@ private[graft] object GraphQueries {
           .select(col("a"), col("b"), w.as("w"))
         Graph.boruvkaMst(nodes, wedges).orderBy("a", "b")
       },
-      Some(MST_SQL))
+      Some(MST_SQL)),
+
+    Q("graph_sssp",
+      // single-source shortest paths by Δ-stepping (Graph.deltaStepSssp:
+      // bucketed relaxation, light edges loop inside the open bucket,
+      // heavy edges relax once per settled node) — the weighted
+      // companion to graph_bfs_hops and the primitive the graph family
+      // lacked after MST landed. Fixture: a directed "expressway" graph
+      // on every 5th customer — from each node, power-of-two skips
+      // id → id + 5·2^j (j = 0..16, clipped to the id range) with
+      // md5-derived weights in [0, 1e6) — the binary-skip structure keeps
+      // the shortest-path hop diameter logarithmic in n, so the distance
+      // RANGE (and with it Δ-stepping's bucket count, i.e. its round
+      // count) stays flat as the node count grows; Δ = 2^18 puts ~26% of
+      // edges on the light side so both relaxation paths run. Oracle:
+      // sequential DIJKSTRA replayed in a recursive CTE — one settled
+      // node per step, the (visited, dist) state carried as zipped
+      // lists, the next node picked by a LATERAL min over crossing
+      // edges. A genuinely independent construction (the Spark side
+      // never orders globally; the oracle never buckets); they must
+      // agree because min-path weights are unique values regardless of
+      // algorithm. Benched for the Spark side; the oracle's O(n²·|E|)
+      // list scans hit oracle_bench's 120 s cap at sf0.1 and are
+      // recorded as a ">= cap" lower bound (the dedup_ppjoin
+      // convention).
+      (s, d) => {
+        val nodes = tbl(s, d, "customer")
+          .filter(pmod(col("c_custkey"), lit(5)) === 0)
+          .select(col("c_custkey").cast("long").as("id"))
+        val ext = nodes.agg(max(col("id")).as("mx"), min(col("id")).as("mn"))
+        val nm = nodes.crossJoin(broadcast(ext))
+        val js = s.range(0, 17).select(col("id").cast("int").as("j"))
+        val hops = nm.crossJoin(broadcast(js))
+          .withColumn("dst", expr("id + 5L * shiftleft(1L, j)"))
+          .filter(col("dst") <= col("mx"))
+        val w = pmod(graft.analytics.Sketch.hashPoint32(
+          concat(lit("sw#"), col("id").cast("string"),
+            lit("#"), col("dst").cast("string"))), lit(1000000L))
+        val edges = hops.select(col("id").as("src"), col("dst"), w.as("w"))
+        val sources = nm.filter(col("id") === col("mn")).select("id")
+        Graph.deltaStepSssp(edges, sources, delta = 262144L)
+          .orderBy("id")
+      },
+      Some(SSSP_SQL),
+      bench = true)
   )
 
   /** Oracle for graph_mst_boruvka: sequential Prim from the minimum node,
@@ -728,5 +772,40 @@ private[graft] object GraphQueries {
        |          FROM (SELECT unnest(ea) AS a, unnest(eb) AS b FROM mlast))
        |SELECT t.a, t.b, e.w FROM mtree t JOIN me e ON e.a = t.a AND e.b = t.b
        |ORDER BY t.a, t.b""".stripMargin
+  }
+
+  /** Oracle for graph_sssp: textbook sequential Dijkstra, one settled
+    * node per recursive-CTE step — the visited set and its distances
+    * carried as position-zipped lists, the pick a LATERAL min over
+    * crossing edges. Independent of the Spark side's Δ-stepping: the
+    * shortest-path WEIGHTS are unique values, so any correct algorithm
+    * returns these rows (no tie-break needed — ties in the pick order
+    * can't change the distance labels).
+    */
+  private lazy val SSSP_SQL: String = {
+    val hw = OracleShared.hx(
+      "md5('sw#' || CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR))")
+    s"""WITH RECURSIVE
+       |sn AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |       WHERE c_custkey % 5 = 0),
+       |sx AS (SELECT max(id) AS mx, min(id) AS mn FROM sn),
+       |sj AS (SELECT unnest(range(0, 17)) AS j),
+       |se0 AS (SELECT id AS src, id + 5 * (CAST(1 AS BIGINT) << j) AS dst
+       |        FROM sn CROSS JOIN sj CROSS JOIN sx
+       |        WHERE id + 5 * (CAST(1 AS BIGINT) << j) <= mx),
+       |se AS (SELECT src, dst, ($hw) % 1000000 AS w FROM se0),
+       |dij AS (
+       |  SELECT [mn] AS vs, [CAST(0 AS BIGINT)] AS ds, 0 AS step FROM sx
+       |  UNION ALL
+       |  SELECT list_append(p.vs, pk.u), list_append(p.ds, pk.d), p.step + 1
+       |  FROM dij p, LATERAL (
+       |    SELECT e.dst AS u, p.ds[list_position(p.vs, e.src)] + e.w AS d
+       |    FROM se e
+       |    WHERE list_contains(p.vs, e.src) AND NOT list_contains(p.vs, e.dst)
+       |    ORDER BY d, e.dst LIMIT 1
+       |  ) pk),
+       |slast AS (SELECT vs, ds FROM dij ORDER BY step DESC LIMIT 1)
+       |SELECT unnest(vs) AS id, unnest(ds) AS dist FROM slast ORDER BY id"""
+      .stripMargin
   }
 }

@@ -789,6 +789,155 @@ private[graft] object SimQueries {
           |ORDER BY nt.query_id""".stripMargin),
       bench = true),
 
+    Q("sim_filtered_partitioned",
+      // LABEL-PARTITIONED filtered ANN vs the prefilter arm, at equal
+      // budget, in one oracled row set. sim_filtered_prefilter prunes a
+      // GLOBAL index's posting lists per query — right for a handful of
+      // labels; at high label cardinality the production layout is a
+      // label-keyed partitioned index (Similarity
+      // .ivfLabelPartitionedCandidates): each label owns its own
+      // centroids (its mod-10 rows + its min-id fallback), rows assign
+      // within their label's cells only, and a query routes straight to
+      // its label's cells — zero non-matching rows ever read, where
+      // prefilter still scans mixed cells and drops. BOTH arms run here
+      // against the same exhaustive label-3 truth, publishing per query
+      // n_scored (the budget) and hits (the recall numerator) side by
+      // side — the comparison IS the oracled output, not prose: at test
+      // SF the partitioned arm's budget (~2 of the label's ~5-6 cells,
+      // ~18 scored) lands in the same range as prefilter's (~2 of 5
+      // global cells, label rows only, ~23 scored), and recall is
+      // comparable within small-sample geometry noise (isotropic test
+      // vectors give either 40%-coverage probe ~50-80%; neither arm
+      // dominates on ACCURACY — the partitioned layout's win is read
+      // volume: at L labels the prefilter probe reads ~L× the qualifying
+      // rows from mixed posting lists before dropping, the partitioned
+      // probe reads label cells only). The oracle replays both index
+      // builds, both routings, both scorings and the shared truth from
+      // the base table.
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val q = qb(emb)
+        val truth = Similarity.bruteForceTopK(
+            emb.filter(col("label") === 3), q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTruth = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+        def arm(cand: DataFrame, tag: String): DataFrame = {
+          val ns = cand.groupBy("query_id")
+            .agg(count(lit(1)).as(s"${tag}_scored"))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("sim_e6").desc, col("neighbor_id"))
+          val hits = cand.withColumn("__r", row_number().over(w))
+            .filter(col("__r") <= 5)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id"))
+            .groupBy("query_id").agg(count(lit(1)).as(s"${tag}_hit"))
+          ns.join(hits, Seq("query_id"), "left")
+            .select(col("query_id"), col(s"${tag}_scored"),
+              coalesce(col(s"${tag}_hit"), lit(0L)).as(s"${tag}_hit"))
+        }
+        val part = arm(Similarity.ivfLabelPartitionedCandidates(
+          emb, q, "label", 3L, centStep = 10, nProbe = 2), "part")
+        val pref = arm(Similarity.ivfFilteredCandidates(
+          emb, q, col("label") === 3, centStep = 100, nProbe = 2), "pref")
+        nTruth.join(part, Seq("query_id"), "left")
+          .join(pref, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_truth"),
+            coalesce(col("part_scored"), lit(0L)).as("part_scored"),
+            coalesce(col("part_hit"), lit(0L)).as("part_hit"),
+            coalesce(col("pref_scored"), lit(0L)).as("pref_scored"),
+            coalesce(col("pref_hit"), lit(0L)).as("pref_hit"))
+          .withColumn("part_recall_e6", expr("part_hit * 1000000L DIV n_truth"))
+          .withColumn("pref_recall_e6", expr("pref_hit * 1000000L DIV n_truth"))
+          .orderBy("query_id")
+      },
+      Some(
+        """WITH lqv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+          |lqq AS (SELECT id, e FROM lqv WHERE id % 50 = 0 ORDER BY id LIMIT 64),
+          |lqtr0 AS (SELECT q.id AS query_id, v2.id AS neighbor_id,
+          |          CAST(floor(list_inner_product(q.e, v2.e) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(v2.e, v2.e))) * 1000000) AS BIGINT) AS sim_e6
+          |        FROM lqq q JOIN (SELECT * FROM lqv WHERE label = 3) v2 ON v2.id <> q.id),
+          |lqtruth AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS trk
+          |    FROM lqtr0) WHERE trk <= 5),
+          |lqnt AS (SELECT query_id, count(*) AS n_truth FROM lqtruth GROUP BY 1),
+          |lqc0 AS (SELECT label AS lbl, id AS cent_id, e AS cent_v FROM lqv WHERE id % 10 = 0
+          |         UNION
+          |         SELECT v.label AS lbl, v.id AS cent_id, v.e AS cent_v
+          |         FROM lqv v JOIN (SELECT label, min(id) AS mid FROM lqv GROUP BY 1) m
+          |           ON m.label = v.label AND m.mid = v.id),
+          |lqcents AS (SELECT lbl, cent_id, cent_v FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY lbl ORDER BY cent_id) AS cr
+          |    FROM lqc0) WHERE cr <= 64),
+          |lqasg AS (SELECT lbl, id, e, cent_id,
+          |    row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT v.label AS lbl, v.id, v.e, c.cent_id,
+          |          CAST(floor(list_inner_product(v.e, c.cent_v) /
+          |            (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.cent_v, c.cent_v))) * 1000000) AS BIGINT) AS cs
+          |        FROM lqv v JOIN lqcents c ON c.lbl = v.label)),
+          |lqcells AS (SELECT lbl, id AS neighbor_id, e AS cv, cent_id FROM lqasg WHERE rn = 1),
+          |lqqa AS (SELECT id, e, cent_id,
+          |    row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT q.id, q.e, c.cent_id,
+          |          CAST(floor(list_inner_product(q.e, c.cent_v) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.cent_v, c.cent_v))) * 1000000) AS BIGINT) AS cs
+          |        FROM lqq q JOIN lqcents c ON c.lbl = 3)),
+          |lqprobes AS (SELECT id AS query_id, e AS qv, cent_id FROM lqqa WHERE rn <= 2),
+          |lqpc AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM (SELECT * FROM lqcells WHERE lbl = 3) pcell JOIN lqprobes USING (cent_id)
+          |      WHERE neighbor_id <> query_id),
+          |lqpns AS (SELECT query_id, count(*) AS part_scored FROM lqpc GROUP BY 1),
+          |lqptop AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rr
+          |    FROM lqpc) WHERE rr <= 5),
+          |lqphits AS (SELECT p.query_id, count(*) AS part_hit
+          |  FROM lqptop p JOIN lqtruth t ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+          |  GROUP BY 1),
+          |lqgc AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+          |         FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+          |lqfa AS (SELECT id, e, cent_id,
+          |    row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT f.id, f.e, c.cent_id,
+          |          CAST(floor(list_inner_product(f.e, c.cv) /
+          |            (sqrt(list_inner_product(f.e, f.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM (SELECT * FROM lqv WHERE label = 3) f, lqgc c)),
+          |lqfcells AS (SELECT id AS neighbor_id, e AS cv, cent_id FROM lqfa WHERE rn = 1),
+          |lqfqa AS (SELECT id, e, cent_id,
+          |    row_number() OVER (PARTITION BY id ORDER BY cs DESC, cent_id) AS rn
+          |  FROM (SELECT q.id, q.e, c.cent_id,
+          |          CAST(floor(list_inner_product(q.e, c.cv) /
+          |            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.cv, c.cv))) * 1000000) AS BIGINT) AS cs
+          |        FROM lqq q, lqgc c)),
+          |lqfprobes AS (SELECT id AS query_id, e AS qv, cent_id FROM lqfqa WHERE rn <= 2),
+          |lqfc AS (SELECT query_id, neighbor_id,
+          |        CAST(floor(list_inner_product(qv, cv) /
+          |          (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) * 1000000) AS BIGINT) AS sim_e6
+          |      FROM lqfcells JOIN lqfprobes USING (cent_id)
+          |      WHERE neighbor_id <> query_id),
+          |lqfns AS (SELECT query_id, count(*) AS pref_scored FROM lqfc GROUP BY 1),
+          |lqftop AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim_e6 DESC, neighbor_id) AS rr
+          |    FROM lqfc) WHERE rr <= 5),
+          |lqfhits AS (SELECT p.query_id, count(*) AS pref_hit
+          |  FROM lqftop p JOIN lqtruth t ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+          |  GROUP BY 1)
+          |SELECT nt.query_id, nt.n_truth,
+          |  CAST(COALESCE(pn.part_scored, 0) AS BIGINT) AS part_scored,
+          |  CAST(COALESCE(ph.part_hit, 0) AS BIGINT) AS part_hit,
+          |  CAST(COALESCE(fn.pref_scored, 0) AS BIGINT) AS pref_scored,
+          |  CAST(COALESCE(fh.pref_hit, 0) AS BIGINT) AS pref_hit,
+          |  CAST(COALESCE(ph.part_hit, 0) * 1000000 // nt.n_truth AS BIGINT) AS part_recall_e6,
+          |  CAST(COALESCE(fh.pref_hit, 0) * 1000000 // nt.n_truth AS BIGINT) AS pref_recall_e6
+          |FROM lqnt nt
+          |LEFT JOIN lqpns pn ON pn.query_id = nt.query_id
+          |LEFT JOIN lqphits ph ON ph.query_id = nt.query_id
+          |LEFT JOIN lqfns fn ON fn.query_id = nt.query_id
+          |LEFT JOIN lqfhits fh ON fh.query_id = nt.query_id
+          |ORDER BY nt.query_id""".stripMargin),
+      bench = true),
+
     Q("dedup_semantic",
       // SemDeDup (Abbas et al. 2023): embedding-space dedup — route every
       // vector to its trained k-means cell (the SAME published centroid

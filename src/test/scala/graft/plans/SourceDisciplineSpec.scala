@@ -45,6 +45,10 @@ class SourceDisciplineSpec extends AnyFunSuite {
     // Dedup alternating-star convergence probe: head() of a 1-row
     // aggregate, one per fixed round
     ("Dedup.scala", ".head()", "1-row convergence probe per fixed round"),
+    // Δ-stepping next-bucket jump: head() of a no-grouping (1-row) min
+    // aggregate, once per bucket phase — O(#nonempty buckets) probes,
+    // each one row
+    ("Graph.scala", ".head()", "1-row next-bucket probe per Δ-stepping phase"),
     // Verify dumps each query result as ONE parquet file for the
     // driver's DuckDB compare — test harness, not an operator; results
     // are already query outputs (bounded by the queries' own contracts)
