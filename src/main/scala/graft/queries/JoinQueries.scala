@@ -813,6 +813,91 @@ private[graft] object JoinQueries {
           |FROM r WHERE max_o > max_f ORDER BY clerk, day LIMIT 100""".stripMargin),
       bench = true),
 
+    Q("join_tpcds_q72_shape",
+      // TPC-DS Q72's defining plan features on the TPC-H-ish tables: a
+      // FACT×FACT equi-join (lineitem×orders on orderkey — neither side
+      // broadcastable) whose join condition carries NON-EQUI residuals
+      // evaluated inside the join — a date-CHAIN arithmetic predicate
+      // (shipped more than 5 days after order: Q72's
+      // d3.d_date > d1.d_date + 5) and a cross-side price inequality
+      // (Q72's inv_quantity_on_hand < cs_quantity). Neither residual can
+      // push to a scan (each references both sides), so the planner must
+      // keep the orderkey equi-key for the shuffle and evaluate the
+      // residuals as join filters — the sort-merge-with-residual shape a
+      // 100 TB fact-fact join lives or dies on. Broadcast part dim on
+      // top (the Q72 star), then the monthly per-brand census of late,
+      // under-priced lines.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val o = tbl(s, d, "orders")
+        val p = tbl(s, d, "part")
+        val j = li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          to_date(li("l_shipdate")) > date_add(to_date(o("o_orderdate")), 5) &&
+          li("l_extendedprice").cast("decimal(18,2)") * 4 <
+            o("o_totalprice").cast("decimal(18,2)"))
+        // part is NOT hinted: it scales with SF (a fact in the lint's
+        // book) — at test SF AQE auto-broadcasts it, at 100 TB the
+        // partkey equi-join shuffles, both correct
+        j.join(p, li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            date_format(li("l_shipdate"), "yyyy-MM").as("mon"))
+          .agg(count(lit(1)).as("n_late"),
+            sum(li("l_quantity").cast("long")).as("qty"))
+          .orderBy("brand", "mon")
+      },
+      Some(
+        """SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS mon,
+          |  count(*) AS n_late,
+          |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 5
+          |  AND CAST(l.l_extendedprice AS DECIMAL(18,2)) * 4
+          |      < CAST(o.o_totalprice AS DECIMAL(18,2))
+          |JOIN part p ON p.p_partkey = l.l_partkey
+          |GROUP BY 1, 2 ORDER BY brand, mon""".stripMargin),
+      bench = true),
+
+    Q("join_tpcds_q64_shape",
+      // TPC-DS Q64's defining MULTI-PASS feature: an aggregated star CTE
+      // (cross_sales) joined TO ITSELF across two periods with a
+      // crossover predicate (Q64: cs2.cnt <= cs1.cnt on the same item).
+      // Two logical passes over the same star, ONE physical scan: the
+      // brand×year star aggregate materializes once (lazy
+      // localCheckpoint — the dash_dashboard_suite chain-boundary trick)
+      // and both self-join sides read the cached frame; without it each
+      // side would re-run the lineitem scan + part join. The self-join
+      // keys on brand (bounded output), so the second pass is
+      // broadcast-sized no matter the fact SF.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val p = tbl(s, d, "part")
+        val sales = li.join(p, li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand").as("brand"),
+            year(to_date(col("l_shipdate"))).cast("long").as("yr"))
+          .agg(count(lit(1)).as("cnt"),
+            cents(col("l_extendedprice")).as("rev_c"))
+          .localCheckpoint(false)
+        val c1 = sales.filter(col("yr") === 1996)
+          .select(col("brand"), col("cnt").as("cnt1"), col("rev_c").as("rev1_c"))
+        val c2 = sales.filter(col("yr") === 1997)
+          .select(col("brand"), col("cnt").as("cnt2"), col("rev_c").as("rev2_c"))
+        c1.join(c2, "brand")
+          .filter(col("cnt2") <= col("cnt1"))
+          .orderBy("brand")
+      },
+      Some(
+        """WITH q64s AS (SELECT p.p_brand AS brand,
+          |    CAST(year(l.l_shipdate) AS BIGINT) AS yr, count(*) AS cnt,
+          |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |  GROUP BY 1, 2)
+          |SELECT a.brand, a.cnt AS cnt1, a.rev_c AS rev1_c,
+          |  b.cnt AS cnt2, b.rev_c AS rev2_c
+          |FROM q64s a JOIN q64s b ON b.brand = a.brand
+          |  AND a.yr = 1996 AND b.yr = 1997
+          |WHERE b.cnt <= a.cnt ORDER BY a.brand""".stripMargin),
+      bench = true),
+
     Q("join_spatial_grid",
       // spatial radius self-join via grid bucketing — the classic
       // cell-partitioned spatial join: deterministic fixed-point
