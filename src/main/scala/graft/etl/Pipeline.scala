@@ -185,6 +185,87 @@ object Pipeline {
     prefix + fmt.format(at) + suffix
   }
 
+  /** The reference's dtype map (scripts/load_db.py:35-46): every mapped
+    * string column is VARCHAR(255); shared by [[loadToSink]] and the
+    * streaming [[jdbcIdempotentAppend]] leg so both sinks create the
+    * same table shape.
+    */
+  private val JdbcDtypeMap: String =
+    "purpose VARCHAR(255), address VARCHAR(255), region VARCHAR(255), " +
+      "design VARCHAR(255), link VARCHAR(255), dump_date VARCHAR(255), " +
+      "file_name VARCHAR(255)"
+
+  /** Idempotent batch append into a JDBC table, keyed by `batchId`: any
+    * rows a previous (crashed, replayed) attempt of the SAME batch left
+    * behind are deleted first, then the batch appends with its batch_id
+    * stamped on every row. foreachBatch replays the last uncommitted
+    * micro-batch after a failure, so a plain append is AT-LEAST-once into
+    * JDBC (the [[startStream]] scaladoc's window); delete-then-append
+    * keyed by the replay-stable batchId makes the retry idempotent —
+    * EXACTLY-once accumulation no matter how often the batch replays.
+    * (The delete is a no-op on the happy path and on first creation.)
+    */
+  def jdbcIdempotentAppend(df: DataFrame, jdbcUrl: String, table: String,
+      batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
+      val meta = conn.getMetaData.getTables(null, null,
+        table.toUpperCase(java.util.Locale.ROOT), null)
+      val exists = try meta.next() finally meta.close()
+      if (exists) {
+        val st = conn.createStatement()
+        // Spark's JDBC writer QUOTES column identifiers at create time, so
+        // the column is case-sensitive lowercase "batch_id" — an unquoted
+        // reference would normalize to BATCH_ID and miss it
+        try st.executeUpdate(
+          s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+        finally st.close()
+      }
+    } finally conn.close()
+    df.withColumn("batch_id", lit(batchId))
+      .write.format("jdbc")
+      .option("url", jdbcUrl)
+      .option("dbtable", table)
+      .option("createTableColumnTypes", JdbcDtypeMap)
+      .mode("append").save()
+  }
+
+  /** The FUSED pipeline the reference runs as two Airflow DAGs with an S3
+    * handoff between them (scripts/dag.py:45-69 sensing + transform,
+    * dag.py:61-69 + load_db.py:49-58 loading): file arrival → transform
+    * chain → JDBC append, as ONE streaming query — the intermediate TSV
+    * landing zone disappears because lineage replaces the XCom handoff.
+    * Same file-source semantics as [[startStream]] (one file per
+    * micro-batch, archive-on-completion, checkpointed exactly-once file
+    * consumption across restarts); the sink is the idempotent JDBC append
+    * above, so the whole leg is exactly-once END TO END: the checkpoint
+    * deduplicates files across restarts, the batch-id key deduplicates
+    * rows across micro-batch replays.
+    */
+  def startJdbcLoadStream(spark: SparkSession, rawDir: String,
+      jdbcUrl: String, table: String, archiveDir: String, checkpoint: String,
+      dumpDate: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(PropertySchema.raw)
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", 1)
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", archiveDir)
+      .csv(rawDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        jdbcIdempotentAppend(Transform(batch, dumpDate), jdbcUrl, table,
+          batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** JDBC append sink (the reference's load stage, scripts/load_db.py:32-47)
     * behind an interface: no Postgres exists in the test environment, so
     * the default sink is parquet; with a URL this writes via Spark's JDBC
@@ -197,10 +278,7 @@ object Pipeline {
       df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("createTableColumnTypes",
-          "purpose VARCHAR(255), address VARCHAR(255), region VARCHAR(255), " +
-            "design VARCHAR(255), link VARCHAR(255), dump_date VARCHAR(255), " +
-            "file_name VARCHAR(255)")
+        .option("createTableColumnTypes", JdbcDtypeMap)
         .mode("append").save()
     case None =>
       df.write.mode("append").parquet(parquetFallback)
