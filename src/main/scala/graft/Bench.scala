@@ -232,7 +232,9 @@ object Bench {
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
-        val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+        // budget sized for ~120 headliners at two passes plus up to three
+        // 120 s-capped sequential-definition oracles (ppjoin, sssp, ...)
+        val done = proc.waitFor(1500, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) proc.destroyForcibly()
         // the script streams results line-by-line, so even a timeout or a
         // mid-run failure leaves every completed measurement on disk —

@@ -628,31 +628,63 @@ object Graph {
     * @return (id, dist) — minimum path weight per reached node
     */
   def deltaStepSssp(edges: DataFrame, sources: DataFrame, delta: Long,
-      maxRounds: Int = 200): DataFrame = {
+      maxRounds: Int = 200): DataFrame =
+    deltaStepCore(edges,
+      sources.toDF("id").select(col("id").cast("long")).distinct(),
+      lmKeys = Seq.empty, delta, maxRounds)
+
+  /** Landmark-keyed Δ-stepping — [[deltaStepSssp]] launched from k
+    * landmark seeds simultaneously, all state keyed (lm, id) so every
+    * round is still ONE join + ONE min-aggregate regardless of k: the
+    * weighted companion to [[multiSourceBfs]], and the Potamias-style
+    * landmark scheme for WEIGHTED closeness. The bucket machinery is
+    * shared across landmarks (a bucket phase settles every landmark's
+    * [bound, bound+Δ) slice at once — relaxations never cross landmarks,
+    * so the per-landmark invariant is untouched); total rounds are
+    * bounded by the UNION of the landmarks' nonempty buckets, still
+    * independent of |V|.
+    *
+    * @param seeds two-column (lm, id) frame; a landmark's own seed row is
+    *              (lm, lm) at distance 0
+    * @return (lm, id, dist) — minimum path weight from lm per reached id
+    */
+  def deltaStepSsspLandmarks(edges: DataFrame, seeds: DataFrame, delta: Long,
+      maxRounds: Int = 400): DataFrame =
+    deltaStepCore(edges,
+      seeds.toDF("lm", "id").select(col("lm").cast("long"),
+        col("id").cast("long")).distinct(),
+      lmKeys = Seq("lm"), delta, maxRounds)
+
+  private def deltaStepCore(edges: DataFrame, seed: DataFrame,
+      lmKeys: Seq[String], delta: Long, maxRounds: Int): DataFrame = {
     require(delta >= 1L, s"delta must be >= 1, got $delta")
+    val keys = lmKeys :+ "id"
     val e = edges.toDF("src", "dst", "w").select(col("src").cast("long"),
       col("dst").cast("long"), col("w").cast("long"))
     // split once, checkpoint eagerly: both halves are re-read every round
     val light = e.filter(col("w") <= delta).localCheckpoint()
     val heavy = e.filter(col("w") > delta).localCheckpoint()
-    var dist = sources.toDF("id").select(col("id").cast("long")).distinct()
+    var dist = seed
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     // merge an improvement delta into the distance table: replaced rows
     // leave via the anti-join, improved/new rows enter via the union
     def merge(improved: DataFrame): DataFrame =
-      dist.join(improved.select("id"), Seq("id"), "left_anti")
+      dist.join(improved.select(keys.map(col): _*), keys, "left_anti")
         .union(improved)
         .localCheckpoint() // eager: read 2-3 times in the following round
-    // one relaxation round: frontier × edgeHalf → per-dst min candidate,
-    // kept only where it beats (or first sets) the current distance
+    // one relaxation round: frontier × edgeHalf → per-(lm, dst) min
+    // candidate, kept only where it beats (or first sets) the current
+    // distance. Relaxation stays within a landmark: the landmark key
+    // rides the frontier row through the edge join untouched.
     def relax(frontier: DataFrame, half: DataFrame): DataFrame = {
       val cand = frontier.join(half, frontier("id") === half("src"))
-        .select(half("dst").as("id"), (frontier("dist") + half("w")).as("nd"))
-        .groupBy("id").agg(min(col("nd")).as("nd"))
-      cand.join(dist.withColumnRenamed("dist", "od"), Seq("id"), "left")
+        .select(lmKeys.map(frontier(_)) ++ Seq(half("dst").as("id"),
+          (frontier("dist") + half("w")).as("nd")): _*)
+        .groupBy(keys.map(col): _*).agg(min(col("nd")).as("nd"))
+      cand.join(dist.withColumnRenamed("dist", "od"), keys, "left")
         .filter(col("od").isNull || col("nd") < col("od"))
-        .select(col("id"), col("nd").as("dist"))
+        .select(keys.map(col) :+ col("nd").as("dist"): _*)
         .localCheckpoint() // eager: the count probe + merge + next frontier
     }
     var rounds = 0
@@ -688,7 +720,7 @@ object Graph {
         if (nxt.isNullAt(0)) None
         else { val m = nxt.getLong(0); Some(m - m % delta) }
     }
-    dist.select(col("id"), col("dist"))
+    dist.select(keys.map(col) :+ col("dist"): _*)
   }
 
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {

@@ -711,26 +711,61 @@ private[graft] object GraphQueries {
       // recorded as a ">= cap" lower bound (the dedup_ppjoin
       // convention).
       (s, d) => {
-        val nodes = tbl(s, d, "customer")
-          .filter(pmod(col("c_custkey"), lit(5)) === 0)
-          .select(col("c_custkey").cast("long").as("id"))
-        val ext = nodes.agg(max(col("id")).as("mx"), min(col("id")).as("mn"))
-        val nm = nodes.crossJoin(broadcast(ext))
-        val js = s.range(0, 17).select(col("id").cast("int").as("j"))
-        val hops = nm.crossJoin(broadcast(js))
-          .withColumn("dst", expr("id + 5L * shiftleft(1L, j)"))
-          .filter(col("dst") <= col("mx"))
-        val w = pmod(graft.analytics.Sketch.hashPoint32(
-          concat(lit("sw#"), col("id").cast("string"),
-            lit("#"), col("dst").cast("string"))), lit(1000000L))
-        val edges = hops.select(col("id").as("src"), col("dst"), w.as("w"))
+        val (nm, edges) = expressway(s, d)
         val sources = nm.filter(col("id") === col("mn")).select("id")
         Graph.deltaStepSssp(edges, sources, delta = 262144L)
           .orderBy("id")
       },
       Some(SSSP_SQL),
-      bench = true)
+      bench = true),
+
+    Q("graph_closeness_weighted",
+      // WEIGHTED landmark closeness — the weighted companion to
+      // graph_closeness_landmarks, now that SSSP exists: the same
+      // expressway fixture, TWO landmarks (the min node and the middle
+      // node), all Δ-stepping state keyed (lm, id) so every round is
+      // still one join + one min-aggregate regardless of landmark count
+      // (Graph.deltaStepSsspLandmarks — the Potamias landmark scheme,
+      // with edge weights instead of hops). Output is the raw
+      // (lm, id, dist) landmark-distance table — the artifact closeness /
+      // routing estimates are served from. Oracle: one independent
+      // sequential Dijkstra PER landmark (two recursive CTEs), unioned.
+      // Not benched: two O(n²·|E|) sequential oracle recursions would
+      // burn 2×120 s of the bench's oracle budget for a path already
+      // covered by graph_sssp; the Spark side's machinery is identical.
+      (s, d) => {
+        val (nm, edges) = expressway(s, d)
+        val mid = col("mn") + lit(5L) * expr("((mx - mn) DIV 5) DIV 2")
+        val seeds = nm.filter(col("id") === col("mn") || col("id") === mid)
+          .select(col("id").as("lm"), col("id"))
+        Graph.deltaStepSsspLandmarks(edges, seeds, delta = 262144L)
+          .orderBy("lm", "id")
+      },
+      Some(CLOSENESS_W_SQL))
   )
+
+  /** Shared SSSP fixture: the directed "expressway" graph on every 5th
+    * customer — power-of-two skips id → id + 5·2^j (j = 0..16, clipped)
+    * with md5 weights in [0, 1e6). Returns (nm, edges) where nm carries
+    * (id, mx, mn) for seed selection. Binary skips keep the hop diameter
+    * logarithmic, so the distance range — and Δ-stepping's round count —
+    * stays flat as the node count grows.
+    */
+  private def expressway(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val nodes = tbl(s, d, "customer")
+      .filter(pmod(col("c_custkey"), lit(5)) === 0)
+      .select(col("c_custkey").cast("long").as("id"))
+    val ext = nodes.agg(max(col("id")).as("mx"), min(col("id")).as("mn"))
+    val nm = nodes.crossJoin(broadcast(ext))
+    val js = s.range(0, 17).select(col("id").cast("int").as("j"))
+    val hops = nm.crossJoin(broadcast(js))
+      .withColumn("dst", expr("id + 5L * shiftleft(1L, j)"))
+      .filter(col("dst") <= col("mx"))
+    val w = pmod(graft.analytics.Sketch.hashPoint32(
+      concat(lit("sw#"), col("id").cast("string"),
+        lit("#"), col("dst").cast("string"))), lit(1000000L))
+    (nm, hops.select(col("id").as("src"), col("dst"), w.as("w")))
+  }
 
   /** Oracle for graph_mst_boruvka: sequential Prim from the minimum node,
     * one edge per recursive-CTE step, visited set carried as a list —
@@ -782,30 +817,59 @@ private[graft] object GraphQueries {
     * returns these rows (no tie-break needed — ties in the pick order
     * can't change the distance labels).
     */
-  private lazy val SSSP_SQL: String = {
+  /** The expressway fixture's CTE block (mirror of [[expressway]]). */
+  private lazy val XW_CTES: String = {
     val hw = OracleShared.hx(
       "md5('sw#' || CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR))")
-    s"""WITH RECURSIVE
-       |sn AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+    s"""sn AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
        |       WHERE c_custkey % 5 = 0),
        |sx AS (SELECT max(id) AS mx, min(id) AS mn FROM sn),
        |sj AS (SELECT unnest(range(0, 17)) AS j),
        |se0 AS (SELECT id AS src, id + 5 * (CAST(1 AS BIGINT) << j) AS dst
        |        FROM sn CROSS JOIN sj CROSS JOIN sx
        |        WHERE id + 5 * (CAST(1 AS BIGINT) << j) <= mx),
-       |se AS (SELECT src, dst, ($hw) % 1000000 AS w FROM se0),
-       |dij AS (
-       |  SELECT [mn] AS vs, [CAST(0 AS BIGINT)] AS ds, 0 AS step FROM sx
+       |se AS (SELECT src, dst, ($hw) % 1000000 AS w FROM se0)""".stripMargin
+  }
+
+  /** One sequential-Dijkstra recursion from seed expression `seedSql`,
+    * named `name` — the (visited, dist) lists + LATERAL min-pick body
+    * shared by the SSSP and weighted-closeness oracles.
+    */
+  private def dijCte(name: String, seedSql: String): String =
+    s"""$name AS (
+       |  SELECT [$seedSql] AS vs, [CAST(0 AS BIGINT)] AS ds, 0 AS step FROM sx
        |  UNION ALL
        |  SELECT list_append(p.vs, pk.u), list_append(p.ds, pk.d), p.step + 1
-       |  FROM dij p, LATERAL (
+       |  FROM $name p, LATERAL (
        |    SELECT e.dst AS u, p.ds[list_position(p.vs, e.src)] + e.w AS d
        |    FROM se e
        |    WHERE list_contains(p.vs, e.src) AND NOT list_contains(p.vs, e.dst)
        |    ORDER BY d, e.dst LIMIT 1
-       |  ) pk),
+       |  ) pk)""".stripMargin
+
+  private lazy val SSSP_SQL: String =
+    s"""WITH RECURSIVE
+       |$XW_CTES,
+       |${dijCte("dij", "mn")},
        |slast AS (SELECT vs, ds FROM dij ORDER BY step DESC LIMIT 1)
        |SELECT unnest(vs) AS id, unnest(ds) AS dist FROM slast ORDER BY id"""
       .stripMargin
-  }
+
+  /** Oracle for graph_closeness_weighted: one independent Dijkstra per
+    * landmark (min node; middle node), unioned with the landmark id.
+    */
+  private lazy val CLOSENESS_W_SQL: String =
+    s"""WITH RECURSIVE
+       |$XW_CTES,
+       |${dijCte("dijA", "mn")},
+       |${dijCte("dijB", "mn + 5 * (((mx - mn) // 5) // 2)")},
+       |lA AS (SELECT vs, ds FROM dijA ORDER BY step DESC LIMIT 1),
+       |lB AS (SELECT vs, ds FROM dijB ORDER BY step DESC LIMIT 1),
+       |u AS (
+       |  SELECT (SELECT mn FROM sx) AS lm, unnest(vs) AS id,
+       |         unnest(ds) AS dist FROM lA
+       |  UNION ALL
+       |  SELECT (SELECT mn + 5 * (((mx - mn) // 5) // 2) FROM sx),
+       |         unnest(vs), unnest(ds) FROM lB)
+       |SELECT lm, id, dist FROM u ORDER BY lm, id""".stripMargin
 }

@@ -857,6 +857,44 @@ private[graft] object JoinQueries {
           |GROUP BY 1, 2 ORDER BY brand, mon""".stripMargin),
       bench = true),
 
+    Q("join_tpcds_q95_shape",
+      // TPC-DS Q95's defining feature: TWO correlated EXISTS over the
+      // same fact, one of them a fact-fact SELF join whose condition
+      // carries an inequality residual — "shipped from more than one
+      // warehouse" (ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk on the
+      // same order) AND "has a return". Here: orders whose lineitems
+      // come from ≥ 2 distinct suppliers (lineitem×lineitem equi on
+      // orderkey + supplier <> residual, planned LeftSemi — fanout
+      // bounded by order size, shuffle on the equi key) and with ≥ 1
+      // returned line; monthly order/revenue census of that slice.
+      (s, d) => {
+        val li = tbl(s, d, "lineitem")
+        val o = tbl(s, d, "orders")
+        val l1 = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val multi = l1.join(l2,
+            col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+          .select(col("ok")).distinct()
+        val returned = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("rk"))
+        o.join(multi, o("o_orderkey") === multi("ok"), "left_semi")
+          .join(returned, o("o_orderkey") === returned("rk"), "left_semi")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .agg(count(lit(1)).as("n_orders"), cents(col("o_totalprice")).as("rev_c"))
+          .orderBy("mon")
+      },
+      Some(
+        """SELECT strftime(o.o_orderdate, '%Y-%m') AS mon, count(*) AS n_orders,
+          |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          |    ON l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          |    WHERE l1.l_orderkey = o.o_orderkey)
+          |  AND EXISTS (SELECT 1 FROM lineitem lr
+          |    WHERE lr.l_orderkey = o.o_orderkey AND lr.l_returnflag = 'R')
+          |GROUP BY 1 ORDER BY mon""".stripMargin),
+      bench = true),
+
     Q("join_tpcds_q64_shape",
       // TPC-DS Q64's defining MULTI-PASS feature: an aggregated star CTE
       // (cross_sales) joined TO ITSELF across two periods with a
