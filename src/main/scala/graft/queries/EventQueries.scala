@@ -448,6 +448,44 @@ private[graft] object EventQueries {
            |GROUP BY 1 ORDER BY channel""".stripMargin),
       bench = true),
 
+    Q("ev_streaks",
+      // longest consecutive-day activity streaks — the gaps-and-islands
+      // pattern at the USER grain (engagement "7-day streak" metrics):
+      // distinct active days per user, island key = day − row_number
+      // (constant exactly across consecutive runs), one aggregate per
+      // island, top-20 by length. The ranking window partitions by the
+      // HIGH-cardinality user key (per-task state = one user's days) —
+      // never a global window; the top-20 is a TakeOrdered heap. Dates
+      // compare as epoch-day integers on both engines.
+      (s, d) => {
+        val days = eventsTable(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        days
+          .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+            "(PARTITION BY user_id ORDER BY day))"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"),
+            min(col("day")).as("start_day"), max(col("day")).as("end_day"))
+          .select(col("user_id"), col("start_day").cast("string").as("start_day"),
+            col("end_day").cast("string").as("end_day"), col("len"))
+          .orderBy(col("len").desc, col("user_id"), col("start_day"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+           |isl AS (SELECT user_id, day,
+           |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+           |          AS INTEGER) AS grp
+           |  FROM ud),
+           |st AS (SELECT user_id, grp, count(*) AS len,
+           |    min(day) AS start_day, max(day) AS end_day
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT user_id, CAST(start_day AS VARCHAR) AS start_day,
+           |  CAST(end_day AS VARCHAR) AS end_day, len
+           |FROM st ORDER BY len DESC, user_id, start_day LIMIT 20""".stripMargin),
+      bench = true),
+
     Q("ev_retention",
       // weekly cohort retention: cohort = ISO week of a user's FIRST
       // event, wk = whole weeks since that first day, cell = distinct

@@ -383,6 +383,40 @@ class PlanShapeSpec extends SparkSpec {
       "q22 grew a second nested-loop beyond the 1-row threshold broadcast")
   }
 
+  test("dashboard suite: ONE chain materialization serves all five charts") {
+    // the suite's whole point (VERDICT r11 task #4): the transform chain
+    // materializes once (lazy localCheckpoint at the chain boundary) and
+    // every chart branch reads the cached RDD — so the physical plan must
+    // contain ZERO parquet scans (the chain's file scan lives inside the
+    // checkpoint RDD's lineage, executed once) and five ExistingRDD reads
+    // of the same checkpoint.
+    val p = plan(Queries.queryMap("dash_dashboard_suite")(spark, sf))
+    assert(countOccurrences(p, "Scan parquet") == 0,
+      s"a chart branch re-reads the raw table — the one-scan claim broke:\n${p.take(1500)}")
+    // 7 cached reads: 5 chart aggregations + the two share charts' 1-row
+    // totals — every one over the SAME checkpoint RDD (one materialization)
+    assert(countOccurrences(p, "Scan ExistingRDD") == 7,
+      s"expected the 7 branches over the checkpointed chain:\n${p.take(1500)}")
+  }
+
+  test("tpcds q64 shape: the star aggregate materializes once for both passes") {
+    val p = plan(Queries.queryMap("join_tpcds_q64_shape")(spark, sf))
+    assert(countOccurrences(p, "Scan parquet") == 0,
+      s"a self-join side re-scans the star:\n${p.take(1500)}")
+    assert(countOccurrences(p, "Scan ExistingRDD") == 2,
+      s"expected exactly the two year slices over the checkpointed star:\n${p.take(1500)}")
+  }
+
+  test("tpcds q72 shape: fact-fact residual join, no fact hint, no product") {
+    val df = Queries.queryMap("join_tpcds_q72_shape")(spark, sf)
+    assert(factHintedSubtrees(df).isEmpty,
+      "q72 hints a broadcast of a fact-sized table")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q72's residuals must ride the orderkey equi-join, not a product:\n${p.take(1500)}")
+  }
+
   test("knn graph: bucketed seeding, no cartesian anywhere") {
     val p = plan(Queries.queryMap("sim_knn_graph")(spark, sf))
     assert(!p.contains("CartesianProduct"),
