@@ -374,6 +374,15 @@ private[graft] object GraphQueries {
       // k_reached·1e6 DIV Σhops. The scale contract: exact closeness is
       // all-pairs (n BFS sources); landmarks cap state at k·|V| — the k
       // is the dial, the per-round plan shape never changes.
+      // WHERE THE TIME GOES (r12 sf0.1 probe, clean machine): ~1.1 s
+      // builds the distinct symmetrized edge list (1.20M edges), ~2.9 s
+      // runs the 4 frontier-incremental BFS rounds (frontier × avg-degree
+      // ≈ 5M expansion rows in total — data-bound work, not re-agg: the
+      // per-round anti-join shape is pinned in PlanShapeSpec), ~0.6 s the
+      // final aggregate + sort. The r10/r11 "3.7-4.1 s band" came from
+      // contaminated records of the PRE-frontier-fix code and is not a
+      // valid baseline; 4.7 s cold / 3.6 s warm on a clean canary is the
+      // first citable measurement.
       (s, d) => {
         val raw = tbl(s, d, "orders")
           .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -698,8 +707,12 @@ private[graft] object GraphQueries {
       // md5-derived weights in [0, 1e6) — the binary-skip structure keeps
       // the shortest-path hop diameter logarithmic in n, so the distance
       // RANGE (and with it Δ-stepping's bucket count, i.e. its round
-      // count) stays flat as the node count grows; Δ = 2^18 puts ~26% of
-      // edges on the light side so both relaxation paths run. Oracle:
+      // count) stays flat as the node count grows. Δ = 2^19: measured
+      // 7.8 s vs 9.6 s at 2^18 and 16.5 s at 2^17 on the sf0.1 probe —
+      // the distance range is ~1.35e6, so 2^19 runs ~3 bucket phases
+      // instead of ~6 while ~52% of edges stay light, so both relaxation
+      // paths still execute (the RESULT is Δ-independent; only the round
+      // count changes, which is what the bench pays for). Oracle:
       // sequential DIJKSTRA replayed in a recursive CTE — one settled
       // node per step, the (visited, dist) state carried as zipped
       // lists, the next node picked by a LATERAL min over crossing
@@ -713,7 +726,7 @@ private[graft] object GraphQueries {
       (s, d) => {
         val (nm, edges) = expressway(s, d)
         val sources = nm.filter(col("id") === col("mn")).select("id")
-        Graph.deltaStepSssp(edges, sources, delta = 262144L)
+        Graph.deltaStepSssp(edges, sources, delta = 524288L)
           .orderBy("id")
       },
       Some(SSSP_SQL),
