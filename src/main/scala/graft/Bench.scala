@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 /** Benchmark main: runs the headline query set (Queries.benchSet) against
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
@@ -76,13 +77,18 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (dt, ok)
     }
-    // Canary: one fixed small query timed at start / between passes / end.
+    // Canary: one fixed query timed at start / between passes / end.
     // Identical work each time, so divergent canary timings expose a
-    // contaminated run directly in the artifact.
+    // contaminated run directly in the artifact. Deliberately HEAVY
+    // enough (~1-2 s: a high-cardinality shuffle, not a 3-group count) to
+    // measure sustained machine load rather than scheduler jitter — the
+    // r12 validation runs showed a ~0.25 s canary flipping the 1.2 ratio
+    // gate on ±60 ms of noise while the actual pass times were healthy.
     def canary(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
+        .groupBy("l_partkey")
+        .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -98,6 +104,11 @@ object Bench {
         pass1: Seq[(String, (Double, Boolean))],
         pass2: Seq[(String, (Double, Boolean))]) {
       val ratio: Double = canaries.max / math.max(canaries.min, 1e-9)
+      // absolute canary spread: a ratio on a short canary flips on pure
+      // scheduler jitter; genuine load moves the canary by large
+      // fractions of a second. "Dirty" needs BOTH signals.
+      val spread: Double = canaries.max - canaries.min
+      def dirty: Boolean = ratio > 1.2 && spread > 0.3
       // failed-in-this-attempt = NO clean pass here: a query clean in one
       // pass has a valid min-of-available measurement in `results`, and
       // must NOT be routed through the cross-attempt borrow path (that
@@ -148,7 +159,7 @@ object Bench {
     val attemptBuf = scala.collection.mutable.ArrayBuffer(runAttempt())
     def cleanest = attemptBuf.minBy(a => (a.failed.size, a.ratio))
     while (attemptBuf.size < maxAttempts &&
-        (cleanest.ratio > 1.2 || cleanest.failed.nonEmpty)) {
+        (cleanest.dirty || cleanest.failed.nonEmpty)) {
       Thread.sleep(
         backoffSec(math.min(attemptBuf.size - 1, backoffSec.size - 1)) * 1000L)
       attemptBuf += runAttempt()
@@ -176,7 +187,7 @@ object Bench {
     // field pins which rule produced the published numbers.
     val best = cleanest
     val selection =
-      if (best.ratio <= 1.2) "cleanest_attempt" else "best_of_clean_passes"
+      if (!best.dirty) "cleanest_attempt" else "best_of_clean_passes"
     def cleanRuns(n: String): Seq[Double] = attempts.flatMap(a =>
       (a.pass1 ++ a.pass2).collect { case (`n`, (t, true)) => t })
     val failed = Queries.benchSet.map(_.name).filter(cleanRuns(_).isEmpty).toSet
@@ -311,7 +322,8 @@ object Bench {
     // past the gate after all backoff attempts is suspect, full stop.
     val canaries = Seq(canaryStart, canaryMid, canaryEnd)
     val canaryRatio = canaries.max / math.max(canaries.min, 1e-9)
-    val contaminated = canaryRatio > 1.2
+    val contaminated = canaryRatio > 1.2 &&
+      (canaries.max - canaries.min) > 0.3
     // vs_prev: regression check against the newest prior round's committed
     // BENCH_r*.json (driver shape: {parsed: {queries: {name: sec}}}), over
     // the queries common to both records. A regression is a red field in
