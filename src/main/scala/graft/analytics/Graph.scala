@@ -723,6 +723,95 @@ object Graph {
     dist.select(keys.map(col) :+ col("dist"): _*)
   }
 
+  /** Hop-bounded stress centrality from k landmark sources — Brandes'
+    * two-phase scheme (Brandes, J. Math. Sociol. 2001 §6 lists stress as
+    * the integer-exact member of the betweenness family) restricted to
+    * the radius-`maxHops` ball around each landmark:
+    *
+    *   phase 1 (forward, layer-synchronous): BFS from every landmark at
+    *   once carrying σ(lm,v) = number of shortest lm→v paths; a layer is
+    *   ONE edge join + ONE sum-aggregate + ONE anti-join against the
+    *   settled set, regardless of k.
+    *
+    *   phase 2 (backward, descending layers): P(lm,v) = number of
+    *   shortest-path DAG walks leaving v, via P(v) = Σ_{w∈succ(v)}
+    *   (1 + P(w)) where succ follows DAG edges hop(w) = hop(v)+1; again
+    *   one join + one aggregate per layer.
+    *
+    * stress(v) = Σ_lm σ(lm,v)·P(lm,v) over hop ≥ 1 rows — the count of
+    * shortest paths from any landmark passing THROUGH v (endpoints
+    * excluded, Shimbel's stress). Exact integers end to end: σ and P are
+    * path counts, so unlike betweenness (nested σ-ratios) the oracle can
+    * hash-match. Both are carried as DECIMAL(20,0) — path counts grow
+    * multiplicatively with depth, and the σ·P product then lands in an
+    * uncapped DECIMAL(38,0) with ~1e18 headroom at the hop-3/deg-1e4
+    * worst case, where a long would already have overflowed.
+    *
+    * Scale contract (the landmark scheme, Potamias CIKM'09): exact
+    * stress is all-sources Brandes — O(n) phases; k landmarks bound
+    * state at k·|V| rows and 2·maxHops bounded-shuffle rounds total.
+    *
+    * @param seeds two-column (lm, id) frame; a landmark's own seed row is
+    *              (lm, lm) at hop 0
+    * @return (id, n_lm, sigma_sum, stress) per node reached by ≥1
+    *         landmark, landmarks' own hop-0 rows excluded
+    */
+  def brandesStress(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(false)
+    val sigma0 = seeds.toDF("lm", "id")
+      .select(col("lm").cast("long"), col("id").cast("long")).distinct()
+      .withColumn("hop", lit(0))
+      .withColumn("sigma", lit(1L).cast("decimal(20,0)"))
+      .localCheckpoint(false)
+    // forward: per-layer σ. `settled` accumulates (lm,id,hop,σ); the
+    // frontier is always exactly the last layer, so each round shuffles
+    // O(frontier×degree) expansion rows — never the settled table.
+    var layers = Vector(sigma0)
+    var settled = sigma0
+    for (h <- 1 to maxHops) {
+      val prev = layers.last
+      val next = prev.join(e, prev("id") === e("src"))
+        .select(prev("lm"), e("dst").as("id"), prev("sigma"))
+        .groupBy("lm", "id").agg(sum(col("sigma")).as("sigma"))
+        .join(settled, Seq("lm", "id"), "left_anti")
+        .withColumn("hop", lit(h))
+        .select("lm", "id", "hop", "sigma")
+        .localCheckpoint(false)
+      layers = layers :+ next
+      settled = settled.union(next)
+    }
+    // backward: P per layer, deepest first. A layer-h node's DAG
+    // successors all sit in layer h+1, so one join against the previous
+    // P-layer suffices; nodes with no in-bound successors keep P = 0.
+    var pLayers = Vector(layers(maxHops).select(col("lm"), col("id"),
+      lit(0L).cast("decimal(20,0)").as("p")).localCheckpoint(false))
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val cur = layers(h)
+      val deeperP = pLayers.head
+      val contrib = cur.join(e, cur("id") === e("src"))
+        .select(cur("lm"), cur("id"), e("dst"))
+        .join(deeperP.withColumnRenamed("id", "dst"), Seq("lm", "dst"))
+        .groupBy("lm", "id")
+        .agg(sum(col("p") + lit(1)).cast("decimal(20,0)").as("p"))
+      val pCur = cur.select("lm", "id")
+        .join(contrib, Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"),
+          coalesce(col("p"), lit(0).cast("decimal(20,0)")).as("p"))
+        .localCheckpoint(false)
+      pLayers = pCur +: pLayers
+    }
+    val p = pLayers.reduce(_ union _)
+    settled.filter(col("hop") >= 1)
+      .join(p, Seq("lm", "id"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lm"),
+        sum(col("sigma")).cast("decimal(38,0)").as("sigma_sum"),
+        sum(col("sigma") * col("p")).cast("decimal(38,0)").as("stress"))
+  }
+
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))

@@ -966,6 +966,108 @@ private[graft] object EventQueries {
            |  CAST(n_event * 1000000 // (n_total - cum_end + n_end) AS BIGINT)
            |    AS hazard_e6
            |FROM srun CROSS JOIN stot ORDER BY t""".stripMargin),
+      bench = true),
+
+    Q("ev_seq_patterns",
+      // GSP-style sequential pattern mining (Srikant & Agrawal, EDBT'96)
+      // over per-user journeys: frequent subsequences of length 1..3
+      // with user support ≥ max(3, 25% of users). A pattern (a,b,c) is
+      // supported by a user iff SOME strictly increasing position triple
+      // of their first 12 events carries those types — general
+      // subsequence, not adjacency (ev_transitions covers adjacency;
+      // this is the order-containment face). The apriori ladder is what
+      // scales it: L2 joins only L1-frequent item occurrences, L3
+      // enumerates only candidates from the L2⋈L2 self-join (the GSP
+      // candidate-generation step), and sequences are truncated to the
+      // first 12 events — per-user join fan-out is C(12,3)-bounded and
+      // candidate-pruned, never |history|³ on a pathological always-on
+      // user. All joins are user-keyed equi-joins; supports are one
+      // distinct + one count per level. Ordering by (len, p1, p2, p3)
+      // is NULL-convention-safe: the NULL columns are constant within
+      // each len group.
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pos = eventsTable(s, d)
+          .withColumn("rn", row_number().over(byUser))
+          .filter(col("rn") <= 12)
+          .select(col("user_id"), col("event_type").as("item"), col("rn"))
+          .localCheckpoint(false)
+        val ms = pos.select("user_id").distinct()
+          .agg(greatest(lit(3L), (count(lit(1)) / 4).cast("long")).as("minsup"))
+        val l1 = pos.groupBy("item")
+          .agg(countDistinct(col("user_id")).as("support"))
+          .crossJoin(broadcast(ms))
+          .filter(col("support") >= col("minsup"))
+        val p1 = pos.join(l1.select("item"), Seq("item"), "left_semi")
+        val a = p1.select(col("user_id"), col("item").as("i1"),
+          col("rn").as("rn1"))
+        val b = p1.select(col("user_id"), col("item").as("i2"),
+          col("rn").as("rn2"))
+        val pairOcc = a.join(b, Seq("user_id"))
+          .filter(col("rn1") < col("rn2"))
+        val l2 = pairOcc.select("user_id", "i1", "i2").distinct()
+          .groupBy("i1", "i2").agg(count(lit(1)).as("support"))
+          .crossJoin(broadcast(ms))
+          .filter(col("support") >= col("minsup"))
+        val cand = l2.select(col("i1"), col("i2"))
+          .join(l2.select(col("i1").as("i2"), col("i2").as("i3")), Seq("i2"))
+          .select("i1", "i2", "i3").distinct()
+        val c = p1.select(col("user_id"), col("item").as("i3"),
+          col("rn").as("rn3"))
+        val l3 = pairOcc
+          .join(broadcast(cand.select("i1", "i2").distinct()), Seq("i1", "i2"),
+            "left_semi")
+          .join(c, Seq("user_id"))
+          .filter(col("rn2") < col("rn3"))
+          .join(broadcast(cand), Seq("i1", "i2", "i3"), "left_semi")
+          .select("user_id", "i1", "i2", "i3").distinct()
+          .groupBy("i1", "i2", "i3").agg(count(lit(1)).as("support"))
+          .crossJoin(broadcast(ms))
+          .filter(col("support") >= col("minsup"))
+        val nul = lit(null).cast("string")
+        l1.select(lit(1L).as("len"), col("item").as("p1"), nul.as("p2"),
+            nul.as("p3"), col("support"))
+          .unionAll(l2.select(lit(2L).as("len"), col("i1").as("p1"),
+            col("i2").as("p2"), nul.as("p3"), col("support")))
+          .unionAll(l3.select(lit(3L).as("len"), col("i1").as("p1"),
+            col("i2").as("p2"), col("i3").as("p3"), col("support")))
+          .orderBy("len", "p1", "p2", "p3")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |pos AS (SELECT * FROM (
+           |  SELECT user_id, event_type AS item,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS rn
+           |  FROM ev) WHERE rn <= 12),
+           |ns AS (SELECT greatest(3, count(DISTINCT user_id) // 4)
+           |       AS minsup FROM pos),
+           |l1 AS (SELECT item, count(DISTINCT user_id) AS support
+           |  FROM pos GROUP BY 1
+           |  HAVING count(DISTINCT user_id) >= (SELECT minsup FROM ns)),
+           |pp1 AS (SELECT pos.* FROM pos WHERE item IN (SELECT item FROM l1)),
+           |po AS (SELECT DISTINCT a.user_id, a.item AS i1, b.item AS i2
+           |  FROM pp1 a JOIN pp1 b ON a.user_id = b.user_id AND a.rn < b.rn),
+           |l2 AS (SELECT i1, i2, count(*) AS support FROM po GROUP BY 1, 2
+           |  HAVING count(*) >= (SELECT minsup FROM ns)),
+           |cand AS (SELECT DISTINCT x.i1, x.i2, y.i2 AS i3
+           |  FROM l2 x JOIN l2 y ON x.i2 = y.i1),
+           |t3 AS (SELECT DISTINCT a.user_id,
+           |    a.item AS i1, b.item AS i2, c.item AS i3
+           |  FROM pp1 a
+           |  JOIN pp1 b ON a.user_id = b.user_id AND a.rn < b.rn
+           |  JOIN pp1 c ON b.user_id = c.user_id AND b.rn < c.rn
+           |  JOIN cand ON cand.i1 = a.item AND cand.i2 = b.item AND cand.i3 = c.item),
+           |l3 AS (SELECT i1, i2, i3, count(*) AS support FROM t3 GROUP BY 1, 2, 3
+           |  HAVING count(*) >= (SELECT minsup FROM ns))
+           |SELECT CAST(1 AS BIGINT) AS len, item AS p1, CAST(NULL AS VARCHAR) AS p2,
+           |  CAST(NULL AS VARCHAR) AS p3, CAST(support AS BIGINT) AS support FROM l1
+           |UNION ALL
+           |SELECT 2, i1, i2, CAST(NULL AS VARCHAR), CAST(support AS BIGINT) FROM l2
+           |UNION ALL
+           |SELECT 3, i1, i2, i3, CAST(support AS BIGINT) FROM l3
+           |ORDER BY len, p1, p2, p3""".stripMargin),
       bench = true)
   )
 }

@@ -754,7 +754,38 @@ private[graft] object GraphQueries {
         Graph.deltaStepSsspLandmarks(edges, seeds, delta = 262144L)
           .orderBy("lm", "id")
       },
-      Some(CLOSENESS_W_SQL))
+      Some(CLOSENESS_W_SQL)),
+
+    Q("graph_stress_landmarks",
+      // hop-bounded stress centrality (Shimbel '53) from the same 4
+      // landmarks as graph_closeness_landmarks — Brandes' two-phase
+      // scheme in its integer-exact member: forward layer-synchronous
+      // BFS carries σ (shortest-path counts), a backward descending-
+      // layer pass carries P (DAG walks leaving each node), and
+      // stress(v) = Σ_lm σ·P counts the shortest paths THROUGH v.
+      // Closeness ranks nodes by how near they are; stress ranks them
+      // by how much traffic routes over them — the complementary
+      // centrality, and the one betweenness approximates with ratios
+      // this integer form avoids (σ-ratio nesting can't hash-match an
+      // oracle; path counts can). Both phases are one join + one
+      // aggregate per layer regardless of k, so the landmark dial from
+      // closeness carries over unchanged. Oracle: the recursive-CTE
+      // distance table plus the σ and P recurrences UNROLLED per layer
+      // (maxHops is a constant, so the layer chain is plain SQL) —
+      // never a walk enumeration, which would be path-count-sized.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = sym.select(col("src")).distinct().orderBy("src").limit(4)
+          .select(col("src").as("lm"), col("src").as("id"))
+        Graph.brandesStress(sym, seeds, maxHops = 3).orderBy("id")
+      },
+      Some(STRESS_SQL),
+      bench = true)
   )
 
   /** Shared SSSP fixture: the directed "expressway" graph on every 5th
@@ -778,6 +809,57 @@ private[graft] object GraphQueries {
       concat(lit("sw#"), col("id").cast("string"),
         lit("#"), col("dst").cast("string"))), lit(1000000L))
     (nm, hops.select(col("id").as("src"), col("dst"), w.as("w")))
+  }
+
+  /** Oracle for graph_stress_landmarks: the distance table is the same
+    * recursive CTE as closeness; σ and P are the Brandes recurrences
+    * unrolled one CTE per layer (the hop bound is a constant). Every
+    * value is a path count in HUGEINT — exact, so the final DECIMAL(38,0)
+    * casts hash-match Spark's decimal aggregation bit for bit.
+    */
+  private lazy val STRESS_SQL: String = {
+    def sLayer(cur: String, prev: String, h: Int): String =
+      s"""$cur AS (SELECT s.lm, dd.id, sum(s.sigma) AS sigma
+         |  FROM $prev s JOIN edges e ON e.src = s.id
+         |  JOIN d dd ON dd.lm = s.lm AND dd.id = e.dst AND dd.hop = $h
+         |  GROUP BY 1, 2)""".stripMargin
+    def pLayer(cur: String, deeper: String, h: Int): String =
+      s"""$cur AS (SELECT d.lm, d.id, coalesce(x.p, CAST(0 AS HUGEINT)) AS p
+         |  FROM d LEFT JOIN (
+         |    SELECT c.lm, c.id, sum(w.p + 1) AS p
+         |    FROM d c JOIN edges e ON e.src = c.id
+         |    JOIN $deeper w ON w.lm = c.lm AND w.id = e.dst
+         |    WHERE c.hop = $h GROUP BY 1, 2) x ON x.lm = d.lm AND x.id = d.id
+         |  WHERE d.hop = $h)""".stripMargin
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+       |lms AS (SELECT src AS lm FROM (
+       |  SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)),
+       |reach(lm, id, hop) AS (
+       |  SELECT lm, lm, 0 FROM lms
+       |  UNION
+       |  SELECT r.lm, e.dst, r.hop + 1
+       |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.hop < 3),
+       |d AS (SELECT lm, id, min(hop) AS hop FROM reach GROUP BY 1, 2),
+       |s0 AS (SELECT lm, lm AS id, CAST(1 AS HUGEINT) AS sigma FROM lms),
+       |${sLayer("s1", "s0", 1)},
+       |${sLayer("s2", "s1", 2)},
+       |${sLayer("s3", "s2", 3)},
+       |sig AS (SELECT lm, id, 1 AS hop, sigma FROM s1
+       |  UNION ALL SELECT lm, id, 2, sigma FROM s2
+       |  UNION ALL SELECT lm, id, 3, sigma FROM s3),
+       |p3 AS (SELECT lm, id, CAST(0 AS HUGEINT) AS p FROM d WHERE hop = 3),
+       |${pLayer("p2", "p3", 2)},
+       |${pLayer("p1", "p2", 1)},
+       |pp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |  UNION ALL SELECT * FROM p3)
+       |SELECT g.id, count(*) AS n_lm,
+       |  CAST(sum(g.sigma) AS DECIMAL(38,0)) AS sigma_sum,
+       |  CAST(sum(g.sigma * pp.p) AS DECIMAL(38,0)) AS stress
+       |FROM sig g JOIN pp ON pp.lm = g.lm AND pp.id = g.id
+       |GROUP BY g.id ORDER BY g.id""".stripMargin
   }
 
   /** Oracle for graph_mst_boruvka: sequential Prim from the minimum node,

@@ -237,4 +237,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 0L), (2L, 2L), (3L, 5L), (4L, 5L),
       (7L, 0L), (8L, 1L)), s"unexpected distances: $got")
   }
+
+  test("brandesStress: diamond-with-tail, hand-computed sigma and stress") {
+    // Symmetrized diamond 1-{2,3}-4 plus tail 4-5, landmark 1, hops 3:
+    //   σ(2)=σ(3)=1, σ(4)=2, σ(5)=2
+    //   P(5)=0; P(4)=1 (walk 4→5); P(2)=P(3)=1+P(4)+... = 2 (4, 4→5)
+    //   stress = σ·P: through-2 paths {1-2-4, 1-2-4-5} = 2; same for 3;
+    //   through-4 {1-2-4-5, 1-3-4-5} = 2; 5 is a leaf → 0.
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 1L)).toDF("lm", "id")
+    val got = Graph.brandesStress(edges, seeds, maxHops = 3)
+      .selectExpr("id", "n_lm", "CAST(sigma_sum AS LONG)", "CAST(stress AS LONG)")
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 1L, 2L), (3L, 1L, 1L, 2L),
+      (4L, 1L, 2L, 2L), (5L, 1L, 2L, 0L)), s"unexpected stress rows: $got")
+  }
+
+  test("brandesStress: two landmarks sum; equal-length multipaths multiply sigma") {
+    // 4-cycle 1-2-4-3-1: from lm 1, σ(4)=2 (via 2 and via 3), P(2)=P(3)=1
+    // (the walk on to 4), P(4)=0 → stress(2)=stress(3)=1, stress(4)=0.
+    // Adding lm 4 mirrors the roles: stress(2)=stress(3)=2 total, and
+    // nodes 1,4 each carry 0 (never interior on the cycle). n_lm counts
+    // hop ≥ 1 rows only, so each landmark sees itself dropped: 1 and 4
+    // land at n_lm = 1 (reached by the OTHER landmark at hop 2).
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (4L, 4L)).toDF("lm", "id")
+    val got = Graph.brandesStress(edges, seeds, maxHops = 3)
+      .selectExpr("id", "n_lm", "CAST(stress AS LONG)")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 2L), (3L, 2L, 2L),
+      (4L, 1L, 0L)), s"unexpected stress rows: $got")
+  }
 }
