@@ -812,6 +812,93 @@ object Graph {
         sum(col("sigma") * col("p")).cast("decimal(38,0)").as("stress"))
   }
 
+  /** Strongly connected components of a DIRECTED edge list by min-label
+    * coloring with peeling — the label-propagation member of the FW-BW
+    * family (Fleischer et al. '00 pivots; the coloring variant is
+    * McLendon/Slota's Multistep): per peel, F(v) = min id forward-
+    * reachable from v and B(v) = min id that reaches v, each by `rounds`
+    * synchronous min-label steps (one edge join + one min-aggregate per
+    * step). F(v) = B(v) = m certifies v and m mutually reachable, so
+    * {v : F=B=m} IS the SCC of m (any k = F(v) = B(v) has v→k and k→v,
+    * and k ≤ m ≤ k via m's membership) — those nodes settle with
+    * scc = m; the rest peel their settled neighbors away and repeat,
+    * because an m-labeled node OUTSIDE m's SCC always has F ≠ B (it
+    * reaches m or is reached by m, never both).
+    *
+    * Budgets, not fixpoint probes: `rounds` must cover the label
+    * propagation distance inside every SCC (its diameter plus the hops
+    * from the peel's interfering minima) and `peels` the interference
+    * depth (how many settled-SCC layers hide a component's own min) —
+    * both graph-shape dials the caller owns, the convention of
+    * [[labelPropagation]]/[[resolveRoots]]. The rounds budget is load-
+    * bearing for CORRECTNESS, not just coverage: F(v)=B(v)=k certifies
+    * v↔k mutual reachability at ANY round count (labels only travel
+    * along real paths), but if the component's true minimum hasn't
+    * propagated to v yet, v settles under the interim certificate k and
+    * the SCC SPLITS across labels — so underrun means wrong components,
+    * not just missing ids. Size `rounds` to the worst SCC diameter ×2
+    * and overshoot; extra rounds are idempotent. State is one (id, F, B)
+    * row per live node and edges shrink every peel, so each step is a
+    * bounded-state equi-join — no closure materialization anywhere.
+    *
+    * @return (id, scc) with scc = the component's minimum node id
+    */
+  def sccColor(edges: DataFrame, peels: Int, rounds: Int): DataFrame = {
+    require(peels >= 1 && rounds >= 1, s"budgets must be >= 1: $peels/$rounds")
+    var e = edges.toDF("src", "dst").select(
+      col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(false)
+    var nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(false)
+    var out: Option[DataFrame] = None
+    for (_ <- 1 to peels) {
+      // F: labels flow AGAINST edges (v inherits what its successors
+      // see); B: along them. Both waves multiplex over ONE keyed join
+      // per round — dir ∈ {0 = F, 1 = B} rides the label row through a
+      // direction-tagged edge table exactly as lm rides multiSourceBfs'
+      // frontier, so a round costs one join + one min-aggregate total,
+      // not per direction (at small per-round row counts the loop is
+      // job-count-bound, and this halves the job count).
+      val dirs = broadcast(nodes.sparkSession.range(0, 2)
+        .select(col("id").cast("int").as("dir")))
+      // identity self-loops carry every node's current label through the
+      // aggregate, so a round is ONE join + ONE min-aggregate — no
+      // separate merge join (labels are monotone non-increasing, so
+      // min(own, neighbors') IS the merge)
+      val ebi = e.select(col("dst").as("from"), col("src").as("to"),
+          lit(0).as("dir"))
+        .union(e.select(col("src").as("from"), col("dst").as("to"),
+          lit(1).as("dir")))
+        .union(nodes.crossJoin(dirs)
+          .select(col("id").as("from"), col("id").as("to"), col("dir")))
+        .localCheckpoint(false)
+      var lab = nodes.select(col("id"), col("id").as("lab")).crossJoin(dirs)
+      for (_ <- 1 to rounds) {
+        lab = lab.join(ebi,
+            lab("id") === ebi("from") && lab("dir") === ebi("dir"))
+          .groupBy(ebi("dir").as("dir"), ebi("to").as("id"))
+          .agg(min(col("lab")).as("lab"))
+          .localCheckpoint(false)
+      }
+      val f = lab.filter(col("dir") === 0).select(col("id"),
+        col("lab").as("fmin"))
+      val bk = lab.filter(col("dir") === 1).select(col("id"),
+        col("lab").as("bmin"))
+      val both = f.join(bk, Seq("id"))
+      val settled = both.filter(col("fmin") === col("bmin"))
+        .select(col("id"), col("fmin").as("scc"))
+        .localCheckpoint(false)
+      out = Some(out.fold(settled)(_ union settled))
+      nodes = both.filter(col("fmin") =!= col("bmin")).select("id")
+        .localCheckpoint(false)
+      e = e.join(nodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(false)
+    }
+    out.get
+  }
+
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))

@@ -374,15 +374,18 @@ private[graft] object GraphQueries {
       // k_reached·1e6 DIV Σhops. The scale contract: exact closeness is
       // all-pairs (n BFS sources); landmarks cap state at k·|V| — the k
       // is the dial, the per-round plan shape never changes.
-      // WHERE THE TIME GOES (r12 sf0.1 probe, clean machine): ~1.1 s
-      // builds the distinct symmetrized edge list (1.20M edges), ~2.9 s
-      // runs the 4 frontier-incremental BFS rounds (frontier × avg-degree
-      // ≈ 5M expansion rows in total — data-bound work, not re-agg: the
-      // per-round anti-join shape is pinned in PlanShapeSpec), ~0.6 s the
-      // final aggregate + sort. The r10/r11 "3.7-4.1 s band" came from
-      // contaminated records of the PRE-frontier-fix code and is not a
-      // valid baseline; 4.7 s cold / 3.6 s warm on a clean canary is the
-      // first citable measurement.
+      // WHERE THE TIME GOES (r12 sf0.1 probe): ~1.1 s builds the
+      // distinct symmetrized edge list (1.20M edges), the bulk runs the
+      // 4 frontier-incremental BFS rounds (frontier × avg-degree ≈ 5M
+      // expansion rows in total — data-bound work, not re-agg: the
+      // per-round anti-join shape is pinned in PlanShapeSpec), ~0.6 s
+      // the final aggregate + sort. The r10/r11 "3.7-4.1 s band" came
+      // from contaminated records of the PRE-frontier-fix code and is
+      // not a valid baseline; clean-canary standalone measurements vary
+      // 3.6-5.5 s across days on this box (5.05/5.09/5.51 s on the r12
+      // record's day, 3.6 s warm on the prior probe's day) — the
+      // machine-load floor moves more than the plan does, so cross-day
+      // per-query deltas under ~1.5x are not evidence of regression.
       (s, d) => {
         val raw = tbl(s, d, "orders")
           .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -785,6 +788,59 @@ private[graft] object GraphQueries {
         Graph.brandesStress(sym, seeds, maxHops = 3).orderBy("id")
       },
       Some(STRESS_SQL),
+      bench = true),
+
+    Q("graph_scc",
+      // strongly connected components of a DIRECTED graph — the directed
+      // sibling of dedup_cc_labels, by min-label coloring with peeling
+      // (Graph.sccColor; the FW-BW/Multistep family). Fixture: customers
+      // partitioned into 6-rings (ck → next in its block's directed
+      // ring — each full block is one SCC) plus a one-way star from node
+      // 0 to every block head — reachability that must NOT merge
+      // components, and exactly the interference the peel exists for:
+      // in peel 1 every non-zero block sees B = 0 ≠ F and only block 0
+      // settles; peeling it isolates the rings, which then certify
+      // F = B = their own head. rounds = 6 covers the worst label walk
+      // (star hop + 5 ring steps); peels = 2 the interference depth.
+      // Everything is 0-based and non-negative ON PURPOSE: customer key
+      // 0 exists, and on negatives Spark's DIV (truncating) and
+      // DuckDB's // (floor) disagree. Oracle: reachability closure via
+      // a recursive CTE, scc(u) = min{v : u→v AND v→u} —
+      // definition-level, never a replay of the coloring. The closure
+      // is oracle-only by design (star fan-out keeps it ~12 rows per
+      // node HERE; in general it is output-sized quadratic) — the Spark
+      // side holds one (id, F, B) row per node.
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("ck"))
+        val nmx = c.agg((floor((max(col("ck")) + 1) / 6) * 6)
+          .cast("long").as("n"))
+        val nodes = c.crossJoin(broadcast(nmx)).filter(col("ck") < col("n"))
+        val ring = nodes.select(col("ck").as("src"),
+          expr("(ck DIV 6) * 6 + (ck % 6 + 1) % 6").as("dst"))
+        val star = nodes.filter(col("ck") % 6 === 0 && col("ck") =!= 0)
+          .select(lit(0L).as("src"), col("ck").as("dst"))
+        Graph.sccColor(ring.unionAll(star), peels = 2, rounds = 6)
+          .orderBy("id")
+      },
+      Some(
+        """WITH RECURSIVE
+          |nmax AS (SELECT ((max(c_custkey) + 1) // 6) * 6 AS n FROM customer),
+          |nn AS (SELECT c_custkey AS ck FROM customer CROSS JOIN nmax
+          |       WHERE c_custkey < n),
+          |ring AS (SELECT ck AS src,
+          |  (ck // 6) * 6 + (ck % 6 + 1) % 6 AS dst FROM nn),
+          |star AS (SELECT 0 AS src, ck AS dst FROM nn
+          |         WHERE ck % 6 = 0 AND ck <> 0),
+          |ed AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM star),
+          |reach(src, id) AS (
+          |  SELECT ck, ck FROM nn
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.id
+          |)
+          |SELECT a.src AS id, CAST(min(a.id) AS BIGINT) AS scc
+          |FROM reach a JOIN reach b ON a.src = b.id AND a.id = b.src
+          |GROUP BY a.src ORDER BY id""".stripMargin),
       bench = true)
   )
 

@@ -272,4 +272,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 2L, 2L), (3L, 2L, 2L),
       (4L, 1L, 0L)), s"unexpected stress rows: $got")
   }
+
+  test("sccColor: 2-cycle, 3-ring, one-way bridges, and a DAG singleton") {
+    // SCCs: {1,2} (2-cycle), {3,4,5} (directed ring), {6} (sink reached
+    // one-way). The one-way bridge 2→3 must not merge; in peel 1 only
+    // {1,2} certifies F=B (the ring sees B=1 through the bridge), the
+    // ring settles in peel 2, the stripped singleton in peel 3.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.sccColor(edges, peels = 3, rounds = 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L),
+      (6L, 6L)), s"unexpected scc rows: $got")
+  }
+
+  test("sccColor: extra peels and rounds are idempotent; pure DAG is all singletons") {
+    val dag = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = Graph.sccColor(dag, peels = 4, rounds = 6)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 10L), (11L, 11L), (12L, 12L)),
+      s"unexpected scc rows: $got")
+  }
 }
