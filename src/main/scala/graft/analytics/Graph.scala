@@ -756,6 +756,22 @@ object Graph {
     * @return (id, n_lm, sigma_sum, stress) per node reached by ≥1
     *         landmark, landmarks' own hop-0 rows excluded
     */
+  /** One forward σ round of [[brandesStress]]: expand the previous layer
+    * one hop, SUM σ over predecessors per (lm, node), anti-join the
+    * settled set, stamp the hop. [[bfsStep]] with sum instead of
+    * min-dedup — same frontier-incremental contract: per-round shuffle
+    * is O(frontier×degree), never a re-aggregate of the settled table.
+    * Visible for PlanShapeSpec; the loop's checkpoints hide it.
+    */
+  private[graft] def sigmaStep(prev: DataFrame, settled: DataFrame,
+      e: DataFrame, h: Int): DataFrame =
+    prev.join(e, prev("id") === e("src"))
+      .select(prev("lm"), e("dst").as("id"), prev("sigma"))
+      .groupBy("lm", "id").agg(sum(col("sigma")).as("sigma"))
+      .join(settled, Seq("lm", "id"), "left_anti")
+      .withColumn("hop", lit(h))
+      .select("lm", "id", "hop", "sigma")
+
   def brandesStress(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.toDF("src", "dst").select(
@@ -772,14 +788,7 @@ object Graph {
     var layers = Vector(sigma0)
     var settled = sigma0
     for (h <- 1 to maxHops) {
-      val prev = layers.last
-      val next = prev.join(e, prev("id") === e("src"))
-        .select(prev("lm"), e("dst").as("id"), prev("sigma"))
-        .groupBy("lm", "id").agg(sum(col("sigma")).as("sigma"))
-        .join(settled, Seq("lm", "id"), "left_anti")
-        .withColumn("hop", lit(h))
-        .select("lm", "id", "hop", "sigma")
-        .localCheckpoint(false)
+      val next = sigmaStep(layers.last, settled, e, h).localCheckpoint(false)
       layers = layers :+ next
       settled = settled.union(next)
     }
@@ -843,6 +852,16 @@ object Graph {
     *
     * @return (id, scc) with scc = the component's minimum node id
     */
+  /** One min-label round of [[sccColor]]: both direction waves through
+    * ONE join + ONE min-aggregate — the identity self-loops in `ebi`
+    * carry each node's own label, so the aggregate IS the merge (labels
+    * are monotone non-increasing). Visible for PlanShapeSpec.
+    */
+  private[graft] def sccRound(lab: DataFrame, ebi: DataFrame): DataFrame =
+    lab.join(ebi, lab("id") === ebi("from") && lab("dir") === ebi("dir"))
+      .groupBy(ebi("dir").as("dir"), ebi("to").as("id"))
+      .agg(min(col("lab")).as("lab"))
+
   def sccColor(edges: DataFrame, peels: Int, rounds: Int): DataFrame = {
     require(peels >= 1 && rounds >= 1, s"budgets must be >= 1: $peels/$rounds")
     var e = edges.toDF("src", "dst").select(
@@ -875,11 +894,7 @@ object Graph {
         .localCheckpoint(false)
       var lab = nodes.select(col("id"), col("id").as("lab")).crossJoin(dirs)
       for (_ <- 1 to rounds) {
-        lab = lab.join(ebi,
-            lab("id") === ebi("from") && lab("dir") === ebi("dir"))
-          .groupBy(ebi("dir").as("dir"), ebi("to").as("id"))
-          .agg(min(col("lab")).as("lab"))
-          .localCheckpoint(false)
+        lab = sccRound(lab, ebi).localCheckpoint(false)
       }
       val f = lab.filter(col("dir") === 0).select(col("id"),
         col("lab").as("fmin"))

@@ -429,4 +429,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the 64-row v vector lost its broadcast join")
   }
+
+  test("stress sigma round: frontier-incremental — sum over expansion, anti-join, no settled re-agg") {
+    // same contract as bfsStep: the round aggregates ONLY the one-hop
+    // expansion (sum of predecessor sigmas), never the settled table,
+    // and the settled set enters solely through a LeftAnti.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val prev = Seq((1L, 1L)).toDF("lm", "id")
+      .withColumn("hop", lit(0))
+      .withColumn("sigma", lit(1L).cast("decimal(20,0)"))
+    val p = plan(graft.analytics.Graph.sigmaStep(prev, prev, e, 1))
+    assert(p.contains("LeftAnti"), "sigmaStep lost the settled anti-join")
+    assert(countOccurrences(p, "sum(sigma") >= 1 &&
+      !p.contains("min(hop"),
+      s"sigmaStep must sum the expansion only:\n${p.take(1200)}")
+  }
+
+  test("scc round: both label waves in ONE join + ONE aggregate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val lab = Seq((1L, 1L, 0), (1L, 1L, 1)).toDF("id", "lab", "dir")
+    val ebi = Seq((1L, 1L, 0), (1L, 1L, 1)).toDF("from", "to", "dir")
+    val p = plan(graft.analytics.Graph.sccRound(lab, ebi))
+    val joins = countOccurrences(p, "HashJoin") +
+      countOccurrences(p, "SortMergeJoin") +
+      countOccurrences(p, "NestedLoopJoin")
+    assert(joins == 1, s"scc round must be one join, got $joins:\n${p.take(1200)}")
+    // one aggregate = one partial/final pair
+    assert(countOccurrences(p, "HashAggregate") <= 2,
+      s"scc round grew extra aggregates:\n${p.take(1200)}")
+  }
 }
