@@ -780,6 +780,99 @@ private[graft] object DashQueries {
            |FROM za ORDER BY na""".stripMargin
       }),
 
+    Q("dash_mann_whitney",
+      // Mann-Whitney U beside dash_abtest_ztest: the NONPARAMETRIC arm
+      // of the same md5-parity experiment — the z-test compares
+      // conversion proportions, this ranks customer spend and asks
+      // whether one variant's draws stochastically dominate, no
+      // normality assumed. Zero floating point: midranks are carried
+      // DOUBLED (rank2(v) = 2·cum_below + cnt + 1 — always an integer,
+      // ties included), so U2 = 2U, and the tie-corrected normal
+      // approximation z² is one exact rational, cross-multiplied in
+      // DECIMAL(38,0)/HUGEINT:
+      //   z² = (U2a − na·nb)²·3·N·(N−1) / (na·nb·(N³−N−Σ(t³−t)))
+      // (the 2× of U2 and the 4 in 4·var cancel to the single 3).
+      // Exact through ~sf1; the cross-product nears 38 digits around
+      // sf10 — the dash_abtest_ztest headroom caveat, same family. The
+      // rank itself is the scale story: ranks come from ONE
+      // range-partitioned running count over distinct spend values
+      // (etl.Ids.groupedRunningSum, the dash_weighted_median machinery)
+      // — no global window, no single-partition exchange, state
+      // O(distinct values).
+      (s, d) => {
+        val spend = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(cents(col("o_totalprice")).as("v"))
+          .withColumn("variant",
+            pmod(graft.analytics.Sketch.hashPoint32(
+              concat(col("ck").cast("string"), lit("#ab"))), lit(2L)))
+        val byV = spend.groupBy("v")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("acnt"))
+          .withColumn("g", lit(0))
+        val ranked = graft.etl.Ids.groupedRunningSum(byV, Seq("g"),
+          Seq(col("v")), "cnt", "cum", "ntot")
+        ranked
+          .select(col("cnt"), col("acnt"),
+            (col("cum") * 2 - col("cnt") + 1).as("rank2"))
+          .agg(sum(col("acnt")).as("na"),
+            sum(col("cnt") - col("acnt")).as("nb"),
+            sum(col("acnt").cast("decimal(20,0)") * col("rank2")).as("r2a"),
+            sum(col("cnt").cast("decimal(20,0)") * col("cnt") * col("cnt")
+              - col("cnt")).as("tsum"))
+          .selectExpr("CAST(na AS BIGINT) AS na", "CAST(nb AS BIGINT) AS nb",
+            "CAST(r2a - CAST(na AS DECIMAL(20,0)) * (na + 1) AS BIGINT) AS u2_a",
+            """CAST(2 * CAST(na AS DECIMAL(20,0)) * nb
+              | - (r2a - CAST(na AS DECIMAL(20,0)) * (na + 1))
+              | AS BIGINT) AS u2_b""".stripMargin,
+            """CAST((r2a - CAST(na AS DECIMAL(20,0)) * (na + 1)
+              |      - CAST(na AS DECIMAL(20,0)) * nb)
+              |   * (r2a - CAST(na AS DECIMAL(20,0)) * (na + 1)
+              |      - CAST(na AS DECIMAL(20,0)) * nb)
+              |   * 3 * (CAST(na AS DECIMAL(38,0)) + nb)
+              |   * (CAST(na AS DECIMAL(38,0)) + nb - 1) * 1000000
+              | DIV greatest(CAST(na AS DECIMAL(38,0)) * nb
+              |   * ((CAST(na AS DECIMAL(38,0)) + nb) * (CAST(na AS DECIMAL(38,0)) + nb)
+              |        * (CAST(na AS DECIMAL(38,0)) + nb)
+              |      - (CAST(na AS DECIMAL(38,0)) + nb) - tsum),
+              |   CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS z2_e6""".stripMargin)
+          .withColumn("significant", (col("z2_e6") >= 3841459L).cast("boolean"))
+          .orderBy("na")
+      },
+      Some {
+        val h = graft.queries.OracleShared.hx("md5(CAST(ck AS VARCHAR) || '#ab')")
+        s"""WITH mw AS (
+           |  SELECT o_custkey AS ck,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+           |  FROM orders GROUP BY 1),
+           |mv AS (SELECT ck, v, ($h) % 2 AS variant FROM mw),
+           |mb AS (SELECT v, count(*) AS cnt,
+           |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS acnt
+           |  FROM mv GROUP BY 1),
+           |mr AS (SELECT v, cnt, acnt,
+           |    sum(cnt) OVER (ORDER BY v) AS cum FROM mb),
+           |ma AS (SELECT
+           |    CAST(sum(acnt) AS HUGEINT) AS na,
+           |    CAST(sum(cnt - acnt) AS HUGEINT) AS nb,
+           |    sum(CAST(acnt AS HUGEINT) * (2 * cum - cnt + 1)) AS r2a,
+           |    sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+           |  FROM mr),
+           |mz AS (SELECT na, nb,
+           |    r2a - na * (na + 1) AS u2a,
+           |    CAST((r2a - na * (na + 1) - na * nb)
+           |       * (r2a - na * (na + 1) - na * nb)
+           |       * 3 * (na + nb) * (na + nb - 1) * 1000000
+           |     // greatest(na * nb * ((na + nb) * (na + nb) * (na + nb)
+           |          - (na + nb) - tsum), 1) AS BIGINT) AS z2_e6
+           |  FROM ma)
+           |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           |  CAST(u2a AS BIGINT) AS u2_a,
+           |  CAST(2 * na * nb - u2a AS BIGINT) AS u2_b,
+           |  z2_e6, CAST(z2_e6 >= 3841459 AS BOOLEAN) AS significant
+           |FROM mz ORDER BY na""".stripMargin
+      },
+      bench = true),
+
     Q("dash_cuped_adjust",
       // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
       // variance-reduction face of the experimentation family: each

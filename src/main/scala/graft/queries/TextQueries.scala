@@ -1077,6 +1077,66 @@ private[graft] object TextQueries {
           |  count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS n_occurrences
           |FROM tf GROUP BY 1 ORDER BY band""".stripMargin)),
 
+    Q("text_heaps_law",
+      // Heaps/Herdan vocabulary-growth curve beside text_freq_spectrum's
+      // Zipf profile: split the corpus into 10 doc-id deciles, and for
+      // each prefix report cumulative token count n and cumulative
+      // vocabulary V(n) — the curve a curator reads to see whether more
+      // data still buys new vocabulary. V(n) without re-scanning any
+      // prefix: a word's FIRST-occurrence bucket (one min-aggregate)
+      // attributes it to exactly one decile, so the cumulative vocab is
+      // a running sum of first-occurrence counts — and with a CONSTANT
+      // 10-bucket domain the running sum is a bounded explode (each
+      // bucket contributes to sequence(b, 9) — ≤ 10 rows, the
+      // graph_hier_rollup closed-form-ancestors trick) + one groupBy,
+      // not a global window, not a triangle θ-join (the registry lint
+      // rightly rejects inequality products), and not the
+      // range-partitioned rank machinery (which exists for data-sized
+      // rank domains; this domain is fixed at 10 forever).
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        val mx = docs.agg(max("doc_id").as("mx"))
+        val toks = docs.crossJoin(broadcast(mx))
+          .select(expr("doc_id * 10 DIV (mx + 1)").as("b"),
+            explode(split(col("t"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val perB = toks.groupBy("b").agg(count(lit(1)).as("ntok"))
+        val firstB = toks.groupBy("w").agg(min("b").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nnew"))
+        val j = perB.join(firstB, Seq("b"), "left")
+          .select(col("b"), col("ntok"),
+            coalesce(col("nnew"), lit(0L)).as("nnew"))
+        val cum = j
+          .select(explode(sequence(col("b").cast("int"), lit(9))).as("b"),
+            col("ntok").as("t2"), col("nnew").as("n2"))
+          .groupBy("b")
+          .agg(sum(col("t2")).as("tokens_cum"), sum(col("n2")).as("vocab_cum"))
+        j.join(cum, j("b") === cum("b"))
+          .select(j("b"), col("ntok"), col("nnew"),
+            col("tokens_cum"), col("vocab_cum"))
+          .orderBy(j("b"))
+      },
+      Some(
+        """WITH hd AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+          |hmx AS (SELECT max(doc_id) AS mx FROM hd),
+          |ht AS (SELECT * FROM (
+          |  SELECT doc_id * 10 // (mx + 1) AS b,
+          |    unnest(regexp_split_to_array(t, '\s+')) AS w
+          |  FROM hd CROSS JOIN hmx) WHERE w <> ''),
+          |hpb AS (SELECT b, count(*) AS ntok FROM ht GROUP BY 1),
+          |hfb AS (SELECT b, count(*) AS nnew FROM (
+          |  SELECT w, min(b) AS b FROM ht GROUP BY w) GROUP BY 1),
+          |hj AS (SELECT hpb.b, ntok, coalesce(nnew, 0) AS nnew
+          |  FROM hpb LEFT JOIN hfb ON hpb.b = hfb.b),
+          |hc AS (SELECT b2 AS b, CAST(sum(ntok) AS BIGINT) AS tokens_cum,
+          |    CAST(sum(nnew) AS BIGINT) AS vocab_cum
+          |  FROM (SELECT unnest(range(b, 10)) AS b2, ntok, nnew FROM hj)
+          |  GROUP BY 1)
+          |SELECT hj.b, CAST(hj.ntok AS BIGINT) AS ntok,
+          |  CAST(hj.nnew AS BIGINT) AS nnew, hc.tokens_cum, hc.vocab_cum
+          |FROM hj JOIN hc ON hj.b = hc.b ORDER BY hj.b""".stripMargin)),
+
     Q("text_distinct_ngrams",
       // n-gram diversity (distinct-n) per source — the repetitiveness /
       // mode-collapse dial corpus curators read before mixing: for n =
