@@ -559,6 +559,40 @@ object Similarity {
       .select(col("id"), col("__r.cell").as("cell"), col("__r.__sim").as("sim_e6"))
   }
 
+  /** Per-point assignment margin of a trained clustering: best-cell
+    * cosine minus best OTHER cell's cosine — the integer-exact
+    * cohesion/separation dial (the cosine-space simplified silhouette;
+    * silhouette proper needs pairwise means and a sqrt, neither of which
+    * survives cross-engine exactness). Margin ≥ 0 by construction; a
+    * small margin marks a point the quantizer barely routed — the mass
+    * near 0 is what a SemDeDup threshold or an IVF nProbe dial is
+    * actually fighting. Cost: one broadcast cross-score (k·n rows, k
+    * constant) + one argmax + one second-max join, all equi-keyed.
+    *
+    * @return (id, cell, margin) with margin in e6 cosine units
+    */
+  def kMeansMargins(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cd = centroids.select(col("cell"),
+      transform(col("ce"), c => c.cast("double") / 1e6).as("cd"))
+    val sims = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cd))
+      .withColumn("sim", cosineE6Mixed(col("v"), col("cd")))
+      .filter(col("sim").isNotNull)
+      .select("id", "cell", "sim")
+      .localCheckpoint(false) // scored once, read by argmax AND second-max
+    val best = sims.groupBy("id")
+      .agg(max_by(struct(col("cell"), col("sim")),
+        struct(col("sim"), (-col("cell")).as("nc"))).as("r"))
+      .select(col("id"), col("r.cell").as("bcell"), col("r.sim").as("bsim"))
+    best.join(sims, Seq("id"))
+      .filter(col("cell") =!= col("bcell"))
+      .groupBy(col("id"), col("bcell"), col("bsim"))
+      .agg(max(col("sim")).as("second"))
+      .select(col("id"), col("bcell").as("cell"),
+        (col("bsim") - col("second")).as("margin"))
+  }
+
   /** Trained-IVF ANN: [[ivfTopK]]'s probe/rerank shape with
     * [[kMeansCentroidsE6]] cells instead of the modulo-sampled ones —
     * cells sized by the data, not by id arithmetic, which is what keeps

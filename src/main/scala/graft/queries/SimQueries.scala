@@ -298,6 +298,31 @@ private[graft] object SimQueries {
       Some(KMEANS_CELLS_SQL),
       bench = true),
 
+    Q("sim_cluster_margin",
+      // clustering quality off the same trained k=8 artifact: per cell,
+      // the distribution of ASSIGNMENT MARGINS (best-cell cosine minus
+      // best other cell's — Similarity.kMeansMargins, the cosine-space
+      // simplified silhouette; margins are exact e6 integers, so the
+      // whole metric hash-matches where true silhouette's pairwise
+      // means + sqrt could not). mean/min margin say how separated a
+      // cell is; amb_share_e6 counts the near-zero-margin mass (< 0.01
+      // cosine) — the points a SemDeDup threshold or IVF nProbe dial
+      // actually fights over. One broadcast cross-score + two thin
+      // aggregates; k is a constant, so work is O(k·n) forever.
+      (s, d) => Similarity.kMeansMargins(tbl(s, d, "embeddings"), km8(s, d))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(col("margin")).as("msum"),
+          min(col("margin")).as("min_margin_e6"),
+          sum(when(col("margin") < 10000L, 1L).otherwise(0L)).as("namb"))
+        .selectExpr("cell", "n",
+          "CAST(msum DIV n AS BIGINT) AS mean_margin_e6",
+          "min_margin_e6",
+          "CAST(namb * 1000000 DIV n AS BIGINT) AS amb_share_e6")
+        .orderBy("cell"),
+      Some(CLUSTER_MARGIN_SQL),
+      bench = true),
+
     Q("sim_ivf_trained_topk",
       // IVF ANN over TRAINED k-means cells (the faiss-style coarse
       // quantizer): cells sized by the data rather than id arithmetic, and
@@ -2119,6 +2144,30 @@ private[graft] object SimQueries {
        |      row_number() OVER (PARTITION BY v.id ORDER BY ${cosE6Sql("v.e", "c.cd")} DESC, c.cell) AS rn
        |    FROM ve v, c2d c) WHERE rn = 1)
        |SELECT id AS vec_id, cell, sim_e6 FROM fin ORDER BY vec_id""".stripMargin
+
+  /** Oracle for sim_cluster_margin: the training chain, the full k·n
+    * score table, argmax with the max-struct tie-break's mirror, and the
+    * best-other max — all integer e6 cosines, so the per-cell margin
+    * aggregates hash-match.
+    */
+  private lazy val CLUSTER_MARGIN_SQL: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+       |sims AS (SELECT v.id, c.cell, ${cosE6Sql("v.e", "c.cd")} AS cs
+       |  FROM ve v, c2d c),
+       |sbest AS (SELECT id, cell AS bcell, cs AS bs FROM (
+       |    SELECT id, cell, cs,
+       |      row_number() OVER (PARTITION BY id ORDER BY cs DESC, cell) AS rn
+       |    FROM sims WHERE cs IS NOT NULL) WHERE rn = 1),
+       |marg AS (SELECT b.id, b.bcell AS cell, b.bs - max(s.cs) AS margin
+       |  FROM sbest b JOIN sims s ON s.id = b.id AND s.cell <> b.bcell
+       |  WHERE s.cs IS NOT NULL
+       |  GROUP BY b.id, b.bcell, b.bs)
+       |SELECT cell, count(*) AS n,
+       |  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_e6,
+       |  CAST(min(margin) AS BIGINT) AS min_margin_e6,
+       |  CAST(sum(CASE WHEN margin < 10000 THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS amb_share_e6
+       |FROM marg GROUP BY cell ORDER BY cell""".stripMargin
 
   /** Oracle for sim_ivf_trained_topk: k-means cells + the IVF probe/rerank
     * shape of the sampled-centroid oracle.
