@@ -457,6 +457,65 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-edge triangle support of a canonical (a < b) edge list — the
+    * number of common neighbors of the endpoints. Same degree-ordered
+    * orientation as [[triangleCount]] (wedge fan-out bounded by
+    * out-degree ≤ √2m, never raw hub degree), but each closed triangle
+    * is exploded back onto its THREE canonical edges and counted —
+    * per-edge attribution instead of one global count.
+    */
+  private[graft] def edgeSupport(und0: DataFrame): DataFrame = {
+    val und = und0.toDF("a", "b")
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    val oriented = sym
+      .join(deg.withColumnsRenamed(Map("id" -> "u", "deg" -> "du")), Seq("u"))
+      .join(deg.withColumnsRenamed(Map("id" -> "v", "deg" -> "dv")), Seq("v"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .localCheckpoint(false)
+    val closed = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u"))
+      .filter(col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("w"), col("e1.v").as("x"), col("e2.v").as("y"))
+      .join(oriented.as("e3"),
+        col("x") === col("e3.u") && col("y") === col("e3.v"))
+      .select(col("w"), col("x"), col("y"))
+    closed.select(least(col("w"), col("x")).as("a"),
+        greatest(col("w"), col("x")).as("b"))
+      .unionAll(closed.select(least(col("w"), col("y")).as("a"),
+        greatest(col("w"), col("y")).as("b")))
+      .unionAll(closed.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /** Bounded k-truss peel (Cohen '08): `rounds` synchronous rounds of
+    * "drop every edge in fewer than k−2 triangles", then the surviving
+    * edges with their support recomputed on the surviving subgraph —
+    * the EDGE-cohesion sibling of [[kCorePeel]] (a k-truss is a
+    * subgraph of the (k−1)-core, but far denser: membership needs
+    * triangles, not just degree). Fixed horizon, [[kCorePeel]]'s
+    * convention: the plan is one action and an oracle replays the
+    * identical rounds as chained CTEs; survivors that converge carry
+    * support ≥ k−2, and an under-budgeted horizon reproduces exactly in
+    * the oracle (hash-equal), never silently diverges. The final inner
+    * join also drops any zero-support stragglers — on a converged peel
+    * there are none (k ≥ 3 means survivors sit in ≥ 1 triangle).
+    */
+  def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1: $k/$rounds")
+    var e = pairs.toDF("a", "b").localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(e).filter(col("support") >= k - 2)
+        .select("a", "b")
+      e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint(false)
+    }
+    e.join(edgeSupport(e), Seq("a", "b"))
+  }
+
   /** Bounded k-core peel of an undirected canonical (a < b) edge list:
     * `rounds` synchronous rounds of "drop every node with degree < k and
     * the edges touching it", then the surviving nodes with their induced

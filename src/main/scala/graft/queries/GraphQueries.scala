@@ -533,6 +533,85 @@ private[graft] object GraphQueries {
           |GROUP BY 1 ORDER BY id""".stripMargin
       }),
 
+    Q("graph_ktruss",
+      // 2-round k-truss peel (k = 4) — the EDGE-cohesion sibling of
+      // graph_kcore: survive only edges in ≥ 2 triangles, recursively
+      // (a clique nucleus that degree alone can't certify; every
+      // 4-truss edge is in the 3-core but not vice versa). Fixture:
+      // planted clique nuclei on customer keys, the graph_scc
+      // convention — the measured co-purchase graph is TRIANGLE-SPARSE
+      // (3 edges in any triangle at sf0.1; its baskets rarely overlap
+      // twice on three items), so per 10-key block: a K6 nucleus
+      // (support 4 everywhere — survives) plus two pendant triangles
+      // sharing the spoke (b, b+6) — their outer edges carry support 1
+      // and peel in round 1, which strands the spoke (support 2 at peel
+      // time, 0 after) for round 2: the registered fixture itself
+      // exercises the cascade, not just the unit tests. Per-round
+      // support comes from the degree-ordered oriented wedge join
+      // (Graph.edgeSupport — fan-out bounded by out-degree ≤ √2m, the
+      // triangleCount machinery with per-edge attribution), then a
+      // semi-join peel; fixed synchronous horizon so the plan is one
+      // action and the oracle unrolls identical rounds as chained CTEs
+      // (naive per-edge common-neighbor counts — fine at test scale,
+      // and exactly the skew-fragile plan the oriented form replaces).
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("ck"))
+        val nmx = c.agg((floor((max(col("ck")) + 1) / 10) * 10)
+          .cast("long").as("n"))
+        val nodes = c.crossJoin(broadcast(nmx)).filter(col("ck") < col("n"))
+          .select(col("ck"), expr("ck DIV 10").as("blk"),
+            expr("ck % 10").as("pos"))
+        val k6 = nodes.filter(col("pos") <= 5).as("x")
+          .join(nodes.filter(col("pos") <= 5).as("y"),
+            col("x.blk") === col("y.blk") && col("x.ck") < col("y.ck"))
+          .select(col("x.ck").as("a"), col("y.ck").as("b"))
+        val base = nodes.filter(col("pos") === 0)
+          .select(col("ck").as("b0"))
+        val pend = base.select(col("b0").as("a"), (col("b0") + 6).as("b"))
+          .unionAll(base.select((col("b0") + 1).as("a"), (col("b0") + 6).as("b")))
+          .unionAll(base.select(col("b0").as("a"), (col("b0") + 7).as("b")))
+          .unionAll(base.select((col("b0") + 6).as("a"), (col("b0") + 7).as("b")))
+        Graph.kTrussPeel(k6.unionAll(pend), k = 4, rounds = 2)
+          .orderBy("a", "b")
+      },
+      Some {
+        val peel = (1 to 2).map { r =>
+          s"""y$r AS (SELECT a AS u, b AS v FROM t${r - 1}
+             |  UNION ALL SELECT b, a FROM t${r - 1}),
+             |s$r AS (SELECT e.a, e.b, count(*) AS sup
+             |  FROM t${r - 1} e
+             |  JOIN y$r n1 ON n1.u = e.a
+             |  JOIN y$r n2 ON n2.u = e.b AND n2.v = n1.v
+             |  GROUP BY e.a, e.b),
+             |t$r AS (SELECT s.a, s.b FROM s$r s WHERE s.sup >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH knmax AS (SELECT ((max(c_custkey) + 1) // 10) * 10 AS n
+          |  FROM customer),
+          |knn AS (SELECT c_custkey AS ck, c_custkey // 10 AS blk,
+          |    c_custkey % 10 AS pos
+          |  FROM customer CROSS JOIN knmax WHERE c_custkey < n),
+          |k6 AS (SELECT x.ck AS a, y.ck AS b FROM knn x JOIN knn y
+          |  ON x.blk = y.blk AND x.ck < y.ck
+          |  WHERE x.pos <= 5 AND y.pos <= 5),
+          |kb AS (SELECT ck AS b0 FROM knn WHERE pos = 0),
+          |pend AS (SELECT b0 AS a, b0 + 6 AS b FROM kb
+          |  UNION ALL SELECT b0 + 1, b0 + 6 FROM kb
+          |  UNION ALL SELECT b0, b0 + 7 FROM kb
+          |  UNION ALL SELECT b0 + 6, b0 + 7 FROM kb),
+          |t0 AS (SELECT a, b FROM k6 UNION ALL SELECT a, b FROM pend),
+          |$peel,
+          |yf AS (SELECT a AS u, b AS v FROM t2 UNION ALL SELECT b, a FROM t2),
+          |sf AS (SELECT e.a, e.b, count(*) AS sup
+          |  FROM t2 e
+          |  JOIN yf n1 ON n1.u = e.a
+          |  JOIN yf n2 ON n2.u = e.b AND n2.v = n1.v
+          |  GROUP BY e.a, e.b)
+          |SELECT a, b, CAST(sup AS BIGINT) AS support
+          |FROM sf ORDER BY a, b""".stripMargin
+      },
+      bench = true),
+
     Q("graph_modularity",
       // partition-quality metric for the label-propagation communities:
       // per-community Newman modularity contribution Q_c = e_c/m −

@@ -286,6 +286,35 @@ class GraphSpec extends SparkSpec {
       (6L, 6L)), s"unexpected scc rows: $got")
   }
 
+  test("kTrussPeel: pendant triangle peels, K4 survives with support 2") {
+    // K4 on {1,2,3,4}: every edge in exactly 2 triangles → survives k=4.
+    // Pendant triangle {4,5,6}: each of its edges has support 1 → all
+    // three peel in round 1 (the triangle dies as a unit).
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("a", "b")
+    val got = Graph.kTrussPeel(edges, k = 4, rounds = 2)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == k4.map { case (a, b) => (a, b, 2L) },
+      s"unexpected truss edges: $got")
+  }
+
+  test("kTrussPeel: cascading unravel needs the second round") {
+    // K4 plus 5-{3,4} and 6-{4,5}: round 1 peels (5,6),(4,6),(3,5)
+    // (support 1 each) but (4,5) still sees common neighbors {3,6} =
+    // support 2 at peel time; only after the round-1 peel does it drop
+    // to 0 — round 2 (or the final zero-support straggler drop) takes
+    // it, and the K4 nucleus must come through untouched either way.
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)))
+      .toDF("a", "b")
+    for (rounds <- Seq(1, 2)) {
+      val got = Graph.kTrussPeel(edges, k = 4, rounds = rounds)
+        .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+      assert(got == k4.map { case (a, b) => (a, b, 2L) },
+        s"unexpected truss edges at rounds=$rounds: $got")
+    }
+  }
+
   test("sccColor: extra peels and rounds are idempotent; pure DAG is all singletons") {
     val dag = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
     val got = Graph.sccColor(dag, peels = 4, rounds = 6)
