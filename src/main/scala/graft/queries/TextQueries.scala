@@ -1097,12 +1097,18 @@ private[graft] object TextQueries {
         val docs = tbl(s, d, "documents")
           .select(col("doc_id"), lower(trim(col("text"))).as("t"))
         val mx = docs.agg(max("doc_id").as("mx"))
-        val toks = docs.crossJoin(broadcast(mx))
+        // ONE corpus scan: the (bucket, word) count table feeds both the
+        // token totals and the first-occurrence counts — without it the
+        // tokenize+explode subtree runs once per aggregate (two full
+        // corpus scans at 100 TB; the r12 plan audit caught exactly that)
+        val bw = docs.crossJoin(broadcast(mx))
           .select(expr("doc_id * 10 DIV (mx + 1)").as("b"),
             explode(split(col("t"), "\\s+")).as("w"))
           .filter(col("w") =!= "")
-        val perB = toks.groupBy("b").agg(count(lit(1)).as("ntok"))
-        val firstB = toks.groupBy("w").agg(min("b").as("b"))
+          .groupBy("b", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
+        val perB = bw.groupBy("b").agg(sum(col("c")).as("ntok"))
+        val firstB = bw.groupBy("w").agg(min("b").as("b"))
           .groupBy("b").agg(count(lit(1)).as("nnew"))
         val j = perB.join(firstB, Seq("b"), "left")
           .select(col("b"), col("ntok"),
