@@ -873,6 +873,89 @@ private[graft] object DashQueries {
       },
       bench = true),
 
+    Q("dash_kruskal_wallis",
+      // Kruskal-Wallis H beside dash_mann_whitney: the k-GROUP rank test
+      // (one-way ANOVA on ranks) — does order value differ across the 5
+      // order priorities? Same doubled-midrank machinery (rank2 from ONE
+      // range-partitioned running count over distinct price values; ties
+      // exact), then H from per-group rank sums:
+      //   H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1), tie-corrected by
+      //   (1 − ΣT/(N³−N)), χ²₄ at α=0.05 = 9.487729.
+      // With R2 = 2R the 12 collapses to 3. The per-group division
+      // R2_j²·1e6 DIV n_j is a FLOOR, not exact rationals (a common
+      // denominator across groups would need Πn_j) — deterministic in
+      // both engines because the oracle replays the identical DIV chain,
+      // the closeness_e6 convention. Output: the 5 per-group rank rows
+      // with the shared H verdict.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("v"))
+        val byVG = o.groupBy("v", "prio").agg(count(lit(1)).as("cg"))
+        val byV = byVG.groupBy("v").agg(sum(col("cg")).as("cnt"))
+          .withColumn("g", lit(0))
+        val ranked = graft.etl.Ids.groupedRunningSum(byV, Seq("g"),
+          Seq(col("v")), "cnt", "cum", "ntot")
+        val ranks = ranked.select(col("v"), col("cnt"),
+          (col("cum") * 2 - col("cnt") + 1).as("rank2"))
+        val perG = byVG.join(ranks, Seq("v"))
+          .groupBy("prio")
+          .agg(sum(col("cg")).as("n_j"),
+            sum(col("cg").cast("decimal(20,0)") * col("rank2")).as("r2_j"))
+        val ties = ranks.agg(sum(col("cnt").cast("decimal(20,0)")
+          * col("cnt") * col("cnt") - col("cnt")).as("tsum"))
+        val h = perG.crossJoin(broadcast(ties))
+          .selectExpr("n_j",
+            "CAST(r2_j * r2_j * 1000000 DIV n_j AS DECIMAL(38,0)) AS q_j",
+            "tsum")
+          .agg(sum(col("n_j")).as("nn"), sum(col("q_j")).as("s"),
+            max(col("tsum")).as("tsum"))
+          // greatest(·, 0) before the tie correction: H ≥ 0 by
+          // Cauchy-Schwarz, but the floor chain can land a hair below
+          // zero — and on a negative numerator Spark's DIV (truncate)
+          // and DuckDB's // (floor) would disagree by one
+          .selectExpr(
+            """CAST(greatest(3 * s DIV (CAST(nn AS DECIMAL(38,0)) * (nn + 1))
+              |  - 3 * (CAST(nn AS DECIMAL(38,0)) + 1) * 1000000,
+              |  CAST(0 AS DECIMAL(38,0)))
+              | * (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn)
+              | DIV greatest(CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - tsum,
+              |     CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS h_e6""".stripMargin)
+          .withColumn("significant", (col("h_e6") >= 9487729L).cast("boolean"))
+        perG.crossJoin(broadcast(h))
+          .selectExpr("prio", "CAST(n_j AS BIGINT) AS n_j",
+            "CAST(r2_j AS BIGINT) AS r2_j", "h_e6", "significant")
+          .orderBy("prio")
+      },
+      Some(
+        """WITH ko AS (SELECT o_orderpriority AS prio,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          |  FROM orders),
+          |kvg AS (SELECT v, prio, count(*) AS cg FROM ko GROUP BY 1, 2),
+          |kv AS (SELECT v, CAST(sum(cg) AS BIGINT) AS cnt FROM kvg GROUP BY 1),
+          |kr AS (SELECT v, cnt,
+          |    2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS rank2 FROM kv),
+          |kg AS (SELECT prio, CAST(sum(cg) AS HUGEINT) AS n_j,
+          |    sum(CAST(cg AS HUGEINT) * rank2) AS r2_j
+          |  FROM kvg JOIN kr USING (v) GROUP BY 1),
+          |kt AS (SELECT sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tsum
+          |  FROM kr),
+          |ka AS (SELECT CAST(sum(n_j) AS HUGEINT) AS nn,
+          |    sum(r2_j * r2_j * 1000000 // n_j) AS s,
+          |    max(tsum) AS tsum
+          |  FROM kg CROSS JOIN kt),
+          |kh AS (SELECT
+          |    CAST(greatest(3 * s // (nn * (nn + 1))
+          |        - 3 * (nn + 1) * 1000000, 0)
+          |      * (nn * nn * nn - nn)
+          |      // greatest(nn * nn * nn - nn - tsum, 1) AS BIGINT) AS h_e6
+          |  FROM ka)
+          |SELECT prio, CAST(n_j AS BIGINT) AS n_j, CAST(r2_j AS BIGINT) AS r2_j,
+          |  h_e6, CAST(h_e6 >= 9487729 AS BOOLEAN) AS significant
+          |FROM kg CROSS JOIN kh ORDER BY prio""".stripMargin),
+      bench = true),
+
     Q("dash_cuped_adjust",
       // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
       // variance-reduction face of the experimentation family: each
