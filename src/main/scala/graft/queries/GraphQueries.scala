@@ -802,9 +802,10 @@ private[graft] object GraphQueries {
       // never orders globally; the oracle never buckets); they must
       // agree because min-path weights are unique values regardless of
       // algorithm. Benched for the Spark side; the oracle's O(n²·|E|)
-      // list scans hit oracle_bench's 120 s cap at sf0.1 and are
-      // recorded as a ">= cap" lower bound (the dedup_ppjoin
-      // convention).
+      // list scans hit oracle_bench's 120 s cap at sf0.1 — measured
+      // UNCAPPED offline at 1993.26 s (tools/oracle_uncapped.json, min
+      // of 2 passes, the dedup_ppjoin convention) vs Spark's 7.8-9.9 s:
+      // a ~200× algorithmic win, the widest on the board.
       (s, d) => {
         val (nm, edges) = expressway(s, d)
         val sources = nm.filter(col("id") === col("mn")).select("id")
