@@ -20,6 +20,20 @@ import graft.queries.OracleShared._
   */
 private[graft] object DashQueries {
 
+  /** χ²₁ upper quantiles at p = i·0.05/25 for i = 1..25, floored e6 —
+    * the Benjamini-Hochberg step-up thresholds for m = 25 tests at
+    * α = 0.05 (p_(i) ≤ i·α/m ⟺ z²_(i) ≥ these). Computed offline as
+    * (Φ⁻¹(1 − p/2))² via the standard normal inverse CDF; data-
+    * independent constants, embeddable because the nation table is
+    * fixed at 25 rows for every SF. i = 25 reproduces the familiar
+    * χ²₁(0.05) ≈ 3.841459 (floored).
+    */
+  private val BH_CHI2_E6: Seq[Long] = Seq(
+    9549535L, 8283814L, 7550302L, 7033474L, 6634896L, 6310869L, 6038143L,
+    5802874L, 5596149L, 5411894L, 5245785L, 5094632L, 4956018L, 4828067L,
+    4709292L, 4598496L, 4494703L, 4397104L, 4305022L, 4217884L, 4135204L,
+    4056561L, 3981594L, 3909985L, 3841458L)
+
   val qs: Vector[Q] = Vector(
     Q("dash_share_by_purpose",
       (s, d) => Dashboard.shareByDim(transformChain(s, d), "purpose")
@@ -870,6 +884,99 @@ private[graft] object DashQueries {
            |  CAST(2 * na * nb - u2a AS BIGINT) AS u2_b,
            |  z2_e6, CAST(z2_e6 >= 3841459 AS BOOLEAN) AS significant
            |FROM mz ORDER BY na""".stripMargin
+      },
+      bench = true),
+
+    Q("dash_fdr_bh",
+      // Benjamini-Hochberg FDR (JRSS-B '95) across 25 per-nation
+      // experiments — the multiple-testing closer of the experimentation
+      // family (z-test → Mann-Whitney → Kruskal-Wallis → correct for
+      // running 25 of them): each nation gets the dash_abtest_ztest
+      // rational z², and BH's step-up "reject the i smallest p-values
+      // while p_(i) ≤ i·α/m" becomes, exactly, "rank z² DESCENDING and
+      // reject rank ≤ max{i : z²_(i) ≥ χ²₁(1 − i·α/m)}" — so the whole
+      // procedure runs on exact integers against an EMBEDDED quantile
+      // table (χ²₁ upper quantiles at i·0.002, i = 1..25, floored e6;
+      // m = 25 is the fixed nation-table cardinality at every SF, which
+      // is what lets the table be a literal). Ranking 25 rows uses the
+      // range-partitioned running count, not a global window — same
+      // machinery, zero new shapes. Null split ⇒ expect few/no
+      // rejections; whatever crosses does so identically in the oracle.
+      (s, d) => {
+        import s.implicits._
+        val conv = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("converted"))
+          .withColumn("variant",
+            pmod(graft.analytics.Sketch.hashPoint32(
+              concat(col("ck").cast("string"), lit("#ab"))), lit(2L)))
+          .join(tbl(s, d, "customer")
+            .select(col("c_custkey").as("ck"), col("c_nationkey").as("nation")),
+            Seq("ck"))
+        val byNation = conv.groupBy("nation")
+          .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("ca"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("cb"))
+          .selectExpr("nation",
+            """CAST(CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
+              |     CAST(ca * nb - cb * na AS DECIMAL(38,0)) *
+              |     CAST(na + nb AS DECIMAL(38,0)) * 1000000
+              | DIV greatest(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) *
+              |      CAST(ca + cb AS DECIMAL(38,0)) *
+              |      CAST(na + nb - ca - cb AS DECIMAL(38,0)),
+              |      CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS z2_e6""".stripMargin)
+          .withColumn("one", lit(1L)).withColumn("g", lit(0))
+          .withColumn("nz", -col("z2_e6"))
+        val ranked = graft.etl.Ids.groupedRunningSum(byNation, Seq("g"),
+            Seq(col("nz"), col("nation")), "one", "rank", "ntot")
+          .select("nation", "z2_e6", "rank")
+        val thr = BH_CHI2_E6.zipWithIndex
+          .map { case (t, i) => (i + 1L, t) }
+          .toDF("rank", "thr_e6")
+        val flagged = ranked.join(broadcast(thr), Seq("rank"))
+        val kmax = flagged
+          .agg(coalesce(max(when(col("z2_e6") >= col("thr_e6"), col("rank"))),
+            lit(0L)).as("kmax"))
+        flagged.crossJoin(broadcast(kmax))
+          .select(col("rank"), col("nation"), col("z2_e6"), col("thr_e6"),
+            (col("rank") <= col("kmax")).as("rejected"))
+          .orderBy("rank")
+      },
+      Some {
+        val h = graft.queries.OracleShared.hx("md5(CAST(ck AS VARCHAR) || '#ab')")
+        val thrRows = BH_CHI2_E6.zipWithIndex
+          .map { case (t, i) => s"(${i + 1}, $t)" }.mkString(", ")
+        s"""WITH fc AS (
+           |  SELECT o_custkey AS ck,
+           |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS converted
+           |  FROM orders GROUP BY 1),
+           |fv AS (SELECT c.c_nationkey AS nation, converted, ($h) % 2 AS variant
+           |  FROM fc JOIN customer c ON c.c_custkey = fc.ck),
+           |fn AS (SELECT nation,
+           |  CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |  CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS ca,
+           |  CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           |  CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS cb
+           |  FROM fv GROUP BY 1),
+           |fz AS (SELECT nation,
+           |  CAST(CAST(ca * nb - cb * na AS HUGEINT) * CAST(ca * nb - cb * na AS HUGEINT)
+           |       * CAST(na + nb AS HUGEINT) * 1000000
+           |    // greatest(CAST(na AS HUGEINT) * nb * (ca + cb) * (na + nb - ca - cb), 1)
+           |    AS BIGINT) AS z2_e6
+           |  FROM fn),
+           |fr AS (SELECT nation, z2_e6,
+           |    row_number() OVER (ORDER BY z2_e6 DESC, nation) AS rank FROM fz),
+           |ft(rank, thr_e6) AS (VALUES $thrRows),
+           |ff AS (SELECT fr.rank, fr.nation, fr.z2_e6, ft.thr_e6
+           |  FROM fr JOIN ft ON ft.rank = fr.rank),
+           |fk AS (SELECT coalesce(max(CASE WHEN z2_e6 >= thr_e6
+           |    THEN rank END), 0) AS kmax FROM ff)
+           |SELECT CAST(rank AS BIGINT) AS rank, nation, z2_e6,
+           |  CAST(thr_e6 AS BIGINT) AS thr_e6,
+           |  rank <= kmax AS rejected
+           |FROM ff CROSS JOIN fk ORDER BY rank""".stripMargin
       },
       bench = true),
 
