@@ -887,6 +887,93 @@ private[graft] object DashQueries {
       },
       bench = true),
 
+    Q("dash_did",
+      // difference-in-differences — the causal-inference face beside the
+      // testing family: md5-parity customer split (the same '#ab'
+      // experiment), a fixed policy date (1998-01-01) cutting every
+      // order into pre/post, metric = mean order value. DiD = (Ā₁−Ā₀) −
+      // (B̄₁−B̄₀) as ONE cross-multiplied DECIMAL(38,0)/HUGEINT rational
+      // (exact through ~sf1, nearing 38 digits by sf10 — the
+      // dash_abtest_ztest headroom family). The null split means the
+      // estimate is pure noise around 0 — and both engines compute THE
+      // SAME noise. Output: the four (variant, period) cells with their
+      // exact sums and e6 means, each row carrying the shared did_e6.
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+          .select(col("o_custkey").as("ck"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("v"),
+            when(col("o_orderdate") >= lit("1998-01-01"), 1L)
+              .otherwise(0L).as("period"))
+          .withColumn("variant",
+            pmod(graft.analytics.Sketch.hashPoint32(
+              concat(col("ck").cast("string"), lit("#ab"))), lit(2L)))
+        val cells = o.groupBy("variant", "period")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_c"))
+        val wide = cells.agg(
+          sum(when(col("variant") === 0 && col("period") === 0, col("n"))).as("na0"),
+          sum(when(col("variant") === 0 && col("period") === 0, col("sum_c"))).as("sa0"),
+          sum(when(col("variant") === 0 && col("period") === 1, col("n"))).as("na1"),
+          sum(when(col("variant") === 0 && col("period") === 1, col("sum_c"))).as("sa1"),
+          sum(when(col("variant") === 1 && col("period") === 0, col("n"))).as("nb0"),
+          sum(when(col("variant") === 1 && col("period") === 0, col("sum_c"))).as("sb0"),
+          sum(when(col("variant") === 1 && col("period") === 1, col("n"))).as("nb1"),
+          sum(when(col("variant") === 1 && col("period") === 1, col("sum_c"))).as("sb1"))
+        // one combined rational over the common denominator, then
+        // sign·(abs DIV den): the numerator is SIGNED, and on negatives
+        // Spark's DIV truncates where DuckDB's // floors — dividing the
+        // absolute value keeps both engines on the same floor
+        val did = wide.selectExpr(
+            """((CAST(sa1 AS DECIMAL(38,0)) * na0 - CAST(sa0 AS DECIMAL(38,0)) * na1)
+              |   * nb0 * nb1
+              | - (CAST(sb1 AS DECIMAL(38,0)) * nb0 - CAST(sb0 AS DECIMAL(38,0)) * nb1)
+              |   * na0 * na1) AS num""".stripMargin,
+            "(CAST(na0 AS DECIMAL(38,0)) * na1 * nb0 * nb1) AS den")
+          .selectExpr(
+            """CAST(CASE WHEN num >= 0 THEN num * 1000000 DIV den
+              | ELSE -((-num) * 1000000 DIV den) END AS BIGINT) AS did_e6""".stripMargin)
+        cells.crossJoin(broadcast(did))
+          .selectExpr("variant", "period", "n", "sum_c",
+            "CAST(sum_c * 1000000 DIV n AS BIGINT) AS mean_c_e6", "did_e6")
+          .orderBy("variant", "period")
+      },
+      Some {
+        val h = graft.queries.OracleShared.hx("md5(CAST(ck AS VARCHAR) || '#ab')")
+        s"""WITH dd AS (SELECT o_custkey AS ck,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           |    CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END AS period
+           |  FROM orders),
+           |dv AS (SELECT v, period, ($h) % 2 AS variant FROM dd),
+           |dc AS (SELECT variant, period, count(*) AS n,
+           |    CAST(sum(v) AS BIGINT) AS sum_c
+           |  FROM dv GROUP BY 1, 2),
+           |dw AS (SELECT
+           |    max(CASE WHEN variant = 0 AND period = 0 THEN n END) AS na0,
+           |    max(CASE WHEN variant = 0 AND period = 0 THEN sum_c END) AS sa0,
+           |    max(CASE WHEN variant = 0 AND period = 1 THEN n END) AS na1,
+           |    max(CASE WHEN variant = 0 AND period = 1 THEN sum_c END) AS sa1,
+           |    max(CASE WHEN variant = 1 AND period = 0 THEN n END) AS nb0,
+           |    max(CASE WHEN variant = 1 AND period = 0 THEN sum_c END) AS sb0,
+           |    max(CASE WHEN variant = 1 AND period = 1 THEN n END) AS nb1,
+           |    max(CASE WHEN variant = 1 AND period = 1 THEN sum_c END) AS sb1
+           |  FROM dc),
+           |dn AS (SELECT
+           |    (CAST(sa1 AS HUGEINT) * na0 - CAST(sa0 AS HUGEINT) * na1)
+           |      * nb0 * nb1
+           |    - (CAST(sb1 AS HUGEINT) * nb0 - CAST(sb0 AS HUGEINT) * nb1)
+           |      * na0 * na1 AS num,
+           |    CAST(na0 AS HUGEINT) * na1 * nb0 * nb1 AS den
+           |  FROM dw),
+           |dx AS (SELECT CAST(CASE WHEN num >= 0 THEN num * 1000000 // den
+           |    ELSE -((-num) * 1000000 // den) END AS BIGINT) AS did_e6
+           |  FROM dn)
+           |SELECT CAST(variant AS BIGINT) AS variant,
+           |  CAST(period AS BIGINT) AS period, n, sum_c,
+           |  CAST(sum_c * 1000000 // n AS BIGINT) AS mean_c_e6, did_e6
+           |FROM dc CROSS JOIN dx ORDER BY variant, period""".stripMargin
+      },
+      bench = true),
+
     Q("dash_fdr_bh",
       // Benjamini-Hochberg FDR (JRSS-B '95) across 25 per-nation
       // experiments — the multiple-testing closer of the experimentation
