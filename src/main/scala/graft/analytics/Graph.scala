@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Distributed graph primitives over edge-list DataFrames — the iterative
   * companion to the label-propagation connected components in
@@ -61,14 +62,14 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(false)
+      .truncateLineage()
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // (id, outdeg|null) — null outdeg marks a dangling node
-    val nodeDeg = nodes.join(outdeg, Seq("id"), "left").localCheckpoint(false)
+    val nodeDeg = nodes.join(outdeg, Seq("id"), "left").truncateLineage()
 
     val n = nodeDeg.count() // one action up front; N is part of the formula
     require(n > 0, "pageRank: empty graph")
@@ -91,7 +92,7 @@ object Graph {
           (lit(base) + expr(
             s"(85L * (coalesce(__in, 0L) + (__dang DIV ${n}L))) DIV 100L"))
             .as("r"))
-        .localCheckpoint(false) // lazy: terminal action materializes it
+        .truncateLineage() // lazy: terminal action materializes it
     }
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
@@ -118,7 +119,7 @@ object Graph {
       iterations: Int): DataFrame = {
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src").as("id"))
@@ -126,7 +127,7 @@ object Graph {
     val sd = seeds.toDF("id").select(col("id").cast("long")).distinct()
     val nodeDeg = nodes.join(outdeg, Seq("id"), "left")
       .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
-      .localCheckpoint(false)
+      .truncateLineage()
 
     val nS = nodeDeg.filter(col("__s").isNotNull).count()
     require(nS > 0, "personalizedPageRank: no seed is a graph node")
@@ -150,7 +151,7 @@ object Graph {
                |  THEN ${base}L + (85L * (coalesce(__in, 0L) + (__dang DIV ${nS}L))) DIV 100L
                |  ELSE (85L * coalesce(__in, 0L)) DIV 100L END""".stripMargin)
             .as("r"))
-        .localCheckpoint(false)
+        .truncateLineage()
     }
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
@@ -177,7 +178,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val E6 = 1000000L
     var hubs = e.select(col("src").as("id")).distinct()
       .withColumn("h", lit(E6))
@@ -188,13 +189,13 @@ object Graph {
       val amax = aRaw.agg(max(col("ar")).as("m"))
       auth = aRaw.crossJoin(broadcast(amax))
         .select(col("id"), expr(s"(ar * ${E6}L) DIV m").as("a"))
-        .localCheckpoint(false)
+        .truncateLineage()
       val hRaw = e.join(auth, e("dst") === auth("id"))
         .groupBy(e("src").as("id")).agg(sum(col("a")).as("hr"))
       val hmax = hRaw.agg(max(col("hr")).as("m"))
       hubs = hRaw.crossJoin(broadcast(hmax))
         .select(col("id"), expr(s"(hr * ${E6}L) DIV m").as("h"))
-        .localCheckpoint(false)
+        .truncateLineage()
     }
     auth.select(col("id"), lit("auth").as("kind"), col("a").as("score_e6"))
       .union(hubs.select(col("id"), lit("hub").as("kind"),
@@ -223,14 +224,14 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     var dist = seeds.toDF("id").select(col("id").cast("long")).distinct()
       .withColumn("hop", lit(0L))
-      .localCheckpoint(false)
+      .truncateLineage()
     var frontier = dist
     for (h <- 1 to maxHops) {
       val next = bfsStep(frontier, dist, e, h, lmKeyed = false)
-        .localCheckpoint(false)
+        .truncateLineage()
       dist = dist.union(next)
       frontier = next
     }
@@ -279,18 +280,18 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     var dist = seeds.toDF("lm", "id")
       .select(col("lm").cast("long"), col("id").cast("long")).distinct()
       .withColumn("hop", lit(0L))
-      .localCheckpoint(false)
+      .truncateLineage()
     var frontier = dist
     for (h <- 1 to maxHops) {
       // Frontier-incremental via [[bfsStep]]: a (lm, id) pair is settled
       // at first discovery — the full k·|V| table is never re-shuffled
       // through an aggregate, only per-hop slices are checkpointed.
       val next = bfsStep(frontier, dist, e, h, lmKeyed = true)
-        .localCheckpoint(false)
+        .truncateLineage()
       dist = dist.union(next)
       frontier = next
     }
@@ -342,10 +343,10 @@ object Graph {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long"), col("b").cast("long"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(false)
+      .truncateLineage()
     var lab = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(false)
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       val nbr = sym.join(lab, sym("b") === lab("id"))
         .select(sym("a").as("id"), col("lbl"))
@@ -354,7 +355,7 @@ object Graph {
         .groupBy("id")
         .agg(max_by(struct(col("lbl")),
           struct(col("c"), (-col("lbl")).as("nl"))).getField("lbl").as("lbl"))
-        .localCheckpoint(false)
+        .truncateLineage()
     }
     lab.select(col("id"), col("lbl").as("community"))
   }
@@ -443,7 +444,7 @@ object Graph {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .localCheckpoint(false)
+      .truncateLineage()
     // wedges at apex u emit BOTH orderings of (v, w): the closing edge is
     // oriented by (deg, id) — not by raw id — so exactly one of the two
     // orderings can match it. Each triangle {a<b<c in (deg,id) order} has
@@ -475,7 +476,7 @@ object Graph {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val closed = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.u") === col("e2.u"))
       .filter(col("e1.v") =!= col("e2.v"))
@@ -507,11 +508,21 @@ object Graph {
     */
   def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3 && rounds >= 1, s"need k >= 3, rounds >= 1: $k/$rounds")
-    var e = pairs.toDF("a", "b").localCheckpoint(false)
+    // Enforce the canonical contract instead of trusting it: a duplicate
+    // or (b, a) mirror row would double-count every support it touches
+    // and silently survive peels it shouldn't (r12 ADVICE). least/greatest
+    // + distinct is one aggregation on the edge key — noise next to the
+    // wedge joins — and a no-op on already-canonical input.
+    var e = pairs.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")) // self-loops sit in no triangle
+      .distinct()
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       val keep = edgeSupport(e).filter(col("support") >= k - 2)
         .select("a", "b")
-      e = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint(false)
+      e = e.join(keep, Seq("a", "b"), "left_semi").truncateLineage()
     }
     e.join(edgeSupport(e), Seq("a", "b"))
   }
@@ -546,14 +557,14 @@ object Graph {
     var st = nodes.select(col("id").cast("long"),
         col("parent").cast("long").as("anc"))
       .withColumn("d", when(col("anc") === col("id"), 0L).otherwise(1L))
-      .localCheckpoint(false)
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       val b = st.select(col("id").as("b_id"), col("anc").as("b_anc"),
         col("d").as("b_d"))
       st = st.join(b, col("anc") === col("b_id"))
         .select(col("id"), col("b_anc").as("anc"),
           (col("d") + col("b_d")).as("d"))
-        .localCheckpoint(false) // lazy: terminal action materializes it
+        .truncateLineage() // lazy: terminal action materializes it
     }
     st.select(col("id"), col("anc").as("root"), col("d").as("depth"))
   }
@@ -585,11 +596,11 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("w"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     var mst = edges.filter(lit(false)).select("a", "b", "w")
-      .localCheckpoint(false)
+      .truncateLineage()
     var comp = ids.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     var done = false
     var r = 0
     while (!done && r < maxRounds) {
@@ -597,7 +608,7 @@ object Graph {
         .join(comp.select(col("id").as("a"), col("component").as("ca")), "a")
         .join(comp.select(col("id").as("b"), col("component").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
-        .localCheckpoint(false) // read twice by the union below
+        .truncateLineage() // read twice by the union below
       // each component's minimum crossing edge under (w, a, b); the edge's
       // endpoint components ride in the struct so the contraction below
       // never has to re-join comp; two components picking the same edge
@@ -612,7 +623,7 @@ object Graph {
         .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
           col("e.ca").as("ca"), col("e.cb").as("cb"))
         .distinct()
-        .localCheckpoint(false)
+        .truncateLineage()
       // the per-round probe doubles as the materializing action for this
       // round's checkpoint chain AND as the early exit: an empty pick
       // means the forest is complete, and running further no-op rounds
@@ -622,7 +633,7 @@ object Graph {
       if (pick.count() == 0L) {
         done = true
       } else {
-        mst = mst.union(pick.select("a", "b", "w")).localCheckpoint(false)
+        mst = mst.union(pick.select("a", "b", "w")).truncateLineage()
         // CONTRACT, never re-derive: connected components run over the
         // component graph of this round's picks — a frame that at least
         // halves every round — and node labels update through the
@@ -640,7 +651,7 @@ object Graph {
         comp = comp.join(cmap, Seq("component"), "left")
           .select(col("id"),
             coalesce(col("__nc"), col("component")).as("component"))
-          .localCheckpoint()
+          .truncateLineage(eager = true)
       }
       r += 1
     }
@@ -721,17 +732,17 @@ object Graph {
     val e = edges.toDF("src", "dst", "w").select(col("src").cast("long"),
       col("dst").cast("long"), col("w").cast("long"))
     // split once, checkpoint eagerly: both halves are re-read every round
-    val light = e.filter(col("w") <= delta).localCheckpoint()
-    val heavy = e.filter(col("w") > delta).localCheckpoint()
+    val light = e.filter(col("w") <= delta).truncateLineage(eager = true)
+    val heavy = e.filter(col("w") > delta).truncateLineage(eager = true)
     var dist = seed
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     // merge an improvement delta into the distance table: replaced rows
     // leave via the anti-join, improved/new rows enter via the union
     def merge(improved: DataFrame): DataFrame =
       dist.join(improved.select(keys.map(col): _*), keys, "left_anti")
         .union(improved)
-        .localCheckpoint() // eager: read 2-3 times in the following round
+        .truncateLineage(eager = true) // eager: read 2-3 times in the following round
     // one relaxation round: frontier × edgeHalf → per-(lm, dst) min
     // candidate, kept only where it beats (or first sets) the current
     // distance. Relaxation stays within a landmark: the landmark key
@@ -744,7 +755,7 @@ object Graph {
       cand.join(dist.withColumnRenamed("dist", "od"), keys, "left")
         .filter(col("od").isNull || col("nd") < col("od"))
         .select(keys.map(col) :+ col("nd").as("dist"): _*)
-        .localCheckpoint() // eager: the count probe + merge + next frontier
+        .truncateLineage(eager = true) // eager: the count probe + merge + next frontier
     }
     var rounds = 0
     var boundOpt: Option[Long] = Some(0L) // current bucket = [bound, bound+Δ)
@@ -835,19 +846,19 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val sigma0 = seeds.toDF("lm", "id")
       .select(col("lm").cast("long"), col("id").cast("long")).distinct()
       .withColumn("hop", lit(0))
       .withColumn("sigma", lit(1L).cast("decimal(20,0)"))
-      .localCheckpoint(false)
+      .truncateLineage()
     // forward: per-layer σ. `settled` accumulates (lm,id,hop,σ); the
     // frontier is always exactly the last layer, so each round shuffles
     // O(frontier×degree) expansion rows — never the settled table.
     var layers = Vector(sigma0)
     var settled = sigma0
     for (h <- 1 to maxHops) {
-      val next = sigmaStep(layers.last, settled, e, h).localCheckpoint(false)
+      val next = sigmaStep(layers.last, settled, e, h).truncateLineage()
       layers = layers :+ next
       settled = settled.union(next)
     }
@@ -855,7 +866,7 @@ object Graph {
     // successors all sit in layer h+1, so one join against the previous
     // P-layer suffices; nodes with no in-bound successors keep P = 0.
     var pLayers = Vector(layers(maxHops).select(col("lm"), col("id"),
-      lit(0L).cast("decimal(20,0)").as("p")).localCheckpoint(false))
+      lit(0L).cast("decimal(20,0)").as("p")).truncateLineage())
     for (h <- (maxHops - 1) to 0 by -1) {
       val cur = layers(h)
       val deeperP = pLayers.head
@@ -868,7 +879,7 @@ object Graph {
         .join(contrib, Seq("lm", "id"), "left")
         .select(col("lm"), col("id"),
           coalesce(col("p"), lit(0).cast("decimal(20,0)")).as("p"))
-        .localCheckpoint(false)
+        .truncateLineage()
       pLayers = pCur +: pLayers
     }
     val p = pLayers.reduce(_ union _)
@@ -925,10 +936,10 @@ object Graph {
     require(peels >= 1 && rounds >= 1, s"budgets must be >= 1: $peels/$rounds")
     var e = edges.toDF("src", "dst").select(
       col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(false)
+      .distinct().truncateLineage()
     var nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(false)
+      .truncateLineage()
     var out: Option[DataFrame] = None
     for (_ <- 1 to peels) {
       // F: labels flow AGAINST edges (v inherits what its successors
@@ -950,10 +961,10 @@ object Graph {
           lit(1).as("dir")))
         .union(nodes.crossJoin(dirs)
           .select(col("id").as("from"), col("id").as("to"), col("dir")))
-        .localCheckpoint(false)
+        .truncateLineage()
       var lab = nodes.select(col("id"), col("id").as("lab")).crossJoin(dirs)
       for (_ <- 1 to rounds) {
-        lab = sccRound(lab, ebi).localCheckpoint(false)
+        lab = sccRound(lab, ebi).truncateLineage()
       }
       val f = lab.filter(col("dir") === 0).select(col("id"),
         col("lab").as("fmin"))
@@ -962,13 +973,13 @@ object Graph {
       val both = f.join(bk, Seq("id"))
       val settled = both.filter(col("fmin") === col("bmin"))
         .select(col("id"), col("fmin").as("scc"))
-        .localCheckpoint(false)
+        .truncateLineage()
       out = Some(out.fold(settled)(_ union settled))
       nodes = both.filter(col("fmin") =!= col("bmin")).select("id")
-        .localCheckpoint(false)
+        .truncateLineage()
       e = e.join(nodes.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(nodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst").localCheckpoint(false)
+        .select("src", "dst").truncateLineage()
     }
     out.get
   }
@@ -977,7 +988,13 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
+    // same canonical-form enforcement as kTrussPeel: a mirror/duplicate
+    // row inflates both endpoints' degrees and changes who survives the
+    // peel; normalizing at entry makes the documented contract total.
     var edges = pairs.select(col("a"), col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
     var r = 0
     while (r < rounds) {
       val keep = degrees(edges).filter(col("deg") >= k).select("id")

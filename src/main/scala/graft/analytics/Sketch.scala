@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Deterministic cardinality sketching.
   *
@@ -398,7 +399,7 @@ object Sketch {
         coalesce(key2.cast("string"), lit("NULL")).as("k2"),
         substring(mh, 1, p.bucketHexChars).as("bucket"), rho.as("rho"))
       .groupBy("k1", "k2", "bucket").agg(max(col("rho")).as("rmax"))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     def est(keys: Seq[String]): DataFrame = {
       val merged = fine.groupBy((keys :+ "bucket").map(col): _*)
         .agg(max(col("rmax")).as("rmax"))

@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import graft.util.Lineage._
 
 /** Global contiguous id assignment — the operation behind "number every
   * row of a 100 TB table in key order".
@@ -100,7 +101,7 @@ object Ids {
       case Some(n) => df.repartitionByRange(n, sortCols: _*)
       case None => df.repartitionByRange(sortCols: _*)
     }
-    val sorted = ranged.sortWithinPartitions(sortCols: _*).localCheckpoint()
+    val sorted = ranged.sortWithinPartitions(sortCols: _*).truncateLineage(eager = true)
     val vIdx = sorted.schema.fieldIndex(valueCol)
     sorted.schema(vIdx).dataType match {
       case LongType | IntegerType => ()
@@ -183,7 +184,7 @@ object Ids {
       case Some(n) => df.repartitionByRange(n, keys: _*)
       case None => df.repartitionByRange(keys: _*)
     }
-    val sorted = ranged.sortWithinPartitions(keys: _*).localCheckpoint()
+    val sorted = ranged.sortWithinPartitions(keys: _*).truncateLineage(eager = true)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     val wIdx = sorted.schema.fieldIndex(weightCol)
     // validate the weight column ONCE, up front: a non-integral type (or

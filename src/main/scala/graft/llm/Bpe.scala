@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Byte-pair-encoding merge learning (Sennrich et al., ACL'16) — the
   * tokenizer-training step of an LLM data pipeline, run where it belongs
@@ -60,7 +61,7 @@ object Bpe {
     require(k >= 1, s"k must be >= 1, got $k")
     var words = words0
       .select(col("w"), charSyms(col("w")).as("sym"), col("freq"))
-      .localCheckpoint(false)
+      .truncateLineage()
     var merges: DataFrame = null
     for (step <- 1 to k) {
       val counts = words
@@ -74,7 +75,7 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
       val top = counts
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .localCheckpoint(false)
+        .truncateLineage()
       val stepRow = top.select(lit(step).cast("long").as("step"),
         col("l").as("left_sym"), col("r").as("right_sym"), col("cnt").as("pair_count"))
       merges = if (merges == null) stepRow else merges.union(stepRow)
@@ -85,7 +86,7 @@ object Bpe {
             concat(lit(Sep), col("_ml"), lit(Sep), lit(Sep), col("_mr"), lit(Sep)),
             concat(lit(Sep), col("_ml"), col("_mr"), lit(Sep))).as("sym"),
           col("freq"))
-        .localCheckpoint(false)
+        .truncateLineage()
     }
     (merges, words)
   }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** In-engine linear-classifier training as pure DataFrame aggregations —
   * the quality-classifier stage of a pretraining-data pipeline (the
@@ -89,9 +90,9 @@ object Classifier {
       iters: Int): PerceptronResult = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val fx = feats.select(col("doc_id"), col("f"), col("cnt").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val y = labels.select(col("doc_id"), col("y").cast("long"))
-      .localCheckpoint(false)
+      .truncateLineage()
     var w = fx.sparkSession.range(0).select(col("id").as("f"),
       col("id").as("w")) // empty (f, w): round-0 weights are all zero
     var best = w
@@ -99,7 +100,7 @@ object Classifier {
     var bestRound = 0
     val curve = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (r <- 0 to iters) {
-      val miss = missOf(scores(fx, y, w)).localCheckpoint(false)
+      val miss = missOf(scores(fx, y, w)).truncateLineage()
       val n = miss.count() // the one scalar action per round
       curve += n
       if (n < bestMiss) { bestMiss = n; best = w; bestRound = r }
@@ -116,7 +117,7 @@ object Classifier {
           .select(col("f"),
             (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L))).as("w"))
           .filter(col("w") =!= 0L)
-          .localCheckpoint(false)
+          .truncateLineage()
       }
     }
     PerceptronResult(best, curve.toSeq, bestRound)

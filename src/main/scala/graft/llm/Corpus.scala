@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Corpus-preparation operators for training-data pipelines: deterministic
   * split assignment, capacity-based sequence packing, and distribution
@@ -522,7 +523,7 @@ object Corpus {
       .withColumn("b", pmod(
         conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(buckets.toLong)))
-      .localCheckpoint(false) // one tokenize pass feeds counts AND tf
+      .truncateLineage() // one tokenize pass feeds counts AND tf
     val cnt = toks.groupBy("b").agg(
       count(lit(1)).as("raw_c"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_c"))

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
   * SimHash, and n-gram Jaccard.
@@ -540,7 +541,7 @@ object Dedup {
     val edges = pairs.toDF("a", "b")
       .union(pairs.toDF("b", "a").select(col("a"), col("b")))
       .distinct()
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     // iterate ONLY over edge-touched nodes: near-dup graphs touch a small
     // fraction of a corpus, and isolated nodes' labels never change — a
     // 100 TB corpus with 1% near-dups shouldn't drag 99% of its ids
@@ -548,7 +549,7 @@ object Dedup {
     // in the final projection.
     // lazy: round 1's probe action materializes this along with its own work
     var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint(false)
+      .select(col("id"), col("id").as("component")).truncateLineage()
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -565,7 +566,7 @@ object Dedup {
             .as("component"),
           (coalesce(col("__nbr"), col("component")) < col("component"))
             .as("__chg"))
-        .localCheckpoint(false)
+        .truncateLineage()
       converged = next.filter(col("__chg")).count() == 0L
       labels = next.drop("__chg")
       it += 1
@@ -657,7 +658,7 @@ object Dedup {
     var edges = pairs.toDF("a", "b").filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
-      .distinct().localCheckpoint()
+      .distinct().truncateLineage(eager = true)
     var edgeCount = edges.count()
     var converged = edgeCount == 0L // an edgeless graph is already stars
     var it = 0
@@ -671,7 +672,7 @@ object Dedup {
       val afterLarge = sym.join(mLarge, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct().localCheckpoint(false)
+        .distinct().truncateLineage()
       // small-star on hi→lo: m = min of u's smaller neighbors; relink
       // those neighbors (less m itself) and u to m. All emitted edges
       // keep hi > lo by construction.
@@ -680,7 +681,7 @@ object Dedup {
         .filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(mSmall.select(col("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint(false)
+        .distinct().truncateLineage()
       // Fixed-point probe in ONE action (VERDICT r4 §wrong.2 replaced a
       // count + exceptAll double scan): both edge sets are distinct, so
       // next == edges iff |next \ edges| = 0 AND |next| equals the prior
@@ -1014,7 +1015,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("s"))
       .filter(size(col("s")) >= 1)
       .withColumn("n", size(col("s")))
-      .localCheckpoint(false) // reused by prefix build AND verification
+      .truncateLineage() // reused by prefix build AND verification
     val tokDf = ts.select(explode(col("s")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val rarity = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -121,7 +122,7 @@ object Similarity {
   def mmrRerank(pool: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val p = pool.select(col("query_id"), col("id"),
-      col("rel_e6").cast("long"), col("v")).localCheckpoint(false)
+      col("rel_e6").cast("long"), col("v")).truncateLineage()
     var sel: DataFrame = null // (query_id, id, rk, rel_e6, mmr_e7)
     for (r <- 1 to k) {
       val cand = if (sel == null) p
@@ -146,7 +147,7 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("id"), lit(r.toLong).as("rk"),
           col("rel_e6"), col("mmr_e7"))
-      sel = (if (sel == null) pick else sel.union(pick)).localCheckpoint(false)
+      sel = (if (sel == null) pick else sel.union(pick)).truncateLineage()
     }
     sel.select(col("query_id"), col("rk"), col("id"), col("rel_e6"),
       col("mmr_e7")).orderBy(col("query_id"), col("rk"))
@@ -580,7 +581,7 @@ object Similarity {
       .withColumn("sim", cosineE6Mixed(col("v"), col("cd")))
       .filter(col("sim").isNotNull)
       .select("id", "cell", "sim")
-      .localCheckpoint(false) // scored once, read by argmax AND second-max
+      .truncateLineage() // scored once, read by argmax AND second-max
     val best = sims.groupBy("id")
       .agg(max_by(struct(col("cell"), col("sim")),
         struct(col("sim"), (-col("cell")).as("nc"))).as("r"))
@@ -1330,7 +1331,7 @@ object Similarity {
     // round exact-scores only pairs NOT already scored (anti-join), so a
     // hot LSH bucket's quadratic pair set is never scored twice
     val s0 = score(cand0)
-      .select("query_id", "neighbor_id", "sim_e6").localCheckpoint()
+      .select("query_id", "neighbor_id", "sim_e6").truncateLineage(eager = true)
     val knn0 = topKSelect(s0, k).select("query_id", "neighbor_id")
     val sym = knn0.unionAll(knn0.select(col("neighbor_id").as("query_id"),
       col("query_id").as("neighbor_id")))

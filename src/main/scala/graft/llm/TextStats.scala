@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Lineage._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * token counting, quality scoring, language ID, content fingerprinting.
@@ -263,13 +264,13 @@ object TextStats {
     val tf = tokens(docs, textCol, idCol)
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val totN = docs.agg(count(lit(1)).as("__n"))
     val imp = tf.join(broadcast(dfc), "tok").crossJoin(broadcast(totN))
       .select(col("doc_id"), col("tok"),
         expr("tf * ((__n * 1000000) DIV df)").as("impact"))
-      .localCheckpoint()
+      .truncateLineage(eager = true)
 
     // per-term upper bounds (|terms| rows); the essential term is the max
     val ub = imp.groupBy("tok").agg(max(col("impact")).as("ub"))
@@ -383,7 +384,7 @@ object TextStats {
       tots: DataFrame): DataFrame = {
     val tf = toks.join(broadcast(tokSet.select("tok")), Seq("tok"), "left_semi")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .truncateLineage()
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "tok")
       .join(lens, "doc_id")
@@ -446,20 +447,20 @@ object TextStats {
       idCol: String = "doc_id"): DataFrame = {
     require(fb >= 1, s"fb must be >= 1, got $fb")
     require(m >= 1, s"m must be >= 1, got $m")
-    val qt = queryBags.toDF("query_id", "tok").localCheckpoint(false)
+    val qt = queryBags.toDF("query_id", "tok").truncateLineage()
     // tokenize the corpus ONCE for all retrieval rounds: the exploded
     // frame is lazily localCheckpoint'd, so round one, the feedback
     // harvest, and the incremental rescore all read the same materialized
     // tokens instead of re-running the explode per round (the standard
     // cache-the-tokenized-corpus tradeoff of any multi-round retrieval)
-    val toks = tokens(docs, textCol, idCol).localCheckpoint(false)
+    val toks = tokens(docs, textCol, idCol).truncateLineage()
     val (lens, tots) = lensAndTotals(docs, textCol, idCol)
     // round one: exact pair scores, kept (lazily checkpointed) because
     // BM25 is ADDITIVE over bag tokens — the final round never re-scores
     // the original bag, it only adds the expansion tokens' contributions
     val pair1 = bm25PairScores(docs, qt, textCol, idCol, Some(toks),
         Some((lens, tots)))
-      .localCheckpoint(false)
+      .truncateLineage()
     val top = graft.plans.TopK.perGroup(pair1, Seq("query_id"),
         col("score_e6"), col("doc_id"), fb)
       .select(col("query_id"), col("doc_id"))
@@ -475,7 +476,7 @@ object TextStats {
     val dfCand = toks.join(broadcast(candToks), Seq("tok"), "left_semi")
       .select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-      .localCheckpoint(false) // feeds the harvest AND the rescore parts
+      .truncateLineage() // feeds the harvest AND the rescore parts
     val cand = top.join(tfFb, "doc_id")
       // only NEW tokens expand; broadcast the thin bag so the anti-join
       // is a hash probe, not a shuffle. N rides the shared totals row.
@@ -492,7 +493,7 @@ object TextStats {
     val exp = graft.plans.TopK.perGroup(cand, Seq("query_id"), col("w"),
         col("tok"), m, rankName = "__rk")
       .select(col("query_id"), col("tok"))
-      .localCheckpoint(false)
+      .truncateLineage()
     // incremental rescore: score2(q, d) = score1(q, d) + Σ part_e6 over
     // q's NEW tokens (exp ∩ qt = ∅ by the anti-join, so nothing double
     // counts; docs matching only expansion tokens enter via the union).

@@ -13,6 +13,7 @@ import graft.streaming.Events
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
+import graft.util.Lineage._
 
 /** §2.11 dashboard aggregations plus the aggregation/sketch and set-op
   * families (rollup/cube/grouping sets, pivot, collect/map aggregates,
@@ -465,7 +466,7 @@ private[graft] object DashQueries {
       (s, d) => {
         val fin = Transform(rawProperties(s, d), DUMP_DATE, Some(FILE_NAME),
             dedupOrder = Some(col("id")))
-          .localCheckpoint(false)
+          .truncateLineage()
         def share(dim: String, tag: String): DataFrame =
           Dashboard.shareByDim(fin, dim)
             .select(lit(tag).as("chart"), col(dim).as("k"), col("n"),
@@ -850,6 +851,7 @@ private[graft] object DashQueries {
               |        * (CAST(na AS DECIMAL(38,0)) + nb)
               |      - (CAST(na AS DECIMAL(38,0)) + nb) - tsum),
               |   CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS z2_e6""".stripMargin)
+          .transform(overflowGuard(_, "z2_e6"))
           .withColumn("significant", (col("z2_e6") >= 3841459L).cast("boolean"))
           .orderBy("na")
       },
@@ -932,6 +934,7 @@ private[graft] object DashQueries {
           .selectExpr(
             """CAST(CASE WHEN num >= 0 THEN num * 1000000 DIV den
               | ELSE -((-num) * 1000000 DIV den) END AS BIGINT) AS did_e6""".stripMargin)
+          .transform(overflowGuard(_, "did_e6"))
         cells.crossJoin(broadcast(did))
           .selectExpr("variant", "period", "n", "sum_c",
             "CAST(sum_c * 1000000 DIV n AS BIGINT) AS mean_c_e6", "did_e6")
@@ -1014,6 +1017,7 @@ private[graft] object DashQueries {
               |      CAST(ca + cb AS DECIMAL(38,0)) *
               |      CAST(na + nb - ca - cb AS DECIMAL(38,0)),
               |      CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS z2_e6""".stripMargin)
+          .transform(overflowGuard(_, "z2_e6"))
           .withColumn("one", lit(1L)).withColumn("g", lit(0))
           .withColumn("nz", -col("z2_e6"))
         val ranked = graft.etl.Ids.groupedRunningSum(byNation, Seq("g"),
@@ -1116,6 +1120,7 @@ private[graft] object DashQueries {
               | * (CAST(nn AS DECIMAL(38,0)) * nn * nn - nn)
               | DIV greatest(CAST(nn AS DECIMAL(38,0)) * nn * nn - nn - tsum,
               |     CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS h_e6""".stripMargin)
+          .transform(overflowGuard(_, "h_e6"))
           .withColumn("significant", (col("h_e6") >= 9487729L).cast("boolean"))
         perG.crossJoin(broadcast(h))
           .selectExpr("prio", "CAST(n_j AS BIGINT) AS n_j",
@@ -2735,7 +2740,7 @@ private[graft] object DashQueries {
                       |  DIV greatest(CAST(sum(w) AS DECIMAL(38,0)),
                       |               CAST(1 AS DECIMAL(38,0)))
                       |AS BIGINT)""".stripMargin).as("m_e6"))
-          .localCheckpoint(false)
+          .truncateLineage()
         val lo = graft.plans.TopK
           .perGroup(repMeans, Seq("pri"), -col("m_e6"), col("b"), 5)
           .groupBy("pri").agg(max(col("m_e6")).as("lo_e6"))

@@ -13,6 +13,7 @@ import graft.streaming.Events
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
+import graft.util.Lineage._
 
 /** Near-duplicate family: winnow containment, exact jaccard/edit
   * distance (labeled oracle paths), MinHash-LSH, the two-stage verified
@@ -170,7 +171,7 @@ private[graft] object DedupQueries {
           .select(col("id"),
             graft.analytics.Sketch.hashPoint32(col("g")).as("h"))
           .distinct()
-          .localCheckpoint(false)
+          .truncateLineage()
         val na = sh.groupBy("id").agg(count(lit(1)).as("na"))
         val bk = graft.plans.TopK
           .perGroup(sh, Seq("id"), -col("h"), col("h"), 16)

@@ -25,6 +25,40 @@ private[graft] object Fixtures {
   private[queries] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Boundary cast of an exact DECIMAL(38,0) *working* column back to BIGINT
+    * for the registry's output contract (the driver's comparator canonicalizes
+    * BIGINT/DOUBLE/VARCHAR cells; raw decimals were the r12 reds). The guard
+    * makes overflow a loud error instead of the silent NULL a non-ANSI
+    * decimal→long cast produces: if a future scale factor pushes the value
+    * past ±(2⁶³−1), the query raises with the offending value rather than
+    * hash-diverging from the oracle's HUGEINT. Use for diagnostic columns
+    * whose *working* precision must be 38 digits but whose observed range
+    * fits a long at every supported SF.
+    */
+  /** NULL-means-overflow guard for the exact-rational stat queries whose
+    * DECIMAL(38,0) cross-products near the 38-digit cap at large scale
+    * factors (dash_mann_whitney/dash_fdr_bh/dash_did/dash_kruskal_wallis —
+    * exact through ~sf1, headroom documented per query). Under Spark's
+    * non-ANSI decimal arithmetic an overflowed product becomes NULL
+    * mid-plan while the DuckDB oracle's HUGEINT stays exact — a silent
+    * NULL-vs-value hash miss. These stats pin every degenerate denominator
+    * with greatest(·, 1), so a NULL in the named column can ONLY be
+    * overflow: raise a diagnostic instead of publishing it.
+    */
+  private[queries] def overflowGuard(df: DataFrame, name: String): DataFrame =
+    df.withColumn(name, expr(
+      s"""IF($name IS NULL,
+         |   CAST(raise_error(concat('$name is NULL: DECIMAL(38,0) ',
+         |     'cross-product overflowed — this scale factor exceeds the ',
+         |     'query''s documented exact-arithmetic headroom')) AS BIGINT),
+         |   $name)""".stripMargin))
+
+  private[queries] def decimalBoundaryToLong(name: String): String =
+    s"""IF(abs($name) > CAST(${Long.MaxValue} AS DECIMAL(38,0)),
+       |   CAST(raise_error(concat('$name overflows the BIGINT query boundary: ',
+       |                           CAST($name AS STRING))) AS BIGINT),
+       |   CAST($name AS BIGINT)) AS $name""".stripMargin
+
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * only surfaces as a raw long (legacy.parquet.nanosAsLong). Normalize to
     * a micro-precision TimestampType column regardless of how it arrived.

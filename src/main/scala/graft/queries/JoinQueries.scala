@@ -13,6 +13,7 @@ import graft.streaming.Events
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
+import graft.util.Lineage._
 
 /** Join family: broadcast/SMJ equi-joins, semi/anti, full outer, as-of,
   * range/band, and the bloom-pruned join. Pure move.
@@ -914,7 +915,7 @@ private[graft] object JoinQueries {
             year(to_date(col("l_shipdate"))).cast("long").as("yr"))
           .agg(count(lit(1)).as("cnt"),
             cents(col("l_extendedprice")).as("rev_c"))
-          .localCheckpoint(false)
+          .truncateLineage()
         val c1 = sales.filter(col("yr") === 1996)
           .select(col("brand"), col("cnt").as("cnt1"), col("rev_c").as("rev1_c"))
         val c2 = sales.filter(col("yr") === 1997)
@@ -1063,11 +1064,11 @@ private[graft] object JoinQueries {
           .withColumn("y", coord(hyC))
           .select("id", "x", "y")
         val pairs = graft.analytics.Spatial.gridRadiusJoin(pts, radius = 60L)
-          .localCheckpoint(false)
+          .truncateLineage()
         val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
           .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
         val core = sym.groupBy("id").agg(count(lit(1)).as("nbrs"))
-          .filter(col("nbrs") >= 5).select("id").localCheckpoint(false)
+          .filter(col("nbrs") >= 5).select("id").truncateLineage()
         val ce = pairs
           .join(core.select(col("id").as("a_id")), "a_id")
           .join(core.select(col("id").as("b_id")), "b_id")

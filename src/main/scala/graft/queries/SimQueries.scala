@@ -371,8 +371,8 @@ private[graft] object SimQueries {
           .withColumn("recall_e6",
             expr("ivf_pairs * 1000000 DIV exact_pairs"))
       },
-      Some(RADIUS_RECALL_SQL),
-      bench = true), // its recall row rides the board beside the scale path
+      Some(RADIUS_RECALL_SQL)), // recall = CONFIG quality, not engine speed:
+      // correctness-gated every round, off the bench board (r12 next #7)
 
     Q("sim_ivfsq8_topk",
       // the faiss "IVF,SQ8" production composition: trained-cell routing
@@ -724,7 +724,8 @@ private[graft] object SimQueries {
           |  CAST(COALESCE(h.n_hit, 0) * 1000000 // k.n_truth AS BIGINT) AS recall_e6
           |FROM keys k LEFT JOIN hits h ON h.query_id = k.query_id AND h.kp = k.kp
           |ORDER BY k.query_id, kprime""".stripMargin),
-      bench = true),
+      // recall diagnostic — correctness-gated, off the bench board (r12 #7)
+      bench = false),
 
     Q("sim_filtered_prefilter",
       // LABEL-AWARE ANN routing — the fix for the starvation
