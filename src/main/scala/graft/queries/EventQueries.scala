@@ -13,6 +13,7 @@ import graft.streaming.Events
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
+import graft.util.Lineage._
 
 /** Event-stream analytics run as batch queries: hourly rollup,
   * sessionization, sliding windows, JSON props. Pure move.
@@ -693,7 +694,7 @@ private[graft] object EventQueries {
         val daily = eventsTable(s, d)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
-          .localCheckpoint(false)
+          .truncateLineage()
         // q = Σx² widens BEFORE the square (x·x alone overflows BIGINT at
         // x ≈ 3·10⁹/day); n and S stay plain longs.
         val tot = daily.agg(count(lit(1)).as("n"),
@@ -719,7 +720,13 @@ private[graft] object EventQueries {
           // the denominator n(nQ − S²) widens each factor BEFORE the
           // multiply — computed in BIGINT it saturates at the same
           // ~2·10⁴ events/day the numerator did.
-          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
+          // `num` works in DECIMAL(38,0) (see header) but LEAVES in BIGINT:
+          // raw decimal output columns were the r12 correctness reds — the
+          // driver's hasher doesn't canonicalize them — and the observed
+          // range fits a long up to ~10⁹ events/day; past that the guarded
+          // cast raises instead of silently NULLing.
+          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs",
+            decimalBoundaryToLong("num"),
             """CAST(num * 1000000
               |  DIV greatest(CAST(n AS DECIMAL(38,0))
               |                 * (CAST(n AS DECIMAL(38,0)) * q
@@ -743,7 +750,7 @@ private[graft] object EventQueries {
            |        CAST(sum(CAST(dev_a AS HUGEINT) * dev_b)
            |             AS DECIMAL(38,0)) AS num
            |        FROM prs GROUP BY k)
-           |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
+           |SELECT CAST(k AS BIGINT) AS k, n_pairs, CAST(num AS BIGINT) AS num,
            |  CAST(CAST(num AS HUGEINT) * 1000000
            |    // greatest(CAST(n AS HUGEINT)
            |                 * (CAST(n AS HUGEINT) * q
@@ -780,7 +787,7 @@ private[graft] object EventQueries {
               .as("a"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("b"))
-          .localCheckpoint(false)
+          .truncateLineage()
         val tot = daily.agg(count(lit(1)).as("n"),
           sum(col("a")).as("sa"), sum(col("b")).as("sb"))
         val dev = daily.crossJoin(broadcast(tot))
@@ -804,7 +811,10 @@ private[graft] object EventQueries {
           // num/qa/qb arrive as DECIMAL(38,0); decimal→double is
           // correctly rounded on both engines, so the floor(sqrt(·))
           // normalizer stays bit-equal.
-          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs", "num",
+          // same boundary rule as ev_autocorr: `num` computes in decimal,
+          // leaves as guarded BIGINT (r12 red class: raw decimal outputs).
+          .selectExpr("CAST(k AS BIGINT) AS k", "n_pairs",
+            decimalBoundaryToLong("num"),
             """CAST(num * 1000000
               |  DIV greatest(CAST(floor(sqrt(CAST(qa AS DOUBLE)
               |                               * CAST(qb AS DOUBLE)))
@@ -836,7 +846,7 @@ private[graft] object EventQueries {
            |        CAST(sum(CAST(dev_a AS HUGEINT) * dev_b)
            |             AS DECIMAL(38,0)) AS num
            |        FROM prs GROUP BY k)
-           |SELECT CAST(k AS BIGINT) AS k, n_pairs, num,
+           |SELECT CAST(k AS BIGINT) AS k, n_pairs, CAST(num AS BIGINT) AS num,
            |  CAST(CAST(num AS HUGEINT) * 1000000
            |    // greatest(CAST(floor(sqrt(CAST(qa AS DOUBLE)
            |                                * CAST(qb AS DOUBLE)))
@@ -992,7 +1002,7 @@ private[graft] object EventQueries {
           .withColumn("rn", row_number().over(byUser))
           .filter(col("rn") <= 12)
           .select(col("user_id"), col("event_type").as("item"), col("rn"))
-          .localCheckpoint(false)
+          .truncateLineage()
         val ms = pos.select("user_id").distinct()
           .agg(greatest(lit(3L), (count(lit(1)) / 4).cast("long")).as("minsup"))
         val l1 = pos.groupBy("item")

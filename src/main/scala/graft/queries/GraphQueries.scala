@@ -865,7 +865,14 @@ private[graft] object GraphQueries {
         val sym = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = sym.select(col("src")).distinct().orderBy("src").limit(4)
           .select(col("src").as("lm"), col("src").as("id"))
-        Graph.brandesStress(sym, seeds, maxHops = 3).orderBy("id")
+        // σ and P multiply in DECIMAL(20,0) inside brandesStress (path
+        // counts explode combinatorially), but the registry boundary is
+        // BIGINT (raw decimal outputs were the r12 reds): the guarded cast
+        // raises on a graph dense enough to overflow rather than NULLing.
+        Graph.brandesStress(sym, seeds, maxHops = 3)
+          .selectExpr("id", "n_lm", decimalBoundaryToLong("sigma_sum"),
+            decimalBoundaryToLong("stress"))
+          .orderBy("id")
       },
       Some(STRESS_SQL),
       bench = true),
@@ -880,8 +887,10 @@ private[graft] object GraphQueries {
       // components, and exactly the interference the peel exists for:
       // in peel 1 every non-zero block sees B = 0 ≠ F and only block 0
       // settles; peeling it isolates the rings, which then certify
-      // F = B = their own head. rounds = 6 covers the worst label walk
-      // (star hop + 5 ring steps); peels = 2 the interference depth.
+      // F = B = their own head. The worst label walk is 6 steps (star hop
+      // + 5 ring steps); rounds = 12 doubles it per sccColor's own sizing
+      // guidance (extra rounds are idempotent) so a fixture tweak can't
+      // silently under-run and split SCCs. peels = 2 the interference depth.
       // Everything is 0-based and non-negative ON PURPOSE: customer key
       // 0 exists, and on negatives Spark's DIV (truncating) and
       // DuckDB's // (floor) disagree. Oracle: reachability closure via
@@ -900,7 +909,7 @@ private[graft] object GraphQueries {
           expr("(ck DIV 6) * 6 + (ck % 6 + 1) % 6").as("dst"))
         val star = nodes.filter(col("ck") % 6 === 0 && col("ck") =!= 0)
           .select(lit(0L).as("src"), col("ck").as("dst"))
-        Graph.sccColor(ring.unionAll(star), peels = 2, rounds = 6)
+        Graph.sccColor(ring.unionAll(star), peels = 2, rounds = 12)
           .orderBy("id")
       },
       Some(
@@ -992,8 +1001,8 @@ private[graft] object GraphQueries {
        |pp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
        |  UNION ALL SELECT * FROM p3)
        |SELECT g.id, count(*) AS n_lm,
-       |  CAST(sum(g.sigma) AS DECIMAL(38,0)) AS sigma_sum,
-       |  CAST(sum(g.sigma * pp.p) AS DECIMAL(38,0)) AS stress
+       |  CAST(sum(g.sigma) AS BIGINT) AS sigma_sum,
+       |  CAST(sum(g.sigma * pp.p) AS BIGINT) AS stress
        |FROM sig g JOIN pp ON pp.lm = g.lm AND pp.id = g.id
        |GROUP BY g.id ORDER BY g.id""".stripMargin
   }

@@ -13,6 +13,7 @@ import graft.streaming.Events
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
+import graft.util.Lineage._
 
 /** Text-analysis family: stats/quality/lang-id, TF-IDF, CMS, packing,
   * splits, quantiles, winnow fingerprints, bloom blocklist, stratified
@@ -1106,7 +1107,7 @@ private[graft] object TextQueries {
             explode(split(col("t"), "\\s+")).as("w"))
           .filter(col("w") =!= "")
           .groupBy("b", "w").agg(count(lit(1)).as("c"))
-          .localCheckpoint(false)
+          .truncateLineage()
         val perB = bw.groupBy("b").agg(sum(col("c")).as("ntok"))
         val firstB = bw.groupBy("w").agg(min("b").as("b"))
           .groupBy("b").agg(count(lit(1)).as("nnew"))

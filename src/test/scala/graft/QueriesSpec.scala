@@ -34,23 +34,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("no registered query emits array/map/struct output columns (comparator contract)") {
+  test("every registered query's output columns stay on the comparator whitelist") {
     // the driver's pandas comparator sorts/hashes output cells — complex
-    // types are unhashable there, so a query that leaks one reads as a
-    // correctness FAILURE even when Spark and DuckDB agree (r5's only two
-    // red rows). Plan construction stays lazy for the data path; the only
-    // eager work is the model-backed queries publishing their (tiny,
-    // sf0.001) training artifacts through ModelStore on first touch.
+    // types are unhashable there (r5's only two red rows), and DECIMAL
+    // cells hash differently from BIGINT even when every value matches
+    // (ALL THREE r12 reds were raw DECIMAL(38,0) outputs). So the boundary
+    // contract is a closed WHITELIST of leaf types the comparator provably
+    // canonicalizes, not a blacklist that grows one red class at a time.
+    // Working precision inside a query is unconstrained — decimals, arrays,
+    // structs are fine mid-plan; they must be rendered (cast / array_join /
+    // to_json) at the boundary. Plan construction stays lazy for the data
+    // path; the only eager work is the model-backed queries publishing
+    // their (tiny, sf0.001) training artifacts through ModelStore on first
+    // touch.
     assume(Files.exists(Paths.get("/root/testdata/sf0.001/lineitem.parquet")))
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+      StringType, DateType, BooleanType, TimestampType)
     Queries.all.foreach { q =>
-      val bad = q.fn(spark, "/root/testdata/sf0.001").schema.fields.filter { f =>
-        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType]
-      }
+      val bad = q.fn(spark, "/root/testdata/sf0.001").schema.fields
+        .filterNot(f => allowed.contains(f.dataType))
       assert(bad.isEmpty,
-        s"${q.name} emits complex-typed columns ${bad.map(_.name).mkString(", ")} — " +
-          "render them through array_join/to_json at the query boundary")
+        s"${q.name} emits non-whitelisted output columns " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+          " — cast to BIGINT/DOUBLE/STRING (decimalBoundaryToLong for exact " +
+          "decimals) or render complex types via array_join/to_json at the " +
+          "query boundary")
     }
   }
 
