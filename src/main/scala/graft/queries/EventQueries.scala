@@ -1078,6 +1078,58 @@ private[graft] object EventQueries {
            |UNION ALL
            |SELECT 3, i1, i2, i3, CAST(support AS BIGINT) FROM l3
            |ORDER BY len, p1, p2, p3""".stripMargin),
+      bench = true),
+
+    Q("ev_bursts",
+      // burst detection against a LOCAL trailing baseline — the traffic-
+      // ops alarm ev_anomaly_days can't express: a 3σ global test flags
+      // outliers vs the WHOLE calendar's mean, so a slow ramp makes early
+      // days look calm and late days alarmed; a burst is a day loud
+      // relative to ITS OWN recent past (cnt > 2× the trailing-7-day
+      // mean). Exact integers: the mean never materializes —
+      // cnt · n_prev ≥ 2 · trail_sum cross-multiplies it away, and the
+      // reported ratio is the exact e6 integer cnt·n_prev·10⁶ DIV
+      // trail_sum (headroom: cnt·7·10⁶ < 2⁶³ up to ~10¹¹ events/day).
+      // Trailing window = the ev_autocorr date-shift EQUI-join (each day
+      // contributes itself to days d+1..d+7; group on the receiving day),
+      // never lag() over an unpartitioned global window. Days with < 4
+      // observed baseline days are withheld — no verdict off a thin
+      // baseline (and the calendar's leading edge drops out the same way).
+      (s, d) => {
+        val daily = eventsTable(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .truncateLineage() // feeds both the observation and baseline sides
+        val ks = daily.sparkSession.range(1, 8)
+          .select(col("id").cast("int").as("k"))
+        val trail = daily.crossJoin(broadcast(ks))
+          .select(expr("date_add(day, k)").as("day"), col("cnt").as("pcnt"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_prev"), sum(col("pcnt")).as("trail_sum"))
+        daily.join(trail, Seq("day"))
+          .filter(col("n_prev") >= 4)
+          .select(col("day"), col("cnt"), col("n_prev"), col("trail_sum"),
+            expr("cnt * n_prev * 1000000 DIV trail_sum").as("ratio_e6"),
+            (col("cnt") * col("n_prev") >= lit(2L) * col("trail_sum"))
+              .as("is_burst"))
+          .orderBy("day")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+           |          FROM ev GROUP BY 1),
+           |ks AS (SELECT unnest(range(1, 8)) AS k),
+           |tr AS (SELECT d.day + CAST(ks.k AS INTEGER) AS day, d.cnt
+           |       FROM daily d CROSS JOIN ks),
+           |trail AS (SELECT day, count(*) AS n_prev,
+           |          CAST(sum(cnt) AS BIGINT) AS trail_sum
+           |          FROM tr GROUP BY 1)
+           |SELECT d.day, d.cnt, t.n_prev, t.trail_sum,
+           |  CAST(d.cnt * t.n_prev * 1000000 // t.trail_sum AS BIGINT)
+           |    AS ratio_e6,
+           |  CAST(d.cnt * t.n_prev >= 2 * t.trail_sum AS BOOLEAN) AS is_burst
+           |FROM daily d JOIN trail t USING (day)
+           |WHERE t.n_prev >= 4 ORDER BY d.day""".stripMargin),
       bench = true)
   )
 }

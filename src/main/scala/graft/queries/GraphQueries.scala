@@ -930,6 +930,78 @@ private[graft] object GraphQueries {
           |SELECT a.src AS id, CAST(min(a.id) AS BIGINT) AS scc
           |FROM reach a JOIN reach b ON a.src = b.id AND a.id = b.src
           |GROUP BY a.src ORDER BY id""".stripMargin),
+      bench = true),
+
+    Q("graph_diameter_doublesweep",
+      // approximate graph diameter by the double-sweep heuristic (Magnien/
+      // Latapy/Habib '09): BFS from an arbitrary node (the min id — any
+      // choice works, this one is deterministic), hop to its FARTHEST node
+      // v (ties to min id), BFS again from v — sweep 2's eccentricity is a
+      // LOWER bound on the diameter, exact on trees and empirically tight
+      // on real graphs, at the cost of exactly TWO BFS passes instead of
+      // all-pairs (the n-source exact computation no 100 TB graph affords).
+      // Fixture: the SCC rings-plus-star graph SYMMETRIZED — undirected
+      // diameter 8 (ring tail → head ≤ 3, head → 0 → head' ≤ 2, head' →
+      // tail' ≤ 3), comfortably inside the hop-12 cap, so the lower bound
+      // here is the true diameter and the gate certifies the full
+      // argmax→reseed→argmax chain, not just one BFS. Both argmax
+      // selections stay IN the dataflow (TakeOrdered limit(1) frames seed
+      // the next BFS — no driver-side collect between sweeps). The hop cap
+      // is the honesty dial at scale: eccentricity-within-h for a fixed
+      // horizon h, like graph_bfs_hops.
+      (s, d) => {
+        val c = tbl(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("ck"))
+        val nmx = c.agg((floor((max(col("ck")) + 1) / 6) * 6)
+          .cast("long").as("n"))
+        val nodes = c.crossJoin(broadcast(nmx)).filter(col("ck") < col("n"))
+        val ring = nodes.select(col("ck").as("src"),
+          expr("(ck DIV 6) * 6 + (ck % 6 + 1) % 6").as("dst"))
+        val star = nodes.filter(col("ck") % 6 === 0 && col("ck") =!= 0)
+          .select(lit(0L).as("src"), col("ck").as("dst"))
+        val e = ring.unionAll(star)
+        val sym = e.unionAll(e.select(col("dst").as("src"),
+          col("src").as("dst"))).distinct()
+        val seed0 = sym.agg(min(col("src")).as("id"))
+        val far1 = Graph.bfsHops(sym, seed0, maxHops = 12)
+          .orderBy(col("hop").desc, col("id").asc).limit(1)
+        val far2 = Graph.bfsHops(sym, far1.select("id"), maxHops = 12)
+          .orderBy(col("hop").desc, col("id").asc).limit(1)
+        far1.select(lit("sweep1").as("phase"), col("id"), col("hop"))
+          .unionAll(far2.select(lit("sweep2").as("phase"), col("id"),
+            col("hop")))
+          .orderBy("phase")
+      },
+      Some(
+        """WITH RECURSIVE
+          |nmax AS (SELECT ((max(c_custkey) + 1) // 6) * 6 AS n FROM customer),
+          |nn AS (SELECT c_custkey AS ck FROM customer CROSS JOIN nmax
+          |       WHERE c_custkey < n),
+          |ring AS (SELECT ck AS src,
+          |  (ck // 6) * 6 + (ck % 6 + 1) % 6 AS dst FROM nn),
+          |star AS (SELECT 0 AS src, ck AS dst FROM nn
+          |         WHERE ck % 6 = 0 AND ck <> 0),
+          |e0 AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM star),
+          |ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |s0 AS (SELECT min(src) AS id FROM ed),
+          |r1(id, hop) AS (
+          |  SELECT id, 0 FROM s0
+          |  UNION
+          |  SELECT e.dst, r.hop + 1 FROM r1 r JOIN ed e ON e.src = r.id
+          |  WHERE r.hop < 12),
+          |d1 AS (SELECT id, min(hop) AS hop FROM r1 GROUP BY 1),
+          |f1 AS (SELECT id, hop FROM d1 ORDER BY hop DESC, id LIMIT 1),
+          |r2(id, hop) AS (
+          |  SELECT id, 0 FROM f1
+          |  UNION
+          |  SELECT e.dst, r.hop + 1 FROM r2 r JOIN ed e ON e.src = r.id
+          |  WHERE r.hop < 12),
+          |d2 AS (SELECT id, min(hop) AS hop FROM r2 GROUP BY 1),
+          |f2 AS (SELECT id, hop FROM d2 ORDER BY hop DESC, id LIMIT 1)
+          |SELECT 'sweep1' AS phase, id, CAST(hop AS BIGINT) AS hop FROM f1
+          |UNION ALL
+          |SELECT 'sweep2', id, CAST(hop AS BIGINT) FROM f2
+          |ORDER BY phase""".stripMargin),
       bench = true)
   )
 

@@ -1342,7 +1342,77 @@ private[graft] object TextQueries {
           |  FROM lb GROUP BY 2)
           |SELECT strategy, lang, n_batches, pad_tokens, padded_tokens,
           |  CAST(pad_tokens * 1000000 // padded_tokens AS BIGINT) AS waste_ppm
-          |FROM r ORDER BY strategy, lang""".stripMargin))
+          |FROM r ORDER BY strategy, lang""".stripMargin)),
+
+    Q("text_rouge_overlap",
+      // ROUGE-2 as a DISTRIBUTED eval metric — the generation-eval face
+      // the registry lacked (text_retrieval_rr evaluates retrieval; this
+      // evaluates text-vs-reference overlap, the summarization/distill
+      // scorecard). Candidate doc i scores against reference doc i+1 — a
+      // deterministic pairing both engines replay; swap in any (cand, ref)
+      // key column and the plan is unchanged. CLIPPED bigram counts, the
+      // real ROUGE definition: overlap = Σ_g min(count_cand(g),
+      // count_ref(g)), so a candidate can't farm score by repeating one
+      // shared bigram. Exact integers throughout: P = o/c, R = o/r in e6,
+      // and F1 folds to the exact single division 2o·10⁶ DIV (c + r) —
+      // no floating harmonic mean. Shape: grams ride the one-pass
+      // NgramHashSeq expression, one (doc, gram) count aggregation, one
+      // equi-join on (doc_id+1, gram) for the clipped overlap, one totals
+      // join — every stage keyed and map-side combinable, nothing
+      // all-pairs, nothing global. 100 TB story: scoring N candidate/
+      // reference pairs is two shuffles of the gram table, independent of
+      // pair ordering.
+      (s, d) => {
+        val grams = tbl(s, d, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(graft.expr.NgramHashSeq(col("text"), 2)).as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+          .truncateLineage() // feeds totals, cand side, and ref side
+        val totals = grams.groupBy("doc_id").agg(sum(col("c")).as("tot"))
+        // ref grams re-keyed to the CANDIDATE id they evaluate (i+1 → i):
+        // the overlap join is then a plain equi-join on (doc_id, h)
+        val ref = grams.select((col("doc_id") - 1).as("doc_id"), col("h"),
+          col("c").as("rc"))
+        val olap = grams.join(ref, Seq("doc_id", "h"))
+          .groupBy("doc_id")
+          .agg(sum(least(col("c"), col("rc"))).as("overlap"))
+        val rt = totals.select((col("doc_id") - 1).as("doc_id"),
+          col("tot").as("ref_grams"))
+        totals.join(rt, "doc_id")
+          .join(olap, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("tot").as("cand_grams"),
+            col("ref_grams"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"))
+          .selectExpr("doc_id", "cand_grams", "ref_grams", "overlap",
+            "overlap * 1000000 DIV cand_grams AS p_e6",
+            "overlap * 1000000 DIV ref_grams AS r_e6",
+            "2 * overlap * 1000000 DIV (cand_grams + ref_grams) AS f1_e6")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH g0 AS (
+           |  SELECT doc_id, ($hexHead32Sql) AS h FROM (
+           |    SELECT doc_id, md5(array_to_string(ws[i + 1: i + 2], ' ')) AS mh
+           |    FROM (SELECT doc_id,
+           |            regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+           |            unnest(range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 0) + 1)) AS i
+           |          FROM documents WHERE length(trim(text)) > 0))),
+           |gc AS (SELECT doc_id, h, count(*) AS c FROM g0 GROUP BY 1, 2),
+           |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot
+           |        FROM gc GROUP BY 1),
+           |ol AS (SELECT a.doc_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+           |       FROM gc a JOIN gc b ON b.doc_id = a.doc_id + 1 AND b.h = a.h
+           |       GROUP BY 1)
+           |SELECT t.doc_id, t.tot AS cand_grams, r.tot AS ref_grams,
+           |  coalesce(ol.overlap, 0) AS overlap,
+           |  coalesce(ol.overlap, 0) * 1000000 // t.tot AS p_e6,
+           |  coalesce(ol.overlap, 0) * 1000000 // r.tot AS r_e6,
+           |  2 * coalesce(ol.overlap, 0) * 1000000 // (t.tot + r.tot) AS f1_e6
+           |FROM tot t JOIN tot r ON r.doc_id = t.doc_id + 1
+           |LEFT JOIN ol ON ol.doc_id = t.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
+      bench = true)
   )
 
   /** Oracle CTE chain for the BPE queries: word freqs, char-wrapped
