@@ -146,88 +146,21 @@ object Bench {
       val c2 = canary()
       Attempt(Seq(c0, c1, c2), pass1, pass2)
     }
-    // The official record is GATED on a clean canary (<= 1.2): re-attempt
-    // with growing backoff until one attempt is clean or the attempt budget
-    // is spent. One retry proved too weak — r9 published at 1.43 and r10 at
-    // 4.21 after both attempts hit the same sustained load window — and
-    // 45/90 s backoffs proved too short (r11 published at 1.46 after 3
-    // attempts inside one window): the windows observed in r9-r11 detail
-    // files run minutes, so the backoff must too (2 / 5 / 10 min).
-    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
-    val backoffSec = Seq(120L, 300L, 600L)
-    val attemptBuf = scala.collection.mutable.ArrayBuffer(runAttempt())
-    def cleanest = attemptBuf.minBy(a => (a.failed.size, a.ratio))
-    while (attemptBuf.size < maxAttempts &&
-        (cleanest.dirty || cleanest.failed.nonEmpty)) {
-      Thread.sleep(
-        backoffSec(math.min(attemptBuf.size - 1, backoffSec.size - 1)) * 1000L)
-      attemptBuf += runAttempt()
-    }
-    val attempts = attemptBuf.toSeq
-    // Official record = the CLEANEST attempt's min-of-2, NOT a min across
-    // attempts: the DuckDB oracle baseline is min-of-2 from one run, so
-    // min-of-2×attempts Spark times would flatter spark_vs_oracle (and
-    // vs_prev against min-of-2 history) for pure sampling reasons
-    // whenever retries fire. The canary gate carries the
-    // anti-contamination burden; attempts only decide WHICH min-of-2 is
-    // published. The sole cross-attempt borrowing: a query the cleanest
-    // attempt failed takes its time from an attempt that ran it clean
-    // (marked in the detail file), and counts as failed only if NO
-    // attempt ran it clean.
-    //
-    // EXCEPT when every attempt drifted past the gate (r9 1.43 / r10 4.21
-    // / r11 1.46 all published per-query times up to 2.6× off on identical
-    // code): then there is no clean min-of-2 to pick, and per-query
-    // min-over-ALL-clean-passes is the better estimator — a sustained
-    // load window inflates DIFFERENT queries in different attempts, so
-    // the cross-attempt min rejects it per query where best-canary-attempt
-    // cannot. The mild min-of-2k sampling bias vs the oracle's min-of-2 is
-    // the lesser error and is fully disclosed: the record's "selection"
-    // field pins which rule produced the published numbers.
-    val best = cleanest
-    val selection =
-      if (!best.dirty) "cleanest_attempt" else "best_of_clean_passes"
-    def cleanRuns(n: String): Seq[Double] = attempts.flatMap(a =>
-      (a.pass1 ++ a.pass2).collect { case (`n`, (t, true)) => t })
-    val failed = Queries.benchSet.map(_.name).filter(cleanRuns(_).isEmpty).toSet
-    val Seq(canaryStart, canaryMid, canaryEnd) = best.canaries
-    val pass1 = best.passTimes(best.pass1)
-    val pass2 = best.passTimes(best.pass2)
-    val borrowed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results: Seq[(String, Double)] =
-      if (selection == "best_of_clean_passes")
-        // contaminated-everywhere fallback: every query takes its min over
-        // all clean passes of all attempts (a query no attempt ran clean
-        // keeps the cleanest attempt's failure duration and is in `failed`)
-        best.results.map { case (n, tBest) =>
-          val runs = cleanRuns(n)
-          n -> (if (runs.nonEmpty) runs.min else tBest)
-        }
-      else best.results.map { case (n, tBest) =>
-        if (!best.failed.contains(n)) n -> tBest
-        else {
-          val runs = cleanRuns(n)
-          if (runs.nonEmpty) { borrowed += n; n -> runs.min }
-          else n -> tBest
-        }
-      }
-    def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    // The final line must stay well under the driver's stdout-tail buffer
-    // (~2 KB burned r5's record): cap its per-query map at the 45 slowest —
-    // the omitted tail is sub-second micro-queries — and leave the FULL
-    // per-pass maps on the bench_detail line above for forensics.
-    val shown = results.sortBy(-_._2).take(45)
-    val qs = jmap(shown)
-    val total = results.map(_._2).sum
+
     // Cross-engine baseline: time every headliner's DuckDB oracle over the
     // SAME parquet tables (tools/oracle_bench.py, two passes, min — the
     // same noise rejection as the Spark side). Strictly best-effort: a
     // machine without python3/duckdb, or a hung oracle, must never fail or
     // stall the bench, so the subprocess is bounded and any error maps to
     // "no baseline". SQL travels base64-encoded TSV to avoid escaping.
-    val (oracleTimes: Map[String, Double], oracleCapped: Set[String]) =
+    // Budget discipline (r12 rc=124 lesson): the leg runs AFTER a complete
+    // record is already on stdout, the per-oracle watchdog defaults to 30 s
+    // (the handful of deliberately-sequential definition oracles — ppjoin,
+    // sssp, cc_labels, stress — get ">= cap" lower bounds here and their
+    // REAL numbers from tools/oracle_uncapped.json), and the whole
+    // subprocess gets 700 s, sized for ~130 oracles at ~300 s measured +
+    // capped slack.
+    def runOracleBaseline(): (Map[String, Double], Set[String]) =
       try {
         val tsv = java.io.File.createTempFile("graft_oracle_sql", ".tsv")
         val pw = new java.io.PrintWriter(tsv, "UTF-8")
@@ -240,12 +173,12 @@ object Bench {
         val out = java.io.File.createTempFile("graft_oracle_times", ".tsv")
         val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
           sfDir, tsv.getPath, out.getPath)
+        if (!sys.env.contains("ORACLE_BENCH_CAP_SEC"))
+          pb.environment().put("ORACLE_BENCH_CAP_SEC", "30")
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
-        // budget sized for ~120 headliners at two passes plus up to three
-        // 120 s-capped sequential-definition oracles (ppjoin, sssp, ...)
-        val done = proc.waitFor(1500, java.util.concurrent.TimeUnit.SECONDS)
+        val done = proc.waitFor(700, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) proc.destroyForcibly()
         // the script streams results line-by-line, so even a timeout or a
         // mid-run failure leaves every completed measurement on disk —
@@ -273,153 +206,261 @@ object Bench {
           parsed.collect { case (n, _, true) => n }.toSet)
       } catch { case scala.util.control.NonFatal(_) =>
         (Map.empty[String, Double], Set.empty[String]) }
-    // spark-vs-oracle over the queries BOTH engines timed SUCCESSFULLY —
-    // a Spark-side failure records a meaningless fast-failure time, which
-    // must not flatter the ratio
-    val common = results.filter { case (n, _) =>
-      oracleTimes.contains(n) && !failed.contains(n) }
-    val oracleTotal = common.map { case (n, _) => oracleTimes(n) }.sum
-    val sparkCommon = common.map(_._2).sum
-    // spark_vs_oracle INCLUDES capped lower-bound entries, so it is itself
-    // only an upper bound on the true ratio; the _measured variant drops
-    // the capped oracles entirely, so it cannot improve by capping more —
-    // both are published (ADVICE r8 #4 / VERDICT r8 next #7)
-    val sparkVsOracle =
-      if (oracleTotal > 0) sparkCommon / oracleTotal else -1.0
-    val measured = common.filterNot { case (n, _) => oracleCapped(n) }
-    val oracleMeasuredTotal = measured.map { case (n, _) => oracleTimes(n) }.sum
-    val sparkMeasured = measured.map(_._2).sum
-    val sparkVsOracleMeasured =
-      if (oracleMeasuredTotal > 0) sparkMeasured / oracleMeasuredTotal else -1.0
-    val cappedShown = oracleCapped.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Offline uncapped oracle timings (tools/oracle_uncapped.json): a
-    // capped in-bench entry is a ">= cap" lower bound, useless as a
-    // baseline; when a committed offline measurement exists for this SF,
-    // publish it next to the capped list so the record carries the real
-    // number (r10 task #5). Only entries for currently-capped queries are
-    // surfaced — an uncapped live run supersedes the offline file.
-    val offlineUncapped: Map[String, Double] =
-      try {
-        val sfName = new java.io.File(sfDir).getName
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("tools/oracle_uncapped.json"))
-          .path(sfName)
-        val m = scala.collection.mutable.Map.empty[String, Double]
-        node.propertyStream().forEach { e =>
-          if (oracleCapped(e.getKey))
-            m(e.getKey) = e.getValue.path("sec").asDouble()
-        }
-        m.toMap
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val offlineShown = offlineUncapped.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    // Contamination self-report: the three canaries do IDENTICAL work, so
-    // their max/min ratio directly measures machine-load drift across the
-    // run (VERDICT r4 §wrong.1's class). The flag now matches the retry
-    // gate (1.2): an official record whose cleanest attempt still drifted
-    // past the gate after all backoff attempts is suspect, full stop.
-    val canaries = Seq(canaryStart, canaryMid, canaryEnd)
-    val canaryRatio = canaries.max / math.max(canaries.min, 1e-9)
-    val contaminated = canaryRatio > 1.2 &&
-      (canaries.max - canaries.min) > 0.3
-    // vs_prev: regression check against the newest prior round's committed
-    // BENCH_r*.json (driver shape: {parsed: {queries: {name: sec}}}), over
-    // the queries common to both records. A regression is a red field in
-    // the record, not archaeology. Best-effort: any parse problem → null.
-    // Own-round protection comes from the filename filter below: with
-    // SPARK_GRAFT_ROUND set (the round workflow), BENCH files of the
-    // current and later rounds are excluded. With it UNSET the newest
-    // record wins — correct while the driver benches BEFORE writing its
-    // round record; an ad-hoc re-bench after the round record lands must
-    // set SPARK_GRAFT_ROUND or read vs_prev.file before trusting the
-    // ratio (the baseline filename is always published for exactly this
-    // reason).
-    val vsPrev: String =
-      try {
-        val here = new java.io.File(".").getAbsoluteFile.getParentFile
-        val round = sys.env.get("SPARK_GRAFT_ROUND")
-          .flatMap(r => scala.util.Try(r.replaceAll("[^0-9]", "").toInt).toOption)
-        val cands = Option(here.listFiles()).getOrElse(Array.empty)
-          .flatMap { f =>
-            val m = "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
-            m.map(_.group(1).toInt -> f)
+
+    // One COMPLETE record computation + emission. Called after every
+    // attempt (oracleOpt = None → baseline fields read "no baseline") and
+    // once more after the oracle leg with isFinal = true; each println
+    // supersedes the previous record in the driver's stdout tail. Returns
+    // the failed-query set so main can set the exit code off the final
+    // staging. The detail file is rewritten per emission (newest wins).
+    def emit(attempts: Seq[Attempt],
+        oracleOpt: Option[(Map[String, Double], Set[String])],
+        isFinal: Boolean): Set[String] = {
+      // Official record = the CLEANEST attempt's min-of-2, NOT a min across
+      // attempts: the DuckDB oracle baseline is min-of-2 from one run, so
+      // min-of-2×attempts Spark times would flatter spark_vs_oracle (and
+      // vs_prev against min-of-2 history) for pure sampling reasons
+      // whenever retries fire. The canary gate carries the
+      // anti-contamination burden; attempts only decide WHICH min-of-2 is
+      // published. The sole cross-attempt borrowing: a query the cleanest
+      // attempt failed takes its time from an attempt that ran it clean
+      // (marked in the detail file), and counts as failed only if NO
+      // attempt ran it clean.
+      //
+      // EXCEPT when every attempt drifted past the gate (r9 1.43 / r10 4.21
+      // / r11 1.46 all published per-query times up to 2.6× off on identical
+      // code): then there is no clean min-of-2 to pick, and per-query
+      // min-over-ALL-clean-passes is the better estimator — a sustained
+      // load window inflates DIFFERENT queries in different attempts, so
+      // the cross-attempt min rejects it per query where best-canary-attempt
+      // cannot. The mild min-of-2k sampling bias vs the oracle's min-of-2 is
+      // the lesser error and is fully disclosed: the record's "selection"
+      // field pins which rule produced the published numbers.
+      val best = attempts.minBy(a => (a.failed.size, a.ratio))
+      val selection =
+        if (!best.dirty) "cleanest_attempt" else "best_of_clean_passes"
+      def cleanRuns(n: String): Seq[Double] = attempts.flatMap(a =>
+        (a.pass1 ++ a.pass2).collect { case (`n`, (t, true)) => t })
+      val failed =
+        Queries.benchSet.map(_.name).filter(cleanRuns(_).isEmpty).toSet
+      val Seq(canaryStart, canaryMid, canaryEnd) = best.canaries
+      val pass1 = best.passTimes(best.pass1)
+      val pass2 = best.passTimes(best.pass2)
+      val borrowed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val results: Seq[(String, Double)] =
+        if (selection == "best_of_clean_passes")
+          // contaminated-everywhere fallback: every query takes its min over
+          // all clean passes of all attempts (a query no attempt ran clean
+          // keeps the cleanest attempt's failure duration and is in `failed`)
+          best.results.map { case (n, tBest) =>
+            val runs = cleanRuns(n)
+            n -> (if (runs.nonEmpty) runs.min else tBest)
           }
-          .filter { case (n, _) => round.forall(n < _) }
-          .sortBy(-_._1)
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val prevOpt = cands.iterator.flatMap { case (_, f) =>
-          try {
-            val parsed = mapper.readTree(f).path("parsed")
-            // never compare a run against its own round's committed
-            // record (re-bench after the driver writes BENCH_rN.json):
-            // the detail tag identifies the round when SPARK_GRAFT_ROUND
-            // is set
-            val q = parsed.path("queries")
-            if (!q.isObject) None
-            else {
-              val m = scala.collection.mutable.Map.empty[String, Double]
-              q.propertyStream().forEach(e => m(e.getKey) = e.getValue.asDouble())
-              if (m.nonEmpty) Some(f.getName -> m.toMap) else None
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }.buffered.headOption
-        prevOpt match {
-          case Some((fname, prev)) =>
-            val common = results.filter { case (n, _) =>
-              prev.contains(n) && prev(n) > 0 && !failed.contains(n) }
-            if (common.isEmpty) "null"
-            else {
-              val ratio = common.map(_._2).sum /
-                common.map { case (n, _) => prev(n) }.sum
-              val (wq, wt) = common.maxBy { case (n, t) => t / prev(n) }
-              f"""{"file":"$fname","common_n":${common.size},"ratio":$ratio%.2f,"worst":{"q":"$wq","ratio":${wt / prev(wq)}%.2f}}"""
-            }
-          case None => "null"
+        else best.results.map { case (n, tBest) =>
+          if (!best.failed.contains(n)) n -> tBest
+          else {
+            val runs = cleanRuns(n)
+            if (runs.nonEmpty) { borrowed += n; n -> runs.min }
+            else n -> tBest
+          }
         }
-      } catch { case scala.util.control.NonFatal(_) => "null" }
-    // Per-pass forensics go to a FILE, not stdout: the driver keeps only a
-    // ~2 KB stdout tail, which truncated the detail line in r5/r6 and left
-    // beyond-canary swings unattributable (VERDICT r6 §missing.1). Stdout
-    // carries only the short canonical record, which references the file.
-    val detailPath = {
-      // digits-only normalization: "11" and "r11" both tag r11, keeping
-      // the tag comparable with vs_prev's own-round guard
-      val tag = sys.env.get("SPARK_GRAFT_ROUND")
-        .map(r => "r" + r.replaceAll("[^0-9]", ""))
-        .getOrElse((System.currentTimeMillis() / 1000L).toString)
-      val dir = new java.io.File("target"); dir.mkdirs()
-      new java.io.File(dir, s"bench_detail_$tag.json")
+      def jmap(kvs: Seq[(String, Double)]): String =
+        kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+      // The final line must stay well under the driver's stdout-tail buffer
+      // (~2 KB burned r5's record): cap its per-query map at the 45 slowest —
+      // the omitted tail is sub-second micro-queries — and leave the FULL
+      // per-pass maps on the bench_detail line above for forensics.
+      val shown = results.sortBy(-_._2).take(45)
+      val qs = jmap(shown)
+      val total = results.map(_._2).sum
+      val (oracleTimes, oracleCapped) =
+        oracleOpt.getOrElse((Map.empty[String, Double], Set.empty[String]))
+      // spark-vs-oracle over the queries BOTH engines timed SUCCESSFULLY —
+      // a Spark-side failure records a meaningless fast-failure time, which
+      // must not flatter the ratio
+      val common = results.filter { case (n, _) =>
+        oracleTimes.contains(n) && !failed.contains(n) }
+      val oracleTotal = common.map { case (n, _) => oracleTimes(n) }.sum
+      val sparkCommon = common.map(_._2).sum
+      // spark_vs_oracle INCLUDES capped lower-bound entries, so it is itself
+      // only an upper bound on the true ratio; the _measured variant drops
+      // the capped oracles entirely, so it cannot improve by capping more —
+      // both are published (ADVICE r8 #4 / VERDICT r8 next #7)
+      val sparkVsOracle =
+        if (oracleTotal > 0) sparkCommon / oracleTotal else -1.0
+      val measured = common.filterNot { case (n, _) => oracleCapped(n) }
+      val oracleMeasuredTotal =
+        measured.map { case (n, _) => oracleTimes(n) }.sum
+      val sparkMeasured = measured.map(_._2).sum
+      val sparkVsOracleMeasured =
+        if (oracleMeasuredTotal > 0) sparkMeasured / oracleMeasuredTotal
+        else -1.0
+      val cappedShown = oracleCapped.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // Offline uncapped oracle timings (tools/oracle_uncapped.json): a
+      // capped in-bench entry is a ">= cap" lower bound, useless as a
+      // baseline; when a committed offline measurement exists for this SF,
+      // publish it next to the capped list so the record carries the real
+      // number (r10 task #5). Only entries for currently-capped queries are
+      // surfaced — an uncapped live run supersedes the offline file.
+      val offlineUncapped: Map[String, Double] =
+        try {
+          val sfName = new java.io.File(sfDir).getName
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File("tools/oracle_uncapped.json"))
+            .path(sfName)
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          node.propertyStream().forEach { e =>
+            if (oracleCapped(e.getKey))
+              m(e.getKey) = e.getValue.path("sec").asDouble()
+          }
+          m.toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val offlineShown = offlineUncapped.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      // Contamination self-report: the three canaries do IDENTICAL work, so
+      // their max/min ratio directly measures machine-load drift across the
+      // run (VERDICT r4 §wrong.1's class). The flag now matches the retry
+      // gate (1.2): an official record whose cleanest attempt still drifted
+      // past the gate after all backoff attempts is suspect, full stop.
+      val canaries = Seq(canaryStart, canaryMid, canaryEnd)
+      val canaryRatio = canaries.max / math.max(canaries.min, 1e-9)
+      val contaminated = canaryRatio > 1.2 &&
+        (canaries.max - canaries.min) > 0.3
+      // vs_prev: regression check against the newest prior round's committed
+      // BENCH_r*.json (driver shape: {parsed: {queries: {name: sec}}}), over
+      // the queries common to both records. A regression is a red field in
+      // the record, not archaeology. Best-effort: any parse problem → null.
+      // Own-round protection comes from the filename filter below: with
+      // SPARK_GRAFT_ROUND set (the round workflow), BENCH files of the
+      // current and later rounds are excluded. With it UNSET the newest
+      // record wins — correct while the driver benches BEFORE writing its
+      // round record; an ad-hoc re-bench after the round record lands must
+      // set SPARK_GRAFT_ROUND or read vs_prev.file before trusting the
+      // ratio (the baseline filename is always published for exactly this
+      // reason).
+      val vsPrev: String =
+        try {
+          val here = new java.io.File(".").getAbsoluteFile.getParentFile
+          val round = sys.env.get("SPARK_GRAFT_ROUND")
+            .flatMap(r =>
+              scala.util.Try(r.replaceAll("[^0-9]", "").toInt).toOption)
+          val cands = Option(here.listFiles()).getOrElse(Array.empty)
+            .flatMap { f =>
+              val m = "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+              m.map(_.group(1).toInt -> f)
+            }
+            .filter { case (n, _) => round.forall(n < _) }
+            .sortBy(-_._1)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val prevOpt = cands.iterator.flatMap { case (_, f) =>
+            try {
+              val parsed = mapper.readTree(f).path("parsed")
+              // never compare a run against its own round's committed
+              // record (re-bench after the driver writes BENCH_rN.json):
+              // the detail tag identifies the round when SPARK_GRAFT_ROUND
+              // is set
+              val q = parsed.path("queries")
+              if (!q.isObject) None
+              else {
+                val m = scala.collection.mutable.Map.empty[String, Double]
+                q.propertyStream()
+                  .forEach(e => m(e.getKey) = e.getValue.asDouble())
+                if (m.nonEmpty) Some(f.getName -> m.toMap) else None
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }.buffered.headOption
+          prevOpt match {
+            case Some((fname, prev)) =>
+              val common = results.filter { case (n, _) =>
+                prev.contains(n) && prev(n) > 0 && !failed.contains(n) }
+              if (common.isEmpty) "null"
+              else {
+                val ratio = common.map(_._2).sum /
+                  common.map { case (n, _) => prev(n) }.sum
+                val (wq, wt) = common.maxBy { case (n, t) => t / prev(n) }
+                f"""{"file":"$fname","common_n":${common.size},"ratio":$ratio%.2f,"worst":{"q":"$wq","ratio":${wt / prev(wq)}%.2f}}"""
+              }
+            case None => "null"
+          }
+        } catch { case scala.util.control.NonFatal(_) => "null" }
+      // Per-pass forensics go to a FILE, not stdout: the driver keeps only a
+      // ~2 KB stdout tail, which truncated the detail line in r5/r6 and left
+      // beyond-canary swings unattributable (VERDICT r6 §missing.1). Stdout
+      // carries only the short canonical record, which references the file.
+      val detailPath = {
+        // digits-only normalization: "11" and "r11" both tag r11, keeping
+        // the tag comparable with vs_prev's own-round guard
+        val tag = sys.env.get("SPARK_GRAFT_ROUND")
+          .map(r => "r" + r.replaceAll("[^0-9]", ""))
+          .getOrElse((System.currentTimeMillis() / 1000L).toString)
+        val dir = new java.io.File("target"); dir.mkdirs()
+        new java.io.File(dir, s"bench_detail_$tag.json")
+      }
+      // every attempt's passes + canaries are retained (attempt 1 first);
+      // the official record above uses the best-canary attempt
+      // p1_failed/p2_failed attribute every ok=false run to its pass: the
+      // attempt-level "failed" list only names queries with NO clean pass,
+      // so without these a single-pass failure's duration would sit in the
+      // pass map indistinguishable from a clean measurement (ADVICE r11).
+      val attemptsJson = attempts.zipWithIndex.map { case (a, i) =>
+        def names(xs: Seq[String]): String =
+          xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        def failedIn(p: Seq[(String, (Double, Boolean))]): Seq[String] =
+          p.collect { case (n, (_, false)) => n }
+        val af = names(a.failed.toSeq)
+        f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"failed":$af,"p1_failed":${names(failedIn(a.pass1))},"p2_failed":${names(failedIn(a.pass2))},"pass1":${jmap(a.passTimes(a.pass1))},"pass2":${jmap(a.passTimes(a.pass2))}}"""
+      }.mkString(",")
+      // "borrowed": queries whose official time came from a NON-best attempt
+      // (the best attempt failed them) — the only numbers in `results` not
+      // reproducible from this file's pass1/pass2 maps; their source runs
+      // are in the attemptN blocks
+      val borrowedShown = borrowed.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val detail = f"""{"metric":"bench_detail","sf":"$sfDir","final":$isFinal,"selection":"$selection","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"borrowed":$borrowedShown,"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+      // oracle_* are the cross-engine baseline: total DuckDB seconds over the
+      // oracle_n headliners both engines timed, spark seconds over that same
+      // subset, and their ratio (<1 = Spark faster). Full per-query oracle
+      // times live on the detail file's "oracle_sec" map.
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","final":$isFinal,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"selection":"$selection","attempts":${attempts.size},"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"oracle_capped":$cappedShown,"oracle_uncapped_offline_sec":$offlineShown,"spark_vs_oracle_measured":$sparkVsOracleMeasured%.2f,"vs_prev":$vsPrev,"detail":"${detailPath.getPath}"}""")
+      failed
     }
-    // every attempt's passes + canaries are retained (attempt 1 first);
-    // the official record above uses the best-canary attempt
-    // p1_failed/p2_failed attribute every ok=false run to its pass: the
-    // attempt-level "failed" list only names queries with NO clean pass,
-    // so without these a single-pass failure's duration would sit in the
-    // pass map indistinguishable from a clean measurement (ADVICE r11).
-    val attemptsJson = attempts.zipWithIndex.map { case (a, i) =>
-      def names(xs: Seq[String]): String =
-        xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      def failedIn(p: Seq[(String, (Double, Boolean))]): Seq[String] =
-        p.collect { case (n, (_, false)) => n }
-      val af = names(a.failed.toSeq)
-      f""""attempt${i + 1}":{"canaries":[${a.canaries.map(c => f"$c%.3f").mkString(",")}],"ratio":${a.ratio}%.2f,"failed":$af,"p1_failed":${names(failedIn(a.pass1))},"p2_failed":${names(failedIn(a.pass2))},"pass1":${jmap(a.passTimes(a.pass1))},"pass2":${jmap(a.passTimes(a.pass2))}}"""
-    }.mkString(",")
-    // "borrowed": queries whose official time came from a NON-best attempt
-    // (the best attempt failed them) — the only numbers in `results` not
-    // reproducible from this file's pass1/pass2 maps; their source runs
-    // are in the attemptN blocks
-    val borrowedShown = borrowed.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = f"""{"metric":"bench_detail","sf":"$sfDir","selection":"$selection","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"borrowed":$borrowedShown,"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
-    val w = new java.io.PrintWriter(detailPath, "UTF-8")
-    try w.println(detail) finally w.close()
-    // oracle_* are the cross-engine baseline: total DuckDB seconds over the
-    // oracle_n headliners both engines timed, spark seconds over that same
-    // subset, and their ratio (<1 = Spark faster). Full per-query oracle
-    // times live on the detail file's "oracle_sec" map.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"selection":"$selection","attempts":${attempts.size},"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"oracle_capped":$cappedShown,"oracle_uncapped_offline_sec":$offlineShown,"spark_vs_oracle_measured":$sparkVsOracleMeasured%.2f,"vs_prev":$vsPrev,"detail":"${detailPath.getPath}"}""")
+
+    // The official record is GATED on a clean canary (<= 1.2): re-attempt
+    // with growing backoff until one attempt is clean or the attempt budget
+    // is spent. One retry proved too weak — r9 published at 1.43 and r10 at
+    // 4.21 after both attempts hit the same sustained load window — and
+    // 45/90 s backoffs proved too short (r11 published at 1.46 after 3
+    // attempts inside one window): the windows observed in r9-r11 detail
+    // files run minutes, so the backoff must too (2 / 5 / 10 min).
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
+    val backoffSec = Seq(120L, 300L, 600L)
+    val attemptBuf = scala.collection.mutable.ArrayBuffer(runAttempt())
+    def cleanest = attemptBuf.minBy(a => (a.failed.size, a.ratio))
+    // A COMPLETE record streams after every attempt (and again after the
+    // oracle leg): r12's official number vanished entirely because the
+    // driver's budget expired mid-backoff and the only println sat at the
+    // very end (BENCH_r12.json rc=124, parsed null). The driver keeps a
+    // stdout tail and parses the LAST record line, so each emission
+    // supersedes the previous one and a timeout at ANY point still leaves
+    // the newest complete record on record. "final" marks the fully-staged
+    // emission (all attempts + oracle baseline).
+    emit(attemptBuf.toSeq, None, isFinal = false)
+    while (attemptBuf.size < maxAttempts &&
+        (cleanest.dirty || cleanest.failed.nonEmpty)) {
+      Thread.sleep(
+        backoffSec(math.min(attemptBuf.size - 1, backoffSec.size - 1)) * 1000L)
+      attemptBuf += runAttempt()
+      emit(attemptBuf.toSeq, None, isFinal = false)
+    }
+    val attempts = attemptBuf.toSeq
+    val oracle = runOracleBaseline()
+    val failed = emit(attempts, Some(oracle), isFinal = true)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

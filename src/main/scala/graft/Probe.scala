@@ -24,8 +24,16 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = Queries.all.map(q => q.name -> q).toMap
+    // Warm-up against the smallest SIBLING scale factor of the probed dir
+    // (same derivation as Bench's warm-up) — never a hardcoded absolute
+    // path, which breaks on any other layout. If no sibling exists, warm
+    // on the probed dir itself: a slightly-warm first rep beats a crash.
+    val warmDir = {
+      val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
+    }
     names.foreach { n =>
-      qs(n).fn(spark, "/root/testdata/sf0.001")
+      qs(n).fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
     }
     for (rep <- 1 to 3; n <- names) {
