@@ -2792,6 +2792,63 @@ private[graft] object DashQueries {
            |SELECT p.pri, p.n_orders, p.mean_e6, q.lo_e6, q.hi_e6
            |FROM bpt p JOIN bci q USING (pri) ORDER BY p.pri""".stripMargin
       },
+      bench = true),
+
+    Q("dash_gini_by_nation",
+      // the GROUPED face of dash_gini: one Gini coefficient of customer-
+      // spend concentration PER NATION, so markets' inequality compares
+      // side by side (dash_gini reports the one global number). Exact rank
+      // formula, zero floating point:
+      //   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),   x ascending, i = 1..n
+      // cross-multiplied to e6 in DECIMAL(38,0) (n·Σx·10⁶ passes 2⁶³ near
+      // sf100; 38 digits hold to ~10²³). The rank i is the point: it comes
+      // from the two-pass range-partitioned running count
+      // (Ids.groupedRunningSum with weight 1 — the dash_weighted_median
+      // machinery), NOT a row_number() window, so no per-nation sort ever
+      // materializes on one partition. Per-nation aggregates after that
+      // are one map-side-combinable pass. The oracle uses the window form
+      // of the same rank — definition-level, not a replay.
+      (s, d) => {
+        val spend = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(cents(col("o_totalprice")).as("v"))
+          .join(tbl(s, d, "customer")
+            .select(col("c_custkey").as("ck"),
+              col("c_nationkey").as("nation")), "ck")
+          .withColumn("one", lit(1L))
+        val ranked = graft.etl.Ids.groupedRunningSum(spend, Seq("nation"),
+          Seq(col("v"), col("ck")), "one", cumCol = "rank", totCol = "n")
+        ranked.groupBy("nation")
+          .agg(max(col("n")).as("n"), sum(col("v")).as("sum_cents"),
+            sum(col("rank").cast("decimal(20,0)") * col("v")).as("ws"))
+          .selectExpr("CAST(nation AS BIGINT) AS nation", "n", "sum_cents",
+            """CAST((2 * ws - (CAST(n AS DECIMAL(38,0)) + 1) * sum_cents)
+              |     * 1000000
+              | DIV greatest(CAST(n AS DECIMAL(38,0)) * sum_cents,
+              |              CAST(1 AS DECIMAL(38,0))) AS BIGINT)
+              |AS gini_e6""".stripMargin)
+          .orderBy("nation")
+      },
+      Some(
+        """WITH sp AS (
+          |  SELECT o_custkey AS ck,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+          |      AS v
+          |  FROM orders GROUP BY 1),
+          |sn AS (SELECT s.ck, s.v, c.c_nationkey AS nation
+          |       FROM sp s JOIN customer c ON c.c_custkey = s.ck),
+          |rk AS (SELECT nation, v,
+          |    row_number() OVER (PARTITION BY nation ORDER BY v, ck) AS rank
+          |  FROM sn),
+          |ag AS (SELECT nation, count(*) AS n,
+          |    CAST(sum(v) AS BIGINT) AS sum_cents,
+          |    sum(CAST(rank AS HUGEINT) * v) AS ws
+          |  FROM rk GROUP BY 1)
+          |SELECT CAST(nation AS BIGINT) AS nation, n, sum_cents,
+          |  CAST((2 * ws - (CAST(n AS HUGEINT) + 1) * sum_cents) * 1000000
+          |    // greatest(CAST(n AS HUGEINT) * sum_cents, 1) AS BIGINT)
+          |    AS gini_e6
+          |FROM ag ORDER BY nation""".stripMargin),
       bench = true))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row

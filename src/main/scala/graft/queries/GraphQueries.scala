@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Graph
 import graft.queries.Fixtures._
+import graft.util.Lineage._
 
 /** Graph-analytics family: PageRank over the customer→part purchase
   * graph, a-priori-pruned co-purchase pair mining, and degree-ordered
@@ -1002,6 +1003,64 @@ private[graft] object GraphQueries {
           |UNION ALL
           |SELECT 'sweep2', id, CAST(hop AS BIGINT) FROM f2
           |ORDER BY phase""".stripMargin),
+      bench = true),
+
+    Q("graph_harmonic_landmarks",
+      // harmonic centrality (Marchiori/Latora '00; Boldi/Vigna's preferred
+      // closeness) from the 4 stress landmarks — Σ 1/d instead of 1/Σd,
+      // which handles DISCONNECTED reachability gracefully: an unreachable
+      // landmark contributes 0 instead of poisoning the whole sum with an
+      // infinite distance, so the ranking stays meaningful on the
+      // fragmented graphs real corpora produce. Exact integers by
+      // construction: each term is the truncating division 10⁶ DIV hop
+      // (both engines truncate positives identically), summed per node —
+      // no reciprocal floats. Per-landmark distances come from one keyed
+      // layer-synchronous BFS: the frontier is (lm, id)-keyed, so 4 (or
+      // 400) landmarks still cost one join + one anti-join per layer, and
+      // per-layer work is O(frontier × degree), never O(nodes).
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"),
+          col("src").as("dst"))).truncateLineage()
+        val seeds = sym.select(col("src")).distinct().orderBy("src").limit(4)
+          .select(col("src").as("lm"), col("src").as("id"))
+        var dist = seeds.withColumn("hop", lit(0L)).truncateLineage()
+        var frontier = dist.select("lm", "id")
+        for (h <- 1 to 3) {
+          val nxt = frontier.join(sym, frontier("id") === sym("src"))
+            .select(frontier("lm"), sym("dst").as("id")).distinct()
+            .join(dist.select("lm", "id"), Seq("lm", "id"), "left_anti")
+            .withColumn("hop", lit(h.toLong))
+            .truncateLineage()
+          dist = dist.union(nxt)
+          frontier = nxt.select("lm", "id")
+        }
+        dist.filter(col("hop") >= 1)
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_lm"),
+            sum(expr("1000000 DIV hop")).as("harmonic_e6"))
+          .orderBy("id")
+      },
+      Some(
+        """WITH RECURSIVE raw AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |edges AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+          |lms AS (SELECT src AS lm FROM (
+          |  SELECT DISTINCT src FROM edges ORDER BY src LIMIT 4)),
+          |reach(lm, id, hop) AS (
+          |  SELECT lm, lm, 0 FROM lms
+          |  UNION
+          |  SELECT r.lm, e.dst, r.hop + 1
+          |  FROM reach r JOIN edges e ON e.src = r.id WHERE r.hop < 3),
+          |d AS (SELECT lm, id, min(hop) AS hop FROM reach GROUP BY 1, 2)
+          |SELECT id, count(*) AS n_lm,
+          |  CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_e6
+          |FROM d WHERE hop >= 1 GROUP BY id ORDER BY id""".stripMargin),
       bench = true)
   )
 

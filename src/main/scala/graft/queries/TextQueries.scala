@@ -1412,6 +1412,55 @@ private[graft] object TextQueries {
            |FROM tot t JOIN tot r ON r.doc_id = t.doc_id + 1
            |LEFT JOIN ol ON ol.doc_id = t.doc_id
            |ORDER BY t.doc_id""".stripMargin),
+      bench = true),
+
+    Q("text_simpson_diversity",
+      // Simpson diversity (collision probability) of the unigram
+      // distribution per source — the PROBABILISTIC repetitiveness dial
+      // beside text_distinct_ngrams' set-based distinct-n: D = Σc(c−1) /
+      // N(N−1) is exactly the chance two tokens drawn without replacement
+      // are the same type, so boilerplate-heavy sources score high even
+      // when their distinct-count looks healthy (a million "the"s and a
+      // diverse tail have the same distinct-1 as a flat corpus; Simpson
+      // separates them). Pure BIGINT end-to-end: Σc(c−1) ≤ N² stays under
+      // 2⁶³ to ~3·10⁹ tokens per source, and the inverse 1/D (effective
+      // vocabulary size — how many equally-common types would collide
+      // this often) is a second integer division, no reciprocals. Shape:
+      // one gram explode, one (source, gram) count, one thin per-source
+      // aggregation — all map-side combinable.
+      (s, d) => tbl(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(graft.expr.NgramHashSeq(col("text"), 1)).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("coll"))
+        .selectExpr("source", "n_tokens", "n_types",
+          "coll * 1000000 DIV greatest(n_tokens * (n_tokens - 1), 1) AS simpson_e6",
+          """CAST(greatest(n_tokens * (n_tokens - 1), 1)
+            | DIV greatest(coll, 1) AS BIGINT) AS inv_simpson""".stripMargin)
+        .orderBy("source"),
+      Some(
+        s"""WITH g0 AS (
+           |  SELECT source, ($hexHead32Sql) AS h FROM (
+           |    SELECT source, md5(array_to_string(ws[i + 1: i + 1], ' ')) AS mh
+           |    FROM (SELECT source,
+           |            regexp_split_to_array(lower(trim(text)), '\\s+') AS ws,
+           |            unnest(range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1, 0) + 1)) AS i
+           |          FROM documents WHERE length(trim(text)) > 0))),
+           |gc AS (SELECT source, h, count(*) AS c FROM g0 GROUP BY 1, 2),
+           |ag AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |       count(*) AS n_types,
+           |       CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+           |       FROM gc GROUP BY 1)
+           |SELECT source, n_tokens, n_types,
+           |  coll * 1000000 // greatest(n_tokens * (n_tokens - 1), 1)
+           |    AS simpson_e6,
+           |  CAST(greatest(n_tokens * (n_tokens - 1), 1)
+           |    // greatest(coll, 1) AS BIGINT) AS inv_simpson
+           |FROM ag ORDER BY source""".stripMargin),
       bench = true)
   )
 
