@@ -1061,6 +1061,80 @@ private[graft] object GraphQueries {
           |SELECT id, count(*) AS n_lm,
           |  CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_e6
           |FROM d WHERE hop >= 1 GROUP BY id ORDER BY id""".stripMargin),
+      bench = true),
+
+    Q("graph_walk_corpus",
+      // random-walk corpus generation (DeepWalk/node2vec's phase 1): k-step
+      // walks from a seed set over the co-purchase graph, emitted as
+      // (walk_id, step, node) rows — the "sentences" a skip-gram embedding
+      // trainer consumes, and the piece that turns a 100 TB graph into
+      // trainable sequence data. The walk is DETERMINISTIC by construction
+      // (the md5 trick every sampled query here uses): step t of walk w
+      // draws neighbor index md5(w # t) mod degree, so both engines replay
+      // the identical corpus and the gate checks it row for row — swap the
+      // md5 draw for a true RNG in production and nothing else changes.
+      // Scale shape: neighbors are pre-ranked ONCE (r = 1..deg per node,
+      // the two-pass range-partitioned running count — no per-node sort
+      // window), then each step is ONE equi-join of the walk frontier
+      // against the ranked edge list on the node key with the drawn-rank
+      // residual selecting the single outgoing edge. k steps = k keyed
+      // joins, per-step cost O(walks × avg degree), never edges × walks.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val ranked = graft.etl.Ids.groupedRunningSum(
+          sym.withColumn("one", lit(1L)), Seq("src"), Seq(col("dst")),
+          "one", cumCol = "r", totCol = "deg").truncateLineage()
+        val seeds = sym.select(col("src")).distinct()
+          .filter(col("src") % 100 === 0)
+        var walks = seeds.select(col("src").as("walk_id"),
+          lit(0L).as("step"), col("src").as("node"))
+        var cur = walks
+        for (t <- 1 to 6) {
+          val draw = pmod(graft.analytics.Sketch.hashPoint32(
+            concat(col("walk_id").cast("string"), lit(s"#$t"))),
+            col("deg")) + 1
+          val nxt = cur.join(ranked, cur("node") === ranked("src"))
+            .filter(col("r") === draw)
+            .select(col("walk_id"), lit(t.toLong).as("step"),
+              col("dst").as("node"))
+            .truncateLineage()
+          walks = walks.union(nxt)
+          cur = nxt
+        }
+        walks.orderBy("walk_id", "step")
+      },
+      Some {
+        def step(t: Int): String = {
+          val h = OracleShared.hx(
+            s"md5(CAST(w.walk_id AS VARCHAR) || '#$t')")
+          s"""w$t AS (SELECT w.walk_id, e.dst AS node
+             |  FROM w${t - 1} w JOIN rk e ON e.src = w.node
+             |   AND e.r = ($h) % e.deg + 1)""".stripMargin
+        }
+        s"""WITH raw AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT src, dst FROM raw
+           |        UNION ALL SELECT dst, src FROM raw),
+           |rk AS (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
+           |    count(*) OVER (PARTITION BY src) AS deg
+           |  FROM sym),
+           |w0 AS (SELECT src AS walk_id, src AS node FROM
+           |  (SELECT DISTINCT src FROM sym) WHERE src % 100 = 0),
+           |${(1 to 6).map(step).mkString(",\n")}
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+           |  SELECT walk_id, 0 AS step, node FROM w0
+           |  ${(1 to 6).map(t => s"UNION ALL SELECT walk_id, $t, node FROM w$t")
+              .mkString("\n  ")}
+           |) ORDER BY walk_id, step""".stripMargin
+      },
       bench = true)
   )
 
