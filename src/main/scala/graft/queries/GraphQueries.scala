@@ -1079,64 +1079,113 @@ private[graft] object GraphQueries {
       // against the ranked edge list on the node key with the drawn-rank
       // residual selecting the single outgoing edge. k steps = k keyed
       // joins, per-step cost O(walks × avg degree), never edges × walks.
+      (s, d) => walkCorpus(s, d).orderBy("walk_id", "step"),
+      Some(
+        s"""WITH $WALK_SQL
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM wall
+           |ORDER BY walk_id, step""".stripMargin),
+      bench = true),
+
+    Q("graph_walk_skipgram",
+      // phase 2 of the embedding pipeline: skip-gram (center, context)
+      // co-occurrence counts within a ±2 window over the walk corpus —
+      // the EXACT training input a word2vec/node2vec trainer consumes
+      // (each count is a positive example's weight; negatives come from
+      // the degree distribution the trainer already has). Window pairing
+      // is a self-equi-join on walk_id with the |Δstep| ≤ 2 residual —
+      // per-walk fan-out is the constant window size times walk length,
+      // never corpus-sized — followed by one map-side-combinable count.
+      // The walk corpus itself is the shared deterministic builder, so
+      // this query's gate transitively re-checks the walks too.
       (s, d) => {
-        val raw = tbl(s, d, "orders")
-          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_partkey") * 2 + 1).as("dst"))
-          .distinct()
-        val sym = raw.union(raw.select(col("dst").as("src"),
-          col("src").as("dst")))
-        val ranked = graft.etl.Ids.groupedRunningSum(
-          sym.withColumn("one", lit(1L)), Seq("src"), Seq(col("dst")),
-          "one", cumCol = "r", totCol = "deg").truncateLineage()
-        val seeds = sym.select(col("src")).distinct()
-          .filter(col("src") % 100 === 0)
-        var walks = seeds.select(col("src").as("walk_id"),
-          lit(0L).as("step"), col("src").as("node"))
-        var cur = walks
-        for (t <- 1 to 6) {
-          val draw = pmod(graft.analytics.Sketch.hashPoint32(
-            concat(col("walk_id").cast("string"), lit(s"#$t"))),
-            col("deg")) + 1
-          val nxt = cur.join(ranked, cur("node") === ranked("src"))
-            .filter(col("r") === draw)
-            .select(col("walk_id"), lit(t.toLong).as("step"),
-              col("dst").as("node"))
-            .truncateLineage()
-          walks = walks.union(nxt)
-          cur = nxt
-        }
-        walks.orderBy("walk_id", "step")
+        val w = walkCorpus(s, d).truncateLineage()
+        val a = w.select(col("walk_id"), col("step").as("sa"),
+          col("node").as("center"))
+        val b = w.select(col("walk_id"), col("step").as("sb"),
+          col("node").as("context"))
+        a.join(b, "walk_id")
+          .filter(abs(col("sa") - col("sb")) <= 2 &&
+            col("sa") =!= col("sb"))
+          .groupBy("center", "context")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("center", "context")
       },
-      Some {
-        def step(t: Int): String = {
-          val h = OracleShared.hx(
-            s"md5(CAST(w.walk_id AS VARCHAR) || '#$t')")
-          s"""w$t AS (SELECT w.walk_id, e.dst AS node
-             |  FROM w${t - 1} w JOIN rk e ON e.src = w.node
-             |   AND e.r = ($h) % e.deg + 1)""".stripMargin
-        }
-        s"""WITH raw AS (
-           |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |sym AS (SELECT src, dst FROM raw
-           |        UNION ALL SELECT dst, src FROM raw),
-           |rk AS (SELECT src, dst,
-           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
-           |    count(*) OVER (PARTITION BY src) AS deg
-           |  FROM sym),
-           |w0 AS (SELECT src AS walk_id, src AS node FROM
-           |  (SELECT DISTINCT src FROM sym) WHERE src % 100 = 0),
-           |${(1 to 6).map(step).mkString(",\n")}
-           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
-           |  SELECT walk_id, 0 AS step, node FROM w0
-           |  ${(1 to 6).map(t => s"UNION ALL SELECT walk_id, $t, node FROM w$t")
-              .mkString("\n  ")}
-           |) ORDER BY walk_id, step""".stripMargin
-      },
+      Some(
+        s"""WITH $WALK_SQL,
+           |prs AS (SELECT a.node AS center, b.node AS context
+           |  FROM wall a JOIN wall b ON b.walk_id = a.walk_id
+           |  WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step)
+           |SELECT center, context, count(*) AS cnt
+           |FROM prs GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
       bench = true)
   )
+
+  /** Shared deterministic walk builder for graph_walk_corpus /
+    * graph_walk_skipgram: 6-step walks from every 100th node of the
+    * symmetric co-purchase graph, neighbor index drawn as
+    * md5(walk_id # step) mod degree over the once-ranked edge list (r =
+    * 1..deg per node by the range-partitioned running count — no per-node
+    * window). Returns (walk_id, step, node), step 0..6.
+    */
+  private def walkCorpus(s: SparkSession, d: String): DataFrame = {
+    val raw = tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = raw.union(raw.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val ranked = graft.etl.Ids.groupedRunningSum(
+      sym.withColumn("one", lit(1L)), Seq("src"), Seq(col("dst")),
+      "one", cumCol = "r", totCol = "deg").truncateLineage()
+    val seeds = sym.select(col("src")).distinct()
+      .filter(col("src") % 100 === 0)
+    var walks = seeds.select(col("src").as("walk_id"),
+      lit(0L).as("step"), col("src").as("node"))
+    var cur = walks
+    for (t <- 1 to 6) {
+      val draw = pmod(graft.analytics.Sketch.hashPoint32(
+        concat(col("walk_id").cast("string"), lit(s"#$t"))),
+        col("deg")) + 1
+      val nxt = cur.join(ranked, cur("node") === ranked("src"))
+        .filter(col("r") === draw)
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("dst").as("node"))
+        .truncateLineage()
+      walks = walks.union(nxt)
+      cur = nxt
+    }
+    walks
+  }
+
+  /** Shared WITH-body of the walk oracles: the ranked edge list, the six
+    * unrolled md5-draw steps, and `wall(walk_id, step, node)`.
+    */
+  private lazy val WALK_SQL: String = {
+    def step(t: Int): String = {
+      val h = OracleShared.hx(
+        s"md5(CAST(w.walk_id AS VARCHAR) || '#$t')")
+      s"""w$t AS (SELECT w.walk_id, e.dst AS node
+         |  FROM w${t - 1} w JOIN rk e ON e.src = w.node
+         |   AND e.r = ($h) % e.deg + 1)""".stripMargin
+    }
+    s"""raw AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT src, dst FROM raw
+       |        UNION ALL SELECT dst, src FROM raw),
+       |rk AS (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM sym),
+       |w0 AS (SELECT src AS walk_id, src AS node FROM
+       |  (SELECT DISTINCT src FROM sym) WHERE src % 100 = 0),
+       |${(1 to 6).map(step).mkString(",\n")},
+       |wall AS (
+       |  SELECT walk_id, 0 AS step, node FROM w0
+       |  ${(1 to 6).map(t => s"UNION ALL SELECT walk_id, $t, node FROM w$t")
+          .mkString("\n  ")})""".stripMargin
+  }
 
   /** Shared SSSP fixture: the directed "expressway" graph on every 5th
     * customer — power-of-two skips id → id + 5·2^j (j = 0..16, clipped)
