@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Graph
@@ -1117,6 +1118,124 @@ private[graft] object GraphQueries {
            |  WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step)
            |SELECT center, context, count(*) AS cnt
            |FROM prs GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
+      bench = true),
+
+    Q("graph_walk_node2vec",
+      // SECOND-ORDER biased walks (node2vec, Grover & Leskovec KDD'16) —
+      // the dial graph_walk_corpus lacks: step t's draw depends on where
+      // the walk CAME from. Candidate x from current v with previous u
+      // weighs S/p if x = u (return), S if x is adjacent to u (stay
+      // local / BFS-like), S/q otherwise (push outward / DFS-like); here
+      // p = 2, q = 4, S = 4 → integer weights 2 / 4 / 1, so the weighted
+      // draw is md5(n2v # walk # t) mod Σw against the cumulative-weight
+      // ladder and both engines replay it exactly. Per step: one
+      // frontier×edges equi-join (fan-out = degree), one LEFT join
+      // against the edge set for the u-adjacency flag, one per-walk
+      // cumulative-weight window (PARTITIONED BY walk_id — group size is
+      // one node's degree, never global), one min_by pick. The adjacency
+      // probe is the honest cost of second-order bias at scale: it is an
+      // edge-keyed equi-join, not a per-row lookup table.
+      (s, d) => {
+        val raw = tbl(s, d, "orders")
+          .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = raw.union(raw.select(col("dst").as("src"),
+          col("src").as("dst"))).truncateLineage()
+        val ranked = graft.etl.Ids.groupedRunningSum(
+          sym.withColumn("one", lit(1L)), Seq("src"), Seq(col("dst")),
+          "one", cumCol = "r", totCol = "deg").truncateLineage()
+        val seeds = sym.select(col("src")).distinct()
+          .filter(col("src") % 100 === 0)
+        // step 1: uniform (no previous node yet) — the walk_corpus draw
+        // under the n2v salt
+        val d1 = pmod(graft.analytics.Sketch.hashPoint32(
+          concat(lit("n2v#"), col("walk_id").cast("string"), lit("#1"))),
+          col("deg")) + 1
+        var frontier = seeds.select(col("src").as("walk_id"),
+            col("src").as("cur"))
+          .join(ranked, col("cur") === ranked("src"))
+          .filter(col("r") === d1)
+          .select(col("walk_id"), col("cur").as("prev"),
+            col("dst").as("cur"))
+          .truncateLineage()
+        var walks = seeds.select(col("src").as("walk_id"),
+            lit(0L).as("step"), col("src").as("node"))
+          .union(frontier.select(col("walk_id"), lit(1L).as("step"),
+            col("cur").as("node")))
+        val byWalk = Window.partitionBy("walk_id").orderBy("dst")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("walk_id")
+        for (t <- 2 to 6) {
+          val cand = frontier.join(sym, frontier("cur") === sym("src"))
+            .select(col("walk_id"), col("prev"), col("cur"), sym("dst"))
+          val pe = sym.select(col("src").as("p_src"),
+            col("dst").as("p_dst"), lit(1).as("adj"))
+          val weighted = cand
+            .join(pe, col("prev") === col("p_src") &&
+              col("dst") === col("p_dst"), "left")
+            .select(col("walk_id"), col("cur"), col("dst"),
+              when(col("dst") === col("prev"), 2L)
+                .when(col("adj").isNotNull, 4L)
+                .otherwise(1L).as("w"))
+            .withColumn("cumw", sum(col("w")).over(byWalk))
+            .withColumn("tw", sum(col("w")).over(tot))
+          val draw = pmod(graft.analytics.Sketch.hashPoint32(
+            concat(lit("n2v#"), col("walk_id").cast("string"),
+              lit(s"#$t"))), col("tw"))
+          val nxt = weighted.filter(col("cumw") > draw)
+            .groupBy("walk_id")
+            .agg(min_by(col("dst"), col("cumw")).as("nxt"),
+              min(col("cur")).as("prev"))
+            .select(col("walk_id"), col("prev"), col("nxt").as("cur"))
+            .truncateLineage()
+          walks = walks.union(nxt.select(col("walk_id"),
+            lit(t.toLong).as("step"), col("cur").as("node")))
+          frontier = nxt
+        }
+        walks.orderBy("walk_id", "step")
+      },
+      Some {
+        def h(t: Int): String = OracleShared.hx(
+          s"md5('n2v#' || CAST(walk_id AS VARCHAR) || '#$t')")
+        def step(t: Int): String =
+          s"""c$t AS (SELECT f.walk_id, f.cur, e.dst,
+             |    CASE WHEN e.dst = f.prev THEN 2
+             |         WHEN pe.src IS NOT NULL THEN 4 ELSE 1 END AS w
+             |  FROM f${t - 1} f JOIN sym e ON e.src = f.cur
+             |  LEFT JOIN sym pe ON pe.src = f.prev AND pe.dst = e.dst),
+             |u$t AS (SELECT walk_id, cur, dst, w,
+             |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             |    sum(w) OVER (PARTITION BY walk_id) AS tw
+             |  FROM c$t),
+             |f$t AS (SELECT walk_id, cur AS prev, dst AS cur FROM (
+             |  SELECT walk_id, cur, dst,
+             |    row_number() OVER (PARTITION BY walk_id ORDER BY cumw) AS rn
+             |  FROM u$t WHERE cumw > (${h(t)}) % tw) WHERE rn = 1)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT src, dst FROM raw
+           |        UNION ALL SELECT dst, src FROM raw),
+           |rk AS (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS r,
+           |    count(*) OVER (PARTITION BY src) AS deg
+           |  FROM sym),
+           |s0 AS (SELECT src AS walk_id FROM
+           |  (SELECT DISTINCT src FROM sym) WHERE src % 100 = 0),
+           |f1 AS (SELECT s.walk_id, s.walk_id AS prev, e.dst AS cur
+           |  FROM s0 s JOIN rk e ON e.src = s.walk_id
+           |   AND e.r = (${h(1)}) % e.deg + 1),
+           |${(2 to 6).map(step).mkString(",\n")}
+           |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+           |  SELECT walk_id, 0 AS step, walk_id AS node FROM s0
+           |  UNION ALL SELECT walk_id, 1, cur FROM f1
+           |  ${(2 to 6).map(t => s"UNION ALL SELECT walk_id, $t, cur FROM f$t")
+              .mkString("\n  ")}
+           |) ORDER BY walk_id, step""".stripMargin
+      },
       bench = true)
   )
 
