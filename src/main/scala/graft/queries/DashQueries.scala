@@ -2849,6 +2849,82 @@ private[graft] object DashQueries {
           |    // greatest(CAST(n AS HUGEINT) * sum_cents, 1) AS BIGINT)
           |    AS gini_e6
           |FROM ag ORDER BY nation""".stripMargin),
+      bench = true),
+
+    Q("dash_forecast_backtest",
+      // rolling-origin forecast EVALUATION — the harness every dashboard
+      // forecaster (dash_holt_forecast, dash_ewma) should be judged by
+      // but none of the stat queries provides: replay history day by day,
+      // predict each day from strictly earlier data, score the absolute
+      // error. Three standard reference models over the daily order
+      // count — naive (yesterday), seasonal-naive (same weekday last
+      // week: the one to beat on weekly-periodic series), and the
+      // trailing-7-day mean — evaluated on the COMMON day set (all three
+      // predictors present, full 7-day window) so the MAEs compare
+      // apples to apples. Exact integers: the mean model's error clears
+      // its denominator per day (|7·cnt − Σ₇|·10⁶ DIV 7) before summing.
+      // Each predictor is a date-shift EQUI-join on the daily frame —
+      // never lag() over an unpartitioned window — so the backtest is
+      // three shuffles of a date-keyed table regardless of history
+      // length.
+      (s, d) => {
+        val daily = tbl(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+          .truncateLineage() // observation side + three predictor shifts
+        val lag1 = daily.select(expr("date_add(day, 1)").as("day"),
+          col("cnt").as("p1"))
+        val lag7 = daily.select(expr("date_add(day, 7)").as("day"),
+          col("cnt").as("p7"))
+        val ks = daily.sparkSession.range(1, 8)
+          .select(col("id").cast("int").as("k"))
+        val trail = daily.crossJoin(broadcast(ks))
+          .select(expr("date_add(day, k)").as("day"), col("cnt").as("pc"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_prev"), sum(col("pc")).as("tsum"))
+        val scored = daily.join(lag1, "day").join(lag7, "day")
+          .join(trail, "day").filter(col("n_prev") === 7)
+          .select(
+            (abs(col("cnt") - col("p1")) * 1000000L).as("e_naive"),
+            (abs(col("cnt") - col("p7")) * 1000000L).as("e_seas"),
+            expr("abs(cnt * 7 - tsum) * 1000000 DIV 7").as("e_mean"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("e_naive")).as("s_naive"),
+            sum(col("e_seas")).as("s_seas"),
+            sum(col("e_mean")).as("s_mean"))
+        scored.selectExpr(
+            "stack(3, 'naive_1', s_naive, 'seasonal_7', s_seas, " +
+              "'trailing_mean_7', s_mean) AS (model, sae_e6)",
+            "n_days")
+          .selectExpr("model", "n_days", "sae_e6",
+            "sae_e6 DIV n_days AS mae_e6")
+          .orderBy("model")
+      },
+      Some(
+        """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+          |    count(*) AS cnt FROM orders GROUP BY 1),
+          |l1 AS (SELECT day + 1 AS day, cnt AS p1 FROM daily),
+          |l7 AS (SELECT day + 7 AS day, cnt AS p7 FROM daily),
+          |ks AS (SELECT unnest(range(1, 8)) AS k),
+          |tw AS (SELECT d.day + CAST(ks.k AS INTEGER) AS day, d.cnt
+          |       FROM daily d CROSS JOIN ks),
+          |tr AS (SELECT day, count(*) AS n_prev,
+          |       CAST(sum(cnt) AS BIGINT) AS tsum FROM tw GROUP BY 1),
+          |sc AS (SELECT
+          |    abs(d.cnt - l1.p1) * 1000000 AS e_naive,
+          |    abs(d.cnt - l7.p7) * 1000000 AS e_seas,
+          |    abs(d.cnt * 7 - tr.tsum) * 1000000 // 7 AS e_mean
+          |  FROM daily d JOIN l1 USING (day) JOIN l7 USING (day)
+          |  JOIN tr USING (day) WHERE tr.n_prev = 7),
+          |ag AS (SELECT count(*) AS n_days,
+          |    CAST(sum(e_naive) AS BIGINT) AS s_naive,
+          |    CAST(sum(e_seas) AS BIGINT) AS s_seas,
+          |    CAST(sum(e_mean) AS BIGINT) AS s_mean FROM sc)
+          |SELECT model, n_days, sae_e6, sae_e6 // n_days AS mae_e6 FROM (
+          |  SELECT 'naive_1' AS model, n_days, s_naive AS sae_e6 FROM ag
+          |  UNION ALL SELECT 'seasonal_7', n_days, s_seas FROM ag
+          |  UNION ALL SELECT 'trailing_mean_7', n_days, s_mean FROM ag
+          |) ORDER BY model""".stripMargin),
       bench = true))
 
   /** Oracle for dash_moving_avg: the gap-fill CTEs plus the same 7-row

@@ -510,6 +510,51 @@ private[graft] object GraphQueries {
         |JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY triangles""".stripMargin)),
 
+    Q("graph_clustering_coeff",
+      // local clustering coefficient per node (Watts–Strogatz '98): the
+      // fraction of a node's neighbor pairs that are themselves connected,
+      // cc(v) = 2·T(v) / deg(v)(deg(v)−1) — the "how clique-ish is this
+      // node's neighborhood" dial that separates hub-of-strangers from
+      // community-core, per node where graph_triangles reports one global
+      // count. T(v) rides the SAME degree-ordered machinery: edgeSupport
+      // counts each edge's triangles with wedge fan-out bounded by
+      // out-degree ≤ √2m, and Σ support over v's incident edges counts
+      // every triangle at v exactly twice (its two incident edges), so
+      // cc_e6 = Σsupport·10⁶ DIV deg(deg−1) with no extra pass. Exact
+      // BIGINT throughout (Σsupport ≤ 2·deg² and the e6 product holds to
+      // deg ~ 10⁵). The oracle counts per-node triangles by the naive
+      // wedge-closure join — definition-level, the skew-fragile plan the
+      // oriented form replaces.
+      (s, d) => {
+        val e = coEdges(s, d).truncateLineage()
+        val sup = Graph.edgeSupport(e)
+        val supAll = e.join(sup, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("support"), lit(0L)).as("support"))
+        supAll.select(col("a").as("id"), col("support"))
+          .unionAll(supAll.select(col("b").as("id"), col("support")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("deg"), sum(col("support")).as("sup2"))
+          .filter(col("deg") >= 2)
+          .selectExpr("id", "deg", "sup2 DIV 2 AS triangles",
+            "sup2 * 1000000 DIV (deg * (deg - 1)) AS cc_e6")
+          .orderBy("id")
+      },
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |se AS (SELECT a AS u, b AS w FROM pe UNION ALL SELECT b, a FROM pe),
+        |tr AS (SELECT s1.u AS id, count(*) AS t
+        |  FROM se s1 JOIN se s2 ON s2.u = s1.u AND s1.w < s2.w
+        |  JOIN pe e ON e.a = s1.w AND e.b = s2.w
+        |  GROUP BY 1),
+        |dg AS (SELECT u AS id, count(*) AS deg FROM se GROUP BY 1)
+        |SELECT d.id, d.deg, CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+        |  CAST(2 * coalesce(t.t, 0) * 1000000 // (d.deg * (d.deg - 1))
+        |    AS BIGINT) AS cc_e6
+        |FROM dg d LEFT JOIN tr t USING (id)
+        |WHERE d.deg >= 2 ORDER BY d.id""".stripMargin),
+      bench = true),
+
     Q("graph_kcore",
       // 3-round k-core peel (k = 3) of the co-purchase graph: the dense
       // "stable market" subgraph after shaving low-degree fringe nodes —
