@@ -23,6 +23,17 @@ class QueriesSpec extends SparkSpec {
         "— update the README count and gloss the new queries")
   }
 
+  test("every registry query name appears in the README inventory (no rot)") {
+    // the census line pins the COUNT; this pins the NAMES — the r13 sweep
+    // found 91 queries that had silently rotted out of the coverage map's
+    // per-row lists across rounds. A new query now fails the suite until
+    // its name lands in the README row it belongs to.
+    val readme = new String(Files.readAllBytes(Paths.get("README.md")), "UTF-8")
+    val missing = Queries.all.map(_.name).filterNot(n => readme.contains(s"`$n`"))
+    assert(missing.isEmpty,
+      s"registry queries missing from README inventory: ${missing.mkString(", ")}")
+  }
+
   test("entry() flagship returns rows on sf0.001 (driver smoke contract)") {
     assume(Files.exists(Paths.get("/root/testdata/sf0.001/lineitem.parquet")))
     assert(SparkEntry.entry(spark).count() > 0)
