@@ -424,6 +424,37 @@ object Multimodal {
     * explosion happens inside the partition iterator — the Generator
     * shape, no shuffle).
     */
+  /** One fixed-width audio frame's energy. */
+  final case class AudioFrame(asset_id: Long, frame: Int, energy: Long)
+
+  /** Frame-energy profile of the audio assets: the payload chopped into
+    * fixed `frameBytes` windows, each reduced to its byte-value sum — the
+    * deterministic stand-in for a PCM frame-energy pass (an ffmpeg/javacv
+    * decoder slots in at exactly this boundary; the schema, the per-asset
+    * fan-out shape, and everything downstream are unchanged). Integral by
+    * construction, so VAD-style consumers compare energies exactly and the
+    * oracle replays the frames bit-for-bit from the payload hex. One input
+    * row streams out ceil(n_bytes / frameBytes) frame rows.
+    */
+  def audioFrameEnergies(assets: DataFrame, frameBytes: Int = 64): Dataset[AudioFrame] = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("mime") === "audio/wav")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val n = if (p == null) 0 else p.length
+        (0 until (n + frameBytes - 1) / frameBytes).iterator.map { f =>
+          var s = 0L
+          var i = f * frameBytes
+          val end = math.min(i + frameBytes, n)
+          while (i < end) { s += p(i) & 0xff; i += 1 }
+          AudioFrame(id, f, s)
+        }
+      }
+  }
+
   final case class FrameFeatures(
       asset_id: Long,
       frame_idx: Int,

@@ -10,6 +10,7 @@ import graft.expr.Transliterate
 import graft.llm.{Corpus, Dedup, Multimodal, Similarity, TextStats}
 import graft.schema.PropertySchema
 import graft.streaming.Events
+import graft.util.Lineage._
 import graft.util.Num.{cents, e6}
 import graft.queries.Fixtures._
 import graft.queries.OracleShared._
@@ -1092,6 +1093,75 @@ private[graft] object SimQueries {
           |f AS (SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 1 + n % 30 ELSE 1 END AS nf FROM b)
           |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
           |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
+
+    Q("mm_audio_vad",
+      // voice-activity-style segmentation over the AUDIO assets — the
+      // audio face of the multimodal family (the image path has decode/
+      // resize/phash; this is the standard first pass over speech data
+      // before transcription: which stretches carry signal?). The payload
+      // chops into 64-byte frames reduced to integral energies
+      // (audioFrameEnergies — a real PCM decoder slots in at that exact
+      // boundary with nothing downstream changing); a frame is "voiced"
+      // when its energy exceeds the asset's own mean, cross-multiplied
+      // (energy·n_frames > Σenergy) so the mean never materializes as a
+      // fraction. The longest voiced run is gaps-and-islands on the frame
+      // index — island key = frame − row_number, windows PARTITIONED BY
+      // asset (group size = one asset's frames, never global). Output per
+      // asset: frames, total energy, voiced count, longest run, voiced
+      // ratio e6.
+      (s, d) => {
+        val assets = Multimodal.synthesizeAssets(
+          tbl(s, d, "documents"), "doc_id", "text")
+        val fr = Multimodal.audioFrameEnergies(assets).toDF()
+          .truncateLineage() // totals + voiced + runs all read it
+        val tot = fr.groupBy("asset_id")
+          .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("total_energy"))
+        val voiced = fr.join(tot, "asset_id")
+          .filter(col("energy") * col("n_frames") > col("total_energy"))
+          .select(col("asset_id"), col("frame"))
+        val byAsset = Window.partitionBy("asset_id").orderBy("frame")
+        val runs = voiced
+          .withColumn("isl", col("frame") - row_number().over(byAsset))
+          .groupBy("asset_id", "isl").agg(count(lit(1)).as("len"))
+          .groupBy("asset_id").agg(max(col("len")).as("longest_voiced"))
+        val nv = voiced.groupBy("asset_id").agg(count(lit(1)).as("n_voiced"))
+        tot.join(nv, Seq("asset_id"), "left")
+          .join(runs, Seq("asset_id"), "left")
+          .select(col("asset_id"), col("n_frames"), col("total_energy"),
+            coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+            coalesce(col("longest_voiced"), lit(0L)).as("longest_voiced"))
+          .withColumn("voiced_ratio_e6",
+            expr("n_voiced * 1000000 DIV n_frames"))
+          .orderBy("asset_id")
+      },
+      Some(
+        """WITH b AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+          |    octet_length(encode(text)) AS n
+          |  FROM documents
+          |  WHERE doc_id % 4 = 2 AND octet_length(encode(text)) > 0),
+          |by AS (SELECT asset_id, i // 64 AS frame,
+          |    (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+          |    + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1 AS byte
+          |  FROM (SELECT asset_id, hx, unnest(range(n)) AS i FROM b)),
+          |fr AS (SELECT asset_id, frame, CAST(sum(byte) AS BIGINT) AS energy
+          |       FROM by GROUP BY 1, 2),
+          |tot AS (SELECT asset_id, count(*) AS n_frames,
+          |        CAST(sum(energy) AS BIGINT) AS total_energy
+          |        FROM fr GROUP BY 1),
+          |vo AS (SELECT f.asset_id, f.frame FROM fr f JOIN tot t USING (asset_id)
+          |       WHERE f.energy * t.n_frames > t.total_energy),
+          |rn AS (SELECT asset_id, frame - row_number()
+          |         OVER (PARTITION BY asset_id ORDER BY frame) AS isl FROM vo),
+          |rl AS (SELECT asset_id, count(*) AS len FROM rn GROUP BY asset_id, isl),
+          |lg AS (SELECT asset_id, max(len) AS longest_voiced FROM rl GROUP BY 1),
+          |nv AS (SELECT asset_id, count(*) AS n_voiced FROM vo GROUP BY 1)
+          |SELECT t.asset_id, t.n_frames, t.total_energy,
+          |  coalesce(nv.n_voiced, 0) AS n_voiced,
+          |  CAST(coalesce(lg.longest_voiced, 0) AS BIGINT) AS longest_voiced,
+          |  coalesce(nv.n_voiced, 0) * 1000000 // t.n_frames AS voiced_ratio_e6
+          |FROM tot t LEFT JOIN nv USING (asset_id) LEFT JOIN lg USING (asset_id)
+          |ORDER BY t.asset_id""".stripMargin),
+      bench = true),
 
     Q("mm_real_decode",
       // REAL codec, REAL oracle: one solid-color PNG per document
