@@ -1130,6 +1130,77 @@ private[graft] object EventQueries {
            |  CAST(d.cnt * t.n_prev >= 2 * t.trail_sum AS BOOLEAN) AS is_burst
            |FROM daily d JOIN trail t USING (day)
            |WHERE t.n_prev >= 4 ORDER BY d.day""".stripMargin),
+      bench = true),
+
+    Q("ev_user_lifecycle_states",
+      // growth accounting (the Reforge/SaaS-metrics state machine): every
+      // purchaser-day classified as new (first active day), retained
+      // (active yesterday too), resurrected (active, but not yesterday,
+      // not first), or churned (inactive today, active yesterday) — the
+      // decomposition that tells a growth team WHERE a flat DAU curve
+      // comes from (ev_retention gives the cohort view; this gives the
+      // flow view). Purchase events define "active" (the sparse signal —
+      // all-event activity is too dense in this corpus to ever churn).
+      // Pure joins, no windows: the candidate day set is active-days ∪
+      // their +1-day shadows (where churn rows live), first days come from
+      // one min-aggregate, and yesterday's activity is a date-shift
+      // equi-join — the same lag-free idiom as ev_autocorr/ev_bursts, so
+      // the state machine is three keyed joins at any history length.
+      (s, d) => {
+        val am = eventsTable(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+          .truncateLineage() // cand ∪ shadow, first, today, yesterday
+        val fm = am.groupBy("user_id").agg(min(col("d")).as("first_d"))
+        val mx = am.agg(max(col("d")).as("dmax"))
+        val shadow = am.crossJoin(broadcast(mx))
+          .select(col("user_id"), expr("date_add(d, 1)").as("d"),
+            col("dmax"))
+          .filter(col("d") <= col("dmax")).select("user_id", "d")
+        val cand = am.union(shadow).distinct()
+        val today = am.withColumn("act", lit(1))
+        val yday = am.select(col("user_id"),
+          expr("date_add(d, 1)").as("d"), lit(1).as("prev"))
+        cand.join(fm, "user_id")
+          .join(today, Seq("user_id", "d"), "left")
+          .join(yday, Seq("user_id", "d"), "left")
+          .select(col("d").as("day"),
+            when(col("act").isNotNull && col("d") === col("first_d"), "new")
+              .when(col("act").isNotNull && col("prev").isNotNull, "retained")
+              .when(col("act").isNotNull, "resurrected")
+              .when(col("prev").isNotNull, "churned")
+              .as("state"))
+          .filter(col("state").isNotNull)
+          .groupBy("day", "state").agg(count(lit(1)).as("n_users"))
+          .orderBy("day", "state")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |am AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev
+           |       WHERE event_type = 'purchase'),
+           |fm AS (SELECT user_id, min(d) AS first_d FROM am GROUP BY 1),
+           |mx AS (SELECT max(d) AS dmax FROM am),
+           |cand AS (
+           |  SELECT user_id, d FROM am
+           |  UNION
+           |  SELECT a.user_id, a.d + 1 AS d FROM am a CROSS JOIN mx
+           |  WHERE a.d + 1 <= mx.dmax),
+           |st AS (SELECT c.user_id, c.d,
+           |    CASE
+           |      WHEN a.user_id IS NOT NULL AND c.d = f.first_d THEN 'new'
+           |      WHEN a.user_id IS NOT NULL AND p.user_id IS NOT NULL
+           |        THEN 'retained'
+           |      WHEN a.user_id IS NOT NULL THEN 'resurrected'
+           |      WHEN p.user_id IS NOT NULL THEN 'churned'
+           |      ELSE NULL END AS state
+           |  FROM cand c
+           |  JOIN fm f ON f.user_id = c.user_id
+           |  LEFT JOIN am a ON a.user_id = c.user_id AND a.d = c.d
+           |  LEFT JOIN am p ON p.user_id = c.user_id AND p.d + 1 = c.d)
+           |SELECT d AS day, state, count(*) AS n_users
+           |FROM st WHERE state IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY day, state""".stripMargin),
       bench = true)
   )
 }
