@@ -33,7 +33,10 @@ private[graft] object Fixtures {
     * past ±(2⁶³−1), the query raises with the offending value rather than
     * hash-diverging from the oracle's HUGEINT. Use for diagnostic columns
     * whose *working* precision must be 38 digits but whose observed range
-    * fits a long at every supported SF.
+    * fits a long at every supported SF. The accepted domain is the
+    * SYMMETRIC ±(2⁶³−1): exactly −2⁶³ also raises — conservative by one
+    * value at the negative edge, and a loud diagnostic there beats a
+    * special case nothing ever hits.
     */
   /** NULL-means-overflow guard for the exact-rational stat queries whose
     * DECIMAL(38,0) cross-products near the 38-digit cap at large scale
