@@ -2036,6 +2036,69 @@ private[graft] object DashQueries {
           |  count(*) AS n_customers, CAST(sum(mon_c) AS BIGINT) AS sum_monetary_c
           |FROM q GROUP BY 1 ORDER BY segment""".stripMargin)),
 
+    Q("dash_rfm_migration",
+      // value-segment MIGRATION: dash_rfm_segments is a snapshot; growth
+      // teams act on the flow — which spend quartile did each customer
+      // move to next year? Per (customer, year) spend is quartiled WITHIN
+      // its year (q = 1 top .. 4 bottom by that year's ranking; exact
+      // SQL-ntile semantics re-derived from the per-year range-partitioned
+      // rank, never a global ntile window), then consecutive years join
+      // into a transition matrix — quartile 0 meaning inactive, so
+      // (0, q) rows are activations and (q, 0) rows are lapses. Output:
+      // (year_from, q_from, q_to, n_customers) over every year with a
+      // successor in the data. All joins keyed on (customer, year); the
+      // matrix is one count aggregation.
+      (s, d) => {
+        val ys = tbl(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"),
+            year(col("o_orderdate").cast("date")).cast("long").as("y"))
+          .agg(cents(col("o_totalprice")).as("v"))
+          .withColumn("one", lit(1L))
+        val ranked = Ids.groupedRunningSum(ys, Seq("y"),
+          Seq(col("v").desc, col("ck")), "one", cumCol = "r", totCol = "n")
+        def ntileSql(r: String): String = {
+          val b = "(n DIV 4)"; val x = "(n % 4)"
+          s"""CASE WHEN $r <= ($b + 1) * $x
+             |  THEN ($r + $b) DIV ($b + 1)
+             |  ELSE $x + (($r - ($b + 1) * $x) + $b - 1) DIV $b END""".stripMargin
+        }
+        val q = ranked.selectExpr("ck", "y",
+          s"CAST(${ntileSql("r")} AS BIGINT) AS q").truncateLineage()
+        val yr = q.agg(min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+        // from-side: years that HAVE a successor; to-side re-keyed to the
+        // prior year so the transition join is a plain (ck, y) equi-join
+        val from = q.crossJoin(broadcast(yr)).filter(col("y") < col("ymax"))
+          .select(col("ck"), col("y"), col("q"))
+        val to = q.crossJoin(broadcast(yr)).filter(col("y") > col("ymin"))
+          .select(col("ck"), (col("y") - 1).as("y"), col("q").as("q_to"))
+        from.join(to, Seq("ck", "y"), "full")
+          .select(col("y").as("year_from"),
+            coalesce(col("q"), lit(0L)).as("q_from"),
+            coalesce(col("q_to"), lit(0L)).as("q_to"))
+          .groupBy("year_from", "q_from", "q_to")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("year_from", "q_from", "q_to")
+      },
+      Some(
+        """WITH ys AS (
+          |  SELECT o_custkey AS ck, year(CAST(o_orderdate AS DATE)) AS y,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+          |  FROM orders GROUP BY 1, 2),
+          |q AS (SELECT ck, y,
+          |    CAST(ntile(4) OVER (PARTITION BY y ORDER BY v DESC, ck)
+          |      AS BIGINT) AS q
+          |  FROM ys),
+          |yr AS (SELECT min(y) AS ymin, max(y) AS ymax FROM q),
+          |f AS (SELECT ck, y, q FROM q CROSS JOIN yr WHERE y < ymax),
+          |t AS (SELECT ck, y - 1 AS y, q AS q_to FROM q CROSS JOIN yr
+          |      WHERE y > ymin)
+          |SELECT CAST(coalesce(f.y, t.y) AS BIGINT) AS year_from,
+          |  coalesce(f.q, 0) AS q_from, coalesce(t.q_to, 0) AS q_to,
+          |  count(*) AS n_customers
+          |FROM f FULL OUTER JOIN t ON t.ck = f.ck AND t.y = f.y
+          |GROUP BY 1, 2, 3 ORDER BY year_from, q_from, q_to""".stripMargin),
+      bench = true),
+
     Q("dash_cohort_ltv",
       // cumulative lifetime value by acquisition cohort: cohort = month
       // of a customer's FIRST order, age = whole months since, cell =
