@@ -25,6 +25,77 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val sfName = new java.io.File(sfDir).getName
+    // numeric scale factor parsed from the dir name ("sf0.1" → 0.1); used
+    // to size the oracle-leg budgets (ADVICE r13: fixed 700 s/30 s budgets
+    // starve larger SFs) — budgets scale linearly above the sf0.1 sizing.
+    val sfValue: Double = scala.util.Try(
+      sfName.stripPrefix("sf").toDouble).getOrElse(0.1)
+    val sfBudgetScale: Double = math.max(1.0, sfValue / 0.1)
+
+    // The detail tag is computed ONCE per run (ADVICE r13: computing it per
+    // emission under an unset SPARK_GRAFT_ROUND minted a new epoch tag per
+    // emit, accumulating stale interim files whose paths earlier stdout
+    // records pointed at). One tag per run → every emission of the run
+    // overwrites the same detail file; newest wins, as documented.
+    // digits-only normalization: "11" and "r11" both tag r11, keeping the
+    // tag comparable with vs_prev's own-round guard.
+    val detailTag: String = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => "r" + r.replaceAll("[^0-9]", ""))
+      .getOrElse((System.currentTimeMillis() / 1000L).toString)
+
+    // Cross-RUN load reference (VERDICT r13 next #2): the within-run canary
+    // only sees intra-run drift, so a run that starts AND stays on a loaded
+    // machine publishes uniformly inflated numbers with a clean canary
+    // (r13's official record was ~35% above the same day's mid-round detail
+    // on 134 common queries). The reference is the per-query MIN over every
+    // prior record of the same scale factor on this machine: earlier
+    // target/bench_detail_*.json runs (this round's own mid-round benches
+    // included) and the committed tools/bench_history/*.json maps from
+    // prior rounds. An attempt whose common-query total exceeds 1.2× the
+    // reference total is load-inflated and re-runs under the same backoff
+    // ladder as a dirty canary; the published record carries the ratio
+    // either way ("vs_history").
+    val historyRef: Map[String, Double] = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      def fold(m: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (m.isObject) m.propertyStream().forEach { e =>
+          val v = e.getValue.asDouble()
+          if (v > 0 && acc.get(e.getKey).forall(v < _)) acc(e.getKey) = v
+        }
+      def tryFile(f: java.io.File)(read: com.fasterxml.jackson.databind.JsonNode => Unit): Unit =
+        try read(mapper.readTree(f))
+        catch { case scala.util.control.NonFatal(_) => () }
+      val details = Option(new java.io.File("target").listFiles())
+        .getOrElse(Array.empty)
+        .filter { f =>
+          val m = "^bench_detail_(.+)\\.json$".r.findFirstMatchIn(f.getName)
+          m.exists(_.group(1) != detailTag) // never self-reference
+        }
+      details.foreach(f => tryFile(f) { root =>
+        // detail files pin the sf DIR; only same-SF records are comparable
+        if (root.path("sf").asText("").endsWith(sfName)) {
+          fold(root.path("pass1")); fold(root.path("pass2"))
+        }
+      })
+      val hist = Option(new java.io.File("tools/bench_history").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".json"))
+      hist.foreach(f => tryFile(f) { root =>
+        if (root.path("sf").asText("") == sfName) fold(root.path("queries"))
+      })
+      acc.toMap
+    }
+    // sum-ratio of an attempt's official times vs the reference, over the
+    // common queries; None below 25 commons (a thin overlap — first bench
+    // of a new SF, or a heavily-changed board — can't carry a gate)
+    def historyInflation(results: Seq[(String, Double)]): Option[Double] = {
+      val common = results.filter { case (n, _) => historyRef.contains(n) }
+      if (common.size < 25) None
+      else Some(common.map(_._2).sum /
+        math.max(common.map { case (n, _) => historyRef(n) }.sum, 1e-9))
+    }
+
     // Untimed warm-up: JIT + codegen compilation otherwise lands on the
     // timed queries (the driver's r02 run showed 10-14 s first-query noise
     // on ~1 s queries). Running the WHOLE bench set once against the
@@ -173,12 +244,18 @@ object Bench {
         val out = java.io.File.createTempFile("graft_oracle_times", ".tsv")
         val pb = new ProcessBuilder("python3", "tools/oracle_bench.py",
           sfDir, tsv.getPath, out.getPath)
+        // SF-aware budgets (ADVICE r13 #5): the 30 s per-oracle cap and
+        // 700 s leg total are sized for sf0.1; a larger SF's oracles need
+        // proportionally more wall clock or most of them degrade to
+        // ">= cap" lower bounds with no offline backfill
         if (!sys.env.contains("ORACLE_BENCH_CAP_SEC"))
-          pb.environment().put("ORACLE_BENCH_CAP_SEC", "30")
+          pb.environment().put("ORACLE_BENCH_CAP_SEC",
+            math.ceil(30 * sfBudgetScale).toLong.toString)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
-        val done = proc.waitFor(700, java.util.concurrent.TimeUnit.SECONDS)
+        val done = proc.waitFor(math.ceil(700 * sfBudgetScale).toLong,
+          java.util.concurrent.TimeUnit.SECONDS)
         if (!done) proc.destroyForcibly()
         // the script streams results line-by-line, so even a timeout or a
         // mid-run failure leaves every completed measurement on disk —
@@ -236,9 +313,16 @@ object Bench {
       // cannot. The mild min-of-2k sampling bias vs the oracle's min-of-2 is
       // the lesser error and is fully disclosed: the record's "selection"
       // field pins which rule produced the published numbers.
-      val best = attempts.minBy(a => (a.failed.size, a.ratio))
+      // attempt choice weighs failures first, then cross-run load inflation
+      // (r13: a canary-clean but uniformly inflated attempt must lose to a
+      // history-consistent one), then the canary ratio
+      val best = attempts.minBy(a => (a.failed.size,
+        historyInflation(a.results).getOrElse(0.0), a.ratio))
+      val bestInflated =
+        historyInflation(best.results).exists(_ > 1.2)
       val selection =
-        if (!best.dirty) "cleanest_attempt" else "best_of_clean_passes"
+        if (!best.dirty && !bestInflated) "cleanest_attempt"
+        else "best_of_clean_passes"
       def cleanRuns(n: String): Seq[Double] = attempts.flatMap(a =>
         (a.pass1 ++ a.pass2).collect { case (`n`, (t, true)) => t })
       val failed =
@@ -267,12 +351,6 @@ object Bench {
       def jmap(kvs: Seq[(String, Double)]): String =
         kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
-      // The final line must stay well under the driver's stdout-tail buffer
-      // (~2 KB burned r5's record): cap its per-query map at the 45 slowest —
-      // the omitted tail is sub-second micro-queries — and leave the FULL
-      // per-pass maps on the bench_detail line above for forensics.
-      val shown = results.sortBy(-_._2).take(45)
-      val qs = jmap(shown)
       val total = results.map(_._2).sum
       val (oracleTimes, oracleCapped) =
         oracleOpt.getOrElse((Map.empty[String, Double], Set.empty[String]))
@@ -327,49 +405,92 @@ object Bench {
       // past the gate after all backoff attempts is suspect, full stop.
       val canaries = Seq(canaryStart, canaryMid, canaryEnd)
       val canaryRatio = canaries.max / math.max(canaries.min, 1e-9)
-      val contaminated = canaryRatio > 1.2 &&
-        (canaries.max - canaries.min) > 0.3
+      // "vs_history": the published results' sum-ratio vs the cross-run
+      // per-query-min reference — the signal the canary cannot see (a run
+      // that starts and stays loaded). > 1.2 marks the record contaminated
+      // even with a flat canary (r13's official record was canary-clean and
+      // 1.35× inflated vs the same-day detail).
+      val inflationOpt = historyInflation(results)
+      val contaminated = (canaryRatio > 1.2 &&
+        (canaries.max - canaries.min) > 0.3) ||
+        inflationOpt.exists(_ > 1.2)
+      val vsHistory: String = inflationOpt match {
+        case Some(r) =>
+          val n = results.count { case (q, _) => historyRef.contains(q) }
+          f"""{"n":$n,"ratio":$r%.2f,"ref_n":${historyRef.size}}"""
+        case None => "null"
+      }
       // vs_prev: regression check against the newest prior round's committed
-      // BENCH_r*.json (driver shape: {parsed: {queries: {name: sec}}}), over
-      // the queries common to both records. A regression is a red field in
-      // the record, not archaeology. Best-effort: any parse problem → null.
-      // Own-round protection comes from the filename filter below: with
-      // SPARK_GRAFT_ROUND set (the round workflow), BENCH files of the
-      // current and later rounds are excluded. With it UNSET the newest
-      // record wins — correct while the driver benches BEFORE writing its
-      // round record; an ad-hoc re-bench after the round record lands must
-      // set SPARK_GRAFT_ROUND or read vs_prev.file before trusting the
-      // ratio (the baseline filename is always published for exactly this
-      // reason).
+      // record, over the queries common to both. Since r14 the stdout record
+      // carries no per-query map (it burned the driver's ~2 KB tail two
+      // rounds running), so the newest prior round resolves from EITHER an
+      // old-style BENCH_r*.json parsed.queries map OR the committed
+      // tools/bench_history/r*_<sf>.json written by that round's bench.
+      // A regression is a red field in the record, not archaeology.
+      // Best-effort: any parse problem → null. Own-round protection: with
+      // SPARK_GRAFT_ROUND set (the round workflow), records of the current
+      // and later rounds are excluded; epoch-tagged ad-hoc history files
+      // never participate (they back the load gate instead).
       val vsPrev: String =
         try {
           val here = new java.io.File(".").getAbsoluteFile.getParentFile
           val round = sys.env.get("SPARK_GRAFT_ROUND")
             .flatMap(r =>
               scala.util.Try(r.replaceAll("[^0-9]", "").toInt).toOption)
-          val cands = Option(here.listFiles()).getOrElse(Array.empty)
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          def queriesOf(node: com.fasterxml.jackson.databind.JsonNode)
+              : Option[Map[String, Double]] =
+            if (!node.isObject) None
+            else {
+              val m = scala.collection.mutable.Map.empty[String, Double]
+              node.propertyStream()
+                .forEach(e => m(e.getKey) = e.getValue.asDouble())
+              if (m.nonEmpty) Some(m.toMap) else None
+            }
+          val benchCands = Option(here.listFiles()).getOrElse(Array.empty)
             .flatMap { f =>
               val m = "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
               m.map(_.group(1).toInt -> f)
             }
+          val histCands =
+            Option(new java.io.File("tools/bench_history").listFiles())
+              .getOrElse(Array.empty)
+              .flatMap { f =>
+                val m = ("^r(\\d+)_" +
+                  java.util.regex.Pattern.quote(sfName) + "\\.json$").r
+                  .findFirstMatchIn(f.getName)
+                m.map(_.group(1).toInt -> f)
+              }
+          val cands = (benchCands ++ histCands)
             .filter { case (n, _) => round.forall(n < _) }
-            .sortBy(-_._1)
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            .sortBy { case (n, f) =>
+              // newest round first; within a round prefer the history file
+              // (full map, exact official numbers) over the BENCH tail
+              (-n, if (f.getName.startsWith("BENCH_")) 1 else 0)
+            }
           val prevOpt = cands.iterator.flatMap { case (_, f) =>
             try {
-              val parsed = mapper.readTree(f).path("parsed")
-              // never compare a run against its own round's committed
-              // record (re-bench after the driver writes BENCH_rN.json):
-              // the detail tag identifies the round when SPARK_GRAFT_ROUND
-              // is set
-              val q = parsed.path("queries")
-              if (!q.isObject) None
-              else {
-                val m = scala.collection.mutable.Map.empty[String, Double]
-                q.propertyStream()
-                  .forEach(e => m(e.getKey) = e.getValue.asDouble())
-                if (m.nonEmpty) Some(f.getName -> m.toMap) else None
-              }
+              val root = mapper.readTree(f)
+              // same-SF only: a BENCH record carries the numeric sf at its
+              // top level (driver field) and/or a name/path inside parsed.sf
+              // — per-query seconds from a different scale factor are not a
+              // baseline (an sf0.01 local run vs the sf0.1 round record
+              // read 0.50× before this check). History files are already
+              // name-filtered.
+              val sfOk =
+                if (!f.getName.startsWith("BENCH_")) true
+                else {
+                  val outer = root.path("sf")
+                  val inner = root.path("parsed").path("sf").asText("")
+                  (outer.isNumber &&
+                    math.abs(outer.asDouble() - sfValue) < 1e-9) ||
+                    inner.endsWith(sfName)
+                }
+              val node =
+                if (f.getName.startsWith("BENCH_"))
+                  root.path("parsed").path("queries")
+                else root.path("queries")
+              if (!sfOk) None else queriesOf(node).map(f.getName -> _)
             } catch { case scala.util.control.NonFatal(_) => None }
           }.buffered.headOption
           prevOpt match {
@@ -391,13 +512,8 @@ object Bench {
       // beyond-canary swings unattributable (VERDICT r6 §missing.1). Stdout
       // carries only the short canonical record, which references the file.
       val detailPath = {
-        // digits-only normalization: "11" and "r11" both tag r11, keeping
-        // the tag comparable with vs_prev's own-round guard
-        val tag = sys.env.get("SPARK_GRAFT_ROUND")
-          .map(r => "r" + r.replaceAll("[^0-9]", ""))
-          .getOrElse((System.currentTimeMillis() / 1000L).toString)
         val dir = new java.io.File("target"); dir.mkdirs()
-        new java.io.File(dir, s"bench_detail_$tag.json")
+        new java.io.File(dir, s"bench_detail_$detailTag.json")
       }
       // every attempt's passes + canaries are retained (attempt 1 first);
       // the official record above uses the best-canary attempt
@@ -419,14 +535,32 @@ object Bench {
       // are in the attemptN blocks
       val borrowedShown = borrowed.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val detail = f"""{"metric":"bench_detail","sf":"$sfDir","final":$isFinal,"selection":"$selection","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"borrowed":$borrowedShown,"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
+      // "results" is the OFFICIAL per-query map (post selection/borrowing) —
+      // the map the stdout record no longer carries
+      val detail = f"""{"metric":"bench_detail","sf":"$sfDir","final":$isFinal,"selection":"$selection","canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"results":${jmap(results.sortBy(_._1))},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"borrowed":$borrowedShown,"oracle_sec":${jmap(oracleTimes.toSeq.sortBy(_._1))},"oracle_capped":$cappedShown,$attemptsJson}"""
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
-      // oracle_* are the cross-engine baseline: total DuckDB seconds over the
-      // oracle_n headliners both engines timed, spark seconds over that same
-      // subset, and their ratio (<1 = Spark faster). Full per-query oracle
-      // times live on the detail file's "oracle_sec" map.
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","final":$isFinal,"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","failed":${failed.size},"canary":{"start":$canaryStart%.3f,"mid":$canaryMid%.3f,"end":$canaryEnd%.3f},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"selection":"$selection","attempts":${attempts.size},"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"oracle_capped":$cappedShown,"oracle_uncapped_offline_sec":$offlineShown,"spark_vs_oracle_measured":$sparkVsOracleMeasured%.2f,"vs_prev":$vsPrev,"detail":"${detailPath.getPath}"}""")
+      // Committed per-round history: the full official map, keyed by round
+      // tag + SF. This is what future rounds' vs_prev and load gate read now
+      // that the stdout record is map-free; git-committing it is what makes
+      // the comparison survive target/ cleanups. Rewritten per emission
+      // (same path — newest wins), only for round-tagged runs: ad-hoc
+      // epoch-tagged runs contribute via their detail files instead.
+      if (detailTag.startsWith("r")) try {
+        val hdir = new java.io.File("tools/bench_history"); hdir.mkdirs()
+        val hw = new java.io.PrintWriter(
+          new java.io.File(hdir, s"${detailTag}_$sfName.json"), "UTF-8")
+        try hw.println(f"""{"sf":"$sfName","tag":"$detailTag","final":$isFinal,"total":$total%.3f,"queries":${jmap(results.sortBy(_._1))}}""")
+        finally hw.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      // The stdout record is SCALAR-ONLY (plus the short capped list):
+      // r12's record died to a driver timeout, r13's to the ~2 KB stdout
+      // tail (the 45-slowest map alone overflowed it). Everything
+      // per-query lives in the detail + history files this line points at.
+      // oracle_* are the cross-engine baseline: total DuckDB seconds over
+      // the oracle_n headliners both engines timed, spark seconds over that
+      // same subset, and their ratio (<1 = Spark faster).
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","final":$isFinal,"n_queries":${results.size},"sf":"$sfName","failed":${failed.size},"canary_ratio":$canaryRatio%.2f,"contaminated":$contaminated,"vs_history":$vsHistory,"selection":"$selection","attempts":${attempts.size},"borrowed_n":${borrowed.size},"oracle_n":${common.size},"oracle_total":$oracleTotal%.3f,"spark_common":$sparkCommon%.3f,"spark_vs_oracle":$sparkVsOracle%.2f,"oracle_capped_n":${oracleCapped.size},"oracle_uncapped_offline_sec":$offlineShown,"spark_vs_oracle_measured":$sparkVsOracleMeasured%.2f,"vs_prev":$vsPrev,"detail":"${detailPath.getPath}"}""")
       failed
     }
 
@@ -441,7 +575,12 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
     val backoffSec = Seq(120L, 300L, 600L)
     val attemptBuf = scala.collection.mutable.ArrayBuffer(runAttempt())
-    def cleanest = attemptBuf.minBy(a => (a.failed.size, a.ratio))
+    def cleanest = attemptBuf.minBy(a => (a.failed.size,
+      historyInflation(a.results).getOrElse(0.0), a.ratio))
+    // load-inflated = canary-clean but uniformly slower than every prior
+    // same-SF record (the r13 failure shape) — re-runs under the same
+    // backoff ladder as a dirty canary
+    def inflated = historyInflation(cleanest.results).exists(_ > 1.2)
     // A COMPLETE record streams after every attempt (and again after the
     // oracle leg): r12's official number vanished entirely because the
     // driver's budget expired mid-backoff and the only println sat at the
@@ -452,7 +591,7 @@ object Bench {
     // emission (all attempts + oracle baseline).
     emit(attemptBuf.toSeq, None, isFinal = false)
     while (attemptBuf.size < maxAttempts &&
-        (cleanest.dirty || cleanest.failed.nonEmpty)) {
+        (cleanest.dirty || cleanest.failed.nonEmpty || inflated)) {
       Thread.sleep(
         backoffSec(math.min(attemptBuf.size - 1, backoffSec.size - 1)) * 1000L)
       attemptBuf += runAttempt()
