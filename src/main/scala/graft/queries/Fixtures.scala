@@ -25,19 +25,6 @@ private[graft] object Fixtures {
   private[queries] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Boundary cast of an exact DECIMAL(38,0) *working* column back to BIGINT
-    * for the registry's output contract (the driver's comparator canonicalizes
-    * BIGINT/DOUBLE/VARCHAR cells; raw decimals were the r12 reds). The guard
-    * makes overflow a loud error instead of the silent NULL a non-ANSI
-    * decimal→long cast produces: if a future scale factor pushes the value
-    * past ±(2⁶³−1), the query raises with the offending value rather than
-    * hash-diverging from the oracle's HUGEINT. Use for diagnostic columns
-    * whose *working* precision must be 38 digits but whose observed range
-    * fits a long at every supported SF. The accepted domain is the
-    * SYMMETRIC ±(2⁶³−1): exactly −2⁶³ also raises — conservative by one
-    * value at the negative edge, and a loud diagnostic there beats a
-    * special case nothing ever hits.
-    */
   /** NULL-means-overflow guard for the exact-rational stat queries whose
     * DECIMAL(38,0) cross-products near the 38-digit cap at large scale
     * factors (dash_mann_whitney/dash_fdr_bh/dash_did/dash_kruskal_wallis —
@@ -56,10 +43,28 @@ private[graft] object Fixtures {
          |     'query''s documented exact-arithmetic headroom')) AS BIGINT),
          |   $name)""".stripMargin))
 
+  /** Boundary cast of an exact DECIMAL(38,0) *working* column back to BIGINT
+    * for the registry's output contract (the driver's comparator canonicalizes
+    * BIGINT/DOUBLE/VARCHAR cells; raw decimals were the r12 reds). The guard
+    * makes overflow a loud error instead of the silent NULL a non-ANSI
+    * decimal→long cast produces: if a future scale factor pushes the value
+    * past ±(2⁶³−1), the query raises with the offending value rather than
+    * hash-diverging from the oracle's HUGEINT. Use for diagnostic columns
+    * whose *working* precision must be 38 digits but whose observed range
+    * fits a long at every supported SF. The accepted domain is the
+    * SYMMETRIC ±(2⁶³−1): exactly −2⁶³ also raises — conservative by one
+    * value at the negative edge, and a loud diagnostic there beats a
+    * special case nothing ever hits. A NULL input also raises: the guarded
+    * columns are never legitimately NULL, so NULL here can only mean the
+    * 38-digit working arithmetic itself overflowed upstream (Spark's
+    * non-ANSI decimal ops NULL on overflow), and `abs(NULL) > lit` would
+    * otherwise let it glide through the false branch silently.
+    */
   private[queries] def decimalBoundaryToLong(name: String): String =
-    s"""IF(abs($name) > CAST(${Long.MaxValue} AS DECIMAL(38,0)),
+    s"""IF($name IS NULL OR abs($name) > CAST(${Long.MaxValue} AS DECIMAL(38,0)),
        |   CAST(raise_error(concat('$name overflows the BIGINT query boundary: ',
-       |                           CAST($name AS STRING))) AS BIGINT),
+       |                           coalesce(CAST($name AS STRING),
+       |                                    'NULL (upstream DECIMAL(38,0) overflow)'))) AS BIGINT),
        |   CAST($name AS BIGINT)) AS $name""".stripMargin
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader

@@ -42,6 +42,17 @@ class BoundaryGuardSpec extends SparkSpec {
       "overflows the BIGINT query boundary")
   }
 
+  test("decimalBoundaryToLong raises on NULL (upstream decimal overflow)") {
+    // abs(NULL) > lit is NULL → a bare comparison would take the false
+    // branch and publish the NULL silently; the guard must trap it.
+    expectRaise(
+      Seq(Option.empty[java.math.BigDecimal]).toDF("s")
+        .selectExpr("CAST(s AS DECIMAL(38,0)) AS x")
+        .selectExpr(Fixtures.decimalBoundaryToLong("x"))
+        .collect(),
+      "overflows the BIGINT query boundary")
+  }
+
   test("overflowGuard raises on a NULL stat column (the overflow shape)") {
     val ok = Seq(Some(5L)).toDF("z2_e6")
     assert(Fixtures.overflowGuard(ok, "z2_e6").as[Long].collect()
