@@ -455,6 +455,224 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec on the stock JDK: a RIFF/WAVE chunk-walking parser
+    * for PCM16 mono/stereo — the audio sibling of [[ImageCodec]]. No
+    * external dependency: WAV headers are 44 bytes of little-endian
+    * structure and PCM16 samples are raw shorts, so the full decode
+    * (header validation, fmt chunk, data chunk, LE sample extraction) is
+    * ~60 lines of plain JVM code. [[audioSampleFrameEnergies]] feeds its
+    * samples into the SAME AudioFrame contract [[audioFrameEnergies]]
+    * emits — the r13 scaladoc promise ("a real PCM decoder slots in at
+    * exactly that boundary with nothing downstream changing") made real:
+    * VAD and every other frame consumer runs unchanged on either kernel.
+    */
+  object WavCodec {
+
+    /** Encode PCM16 mono samples as a canonical 44-byte-header WAV. */
+    def encodePcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII"))
+      buf.putInt(36 + dataLen)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII"))
+      buf.putInt(16)               // PCM fmt chunk size
+      buf.putShort(1)              // audioFormat = 1 (PCM)
+      buf.putShort(1)              // channels = 1
+      buf.putInt(sampleRate)
+      buf.putInt(sampleRate * 2)   // byte rate = rate * channels * 2
+      buf.putShort(2)              // block align
+      buf.putShort(16)             // bits per sample
+      buf.put("data".getBytes("US-ASCII"))
+      buf.putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Decoded WAV: sample rate, channel count, interleaved PCM16 samples. */
+    final case class Pcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** Real chunk-walking decode. None when the bytes are not a
+      * PCM16 RIFF/WAVE stream (wrong magic, non-PCM format tag, other
+      * bit depths, truncated chunks) — callers fall back to the byte
+      * profiler, mirroring [[ImageCodec.tryDecode]]'s contract.
+      */
+    def tryDecodePcm16(payload: Array[Byte]): Option[Pcm] =
+      try {
+        if (payload == null || payload.length < 44) return None
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        if (tag() != "RIFF") return None
+        buf.getInt // declared riff size — informational, many writers lie
+        if (tag() != "WAVE") return None
+        // walk chunks: fmt must precede data per spec, but tolerate any
+        // order by scanning; unknown chunks (LIST, fact, …) are skipped
+        var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+        var data: Option[(Int, Int)] = None          // offset, length
+        while (buf.remaining() >= 8 && (fmt.isEmpty || data.isEmpty)) {
+          val id = tag()
+          val size = buf.getInt
+          if (size < 0 || size > buf.remaining()) return None
+          val at = buf.position()
+          id match {
+            case "fmt " if size >= 16 =>
+              val audioFormat = buf.getShort.toInt
+              val channels = buf.getShort.toInt
+              val rate = buf.getInt
+              buf.getInt   // byte rate
+              buf.getShort // block align
+              val bits = buf.getShort.toInt
+              fmt = Some((audioFormat, channels, rate, bits))
+            case "data" =>
+              data = Some((at, size))
+            case _ => ()
+          }
+          // chunks are word-aligned: odd sizes carry a pad byte
+          buf.position(at + size + (size & 1))
+        }
+        (fmt, data) match {
+          case (Some((1, ch, rate, 16)), Some((off, len)))
+              if ch >= 1 && rate > 0 =>
+            val n = len / 2
+            val out = new Array[Short](n)
+            val sb = java.nio.ByteBuffer.wrap(payload, off, n * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+            sb.get(out)
+            Some(Pcm(rate, ch, out))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic REAL-audio fixture: one PCM16 mono WAV per id, the
+    * sample stream a closed-form function of the id —
+    * s(i) = ((id·7 + i·13) mod 2001) − 1000, n = 50 + id mod 200 samples
+    * — so a SQL oracle predicts the output of a genuine WAV decode
+    * (per-frame Σ|s| energies, sample counts, rate) without parsing a
+    * byte, exactly the [[synthesizePngAssets]] discipline. Encoding runs
+    * distributed in the same mapPartitions batch shape.
+    */
+  def synthesizeWavAssets(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (50 + id % 200).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 7 + i.toLong * 13) % 2001) - 1000).toShort)
+          (id, WavCodec.encodePcm16(samples))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("audio/wav").as("mime"), col("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", md5(col("payload")))
+  }
+
+  /** Frame energies from a REAL WAV decode: payloads that parse as PCM16
+    * are chopped into `frameSamples`-sample windows, each reduced to its
+    * Σ|sample| energy — integral, so VAD comparisons and the oracle replay
+    * stay exact. Payloads that do NOT parse fall back to
+    * [[audioFrameEnergies]]'s byte-window kernel (same dispatch contract
+    * as [[decodeFeatures]]'s image/bytes split). Output rows are the SAME
+    * AudioFrame shape either way — everything downstream of the frame
+    * boundary (VAD, segment stats) is kernel-agnostic by construction.
+    */
+  def audioSampleFrameEnergies(assets: DataFrame,
+      frameSamples: Int = 64): Dataset[AudioFrame] = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("mime") === "audio/wav")
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        WavCodec.tryDecodePcm16(p) match {
+          case Some(pcm) =>
+            val s = pcm.samples
+            val n = s.length
+            (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+              var e = 0L
+              var i = f * frameSamples
+              val end = math.min(i + frameSamples, n)
+              while (i < end) { e += math.abs(s(i).toLong); i += 1 }
+              AudioFrame(id, f, e)
+            }
+          case None =>
+            // non-WAV payloads: byte-window kernel, same frame contract
+            val n = if (p == null) 0 else p.length
+            (0 until (n + frameSamples - 1) / frameSamples).iterator.map { f =>
+              var e = 0L
+              var i = f * frameSamples
+              val end = math.min(i + frameSamples, n)
+              while (i < end) { e += p(i) & 0xff; i += 1 }
+              AudioFrame(id, f, e)
+            }
+        }
+      }
+  }
+
+  /** One decoded WAV's header facts. */
+  final case class AudioMeta(
+      asset_id: Long, sample_rate: Int, n_channels: Int, n_samples: Long)
+
+  /** Header metadata of every asset that REALLY decodes as PCM16 WAV —
+    * the witness that [[WavCodec]] parsed the RIFF structure (rate and
+    * channel count come from the fmt chunk, the sample count from the
+    * data chunk length), not a byte-length shortcut. Assets that don't
+    * decode yield no row.
+    */
+  def audioMeta(assets: DataFrame): Dataset[AudioMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        WavCodec.tryDecodePcm16(p).map(pcm =>
+          AudioMeta(id, pcm.sampleRate, pcm.channels,
+            pcm.samples.length.toLong / pcm.channels))
+      }
+  }
+
+  /** Voice-activity summary over ANY (asset_id, frame, energy) frame
+    * table: a frame is "voiced" when its energy exceeds the asset's own
+    * mean, cross-multiplied (energy·n_frames > Σenergy) so the mean never
+    * materializes as a fraction; the longest voiced run is
+    * gaps-and-islands on the frame index — island key = frame −
+    * row_number, windows PARTITIONED BY asset (group size = one asset's
+    * frames, never global). Shared verbatim by the byte-kernel and
+    * real-WAV-decode queries — the factored proof that the decode kernel
+    * swaps under an unchanged downstream.
+    */
+  def vadSummary(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Lineage._
+    val fr = frames.truncateLineage() // totals + voiced + runs all read it
+    val tot = fr.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("total_energy"))
+    val voiced = fr.join(tot, "asset_id")
+      .filter(col("energy") * col("n_frames") > col("total_energy"))
+      .select(col("asset_id"), col("frame"))
+    val byAsset = Window.partitionBy("asset_id").orderBy("frame")
+    val runs = voiced
+      .withColumn("isl", col("frame") - row_number().over(byAsset))
+      .groupBy("asset_id", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("asset_id").agg(max(col("len")).as("longest_voiced"))
+    val nv = voiced.groupBy("asset_id").agg(count(lit(1)).as("n_voiced"))
+    tot.join(nv, Seq("asset_id"), "left")
+      .join(runs, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_frames"), col("total_energy"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("longest_voiced"), lit(0L)).as("longest_voiced"))
+      .withColumn("voiced_ratio_e6",
+        expr("n_voiced * 1000000 DIV n_frames"))
+  }
+
   final case class FrameFeatures(
       asset_id: Long,
       frame_idx: Int,

@@ -184,4 +184,79 @@ class MultimodalSpec extends SparkSpec {
       df, "doc_id", "text")).toDF()
     assert(Multimodal.perceptualHash(byteFeats).collect().nonEmpty)
   }
+
+  test("WavCodec: PCM16 round-trip recovers rate, channels, every sample") {
+    val samples = Array.tabulate(777)(i => ((i * 131) % 30000 - 15000).toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(samples, sampleRate = 16000)
+    val pcm = Multimodal.WavCodec.tryDecodePcm16(wav)
+      .getOrElse(fail("own encoding did not decode"))
+    assert(pcm.sampleRate == 16000)
+    assert(pcm.channels == 1)
+    assert(pcm.samples.toSeq == samples.toSeq)
+  }
+
+  test("WavCodec: rejects garbage, truncation, and non-PCM formats") {
+    val W = Multimodal.WavCodec
+    assert(W.tryDecodePcm16(null).isEmpty)
+    assert(W.tryDecodePcm16("not a wav at all, just text padding...!!".getBytes).isEmpty)
+    val good = W.encodePcm16(Array.tabulate(100)(_.toShort))
+    assert(W.tryDecodePcm16(good.take(40)).isEmpty) // under minimum header
+    // flip the format tag to 3 (IEEE float) — parser must refuse
+    val float32 = good.clone(); float32(20) = 3
+    assert(W.tryDecodePcm16(float32).isEmpty)
+    // oversized declared data chunk (runs past the payload) must refuse
+    val lying = good.clone(); lying(43) = 0x7f
+    assert(W.tryDecodePcm16(lying).isEmpty)
+  }
+
+  test("WavCodec: chunk walk skips unknown chunks (LIST before data)") {
+    // splice a LIST chunk between fmt and data: still a valid WAV, and a
+    // header-offset-44 shortcut would misread it
+    val samples = Array.tabulate(64)(i => (i * 100).toShort)
+    val plain = Multimodal.WavCodec.encodePcm16(samples)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = plain.take(36) ++ extra ++ plain.drop(36)
+    // patch the RIFF size field (bytes 4-7, LE)
+    val riffLen = spliced.length - 8
+    for (j <- 0 until 4) spliced(4 + j) = ((riffLen >> (8 * j)) & 0xff).toByte
+    val pcm = Multimodal.WavCodec.tryDecodePcm16(spliced)
+      .getOrElse(fail("LIST-spliced WAV did not decode"))
+    assert(pcm.samples.toSeq == samples.toSeq)
+  }
+
+  test("real WAV decode and byte kernel share the frame contract (VAD-swappable)") {
+    val df = Seq(1L, 2L, 3L).toDF("doc_id")
+    val wavAssets = Multimodal.synthesizeWavAssets(df, "doc_id")
+    val real = Multimodal.audioSampleFrameEnergies(wavAssets).toDF()
+    // closed-form check: id=1 has n = 50 + 1%200 = 51 samples, so frame 0
+    // is Σ over ALL 51 of |(7 + 13i) % 2001 − 1000| — a partial frame,
+    // which also witnesses the data-chunk length parse
+    val expected = (0 until 51).map(i => math.abs((7 + 13 * i) % 2001 - 1000).toLong).sum
+    val got = real.filter(col("asset_id") === 1 && col("frame") === 0)
+      .select("energy").as[Long].head()
+    assert(got == expected, s"frame-0 energy $got != closed form $expected")
+    // vadSummary runs unchanged on REAL-decoded frames (the byte-kernel
+    // path through the same helper is pinned by mm_audio_vad's oracle)
+    val summary = Multimodal.vadSummary(real).orderBy("asset_id").collect()
+    assert(summary.length == 3)
+    assert(summary.forall(r => r.getLong(1) > 0)) // n_frames
+  }
+
+  test("audioMeta reports fmt/data chunk facts for decodable assets only") {
+    val df = Seq(10L, 11L).toDF("doc_id")
+    val meta = Multimodal.audioMeta(Multimodal.synthesizeWavAssets(df, "doc_id"))
+      .toDF().orderBy("asset_id").collect()
+    assert(meta.length == 2)
+    assert(meta.forall(_.getInt(1) == 8000))
+    assert(meta.forall(_.getInt(2) == 1))
+    assert(meta.map(_.getLong(3)).toSeq == Seq(50 + 10 % 200, 50 + 11 % 200).map(_.toLong))
+    // non-WAV payloads yield no row
+    val none = Multimodal.audioMeta(
+      Multimodal.synthesizeAssets(
+        df.withColumn("txt", lit("plain text, certainly not RIFF")),
+        "doc_id", "txt"))
+      .collect()
+    assert(none.isEmpty)
+  }
 }
