@@ -252,4 +252,32 @@ object Ids {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Exact SQL `ntile(k)` bucket as pure integer arithmetic over a 1-based
+    * rank expression `r` and a row-count expression `n` — the companion
+    * that turns [[contiguousIds]]/[[groupedRunningSum]] ranks into
+    * equal-height buckets WITHOUT the `ntile() OVER (ORDER BY …)` window
+    * (an Exchange SinglePartition, the canonical does-not-scale shape).
+    *
+    * Implements the ANSI remainder convention both Spark and DuckDB use:
+    * the first `n mod k` buckets hold `floor(n/k)+1` rows, the rest
+    * `floor(n/k)`. With b = n DIV k and x = n mod k, rank r lands in
+    * bucket (r+b) DIV (b+1) inside the first x·(b+1) rows and
+    * x + (r − x·(b+1) + b − 1) DIV b after them. When n < k the ELSE
+    * branch (a division by b = 0) is unreachable: every r ≤ n = x·1
+    * satisfies the WHEN, matching ntile's one-row-per-bucket behavior.
+    * Verified against the engine's own ntile exhaustively in IdsSpec.
+    *
+    * @param r SQL expression for the 1-based rank within the ordering
+    * @param n SQL expression for the total row count being quartiled
+    * @param k bucket count (4 = quartiles, 10 = deciles, …)
+    */
+  def exactNtileSql(r: String, n: String, k: Int): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val b = s"(($n) DIV $k)"
+    val x = s"(($n) % $k)"
+    s"""CASE WHEN ($r) <= ($b + 1) * $x
+       |  THEN (($r) + $b) DIV ($b + 1)
+       |  ELSE $x + ((($r) - ($b + 1) * $x) + $b - 1) DIV $b END""".stripMargin
+  }
 }

@@ -1998,21 +1998,17 @@ private[graft] object DashQueries {
           .select(col("custkey"),
             datediff(col("ref_day"), col("last_day")).cast("long").as("recency"),
             col("freq"), col("mon_c"))
-        // exact SQL ntile(k) from a 1-based rank r over n rows
-        def ntileSql(r: String): String = {
-          val b = "(n DIV 4)"; val x = "(n % 4)"
-          s"""CASE WHEN $r <= ($b + 1) * $x
-             |  THEN ($r + $b) DIV ($b + 1)
-             |  ELSE $x + (($r - ($b + 1) * $x) + $b - 1) DIV $b END""".stripMargin
-        }
+        // exact SQL-ntile buckets from the range-partitioned ranks —
+        // shared integer form, property-tested against engine ntile
+        def ntileSql(r: String): String = Ids.exactNtileSql(r, "n", 4)
         val rR = Ids.contiguousIds(base, Seq(col("recency"), col("custkey")), "r0")
         val rF = Ids.contiguousIds(rR, Seq(col("freq").desc, col("custkey")), "f0")
         val rM = Ids.contiguousIds(rF, Seq(col("mon_c").desc, col("custkey")), "m0")
         rM.crossJoin(broadcast(byCust.agg(count(lit(1)).as("n"))))
           .selectExpr("custkey", "mon_c",
-            ntileSql("(r0 + 1)") + " AS r_q",
-            ntileSql("(f0 + 1)") + " AS f_q",
-            ntileSql("(m0 + 1)") + " AS m_q")
+            ntileSql("r0 + 1") + " AS r_q",
+            ntileSql("f0 + 1") + " AS f_q",
+            ntileSql("m0 + 1") + " AS m_q")
           .selectExpr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment", "mon_c")
           .groupBy("segment")
           .agg(count(lit(1)).as("n_customers"), sum(col("mon_c")).as("sum_monetary_c"))
@@ -2056,14 +2052,9 @@ private[graft] object DashQueries {
           .withColumn("one", lit(1L))
         val ranked = Ids.groupedRunningSum(ys, Seq("y"),
           Seq(col("v").desc, col("ck")), "one", cumCol = "r", totCol = "n")
-        def ntileSql(r: String): String = {
-          val b = "(n DIV 4)"; val x = "(n % 4)"
-          s"""CASE WHEN $r <= ($b + 1) * $x
-             |  THEN ($r + $b) DIV ($b + 1)
-             |  ELSE $x + (($r - ($b + 1) * $x) + $b - 1) DIV $b END""".stripMargin
-        }
         val q = ranked.selectExpr("ck", "y",
-          s"CAST(${ntileSql("r")} AS BIGINT) AS q").truncateLineage()
+          s"CAST(${Ids.exactNtileSql("r", "n", 4)} AS BIGINT) AS q")
+          .truncateLineage()
         val yr = q.agg(min(col("y")).as("ymin"), max(col("y")).as("ymax"))
         // from-side: years that HAVE a successor; to-side re-keyed to the
         // prior year so the transition join is a plain (ck, y) equi-join

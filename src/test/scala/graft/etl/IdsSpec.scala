@@ -80,4 +80,23 @@ class IdsSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("integral"))
   }
+
+  test("exactNtileSql matches engine ntile(k) for every group size") {
+    // exhaustive over the shapes that exercise the remainder convention:
+    // all n in 1..60 (covers n < k, n = k, remainder 0..k−1) for each k.
+    // One frame per k: rows (n, r in 1..n), expected = ntile(k) OVER
+    // (PARTITION BY n ORDER BY r) — the engine's own convention — and the
+    // arithmetic form must agree cell for cell.
+    val rows = for (n <- 1 to 60; r <- 1 to n) yield (n.toLong, r.toLong)
+    for (k <- Seq(1, 2, 3, 4, 5, 7, 10)) {
+      val df = rows.toDF("n", "r")
+        .withColumn("expected",
+          ntile(k).over(Window.partitionBy("n").orderBy("r")).cast("long"))
+        .withColumn("got", expr(s"CAST(${Ids.exactNtileSql("r", "n", k)} AS BIGINT)"))
+      val bad = df.filter(col("got") =!= col("expected") ||
+        col("got").isNull).collect()
+      assert(bad.isEmpty,
+        s"k=$k mismatches: ${bad.take(5).mkString(", ")}")
+    }
+  }
 }
