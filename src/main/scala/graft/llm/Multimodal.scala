@@ -617,6 +617,37 @@ object Multimodal {
       }
   }
 
+  /** Real audio resample (decimation): decode PCM16 through [[WavCodec]],
+    * keep every `factor`-th sample, re-encode at rate/factor — the audio
+    * face of [[resizeAssets]]'s decode→transform→re-encode discipline.
+    * Plain decimation (no anti-alias filter) is the documented semantic:
+    * it is exactly replayable in SQL, and a polyphase filter would slot in
+    * at the same sample-array boundary. Mono only (interleaved stereo
+    * would need per-channel stride); non-decodable or multi-channel
+    * payloads yield no row. Output payloads are themselves valid WAVs —
+    * [[audioMeta]]/[[audioSampleFrameEnergies]] re-decode them, which is
+    * the round-trip witness the oracled query hashes.
+    */
+  def resampleWav(assets: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        WavCodec.tryDecodePcm16(p).collect {
+          case pcm if pcm.channels == 1 =>
+            val n = pcm.samples.length
+            val out = Array.tabulate((n + factor - 1) / factor)(j =>
+              pcm.samples(j * factor))
+            (id, WavCodec.encodePcm16(out,
+              math.max(1, pcm.sampleRate / factor)))
+        }
+      }
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("audio/wav").as("mime"), col("payload"))
+  }
+
   /** One decoded WAV's header facts. */
   final case class AudioMeta(
       asset_id: Long, sample_rate: Int, n_channels: Int, n_samples: Long)

@@ -1200,6 +1200,57 @@ private[graft] object SimQueries {
           |ORDER BY p.asset_id""".stripMargin),
       bench = true),
 
+    Q("mm_audio_resample",
+      // REAL resample round-trip — the audio twin of mm_real_resize: the
+      // WAV fixtures decode through WavCodec, decimate 2:1, re-encode at
+      // half rate, and the OUTPUT payload re-decodes through the same
+      // production path (audioMeta header facts + frame energies + the
+      // shared vadSummary). The oracle replays the decimated stream in
+      // closed form: kept sample j is original sample 2j, so |s| =
+      // |(id·7 + j·26) mod 2001 − 1000| over ceil(n/2) samples — any
+      // off-by-one in the stride, the re-encoded header, or the
+      // round-trip shifts a frame energy and the hash diverges.
+      (s, d) => {
+        val assets = Multimodal.synthesizeWavAssets(
+          tbl(s, d, "documents"), "doc_id")
+        val rs = Multimodal.resampleWav(assets, factor = 2)
+        val meta = Multimodal.audioMeta(rs).toDF()
+        val vad = Multimodal.vadSummary(
+          Multimodal.audioSampleFrameEnergies(rs).toDF())
+        meta.join(vad, "asset_id")
+          .select(col("asset_id"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("n_frames"), col("total_energy"),
+            col("n_voiced"), col("longest_voiced"), col("voiced_ratio_e6"))
+          .orderBy("asset_id")
+      },
+      Some(
+        """WITH p AS (SELECT doc_id AS asset_id,
+          |    (50 + doc_id % 200 + 1) // 2 AS m FROM documents),
+          |sm AS (SELECT asset_id, m, unnest(range(m)) AS j FROM p),
+          |fr AS (SELECT asset_id, j // 64 AS frame,
+          |    CAST(sum(abs((asset_id * 7 + j * 26) % 2001 - 1000)) AS BIGINT) AS energy
+          |  FROM sm GROUP BY 1, 2),
+          |tot AS (SELECT asset_id, count(*) AS n_frames,
+          |        CAST(sum(energy) AS BIGINT) AS total_energy
+          |        FROM fr GROUP BY 1),
+          |vo AS (SELECT f.asset_id, f.frame FROM fr f JOIN tot t USING (asset_id)
+          |       WHERE f.energy * t.n_frames > t.total_energy),
+          |rn AS (SELECT asset_id, frame - row_number()
+          |         OVER (PARTITION BY asset_id ORDER BY frame) AS isl FROM vo),
+          |rl AS (SELECT asset_id, count(*) AS len FROM rn GROUP BY asset_id, isl),
+          |lg AS (SELECT asset_id, max(len) AS longest_voiced FROM rl GROUP BY 1),
+          |nv AS (SELECT asset_id, count(*) AS n_voiced FROM vo GROUP BY 1)
+          |SELECT p.asset_id, CAST(4000 AS BIGINT) AS sample_rate,
+          |  CAST(p.m AS BIGINT) AS n_samples,
+          |  t.n_frames, t.total_energy,
+          |  coalesce(nv.n_voiced, 0) AS n_voiced,
+          |  CAST(coalesce(lg.longest_voiced, 0) AS BIGINT) AS longest_voiced,
+          |  coalesce(nv.n_voiced, 0) * 1000000 // t.n_frames AS voiced_ratio_e6
+          |FROM p JOIN tot t USING (asset_id)
+          |LEFT JOIN nv USING (asset_id) LEFT JOIN lg USING (asset_id)
+          |ORDER BY p.asset_id""".stripMargin)),
+
     Q("mm_real_decode",
       // REAL codec, REAL oracle: one solid-color PNG per document
       // (dims/color closed-form functions of doc_id), encoded with

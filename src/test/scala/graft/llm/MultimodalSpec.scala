@@ -243,6 +243,22 @@ class MultimodalSpec extends SparkSpec {
     assert(summary.forall(r => r.getLong(1) > 0)) // n_frames
   }
 
+  test("resampleWav decimates 2:1 and re-encodes a decodable half-rate WAV") {
+    val samples = Array.tabulate(101)(i => ((i * 313) % 20000 - 10000).toShort)
+    val wav = Multimodal.WavCodec.encodePcm16(samples, sampleRate = 8000)
+    val assets = Seq((5L, wav)).toDF("asset_id", "payload")
+    val out = Multimodal.resampleWav(assets, factor = 2)
+      .select("payload").as[Array[Byte]].head()
+    val pcm = Multimodal.WavCodec.tryDecodePcm16(out)
+      .getOrElse(fail("resampled payload did not decode"))
+    assert(pcm.sampleRate == 4000)
+    assert(pcm.samples.toSeq == (0 until 51).map(j => samples(2 * j)))
+    // non-WAV payloads yield no row
+    val none = Multimodal.resampleWav(
+      Seq((6L, "definitely not audio".getBytes)).toDF("asset_id", "payload"))
+    assert(none.count() == 0)
+  }
+
   test("audioMeta reports fmt/data chunk facts for decodable assets only") {
     val df = Seq(10L, 11L).toDF("doc_id")
     val meta = Multimodal.audioMeta(Multimodal.synthesizeWavAssets(df, "doc_id"))
