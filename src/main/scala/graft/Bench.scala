@@ -44,56 +44,73 @@ object Bench {
       .map(r => "r" + r.replaceAll("[^0-9]", ""))
       .getOrElse((System.currentTimeMillis() / 1000L).toString)
 
-    // Cross-RUN load reference (VERDICT r13 next #2): the within-run canary
-    // only sees intra-run drift, so a run that starts AND stays on a loaded
-    // machine publishes uniformly inflated numbers with a clean canary
-    // (r13's official record was ~35% above the same day's mid-round detail
-    // on 134 common queries). The reference is the per-query MIN over every
-    // prior record of the same scale factor on this machine: earlier
-    // target/bench_detail_*.json runs (this round's own mid-round benches
-    // included) and the committed tools/bench_history/*.json maps from
-    // prior rounds. An attempt whose common-query total exceeds 1.2× the
-    // reference total is load-inflated and re-runs under the same backoff
-    // ladder as a dirty canary; the published record carries the ratio
-    // either way ("vs_history").
-    val historyRef: Map[String, Double] = {
+    // Cross-RUN load references (VERDICT r13 next #2): the within-run
+    // canary only sees intra-run drift, so a run that starts AND stays on
+    // a loaded machine publishes uniformly inflated numbers with a clean
+    // canary (r13's official record was ~35% above the same day's
+    // mid-round detail on 134 common queries). Each prior same-SF record —
+    // earlier target/bench_detail_*.json runs (this round's own mid-round
+    // benches included) and the committed tools/bench_history/*.json maps —
+    // is kept as its OWN per-query map, and an attempt is judged by the
+    // MINIMUM sum-ratio against any single record with enough overlap:
+    // "is this run consistent with at least one clean prior run?" A pooled
+    // per-query-min reference was tried first and rejected — mins pooled
+    // across 7+ records (and across rounds that may run on differently
+    // provisioned machines) are collectively unachievable, and a genuinely
+    // clean run read 1.24× against the pool while reading ~1.0× against
+    // the single record it was actually comparable to. An attempt whose
+    // min-ratio exceeds 1.2 is load-inflated and re-runs under the same
+    // backoff ladder as a dirty canary; the published record carries the
+    // ratio and the winning baseline either way ("vs_history").
+    val historyRefs: Seq[(String, Map[String, Double])] = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val acc = scala.collection.mutable.Map.empty[String, Double]
-      def fold(m: com.fasterxml.jackson.databind.JsonNode): Unit =
-        if (m.isObject) m.propertyStream().forEach { e =>
-          val v = e.getValue.asDouble()
-          if (v > 0 && acc.get(e.getKey).forall(v < _)) acc(e.getKey) = v
+      def queryMin(ms: Seq[com.fasterxml.jackson.databind.JsonNode])
+          : Map[String, Double] = {
+        val acc = scala.collection.mutable.Map.empty[String, Double]
+        ms.foreach { m =>
+          if (m.isObject) m.propertyStream().forEach { e =>
+            val v = e.getValue.asDouble()
+            if (v > 0 && acc.get(e.getKey).forall(v < _)) acc(e.getKey) = v
+          }
         }
-      def tryFile(f: java.io.File)(read: com.fasterxml.jackson.databind.JsonNode => Unit): Unit =
-        try read(mapper.readTree(f))
-        catch { case scala.util.control.NonFatal(_) => () }
+        acc.toMap
+      }
+      def tryRead(f: java.io.File): Option[com.fasterxml.jackson.databind.JsonNode] =
+        try Some(mapper.readTree(f))
+        catch { case scala.util.control.NonFatal(_) => None }
       val details = Option(new java.io.File("target").listFiles())
         .getOrElse(Array.empty)
         .filter { f =>
           val m = "^bench_detail_(.+)\\.json$".r.findFirstMatchIn(f.getName)
           m.exists(_.group(1) != detailTag) // never self-reference
         }
-      details.foreach(f => tryFile(f) { root =>
-        // detail files pin the sf DIR; only same-SF records are comparable
-        if (root.path("sf").asText("").endsWith(sfName)) {
-          fold(root.path("pass1")); fold(root.path("pass2"))
-        }
-      })
+        .flatMap(f => tryRead(f).collect {
+          // detail files pin the sf DIR; only same-SF records compare
+          case root if root.path("sf").asText("").endsWith(sfName) =>
+            f.getName -> queryMin(Seq(root.path("pass1"), root.path("pass2")))
+        })
       val hist = Option(new java.io.File("tools/bench_history").listFiles())
         .getOrElse(Array.empty).filter(_.getName.endsWith(".json"))
-      hist.foreach(f => tryFile(f) { root =>
-        if (root.path("sf").asText("") == sfName) fold(root.path("queries"))
-      })
-      acc.toMap
+        .flatMap(f => tryRead(f).collect {
+          case root if root.path("sf").asText("") == sfName =>
+            f.getName -> queryMin(Seq(root.path("queries")))
+        })
+      (details ++ hist).toSeq.filter(_._2.nonEmpty)
     }
-    // sum-ratio of an attempt's official times vs the reference, over the
-    // common queries; None below 25 commons (a thin overlap — first bench
-    // of a new SF, or a heavily-changed board — can't carry a gate)
-    def historyInflation(results: Seq[(String, Double)]): Option[Double] = {
-      val common = results.filter { case (n, _) => historyRef.contains(n) }
-      if (common.size < 25) None
-      else Some(common.map(_._2).sum /
-        math.max(common.map { case (n, _) => historyRef(n) }.sum, 1e-9))
+    // minimum sum-ratio of an attempt's official times against any single
+    // prior record sharing ≥25 queries (a thin overlap — first bench of a
+    // new SF, or a heavily-changed board — can't carry a gate); returns
+    // the winning record's name alongside the ratio
+    def historyInflation(results: Seq[(String, Double)])
+        : Option[(String, Double, Int)] = {
+      val rs = results.toMap
+      historyRefs.flatMap { case (name, ref) =>
+        val common = ref.keySet.intersect(rs.keySet).toSeq
+        if (common.size < 25) None
+        else Some((name,
+          common.map(rs).sum / math.max(common.map(ref).sum, 1e-9),
+          common.size))
+      }.minByOption(_._2)
     }
 
     // Untimed warm-up: JIT + codegen compilation otherwise lands on the
@@ -317,9 +334,9 @@ object Bench {
       // (r13: a canary-clean but uniformly inflated attempt must lose to a
       // history-consistent one), then the canary ratio
       val best = attempts.minBy(a => (a.failed.size,
-        historyInflation(a.results).getOrElse(0.0), a.ratio))
+        historyInflation(a.results).map(_._2).getOrElse(0.0), a.ratio))
       val bestInflated =
-        historyInflation(best.results).exists(_ > 1.2)
+        historyInflation(best.results).exists(_._2 > 1.2)
       val selection =
         if (!best.dirty && !bestInflated) "cleanest_attempt"
         else "best_of_clean_passes"
@@ -413,11 +430,10 @@ object Bench {
       val inflationOpt = historyInflation(results)
       val contaminated = (canaryRatio > 1.2 &&
         (canaries.max - canaries.min) > 0.3) ||
-        inflationOpt.exists(_ > 1.2)
+        inflationOpt.exists(_._2 > 1.2)
       val vsHistory: String = inflationOpt match {
-        case Some(r) =>
-          val n = results.count { case (q, _) => historyRef.contains(q) }
-          f"""{"n":$n,"ratio":$r%.2f,"ref_n":${historyRef.size}}"""
+        case Some((refName, r, n)) =>
+          f"""{"ref":"$refName","n":$n,"ratio":$r%.2f,"refs":${historyRefs.size}}"""
         case None => "null"
       }
       // vs_prev: regression check against the newest prior round's committed
@@ -576,11 +592,11 @@ object Bench {
     val backoffSec = Seq(120L, 300L, 600L)
     val attemptBuf = scala.collection.mutable.ArrayBuffer(runAttempt())
     def cleanest = attemptBuf.minBy(a => (a.failed.size,
-      historyInflation(a.results).getOrElse(0.0), a.ratio))
-    // load-inflated = canary-clean but uniformly slower than every prior
+      historyInflation(a.results).map(_._2).getOrElse(0.0), a.ratio))
+    // load-inflated = canary-clean but uniformly slower than EVERY prior
     // same-SF record (the r13 failure shape) — re-runs under the same
     // backoff ladder as a dirty canary
-    def inflated = historyInflation(cleanest.results).exists(_ > 1.2)
+    def inflated = historyInflation(cleanest.results).exists(_._2 > 1.2)
     // A COMPLETE record streams after every attempt (and again after the
     // oracle leg): r12's official number vanished entirely because the
     // driver's budget expired mid-backoff and the only println sat at the
