@@ -670,6 +670,38 @@ object Multimodal {
       }
   }
 
+  /** Voiced SEGMENTS over any (asset_id, frame, energy) frame table — the
+    * rows [[vadSummary]] summarizes, emitted individually: each maximal
+    * run of voiced frames becomes (asset_id, seg_idx, start_frame,
+    * end_frame, n_frames, seg_energy). This is the actual deliverable of
+    * a speech-corpus VAD pass — the segment list an ASR/transcription
+    * stage consumes — using the same cross-multiplied voiced test and
+    * gaps-and-islands machinery (windows PARTITIONED BY asset; group
+    * size = one asset's frames, never global).
+    */
+  def vadSegments(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.Lineage._
+    val fr = frames.truncateLineage() // totals + voiced both read it
+    val tot = fr.groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames_tot"), sum(col("energy")).as("total_energy"))
+    val voiced = fr.join(tot, "asset_id")
+      .filter(col("energy") * col("n_frames_tot") > col("total_energy"))
+      .select(col("asset_id"), col("frame"), col("energy"))
+    val byAsset = Window.partitionBy("asset_id").orderBy("frame")
+    val byStart = Window.partitionBy("asset_id").orderBy("start_frame")
+    voiced
+      .withColumn("isl", col("frame") - row_number().over(byAsset))
+      .groupBy("asset_id", "isl")
+      .agg(min(col("frame")).cast("long").as("start_frame"),
+        max(col("frame")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+      .withColumn("seg_idx", row_number().over(byStart).cast("long"))
+      .select(col("asset_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("seg_energy"))
+  }
+
   /** Voice-activity summary over ANY (asset_id, frame, energy) frame
     * table: a frame is "voiced" when its energy exceeds the asset's own
     * mean, cross-multiplied (energy·n_frames > Σenergy) so the mean never

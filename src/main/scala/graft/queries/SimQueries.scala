@@ -1200,6 +1200,45 @@ private[graft] object SimQueries {
           |ORDER BY p.asset_id""".stripMargin),
       bench = true),
 
+    Q("mm_audio_segments",
+      // the VAD pass's actual deliverable: each maximal voiced run as its
+      // own row (start/end frame, length, energy) — the segment list a
+      // transcription stage consumes, where mm_audio_decode reports only
+      // the per-asset summary. Runs on the REAL-decoded WAV frames
+      // (WavCodec), same cross-multiplied voiced test, gaps-and-islands
+      // per asset; the oracle re-derives every segment from the
+      // generative sample formula.
+      (s, d) => {
+        val assets = Multimodal.synthesizeWavAssets(
+          tbl(s, d, "documents"), "doc_id")
+        Multimodal.vadSegments(
+            Multimodal.audioSampleFrameEnergies(assets).toDF())
+          .orderBy("asset_id", "seg_idx")
+      },
+      Some(
+        """WITH p AS (SELECT doc_id AS asset_id, 50 + doc_id % 200 AS n FROM documents),
+          |sm AS (SELECT asset_id, n, unnest(range(n)) AS i FROM p),
+          |fr AS (SELECT asset_id, i // 64 AS frame,
+          |    CAST(sum(abs((asset_id * 7 + i * 13) % 2001 - 1000)) AS BIGINT) AS energy
+          |  FROM sm GROUP BY 1, 2),
+          |tot AS (SELECT asset_id, count(*) AS nf,
+          |        CAST(sum(energy) AS BIGINT) AS total_energy
+          |        FROM fr GROUP BY 1),
+          |vo AS (SELECT f.asset_id, f.frame, f.energy
+          |       FROM fr f JOIN tot t USING (asset_id)
+          |       WHERE f.energy * t.nf > t.total_energy),
+          |rn AS (SELECT asset_id, frame, energy, frame - row_number()
+          |         OVER (PARTITION BY asset_id ORDER BY frame) AS isl FROM vo),
+          |sg AS (SELECT asset_id, isl, min(frame) AS start_frame,
+          |         max(frame) AS end_frame, count(*) AS n_frames,
+          |         CAST(sum(energy) AS BIGINT) AS seg_energy
+          |       FROM rn GROUP BY asset_id, isl)
+          |SELECT asset_id,
+          |  CAST(row_number() OVER (PARTITION BY asset_id ORDER BY start_frame)
+          |    AS BIGINT) AS seg_idx,
+          |  start_frame, end_frame, n_frames, seg_energy
+          |FROM sg ORDER BY asset_id, seg_idx""".stripMargin)),
+
     Q("mm_audio_resample",
       // REAL resample round-trip — the audio twin of mm_real_resize: the
       // WAV fixtures decode through WavCodec, decimate 2:1, re-encode at
