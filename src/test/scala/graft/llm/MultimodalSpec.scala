@@ -259,6 +259,23 @@ class MultimodalSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("vadSegments splits voiced runs into per-island rows") {
+    // asset 1: energies (10,10,100,100,10,100) over 6 frames, mean 55 —
+    // voiced frames {2,3,5} → islands [2,3] and [5]
+    val frames = Seq(
+      (1L, 0, 10L), (1L, 1, 10L), (1L, 2, 100L),
+      (1L, 3, 100L), (1L, 4, 10L), (1L, 5, 100L)
+    ).toDF("asset_id", "frame", "energy")
+    val segs = Multimodal.vadSegments(frames)
+      .orderBy("asset_id", "seg_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(segs.toSeq == Seq(
+      (1L, 1L, 2L, 3L, 2L, 200L),
+      (1L, 2L, 5L, 5L, 1L, 100L)))
+  }
+
   test("audioMeta reports fmt/data chunk facts for decodable assets only") {
     val df = Seq(10L, 11L).toDF("doc_id")
     val meta = Multimodal.audioMeta(Multimodal.synthesizeWavAssets(df, "doc_id"))
