@@ -984,6 +984,72 @@ object Graph {
     out.get
   }
 
+  /** Luby's maximal-independent-set rounds (Luby, SIAM J. Comput. 1986) —
+    * THE distributed symmetry-breaking primitive: an MIS seeds conflict-free
+    * scheduling, graph coloring, and clustering (every node is either chosen
+    * or adjacent to a chosen node, and no two chosen nodes conflict).
+    *
+    * Determinized for oracle replay: instead of fresh per-round coin flips,
+    * each node draws ONE priority — md5("mis#" || id) head-32 packed above
+    * the id (`p · 2^31 + id`), a uniform draw with ties impossible because
+    * the id occupies the low bits. A node joins the MIS when its packed
+    * priority is a strict local minimum among still-active neighbors (the
+    * no-neighbor case joins unconditionally); it and its neighbors then
+    * leave the active set. One fixed draw loses Luby's per-round
+    * independence (worst-case round count degrades) but keeps the expected
+    * O(log n) shrink on random inputs and makes every round a pure
+    * function of the graph — both engines replay it bit-identically.
+    *
+    * Scale notes: per round — one equi-join of the live symmetric edge
+    * list against live priorities (shuffle on the join key), one min
+    * aggregation (map-side combinable), two anti-joins that only ever
+    * SHRINK the frames. No collect, no global window; lineage truncated
+    * per round. Fixed horizon (like [[pageRank]]): after `rounds` rounds
+    * undecided nodes simply aren't emitted, and the oracle unrolls the
+    * identical rounds as chained CTEs.
+    *
+    * @param pairs undirected edge list (a, b) long node ids; normalized
+    *              to canonical a&lt;b distinct form at entry (mirrors and
+    *              self-loops would distort neighborhoods)
+    * @param rounds fixed synchronous horizon
+    * @return (id, mis_round) — MIS members with the round that chose them
+    */
+  def lubyMis(pairs: DataFrame, rounds: Int): DataFrame = {
+    val canon = pairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val se = canon.unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val nodes = se.select(col("a").as("id")).distinct()
+    val pk = conv(substring(md5(concat(lit("mis#"),
+        col("id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") * lit(2147483648L) + col("id")
+    var act = nodes.select(col("id"), pk.as("pk")).truncateLineage()
+    var e = se.truncateLineage()
+    var out: Option[DataFrame] = None
+    var r = 1
+    while (r <= rounds) {
+      val minNbr = e
+        .join(act.select(col("id").as("b"), col("pk").as("bpk")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bpk")).as("mn"))
+      val sel = act.join(minNbr, Seq("id"), "left")
+        .filter(col("pk") < coalesce(col("mn"), lit(Long.MaxValue)))
+        .select(col("id"), lit(r).as("mis_round"))
+        .truncateLineage()
+      val removed = sel.select("id")
+        .unionAll(e.join(sel.select(col("id").as("a")), Seq("a"), "left_semi")
+          .select(col("b").as("id")))
+        .distinct().truncateLineage()
+      out = Some(out.fold(sel)(_ unionAll sel))
+      act = act.join(removed, Seq("id"), "left_anti").truncateLineage()
+      e = e.join(removed.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(removed.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .truncateLineage()
+      r += 1
+    }
+    out.get
+  }
+
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Graph
 import graft.queries.Fixtures._
+import graft.queries.OracleShared.hx
 import graft.util.Lineage._
 
 /** Graph-analytics family: PageRank over the customer→part purchase
@@ -579,6 +580,45 @@ private[graft] object GraphQueries {
           |  SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
           |GROUP BY 1 ORDER BY id""".stripMargin
       }),
+
+    Q("graph_mis_luby",
+      // Luby maximal-independent-set over the co-purchase graph — the
+      // distributed symmetry-breaking primitive behind conflict-free
+      // scheduling and clustering seeds. Determinized: one md5 priority
+      // per node packed above the id (ids < 2^31 here, so the pack is
+      // collision-free), strict-local-minimum selection, select/remove
+      // rounds on a shrinking edge list, fixed 4-round horizon; the
+      // oracle unrolls the identical rounds as chained CTEs. Output:
+      // chosen nodes with the round that chose them.
+      (s, d) => Graph.lubyMis(coEdges(s, d), rounds = 4).orderBy("id"),
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""m$r AS (SELECT e.a AS id, MIN(p.pk) AS mn
+             |  FROM e${r - 1} e JOIN a${r - 1} p ON p.id = e.b GROUP BY e.a),
+             |s$r AS (SELECT a.id FROM a${r - 1} a LEFT JOIN m$r m ON m.id = a.id
+             |  WHERE a.pk < COALESCE(m.mn, 9223372036854775807)),
+             |rm$r AS (SELECT id FROM s$r
+             |  UNION SELECT e.b AS id FROM e${r - 1} e JOIN s$r s ON s.id = e.a),
+             |a$r AS MATERIALIZED (SELECT * FROM a${r - 1}
+             |  WHERE id NOT IN (SELECT id FROM rm$r)),
+             |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+             |  WHERE a NOT IN (SELECT id FROM rm$r)
+             |    AND b NOT IN (SELECT id FROM rm$r))""".stripMargin
+        }.mkString(",\n")
+        val emit = (1 to 4)
+          .map(r => s"SELECT id, CAST($r AS INT) AS mis_round FROM s$r")
+          .mkString("\n  UNION ALL ")
+        copurchaseCte + s""",
+          |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+          |e0 AS MATERIALIZED (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+          |a0 AS MATERIALIZED (SELECT id, (${hx("mh")}) * 2147483648 + id AS pk
+          |  FROM (SELECT id, md5('mis#' || CAST(id AS VARCHAR)) AS mh
+          |        FROM (SELECT DISTINCT a AS id FROM e0))),
+          |$rounds
+          |$emit
+          |ORDER BY id""".stripMargin
+      },
+      bench = true),
 
     Q("graph_ktruss",
       // 2-round k-truss peel (k = 4) — the EDGE-cohesion sibling of
