@@ -768,4 +768,74 @@ object Multimodal {
         }
       }
   }
+
+  final case class VideoFrameSig(asset_id: Long, frame: Int, sig: Long)
+
+  /** Per-frame content signature of the VIDEO assets: each of the
+    * n_frames (= ByteProfiler's byte-deterministic frame count) reduces to
+    * the sum of `samplesPerFrame` payload bytes at frame-keyed offsets
+    * ((frame·131 + j·7) mod n — coprime strides so consecutive frames read
+    * different byte neighborhoods). The deterministic stand-in for a
+    * decoded frame's luma histogram: a real video decoder (ffmpeg/javacv)
+    * slots in at exactly this (asset, frame) → integer-signature boundary
+    * with the shot-boundary pass downstream unchanged. Integral by
+    * construction, so the oracle replays every signature bit-for-bit from
+    * the payload hex. One input row streams out n_frames signature rows.
+    */
+  def videoFrameSignatures(assets: DataFrame,
+      samplesPerFrame: Int = 8): Dataset[VideoFrameSig] = {
+    require(samplesPerFrame >= 1,
+      s"samplesPerFrame must be >= 1, got $samplesPerFrame")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("mime").startsWith("video"))
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val n = if (p == null) 0 else p.length
+        if (n == 0) Iterator.empty
+        else {
+          val nFrames = 1 + (n % 30) // ByteProfiler's video frame count
+          (0 until nFrames).iterator.map { f =>
+            var s = 0L
+            var j = 0
+            while (j < samplesPerFrame) {
+              s += p((f * 131 + j * 7) % n) & 0xff
+              j += 1
+            }
+            VideoFrameSig(id, f, s)
+          }
+        }
+      }
+  }
+
+  /** Shot-boundary detection over ANY (asset_id, frame, sig) signature
+    * table: a CUT falls between consecutive frames whose signatures differ
+    * by more than `threshold` (the classic frame-difference detector); the
+    * shots are the runs between cuts. lag + running-sum windows are
+    * PARTITIONED BY asset (group size = one asset's frames, never global),
+    * so the pass scales with per-asset frame counts, not corpus size.
+    * Output per asset: frame/cut/shot counts, the longest shot, and the
+    * cut rate in ppm of frame transitions — the sampling report a video
+    * curation pipeline keys on (static slideshow vs rapid-cut content).
+    */
+  def shotSummary(frames: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byAsset = Window.partitionBy("asset_id").orderBy("frame")
+    val run = Window.partitionBy("asset_id").orderBy("frame")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("prev", lag(col("sig"), 1).over(byAsset))
+      .withColumn("is_cut",
+        col("prev").isNotNull && abs(col("sig") - col("prev")) > threshold)
+      .withColumn("shot", sum(col("is_cut").cast("long")).over(run))
+      .groupBy("asset_id", "shot").agg(count(lit(1)).as("len"))
+      .groupBy("asset_id")
+      .agg(sum(col("len")).as("n_frames"),
+        (count(lit(1)) - 1).cast("long").as("n_cuts"),
+        count(lit(1)).as("n_shots"),
+        max(col("len")).as("longest_shot"))
+      .withColumn("cut_rate_ppm",
+        expr("n_cuts * 1000000 DIV greatest(n_frames - 1, 1)"))
+  }
 }

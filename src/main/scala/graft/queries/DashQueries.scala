@@ -1155,6 +1155,71 @@ private[graft] object DashQueries {
           |FROM kg CROSS JOIN kh ORDER BY prio""".stripMargin),
       bench = true),
 
+    Q("agg_anova_f",
+      // one-way ANOVA F beside the rank tests: does line-item quantity
+      // differ across the 3 return flags ON THE MEANS (dash_kruskal_wallis
+      // answers it on the ranks)? Sum-of-squares identities from ONE
+      // map-side-combinable aggregation — per group n_g, Σx, Σx² — then
+      //   SSB·1e6 = Σ_g(S_g²·1e6 DIV n_g) − S²·1e6 DIV N  (≥0 by
+      //   Cauchy-Schwarz; greatest(·,0) absorbs the ≤k floor slack so the
+      //   later division never sees a negative — where Spark's DIV
+      //   (truncate) and DuckDB's // (floor) would disagree),
+      //   SSW·1e6 = Q·1e6 − Σ_g(S_g²·1e6 DIV n_g)  (≥0: subtracting
+      //   floors only raises it),
+      //   F_e6 = (SSB_e6 DIV (k−1))·1e6 DIV (SSW_e6 DIV (N−k)),
+      // every step replayed digit-for-digit in HUGEINT. Mean-squares
+      // divide BEFORE the final ratio, so the widest product is
+      // S_g²·1e6 — 38 digits hold to S_g ~ 1e16, i.e. ~4e14 rows per
+      // group (quantity ≤ 50): exact at any realistic SF. Significance vs
+      // F(2,∞)₀.₀₅ = χ²₂(0.05)/2 = 2.995732 (dof reported from the data).
+      // Scale shape: one fact scan, 3-row everything after.
+      (s, d) => {
+        val x = tbl(s, d, "lineitem").select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("long").as("x"))
+        val perG = x.groupBy("grp").agg(count(lit(1)).as("n_g"),
+          sum(col("x").cast("decimal(38,0)")).as("s_g"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("q_g"))
+        perG
+          .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+            sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+            sum(expr("s_g * s_g * 1000000 DIV n_g")).as("w"))
+          .selectExpr("n", "k",
+            "greatest(w - s * s * 1000000 DIV n, CAST(0 AS DECIMAL(38,0))) AS ssb_e6",
+            "q * 1000000 - w AS ssw_e6")
+          .selectExpr("n", "CAST(k AS BIGINT) AS k",
+            "CAST(k - 1 AS BIGINT) AS dof_between",
+            "CAST(n - k AS BIGINT) AS dof_within",
+            decimalBoundaryToLong("ssb_e6"),
+            decimalBoundaryToLong("ssw_e6"),
+            """CAST((ssb_e6 DIV (k - 1)) * 1000000
+              | DIV greatest(ssw_e6 DIV (n - k), CAST(1 AS DECIMAL(38,0)))
+              | AS BIGINT) AS f_e6""".stripMargin)
+          .transform(overflowGuard(_, "f_e6"))
+          .withColumn("significant", (col("f_e6") >= 2995732L).cast("boolean"))
+          .orderBy("n")
+      },
+      Some(
+        """WITH x AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          |  FROM lineitem),
+          |g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n_g,
+          |    CAST(sum(x) AS HUGEINT) AS s_g,
+          |    sum(CAST(x AS HUGEINT) * x) AS q_g
+          |  FROM x GROUP BY grp),
+          |t AS (SELECT sum(n_g) AS n, count(*) AS k, sum(s_g) AS s,
+          |    sum(q_g) AS q, sum(s_g * s_g * 1000000 // n_g) AS w FROM g),
+          |r AS (SELECT n, k,
+          |    greatest(w - s * s * 1000000 // n, 0) AS ssb_e6,
+          |    q * 1000000 - w AS ssw_e6 FROM t)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+          |  CAST(k - 1 AS BIGINT) AS dof_between,
+          |  CAST(n - k AS BIGINT) AS dof_within,
+          |  CAST(ssb_e6 AS BIGINT) AS ssb_e6, CAST(ssw_e6 AS BIGINT) AS ssw_e6,
+          |  CAST((ssb_e6 // (k - 1)) * 1000000
+          |    // greatest(ssw_e6 // (n - k), 1) AS BIGINT) AS f_e6,
+          |  CAST((ssb_e6 // (k - 1)) * 1000000
+          |    // greatest(ssw_e6 // (n - k), 1) >= 2995732 AS BOOLEAN) AS significant
+          |FROM r ORDER BY n""".stripMargin)),
+
     Q("dash_cuped_adjust",
       // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
       // variance-reduction face of the experimentation family: each

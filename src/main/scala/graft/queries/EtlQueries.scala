@@ -1001,7 +1001,101 @@ private[graft] object EtlQueries {
           |       ELSE 'updated' END AS action
           |FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
           |WHERE NOT COALESCE(s.tombstone, false)
-          |ORDER BY key""".stripMargin))
+          |ORDER BY key""".stripMargin)),
+
+    Q("etl_orc_roundtrip",
+      // ORC sink + source, fidelity-proven: a typed lineitem slice (longs,
+      // a low-cardinality string, a DATE) writes as ORC to a per-SF temp
+      // dir, reads back through spark.read.orc, and reduces to the
+      // order-independent per-group fingerprint of agg_table_fingerprint.
+      // The oracle computes the SAME fingerprint from the parquet
+      // original, so the hash match proves every row and every typed cell
+      // survived the format roundtrip — any encoder/decoder bug (date
+      // epoch shift, long truncation, row loss) diverges the digest. The
+      // write inherits the scan's partitioning (no repartition, no
+      // single-file collapse), so the sink parallelism scales with input
+      // splits exactly as a 100 TB export must.
+      (s, d) => {
+        val src = tbl(s, d, "lineitem").select(
+          col("l_orderkey").cast("long").as("okey"),
+          col("l_linenumber").cast("long").as("line"),
+          col("l_returnflag").as("rflag"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_c"),
+          col("l_shipdate").cast("date").as("sd"))
+        val out = new java.io.File(new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-roundtrip"),
+          s"orc-${new java.io.File(d).getName}").getPath
+        src.write.mode("overwrite").orc(out)
+        graft.analytics.Profile.fingerprint(
+            s.read.orc(out)
+              .withColumn("sd_s", date_format(col("sd"), "yyyy-MM-dd")),
+            col("rflag"),
+            Seq(col("okey"), col("line"), col("qty"), col("price_c"),
+              col("sd_s")))
+          .orderBy("grp")
+      },
+      Some(
+        s"""WITH r AS (SELECT l_returnflag AS grp,
+           |    md5(CAST(l_orderkey AS VARCHAR) || chr(1) ||
+           |        CAST(l_linenumber AS VARCHAR) || chr(1) ||
+           |        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || chr(1) ||
+           |        CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || chr(1) ||
+           |        strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mh
+           |  FROM lineitem)
+           |SELECT grp, count(*) AS n_rows,
+           |  CAST(sum(($hexHead32Sql) // 65536) AS BIGINT) AS hash_sum_hi,
+           |  CAST(sum(($hexHead32Sql) % 65536) AS BIGINT) AS hash_sum_lo
+           |FROM r GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    Q("etl_json_roundtrip",
+      // JSON-lines sink + source with NESTED types: orders rows carrying a
+      // STRUCT (status, exact cents) and an ARRAY (priority, clerk) write
+      // as .json, read back under an EXPLICIT schema (never inference —
+      // at 100 TB schema inference is a full extra scan and a type
+      // lottery), and reduce to the same order-independent fingerprint,
+      // which the oracle re-derives from the parquet original. Proves the
+      // JSON codec path end-to-end: nested field addressing, DATE
+      // serialization, long exactness inside a struct.
+      (s, d) => {
+        val src = tbl(s, d, "orders").select(
+          col("o_orderkey").cast("long").as("key"),
+          col("o_custkey").cast("long").as("cust"),
+          struct(col("o_orderstatus").as("status"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("total_c")).as("meta"),
+          array(col("o_orderpriority"), concat(lit("clerk#"),
+            (col("o_custkey") % 100).cast("string"))).as("tags"),
+          col("o_orderdate").cast("date").as("od"))
+        val out = new java.io.File(new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-roundtrip"),
+          s"json-${new java.io.File(d).getName}").getPath
+        src.write.mode("overwrite").json(out)
+        val schema = "key BIGINT, cust BIGINT, " +
+          "meta STRUCT<status: STRING, total_c: BIGINT>, " +
+          "tags ARRAY<STRING>, od DATE"
+        graft.analytics.Profile.fingerprint(
+            s.read.schema(schema).json(out)
+              .withColumn("od_s", date_format(col("od"), "yyyy-MM-dd")),
+            col("meta.status"),
+            Seq(col("key"), col("cust"), col("meta.total_c"), col("od_s"),
+              element_at(col("tags"), 1), element_at(col("tags"), 2)))
+          .orderBy("grp")
+      },
+      Some(
+        s"""WITH r AS (SELECT o_orderstatus AS grp,
+           |    md5(CAST(o_orderkey AS VARCHAR) || chr(1) ||
+           |        CAST(o_custkey AS VARCHAR) || chr(1) ||
+           |        CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) || chr(1) ||
+           |        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || chr(1) ||
+           |        o_orderpriority || chr(1) ||
+           |        'clerk#' || CAST(o_custkey % 100 AS VARCHAR)) AS mh
+           |  FROM orders)
+           |SELECT grp, count(*) AS n_rows,
+           |  CAST(sum(($hexHead32Sql) // 65536) AS BIGINT) AS hash_sum_hi,
+           |  CAST(sum(($hexHead32Sql) % 65536) AS BIGINT) AS hash_sum_lo
+           |FROM r GROUP BY grp ORDER BY grp""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the

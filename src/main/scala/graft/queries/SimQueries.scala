@@ -1094,6 +1094,52 @@ private[graft] object SimQueries {
           |SELECT doc_id AS asset_id, CAST(unnest(range(0, nf, 10)) AS INT) AS frame_idx
           |FROM f ORDER BY asset_id, frame_idx""".stripMargin)),
 
+    Q("mm_shot_boundaries",
+      // shot-boundary detection over the VIDEO assets — the video face of
+      // the segmentation family (audio has VAD; this is the standard first
+      // pass over video data before captioning/sampling: where are the
+      // cuts?). Each frame reduces to an integral 8-byte-sample signature
+      // (videoFrameSignatures — a real video decoder slots in at that
+      // exact (asset, frame) → signature boundary with nothing downstream
+      // changing); a cut falls between consecutive frames whose signatures
+      // differ by > 96, shots are the runs between cuts (running-sum
+      // islands). lag + running-sum windows PARTITION BY asset (≤ 30
+      // frames each, never global). Every quantity is an exact integer,
+      // so DuckDB replays signatures and cuts byte-for-byte from the hex.
+      (s, d) => {
+        val assets = Multimodal.synthesizeAssets(
+          tbl(s, d, "documents"), "doc_id", "text")
+        Multimodal.shotSummary(
+            Multimodal.videoFrameSignatures(assets).toDF(), threshold = 96L)
+          .orderBy("asset_id")
+      },
+      Some(
+        """WITH b AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+          |    octet_length(encode(text)) AS n
+          |  FROM documents
+          |  WHERE doc_id % 4 = 3 AND octet_length(encode(text)) > 0),
+          |fx AS (SELECT asset_id, hx, n, unnest(range(1 + n % 30)) AS f FROM b),
+          |sj AS (SELECT asset_id, hx, n, f, unnest(range(8)) AS j FROM fx),
+          |off AS (SELECT asset_id, f, (f * 131 + j * 7) % n AS i, hx FROM sj),
+          |sg AS (SELECT asset_id, f AS frame,
+          |    CAST(sum((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+          |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS BIGINT) AS sig
+          |  FROM off GROUP BY 1, 2),
+          |ct AS (SELECT asset_id, frame,
+          |    CASE WHEN lag(sig) OVER w IS NOT NULL
+          |           AND abs(sig - lag(sig) OVER w) > 96 THEN 1 ELSE 0 END AS is_cut
+          |  FROM sg WINDOW w AS (PARTITION BY asset_id ORDER BY frame)),
+          |sh AS (SELECT asset_id, frame, sum(is_cut) OVER (PARTITION BY asset_id
+          |    ORDER BY frame ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+          |  FROM ct),
+          |sl AS (SELECT asset_id, shot, count(*) AS len FROM sh GROUP BY 1, 2),
+          |r AS (SELECT asset_id, CAST(sum(len) AS BIGINT) AS n_frames,
+          |    CAST(count(*) - 1 AS BIGINT) AS n_cuts, count(*) AS n_shots,
+          |    CAST(max(len) AS BIGINT) AS longest_shot FROM sl GROUP BY 1)
+          |SELECT asset_id, n_frames, n_cuts, n_shots, longest_shot,
+          |  n_cuts * 1000000 // greatest(n_frames - 1, 1) AS cut_rate_ppm
+          |FROM r ORDER BY asset_id""".stripMargin)),
+
     Q("mm_audio_vad",
       // voice-activity-style segmentation over the AUDIO assets — the
       // audio face of the multimodal family (the image path has decode/

@@ -292,4 +292,41 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(none.isEmpty)
   }
+
+  test("shotSummary splits frames into shots at signature jumps") {
+    // asset 1: sigs (100,110,400,410,405,100) — cuts at |Δ|>96: frames
+    // 1→2 (290) and 4→5 (305) → 3 shots of lengths 2, 3, 1
+    val frames = Seq(
+      (1L, 0, 100L), (1L, 1, 110L), (1L, 2, 400L),
+      (1L, 3, 410L), (1L, 4, 405L), (1L, 5, 100L),
+      // asset 2: one frame — no transitions, one shot, ratio denominator
+      // must clamp (n_frames - 1 = 0)
+      (2L, 0, 7L)
+    ).toDF("asset_id", "frame", "sig")
+    val out = Multimodal.shotSummary(frames, threshold = 96L)
+      .orderBy("asset_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 2L, 3L, 3L, 400000L), // 2 cuts / 5 transitions = 0.4
+      (2L, 1L, 0L, 1L, 1L, 0L)))
+  }
+
+  test("videoFrameSignatures: video-only fan-out, exact byte-sample sums") {
+    val df = Seq(3L, 4L).toDF("doc_id") // 3 → video/mp4, 4 → image/png
+      .withColumn("txt", lit("abcdefghij")) // n=10 → video has 1+10%30=11 frames
+    val sigs = Multimodal.videoFrameSignatures(
+        Multimodal.synthesizeAssets(df, "doc_id", "txt"))
+      .toDF().orderBy("asset_id", "frame").collect()
+    assert(sigs.forall(_.getLong(0) == 3L), "only the video asset fans out")
+    assert(sigs.length == 11)
+    val p = "abcdefghij".getBytes("UTF-8")
+    def expected(f: Int): Long =
+      (0 until 8).map(j => (p((f * 131 + j * 7) % 10) & 0xff).toLong).sum
+    sigs.foreach { r =>
+      assert(r.getLong(2) == expected(r.getInt(1)),
+        s"frame ${r.getInt(1)} signature mismatch")
+    }
+  }
 }
