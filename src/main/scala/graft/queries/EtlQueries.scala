@@ -1095,7 +1095,60 @@ private[graft] object EtlQueries {
            |SELECT grp, count(*) AS n_rows,
            |  CAST(sum(($hexHead32Sql) // 65536) AS BIGINT) AS hash_sum_hi,
            |  CAST(sum(($hexHead32Sql) % 65536) AS BIGINT) AS hash_sum_lo
-           |FROM r GROUP BY grp ORDER BY grp""".stripMargin))
+           |FROM r GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    Q("etl_schema_evolution",
+      // schema evolution + partition discovery, the lakehouse pair every
+      // long-lived dataset hits: generation 1 (even keys) writes the
+      // original 3-column schema under gen=1/, generation 2 (odd keys)
+      // DROPS total_c and ADDS prio under gen=2/; one mergeSchema read of
+      // the root unifies both — absent columns null-fill per row, and the
+      // gen partition column is recovered from the directory names
+      // (Hive-style partition inference). The per-status census counts
+      // non-nulls per column and sums the surviving measure, all of which
+      // the oracle re-derives from the parquet original via an explicit
+      // NULL-padded union — so a merge bug (column misalignment, wrong
+      // null fill, lost partition value) diverges the hash. At 100 TB
+      // this is a metadata-only contract: mergeSchema unions footers, the
+      // partition column prunes at planning time (BucketingSpec-class
+      // physical checks live with the layout specs).
+      (s, d) => {
+        val base = tbl(s, d, "orders").select(
+          col("o_orderkey").cast("long").as("key"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("total_c"),
+          col("o_orderpriority").as("prio"))
+        val root = new java.io.File(new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-roundtrip"),
+          s"evo-${new java.io.File(d).getName}").getPath
+        base.filter(col("key") % 2 === 0).select("key", "status", "total_c")
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        base.filter(col("key") % 2 === 1).select("key", "status", "prio")
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            count(col("total_c")).as("n_total"),
+            count(col("prio")).as("n_prio"),
+            sum(col("total_c")).as("sum_total_c"),
+            count(when(col("gen") === 1, 1)).as("n_gen1"))
+          .orderBy("status")
+      },
+      Some(
+        """WITH b AS (SELECT o_orderkey AS key, o_orderstatus AS status,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c,
+          |    o_orderpriority AS prio
+          |  FROM orders),
+          |u AS (
+          |  SELECT key, status, total_c, CAST(NULL AS VARCHAR) AS prio, 1 AS gen
+          |  FROM b WHERE key % 2 = 0
+          |  UNION ALL
+          |  SELECT key, status, NULL, prio, 2 FROM b WHERE key % 2 = 1)
+          |SELECT status, count(*) AS n, count(total_c) AS n_total,
+          |  count(prio) AS n_prio, CAST(sum(total_c) AS BIGINT) AS sum_total_c,
+          |  count(*) FILTER (WHERE gen = 1) AS n_gen1
+          |FROM u GROUP BY status ORDER BY status""".stripMargin))
   )
 
   /** Oracle for etl_zorder_layout: the identical bucket exprs and the

@@ -1201,6 +1201,64 @@ private[graft] object EventQueries {
            |SELECT d AS day, state, count(*) AS n_users
            |FROM st WHERE state IS NOT NULL
            |GROUP BY 1, 2 ORDER BY day, state""".stripMargin),
-      bench = true)
+      bench = true),
+
+    Q("ev_conversion_latency",
+      // time-to-convert distribution — the latency face of the funnel
+      // family (ev_funnel counts WHO converts; this measures HOW LONG
+      // first view → first subsequent purchase takes). Per-user firsts
+      // are two keyed min-aggregations; the p50/p90 of the whole-second
+      // latencies are EXACT nearest-rank reads off Ids.groupedRunningSum's
+      // range-partitioned rank machinery (a global percentile window
+      // would plan Exchange SinglePartition — the does-not-scale shape).
+      // Microsecond arithmetic throughout; floor to whole seconds only at
+      // the latency derivation, replayed identically by the oracle.
+      (s, d) => {
+        val ev = eventsTable(s, d).select(col("user_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("v_us"))
+        val firstPurch = ev.filter(col("event_type") === "purchase")
+          .join(firstView, "user_id")
+          .filter(col("us") >= col("v_us"))
+          .groupBy("user_id").agg(min(col("us")).as("p_us"))
+        val conv = firstView.join(firstPurch, Seq("user_id"))
+          .select(col("user_id"),
+            expr("(p_us - v_us) DIV 1000000").as("lat_s"))
+          .withColumn("w", lit(1L)).withColumn("g", lit(0))
+        val pct = graft.etl.Ids.groupedRunningSum(conv, Seq("g"),
+            Seq(col("lat_s"), col("user_id")), "w", "cum", "tot")
+          .groupBy("g")
+          .agg(
+            min(when(col("cum") * 2 >= col("tot"), col("lat_s"))).as("p50_s"),
+            min(when(col("cum") * 10 >= col("tot") * 9, col("lat_s"))).as("p90_s"),
+            max(col("tot")).as("n_converted"))
+        val nv = firstView.agg(count(lit(1)).as("n_viewers"))
+        pct.crossJoin(broadcast(nv))
+          .selectExpr("n_viewers", "n_converted",
+            "n_converted * 1000000 DIV n_viewers AS conv_ppm",
+            "p50_s", "p90_s")
+          .orderBy("n_viewers")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM ev),
+           |v AS (SELECT user_id, min(us) AS v_us FROM e
+           |      WHERE event_type = 'view' GROUP BY 1),
+           |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN v USING (user_id)
+           |      WHERE event_type = 'purchase' AND us >= v_us GROUP BY 1),
+           |c AS (SELECT v.user_id, (p_us - v_us) // 1000000 AS lat_s
+           |      FROM v JOIN p USING (user_id)),
+           |r AS (SELECT lat_s, sum(1) OVER (ORDER BY lat_s, user_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |      count(*) OVER () AS tot FROM c),
+           |q AS (SELECT min(CASE WHEN cum * 2 >= tot THEN lat_s END) AS p50_s,
+           |      min(CASE WHEN cum * 10 >= tot * 9 THEN lat_s END) AS p90_s,
+           |      CAST(max(tot) AS BIGINT) AS n_converted FROM r),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM v)
+           |SELECT n_viewers, n_converted,
+           |  n_converted * 1000000 // n_viewers AS conv_ppm,
+           |  CAST(p50_s AS BIGINT) AS p50_s, CAST(p90_s AS BIGINT) AS p90_s
+           |FROM q CROSS JOIN n ORDER BY n_viewers""".stripMargin))
   )
 }

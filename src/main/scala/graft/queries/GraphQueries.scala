@@ -479,6 +479,28 @@ private[graft] object GraphQueries {
         |ORDER BY jaccard_e6 DESC, item_a, item_b LIMIT 30""".stripMargin),
       bench = true),
 
+    Q("graph_link_predict_ra",
+      // resource-allocation link prediction beside graph_link_predict's
+      // Jaccard: common neighbors weighted 1/deg(z), so a niche shared
+      // neighbor outranks a hub — the predictor that wins on co-purchase
+      // graphs where hubs co-occur with everything. 1/deg is rational →
+      // exact ra_e6 = Σ (1e6 DIV deg(z)); same hub-capped wedge
+      // enumeration, same anti-join against existing edges.
+      (s, d) => Graph.linkPredictRA(coEdges(s, d), k = 30, maxDegree = 10000),
+      Some(copurchaseCte + """,
+        |pe AS (SELECT item_a AS a, item_b AS b FROM pairs WHERE n >= 2),
+        |adj AS (SELECT a AS c, b AS nb FROM pe UNION ALL SELECT b, a FROM pe),
+        |dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+        |cw AS (SELECT adj.c, adj.nb, dg.deg FROM adj JOIN dg USING (c)
+        |       WHERE dg.deg <= 10000),
+        |wd AS (SELECT x.nb AS item_a, y.nb AS item_b, count(*) AS cn,
+        |         CAST(sum(1000000 // x.deg) AS BIGINT) AS ra_e6
+        |       FROM cw x JOIN cw y ON x.c = y.c AND x.nb < y.nb GROUP BY 1, 2),
+        |op AS (SELECT * FROM wd WHERE NOT EXISTS (
+        |         SELECT 1 FROM pe WHERE pe.a = wd.item_a AND pe.b = wd.item_b))
+        |SELECT item_a, item_b, CAST(cn AS BIGINT) AS cn, ra_e6
+        |FROM op ORDER BY ra_e6 DESC, item_a, item_b LIMIT 30""".stripMargin)),
+
     Q("graph_neighbor_features",
       // GraphSAGE-style mean-aggregator features over the published
       // co-purchase edges: per part its degree and the min/mean/max of

@@ -156,6 +156,32 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L, 2L, 1000000L)))
   }
 
+  test("linkPredictRA: niche shared neighbor outranks a hub shared neighbor") {
+    // (1,2) share only niche z=10 (deg 2); (3,4) share only hub z=20
+    // (deg 4, also tied to 5 and 6). Jaccard scores every pair equally
+    // (1 common, leaf degs 1 → 1/1); RA separates them:
+    // ra(1,2) = 1e6/2 = 500000, ra(3,4) = 1e6/4 = 250000.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("a", "b")
+    val out = Graph.linkPredictRA(edges, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == (1L, 2L, 1L, 500000L))
+    assert(out(1)._4 == 250000L)
+  }
+
+  test("linkPredictRA: multi-neighbor sums and the hub cap") {
+    // square 1-2-3-4 with diagonal 2-3: pair (1,4) shares {2,3}, each of
+    // degree 3 → ra = 2 · (1e6 DIV 3) = 666666
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Graph.linkPredictRA(edges, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 666666L)))
+    // capping below the star center's degree removes every prediction
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("a", "b")
+    assert(Graph.linkPredictRA(star, k = 10, maxDegree = 4).count() == 0L)
+  }
+
   test("linkPredict: hub cap drops super-hub wedge centers") {
     // star: center 0 connected to 1..5. All predictions go through the
     // center; capping maxDegree below 5 removes them all.
