@@ -1259,6 +1259,107 @@ private[graft] object EventQueries {
            |SELECT n_viewers, n_converted,
            |  n_converted * 1000000 // n_viewers AS conv_ppm,
            |  CAST(p50_s AS BIGINT) AS p50_s, CAST(p90_s AS BIGINT) AS p90_s
-           |FROM q CROSS JOIN n ORDER BY n_viewers""".stripMargin))
+           |FROM q CROSS JOIN n ORDER BY n_viewers""".stripMargin)),
+
+    Q("ev_attribution_shapley",
+      // Shapley-value attribution — the game-theoretic completion of the
+      // attribution family (first/last/linear/decay divide credit by
+      // POSITION; Shapley divides it by MARGINAL CONTRIBUTION over every
+      // coalition of channels, the provably-fair split). Channels are the
+      // 4 non-purchase event types touched strictly before a user's first
+      // purchase; the characteristic function v(S) counts converters
+      // whose touched set ⊆ S. With n = 4 the subset lattice is 16 rows,
+      // so after ONE per-user bitmask aggregation everything is joins over
+      // literal-bounded frames — the 100 TB cost is the user groupBy,
+      // nothing else grows. Exact arithmetic: Shapley weights
+      // |S|!·(n−1−|S|)! stay integral by scaling φ by n! = 24
+      // (phi_x24 = Σ_S w·[v(S∪i)−v(S)], w ∈ {6,2,2,6}); monotone v keeps
+      // every marginal ≥ 0, and Σᵢ φᵢ·24 = 24·[v(full)−v(∅)] funds the
+      // exact share_ppm. DuckDB replays the identical lattice.
+      (s, d) => {
+        val ev = eventsTable(s, d).select(col("user_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        val firstP = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("us")).as("p_us"))
+        val chIdx = when(col("event_type") === "click", 0)
+          .when(col("event_type") === "error", 1)
+          .when(col("event_type") === "signup", 2)
+          .when(col("event_type") === "view", 3)
+        val touched = ev.join(firstP, "user_id")
+          .filter(col("us") < col("p_us"))
+          .withColumn("ci", chIdx).filter(col("ci").isNotNull)
+        val userMask = firstP.join(
+            touched.groupBy("user_id")
+              .agg(expr("bit_or(shiftleft(1, ci))").as("mask")),
+            Seq("user_id"), "left")
+          .select(coalesce(col("mask"), lit(0)).as("mask"))
+        val cnts = userMask.groupBy("mask").agg(count(lit(1)).as("cnt"))
+        val sFrame = s.range(16).select(col("id").cast("int").as("s_mask"))
+        val v = sFrame.join(broadcast(cnts),
+            expr("(mask & (15 - s_mask)) = 0"), "left")
+          .groupBy("s_mask").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+        val chFrame = s.range(4).select(col("id").cast("int").as("ci"),
+          element_at(litArray(Seq("click", "error", "signup", "view")),
+            col("id").cast("int") + 1).as("channel"))
+        val pairs = sFrame.crossJoin(broadcast(chFrame))
+          .filter(expr("(s_mask & shiftleft(1, ci)) = 0"))
+          .withColumn("s_size", expr(
+            "(s_mask & 1) + ((s_mask >> 1) & 1) + ((s_mask >> 2) & 1) + ((s_mask >> 3) & 1)"))
+          .withColumn("w", expr(
+            "CASE s_size WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+        val phi = pairs
+          .join(broadcast(v.select(col("s_mask").as("sm1"), col("v").as("v_s"))),
+            col("s_mask") === col("sm1"))
+          .join(broadcast(v.select(col("s_mask").as("sm2"), col("v").as("v_si"))),
+            expr("sm2 = s_mask + shiftleft(1, ci)"))
+          .groupBy("channel", "ci")
+          .agg(sum(expr("w * (v_si - v_s)")).as("phi_x24"))
+        val touchedN = chFrame.join(broadcast(cnts),
+            expr("(mask & shiftleft(1, ci)) != 0"), "left")
+          .groupBy("channel", "ci")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_users"))
+        val tot = phi.agg(sum(col("phi_x24")).as("tot_phi"))
+        phi.join(touchedN, Seq("channel", "ci")).crossJoin(broadcast(tot))
+          .selectExpr("channel", "n_users", "phi_x24",
+            "phi_x24 * 1000000 DIV greatest(tot_phi, 1) AS share_ppm")
+          .orderBy("channel")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM ev),
+           |fp AS (SELECT user_id, min(us) AS p_us FROM e
+           |       WHERE event_type = 'purchase' GROUP BY 1),
+           |tc AS (SELECT t.user_id, t.ci FROM (
+           |         SELECT e.user_id,
+           |           CASE e.event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+           |                WHEN 'signup' THEN 2 WHEN 'view' THEN 3 END AS ci
+           |         FROM e JOIN fp USING (user_id) WHERE us < p_us) t
+           |       WHERE t.ci IS NOT NULL),
+           |um AS (SELECT fp.user_id, COALESCE(bit_or(1 << ci), 0) AS mask
+           |       FROM fp LEFT JOIN tc ON tc.user_id = fp.user_id GROUP BY 1),
+           |cn AS (SELECT mask, count(*) AS cnt FROM um GROUP BY 1),
+           |sm AS (SELECT CAST(unnest(range(16)) AS INT) AS s_mask),
+           |vv AS (SELECT s_mask, COALESCE(sum(cnt), 0) AS v FROM sm
+           |       LEFT JOIN cn ON (cn.mask & (15 - sm.s_mask)) = 0 GROUP BY 1),
+           |ch AS (SELECT CAST(unnest(range(4)) AS INT) AS ci),
+           |cname AS (SELECT ci, CASE ci WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+           |            WHEN 2 THEN 'signup' ELSE 'view' END AS channel FROM ch),
+           |pr AS (SELECT s_mask, ci,
+           |         (s_mask & 1) + ((s_mask >> 1) & 1)
+           |           + ((s_mask >> 2) & 1) + ((s_mask >> 3) & 1) AS s_size
+           |       FROM sm CROSS JOIN ch WHERE (s_mask & (1 << ci)) = 0),
+           |co AS (SELECT pr.ci,
+           |         (CASE s_size WHEN 0 THEN 6 WHEN 1 THEN 2
+           |               WHEN 2 THEN 2 ELSE 6 END) * (v2.v - v1.v) AS t
+           |       FROM pr JOIN vv v1 ON v1.s_mask = pr.s_mask
+           |               JOIN vv v2 ON v2.s_mask = pr.s_mask + (1 << pr.ci)),
+           |ph AS (SELECT ci, CAST(sum(t) AS BIGINT) AS phi_x24 FROM co GROUP BY 1),
+           |tn AS (SELECT ch.ci, CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_users
+           |       FROM ch LEFT JOIN cn ON (cn.mask & (1 << ch.ci)) <> 0 GROUP BY 1),
+           |tt AS (SELECT sum(phi_x24) AS tot FROM ph)
+           |SELECT cname.channel, tn.n_users, ph.phi_x24,
+           |  CAST(phi_x24 * 1000000 // greatest(tot, 1) AS BIGINT) AS share_ppm
+           |FROM ph JOIN cname USING (ci) JOIN tn USING (ci) CROSS JOIN tt
+           |ORDER BY channel""".stripMargin))
   )
 }
