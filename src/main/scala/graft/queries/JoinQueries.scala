@@ -186,6 +186,67 @@ private[graft] object JoinQueries {
            |ORDER BY event_id""".stripMargin),
       bench = true),
 
+    Q("join_asof_nearest",
+      // nearest-direction as-of (pandas merge_asof direction='nearest'):
+      // each click matched to the user's CLOSEST view in either
+      // direction, equidistant → backward. Two window candidates over
+      // the one union-tag sort (still a single exchange); the oracle
+      // takes DuckDB's native backward ASOF plus a strictly-forward ASOF
+      // and replays the identical pick rule, including the audited match
+      // direction.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("__r"))
+          .select(col("user_id"), col("ts"),
+            col("__r.event_id").as("view_id"), col("__r.value").as("view_value"))
+        graft.plans.AsOf.asofJoinNearest(clicks, views, "user_id", "ts",
+            Seq("view_id", "view_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("asof_view_id"),
+            (col("asof_view_value").cast("decimal(18,2)") * 100).cast("long")
+              .as("view_value_c"),
+            when(col("asof_ts").isNull, lit(null).cast("string"))
+              .when(col("asof_ts") <= col("ts"), lit("b"))
+              .otherwise(lit("f")).as("dir"))
+          .orderBy("event_id")
+      },
+      Some(
+        s"""WITH $EV_SQL,
+           |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+           |views AS (
+           |  SELECT user_id, ts, event_id AS view_id, value AS view_value FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           |    FROM ev WHERE event_type = 'view') WHERE rn = 1
+           |),
+           |bk AS (SELECT c.event_id, v.view_id, v.view_value, v.ts AS vts
+           |       FROM clicks c ASOF LEFT JOIN views v
+           |         ON c.user_id = v.user_id AND c.ts >= v.ts),
+           |fw AS (SELECT c.event_id, v.view_id, v.view_value, v.ts AS vts
+           |       FROM clicks c ASOF LEFT JOIN views v
+           |         ON c.user_id = v.user_id AND c.ts < v.ts),
+           |pick AS (SELECT c.event_id, c.user_id, c.ts,
+           |    CASE WHEN bk.vts IS NOT NULL AND (fw.vts IS NULL OR
+           |           epoch_us(c.ts) - epoch_us(bk.vts)
+           |             <= epoch_us(fw.vts) - epoch_us(c.ts))
+           |         THEN 'b'
+           |         WHEN fw.vts IS NOT NULL THEN 'f' END AS dir,
+           |    bk.view_id AS b_id, bk.view_value AS b_val,
+           |    fw.view_id AS f_id, fw.view_value AS f_val
+           |  FROM clicks c
+           |  LEFT JOIN bk ON bk.event_id = c.event_id
+           |  LEFT JOIN fw ON fw.event_id = c.event_id)
+           |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |  CASE dir WHEN 'b' THEN b_id WHEN 'f' THEN f_id END AS asof_view_id,
+           |  CAST(CAST(CASE dir WHEN 'b' THEN b_val WHEN 'f' THEN f_val END
+           |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS view_value_c,
+           |  dir
+           |FROM pick ORDER BY event_id""".stripMargin)),
+
     Q("join_tpch_q10_shape",
       // the TPC-H Q10 returned-item reporting shape: customers ranked by
       // revenue lost to returns in one quarter — returnflag-filtered

@@ -32,6 +32,43 @@ class AsOfSpec extends SparkSpec {
       (1L, Some(10L)), (2L, Some(11L)), (3L, None), (4L, None)))
   }
 
+  test("asofJoinNearest picks the closest side, backward on ties") {
+    val left = Seq(
+      (1L, 7L, ts("2026-01-01 10:00:00")), // b@09:30 (30m) vs f@10:45 (45m) → b
+      (2L, 7L, ts("2026-01-01 10:40:00")), // b@09:30 (70m) vs f@10:45 (5m)  → f
+      (3L, 7L, ts("2026-01-01 09:00:00")), // nothing before → forward only
+      (4L, 7L, ts("2026-01-01 12:00:00")), // nothing after → backward only
+      (5L, 7L, ts("2026-01-01 10:07:30")), // EQUIDISTANT 37.5m each → backward
+      (6L, 9L, ts("2026-01-01 12:00:00"))  // other key, no rights → NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 09:30:00"), 1.0),
+      (11L, 7L, ts("2026-01-01 10:45:00"), 2.0)
+    ).toDF("view_id", "user_id", "ts", "v")
+
+    val out = AsOf.asofJoinNearest(left, right, "user_id", "ts",
+        Seq("view_id", "v"))
+      .orderBy("event_id")
+      .select("event_id", "asof_view_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, Some(10L)), (2L, Some(11L)), (3L, Some(10L)),
+      (4L, Some(11L)), (5L, Some(10L)), (6L, None)))
+  }
+
+  test("asofJoinNearest: an equal-time right row is a backward match") {
+    val left = Seq((1L, 7L, ts("2026-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 7L, ts("2026-01-01 10:00:00"), 1.0),  // Δ = 0, backward
+      (11L, 7L, ts("2026-01-01 10:00:01"), 2.0))  // Δ = 1 s forward
+      .toDF("view_id", "user_id", "ts", "v")
+    val out = AsOf.asofJoinNearest(left, right, "user_id", "ts",
+        Seq("view_id", "v")).collect()
+    assert(out.head.getAs[Long]("asof_view_id") == 10L)
+    assert(out.head.getAs[Timestamp]("asof_ts") == ts("2026-01-01 10:00:00"))
+  }
+
   test("asofJoinTolerance nulls matches staler than the bound, keeps fresh ones") {
     val left = Seq(
       (1L, 7L, ts("2026-01-01 10:00:00")),   // 30 min after r10 → within 1h → kept
