@@ -1220,6 +1220,69 @@ private[graft] object DashQueries {
           |    // greatest(ssw_e6 // (n - k), 1) >= 2995732 AS BOOLEAN) AS significant
           |FROM r ORDER BY n""".stripMargin)),
 
+    Q("dash_tukey_hsd",
+      // Tukey's HSD — the post-hoc companion agg_anova_f needs (ANOVA
+      // says "some mean differs"; HSD says WHICH pairs differ while
+      // holding the family-wise error rate). The sqrt-free form: square
+      // the criterion |m̄ᵢ−m̄ⱼ| ≥ q·√(MSW/2·(1/nᵢ+1/nⱼ)) into
+      //   (Δm_e6)² ≥ q²_e6 · MSW_e6 · (nᵢ+nⱼ) DIV (2·nᵢ·nⱼ)
+      // — both sides land on the same 1e12 scale and every step is a
+      // DECIMAL(38,0)/HUGEINT integer op at identical truncation points.
+      // q²_e6 = 10985910 embeds q₀.₀₅(k=3, df=∞) = 3.3145 squared. The
+      // returnflag isin is a no-op domain statement (TPC-H defines
+      // exactly {A,N,R}) so the lint can prove the grouped aggregate is
+      // 3-row-bounded and the pairwise self-join a bounded product.
+      // Scale shape: one fact scan; 3-row everything after.
+      (s, d) => {
+        val x = tbl(s, d, "lineitem").select(col("l_returnflag").as("grp"),
+            col("l_quantity").cast("long").as("x"))
+          .filter(col("grp").isin("A", "N", "R"))
+        val perG = x.groupBy("grp").agg(count(lit(1)).as("n_g"),
+            sum(col("x").cast("decimal(38,0)")).as("s_g"),
+            sum(col("x").cast("decimal(38,0)") * col("x")).as("q_g"))
+          .withColumn("m_e6", expr("s_g * 1000000 DIV n_g"))
+        val msw = perG.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+            sum(col("q_g")).as("q"),
+            sum(expr("s_g * s_g * 1000000 DIV n_g")).as("w"))
+          .selectExpr(
+            "CAST((q * 1000000 - w) DIV (n - k) AS DECIMAL(38,0)) AS msw_e6")
+        val a = perG.select(col("grp").as("grp_a"), col("n_g").as("n_a"),
+          col("m_e6").as("m_a"))
+        val b = perG.select(col("grp").as("grp_b"), col("n_g").as("n_b"),
+          col("m_e6").as("m_b"))
+        a.join(b, col("grp_a") < col("grp_b")).crossJoin(broadcast(msw))
+          .withColumn("diff_e6", expr("abs(m_a - m_b)"))
+          .selectExpr("grp_a", "grp_b",
+            "CAST(n_a AS BIGINT) AS n_a", "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(m_a AS BIGINT) AS mean_a_e6",
+            "CAST(m_b AS BIGINT) AS mean_b_e6",
+            decimalBoundaryToLong("diff_e6"),
+            """(diff_e6 * diff_e6 >=
+              |   CAST(10985910 AS DECIMAL(38,0)) * msw_e6 * (n_a + n_b)
+              |     DIV (CAST(2 AS DECIMAL(38,0)) * n_a * n_b)) AS significant""".stripMargin)
+          .orderBy("grp_a", "grp_b")
+      },
+      Some(
+        """WITH x AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')),
+          |g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n_g,
+          |    CAST(sum(x) AS HUGEINT) AS s_g,
+          |    sum(CAST(x AS HUGEINT) * x) AS q_g
+          |  FROM x GROUP BY grp),
+          |gm AS (SELECT grp, n_g, s_g * 1000000 // n_g AS m_e6 FROM g),
+          |ms AS (SELECT (sum(q_g) * 1000000 - sum(s_g * s_g * 1000000 // n_g))
+          |         // (sum(n_g) - count(*)) AS msw_e6 FROM g),
+          |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, a.n_g AS n_a,
+          |    b.n_g AS n_b, a.m_e6 AS m_a, b.m_e6 AS m_b
+          |  FROM gm a JOIN gm b ON a.grp < b.grp)
+          |SELECT grp_a, grp_b, CAST(n_a AS BIGINT) AS n_a,
+          |  CAST(n_b AS BIGINT) AS n_b,
+          |  CAST(m_a AS BIGINT) AS mean_a_e6, CAST(m_b AS BIGINT) AS mean_b_e6,
+          |  CAST(abs(m_a - m_b) AS BIGINT) AS diff_e6,
+          |  abs(m_a - m_b) * abs(m_a - m_b) >=
+          |    10985910 * msw_e6 * (n_a + n_b) // (2 * n_a * n_b) AS significant
+          |FROM p CROSS JOIN ms ORDER BY grp_a, grp_b""".stripMargin)),
+
     Q("dash_cuped_adjust",
       // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
       // variance-reduction face of the experimentation family: each
