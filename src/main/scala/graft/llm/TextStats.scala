@@ -825,8 +825,16 @@ object TextStats {
     * the model table itself is vocabulary-sized, not corpus-sized.
     */
   def knBigramTop(docs: DataFrame, k: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val pairs = bigramPairs(docs, idCol, textCol)
+      textCol: String = "text"): DataFrame =
+    knTable(bigramPairs(docs, idCol, textCol))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+
+  /** The full smoothed KN model table (w1, w2, c12, pkn_e6) —
+    * [[knBigramTop]]'s construction before its top-k cut, reused by the
+    * greedy decoder. Vocabulary-sized, not corpus-sized.
+    */
+  private def knTable(pairs: DataFrame): DataFrame = {
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val n1r = c12.groupBy("w1").agg(count(lit(1)).as("n1r"))
@@ -839,8 +847,42 @@ object TextStats {
       .withColumn("pc_e6", expr("n1l * 1000000 DIV b"))
       .select(col("w1"), col("w2"), col("c12"),
         expr("p1_e6 + lam_e6 * pc_e6 DIV 1000000").as("pkn_e6"))
-      .orderBy(col("c12").desc, col("w1"), col("w2"))
-      .limit(k)
+  }
+
+  /** Greedy autoregressive decoding SERVED FROM the KN bigram model as
+    * pure dataflow — the "generate" face of the in-engine LM (train:
+    * [[knBigramTop]]; score: [[lmSurprisal]]; this: decode). Step 0 is
+    * the corpus's most frequent context word (argmax c(w1), ties
+    * lexicographic); step t+1 is argmax_w p_kn(w | word_t) (ties
+    * lexicographic), each step one broadcast-probe of the model table +
+    * a heap top-1 — no collect, no driver loop over data, `steps` joins
+    * against ONE truncated-lineage model frame that materializes once. A
+    * dead end (no outgoing bigram) simply ends the sequence early.
+    * Deterministic: every probability is an exact e6 integer, so the
+    * generated text hash-matches the oracle's replay.
+    */
+  def knGreedyDecode(docs: DataFrame, steps: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.util.Lineage._
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val pairs = bigramPairs(docs, idCol, textCol)
+    val kn = knTable(pairs).truncateLineage() // probed `steps` times
+    val seed = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w1")).limit(1)
+      .select(lit(0L).as("step"), col("w1").as("word"),
+        lit(null).cast("long").as("pkn_e6"))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += seed
+    var cur = seed
+    for (i <- 1 to steps) {
+      cur = kn
+        .join(broadcast(cur.select(col("word").as("w1"))), Seq("w1"))
+        .orderBy(col("pkn_e6").desc, col("w2")).limit(1)
+        .select(lit(i.toLong).as("step"), col("w2").as("word"),
+          col("pkn_e6"))
+      outs += cur
+    }
+    outs.result().reduce(_ unionByName _)
   }
 
   /** Bigram language-model surprisal scoring — the CCNet/Gopher-class

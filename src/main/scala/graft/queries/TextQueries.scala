@@ -1212,6 +1212,50 @@ private[graft] object TextQueries {
            |ORDER BY CAST(c12.c12 AS BIGINT) DESC, c12.w1, c12.w2
            |LIMIT 30""".stripMargin)),
 
+    Q("text_kn_generate",
+      // greedy autoregressive DECODING from the trained KN bigram model,
+      // served as pure dataflow — the generate face of the in-engine LM
+      // (text_kn_bigram trains it, text_lm_surprisal scores with it, this
+      // samples from it). Seed = most frequent context word; each of the
+      // 8 steps is argmax p_kn(w | prev) as one broadcast-probe of the
+      // model table plus a heap top-1, chained without any driver-side
+      // collect — the model frame is lineage-truncated and materializes
+      // once under the single terminal action. Ties resolve
+      // lexicographically and every probability is an exact e6 integer,
+      // so the generated sequence hash-matches DuckDB's replay of the
+      // identical 8-step argmax chain.
+      (s, d) => TextStats.knGreedyDecode(tbl(s, d, "documents"), steps = 8)
+        .orderBy("step"),
+      Some {
+        val gs = (1 to 8).map { i =>
+          val prev = if (i == 1) "s0" else s"g${i - 1}"
+          s"""g$i AS (SELECT kn.w2 AS word, kn.pkn_e6 AS pkn_e6 FROM kn
+             |  JOIN $prev ON kn.w1 = $prev.word
+             |  ORDER BY kn.pkn_e6 DESC, kn.w2 LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to 8).map { i =>
+          s"UNION ALL SELECT $i, word, CAST(pkn_e6 AS BIGINT) FROM g$i"
+        }.mkString("\n")
+        s"""WITH $LM_CTES,
+           |n1r AS (SELECT w1, count(*) AS n1r FROM c12 GROUP BY 1),
+           |n1l AS (SELECT w2, count(*) AS n1l FROM c12 GROUP BY 1),
+           |bt AS (SELECT count(*) AS b FROM c12),
+           |kn AS MATERIALIZED (SELECT c12.w1, c12.w2,
+           |    (greatest(4 * c12.c12 - 3, 0) * 1000000) // (4 * c1.c1)
+           |      + ((3 * n1r.n1r * 1000000) // (4 * c1.c1))
+           |        * ((n1l.n1l * 1000000) // bt.b) // 1000000 AS pkn_e6
+           |  FROM c12 JOIN c1 ON c12.w1 = c1.w1
+           |  JOIN n1r ON n1r.w1 = c12.w1
+           |  JOIN n1l ON n1l.w2 = c12.w2
+           |  CROSS JOIN bt),
+           |s0 AS (SELECT w1 AS word FROM c1 ORDER BY c1 DESC, w1 LIMIT 1),
+           |$gs
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS step, word, CAST(NULL AS BIGINT) AS pkn_e6 FROM s0
+           |  $sel
+           |) ORDER BY step""".stripMargin
+      }),
+
     Q("text_pipeline_funnel",
       // the data-diet funnel: doc and token counts after EACH curation
       // stage — input → quality gate (served perceptron) → span scrub →
