@@ -1293,40 +1293,9 @@ private[graft] object EventQueries {
               .agg(expr("bit_or(shiftleft(1, ci))").as("mask")),
             Seq("user_id"), "left")
           .select(coalesce(col("mask"), lit(0)).as("mask"))
-          // semantically a no-op (a 4-bit OR can only land in [0, 15]);
-          // states the value domain structurally so the plan lint can see
-          // the downstream mask aggregate is 16-row-bounded and its
-          // broadcast is a legitimate small-side hint
-          .filter(col("mask").isin(0 to 15: _*))
-        val cnts = userMask.groupBy("mask").agg(count(lit(1)).as("cnt"))
-        val sFrame = s.range(16).select(col("id").cast("int").as("s_mask"))
-        val v = sFrame.join(broadcast(cnts),
-            expr("(mask & (15 - s_mask)) = 0"), "left")
-          .groupBy("s_mask").agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
-        val chFrame = s.range(4).select(col("id").cast("int").as("ci"),
-          element_at(litArray(Seq("click", "error", "signup", "view")),
-            col("id").cast("int") + 1).as("channel"))
-        val pairs = sFrame.crossJoin(broadcast(chFrame))
-          .filter(expr("(s_mask & shiftleft(1, ci)) = 0"))
-          .withColumn("s_size", expr(
-            "(s_mask & 1) + ((s_mask >> 1) & 1) + ((s_mask >> 2) & 1) + ((s_mask >> 3) & 1)"))
-          .withColumn("w", expr(
-            "CASE s_size WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
-        val phi = pairs
-          .join(broadcast(v.select(col("s_mask").as("sm1"), col("v").as("v_s"))),
-            col("s_mask") === col("sm1"))
-          .join(broadcast(v.select(col("s_mask").as("sm2"), col("v").as("v_si"))),
-            expr("sm2 = s_mask + shiftleft(1, ci)"))
-          .groupBy("channel", "ci")
-          .agg(sum(expr("w * (v_si - v_s)")).as("phi_x24"))
-        val touchedN = chFrame.join(broadcast(cnts),
-            expr("(mask & shiftleft(1, ci)) != 0"), "left")
-          .groupBy("channel", "ci")
-          .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_users"))
-        val tot = phi.agg(sum(col("phi_x24")).as("tot_phi"))
-        phi.join(touchedN, Seq("channel", "ci")).crossJoin(broadcast(tot))
-          .selectExpr("channel", "n_users", "phi_x24",
-            "phi_x24 * 1000000 DIV greatest(tot_phi, 1) AS share_ppm")
+        graft.analytics.Shapley
+          .attribution(userMask, Seq("click", "error", "signup", "view"))
+          .selectExpr("channel", "n_users", "phi_xnf AS phi_x24", "share_ppm")
           .orderBy("channel")
       },
       Some(
