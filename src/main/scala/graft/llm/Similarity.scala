@@ -1244,11 +1244,23 @@ object Similarity {
     * model, not a per-row statistic).
     */
   def powerIterationE6(vectors: DataFrame, rounds: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val x = vectors
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    powerRoundsE6(explodeE6(vectors, idCol, vecCol), rounds)
+      .select(col("dim"), col("v").as("v_e6")).orderBy("dim")
+
+  /** (id, dim, x) e6-quantized triples of an embedding frame. */
+  private def explodeE6(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vectors
       .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "xf")))
       .select(col("id"), col("dim").cast("long").as("dim"),
         floor(col("xf").cast("double") * 1e6).cast("long").as("x"))
+
+  /** The fixed-point power-iteration loop of [[powerIterationE6]] over an
+    * arbitrary (id, dim, x) triple frame — shared with the deflated
+    * second-component pass. Returns (dim, v) e6-normalized.
+    */
+  private def powerRoundsE6(x: DataFrame, rounds: Int): DataFrame = {
     var v = x.select("dim").distinct().withColumn("v", lit(1000000L))
     var r = 0
     while (r < rounds) {
@@ -1262,7 +1274,44 @@ object Similarity {
         .select(col("dim"), expr("w DIV greatest(m DIV 1000000, 1)").as("v"))
       r += 1
     }
-    v.select(col("dim"), col("v").as("v_e6")).orderBy("dim")
+    v
+  }
+
+  /** Top-2 principal directions by power iteration WITH DEFLATION
+    * (Hotelling 1933's sequential extraction): v₁ from the raw corpus,
+    * then every vector's v₁ component removed —
+    *   c_e6(i) = (Σ_d x·v₁) · 10⁶ DIV (Σ_d v₁·v₁),
+    *   x′ = x − (c_e6 · v₁) DIV 10⁶
+    * — and v₂ from the SAME loop over the residual triples. All of it
+    * exact e6/e12 integer arithmetic (Spark DIV and DuckDB // both
+    * truncate toward zero, so negative components divide identically),
+    * replayed by a doubly-unrolled oracle. The residual frame is just a
+    * projected copy of the triples — same partitioning, same join keys —
+    * so the second component costs one more pass of the identical shape,
+    * and truncation keeps |cos(v₁, v₂)| within a few‰ of 0 (the spec
+    * pins it). Returns (dim, v1_e6, v2_e6), one row per dimension.
+    */
+  def pca2E6(vectors: DataFrame, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.util.Lineage._
+    val x = explodeE6(vectors, idCol, vecCol).truncateLineage() // 2 passes
+    val v1 = powerRoundsE6(x, rounds).truncateLineage() // deflate + output
+    val n1 = v1.agg(sum(col("v") * col("v")).as("n1"))
+    // c = s·10⁶/n1 computed as s DIV (n1 DIV 10⁶): s can reach ~6·10¹³
+    // (64 dims × e12 products), so multiplying it by 10⁶ first would
+    // overflow a long — pre-truncating the denominator keeps every value
+    // in range at a cost of ≤ 1 part in n1/10⁶, replayed identically
+    val c = x.join(broadcast(v1), Seq("dim"))
+      .groupBy("id").agg(sum(col("x") * col("v")).as("s"))
+      .crossJoin(broadcast(n1))
+      .select(col("id"), expr("s DIV greatest(n1 DIV 1000000, 1)").as("c"))
+    val x2 = x.join(c, Seq("id")).join(broadcast(v1), Seq("dim"))
+      .select(col("id"), col("dim"),
+        expr("x - (c * v) DIV 1000000").as("x"))
+    val v2 = powerRoundsE6(x2, rounds)
+    v1.select(col("dim"), col("v").as("v1_e6"))
+      .join(v2.select(col("dim"), col("v").as("v2_e6")), Seq("dim"))
+      .orderBy("dim")
   }
 
   /** Binary (1-bit) sign quantization top-k: each 64-dim vector collapses

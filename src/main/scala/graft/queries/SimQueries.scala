@@ -1476,6 +1476,49 @@ private[graft] object SimQueries {
       },
       bench = true),
 
+    Q("sim_pca2_deflate",
+      // top-2 principal directions by power iteration WITH DEFLATION
+      // (Hotelling's sequential extraction): v1 as in
+      // sim_power_iteration, every vector's v1 component subtracted at
+      // fixed truncation points, v2 from the identical loop over the
+      // residual triples — the in-engine spectral pair behind PCA
+      // whitening / 2-D corpus maps. Spark DIV and DuckDB // both
+      // truncate toward zero, so the negative residual components
+      // divide identically and the doubly-unrolled oracle replays the
+      // whole trajectory digit-for-digit.
+      (s, d) => Similarity.pca2E6(tbl(s, d, "embeddings"), rounds = 3),
+      Some {
+        def unroll(xn: String, pfx: String, prev0: String): String =
+          (1 to 3).map { r =>
+            val prev = if (r == 1) prev0 else s"$pfx${r - 1}"
+            s"""${pfx}u$r AS (SELECT id, CAST(sum(x * v) AS BIGINT) // 100000000 AS u
+               |  FROM $xn JOIN $prev USING (dim) GROUP BY id),
+               |${pfx}w$r AS (SELECT dim, CAST(sum(x * u) AS BIGINT) AS w
+               |  FROM $xn JOIN ${pfx}u$r USING (id) GROUP BY dim),
+               |${pfx}m$r AS (SELECT max(abs(w)) AS m FROM ${pfx}w$r),
+               |$pfx$r AS (SELECT dim, w // greatest(m // 1000000, 1) AS v
+               |  FROM ${pfx}w$r CROSS JOIN ${pfx}m$r)""".stripMargin
+          }.mkString(",\n")
+        s"""WITH x AS MATERIALIZED (
+           |  SELECT vec_id AS id,
+           |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+           |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x
+           |  FROM embeddings),
+           |a0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM x),
+           |${unroll("x", "a", "a0")},
+           |n1 AS (SELECT CAST(sum(v * v) AS BIGINT) AS n1 FROM a3),
+           |cs AS (SELECT id, CAST(sum(x * v) AS BIGINT) AS s
+           |       FROM x JOIN a3 USING (dim) GROUP BY id),
+           |cc AS (SELECT id, s // greatest(n1 // 1000000, 1) AS c
+           |       FROM cs CROSS JOIN n1),
+           |x2 AS MATERIALIZED (SELECT x.id, x.dim, x.x - (cc.c * a3.v) // 1000000 AS x
+           |      FROM x JOIN cc USING (id) JOIN a3 USING (dim)),
+           |b0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM x2),
+           |${unroll("x2", "b", "b0")}
+           |SELECT a3.dim, CAST(a3.v AS BIGINT) AS v1_e6, CAST(b3.v AS BIGINT) AS v2_e6
+           |FROM a3 JOIN b3 USING (dim) ORDER BY a3.dim""".stripMargin
+      }),
+
     Q("sim_knn_graph",
       // NN-descent k-NN graph build: LSH-bucket seeding, exact top-5 per
       // node, one neighbor-of-neighbor refinement round over the

@@ -32,6 +32,28 @@ class NewOpsSpec extends SparkSpec {
       s"renormalized component off e6 scale: $v")
   }
 
+  test("pca2E6 deflation finds the planted SECOND axis, near-orthogonal") {
+    // strong x-axis cluster, weaker y-axis cluster, trace z jitter: v1
+    // must be x-dominant, v2 y-dominant (deflation removed x), and the
+    // two directions must be near-orthogonal (|cos| within truncation
+    // slack of 0).
+    val rows =
+      (1L to 8L).map(i => i -> Seq(1.0f,
+        (if (i % 2 == 0) 0.02f else -0.02f), 0.01f)) ++
+      (11L to 16L).map(i => i -> Seq(
+        (if (i % 2 == 0) 0.02f else -0.02f), 0.6f, -0.01f))
+    val out = Similarity.pca2E6(vecDf(rows), rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val v1 = Array(0L, 1L, 2L).map(d => out(d)._1.toDouble)
+    val v2 = Array(0L, 1L, 2L).map(d => out(d)._2.toDouble)
+    assert(math.abs(v1(0)) > 5 * math.abs(v1(1)), s"v1 must be x-dominant: $out")
+    assert(math.abs(v2(1)) > 5 * math.abs(v2(0)), s"v2 must be y-dominant: $out")
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val cos = v1.zip(v2).map { case (a, b) => a * b }.sum /
+      math.max(norm(v1) * norm(v2), 1e-9)
+    assert(math.abs(cos) < 0.05, s"v1 and v2 must be near-orthogonal, cos=$cos")
+  }
+
   test("binarySignTopK ranks by constructed Hamming distance") {
     // query = 64 positives; candidates flip the first 0 / 8 / 40 dims →
     // Hamming 0, 8, 40 in that rank order.
