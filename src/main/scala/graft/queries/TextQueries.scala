@@ -1256,6 +1256,76 @@ private[graft] object TextQueries {
            |) ORDER BY step""".stripMargin
       }),
 
+    Q("text_kappa_agreement",
+      // Cohen's kappa between two quality annotators — the
+      // inter-annotator-agreement statistic every labeling/curation
+      // pipeline reports before trusting its gates (raw agreement
+      // flatters imbalanced labels; kappa subtracts the chance floor).
+      // Annotator A = the char-length gate, annotator B = the
+      // token-count gate; po and the chance term pe are exact e6
+      // rationals (DECIMAL(38,0)/HUGEINT for the a_pos·b_pos products so
+      // corpus-scale counts never overflow), kappa = (po−pe)/(1−pe) at
+      // identical truncation points — negative numerators divide
+      // identically since both engines truncate toward zero. The
+      // Landis-Koch strength label rides the same exact integer. Scale
+      // shape: one scan, one 1-row aggregate.
+      (s, d) => {
+        val ann = tbl(s, d, "documents").select(
+          (col("n_chars") >= 200).cast("int").as("a"),
+          (size(filter(TextStats.words(col("text")), w => w =!= lit(""))) >= 40)
+            .cast("int").as("b"))
+        ann.agg(count(lit(1)).as("n"),
+            sum(col("a")).as("a_pos"), sum(col("b")).as("b_pos"),
+            count(when(col("a") === col("b"), 1)).as("n_agree"))
+          .selectExpr("n", "a_pos", "b_pos", "n_agree",
+            "n_agree * 1000000 DIV n AS po_e6",
+            """(CAST(a_pos AS DECIMAL(38,0)) * b_pos
+              |  + (CAST(n AS DECIMAL(38,0)) - a_pos) * (n - b_pos))
+              | * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS pe_e6""".stripMargin)
+          .selectExpr("n", "a_pos", "b_pos", "n_agree", "po_e6",
+            "CAST(pe_e6 AS BIGINT) AS pe_e6",
+            """CAST((po_e6 - pe_e6) * 1000000
+              | DIV greatest(1000000 - pe_e6, CAST(1 AS DECIMAL(38,0)))
+              | AS BIGINT) AS kappa_e6""".stripMargin)
+          .withColumn("strength", expr(
+            """CASE WHEN kappa_e6 < 0 THEN 'poor'
+              | WHEN kappa_e6 < 200000 THEN 'slight'
+              | WHEN kappa_e6 < 400000 THEN 'fair'
+              | WHEN kappa_e6 < 600000 THEN 'moderate'
+              | WHEN kappa_e6 < 800000 THEN 'substantial'
+              | ELSE 'almost_perfect' END""".stripMargin))
+          .orderBy("n")
+      },
+      Some(
+        """WITH ab AS (SELECT
+          |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+          |    CASE WHEN len(list_filter(regexp_split_to_array(lower(trim(text)),
+          |      '\s+'), w -> w <> '')) >= 40 THEN 1 ELSE 0 END AS b
+          |  FROM documents),
+          |c AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(a) AS HUGEINT) AS a_pos, CAST(sum(b) AS HUGEINT) AS b_pos,
+          |    CAST(count(*) FILTER (WHERE a = b) AS HUGEINT) AS n_agree
+          |  FROM ab),
+          |k AS (SELECT n, a_pos, b_pos, n_agree,
+          |    n_agree * 1000000 // n AS po_e6,
+          |    (a_pos * b_pos + (n - a_pos) * (n - b_pos)) * 1000000
+          |      // (n * n) AS pe_e6
+          |  FROM c),
+          |kk AS (SELECT n, a_pos, b_pos, n_agree, po_e6, pe_e6,
+          |    (po_e6 - pe_e6) * 1000000 // greatest(1000000 - pe_e6, 1) AS kappa_e6
+          |  FROM k)
+          |SELECT CAST(n AS BIGINT) AS n, CAST(a_pos AS BIGINT) AS a_pos,
+          |  CAST(b_pos AS BIGINT) AS b_pos, CAST(n_agree AS BIGINT) AS n_agree,
+          |  CAST(po_e6 AS BIGINT) AS po_e6, CAST(pe_e6 AS BIGINT) AS pe_e6,
+          |  CAST(kappa_e6 AS BIGINT) AS kappa_e6,
+          |  CASE WHEN kappa_e6 < 0 THEN 'poor'
+          |    WHEN kappa_e6 < 200000 THEN 'slight'
+          |    WHEN kappa_e6 < 400000 THEN 'fair'
+          |    WHEN kappa_e6 < 600000 THEN 'moderate'
+          |    WHEN kappa_e6 < 800000 THEN 'substantial'
+          |    ELSE 'almost_perfect' END AS strength
+          |FROM kk ORDER BY n""".stripMargin)),
+
     Q("text_pipeline_funnel",
       // the data-diet funnel: doc and token counts after EACH curation
       // stage — input → quality gate (served perceptron) → span scrub →
