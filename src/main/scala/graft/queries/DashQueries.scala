@@ -1283,6 +1283,73 @@ private[graft] object DashQueries {
           |    10985910 * msw_e6 * (n_a + n_b) // (2 * n_a * n_b) AS significant
           |FROM p CROSS JOIN ms ORDER BY grp_a, grp_b""".stripMargin)),
 
+    Q("agg_higher_moments",
+      // distribution SHAPE per group: exact variance, signed squared
+      // skewness (b₁ = m₃²/m₂³ with m₃'s sign — Pearson's moment
+      // coefficient squared, the sqrt-free form), and kurtosis m₄/m₂² —
+      // the fat-tail/asymmetry profile a drift monitor tracks beyond
+      // mean±σ. Two passes: integer group means first (μ̃ = S DIV n),
+      // then EXACT integer central sums Σ(x−μ̃)^k about the truncated
+      // mean — no per-term truncation chains at all; the one
+      // documented deviation from textbook moments is the O(1/n)
+      // truncated-mean offset, identical in both engines by
+      // construction. Ratios normalize per-n first (c_k = M_k·10⁶ DIV n,
+      // scale-invariant magnitudes), so DECIMAL(38,0)/HUGEINT never
+      // overflows at any SF. Sign is applied OUTSIDE the division —
+      // every quotient has nonnegative operands. Scale shape: one scan +
+      // one 3-row-broadcast join + one combinable aggregate.
+      (s, d) => {
+        val x = tbl(s, d, "lineitem").select(col("l_returnflag").as("grp"),
+            col("l_quantity").cast("long").as("x"))
+          .filter(col("grp").isin("A", "N", "R"))
+        val mu = x.groupBy("grp").agg(count(lit(1)).as("n_g"),
+            sum(col("x").cast("decimal(38,0)")).as("s_g"))
+          .withColumn("mu", expr("s_g DIV n_g"))
+        val m = x.join(broadcast(mu), Seq("grp"))
+          .withColumn("a", expr("CAST(x AS DECIMAL(38,0)) - mu"))
+          .groupBy("grp")
+          .agg(max(col("n_g")).as("n"), max(col("s_g")).as("s_g"),
+            sum(expr("a * a")).as("m2"),
+            sum(expr("a * a * a")).as("m3"),
+            sum(expr("a * a * a * a")).as("m4"))
+        m.selectExpr("grp", "n",
+            "s_g * 1000000 DIV n AS mean_e6",
+            "m2 * 1000000 DIV n AS c2",
+            "m3 * 1000000 DIV n AS c3",
+            "m4 * 1000000 DIV n AS c4")
+          .selectExpr("grp", "CAST(n AS BIGINT) AS n",
+            "CAST(mean_e6 AS BIGINT) AS mean_e6",
+            "CAST(c2 AS BIGINT) AS var_e6",
+            """CAST((CASE WHEN c3 < 0 THEN -1 ELSE 1 END) *
+              |  (c3 * c3 DIV greatest(((c2 * c2 DIV 1000000) * c2) DIV 1000000,
+              |     CAST(1 AS DECIMAL(38,0)))) AS BIGINT) AS skew2_signed_e6""".stripMargin,
+            """CAST(c4 * 1000000 DIV greatest(c2 * c2 DIV 1000000,
+              |  CAST(1 AS DECIMAL(38,0))) AS BIGINT) AS kurt_e6""".stripMargin)
+          .orderBy("grp")
+      },
+      Some(
+        """WITH x AS (SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+          |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')),
+          |g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n_g,
+          |    CAST(sum(x) AS HUGEINT) AS s_g FROM x GROUP BY grp),
+          |mu AS (SELECT grp, n_g, s_g, s_g // n_g AS mu FROM g),
+          |aa AS (SELECT x.grp, CAST(x.x AS HUGEINT) - mu.mu AS a
+          |       FROM x JOIN mu USING (grp)),
+          |m AS (SELECT grp, sum(a * a) AS m2, sum(a * a * a) AS m3,
+          |       sum(a * a * a * a) AS m4 FROM aa GROUP BY grp),
+          |j AS (SELECT mu.grp, mu.n_g AS n, mu.s_g, m2, m3, m4
+          |      FROM mu JOIN m USING (grp)),
+          |c AS (SELECT grp, n, s_g * 1000000 // n AS mean_e6,
+          |      m2 * 1000000 // n AS c2, m3 * 1000000 // n AS c3,
+          |      m4 * 1000000 // n AS c4 FROM j)
+          |SELECT grp, CAST(n AS BIGINT) AS n, CAST(mean_e6 AS BIGINT) AS mean_e6,
+          |  CAST(c2 AS BIGINT) AS var_e6,
+          |  CAST((CASE WHEN c3 < 0 THEN -1 ELSE 1 END) *
+          |    (c3 * c3 // greatest(((c2 * c2 // 1000000) * c2) // 1000000, 1))
+          |    AS BIGINT) AS skew2_signed_e6,
+          |  CAST(c4 * 1000000 // greatest(c2 * c2 // 1000000, 1) AS BIGINT) AS kurt_e6
+          |FROM c ORDER BY grp""".stripMargin)),
+
     Q("dash_cuped_adjust",
       // CUPED (Deng et al., WSDM'13) beside dash_abtest_ztest — the
       // variance-reduction face of the experimentation family: each
