@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Job-level attribution probe: `runMain graft.JobProbe <sfDir> <q1,q2,...>`
+  * runs each named registry query once (after an sf0.001 warm-up rep) under
+  * the Bench session config with a listener attached, and prints per query:
+  * wall seconds, job count, stage count, task count, summed task time, and
+  * summed executor-run/JVM-GC/shuffle-fetch time. Wall >> summed-task/cores
+  * means the cost is DRIVER-side (scheduling, planning, AQE re-optimization,
+  * job-count overhead) — the measurement §1 of the optimization guide asks
+  * for before touching an iterative algorithm's round structure.
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = Queries.all.map(q => q.name -> q).toMap
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskTimeMs = 0L
+    @volatile var runTimeMs = 0L
+    @volatile var gcTimeMs = 0L
+    @volatile var fetchWaitMs = 0L
+    @volatile var shuffleBytes = 0L
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = ()
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += sc.stageInfo.numTasks
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskTimeMs += te.taskInfo.duration
+          runTimeMs += m.executorRunTime
+          gcTimeMs += m.jvmGCTime
+          fetchWaitMs += m.shuffleReadMetrics.fetchWaitTime
+          shuffleBytes += m.shuffleReadMetrics.totalBytesRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val warmDir = {
+      val sib = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+      if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
+    }
+    names.foreach { n =>
+      qs(n).fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    }
+    names.foreach { n =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L; runTimeMs = 0L
+      gcTimeMs = 0L; fetchWaitMs = 0L; shuffleBytes = 0L
+      val t0 = System.nanoTime()
+      qs(n).fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events post asynchronously; give the bus a beat to drain
+      Thread.sleep(400)
+      println(f"[jobprobe] $n wall=$wall%.2fs jobs=$jobs stages=$stages " +
+        f"tasks=$tasks taskTime=${taskTimeMs / 1e3}%.2fs " +
+        f"run=${runTimeMs / 1e3}%.2fs gc=${gcTimeMs / 1e3}%.2fs " +
+        f"fetchWait=${fetchWaitMs / 1e3}%.2fs " +
+        f"shuffleMB=${shuffleBytes / 1e6}%.1f")
+    }
+    spark.stop()
+  }
+}
