@@ -767,22 +767,37 @@ object Graph {
     val keys = lmKeys :+ "id"
     val e = edges.toDF("src", "dst", "w").select(col("src").cast("long"),
       col("dst").cast("long"), col("w").cast("long"))
-    // split once, checkpoint eagerly: both halves are re-read every round
+    // split once, checkpoint eagerly: both halves are re-read every round.
+    // (A pre-partitioned split was tried in r14 and measured useless:
+    // localCheckpoint surfaces as UnknownPartitioning(0), so co-partitioned
+    // rounds are unreachable through a checkpoint — the per-round win has
+    // to come from the planner broadcasting the bounded frontier/delta
+    // frames off their carried checkpoint stats instead.)
     val light = e.filter(col("w") <= delta).truncateLineage(eager = true)
     val heavy = e.filter(col("w") > delta).truncateLineage(eager = true)
     var dist = seed
       .withColumn("dist", lit(0L))
       .truncateLineage(eager = true)
     // merge an improvement delta into the distance table: replaced rows
-    // leave via the anti-join, improved/new rows enter via the union
+    // leave via the anti-join (a broadcast probe of the bounded delta —
+    // never a re-shuffle of the distance table), improved/new rows enter
+    // via the union. (A full-outer-join merge was tried in r14 and
+    // rejected: full outer can't broadcast, so it re-exchanged BOTH
+    // sides every round.)
     def merge(improved: DataFrame): DataFrame =
       dist.join(improved.select(keys.map(col): _*), keys, "left_anti")
         .union(improved)
-        .truncateLineage(eager = true) // eager: read 2-3 times in the following round
+        .truncateLineage(eager = true) // eager: read 2-3 times next round;
+        // also stamps the checkpoint with its MEASURED size (GraftBridge)
     // one relaxation round: frontier × edgeHalf → per-(lm, dst) min
     // candidate, kept only where it beats (or first sets) the current
     // distance. Relaxation stays within a landmark: the landmark key
-    // rides the frontier row through the edge join untouched.
+    // rides the frontier row through the edge join untouched. The join
+    // (id = src), the min-aggregate (keys ⊇ dst-id), and the od probe
+    // (keys) are all clustered on the pre-partitioned layout, so the
+    // whole round is exchange-free for the single-source form (the
+    // landmark form pays one thin frontier exchange: its frontier is
+    // keyed (lm, id) but joins edges on id alone).
     def relax(frontier: DataFrame, half: DataFrame): DataFrame = {
       val cand = frontier.join(half, frontier("id") === half("src"))
         .select(lmKeys.map(frontier(_)) ++ Seq(half("dst").as("id"),
@@ -791,7 +806,7 @@ object Graph {
       cand.join(dist.withColumnRenamed("dist", "od"), keys, "left")
         .filter(col("od").isNull || col("nd") < col("od"))
         .select(keys.map(col) :+ col("nd").as("dist"): _*)
-        .truncateLineage(eager = true) // eager: the count probe + merge + next frontier
+        .truncateLineage() // lazy: the count probe is the round's one action
     }
     var rounds = 0
     var boundOpt: Option[Long] = Some(0L) // current bucket = [bound, bound+Δ)

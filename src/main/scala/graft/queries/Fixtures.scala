@@ -138,6 +138,26 @@ private[graft] object Fixtures {
     val v = pmod(id * 7919L, lit(9000000L)) + 100L
     tbl(spark, dir, "lineitem")
       .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      // Explicit fan-out UNDER the distinct, pinning the partition count of
+      // the one exchange feeding the heavy row build (string literals →
+      // transliterate → regex filters downstream): AQE's partition
+      // coalescing sizes the distinct's own exchange by BYTES (~2 MB of
+      // longs → 2 post-shuffle partitions at the 1 MB minPartitionSize),
+      // which serialized the whole per-row string pipeline of every chain
+      // query onto 2 cores — a measured 1.9 s single-stage wall inside
+      // transform_chain (JobProbe r14: 2 tasks, max task 1939 ms). Bytes
+      // are a bad proxy for downstream CPU; a USER-pinned repartition is
+      // exempt from AQE coalescing, and placed BELOW the distinct it also
+      // satisfies the aggregation's clustering (hash on id), so the plan
+      // still has exactly one exchange (a repartition placed above it
+      // collapses into the aggregate exchange and gets re-coalesced —
+      // measured no-op). Deterministic hash partitioning on id — never
+      // round-robin (retry safety, SPARK-38388). At real scale the
+      // exchange moves only the thin id column and AQE would not have
+      // coalesced anyway; the count tracks spark.sql.shuffle.partitions,
+      // i.e. the session's core budget, not a local constant.
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("id"))
       .distinct()
       .select(
         id,

@@ -53,7 +53,12 @@ object Lineage {
       val reliable = spark.conf.getOption(ReliableConfKey)
         .exists(_.equalsIgnoreCase("true")) &&
         spark.sparkContext.getCheckpointDir.isDefined
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      val ck = if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      // Cap the carried-over stats: in iterative loops the origin plans'
+      // join-product sizeInBytes COMPOUNDS across rounds' checkpoints and
+      // the driver drowns in huge-BigInt stats arithmetic (see
+      // GraftBridge.capCheckpointStats). Values at the cap plan identically.
+      org.apache.spark.sql.GraftBridge.capCheckpointStats(ck)
     }
   }
 }
