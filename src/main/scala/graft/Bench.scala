@@ -33,13 +33,36 @@ object Bench {
       sfName.stripPrefix("sf").toDouble).getOrElse(0.1)
     val sfBudgetScale: Double = math.max(1.0, sfValue / 0.1)
 
+    // The current round, for the committed-history tag and vs_prev's
+    // own-round guard: SPARK_GRAFT_ROUND when set, else INFERRED as
+    // (newest BENCH_rN.json on disk) + 1 — the newest BENCH record is the
+    // last COMPLETED round, so any run here belongs to the round after it.
+    // The inference exists because the driver's official runs do NOT set
+    // SPARK_GRAFT_ROUND (VERDICT r14 next #2: r14's official run left no
+    // round-tagged history file, so the next round's per-query PERF diff
+    // had no prev side); with it, every official run lands
+    // tools/bench_history/r<N>_<sf>.json unconditionally.
+    val roundNum: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(r => scala.util.Try(
+        r.replaceAll("[^0-9]", "").toInt).toOption)
+      .orElse {
+        Option(new java.io.File(".").getAbsoluteFile.getParentFile.listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .maxOption.map(_ + 1)
+      }
     // The detail tag is computed ONCE per run (ADVICE r13: computing it per
     // emission under an unset SPARK_GRAFT_ROUND minted a new epoch tag per
     // emit, accumulating stale interim files whose paths earlier stdout
     // records pointed at). One tag per run → every emission of the run
     // overwrites the same detail file; newest wins, as documented.
     // digits-only normalization: "11" and "r11" both tag r11, keeping the
-    // tag comparable with vs_prev's own-round guard.
+    // tag comparable with vs_prev's own-round guard. The tag stays
+    // EPOCH-based for runs without an explicit SPARK_GRAFT_ROUND so that
+    // repeated ad-hoc runs keep accumulating distinct load-gate references
+    // (an inferred-round tag here would make every dev run overwrite one
+    // detail file and self-exclude it from the gate).
     val detailTag: String = sys.env.get("SPARK_GRAFT_ROUND")
       .map(r => "r" + r.replaceAll("[^0-9]", ""))
       .getOrElse((System.currentTimeMillis() / 1000L).toString)
@@ -450,9 +473,10 @@ object Bench {
       val vsPrev: String =
         try {
           val here = new java.io.File(".").getAbsoluteFile.getParentFile
-          val round = sys.env.get("SPARK_GRAFT_ROUND")
-            .flatMap(r =>
-              scala.util.Try(r.replaceAll("[^0-9]", "").toInt).toOption)
+          // own-round guard now uses the inferred round too: an in-round
+          // dev run must not vs_prev-compare against the round's OWN
+          // history file (it would read ~1.0 and mask regressions)
+          val round = roundNum
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           def queriesOf(node: com.fasterxml.jackson.databind.JsonNode)
               : Option[Map[String, Double]] =
@@ -560,15 +584,22 @@ object Bench {
       // tag + SF. This is what future rounds' vs_prev and load gate read now
       // that the stdout record is map-free; git-committing it is what makes
       // the comparison survive target/ cleanups. Rewritten per emission
-      // (same path — newest wins), only for round-tagged runs: ad-hoc
-      // epoch-tagged runs contribute via their detail files instead.
-      if (detailTag.startsWith("r")) try {
-        val hdir = new java.io.File("tools/bench_history"); hdir.mkdirs()
-        val hw = new java.io.PrintWriter(
-          new java.io.File(hdir, s"${detailTag}_$sfName.json"), "UTF-8")
-        try hw.println(f"""{"sf":"$sfName","tag":"$detailTag","final":$isFinal,"total":$total%.3f,"queries":${jmap(results.sortBy(_._1))}}""")
-        finally hw.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      // (same path — newest wins). Written whenever the round is KNOWN —
+      // explicitly via SPARK_GRAFT_ROUND or inferred from the newest
+      // BENCH_rN.json (the driver's official runs set no env, and r14's
+      // round-tagged map went missing because of it; the round's final run,
+      // driver or builder, now always lands here and one `git add` commits
+      // it). Runs in a checkout with no BENCH records at all (no round
+      // signal) still skip the write.
+      roundNum.foreach { rn =>
+        try {
+          val hdir = new java.io.File("tools/bench_history"); hdir.mkdirs()
+          val hw = new java.io.PrintWriter(
+            new java.io.File(hdir, s"r${rn}_$sfName.json"), "UTF-8")
+          try hw.println(f"""{"sf":"$sfName","tag":"r$rn","final":$isFinal,"total":$total%.3f,"queries":${jmap(results.sortBy(_._1))}}""")
+          finally hw.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       // The stdout record is SCALAR-ONLY (plus the short capped list):
       // r12's record died to a driver timeout, r13's to the ~2 KB stdout
       // tail (the 45-slowest map alone overflowed it). Everything

@@ -1255,26 +1255,46 @@ private[graft] object GraphQueries {
       (s, d) => {
         val ranked = walkEdges(s, d).truncateLineage()
         val sym = ranked.select("src", "dst")
-        val seeds = sym.select(col("src")).distinct()
-          .filter(col("src") % 100 === 0)
+        // seeds from the artifact's r = 1 slice, degree attached — no
+        // per-query DISTINCT aggregation (the walkCorpus seed shape)
+        val seeds = ranked
+          .filter(col("r") === 1 && col("src") % 100 === 0)
+          .select(col("src").as("walk_id"), col("deg").as("sdeg"))
         // step 1: uniform (no previous node yet) — the walk_corpus draw
         // under the n2v salt. The full N(seed) enumeration materializes
-        // (truncateLineage): the rank filter picks from it now, and step
-        // 2's adjacency probe replays it as N(prev).
-        val d1 = pmod(graft.analytics.Sketch.hashPoint32(
-          concat(lit("n2v#"), col("walk_id").cast("string"), lit("#1"))),
-          col("deg")) + 1
-        var prevCand = seeds.select(col("src").as("walk_id"),
-            col("src").as("from"))
-          .join(ranked, col("from") === ranked("src"))
+        // (truncateLineage): the rank pick reads it now, and step 2's
+        // adjacency probe replays it as N(prev). The md5 draw is hoisted
+        // to a per-WALK frame (deg from the r = 1 slice of the ranked
+        // artifact) and enters the pick as a second equi-key — the
+        // walkCorpus hoist (guide §1.2/§4): one hash per walk instead of
+        // one per enumerated neighbor row.
+        // name-based joins/refs throughout: every frame here descends from
+        // the ranked artifact, and dataset-tagged column refs would trip
+        // the ambiguous-self-join check. The draw (one md5 per walk, off
+        // the seed's attached degree) joins back on r itself, so the pick
+        // is a two-key hash probe emitting exactly one row per walk.
+        val draw1 = seeds.select(col("walk_id"),
+          (pmod(graft.analytics.Sketch.hashPoint32(
+            concat(lit("n2v#"), col("walk_id").cast("string"),
+              lit("#1"))), col("sdeg")) + 1).as("r"))
+        var prevCand = seeds.select(col("walk_id"),
+            col("walk_id").as("from"))
+          .join(ranked, col("from") === col("src"))
           .select(col("walk_id"), col("from"), col("dst"), col("r"),
             col("deg"))
           .truncateLineage()
-        var frontier = prevCand.filter(col("r") === d1)
+        // checkpointed like every later step's frontier (= nxt): the pick
+        // join's subtree contains the seeds distinct and a ranked scan via
+        // draw1, and the frontier feeds BOTH the walks union and step 2's
+        // fan-out — uncheckpointed it would recompute that subtree per
+        // consumer (measured +4 s Σtask), and its sym lineage would trip
+        // the ambiguous-self-join check in the step-2 join
+        var frontier = prevCand.join(draw1, Seq("walk_id", "r"))
           .select(col("walk_id"), col("from").as("prev"),
             col("dst").as("cur"))
-        var walks = seeds.select(col("src").as("walk_id"),
-            lit(0L).as("step"), col("src").as("node"))
+          .truncateLineage()
+        var walks = seeds.select(col("walk_id"),
+            lit(0L).as("step"), col("walk_id").as("node"))
           .union(frontier.select(col("walk_id"), lit(1L).as("step"),
             col("cur").as("node")))
         val byWalk = Window.partitionBy("walk_id").orderBy("dst")
@@ -1283,9 +1303,22 @@ private[graft] object GraphQueries {
         for (t <- 2 to 6) {
           // one edge-keyed join per step (the same one walk_corpus pays):
           // fan out from cur; materialized once — the pick reads it now,
-          // step t+1's adjacency probe reads it again as N(prev)
-          val cand = frontier.join(sym, frontier("cur") === sym("src"))
-            .select(col("walk_id"), col("prev"), col("cur"), sym("dst"))
+          // step t+1's adjacency probe reads it again as N(prev). The
+          // step's md5 hash depends ONLY on walk_id, so it is computed on
+          // the per-walk frontier and carried through the fan-out as a
+          // column (__h): the draw filter below then evaluates a plain
+          // integer pmod per candidate instead of md5 + string concat +
+          // base-16 conv per candidate (the c32 JobProbe's dominant Σtask).
+          val fh = frontier.withColumn("__h",
+            graft.analytics.Sketch.hashPoint32(concat(lit("n2v#"),
+              col("walk_id").cast("string"), lit(s"#$t"))))
+          // name-based refs only: the frontier's lineage now reaches the
+          // seeds/sym subtree through draw1, so dataset-tagged fh(...) /
+          // sym(...) refs would trip the ambiguous-self-join check; the
+          // column names are disjoint across the two sides
+          val cand = fh.join(sym, col("cur") === col("src"))
+            .select(col("walk_id"), col("prev"), col("cur"), col("dst"),
+              col("__h"))
             .truncateLineage()
           // explicit renames on the witness side: cand and prevCand share
           // lineage (prevCand is last round's cand), so unrenamed columns
@@ -1296,16 +1329,15 @@ private[graft] object GraphQueries {
           val weighted = cand
             .join(adjPrev, col("walk_id") === col("p_wid") &&
               col("dst") === col("p_dst"), "left")
-            .select(col("walk_id"), col("cur"), col("dst"),
+            .select(col("walk_id"), col("cur"), col("dst"), col("__h"),
               when(col("dst") === col("prev"), 2L)
                 .when(col("adj").isNotNull, 4L)
                 .otherwise(1L).as("w"))
             .withColumn("cumw", sum(col("w")).over(byWalk))
             .withColumn("tw", sum(col("w")).over(tot))
-          val draw = pmod(graft.analytics.Sketch.hashPoint32(
-            concat(lit("n2v#"), col("walk_id").cast("string"),
-              lit(s"#$t"))), col("tw"))
-          val nxt = weighted.filter(col("cumw") > draw)
+          // identical draw value: pmod(md5-head-32(n2v#walk#t), tw) — the
+          // hash now arrives as the carried __h column
+          val nxt = weighted.filter(col("cumw") > pmod(col("__h"), col("tw")))
             .groupBy("walk_id")
             .agg(min_by(col("dst"), col("cumw")).as("nxt"),
               min(col("cur")).as("prev"))
@@ -1377,7 +1409,7 @@ private[graft] object GraphQueries {
     */
   private def walkEdges(s: SparkSession, d: String): DataFrame =
     graft.llm.ModelStore.getOrTrain(s,
-      "walk_ranked_edges_v1_" + d.replaceAll("[^A-Za-z0-9]+", "_")) {
+      "walk_ranked_edges_v2_" + d.replaceAll("[^A-Za-z0-9]+", "_")) {
       val raw = tbl(s, d, "orders")
         .join(tbl(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
@@ -1385,30 +1417,54 @@ private[graft] object GraphQueries {
         .distinct()
       val sym = raw.union(raw.select(col("dst").as("src"),
         col("src").as("dst")))
-      graft.etl.Ids.groupedRunningSum(
+      val rk = graft.etl.Ids.groupedRunningSum(
         sym.withColumn("one", lit(1L)), Seq("src"), Seq(col("dst")),
         "one", cumCol = "r", totCol = "deg")
         .select("src", "dst", "r", "deg")
+      // v2: append ddeg = deg(dst), so a walk step that lands on dst
+      // already knows the degree its NEXT draw needs — the consumers'
+      // per-step degree joins (and their broadcast-build jobs) disappear.
+      // The r = 1 slice is one row per node (r spans 1..deg, deg ≥ 1),
+      // and the graph is symmetric, so every dst occurs as a src and the
+      // inner join is total. Train-once cost inside the published
+      // artifact, like the rank build itself.
+      val dd = rk.filter(col("r") === 1)
+        .select(col("src").as("dst"), col("deg").as("ddeg"))
+      rk.join(broadcast(dd), "dst").select("src", "dst", "r", "deg", "ddeg")
     }
 
   private def walkCorpus(s: SparkSession, d: String): DataFrame = {
     val ranked = walkEdges(s, d).truncateLineage()
-    val sym = ranked.select("src", "dst")
-    val seeds = sym.select(col("src")).distinct()
-      .filter(col("src") % 100 === 0)
-    var walks = seeds.select(col("src").as("walk_id"),
-      lit(0L).as("step"), col("src").as("node"))
-    var cur = walks
+    // seeds from the r = 1 slice (one row per node, deg attached): the
+    // former sym-projection + DISTINCT aggregation re-derived per query
+    // what the artifact already states
+    val seeds = ranked.filter(col("r") === 1 && col("src") % 100 === 0)
+      .select(col("src").as("walk_id"), col("src").as("node"),
+        col("deg").as("cdeg"))
+    var walks = seeds.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var cur = seeds
     for (t <- 1 to 6) {
-      val draw = pmod(graft.analytics.Sketch.hashPoint32(
-        concat(col("walk_id").cast("string"), lit(s"#$t"))),
-        col("deg")) + 1
-      val nxt = cur.join(ranked, cur("node") === ranked("src"))
-        .filter(col("r") === draw)
-        .select(col("walk_id"), lit(t.toLong).as("step"),
-          col("dst").as("node"))
+      // The md5 draw is hoisted to the WALK frame (one hash per walk per
+      // step) instead of living in the edge-join filter, where it was
+      // evaluated once per CANDIDATE row — Σ deg(cur) md5+conv evaluations
+      // per step on the streamed edge list (JobProbe r15: 35 s Σtask at
+      // c32 for a 450-walk corpus; guide §1.2 "per-task work"/§4 — put
+      // expensive expressions on the small side). The drawn rank then
+      // enters the join as a SECOND equi-key, so the hash probe emits
+      // exactly one row per walk instead of filtering deg candidates; the
+      // artifact's ddeg column hands the landing node's degree to the
+      // next step with no degree join at all.
+      val drawn = cur.select(col("walk_id"), col("node"),
+        (pmod(graft.analytics.Sketch.hashPoint32(
+          concat(col("walk_id").cast("string"), lit(s"#$t"))),
+          col("cdeg")) + 1).as("draw"))
+      val nxt = drawn.join(ranked,
+          col("node") === col("src") && col("draw") === col("r"))
+        .select(col("walk_id"), col("dst").as("node"),
+          col("ddeg").as("cdeg"))
         .truncateLineage()
-      walks = walks.union(nxt)
+      walks = walks.union(nxt.select(col("walk_id"),
+        lit(t.toLong).as("step"), col("node")))
       cur = nxt
     }
     walks
